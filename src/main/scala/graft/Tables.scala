@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared operator from SURVEY.md §2: a Spark implementation plus an
+  * optional DuckDB oracle SQL (None ⇒ driver records a rows-only check).
+  */
+final case class OpQuery(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+object OpQuery {
+  def apply(fn: (SparkSession, String) => DataFrame, sql: String): OpQuery =
+    OpQuery(fn, Some(sql))
+}
+
+/** Parquet table readers for the driver-generated corpus (TESTDATA.md).
+  *
+  * Scale note (100 TB posture): `spark.read.parquet` over a directory of
+  * many files partitions by row-group/file split automatically; nothing here
+  * assumes a single file. Filters/projections applied by callers reach the
+  * scan via Catalyst pushdown — verified via explain() in BenchReport.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot map to
+      // TimestampType directly (PARQUET_TYPE_ILLEGAL). Read nanos as long
+      // and truncate to µs — exactly what DuckDB does on read (SURVEY
+      // §7.4.4), so both engines see identical µs values.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      if (raw.schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+}
+
+/** Oracle-parity helpers (SURVEY §7.4 determinism rules).
+  *
+  * The central trick: floating-point SUMs are order-dependent, and Spark and
+  * DuckDB aggregate in different orders — raw double sums can never
+  * hash-match. Casting each addend to an exact DECIMAL first makes the sum
+  * associative (exact), so both engines produce the identical value; the
+  * final cast back to DOUBLE is then deterministic. The per-row double
+  * arithmetic BEFORE the cast (e.g. price*(1-disc)) is bit-identical in both
+  * engines (same IEEE ops on same inputs), so the decimal quantization at
+  * scale 10 sees identical inputs.
+  */
+object Par {
+  /** Exact (order-independent) sum of a double expression. The sum is
+    * rounded to 4dp IN DECIMAL SPACE before the double cast: DuckDB's
+    * wide-decimal→double cast is not correctly rounded (int128/10^10 in
+    * double arithmetic drifts an ulp), but a scale-4 decimal's integer part
+    * stays under 2^53 so both engines' casts are exact+identical.
+    */
+  def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(30, 10))), 4).cast(DoubleType)
+
+  /** DuckDB text of the same exact sum. */
+  def dsumSql(expr: String): String =
+    s"CAST(round(sum(CAST($expr AS DECIMAL(30,10))), 4) AS DOUBLE)"
+
+  def r6(c: Column): Column = round(c, 6)
+  def r4(c: Column): Column = round(c, 4)
+}

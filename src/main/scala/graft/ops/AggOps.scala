@@ -1,0 +1,245 @@
+package graft.ops
+
+import graft.{OpQuery, Par, Tables}
+import org.apache.spark.sql.{SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** e12: weighted geometric mean, exp(Σ w·ln x / Σ w), as a typed Aggregator.
+  * Buffer is (Σ w·ln x, Σ w); merge is associative ⇒ partial aggregation
+  * (map-side combine) works, which is what makes a UDAF scale: state is two
+  * doubles per group regardless of input size.
+  */
+object WeightedGeoMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+  def zero: (Double, Double) = (0.0, 0.0)
+  def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) = {
+    val (x, w) = in
+    (b._1 + w * math.log(x), b._2 + w)
+  }
+  def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+    (a._1 + b._1, a._2 + b._2)
+  def finish(b: (Double, Double)): Double =
+    if (b._2 == 0.0) Double.NaN else math.exp(b._1 / b._2)
+  def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+    org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaDouble)
+  def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+}
+
+/** SURVEY §2 group E — aggregations.
+  *
+  * Scale notes: every groupBy here is a hash aggregate with partial (map-side)
+  * combine, so the shuffle carries one row per (partition, group), not per
+  * input row. Exact-decimal sums (Par.dsum) keep that property — DECIMAL sum
+  * is associative. countDistinct plans expand+two-phase agg; at 100 TB swap
+  * to approx_count_distinct (e4) when exactness isn't required.
+  */
+object AggOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val e1_agg_global = OpQuery(
+    (s, d) => t(s, d, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      Par.dsum(col("l_quantity")).as("sum_qty"),
+      (Par.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+      min(col("l_shipdate")).as("min_ship"),
+      max(col("l_shipdate")).as("max_ship")),
+    s"""SELECT count(*) AS n_rows,
+       |  ${Par.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Par.dsumSql("l_quantity")} / count(*) AS avg_qty,
+       |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+       |FROM lineitem""".stripMargin)
+
+  /** TPC-H Q1 pricing summary — the flagship `entry` query. */
+  val e2_agg_groupby = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Par.dsum(col("l_quantity")).as("sum_qty"),
+        Par.dsum(col("l_extendedprice")).as("sum_base_price"),
+        Par.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        Par.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+        (Par.dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (Par.dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (Par.dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${Par.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Par.dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${Par.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+       |  ${Par.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+       |  ${Par.dsumSql("l_quantity")} / count(*) AS avg_qty,
+       |  ${Par.dsumSql("l_extendedprice")} / count(*) AS avg_price,
+       |  ${Par.dsumSql("l_discount")} / count(*) AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  val e3_agg_distinct = OpQuery(
+    (s, d) => t(s, d, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      sum_distinct(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_dist_qty"),
+      count(lit(1)).as("n_rows")),
+    """SELECT count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem""".stripMargin)
+
+  /** HLL++ sketch ≠ DuckDB's sketch ⇒ no oracle; gated by a ±5% unit test. */
+  val e4_agg_approx_distinct = OpQuery(
+    (s, d) => t(s, d, "orders").agg(
+      approx_count_distinct(col("o_custkey")).as("approx_cust"),
+      countDistinct(col("o_custkey")).as("exact_cust")),
+    None)
+
+  val e5_agg_rollup_cube = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n"),
+        Par.dsum(col("l_quantity")).as("sum_qty"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+      .orderBy(asc("gid"), asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus")),
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  count(*) AS n, ${Par.dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY gid ASC, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)
+
+  val e6_agg_grouping_sets = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast(LongType).as("gid"),
+        count(lit(1)).as("n"),
+        Par.dsum(col("l_extendedprice")).as("sum_price"))
+      .select("l_returnflag", "l_linestatus", "gid", "n", "sum_price")
+      .orderBy(asc("gid"), asc_nulls_last("l_returnflag"), asc_nulls_last("l_linestatus")),
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       |  count(*) AS n, ${Par.dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       |ORDER BY gid ASC, l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin)
+
+  /** Statistical aggregates — small-magnitude columns only, so the 1e-6
+    * rounding granularity dwarfs cross-engine accumulation-order noise.
+    */
+  val e7_agg_stats = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Par.r6(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        Par.r6(var_samp(col("l_quantity"))).as("var_qty"),
+        Par.r6(stddev_pop(col("l_discount"))).as("sdp_disc"),
+        Par.r6(corr(col("l_quantity"), col("l_discount"))).as("corr_qd"),
+        Par.r6(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qd"),
+        Par.r6(covar_pop(col("l_quantity"), col("l_discount"))).as("covp_qd"))
+      .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_quantity), 6) AS var_qty,
+      |  round(stddev_pop(l_discount), 6) AS sdp_disc,
+      |  round(corr(l_quantity, l_discount), 6) AS corr_qd,
+      |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+      |  round(covar_pop(l_quantity, l_discount), 6) AS covp_qd
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  val e8_agg_percentile = OpQuery(
+    (s, d) => t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        Par.r4(median(col("o_totalprice"))).as("med_price"),
+        Par.r4(percentile(col("o_totalprice"), lit(0.25))).as("p25"),
+        Par.r4(percentile(col("o_totalprice"), lit(0.75))).as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus"),
+    """SELECT o_orderstatus,
+      |  round(median(o_totalprice), 4) AS med_price,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+
+  /** Per-group array aggregation — sorted for determinism (SURVEY §7.4.5). */
+  val e9_agg_collect = OpQuery(
+    (s, d) => t(s, d, "customer")
+      .groupBy("c_nationkey")
+      .agg(array_sort(collect_list(col("c_custkey"))).as("custkeys"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey"),
+    """SELECT c_nationkey, list(c_custkey ORDER BY c_custkey) AS custkeys, count(*) AS n
+      |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+
+  /** Conditional aggregation (FILTER/CASE) incl. empty-group NULL semantics. */
+  val e10_agg_conditional = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        Par.dsum(when(col("l_linestatus") === "F", col("l_quantity"))).as("qty_f"),
+        Par.dsum(when(col("l_linestatus") === "O", col("l_quantity"))).as("qty_o"),
+        count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+       |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))) FILTER (WHERE l_linestatus = 'F'), 4) AS DOUBLE) AS qty_f,
+       |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,10))) FILTER (WHERE l_linestatus = 'O'), 4) AS DOUBLE) AS qty_o,
+       |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       |  count(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  /** Pivot with a pre-declared value list (determinism) and 0-filled counts. */
+  val e11_pivot = OpQuery(
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +: types.map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("user_id")
+    },
+    """SELECT user_id,
+      |  count(*) FILTER (WHERE event_type = 'click') AS click,
+      |  count(*) FILTER (WHERE event_type = 'error') AS error,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |  count(*) FILTER (WHERE event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
+  /** Custom typed UDAF surface (SURVEY §4.3). */
+  val e12_agg_custom_typed = OpQuery(
+    (s, d) => {
+      val wgm = udaf(WeightedGeoMean)
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(Par.r6(wgm(lit(1.0) - col("l_discount"), col("l_quantity"))).as("wgm_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag,
+      |  round(exp(sum(l_quantity * ln(1 - l_discount)) / sum(l_quantity)), 6) AS wgm_disc,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+
+  val all: Map[String, OpQuery] = Map(
+    "e1_agg_global" -> e1_agg_global,
+    "e2_agg_groupby" -> e2_agg_groupby,
+    "e3_agg_distinct" -> e3_agg_distinct,
+    "e4_agg_approx_distinct" -> e4_agg_approx_distinct,
+    "e5_agg_rollup_cube" -> e5_agg_rollup_cube,
+    "e6_agg_grouping_sets" -> e6_agg_grouping_sets,
+    "e7_agg_stats" -> e7_agg_stats,
+    "e8_agg_percentile" -> e8_agg_percentile,
+    "e9_agg_collect" -> e9_agg_collect,
+    "e10_agg_conditional" -> e10_agg_conditional,
+    "e11_pivot" -> e11_pivot,
+    "e12_agg_custom_typed" -> e12_agg_custom_typed)
+}

@@ -1,0 +1,222 @@
+package graft.ops
+
+import graft.{OpQuery, Par, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 group B — the fits2db conversion pipeline semantics (SURVEY
+  * §1.2): column-name normalization for DDL, type widening, null sentinels,
+  * NaN policy, TSCAL/TZERO scaling, array expand/explode, synthetic keys,
+  * exact dedup and load-validation checksums.
+  *
+  * All of these are narrow (shuffle-free) column expressions except b8/b10 —
+  * they whole-stage-codegen into a single fused stage, which is the Spark
+  * analog of fits2db's constant-memory chunk loop (SURVEY §3.2 E2).
+  */
+object EtlOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** SQL reserved words a FITS column name must not collide with (subset
+    * sufficient for DDL emission; matched case-insensitively after
+    * normalization).
+    */
+  private val Reserved = Set(
+    "select", "from", "where", "group", "order", "by", "table", "create",
+    "insert", "update", "delete", "join", "union", "all", "and", "or",
+    "not", "null", "true", "false", "case", "when", "then", "else", "end",
+    "as", "on", "user", "index", "primary", "key", "default", "values")
+
+  /** fits2db DDL name policy: lowercase, non-[a-z0-9_] → '_', digit-lead
+    * prefixed, reserved words suffixed, duplicates numbered.
+    */
+  def normalizeName(raw: String): String = {
+    val lower = raw.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    val led = if (lower.isEmpty || lower.head.isDigit) "_" + lower else lower
+    if (Reserved(led)) led + "_" else led
+  }
+
+  def normalizeColumns(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val cols = df.columns.map { c =>
+      val base = normalizeName(c)
+      val n = seen.getOrElse(base, 0)
+      seen(base) = n + 1
+      val finalName = if (n == 0) base else s"${base}_${n + 1}"
+      col(s"`$c`").as(finalName)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** b1: ugly header names → normalized DDL names (oracle declares the
+    * expected post-normalization schema directly).
+    */
+  val b1_colname_normalize = OpQuery(
+    (s, d) => {
+      val ugly = t(s, d, "events").select(
+        col("event_id").as("Event ID"),
+        col("event_type").as("Event-Type"),
+        col("value").as("select"),
+        col("user_id").as("2user"))
+      normalizeColumns(ugly).orderBy("event_id")
+    },
+    """SELECT event_id, event_type, value AS select_, user_id AS _2user
+      |FROM events ORDER BY event_id""".stripMargin)
+
+  /** b2: FITS TFORM widening (short→int, int→long, float→double — §1.2). */
+  val b2_type_cast_widen = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").cast(LongType).as("l_linenumber_w"),
+        col("l_quantity").cast(DoubleType).as("l_quantity_w"),
+        col("l_partkey").cast(DecimalType(20, 0)).as("l_partkey_u64"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity_w", "l_partkey_u64"),
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_linenumber AS BIGINT) AS l_linenumber_w,
+      |  CAST(l_quantity AS DOUBLE) AS l_quantity_w,
+      |  CAST(l_partkey AS DECIMAL(20,0)) AS l_partkey_u64
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity_w, l_partkey_u64""".stripMargin)
+
+  /** TNULL sentinel → NULL. */
+  def nullSentinel(c: Column, sentinel: Long): Column =
+    when(c === lit(sentinel), lit(null)).otherwise(c)
+
+  val b3_null_sentinel = OpQuery(
+    (s, d) => t(s, d, "nation")
+      .select(col("n_nationkey"),
+        nullSentinel(col("n_regionkey"), 0L).as("n_regionkey_n"))
+      .orderBy("n_nationkey"),
+    """SELECT n_nationkey, nullif(n_regionkey, 0) AS n_regionkey_n
+      |FROM nation ORDER BY n_nationkey""".stripMargin)
+
+  /** fits2db float policy: NaN/±Inf → SQL NULL. */
+  def nanToNull(c: Column): Column =
+    when(isnan(c) || c === lit(Double.PositiveInfinity) ||
+      c === lit(Double.NegativeInfinity), lit(null)).otherwise(c)
+
+  /** b4: NaN/Inf injected deterministically, then scrubbed. */
+  val b4_nan_to_null = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .withColumn("disc_dirty",
+        when(col("l_linenumber") === 3, lit(Double.NaN))
+          .when(col("l_linenumber") === 4, lit(Double.PositiveInfinity))
+          .otherwise(col("l_discount")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nanToNull(col("disc_dirty")).as("disc_clean"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), asc_nulls_last("disc_clean")),
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_linenumber = 3 OR l_linenumber = 4 THEN NULL ELSE l_discount END AS disc_clean
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, disc_clean ASC NULLS LAST""".stripMargin)
+
+  /** TSCAL/TZERO: physical = raw × scale + zero. */
+  def scaleZero(c: Column, scale: Double, zero: Double): Column =
+    c * lit(scale) + lit(zero)
+
+  val b5_scale_zero = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        scaleZero(col("l_quantity"), 0.5, 100.0).as("qty_phys"))
+      .orderBy("l_orderkey", "l_linenumber", "qty_phys"),
+    """SELECT l_orderkey, l_linenumber, l_quantity * 0.5 + 100.0 AS qty_phys
+      |FROM lineitem ORDER BY 1, 2, 3""".stripMargin)
+
+  /** b6: fixed-repeat array cell → scalar columns col_1..col_n (fits2db
+    * array-expansion mode). First 8 of the 64 dims.
+    */
+  val b6_array_expand = OpQuery(
+    (s, d) => {
+      val expanded = (0 until 8).map(i =>
+        round(col("embedding")(i).cast(DoubleType), 6).as(s"e_${i + 1}"))
+      t(s, d, "embeddings")
+        .select(col("vec_id") +: expanded: _*)
+        .orderBy("vec_id")
+    },
+    "SELECT vec_id, " +
+      (1 to 8).map(i => s"round(CAST(embedding[$i] AS DOUBLE), 6) AS e_$i").mkString(", ") +
+      " FROM embeddings ORDER BY vec_id")
+
+  /** b7: array cell → one row per element (SQL-array mode). */
+  val b7_array_explode = OpQuery(
+    (s, d) => t(s, d, "embeddings")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("pos").cast(LongType).as("pos"),
+        round(col("v").cast(DoubleType), 6).as("val"))
+      .orderBy("vec_id", "pos"),
+    """SELECT vec_id, CAST(r.i - 1 AS BIGINT) AS pos,
+      |  round(CAST(embedding[r.i] AS DOUBLE), 6) AS val
+      |FROM embeddings, range(1, 65) r(i)
+      |WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin)
+
+  /** b8: serial primary key (fits2db --pkey). row_number over a total order,
+    * NOT monotonically_increasing_id (partition-dependent ⇒ non-reproducible).
+    * Scale note: a global row_number is a single-partition bottleneck; at
+    * 100 TB assign per-partition offsets via zipWithIndex-style two-pass
+    * (count per partition, then prefix sums) — documented in Convert.scala.
+    */
+  val b8_add_pkey = OpQuery(
+    (s, d) => t(s, d, "nation")
+      .withColumn("pkey", row_number().over(Window.orderBy("n_nationkey")).cast(LongType))
+      .select("pkey", "n_nationkey", "n_name")
+      .orderBy("pkey"),
+    """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS pkey,
+      |  n_nationkey, n_name
+      |FROM nation ORDER BY pkey""".stripMargin)
+
+  /** b9: Data-Lab-style random_id ∈ [0,100) — engine-portable multiplicative
+    * hash surrogate (rand() can never hash-match across engines).
+    */
+  val b9_add_random_id = OpQuery(
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"),
+        (col("c_custkey") * lit(2654435761L) % lit(100L)).as("random_id"))
+      .orderBy("c_custkey"),
+    """SELECT c_custkey, (c_custkey * 2654435761) % 100 AS random_id
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
+  /** b10: exact dedup on append — keep min(doc_id) per text (deterministic
+    * representative). Also the north-star exact text dedup (8 planted dups
+    * at sf0.1). Hash-groupBy ⇒ one shuffle on the dedup key; at 100 TB
+    * pre-hash the text to a 128-bit key so the shuffle carries 16 bytes,
+    * not document bodies (see LlmOps for the near-dup path).
+    */
+  val b10_dedupe_exact = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id"),
+    """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin)
+
+  /** b11: whole-table load-validation fingerprint, engine-neutral form. */
+  val b11_checksum_table = OpQuery(
+    (s, d) => t(s, d, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey")).as("sum_okey"),
+      sum(col("l_linenumber").cast(LongType)).as("sum_ln"),
+      Par.dsum(col("l_quantity")).as("sum_qty"),
+      Par.dsum(col("l_extendedprice")).as("sum_price"),
+      countDistinct(col("l_orderkey")).as("n_orders")),
+    s"""SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+       |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+       |  ${Par.dsumSql("l_quantity")} AS sum_qty,
+       |  ${Par.dsumSql("l_extendedprice")} AS sum_price,
+       |  count(DISTINCT l_orderkey) AS n_orders
+       |FROM lineitem""".stripMargin)
+
+  val all: Map[String, OpQuery] = Map(
+    "b1_colname_normalize" -> b1_colname_normalize,
+    "b2_type_cast_widen" -> b2_type_cast_widen,
+    "b3_null_sentinel" -> b3_null_sentinel,
+    "b4_nan_to_null" -> b4_nan_to_null,
+    "b5_scale_zero" -> b5_scale_zero,
+    "b6_array_expand" -> b6_array_expand,
+    "b7_array_explode" -> b7_array_explode,
+    "b8_add_pkey" -> b8_add_pkey,
+    "b9_add_random_id" -> b9_add_random_id,
+    "b10_dedupe_exact" -> b10_dedupe_exact,
+    "b11_checksum_table" -> b11_checksum_table)
+}

@@ -1,0 +1,325 @@
+package graft.ops
+
+import graft.{OpQuery, Par, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 groups C (projection/filter), D (joins), G (sort/limit/set ops).
+  *
+  * Scale notes (100 TB posture):
+  *  - All filters/projections are plain Catalyst expressions ⇒ predicate
+  *    pushdown + column pruning reach the parquet scan for free.
+  *  - Dimension joins (nation/region/customer at fixture scale) are
+  *    explicitly `broadcast()`; fact-fact joins (lineitem⋈orders) are left
+  *    to Catalyst (sort-merge w/ AQE) — at 100 TB those shuffle on the join
+  *    key, which is the correct plan; co-location via bucketing would be a
+  *    table-layout decision, not a query one.
+  *  - d6 (range self-join) is equi-keyed on user_id first so Spark plans a
+  *    hash/SMJ on user_id with the range as a post-filter, NOT a cartesian.
+  */
+object RelOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  // ---------------------------------------------------------------- C group
+
+  val c1_project_prune = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"),
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem ORDER BY 1, 2, 3, 4""".stripMargin)
+
+  val c2_filter_conj = OpQuery(
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_quantity") > 30 &&
+        (col("l_returnflag") === "A" || col("l_discount") < 0.02))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_discount"),
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_discount
+      |FROM lineitem
+      |WHERE l_quantity > 30 AND (l_returnflag = 'A' OR l_discount < 0.02)
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin)
+
+  val c3_filter_in_between_like = OpQuery(
+    (s, d) => t(s, d, "orders")
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+        col("o_totalprice").between(50000, 200000) &&
+        col("o_orderstatus").like("%O%") &&
+        col("o_custkey").isNotNull)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey"),
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+      |FROM orders
+      |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+      |  AND o_totalprice BETWEEN 50000 AND 200000
+      |  AND o_orderstatus LIKE '%O%'
+      |  AND o_custkey IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** Predicate assembled from a runtime (column, op, literal) spec — the
+    * fits2db-style data-driven config path. The spec list is folded into one
+    * Catalyst Column, so pushdown still applies.
+    */
+  val c4_filter_dynamic = OpQuery(
+    (s, d) => {
+      val spec: Seq[(String, String, Any)] = Seq(
+        ("l_shipdate", ">=", "1996-01-01"),
+        ("l_discount", "<=", 0.05),
+        ("l_returnflag", "=", "N"))
+      val pred = spec.map {
+        case (c, ">=", v) => col(c) >= lit(v)
+        case (c, "<=", v) => col(c) <= lit(v)
+        case (c, "=", v)  => col(c) === lit(v)
+        case (c, "<", v)  => col(c) < lit(v)
+        case (c, ">", v)  => col(c) > lit(v)
+        case (c, "!=", v) => col(c) =!= lit(v)
+      }.reduce(_ && _)
+      t(s, d, "lineitem").filter(pred)
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_discount", "l_returnflag")
+    },
+    """SELECT l_orderkey, l_linenumber, l_shipdate, l_discount, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate >= '1996-01-01' AND l_discount <= 0.05 AND l_returnflag = 'N'
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin)
+
+  // ---------------------------------------------------------------- D group
+
+  val d1_join_inner_equi = OpQuery(
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "o_custkey", "o_totalprice", "l_quantity")
+    },
+    """SELECT l_orderkey, l_linenumber, o_custkey, o_totalprice, l_quantity
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY 1, 2, 3, 4, 5""".stripMargin)
+
+  val d2_join_broadcast = OpQuery(
+    (s, d) => {
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      sup.join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+        .orderBy("s_suppkey")
+    },
+    """SELECT s_suppkey, s_name, n_name, r_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY s_suppkey""".stripMargin)
+
+  /** Full outer with nulls fabricated on both sides (filtered inputs). */
+  val d3_join_left_right_full = OpQuery(
+    (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_acctbal") > 5000)
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 200000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "full")
+        .select(col("c_custkey"), col("c_acctbal"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_last("c_custkey"), asc_nulls_last("o_orderkey"))
+    },
+    """SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      |FULL JOIN (SELECT * FROM orders WHERE o_totalprice > 200000) o
+      |  ON c.c_custkey = o.o_custkey
+      |ORDER BY c_custkey ASC NULLS LAST, o_orderkey ASC NULLS LAST""".stripMargin)
+
+  /** Semi + anti in one tagged result: customers with ≥1 big order vs none. */
+  val d4_join_semi_anti = OpQuery(
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(col("o_totalprice") > 150000)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey")).withColumn("tag", lit("has_big_order"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey")).withColumn("tag", lit("no_big_order"))
+      semi.unionByName(anti).orderBy("tag", "c_custkey")
+    },
+    """SELECT c_custkey, 'has_big_order' AS tag FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |UNION ALL
+      |SELECT c_custkey, 'no_big_order' AS tag FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+      |ORDER BY tag, c_custkey""".stripMargin)
+
+  val d5_join_cross = OpQuery(
+    (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+      .select("r_regionkey", "n_nationkey", "r_name", "n_name")
+      .orderBy("r_regionkey", "n_nationkey"),
+    """SELECT r_regionkey, n_nationkey, r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin)
+
+  /** Band (theta) self-join: events within 1h after each event, same user.
+    * Equi-key on user_id keeps this a hash join with a range residual —
+    * NOT a nested loop. At 100 TB the same shape holds: shuffle by user_id,
+    * per-key time-sort, bounded-window scan.
+    */
+  val d6_join_theta_range = OpQuery(
+    (s, d) => {
+      val a = t(s, d, "events").select(col("event_id").as("a_id"),
+        col("user_id"), col("ts").as("a_ts"))
+      val b = t(s, d, "events").select(col("event_id").as("b_id"),
+        col("user_id").as("user_id_b"), col("ts").as("b_ts"))
+      a.join(b, col("user_id") === col("user_id_b") &&
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 1 HOUR"))
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    },
+    """SELECT a.event_id AS a_id, b.event_id AS b_id
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |ORDER BY a_id, b_id""".stripMargin)
+
+  /** As-of join: for each event, the latest purchase (same user) at ts ≤
+    * event ts. Spark has no native ASOF; the scalable encoding is the
+    * union+window trick: one shuffle by user_id, one sort, `last(ignoreNulls)`
+    * running window — O(n log n) per key group, no range join needed.
+    * Oracle uses DuckDB's native ASOF LEFT JOIN (inclusive >=, latest match).
+    */
+  val d7_join_asof = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("pts", when(col("event_type") === "purchase", col("ts")))
+        .withColumn("last_purchase_ts", last(col("pts"), ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+        .orderBy("event_id")
+    },
+    """SELECT e.event_id, e.user_id, e.ts, p.ts AS last_purchase_ts
+      |FROM events e ASOF LEFT JOIN
+      |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin)
+
+  /** 5-way star (TPC-H Q5 shape): revenue per nation in ASIA for 1996.
+    * Dims broadcast; the two fact joins shuffle on their keys (correct at
+    * scale); AQE may convert to broadcast when the filtered side is small.
+    */
+  val d8_join_multiway_star = OpQuery(
+    (s, d) => {
+      val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+      val nat = t(s, d, "nation")
+      val cus = t(s, d, "customer")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(cus), ord("o_custkey") === cus("c_custkey") &&
+          cus("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), cus("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("n_name")
+        .agg(Par.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+    s"""SELECT n_name, ${Par.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin)
+
+  /** Multimodal pairing: text table ⋈ vector table, 1:1 key join. */
+  val d9_join_multimodal = OpQuery(
+    (s, d) => {
+      val doc = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      doc.join(emb, doc("doc_id") === emb("vec_id"))
+        .select("doc_id", "lang", "source", "n_chars", "label")
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, lang, source, n_chars, label
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |ORDER BY doc_id""".stripMargin)
+
+  // ---------------------------------------------------------------- G group
+
+  /** Multi-key sort with an explicit nulls-first column (nulls fabricated
+    * via nullif so the fixture exercises null ordering).
+    */
+  val g1_sort_multi = OpQuery(
+    (s, d) => t(s, d, "orders")
+      .withColumn("status_n", nullif(col("o_orderstatus"), lit("P")))
+      .select("o_orderkey", "status_n", "o_totalprice")
+      .orderBy(asc_nulls_first("status_n"), desc("o_totalprice"), asc("o_orderkey")),
+    """SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n, o_totalprice
+      |FROM orders
+      |ORDER BY status_n ASC NULLS FIRST, o_totalprice DESC, o_orderkey ASC""".stripMargin)
+
+  /** Global top-k — Spark plans TakeOrderedAndProject (no full sort). */
+  val g2_limit_topk = OpQuery(
+    (s, d) => t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100),
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin)
+
+  val g3_union_all = OpQuery(
+    (s, d) => {
+      val c = t(s, d, "customer")
+      val a = c.filter(col("c_acctbal") > 7000).select(col("c_custkey"))
+        .withColumn("src", lit("rich"))
+      val b = c.filter(col("c_nationkey") < 5).select(col("c_custkey"))
+        .withColumn("src", lit("lownation"))
+      a.unionByName(b).orderBy("src", "c_custkey")
+    },
+    """SELECT c_custkey, 'rich' AS src FROM customer WHERE c_acctbal > 7000
+      |UNION ALL
+      |SELECT c_custkey, 'lownation' AS src FROM customer WHERE c_nationkey < 5
+      |ORDER BY src, c_custkey""".stripMargin)
+
+  /** Tagged INTERSECT / EXCEPT (both distinct-semantics, as in SQL). */
+  val g4_intersect_except = OpQuery(
+    (s, d) => {
+      val withBal = t(s, d, "customer").filter(col("c_acctbal") > 3000)
+        .select(col("c_custkey"))
+      val withOrd = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+      val both = withBal.intersect(withOrd).withColumn("tag", lit("both"))
+      val only = withBal.except(withOrd).withColumn("tag", lit("bal_only"))
+      both.unionByName(only).orderBy("tag", "c_custkey")
+    },
+    """SELECT c_custkey, 'both' AS tag FROM
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+      |   INTERSECT SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT c_custkey, 'bal_only' AS tag FROM
+      |  (SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+      |   EXCEPT SELECT o_custkey FROM orders)
+      |ORDER BY tag, c_custkey""".stripMargin)
+
+  val all: Map[String, OpQuery] = Map(
+    "c1_project_prune" -> c1_project_prune,
+    "c2_filter_conj" -> c2_filter_conj,
+    "c3_filter_in_between_like" -> c3_filter_in_between_like,
+    "c4_filter_dynamic" -> c4_filter_dynamic,
+    "d1_join_inner_equi" -> d1_join_inner_equi,
+    "d2_join_broadcast" -> d2_join_broadcast,
+    "d3_join_left_right_full" -> d3_join_left_right_full,
+    "d4_join_semi_anti" -> d4_join_semi_anti,
+    "d5_join_cross" -> d5_join_cross,
+    "d6_join_theta_range" -> d6_join_theta_range,
+    "d7_join_asof" -> d7_join_asof,
+    "d8_join_multiway_star" -> d8_join_multiway_star,
+    "d9_join_multimodal" -> d9_join_multimodal,
+    "g1_sort_multi" -> g1_sort_multi,
+    "g2_limit_topk" -> g2_limit_topk,
+    "g3_union_all" -> g3_union_all,
+    "g4_intersect_except" -> g4_intersect_except)
+}
