@@ -12,7 +12,8 @@ import graft.ops._
 object SparkEntry {
 
   private val groups: Seq[Map[String, OpQuery]] =
-    Seq(EtlOps.all, RelOps.all, AggOps.all, WindowOps.all, ScalarOps.all)
+    Seq(ScanOps.all, EtlOps.all, RelOps.all, AggOps.all, WindowOps.all,
+      ScalarOps.all, LlmOps.all, StreamOps.all, MultimodalOps.all)
 
   private val ops: Map[String, OpQuery] = groups.reduce(_ ++ _)
 

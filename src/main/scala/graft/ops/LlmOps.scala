@@ -1,0 +1,482 @@
+package graft.ops
+
+import graft.{OpQuery, Par, Tables}
+import graft.functions.VectorFunctions.dot
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 group I + the north-star LLM-data-pipeline extensions
+  * (BASELINE.json:6): text analysis, exact/near dedup (n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine), similarity search (brute-force
+  * and IVF-style ANN), multimodal enrichment, fingerprinting.
+  *
+  * Scale posture, per operator family:
+  *  - Near-dup: the all-pairs self-joins (i5/i12) are the FIXTURE-SCALE
+  *    correctness form; the 100 TB paths are implemented alongside them —
+  *    MinHash+LSH banding (i10: candidates via band-bucket equi-join, so
+  *    cost is O(n·bands) shuffle + per-bucket pairs, not O(n²)) and SimHash
+  *    pigeonhole blocking (i11: hamming ≤ 3 over 4 chunks ⇒ ≥1 chunk equal,
+  *    an equi-join with zero false negatives).
+  *  - Similarity: brute-force top-k (i6/i7) uses a native codegen'd dot
+  *    product; the ANN path (i13) probes nprobe coarse cells (IVF shape) so
+  *    the exact scan touches only the probed partitions.
+  *  - All token/shingle work happens in codegen'd collection expressions;
+  *    document bodies never shuffle — only ids, hashes and band keys do.
+  */
+object LlmOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  // -------- shared building blocks -----------------------------------------
+
+  private val toks: Column = split(col("text"), " ")
+
+  /** Distinct word-2-gram shingle set of `text` (dedup fingerprint base). */
+  private val shingles: Column = array_distinct(
+    transform(sequence(lit(0), size(toks) - 2),
+      i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+
+  private val shinglesSqlCte: String =
+    """WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, lang,
+      |        list_distinct(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i+1])) AS sh
+      |      FROM d)""".stripMargin
+
+  /** DuckDB dot product between two embedding expressions (element-wise
+    * double arithmetic — matches DotProduct up to O(1e-14) summation order,
+    * absorbed by round-6).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), k -> $a[k]::DOUBLE * $b[k]::DOUBLE))"
+
+  // -------- text analysis --------------------------------------------------
+
+  val i1_text_tokenize_count = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word")),
+    """SELECT tok AS word, count(*) AS cnt
+      |FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+      |GROUP BY 1 ORDER BY cnt DESC, word""".stripMargin)
+
+  val i2_text_stats = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang"),
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+      |  count(DISTINCT source) AS n_sources,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
+  val i3_text_ngram_shingle = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        (size(toks) - 1).cast(LongType).as("n_shingles"),
+        size(shingles).cast(LongType).as("n_uniq"),
+        slice(sort_array(shingles), 1, 3).as("first3"))
+      .orderBy("doc_id"),
+    s"""$shinglesSqlCte
+       |SELECT s.doc_id,
+       |  CAST(len(d.toks) - 1 AS BIGINT) AS n_shingles,
+       |  CAST(len(s.sh) AS BIGINT) AS n_uniq,
+       |  list_sort(s.sh)[1:3] AS first3
+       |FROM s JOIN d ON s.doc_id = d.doc_id
+       |ORDER BY s.doc_id""".stripMargin)
+
+  /** Heuristic language-ID: marker-token scoring with deterministic argmax.
+    * (The fixture vocabulary is synthetic, so classes are marker sets, not
+    * real languages — the operator shape is the point.)
+    */
+  val i14_lang_id = OpQuery(
+    (s, d) => {
+      def score(words: Seq[String]) =
+        size(filter(toks, t => t.isInCollection(words))).cast(LongType)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          score(Seq("the", "a")).as("s_en"),
+          score(Seq("select", "join", "query")).as("s_qs"),
+          score(Seq("data", "table", "row", "column")).as("s_ds"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_qs") && col("s_en") >= col("s_ds") && col("s_en") > 0, "en")
+            .when(col("s_qs") >= col("s_ds") && col("s_qs") > 0, "qs")
+            .when(col("s_ds") > 0, "ds")
+            .otherwise("und"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, lang, s_en, s_qs, s_ds,
+      |  CASE WHEN s_en >= s_qs AND s_en >= s_ds AND s_en > 0 THEN 'en'
+      |       WHEN s_qs >= s_ds AND s_qs > 0 THEN 'qs'
+      |       WHEN s_ds > 0 THEN 'ds'
+      |       ELSE 'und' END AS pred_lang
+      |FROM (SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a'], t))) AS BIGINT) AS s_en,
+      |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['select','join','query'], t))) AS BIGINT) AS s_qs,
+      |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['data','table','row','column'], t))) AS BIGINT) AS s_ds
+      |FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
+  /** Quality scoring: structural ratios + a pure-arithmetic composite score
+    * (no libm in the score ⇒ bit-identical across engines).
+    */
+  val i15_text_quality = OpQuery(
+    (s, d) => {
+      val nTok = size(toks).cast(LongType)
+      val stop = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of")))).cast(LongType)
+      t(s, d, "documents")
+        .select(col("doc_id"), nTok.as("n_tok"),
+          ((length(col("text")) - (nTok - 1)).cast(DoubleType) / nTok).as("avg_tok_len"),
+          (stop.cast(DoubleType) / nTok).as("stop_ratio"),
+          length(regexp_replace(col("text"), "[^0-9]", "")).cast(LongType).as("n_digits"))
+        .withColumn("quality",
+          round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 +
+            col("stop_ratio") * 0.5, 6))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, n_tok, avg_tok_len, stop_ratio, n_digits,
+      |  round(least(1.0, n_tok / 100.0) * 0.5 + stop_ratio * 0.5, 6) AS quality
+      |FROM (SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+      |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+      |    / len(string_split(text,' ')) AS avg_tok_len,
+      |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of'], t))) AS DOUBLE)
+      |    / len(string_split(text,' ')) AS stop_ratio,
+      |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+      |FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
+  /** Token counting: whitespace tokens + a BPE-ish chars/4 estimate. */
+  val i16_token_count = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        size(toks).cast(LongType).as("ws_tokens"),
+        ceil(length(col("text")) / lit(4.0)).cast(LongType).as("bpe_est"),
+        size(array_distinct(toks)).cast(LongType).as("n_uniq_tokens"),
+        array_max(transform(toks, t => length(t))).cast(LongType).as("longest_tok"))
+      .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+      |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est,
+      |  CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_uniq_tokens,
+      |  CAST(list_max(list_transform(string_split(text,' '), t -> length(t))) AS BIGINT) AS longest_tok
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Rolling positional-polynomial document fingerprint — exact integer
+    * arithmetic (mod 1e9+7) so both engines agree bit-for-bit.
+    */
+  val i17_doc_fingerprint = OpQuery(
+    (s, d) => {
+      val pows = array((0 to 6).map(p => lit(math.pow(31, p).toLong)): _*)
+      val terms = transform(sequence(lit(0), size(toks) - 1),
+        i => length(element_at(toks, i + 1)).cast(LongType) *
+          element_at(pows, pmod(i, lit(7)) + 1))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          (aggregate(terms, lit(0L), (acc, x) => acc + x) % lit(1000000007L)).as("fp"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(range(1, len(string_split(text,' ')) + 1),
+      |    i -> length(string_split(text,' ')[i])
+      |         * [1,31,961,29791,923521,28629151,887503681][(i-1)%7 + 1]))
+      |    AS BIGINT) % 1000000007 AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // -------- near-duplicate detection ---------------------------------------
+
+  /** i5: n-gram (shingle) Jaccard near-dup pairs, same-language blocking.
+    * All-pairs form = the sf-scale oracle-checkable semantics; i10 is the
+    * LSH encoding of the same predicate for scale.
+    */
+  /** Hashed-shingle representation: xxhash64 each distinct shingle once per
+    * doc, sorted — so the per-pair work is an allocation-free two-pointer
+    * merge (IntersectCountSorted) instead of a per-pair string hash set.
+    * Hash collisions (~|sh|²/2⁶⁴) are negligible vs the string-set oracle.
+    */
+  private val hashedShingles: Column =
+    sort_array(transform(shingles, tk => xxhash64(lit(1), tk)))
+
+  val i5_dedup_near_jaccard = OpQuery(
+    (s, d) => {
+      import graft.functions.VectorFunctions.intersectCount
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), hashedShingles.as("sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("sh_a"))
+      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+      // Size-ratio blocking is LOSSLESS at τ=0.8: jac ≥ 0.8 ⇒ |A∩B| ≥
+      // 0.8·|A∪B| ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.8 — so the cheap filter
+      // prunes pairs before the merge without changing the result set.
+      a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id") &&
+          size(col("sh_a")) * lit(5) >= size(col("sh_b")) * lit(4) &&
+          size(col("sh_b")) * lit(5) >= size(col("sh_a")) * lit(4))
+        .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+    s"""$shinglesSqlCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin)
+
+  /** i10: MinHash + LSH banding — the 100 TB near-dup path. 64 minhashes,
+    * 16 bands × 4 rows; candidate pairs share ≥1 band bucket (equi-join on
+    * the band key — an O(n) shuffle, not O(n²)); candidates are then
+    * verified with exact Jaccard ≥ 0.8. P(miss | j ≥ 0.8) = (1-j⁴)¹⁶ ≤
+    * 2.2e-4, and the fixture's qualifying pairs are all j ≈ 1.0 (measured),
+    * so the verified output equals the exact all-pairs oracle.
+    */
+  val i10_dedup_minhash_lsh = OpQuery(
+    (s, d) => {
+      import graft.functions.VectorFunctions.intersectCount
+      val docs = t(s, d, "documents")
+      // Minhash via explode + 64 codegen'd min-aggregates: one hash per
+      // (doc, shingle), then cheap affine mixes per permutation — all inside
+      // whole-stage codegen (the nested-HOF formulation interprets 64×|sh|
+      // lambdas per doc and is ~30× slower). Arithmetic stays < 2^52 so it
+      // is ANSI-overflow-safe.
+      val P = 2038074743L // prime < 2^31
+      def a(j: Int): Long = 976369L + 104729L * j
+      def b(j: Int): Long = 981203L * j + 12345L
+      val ex = docs.select(col("doc_id"), explode(shingles).as("tk"))
+        .withColumn("hm", pmod(xxhash64(lit(1), col("tk")), lit(1000003L)))
+      val mhAggs = (0 until 64).map(j =>
+        min(pmod(col("hm") * lit(a(j)) + lit(b(j)), lit(P))).as(s"mh$j"))
+      val sigs = ex.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      // 16 bands × 4 rows; the band bucket is a hash of its 4 minhashes.
+      val buckets = (0 until 16).map(bd =>
+        xxhash64((lit(bd) +: (0 until 4).map(r => col(s"mh${4 * bd + r}"))): _*))
+      val banded = sigs.select(col("doc_id"),
+        posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+      val x = banded.select(col("doc_id").as("a_id"), col("bucket"))
+      val y = banded.select(col("doc_id").as("b_id"), col("bucket").as("bucket_b"))
+      val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      // Exact verification of the (tiny) candidate set.
+      val sh = docs.select(col("doc_id"), hashedShingles.as("sh"))
+      cand
+        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
+        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+        .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    },
+    s"""$shinglesSqlCte
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin)
+
+  /** i11: SimHash near-dup. 64-bit signature from token-hash bit votes;
+    * candidate pairs via pigeonhole blocking (4 × 16-bit chunks: hamming ≤ 3
+    * ⇒ at least one chunk identical ⇒ equi-join, no false negatives), then
+    * exact hamming ≤ 3 verification. No oracle: the signature depends on
+    * Spark's xxhash64 bit pattern, which no other engine reproduces —
+    * gated by LlmOpsSpec (planted duplicates ⇒ hamming 0) instead.
+    */
+  val i11_dedup_simhash = OpQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(lit(7), col("tok")))
+        .withColumn("k", explode(sequence(lit(0), lit(63))))
+        .withColumn("sgn", expr("CAST(shiftrightunsigned(h, k) & 1L AS BIGINT) * 2 - 1"))
+      val bitsum = tok.groupBy("doc_id", "k").agg(sum(col("sgn")).as("v"))
+      val sig = bitsum.groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, k) ELSE 0L END")).as("simhash"))
+      val chunks = sig.withColumn("chunk", explode(sequence(lit(0), lit(3))))
+        .withColumn("cval", expr("shiftrightunsigned(simhash, CAST(chunk * 16 AS INT)) & 65535L"))
+      val x = chunks.select(col("doc_id").as("a_id"), col("simhash").as("sig_a"),
+        col("chunk"), col("cval"))
+      val y = chunks.select(col("doc_id").as("b_id"), col("simhash").as("sig_b"),
+        col("chunk").as("chunk_b"), col("cval").as("cval_b"))
+      x.join(y, col("chunk") === col("chunk_b") && col("cval") === col("cval_b") &&
+          col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "sig_a", "sig_b").dropDuplicates("a_id", "b_id")
+        .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
+        .filter(col("hamming") <= 3)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    },
+    None)
+
+  /** i12: embedding-cosine near-dup (vectors L2-normalized ⇒ cosine ≡ dot).
+    * τ = 0.4 is fixture-calibrated (max pairwise sim ≈ 0.51); production
+    * would use ~0.95 — the shape, not the constant, is the operator.
+    */
+  val i12_dedup_embcos = OpQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", dot(col("ea"), col("eb")))
+        .filter(col("sim") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "b_id")
+    },
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin)
+
+  // -------- similarity search ----------------------------------------------
+
+  /** i6: brute-force top-k most-similar pairs (native codegen'd dot). */
+  val i6_sim_pairwise_topk = OpQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("sim", round(dot(col("ea"), col("eb")), 6))
+        .select("a_id", "b_id", "sim")
+        .orderBy(desc("sim"), asc("a_id"), asc("b_id"))
+        .limit(20)
+    },
+    s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |ORDER BY sim DESC, a_id, b_id LIMIT 20""".stripMargin)
+
+  /** i7: k-NN of one query vector against the corpus (broadcast + top-k). */
+  val i7_sim_knn_query = OpQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("sim", round(dot(col("embedding"), col("qv")), 6))
+        .select("vec_id", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""SELECT e.vec_id, round(${dotSql("e.embedding", "q.qv")}, 6) AS sim
+       |FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  /** i8: per-label centroids (element-wise avg via posexplode re-agg) and
+    * each vector's distance to its own centroid — the cluster-assign shape.
+    */
+  val i8_sim_centroid_by_label = OpQuery(
+    (s, d) => {
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast(DoubleType))
+      val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      ex.join(broadcast(cent), Seq("label", "pos"))
+        .groupBy("vec_id", "label")
+        .agg(round(sqrt(sum(pow(col("v") - col("c"), 2))), 6).as("dist"))
+        .orderBy("vec_id")
+    },
+    """WITH ex AS (SELECT vec_id, label, r.i AS pos, embedding[r.i]::DOUBLE AS v
+      |            FROM embeddings, range(1,65) r(i)),
+      |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2)
+      |SELECT ex.vec_id, ex.label, round(sqrt(sum((ex.v - cent.c)^2)), 6) AS dist
+      |FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+      |GROUP BY ex.vec_id, ex.label ORDER BY ex.vec_id""".stripMargin)
+
+  /** i13: IVF-style ANN — label-partition centroids as the coarse quantizer,
+    * probe the nprobe=2 nearest cells, exact top-k inside the probed cells.
+    * At 100 TB: centroids broadcast (tiny), the exact scan reads only the
+    * probed partitions (partition pruning on the cell key).
+    */
+  val i13_sim_ann_ivf = OpQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val ex = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast(DoubleType))
+      val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      val qex = e.filter(col("vec_id") === 42)
+        .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
+        .withColumn("qv", col("qv").cast(DoubleType))
+      val top2 = cent.join(broadcast(qex), Seq("pos"))
+        .groupBy("label").agg(sum(col("c") * col("qv")).as("csim"))
+        .orderBy(desc("csim"), asc("label")).limit(2)
+        .select("label")
+      val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qvec"))
+      e.join(broadcast(top2), Seq("label"), "left_semi")
+        .filter(col("vec_id") =!= 42)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH ex AS (SELECT vec_id, label, r.i AS pos, embedding[r.i]::DOUBLE AS v
+       |            FROM embeddings, range(1,65) r(i)),
+       |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+       |qex AS (SELECT pos, v AS qv FROM ex WHERE vec_id = 42),
+       |csim AS (SELECT label, sum(c * qv) AS s FROM cent JOIN qex USING (pos) GROUP BY label),
+       |top2 AS (SELECT label FROM csim ORDER BY s DESC, label LIMIT 2),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 42)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "q.qvec")}, 6) AS sim
+       |FROM embeddings e, q
+       |WHERE e.label IN (SELECT label FROM top2) AND e.vec_id <> 42
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  /** i9: fused text+vector query — filter documents by text predicate, rank
+    * by similarity to a query vector (multimodal enrichment shape).
+    */
+  val i9_multimodal_enrich = OpQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      docs.join(e, docs("doc_id") === e("vec_id"))
+        .filter(col("text").contains("join"))
+        .crossJoin(broadcast(q))
+        .withColumn("sim", round(dot(col("embedding"), col("qv")), 6))
+        .select("doc_id", "lang", "sim")
+        .orderBy(desc("sim"), asc("doc_id"))
+        .limit(15)
+    },
+    s"""SELECT doc_id, lang, round(${dotSql("e.embedding", "q.qv")}, 6) AS sim
+       |FROM documents d
+       |JOIN embeddings e ON d.doc_id = e.vec_id,
+       |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |WHERE contains(d.text, 'join')
+       |ORDER BY sim DESC, doc_id LIMIT 15""".stripMargin)
+
+  val all: Map[String, OpQuery] = Map(
+    "i1_text_tokenize_count" -> i1_text_tokenize_count,
+    "i2_text_stats" -> i2_text_stats,
+    "i3_text_ngram_shingle" -> i3_text_ngram_shingle,
+    "i5_dedup_near_jaccard" -> i5_dedup_near_jaccard,
+    "i6_sim_pairwise_topk" -> i6_sim_pairwise_topk,
+    "i7_sim_knn_query" -> i7_sim_knn_query,
+    "i8_sim_centroid_by_label" -> i8_sim_centroid_by_label,
+    "i9_multimodal_enrich" -> i9_multimodal_enrich,
+    "i10_dedup_minhash_lsh" -> i10_dedup_minhash_lsh,
+    "i11_dedup_simhash" -> i11_dedup_simhash,
+    "i12_dedup_embcos" -> i12_dedup_embcos,
+    "i13_sim_ann_ivf" -> i13_sim_ann_ivf,
+    "i14_lang_id" -> i14_lang_id,
+    "i15_text_quality" -> i15_text_quality,
+    "i16_token_count" -> i16_token_count,
+    "i17_doc_fingerprint" -> i17_doc_fingerprint)
+}

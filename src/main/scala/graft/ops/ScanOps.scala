@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.{OpQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+
+/** SURVEY §2 group A — scans, sources and sinks.
+  *
+  * fits2db's I/O surface re-expressed: multi-file append (a2), delimited
+  * text in/out (a3/a6), columnar sink (a4), DB bulk load (a5: embedded
+  * Derby over Spark's JDBC writer — the COPY-into-postgres path; per
+  * SURVEY §3.1 each partition opens one connection and batch-inserts, which
+  * at scale is the exact worker-pool shape of the reference CLI).
+  * The FITS reader itself (a7) is the custom DataSource V2 in graft.fits.
+  */
+object ScanOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  val a1_scan_parquet = OpQuery(
+    (s, d) => t(s, d, "region").orderBy("r_regionkey"),
+    "SELECT * FROM region ORDER BY r_regionkey")
+
+  /** Multi-file same-schema append — fits2db's core multi-file workflow. */
+  val a2_scan_multifile_union = OpQuery(
+    (s, d) => s.read
+      .parquet(s"$d/region.parquet", s"$d/region.parquet")
+      .orderBy("r_regionkey"),
+    """SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
+      |ORDER BY r_regionkey""".stripMargin)
+
+  private val nationCsvPath = "/tmp/graft_fixtures/nation.csv"
+
+  /** Writes the CSV fixture deterministically (sorted rows, single file). */
+  private def writeNationCsv(s: SparkSession, d: String): Unit = {
+    val rows = t(s, d, "nation").orderBy("n_nationkey").collect()
+    val sb = new StringBuilder("n_nationkey,n_name,n_regionkey\n")
+    rows.foreach(r => sb.append(s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}\n"))
+    Files.createDirectories(Paths.get("/tmp/graft_fixtures"))
+    Files.writeString(Paths.get(nationCsvPath), sb.toString)
+  }
+
+  /** Delimited text with an explicit schema (never inferred — FITS headers
+    * declare schemas, SURVEY §1.1; same policy for CSV).
+    */
+  val a3_scan_csv_schema = OpQuery(
+    (s, d) => {
+      writeNationCsv(s, d)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(nationCsvPath)
+        .orderBy("n_nationkey")
+    },
+    s"""SELECT * FROM read_csv('$nationCsvPath', header=true,
+       |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
+       |ORDER BY n_nationkey""".stripMargin)
+
+  /** Columnar sink round-trip: write parquet, read it back. */
+  val a4_sink_parquet = OpQuery(
+    (s, d) => {
+      val out = "/tmp/graft_sink/a4_orders"
+      t(s, d, "orders")
+        .filter(col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 200000 ORDER BY o_orderkey""".stripMargin)
+
+  /** JDBC bulk-load round-trip against embedded Derby (the in-container
+    * stand-in for fits2db's postgres COPY). Write partitions batch-insert
+    * in parallel; read back through the same dialect.
+    */
+  val a5_sink_jdbc = OpQuery(
+    (s, d) => {
+      val url = "jdbc:derby:/tmp/graft_derby/db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      t(s, d, "customer")
+        .filter(col("c_custkey") <= 100)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").jdbc(url, "customer_sink", props)
+      s.read.jdbc(url, "customer_sink", props)
+        .select(col("C_CUSTKEY").as("c_custkey"),
+          col("C_NAME").as("c_name"),
+          col("C_ACCTBAL").as("c_acctbal"))
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin)
+
+  /** Text export (fits2db CSV emit mode): write CSV, read back w/ schema. */
+  val a6_sink_csv = OpQuery(
+    (s, d) => {
+      val out = "/tmp/graft_sink/a6_region"
+      t(s, d, "region").write.mode("overwrite")
+        .option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .orderBy("r_regionkey")
+    },
+    "SELECT * FROM region ORDER BY r_regionkey")
+
+  val all: Map[String, OpQuery] = Map(
+    "a1_scan_parquet" -> a1_scan_parquet,
+    "a2_scan_multifile_union" -> a2_scan_multifile_union,
+    "a3_scan_csv_schema" -> a3_scan_csv_schema,
+    "a4_sink_parquet" -> a4_sink_parquet,
+    "a5_sink_jdbc" -> a5_sink_jdbc,
+    "a6_sink_csv" -> a6_sink_csv)
+}

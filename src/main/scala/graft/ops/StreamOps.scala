@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.{OpQuery, Par, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** SURVEY §2 group J — event-time operators with batch/stream parity.
+  *
+  * Design rule (SURVEY §3.2 E3): each operator is ONE transformation
+  * function over a DataFrame, applied identically to `spark.read` (gated by
+  * the DuckDB oracle here) and `spark.readStream` (j6 end-to-end harness +
+  * StreamOpsSpec parity tests — the oracle cannot run a stream).
+  *
+  * Scale notes: tumbling/sliding aggregation states are bounded by
+  * (windows × types); sessionization shuffles once on user_id; watermarking
+  * (j4's batch surrogate computes max(ts) globally — in streaming the
+  * watermark tracker does this incrementally, no global agg materializes).
+  */
+object StreamOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** j1's transformation, shared verbatim between batch and readStream. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Par.dsum(col("value")).as("sum_val"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
+
+  val j1_tumbling_window = OpQuery(
+    (s, d) => tumblingAgg(t(s, d, "events")).orderBy("ws", "event_type"),
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       |  count(*) AS n, ${Par.dsumSql("value")} AS sum_val
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
+
+  val j2_sliding_window = OpQuery(
+    (s, d) => t(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), Par.dsum(col("value")).as("sum_val"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_val"))
+      .orderBy("ws"),
+    s"""SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes' * r.k AS ws,
+       |  count(*) AS n, ${Par.dsumSql("value")} AS sum_val
+       |FROM events, range(0, 4) r(k)
+       |GROUP BY 1 ORDER BY ws""".stripMargin)
+
+  /** j3: sessionization, 30-min gap. The batch form (lag → flag → cumsum) is
+    * the classic shuffle-once encoding; StreamOpsSpec checks it against
+    * session_window() on the same data.
+    */
+  val j3_session_window = OpQuery(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess_id")
+    },
+    """SELECT user_id, sess_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |        OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |           > 30 * 60 * 1000000
+      |        THEN 1 ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin)
+
+  /** j4: late-data policy (batch surrogate of withWatermark): drop rows more
+    * than 1 day behind max event time.
+    */
+  val j4_watermark_late = OpQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val mx = ev.agg(max(col("ts")).as("max_ts"))
+      ev.crossJoin(broadcast(mx))
+        .filter(col("ts") >= col("max_ts") - expr("INTERVAL 1 DAY"))
+        .select("event_id", "user_id", "ts")
+        .orderBy("event_id")
+    },
+    """SELECT event_id, user_id, ts FROM events
+      |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+      |ORDER BY event_id""".stripMargin)
+
+  /** j5: dedup-by-key (streaming dropDuplicates' batch semantics) over a
+    * doubled input.
+    */
+  val j5_stateful_dedup = OpQuery(
+    (s, d) => {
+      val ev = t(s, d, "events").select("event_id", "event_type")
+      ev.unionByName(ev)
+        .dropDuplicates("event_id")
+        .orderBy("event_id")
+    },
+    """SELECT DISTINCT event_id, event_type
+      |FROM (SELECT event_id, event_type FROM events
+      |      UNION ALL SELECT event_id, event_type FROM events)
+      |ORDER BY event_id""".stripMargin)
+
+  /** j6: end-to-end micro-batch harness — parquet file stream source →
+    * tumblingAgg (same function as j1) → memory sink, Trigger.AvailableNow,
+    * checkpointed. The result equals batch j1, so the j1 oracle gates it.
+    */
+  val j6_stream_agg_sink = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File("/tmp/graft_ckpt_j6")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (ckpt.exists()) rm(ckpt)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batchSchema = Tables.t(s, d, "events").schema
+      val rawSchema = StructType(batchSchema.map {
+        case f if f.name == "ts" => StructField("ts", LongType, f.nullable)
+        case f => f
+      })
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = tumblingAgg(src.withWatermark("ts", "10 minutes"))
+        .writeStream.format("memory").queryName("graft_j6")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j6").orderBy("ws", "event_type")
+    },
+    s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+       |  count(*) AS n, ${Par.dsumSql("value")} AS sum_val
+       |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
+
+  val all: Map[String, OpQuery] = Map(
+    "j1_tumbling_window" -> j1_tumbling_window,
+    "j2_sliding_window" -> j2_sliding_window,
+    "j3_session_window" -> j3_session_window,
+    "j4_watermark_late" -> j4_watermark_late,
+    "j5_stateful_dedup" -> j5_stateful_dedup,
+    "j6_stream_agg_sink" -> j6_stream_agg_sink)
+}
