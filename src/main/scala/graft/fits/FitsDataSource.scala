@@ -1,0 +1,197 @@
+package graft.fits
+
+import java.nio.ByteBuffer
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** FITS BINTABLE DataSource V2 (SURVEY §2 a7, §4.3).
+  *
+  * Spark-first design points:
+  *  - Schema comes from the extension HEADER (driver-side, one footer-like
+  *    read) — never inferred from data, matching the FITS model (§1.1).
+  *  - Fixed record width ⇒ EXACT row-range splits: `planInputPartitions`
+  *    cuts [0, NAXIS2) into ranges sized by `maxSplitBytes`, so a single
+  *    100 GB BINTABLE parallelizes across executors with no scan overlap —
+  *    the property parquet gets from row groups, FITS gets for free from
+  *    NAXIS1.
+  *  - Column pruning is honored at the byte level: only requested columns
+  *    are decoded (per-column fixed offsets), the rest of each record is
+  *    skipped — SupportsPushDownRequiredColumns.
+  *  - Conversion semantics (§1.2): big-endian decode, TSCAL/TZERO scaling,
+  *    unsigned-idiom widening, TNULL→null, float NaN/Inf→null, trailing
+  *    blank trim — i.e. the fits2db B-group applied at the source.
+  *
+  * Usage: `spark.read.format("fits").option("extnum", 0).load(path)`.
+  */
+class FitsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fits"
+
+  private def extnum(options: CaseInsensitiveStringMap): Int =
+    Option(options.get("extnum")).map(_.toInt).getOrElse(0)
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(
+      Option(options.get("paths")).map(_.stripPrefix("[\"").stripSuffix("\"]")))
+    p.getOrElse(throw new IllegalArgumentException("FITS source requires a path"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FitsTable.readSpec(path(options), extnum(options)).spec.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new FitsTable(path(opts), extnum(opts))
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object FitsTable {
+  /** Driver-side header read: spec + absolute data offset. */
+  def readSpec(path: String, extnum: Int): FitsSpecWithOffset = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    try {
+      val (cards, dataStart) = FitsFormat.locateBintable(in, extnum)
+      FitsSpecWithOffset(FitsFormat.tableSpec(cards), dataStart)
+    } finally in.close()
+  }
+}
+
+final case class FitsSpecWithOffset(spec: FitsFormat.TableSpec, dataStart: Long)
+
+class FitsTable(path: String, extnum: Int) extends Table with SupportsRead {
+  private lazy val specWithOffset = FitsTable.readSpec(path, extnum)
+
+  override def name(): String = s"fits:$path#$extnum"
+  override def schema(): StructType = specWithOffset.spec.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new FitsScanBuilder(path, specWithOffset,
+      Option(options.get("rowspersplit")).map(_.toLong))
+}
+
+class FitsScanBuilder(path: String, swo: FitsSpecWithOffset, rowsPerSplit: Option[Long])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = swo.spec.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Preserve declaration order; an empty projection (count(*)) is legal.
+    required = requiredSchema
+  }
+
+  override def build(): Scan = new FitsScan(path, swo, required, rowsPerSplit)
+}
+
+class FitsScan(path: String, swo: FitsSpecWithOffset, required: StructType,
+    rowsPerSplitOpt: Option[Long] = None)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"FitsScan(${path}, rows=${swo.spec.nRows}, cols=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spec = swo.spec
+    val targetBytes = 128L * 1024 * 1024 // align with files.maxPartitionBytes default
+    val rowsPerSplit = rowsPerSplitOpt.getOrElse(
+      math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
+    val splits = Iterator.iterate(0L)(_ + rowsPerSplit)
+      .takeWhile(_ < spec.nRows)
+      .map(start => FitsInputPartition(start, math.min(start + rowsPerSplit, spec.nRows)))
+      .toArray
+    if (splits.isEmpty) Array(FitsInputPartition(0, 0)) else splits.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FitsReaderFactory(path, swo, required)
+}
+
+final case class FitsInputPartition(rowStart: Long, rowEnd: Long) extends InputPartition
+
+class FitsReaderFactory(path: String, swo: FitsSpecWithOffset, required: StructType)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new FitsPartitionReader(path, swo, required,
+      partition.asInstanceOf[FitsInputPartition])
+}
+
+class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
+    required: StructType, part: FitsInputPartition)
+  extends PartitionReader[InternalRow] {
+
+  private val spec = swo.spec
+  // Indices (into the full column list) of the requested columns, in
+  // requested order — only these are decoded.
+  private val colIdx: Array[Int] =
+    required.fieldNames.map(n => spec.cols.indexWhere(_.name == n))
+
+  private val p = new Path(path)
+  private val in = p.getFileSystem(new Configuration()).open(p)
+  in.seek(swo.dataStart + part.rowStart * spec.rowBytes)
+
+  private val rowBuf = new Array[Byte](spec.rowBytes)
+  private val buf = ByteBuffer.wrap(rowBuf) // big-endian per FITS
+  private var row = part.rowStart
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (row >= part.rowEnd) return false
+    in.readFully(rowBuf)
+    current = decode()
+    row += 1
+    true
+  }
+
+  private def decode(): InternalRow = {
+    val values = new Array[Any](colIdx.length)
+    var k = 0
+    while (k < colIdx.length) {
+      val ci = colIdx(k)
+      val c = spec.cols(ci)
+      val base = spec.offsets(ci)
+      values(k) = c.code match {
+        case 'A' =>
+          val s = new String(rowBuf, base, c.repeat, java.nio.charset.StandardCharsets.US_ASCII)
+          UTF8String.fromString(s.replaceAll("\\s+$", "")) // trailing-blank trim
+        case 'X' =>
+          java.util.Arrays.copyOfRange(rowBuf, base, base + c.byteWidth)
+        case _ if c.repeat > 1 =>
+          val arr = new Array[Any](c.repeat)
+          var i = 0
+          while (i < c.repeat) {
+            val raw = FitsFormat.decodeElem(buf, base + i * c.elemBytes, c)
+            arr(i) = if (c.hasScaling) FitsFormat.applyScale(raw, c) else raw
+            i += 1
+          }
+          new GenericArrayData(arr)
+        case _ =>
+          val raw = FitsFormat.decodeElem(buf, base, c)
+          if (c.hasScaling) FitsFormat.applyScale(raw, c) else raw
+      }
+      k += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

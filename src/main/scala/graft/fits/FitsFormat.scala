@@ -1,0 +1,233 @@
+package graft.fits
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.types._
+
+/** FITS 4.0 binary-table format primitives (IAU FITS standard; layout is
+  * fixed by the standard, not by any implementation — SURVEY §1.1).
+  *
+  * A FITS file is a sequence of HDUs. Each HDU = header (2880-byte blocks
+  * of 80-char ASCII "cards") + data (2880-padded). A BINTABLE extension
+  * declares its schema entirely in header keywords: NAXIS1 (bytes/row),
+  * NAXIS2 (rows), TFIELDS, and per-column TTYPEn/TFORMn/TSCALn/TZEROn/
+  * TNULLn. Records are fixed-width, row-oriented, big-endian.
+  */
+object FitsFormat {
+
+  val BlockSize = 2880
+  val CardSize = 80
+
+  /** One column as declared by the header. */
+  final case class ColSpec(
+      name: String,
+      code: Char,      // L X B I J K E D A (C M P Q unsupported in v1)
+      repeat: Int,
+      scale: Option[Double],
+      zero: Option[Double],
+      tnull: Option[Long]) {
+
+    val elemBytes: Int = code match {
+      case 'L' | 'B' | 'A' | 'X' => 1
+      case 'I' => 2
+      case 'J' | 'E' => 4
+      case 'K' | 'D' => 8
+      case c => throw new IllegalArgumentException(s"Unsupported TFORM code '$c'")
+    }
+
+    def byteWidth: Int = code match {
+      case 'X' => (repeat + 7) / 8
+      case _ => repeat * elemBytes
+    }
+
+    /** Unsigned-integer idiom: TZERO=2^(bits-1), TSCAL absent/1 (§1.2). */
+    def isUnsignedIdiom: Boolean = zero.exists { z =>
+      scale.forall(_ == 1.0) && (
+        (code == 'B' && z == -128.0) || // signed-byte idiom (rare, inverse)
+        (code == 'I' && z == 32768.0) ||
+        (code == 'J' && z == 2147483648.0) ||
+        (code == 'K' && z == 9.223372036854775808e18))
+    }
+
+    def hasScaling: Boolean =
+      (scale.exists(_ != 1.0) || zero.exists(_ != 0.0)) && !isUnsignedIdiom
+
+    /** Spark type per the SURVEY §1.2 widening table. */
+    def sparkElemType: DataType =
+      if (hasScaling) DoubleType
+      else code match {
+        case 'L' => BooleanType
+        case 'X' => BinaryType
+        case 'B' => ShortType // unsigned 8-bit widens
+        case 'I' => if (isUnsignedIdiom) IntegerType else ShortType
+        case 'J' => if (isUnsignedIdiom) LongType else IntegerType
+        case 'K' => if (isUnsignedIdiom) DecimalType(20, 0) else LongType
+        case 'E' => FloatType
+        case 'D' => DoubleType
+        case 'A' => StringType
+      }
+
+    def sparkType: DataType = code match {
+      case 'A' | 'X' => sparkElemType // char array = one string; bits = bytes
+      case _ if repeat > 1 => ArrayType(sparkElemType, containsNull = true)
+      case _ => sparkElemType
+    }
+  }
+
+  final case class TableSpec(rowBytes: Int, nRows: Long, cols: Seq[ColSpec]) {
+    def schema: StructType =
+      StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
+    /** Byte offset of each column within a record. */
+    val offsets: Array[Int] = cols.scanLeft(0)(_ + _.byteWidth).init.toArray
+  }
+
+  // ------------------------------------------------------------ header read
+
+  /** Reads 2880-blocks until an END card; returns (cards, bytesConsumed). */
+  def readHeader(in: java.io.DataInput): (Map[String, String], Long) = {
+    val cards = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var consumed = 0L
+    var done = false
+    val block = new Array[Byte](BlockSize)
+    while (!done) {
+      in.readFully(block)
+      consumed += BlockSize
+      var i = 0
+      while (i < BlockSize / CardSize) {
+        val card = new String(block, i * CardSize, CardSize, StandardCharsets.US_ASCII)
+        val key = card.take(8).trim
+        if (key == "END") { done = true; i = BlockSize }
+        else {
+          if (key.nonEmpty && card.length > 9 && card.charAt(8) == '=') {
+            val raw = card.substring(10).split("/", 2)(0).trim
+            val value =
+              if (raw.startsWith("'")) raw.stripPrefix("'").split("'")(0).reverse.dropWhile(_ == ' ').reverse
+              else raw
+            cards(key) = value
+          }
+          i += 1
+        }
+      }
+    }
+    (cards.toMap, consumed)
+  }
+
+  private val TformRe = "^([0-9]*)([LXBIJKAED])".r
+
+  def parseTform(tform: String): (Char, Int) = tform.trim match {
+    case TformRe(r, c) => (c.head, if (r.isEmpty) 1 else r.toInt)
+    case other => throw new IllegalArgumentException(
+      s"Unsupported TFORM '$other' (variable-length P/Q and complex C/M are not supported)")
+  }
+
+  def tableSpec(cards: Map[String, String]): TableSpec = {
+    require(cards.get("XTENSION").exists(_.startsWith("BINTABLE")),
+      s"Not a BINTABLE extension: ${cards.get("XTENSION")}")
+    val rowBytes = cards("NAXIS1").toInt
+    val nRows = cards("NAXIS2").toLong
+    val nFields = cards("TFIELDS").toInt
+    val cols = (1 to nFields).map { i =>
+      val (code, repeat) = parseTform(cards(s"TFORM$i"))
+      ColSpec(
+        name = cards.getOrElse(s"TTYPE$i", s"col$i"),
+        code = code, repeat = repeat,
+        scale = cards.get(s"TSCAL$i").map(_.toDouble),
+        zero = cards.get(s"TZERO$i").map(_.toDouble),
+        tnull = cards.get(s"TNULL$i").map(_.toLong))
+    }
+    val width = cols.map(_.byteWidth).sum
+    require(width == rowBytes,
+      s"Declared NAXIS1=$rowBytes but TFORMs sum to $width bytes")
+    TableSpec(rowBytes, nRows, cols)
+  }
+
+  /** Locates the target BINTABLE extension: returns (cards, dataStartOffset).
+    * Walks HDUs sequentially, skipping each HDU's (2880-padded) data unit.
+    */
+  def locateBintable(in: java.io.DataInput, extnum: Int): (Map[String, String], Long) = {
+    var offset = 0L
+    var bintablesSeen = 0
+    var hduIndex = 0
+    while (hduIndex < 100) { // defensive bound
+      val (cards, headerBytes) = readHeader(in)
+      offset += headerBytes
+      val dataBytes: Long = {
+        val naxis = cards.getOrElse("NAXIS", "0").toInt
+        if (naxis == 0) 0L
+        else {
+          val bitpix = math.abs(cards.getOrElse("BITPIX", "8").toLong)
+          val dims = (1 to naxis).map(i => cards(s"NAXIS$i").toLong)
+          val pcount = cards.getOrElse("PCOUNT", "0").toLong
+          val gcount = cards.getOrElse("GCOUNT", "1").toLong
+          gcount * (pcount + dims.product) * (bitpix / 8)
+        }
+      }
+      val padded = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
+      if (cards.get("XTENSION").exists(_.startsWith("BINTABLE"))) {
+        if (bintablesSeen == extnum) return (cards, offset)
+        bintablesSeen += 1
+      }
+      // skip the data unit
+      var toSkip = padded
+      while (toSkip > 0) {
+        val n = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+        if (n <= 0) throw new java.io.EOFException("Unexpected EOF skipping FITS data")
+        toSkip -= n
+      }
+      offset += padded
+      hduIndex += 1
+    }
+    throw new IllegalArgumentException(s"No BINTABLE extension #$extnum found")
+  }
+
+  // ------------------------------------------------------------ cell decode
+
+  /** Decodes one scalar element at absolute position `pos` in `buf`,
+    * returning the raw (unscaled) value as Spark-internal scalar, or null
+    * (TNULL sentinel / float NaN policy).
+    */
+  def decodeElem(buf: ByteBuffer, pos: Int, c: ColSpec): Any = c.code match {
+    case 'L' => buf.get(pos) == 'T'.toByte
+    case 'B' =>
+      val raw = (buf.get(pos) & 0xff).toShort
+      if (c.tnull.exists(_ == raw.toLong)) null else raw
+    case 'I' =>
+      val raw = buf.getShort(pos)
+      if (c.tnull.exists(_ == raw.toLong)) null
+      else if (c.isUnsignedIdiom) (raw.toInt + 32768) // widen unsigned
+      else raw
+    case 'J' =>
+      val raw = buf.getInt(pos)
+      if (c.tnull.exists(_ == raw.toLong)) null
+      else if (c.isUnsignedIdiom) raw.toLong + 2147483648L
+      else raw
+    case 'K' =>
+      val raw = buf.getLong(pos)
+      if (c.tnull.exists(_ == raw)) null
+      else if (c.isUnsignedIdiom)
+        Decimal(java.math.BigDecimal.valueOf(raw).add(java.math.BigDecimal.valueOf(2).pow(63)), 20, 0)
+      else raw
+    case 'E' =>
+      val v = buf.getFloat(pos)
+      if (v.isNaN || v.isInfinite) null else v // fits2db float policy (§1.2)
+    case 'D' =>
+      val v = buf.getDouble(pos)
+      if (v.isNaN || v.isInfinite) null else v
+    case other => throw new IllegalStateException(s"decodeElem on '$other'")
+  }
+
+  /** Applies TSCAL/TZERO linear scaling to a raw scalar (→ Double). */
+  def applyScale(raw: Any, c: ColSpec): Any = {
+    if (raw == null) null
+    else {
+      val d = raw match {
+        case s: Short => s.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case f: Float => f.toDouble
+        case d: Double => d
+      }
+      d * c.scale.getOrElse(1.0) + c.zero.getOrElse(0.0)
+    }
+  }
+}

@@ -1,0 +1,97 @@
+package graft.ingest
+
+import graft.ops.EtlOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The fits2db-equivalent ETL driver (SURVEY §3.2 E2): source → conversion
+  * chain → sink, as one declarative pipeline.
+  *
+  * The B-group chain (normalize → widen → null-sentinel → NaN policy →
+  * scale) is pure narrow column expressions, so Catalyst fuses the whole
+  * thing into a single WholeStageCodegen stage per input split — the Spark
+  * analog of fits2db's constant-memory chunk loop, parallelized over file
+  * splits instead of a process pool (§3.1 mapping).
+  *
+  * Scale notes:
+  *  - No global row_number here: fits2db's --pkey at 100 TB is assigned as
+  *    (split-local ordinal + per-split offset); the offsets come from one
+  *    tiny count-per-partition job. `addStablePkey` implements that shape.
+  *  - JDBC sink: each partition opens one connection and batch-inserts
+  *    (`spark.write.jdbc` semantics) — the COPY worker pool. Partition
+  *    count = writer concurrency; `repartition(n)` controls DB fan-in.
+  */
+object Convert {
+
+  /** Per-column conversion directives (the TSCAL/TZERO/TNULL of a source). */
+  final case class ColumnRule(
+      scale: Option[(Double, Double)] = None, // (TSCAL, TZERO)
+      nullSentinel: Option[Long] = None,
+      widenTo: Option[DataType] = None)
+
+  final case class ConvertSpec(
+      rules: Map[String, ColumnRule] = Map.empty,
+      nanToNull: Boolean = true,
+      normalizeNames: Boolean = true)
+
+  /** source DataFrame → converted DataFrame (the whole fits2db pipeline as
+    * one narrow expression chain).
+    */
+  def convert(df: DataFrame, spec: ConvertSpec): DataFrame = {
+    val named = if (spec.normalizeNames) EtlOps.normalizeColumns(df) else df
+    val converted = named.schema.fields.map { f =>
+      val rule = spec.rules.getOrElse(f.name, ColumnRule())
+      var c: Column = col(s"`${f.name}`")
+      rule.nullSentinel.foreach(sv => c = EtlOps.nullSentinel(c, sv))
+      if (spec.nanToNull && (f.dataType == DoubleType || f.dataType == FloatType))
+        c = EtlOps.nanToNull(c)
+      rule.scale.foreach { case (s, z) => c = EtlOps.scaleZero(c, s, z) }
+      rule.widenTo.foreach(t => c = c.cast(t))
+      c.as(f.name)
+    }
+    named.select(converted.toIndexedSeq: _*)
+  }
+
+  /** Stable serial pkey without a global sort bottleneck: per-partition
+    * ordinals + exclusive prefix offsets (one lightweight count job). The
+    * assignment is stable for a fixed partitioning of the source — for a
+    * reproducible id across runs, sort by a business key first.
+    */
+  def addStablePkey(df: DataFrame, name: String = "pkey"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withPid = df.withColumn("__pid", spark_partition_id())
+    // Pass 1 (lightweight job): per-partition row counts → exclusive prefix
+    // offsets, computed on the driver (numPartitions rows, not data rows).
+    val counts = withPid.groupBy("__pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
+    val offsetCol = offsets.foldRight(lit(0L)) { case ((pid, off), rest) =>
+      when(col("__pid") === pid, lit(off)).otherwise(rest)
+    }
+    // Pass 2: partition-local ordinal (position order within the split).
+    val w = Window.partitionBy("__pid").orderBy(monotonically_increasing_id())
+    withPid.withColumn(name, row_number().over(w).cast(LongType) + offsetCol)
+      .drop("__pid")
+  }
+
+  /** Full ingest: parquet/FITS source → convert → sink (parquet or JDBC). */
+  def ingest(spark: SparkSession, sourcePath: String, format: String,
+      spec: ConvertSpec, sinkPath: String, sinkFormat: String = "parquet",
+      jdbcTable: String = "converted"): Unit = {
+    val src = format match {
+      case "fits" => spark.read.format("fits").load(sourcePath)
+      case f => spark.read.format(f).load(sourcePath)
+    }
+    val out = convert(src, spec)
+    sinkFormat match {
+      case "jdbc" =>
+        val props = new java.util.Properties()
+        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        out.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
+      case "parquet" => out.write.mode("overwrite").parquet(sinkPath)
+      case "csv" => out.write.mode("overwrite").option("header", "true").csv(sinkPath)
+    }
+  }
+}

@@ -108,8 +108,26 @@ object ScanOps {
     },
     "SELECT * FROM region ORDER BY r_regionkey")
 
+  /** FITS BINTABLE source (custom DataSource V2, graft.fits): write nation
+    * out as a standard FITS binary table, read it back through the DSv2 —
+    * schema from header cards, big-endian records, row-range splits. The
+    * oracle is the original table: a lossless round-trip proof.
+    */
+  val a7_fits_source = OpQuery(
+    (s, d) => {
+      val fitsPath = "/tmp/graft_fixtures/nation.fits"
+      Files.createDirectories(Paths.get("/tmp/graft_fixtures"))
+      val nation = t(s, d, "nation")
+      graft.fits.FitsWriter.write(fitsPath, nation.schema,
+        nation.orderBy("n_nationkey").collect().toIndexedSeq,
+        strLens = Map("n_name" -> 25))
+      s.read.format("fits").load(fitsPath).orderBy("n_nationkey")
+    },
+    "SELECT * FROM nation ORDER BY n_nationkey")
+
   val all: Map[String, OpQuery] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
+    "a7_fits_source" -> a7_fits_source,
     "a2_scan_multifile_union" -> a2_scan_multifile_union,
     "a3_scan_csv_schema" -> a3_scan_csv_schema,
     "a4_sink_parquet" -> a4_sink_parquet,

@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.EtlOps
+import graft.ingest.Convert
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import scala.util.Random
+
+/** B-group property laws (SURVEY §5.3; seeded-random sampling — the
+  * scalatest/scalacheck bridge artifact is not on the offline classpath).
+  */
+class EtlOpsSpec extends SparkTestBase {
+
+  private val rnd = new Random(42)
+
+  test("normalizeName is idempotent and produces valid SQL identifiers") {
+    val samples = Seq.fill(200)(rnd.nextString(rnd.nextInt(20))) ++
+      Seq("select", "2col", "Event ID", "a-b-c", "", "_x", "ALL", "col.1")
+    samples.foreach { raw =>
+      val n = EtlOps.normalizeName(raw)
+      assert(EtlOps.normalizeName(n) == n || n.endsWith("_")) // reserved pad stable
+      assert(n.matches("[a-z_][a-z0-9_]*"), s"bad identifier '$n' from '$raw'")
+    }
+  }
+
+  test("normalizeColumns dedupes colliding names") {
+    import spark.implicits._
+    val df = Seq((1, 2, 3)).toDF("Col A", "col_a", "COL-A")
+    val out = EtlOps.normalizeColumns(df)
+    assert(out.columns.toSeq == Seq("col_a", "col_a_2", "col_a_3"))
+  }
+
+  test("widening casts are lossless for in-range values") {
+    import spark.implicits._
+    val samples = Seq.fill(100)((rnd.nextInt().toShort, rnd.nextInt(), rnd.nextFloat()))
+    val df = samples.toDF("s", "i", "f")
+      .select(col("s"), col("i"), col("f"),
+        col("s").cast(IntegerType).as("sw"), col("i").cast(LongType).as("iw"),
+        col("f").cast(DoubleType).as("fw"))
+    df.collect().foreach { r =>
+      assert(r.getInt(3) == r.getShort(0).toInt)
+      assert(r.getLong(4) == r.getInt(1).toLong)
+      assert(r.getDouble(5) == r.getFloat(2).toDouble)
+    }
+  }
+
+  test("nanToNull maps exactly NaN/±Inf to null, identity elsewhere") {
+    import spark.implicits._
+    val vals = Seq(1.5, 0.0, -2.25, Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, Double.MinPositiveValue)
+    val df = vals.toDF("x").select(EtlOps.nanToNull(col("x")).as("y"))
+    val out = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(1.5), Some(0.0), Some(-2.25), None, None, None,
+      Some(Double.MinPositiveValue)))
+  }
+
+  test("null sentinel only nulls the sentinel value") {
+    import spark.implicits._
+    val df = Seq(-1L, 0L, 1L, -999L).toDF("x")
+      .select(EtlOps.nullSentinel(col("x"), -999L).as("y"))
+    assert(df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq ==
+      Seq(Some(-1L), Some(0L), Some(1L), None))
+  }
+
+  test("array expand and explode agree on content (row-count algebra)") {
+    val emb = Tables.t(spark, sfDir, "embeddings").limit(50).cache()
+    val n = emb.count()
+    val exploded = emb.select(col("vec_id"), posexplode(col("embedding")))
+    assert(exploded.count() == n * 64)
+    // expansion of position 0 equals explode's pos=0 slice
+    val expanded = emb.select(col("vec_id"), col("embedding")(0).as("e0"))
+    val fromExplode = exploded.filter(col("pos") === 0)
+      .select(col("vec_id"), col("col").as("e0"))
+    assert(expanded.except(fromExplode).count() == 0)
+    emb.unpersist()
+  }
+
+  test("Convert.convert chains the full fits2db pipeline") {
+    import spark.implicits._
+    val df = Seq((1, -999.0, 2.0), (2, Double.NaN, 4.0), (3, 10.0, 6.0))
+      .toDF("ID", "Raw Val", "2col")
+    val spec = Convert.ConvertSpec(rules = Map(
+      "raw_val" -> Convert.ColumnRule(scale = Some((0.5, 100.0))),
+      "_2col" -> Convert.ColumnRule(widenTo = Some(LongType))))
+    val out = Convert.convert(df, spec)
+    assert(out.columns.toSeq == Seq("id", "raw_val", "_2col"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getDouble(1) == -999.0 * 0.5 + 100.0)
+    assert(rows(1).isNullAt(1)) // NaN scrubbed before scaling
+    assert(rows(2).getLong(2) == 6L)
+  }
+
+  test("Convert.addStablePkey assigns a dense 1..n key") {
+    val df = Tables.t(spark, sfDir, "customer").repartition(7)
+    val out = Convert.addStablePkey(df)
+    val keys = out.select("pkey").collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == (1L to df.count()).toSeq)
+  }
+}

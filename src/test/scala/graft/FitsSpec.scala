@@ -1,0 +1,183 @@
+package graft
+
+import java.io.{DataOutputStream, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.fits.{FitsFormat, FitsWriter}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Byte-level FITS reader tests on hand-authored BINTABLE files (SURVEY §5:
+  * no FITS library exists in this container, so fixtures are raw bytes).
+  * Covers TFORM codes L/B/I/J/K/E/D/8A/3E, TSCAL/TZERO scaling, the
+  * unsigned-int TZERO idiom, TNULL sentinels, NaN→NULL, trailing-blank
+  * trim, extension selection, row-range splits and column pruning.
+  */
+class FitsSpec extends SparkTestBase {
+
+  private def card(key: String, value: String, quote: Boolean): Array[Byte] = {
+    val v = if (quote) s"'${value.padTo(8, ' ')}'" else value
+    val text = if (quote) f"${key.padTo(8, ' ')}= $v%-69s" else f"${key.padTo(8, ' ')}= $v%20s"
+    text.padTo(80, ' ').take(80).getBytes(StandardCharsets.US_ASCII)
+  }
+  private val endCard = "END".padTo(80, ' ').getBytes(StandardCharsets.US_ASCII)
+
+  /** Hand-built file: one BINTABLE with every supported scalar code. */
+  private def writeHandBuilt(path: String): Unit = {
+    val out = new DataOutputStream(new FileOutputStream(path))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(' '.toByte)
+
+    // Row: L(1) B(1) I(2) J(4) K(8) E(4) D(8) 8A(8) 3E(12) scaled-I(2)
+    // unsigned-I(2) tnull-J(4)  => 56 bytes
+    val rowBytes = 1 + 1 + 2 + 4 + 8 + 4 + 8 + 8 + 12 + 2 + 2 + 4
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", rowBytes.toString, quote = false))
+    out.write(card("NAXIS2", "3", quote = false))
+    out.write(card("PCOUNT", "0", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "12", quote = false))
+    val forms = Seq("L", "B", "I", "J", "K", "E", "D", "8A", "3E", "I", "I", "J")
+    val names = Seq("flag", "ub", "i16", "i32", "i64", "f32", "f64", "name",
+      "vec", "scaled", "u16", "withnull")
+    forms.zip(names).zipWithIndex.foreach { case ((tf, nm), i) =>
+      out.write(card(s"TTYPE${i + 1}", nm, quote = true))
+      out.write(card(s"TFORM${i + 1}", tf, quote = true))
+    }
+    out.write(card("TSCAL10", "0.5", quote = false))
+    out.write(card("TZERO10", "100.0", quote = false))
+    out.write(card("TZERO11", "32768", quote = false))
+    out.write(card("TNULL12", "-999", quote = false))
+    out.write(endCard); pad(' '.toByte)
+
+    val buf = ByteBuffer.allocate(rowBytes)
+    def row(flag: Boolean, ub: Int, i16: Short, i32: Int, i64: Long, f32: Float,
+        f64: Double, name: String, vec: Seq[Float], scaled: Short, u16: Short,
+        withnull: Int): Unit = {
+      buf.clear()
+      buf.put((if (flag) 'T' else 'F').toByte)
+      buf.put(ub.toByte)
+      buf.putShort(i16); buf.putInt(i32); buf.putLong(i64)
+      buf.putFloat(f32); buf.putDouble(f64)
+      buf.put(name.getBytes(StandardCharsets.US_ASCII).take(8).padTo(8, ' '.toByte))
+      vec.foreach(buf.putFloat)
+      buf.putShort(scaled); buf.putShort(u16); buf.putInt(withnull)
+      out.write(buf.array(), 0, rowBytes)
+    }
+    row(flag = true, 200, 12345, 70000, 9000000000L, 1.5f, 2.25, "alpha",
+      Seq(1f, 2f, 3f), 10, 0, 42)
+    row(flag = false, 7, -5, -1, -2L, Float.NaN, Double.NaN, "bee     ",
+      Seq(-1f, 0f, 1f), -4, -1 /* raw 0xFFFF => 65535 - 32768 ... */, -999)
+    row(flag = true, 0, 0, 0, 0L, 0f, 0.0, "", Seq(0f, 0f, 0f), 0, -32768, 0)
+    out.write(Array.fill((2880 - (rowBytes * 3) % 2880) % 2880)(0.toByte))
+    out.close()
+  }
+
+  private val handPath = "/tmp/graft_test/hand.fits"
+  Files.createDirectories(Paths.get("/tmp/graft_test"))
+
+  test("hand-built BINTABLE decodes every supported TFORM code") {
+    writeHandBuilt(handPath)
+    val df = spark.read.format("fits").load(handPath)
+    val rows = df.collect()
+    assert(rows.length == 3)
+    val r0 = rows(0)
+    assert(r0.getAs[Boolean]("flag"))
+    assert(r0.getAs[Short]("ub") == 200) // unsigned byte widened
+    assert(r0.getAs[Short]("i16") == 12345)
+    assert(r0.getAs[Int]("i32") == 70000)
+    assert(r0.getAs[Long]("i64") == 9000000000L)
+    assert(r0.getAs[Float]("f32") == 1.5f)
+    assert(r0.getAs[Double]("f64") == 2.25)
+    assert(r0.getAs[String]("name") == "alpha") // trailing blanks trimmed
+    assert(r0.getAs[scala.collection.Seq[Float]]("vec").toSeq == Seq(1f, 2f, 3f))
+    assert(r0.getAs[Double]("scaled") == 10 * 0.5 + 100.0) // TSCAL/TZERO
+    assert(r0.getAs[Int]("u16") == 32768) // TZERO unsigned idiom
+    assert(r0.getAs[Int]("withnull") == 42)
+
+    val r1 = rows(1)
+    assert(r1.isNullAt(r1.fieldIndex("f32"))) // NaN → NULL
+    assert(r1.isNullAt(r1.fieldIndex("f64")))
+    assert(r1.getAs[String]("name") == "bee")
+    assert(r1.getAs[Int]("u16") == 32767) // raw -1 (0xFFFF) + 32768
+    assert(r1.isNullAt(r1.fieldIndex("withnull"))) // TNULL sentinel
+
+    val r2 = rows(2)
+    assert(r2.getAs[String]("name") == "")
+    assert(r2.getAs[Int]("u16") == 0) // raw -32768 + 32768
+  }
+
+  test("schema comes from header, with widening per the §1.2 table") {
+    writeHandBuilt(handPath)
+    val sch = spark.read.format("fits").load(handPath).schema
+    assert(sch("ub").dataType == ShortType)
+    assert(sch("i16").dataType == ShortType)
+    assert(sch("i32").dataType == IntegerType)
+    assert(sch("i64").dataType == LongType)
+    assert(sch("scaled").dataType == DoubleType) // TSCAL ⇒ double
+    assert(sch("u16").dataType == IntegerType)   // TZERO idiom ⇒ widened
+    assert(sch("vec").dataType == ArrayType(FloatType))
+  }
+
+  test("row-range splits cover all rows exactly once") {
+    writeHandBuilt(handPath)
+    val df = spark.read.format("fits").option("rowspersplit", "1").load(handPath)
+    assert(df.rdd.getNumPartitions == 3)
+    assert(df.count() == 3)
+    assert(df.select("i32").collect().map(_.get(0)).toSet == Set(70000, -1, 0))
+  }
+
+  test("column pruning decodes only requested columns") {
+    writeHandBuilt(handPath)
+    val df = spark.read.format("fits").load(handPath).select("name", "i32")
+    assert(df.columns.toSeq == Seq("name", "i32"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("alpha", "bee", ""))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("name") && !plan.toLowerCase.contains("withnull"))
+  }
+
+  test("extnum selects among multiple BINTABLE extensions") {
+    val p = "/tmp/graft_test/multi.fits"
+    // write two tables via FitsWriter into one file is unsupported; emulate
+    // by concatenating two single-table files' extension parts.
+    val f1 = "/tmp/graft_test/m1.fits"; val f2 = "/tmp/graft_test/m2.fits"
+    val sch = StructType(Seq(StructField("x", IntegerType)))
+    FitsWriter.write(f1, sch, Seq(Row(1), Row(2)))
+    FitsWriter.write(f2, sch, Seq(Row(10)))
+    val b1 = Files.readAllBytes(Paths.get(f1))
+    val b2 = Files.readAllBytes(Paths.get(f2))
+    val primaryLen = 2880 // primary HDU of these files is one block
+    val outB = b1 ++ b2.drop(primaryLen)
+    Files.write(Paths.get(p), outB)
+    assert(spark.read.format("fits").load(p).count() == 2)
+    assert(spark.read.format("fits").option("extnum", "1").load(p)
+      .collect().map(_.getInt(0)).toSeq == Seq(10))
+  }
+
+  test("FitsWriter round-trip preserves values and types (nation)") {
+    val nation = Tables.t(spark, sfDir, "nation")
+    val path = "/tmp/graft_test/nation_rt.fits"
+    FitsWriter.write(path, nation.schema,
+      nation.orderBy("n_nationkey").collect().toIndexedSeq,
+      strLens = Map("n_name" -> 25))
+    val back = spark.read.format("fits").load(path)
+    assert(back.schema == nation.schema)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+  }
+
+  test("header parser rejects unsupported TFORMs with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      FitsFormat.parseTform("PJ(5)")
+    }
+    assert(e.getMessage.contains("Unsupported TFORM"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{LlmOps, MultimodalOps, AggOps}
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the LLM-pipeline ops that the DuckDB oracle cannot
+  * gate (engine-specific hashing), plus sanity on planted duplicates.
+  */
+class LlmOpsSpec extends SparkTestBase {
+
+  private def docsWithDups = {
+    import spark.implicits._
+    val base = Tables.t(spark, sfDir, "documents").limit(40)
+    // plant exact dups: copy 3 docs under new ids
+    val dups = base.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + 100000)
+    base.unionByName(dups)
+  }
+
+  test("simhash: identical texts get identical signatures (hamming 0)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sim").toString
+    docsWithDups.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = LlmOps.i11_dedup_simhash.fn(spark, tmp).collect()
+    val exact = Set((0L, 100000L), (1L, 100001L), (2L, 100002L))
+    val zeroHam = pairs.filter(_.getLong(2) == 0L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(zeroHam),
+      s"planted dup pairs missing from hamming-0 set: ${exact -- zeroHam}")
+  }
+
+  test("minhash LSH finds planted exact duplicates with jaccard 1.0") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mh").toString
+    docsWithDups.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = LlmOps.i10_dedup_minhash_lsh.fn(spark, tmp).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Seq((0L, 100000L), (1L, 100001L), (2L, 100002L)).foreach { case (a, b) =>
+      assert(found.exists(p => p._1 == a && p._2 == b && p._3 == 1.0),
+        s"planted dup ($a,$b) not found by LSH")
+    }
+  }
+
+  test("e4 approx_count_distinct is within 5% of exact") {
+    val r = AggOps.e4_agg_approx_distinct.fn(spark, sfDir).collect()(0)
+    val (approx, exact) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("multimodal decode stub: metadata matches payload arithmetic") {
+    val out = MultimodalOps.m1_multimodal_decode_stub.fn(spark, sfDir)
+    val joined = out.join(Tables.t(spark, sfDir, "documents"), "doc_id")
+      .select(col("width"), col("n_bytes"), length(col("text")).cast("long").as("len"))
+      .collect()
+    joined.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2)) // ascii text: bytes == chars
+      assert(r.getLong(0) == r.getLong(2) % 640)
+    }
+  }
+
+  test("knn query result is the true top-10 (brute-force cross-check)") {
+    import graft.functions.VectorFunctions.dot
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val full = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), dot(col("embedding"), col("qv")).as("sim"))
+      .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    val got = LlmOps.i7_sim_knn_query.fn(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == full)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import graft.ops.StreamOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Batch/stream parity (SURVEY §5.4): each J-op's streaming execution under
+  * Trigger.AvailableNow over the sf0.001 events parquet must equal its batch
+  * form — the only way to gate streaming, since the oracle can't run it.
+  */
+class StreamOpsSpec extends SparkTestBase {
+
+  private def eventsStream: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = Tables.t(spark, sfDir, "events").schema
+    val rawSchema = StructType(batchSchema.map {
+      case f if f.name == "ts" => StructField("ts", LongType, f.nullable)
+      case f => f
+    })
+    spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    assert(a.count() == b.count())
+    assert(a.exceptAll(b).count() == 0)
+    assert(b.exceptAll(a).count() == 0)
+  }
+
+  test("j1 tumbling aggregation: stream equals batch") {
+    val batch = StreamOps.tumblingAgg(Tables.t(spark, sfDir, "events"))
+    val stream = runToTable(StreamOps.tumblingAgg(
+      eventsStream.withWatermark("ts", "10 minutes")), "p_j1", "complete")
+    assertSameRows(batch, stream)
+  }
+
+  test("j2 sliding window: stream equals batch") {
+    def slide(df: DataFrame) =
+      df.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+    val batch = slide(Tables.t(spark, sfDir, "events"))
+    val stream = runToTable(slide(eventsStream.withWatermark("ts", "10 minutes")),
+      "p_j2", "complete")
+    assertSameRows(batch, stream)
+  }
+
+  test("j3 batch surrogate reproduces session_window() semantics") {
+    // native session_window over the batch events
+    val native = Tables.t(spark, sfDir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events")
+    val surrogate = StreamOps.j3_session_window.fn(spark, sfDir)
+      .select("user_id", "session_start", "session_end", "n_events")
+    assertSameRows(native, surrogate)
+  }
+
+  test("j5 streaming dropDuplicates dedupes within the watermark") {
+    val dedup = eventsStream.withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select("event_id")
+    val got = runToTable(dedup, "p_j5", "append")
+    assert(got.count() == Tables.t(spark, sfDir, "events").count())
+  }
+
+  test("j4 watermark filter keeps only the trailing window") {
+    val out = StreamOps.j4_watermark_late.fn(spark, sfDir)
+    val ev = Tables.t(spark, sfDir, "events")
+    val mx = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+    val expected = ev.filter(col("ts") >= lit(mx) - expr("INTERVAL 1 DAY")).count()
+    assert(out.count() == expected && expected > 0)
+  }
+
+  test("j6 end-to-end stream harness equals batch j1") {
+    val fromStream = StreamOps.j6_stream_agg_sink.fn(spark, sfDir)
+    val batch = StreamOps.j1_tumbling_window.fn(spark, sfDir)
+    assertSameRows(fromStream, batch)
+  }
+}
