@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{DotProduct, IntersectCountSorted}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point (SURVEY §4.3 mechanism slot):
+  * registers the custom Catalyst expressions as SQL functions so
+  * `spark.sql("SELECT vec_dot(a, b) ...")` works next to the Column API.
+  *
+  * Enable with either
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")  or
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+  }
+}
+
+object GraftExtensions {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> ((c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    "intersect_count" -> ((c: Seq[Expression]) => IntersectCountSorted(c(0), c(1))))
+
+  /** Same registrations on an already-running session (tests, REPL). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(spark, name, builder)
+    }
+}

@@ -26,7 +26,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+  // DataFrame HANDLES (logical plans, not data) are cached per
+  // (session, dir, table): each spark.read.parquet pays a driver-side file
+  // listing + footer read, which across ~90 bench queries × 2-6 tables adds
+  // tens of seconds of pure planning overhead. Plans are immutable, so
+  // sharing the handle is safe; no rows are cached.
+  private val handles =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    handles.computeIfAbsent((s, dir, name), _ => load(s, dir, name))
+
+  private def load(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 cannot map to
       // TimestampType directly (PARQUET_TYPE_ILLEGAL). Read nanos as long

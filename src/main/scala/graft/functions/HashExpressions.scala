@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Signature expressions for near-dup detection. Both take the PRE-HASHED
+  * element array (xxhash64 per shingle/token — one pass, codegen'd) and
+  * produce the whole signature in one narrow loop per row.
+  *
+  * Why not explode + groupBy: a 64-permutation minhash via 64 min()
+  * aggregates costs an explode (|elements| rows), a shuffle, and a 64-slot
+  * aggregation buffer per group — measured ~7s at sf0.1. This expression is
+  * a map-side O(|elements| × 64) register loop: no shuffle, no state, scales
+  * linearly with document count and parallelizes per split.
+  */
+abstract class SignatureExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"${prettyName} expects array<bigint> (pre-hashed elements), got $t")
+  }
+}
+
+/** 64 minhashes of a hashed-element set: mh_j = min_e pmod(pmod(e, M)·A_j +
+  * B_j, P). Affine constants stay < 2^31 and the pre-reduction domain < 2^20·
+  * keeps every intermediate < 2^52 (ANSI-overflow-safe).
+  */
+case class MinHashSignature(child: Expression) extends SignatureExpression {
+  import MinHashSignature._
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](NumHashes)
+    var j = 0
+    while (j < NumHashes) { out(j) = Long.MaxValue; j += 1 }
+    var i = 0
+    while (i < n) {
+      val hm = java.lang.Math.floorMod(arr.getLong(i), M)
+      j = 0
+      while (j < NumHashes) {
+        val v = java.lang.Math.floorMod(hm * (ABase + AStep * j) + BStep.toLong * j + B0, P)
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val hm = ctx.freshName("hm"); val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$NumHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $hm = java.lang.Math.floorMod($a.getLong($i), ${M}L);
+         |  for (int $j = 0; $j < $NumHashes; $j++) {
+         |    long $v = java.lang.Math.floorMod(
+         |      $hm * (${ABase}L + ${AStep}L * $j) + ${BStep}L * $j + ${B0}L, ${P}L);
+         |    if ($v < $out[$j]) $out[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  val NumHashes = 64
+  val M = 1000003L       // pre-reduction domain
+  val P = 2038074743L    // prime < 2^31
+  val ABase = 976369L; val AStep = 104729L
+  val B0 = 12345L; val BStep = 981203L
+}
+
+/** 64-bit SimHash from hashed tokens (with multiplicity): bit k of the
+  * signature is set iff Σ_tokens (bit_k(hash) ? +1 : −1) > 0.
+  */
+case class SimHash64(child: Expression) extends SignatureExpression {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var k = 0
+      while (k < 64) {
+        if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+        k += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($votes[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  def minhashSignature(hashedElems: Column): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(hashedElems)))
+  def simhash64(hashedTokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(hashedTokens)))
+}

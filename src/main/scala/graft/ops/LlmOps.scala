@@ -30,9 +30,20 @@ object LlmOps {
 
   // -------- shared building blocks -----------------------------------------
 
-  private val toks: Column = split(col("text"), " ")
+  /** Tokenization is materialized as a real column BEFORE any explode/HOF
+    * consumes it: generator and lambda children are re-evaluated per OUTPUT
+    * row, so an inline `split(text)` under an explode re-splits the document
+    * once per token — measured 10× slower at sf0.1. `withToks` pays the
+    * split exactly once per row.
+    */
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
 
-  /** Distinct word-2-gram shingle set of `text` (dedup fingerprint base). */
+  private val toks: Column = col("toks")
+
+  /** Distinct word-2-gram shingle set (dedup fingerprint base); expects the
+    * `toks` column (use after withToks).
+    */
   private val shingles: Column = array_distinct(
     transform(sequence(lit(0), size(toks) - 2),
       i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
@@ -54,7 +65,7 @@ object LlmOps {
   // -------- text analysis --------------------------------------------------
 
   val i1_text_tokenize_count = OpQuery(
-    (s, d) => t(s, d, "documents")
+    (s, d) => withToks(t(s, d, "documents"))
       .select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("word")),
@@ -80,11 +91,12 @@ object LlmOps {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 
   val i3_text_ngram_shingle = OpQuery(
-    (s, d) => t(s, d, "documents")
+    (s, d) => withToks(t(s, d, "documents"))
+      .withColumn("shs", shingles)
       .select(col("doc_id"),
         (size(toks) - 1).cast(LongType).as("n_shingles"),
-        size(shingles).cast(LongType).as("n_uniq"),
-        slice(sort_array(shingles), 1, 3).as("first3"))
+        size(col("shs")).cast(LongType).as("n_uniq"),
+        slice(sort_array(col("shs")), 1, 3).as("first3"))
       .orderBy("doc_id"),
     s"""$shinglesSqlCte
        |SELECT s.doc_id,
@@ -102,7 +114,7 @@ object LlmOps {
     (s, d) => {
       def score(words: Seq[String]) =
         size(filter(toks, t => t.isInCollection(words))).cast(LongType)
-      t(s, d, "documents")
+      withToks(t(s, d, "documents"))
         .select(col("doc_id"), col("lang"),
           score(Seq("the", "a")).as("s_en"),
           score(Seq("select", "join", "query")).as("s_qs"),
@@ -133,7 +145,7 @@ object LlmOps {
     (s, d) => {
       val nTok = size(toks).cast(LongType)
       val stop = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of")))).cast(LongType)
-      t(s, d, "documents")
+      withToks(t(s, d, "documents"))
         .select(col("doc_id"), nTok.as("n_tok"),
           ((length(col("text")) - (nTok - 1)).cast(DoubleType) / nTok).as("avg_tok_len"),
           (stop.cast(DoubleType) / nTok).as("stop_ratio"),
@@ -157,7 +169,7 @@ object LlmOps {
 
   /** Token counting: whitespace tokens + a BPE-ish chars/4 estimate. */
   val i16_token_count = OpQuery(
-    (s, d) => t(s, d, "documents")
+    (s, d) => withToks(t(s, d, "documents"))
       .select(col("doc_id"),
         size(toks).cast(LongType).as("ws_tokens"),
         ceil(length(col("text")) / lit(4.0)).cast(LongType).as("bpe_est"),
@@ -180,7 +192,7 @@ object LlmOps {
       val terms = transform(sequence(lit(0), size(toks) - 1),
         i => length(element_at(toks, i + 1)).cast(LongType) *
           element_at(pows, pmod(i, lit(7)) + 1))
-      t(s, d, "documents")
+      withToks(t(s, d, "documents"))
         .select(col("doc_id"),
           (aggregate(terms, lit(0L), (acc, x) => acc + x) % lit(1000000007L)).as("fp"))
         .orderBy("doc_id")
@@ -204,19 +216,27 @@ object LlmOps {
     * Hash collisions (~|sh|²/2⁶⁴) are negligible vs the string-set oracle.
     */
   private val hashedShingles: Column =
-    sort_array(transform(shingles, tk => xxhash64(lit(1), tk)))
+    sort_array(transform(col("shs"), tk => xxhash64(lit(1), tk)))
 
   val i5_dedup_near_jaccard = OpQuery(
     (s, d) => {
       import graft.functions.VectorFunctions.intersectCount
-      val sh = t(s, d, "documents")
+      // Size-band blocking is LOSSLESS at τ=0.8: jac ≥ 0.8 ⇒ |A∩B| ≥
+      // 0.8·|A∪B| ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.8 = 1/1.25, so two
+      // qualifying sets sit in the same or adjacent log₁.₂₅ size bands.
+      // Banding turns the lang-only O(n²/langs) join into a (lang, band)
+      // equi-join — the blocking pattern that survives a 100× scale-up.
+      val sh = withToks(t(s, d, "documents")).withColumn("shs", shingles)
         .select(col("doc_id"), col("lang"), hashedShingles.as("sh"))
-      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("sh_a"))
-      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("sh").as("sh_b"))
-      // Size-ratio blocking is LOSSLESS at τ=0.8: jac ≥ 0.8 ⇒ |A∩B| ≥
-      // 0.8·|A∪B| ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.8 — so the cheap filter
-      // prunes pairs before the merge without changing the result set.
-      a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id") &&
+        .withColumn("band",
+          floor(log(size(col("sh")).cast(DoubleType)) / math.log(1.25)).cast(IntegerType))
+      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("sh_a"),
+        col("band").as("band_a"))
+      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("sh").as("sh_b"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1)).as("bk"))
+      a.join(b, col("lang") === col("lang_b") && col("band_a") === col("bk") &&
+          col("a_id") < col("b_id") &&
           size(col("sh_a")) * lit(5) >= size(col("sh_b")) * lit(4) &&
           size(col("sh_b")) * lit(5) >= size(col("sh_a")) * lit(4))
         .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
@@ -245,23 +265,19 @@ object LlmOps {
   val i10_dedup_minhash_lsh = OpQuery(
     (s, d) => {
       import graft.functions.VectorFunctions.intersectCount
+      import graft.functions.HashFunctions.minhashSignature
       val docs = t(s, d, "documents")
-      // Minhash via explode + 64 codegen'd min-aggregates: one hash per
-      // (doc, shingle), then cheap affine mixes per permutation — all inside
-      // whole-stage codegen (the nested-HOF formulation interprets 64×|sh|
-      // lambdas per doc and is ~30× slower). Arithmetic stays < 2^52 so it
-      // is ANSI-overflow-safe.
-      val P = 2038074743L // prime < 2^31
-      def a(j: Int): Long = 976369L + 104729L * j
-      def b(j: Int): Long = 981203L * j + 12345L
-      val ex = docs.select(col("doc_id"), explode(shingles).as("tk"))
-        .withColumn("hm", pmod(xxhash64(lit(1), col("tk")), lit(1000003L)))
-      val mhAggs = (0 until 64).map(j =>
-        min(pmod(col("hm") * lit(a(j)) + lit(b(j)), lit(P))).as(s"mh$j"))
-      val sigs = ex.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      // The full 64-permutation signature is ONE narrow codegen'd expression
+      // over the hashed shingle array (graft.functions.MinHashSignature) —
+      // no explode, no shuffle, no aggregation state. The explode+64×min()
+      // formulation costs a shuffle and measured ~7s at sf0.1; this is a
+      // map-only pass.
+      val sigs = withToks(docs).withColumn("shs", shingles)
+        .select(col("doc_id"),
+          minhashSignature(transform(col("shs"), tk => xxhash64(lit(1), tk))).as("mh"))
       // 16 bands × 4 rows; the band bucket is a hash of its 4 minhashes.
       val buckets = (0 until 16).map(bd =>
-        xxhash64((lit(bd) +: (0 until 4).map(r => col(s"mh${4 * bd + r}"))): _*))
+        xxhash64((lit(bd) +: (0 until 4).map(r => element_at(col("mh"), 4 * bd + r + 1))): _*))
       val banded = sigs.select(col("doc_id"),
         posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
       val x = banded.select(col("doc_id").as("a_id"), col("bucket"))
@@ -269,7 +285,8 @@ object LlmOps {
       val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
       // Exact verification of the (tiny) candidate set.
-      val sh = docs.select(col("doc_id"), hashedShingles.as("sh"))
+      val sh = withToks(docs).withColumn("shs", shingles)
+        .select(col("doc_id"), hashedShingles.as("sh"))
       cand
         .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
@@ -298,14 +315,13 @@ object LlmOps {
     */
   val i11_dedup_simhash = OpQuery(
     (s, d) => {
+      import graft.functions.HashFunctions.simhash64
       val docs = t(s, d, "documents")
-      val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", xxhash64(lit(7), col("tok")))
-        .withColumn("k", explode(sequence(lit(0), lit(63))))
-        .withColumn("sgn", expr("CAST(shiftrightunsigned(h, k) & 1L AS BIGINT) * 2 - 1"))
-      val bitsum = tok.groupBy("doc_id", "k").agg(sum(col("sgn")).as("v"))
-      val sig = bitsum.groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN v > 0 THEN shiftleft(1L, k) ELSE 0L END")).as("simhash"))
+      // Whole signature in one narrow codegen'd pass over the hashed tokens
+      // (with multiplicity) — see MinHashSignature for why not explode+agg.
+      val sig = withToks(docs)
+        .select(col("doc_id"),
+          simhash64(transform(toks, tk => xxhash64(lit(7), tk))).as("simhash"))
       val chunks = sig.withColumn("chunk", explode(sequence(lit(0), lit(3))))
         .withColumn("cval", expr("shiftrightunsigned(simhash, CAST(chunk * 16 AS INT)) & 65535L"))
       val x = chunks.select(col("doc_id").as("a_id"), col("simhash").as("sig_a"),
