@@ -23,6 +23,12 @@ object StreamOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** Typed row/state shapes for j7 (top-level for stable Encoders). */
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserAgg(user_id: Long, n_events: Long, n_purchases: Long,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+
   /** j1's transformation, shared verbatim between batch and readStream. */
   def tumblingAgg(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -147,7 +153,44 @@ object StreamOps {
        |  count(*) AS n, ${Par.dsumSql("value")} AS sum_val
        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin)
 
+  /** j7: arbitrary per-key state via typed mapGroupsWithState — the custom
+    * stateful-operator surface (KeyValueGroupedDataset). The same lambda
+    * runs in batch (each group = one invocation, state unused across
+    * batches) and streaming (state persisted in the state store between
+    * micro-batches — StreamOpsSpec drives that path). Aggregates are
+    * order-insensitive (count/min/max), so iterator order within a group
+    * doesn't matter.
+    */
+  def userStateAgg(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0L, null, null))
+          val next = it.foldLeft(prev) { (acc, e) =>
+            UserAgg(uid,
+              acc.n_events + 1,
+              acc.n_purchases + (if (e.event_type == "purchase") 1 else 0),
+              if (acc.first_ts == null || e.ts.before(acc.first_ts)) e.ts else acc.first_ts,
+              if (acc.last_ts == null || e.ts.after(acc.last_ts)) e.ts else acc.last_ts)
+          }
+          state.update(next)
+          next
+      }.toDF()
+  }
+
+  val j7_stateful_custom = OpQuery(
+    (s, d) => userStateAgg(t(s, d, "events")).orderBy("user_id"),
+    """SELECT user_id, count(*) AS n_events,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+      |  min(ts) AS first_ts, max(ts) AS last_ts
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j7_stateful_custom" -> j7_stateful_custom,
     "j1_tumbling_window" -> j1_tumbling_window,
     "j2_sliding_window" -> j2_sliding_window,
     "j3_session_window" -> j3_session_window,

@@ -88,6 +88,14 @@ class StreamOpsSpec extends SparkTestBase {
     assert(out.count() == expected && expected > 0)
   }
 
+  test("j7 mapGroupsWithState: streaming state equals batch aggregation") {
+    val batch = StreamOps.userStateAgg(Tables.t(spark, sfDir, "events"))
+    val stream = runToTable(StreamOps.userStateAgg(eventsStream), "p_j7", "update")
+    // update-mode memory sink may hold one row per state update per batch;
+    // AvailableNow over one parquet file = one batch ⇒ final states only.
+    assertSameRows(batch, stream)
+  }
+
   test("j6 end-to-end stream harness equals batch j1") {
     val fromStream = StreamOps.j6_stream_agg_sink.fn(spark, sfDir)
     val batch = StreamOps.j1_tumbling_window.fn(spark, sfDir)
