@@ -145,8 +145,14 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     required.fieldNames.map(n => spec.cols.indexWhere(_.name == n))
 
   private val p = new Path(path)
-  private val in = p.getFileSystem(new Configuration()).open(p)
+  private val fs = p.getFileSystem(new Configuration())
+  private val in = fs.open(p)
   in.seek(swo.dataStart + part.rowStart * spec.rowBytes)
+
+  // Positioned reads into the heap area for variable-length (P/Q) cells —
+  // opened lazily so fixed-width-only scans pay nothing.
+  private lazy val heapIn = fs.open(p)
+  private val heapStart = swo.dataStart + spec.theap
 
   private val rowBuf = new Array[Byte](spec.rowBytes)
   private val buf = ByteBuffer.wrap(rowBuf) // big-endian per FITS
@@ -168,7 +174,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       val ci = colIdx(k)
       val c = spec.cols(ci)
       val base = spec.offsets(ci)
-      values(k) = c.code match {
+      values(k) = if (c.varDesc.isDefined) readVarCell(c, base) else c.code match {
         case 'A' =>
           val s = new String(rowBuf, base, c.repeat, java.nio.charset.StandardCharsets.US_ASCII)
           UTF8String.fromString(s.replaceAll("\\s+$", "")) // trailing-blank trim
@@ -192,6 +198,37 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     InternalRow.fromSeq(values.toIndexedSeq)
   }
 
+  /** Variable-length cell: (count, offset) descriptor in the record, data
+    * in the heap (FITS 4.0 §7.3.5).
+    */
+  private def readVarCell(c: FitsFormat.ColSpec, base: Int): Any = {
+    val (cnt, off) = c.varDesc.get match {
+      case 'P' => (buf.getInt(base).toLong, buf.getInt(base + 4).toLong)
+      case _ => (buf.getLong(base), buf.getLong(base + 8))
+    }
+    val nBytes = (cnt * c.elemBytes).toInt
+    val cell = new Array[Byte](nBytes)
+    if (nBytes > 0) heapIn.readFully(heapStart + off, cell, 0, nBytes)
+    val hb = ByteBuffer.wrap(cell)
+    if (c.code == 'A') {
+      val s = new String(cell, java.nio.charset.StandardCharsets.US_ASCII)
+      UTF8String.fromString(s.replaceAll("\\s+$", ""))
+    } else {
+      val arr = new Array[Any](cnt.toInt)
+      var i = 0
+      while (i < cnt) {
+        val raw = FitsFormat.decodeElem(hb, i * c.elemBytes, c)
+        arr(i) = if (c.hasScaling) FitsFormat.applyScale(raw, c) else raw
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+
   override def get(): InternalRow = current
-  override def close(): Unit = in.close()
+  override def close(): Unit = {
+    in.close()
+    // heapIn is lazy; close only if it was materialized
+    try heapIn.close() catch { case _: Throwable => () }
+  }
 }

@@ -18,14 +18,20 @@ object FitsFormat {
   val BlockSize = 2880
   val CardSize = 80
 
-  /** One column as declared by the header. */
+  /** One column as declared by the header.
+    * `varDesc`: Some('P')/Some('Q') for variable-length array columns —
+    * the record then holds a (count, heap-offset) descriptor (2×int32 for
+    * P, 2×int64 for Q) and the elements live in the heap area after the
+    * main table (FITS 4.0 §7.3.5). `code` is then the ELEMENT type.
+    */
   final case class ColSpec(
       name: String,
-      code: Char,      // L X B I J K E D A (C M P Q unsupported in v1)
+      code: Char,      // element type: L X B I J K E D A (C/M unsupported)
       repeat: Int,
       scale: Option[Double],
       zero: Option[Double],
-      tnull: Option[Long]) {
+      tnull: Option[Long],
+      varDesc: Option[Char] = None) {
 
     val elemBytes: Int = code match {
       case 'L' | 'B' | 'A' | 'X' => 1
@@ -35,9 +41,13 @@ object FitsFormat {
       case c => throw new IllegalArgumentException(s"Unsupported TFORM code '$c'")
     }
 
-    def byteWidth: Int = code match {
-      case 'X' => (repeat + 7) / 8
-      case _ => repeat * elemBytes
+    def byteWidth: Int = varDesc match {
+      case Some('P') => 8  // two int32: (n_elems, heap_offset)
+      case Some('Q') => 16 // two int64
+      case _ => code match {
+        case 'X' => (repeat + 7) / 8
+        case _ => repeat * elemBytes
+      }
     }
 
     /** Unsigned-integer idiom: TZERO=2^(bits-1), TSCAL absent/1 (§1.2). */
@@ -67,14 +77,23 @@ object FitsFormat {
         case 'A' => StringType
       }
 
-    def sparkType: DataType = code match {
-      case 'A' | 'X' => sparkElemType // char array = one string; bits = bytes
-      case _ if repeat > 1 => ArrayType(sparkElemType, containsNull = true)
-      case _ => sparkElemType
-    }
+    def sparkType: DataType =
+      if (varDesc.isDefined) code match {
+        case 'A' => StringType // var-length char array = one string
+        case _ => ArrayType(sparkElemType, containsNull = true)
+      }
+      else code match {
+        case 'A' | 'X' => sparkElemType // char array = one string; bits = bytes
+        case _ if repeat > 1 => ArrayType(sparkElemType, containsNull = true)
+        case _ => sparkElemType
+      }
   }
 
-  final case class TableSpec(rowBytes: Int, nRows: Long, cols: Seq[ColSpec]) {
+  /** `theap` = heap offset from the start of the data unit (defaults to the
+    * end of the main table, per the standard).
+    */
+  final case class TableSpec(rowBytes: Int, nRows: Long, cols: Seq[ColSpec],
+      theap: Long) {
     def schema: StructType =
       StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
     /** Byte offset of each column within a record. */
@@ -113,11 +132,15 @@ object FitsFormat {
   }
 
   private val TformRe = "^([0-9]*)([LXBIJKAED])".r
+  private val VarTformRe = "^([0-9]*)([PQ])([LXBIJKAED])(?:\\(([0-9]+)\\))?".r
 
-  def parseTform(tform: String): (Char, Int) = tform.trim match {
-    case TformRe(r, c) => (c.head, if (r.isEmpty) 1 else r.toInt)
+  /** Returns (elementCode, repeat, varDesc). */
+  def parseTform(tform: String): (Char, Int, Option[Char]) = tform.trim match {
+    case VarTformRe(_, pq, c, max) =>
+      (c.head, Option(max).map(_.toInt).getOrElse(0), Some(pq.head))
+    case TformRe(r, c) => (c.head, if (r.isEmpty) 1 else r.toInt, None)
     case other => throw new IllegalArgumentException(
-      s"Unsupported TFORM '$other' (variable-length P/Q and complex C/M are not supported)")
+      s"Unsupported TFORM '$other' (complex C/M are not supported)")
   }
 
   def tableSpec(cards: Map[String, String]): TableSpec = {
@@ -127,18 +150,20 @@ object FitsFormat {
     val nRows = cards("NAXIS2").toLong
     val nFields = cards("TFIELDS").toInt
     val cols = (1 to nFields).map { i =>
-      val (code, repeat) = parseTform(cards(s"TFORM$i"))
+      val (code, repeat, varDesc) = parseTform(cards(s"TFORM$i"))
       ColSpec(
         name = cards.getOrElse(s"TTYPE$i", s"col$i"),
         code = code, repeat = repeat,
         scale = cards.get(s"TSCAL$i").map(_.toDouble),
         zero = cards.get(s"TZERO$i").map(_.toDouble),
-        tnull = cards.get(s"TNULL$i").map(_.toLong))
+        tnull = cards.get(s"TNULL$i").map(_.toLong),
+        varDesc = varDesc)
     }
     val width = cols.map(_.byteWidth).sum
     require(width == rowBytes,
       s"Declared NAXIS1=$rowBytes but TFORMs sum to $width bytes")
-    TableSpec(rowBytes, nRows, cols)
+    TableSpec(rowBytes, nRows, cols,
+      cards.get("THEAP").map(_.toLong).getOrElse(rowBytes.toLong * nRows))
   }
 
   /** Locates the target BINTABLE extension: returns (cards, dataStartOffset).

@@ -91,6 +91,30 @@ class EtlOpsSpec extends SparkTestBase {
     assert(rows(2).getLong(2) == 6L)
   }
 
+  test("ingest end-to-end: FITS source -> convert -> JDBC sink -> read back") {
+    // The full fits2db shape in one call: FITS binary table in, conversion
+    // chain applied, bulk-loaded into a DB, contents verified.
+    val fits = "/tmp/graft_test/ingest.fits"
+    val supplier = Tables.t(spark, sfDir, "supplier")
+    graft.fits.FitsWriter.write(fits, supplier.schema,
+      supplier.orderBy("s_suppkey").collect().toIndexedSeq,
+      strLens = Map("s_name" -> 20))
+    val url = "jdbc:derby:/tmp/graft_test/ingest_db;create=true"
+    Convert.ingest(spark, fits, "fits",
+      Convert.ConvertSpec(rules = Map(
+        "s_acctbal" -> Convert.ColumnRule(scale = Some((1.0, 0.0))))),
+      url, sinkFormat = "jdbc", jdbcTable = "supplier_conv")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val back = spark.read.jdbc(url, "supplier_conv", props)
+    assert(back.count() == supplier.count())
+    val a = back.select(col("S_SUPPKEY").cast(LongType).as("k"),
+      col("S_ACCTBAL").as("b")).orderBy("k").collect()
+    val e = supplier.select(col("s_suppkey").as("k"), col("s_acctbal").as("b"))
+      .orderBy("k").collect()
+    assert(a.toSeq == e.toSeq)
+  }
+
   test("Convert.addStablePkey assigns a dense 1..n key") {
     val df = Tables.t(spark, sfDir, "customer").repartition(7)
     val out = Convert.addStablePkey(df)

@@ -176,8 +176,60 @@ class FitsSpec extends SparkTestBase {
 
   test("header parser rejects unsupported TFORMs with a clear error") {
     val e = intercept[IllegalArgumentException] {
-      FitsFormat.parseTform("PJ(5)")
+      FitsFormat.parseTform("2C") // complex — not supported
     }
     assert(e.getMessage.contains("Unsupported TFORM"))
+    assert(FitsFormat.parseTform("PJ(5)") == (('J', 5, Some('P'))))
+    assert(FitsFormat.parseTform("1QD") == (('D', 0, Some('Q'))))
+  }
+
+  test("variable-length P/Q array cells read from the heap") {
+    val p = "/tmp/graft_test/varlen.fits"
+    val out = new DataOutputStream(new FileOutputStream(p))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(' '.toByte)
+
+    // Row: PJ(3) desc (8B) + QD(2) desc (16B) = 24 bytes; 2 rows; heap 36B.
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", "24", quote = false))
+    out.write(card("NAXIS2", "2", quote = false))
+    out.write(card("PCOUNT", "36", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "2", quote = false))
+    out.write(card("TTYPE1", "varr", quote = true))
+    out.write(card("TFORM1", "PJ(3)", quote = true))
+    out.write(card("TTYPE2", "darr", quote = true))
+    out.write(card("TFORM2", "QD(2)", quote = true))
+    out.write(endCard); pad(' '.toByte)
+
+    val buf = ByteBuffer.allocate(24 * 2 + 36)
+    // row 1: ints [1,2,3] @heap 0; doubles [1.5, 2.5] @heap 12
+    buf.putInt(3); buf.putInt(0)
+    buf.putLong(2L); buf.putLong(12L)
+    // row 2: ints [] @28; doubles [9.25] @28
+    buf.putInt(0); buf.putInt(28)
+    buf.putLong(1L); buf.putLong(28L)
+    // heap
+    buf.putInt(1); buf.putInt(2); buf.putInt(3)
+    buf.putDouble(1.5); buf.putDouble(2.5)
+    buf.putDouble(9.25)
+    out.write(buf.array())
+    pad(0.toByte)
+    out.close()
+
+    val df = spark.read.format("fits").load(p)
+    assert(df.schema("varr").dataType == ArrayType(IntegerType))
+    assert(df.schema("darr").dataType == ArrayType(DoubleType))
+    val rows = df.collect()
+    assert(rows(0).getAs[scala.collection.Seq[Int]]("varr").toSeq == Seq(1, 2, 3))
+    assert(rows(0).getAs[scala.collection.Seq[Double]]("darr").toSeq == Seq(1.5, 2.5))
+    assert(rows(1).getAs[scala.collection.Seq[Int]]("varr").isEmpty)
+    assert(rows(1).getAs[scala.collection.Seq[Double]]("darr").toSeq == Seq(9.25))
   }
 }
