@@ -108,6 +108,29 @@ object ScanOps {
     },
     "SELECT * FROM region ORDER BY r_regionkey")
 
+  /** Hive-style partitioned columnar sink + partition-pruned read-back:
+    * the layout decision that makes 100 TB scans cheap — a filter on the
+    * partition column prunes directories before any file is opened
+    * (PartitionFilters in the scan, asserted in ScanOpsSpec). At scale,
+    * date/tenant partitioning plus this pruning is the difference between
+    * scanning 100 TB and scanning one partition.
+    */
+  val a8_sink_partitioned = OpQuery(
+    (s, d) => {
+      val out = "/tmp/graft_sink/a8_orders_part"
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_year") === 1996)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+        .orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year
+      |FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+      |ORDER BY o_orderkey""".stripMargin)
+
   /** FITS BINTABLE source (custom DataSource V2, graft.fits): write nation
     * out as a standard FITS binary table, read it back through the DSv2 —
     * schema from header cards, big-endian records, row-range splits. The
@@ -128,6 +151,7 @@ object ScanOps {
   val all: Map[String, OpQuery] = Map(
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
+    "a8_sink_partitioned" -> a8_sink_partitioned,
     "a2_scan_multifile_union" -> a2_scan_multifile_union,
     "a3_scan_csv_schema" -> a3_scan_csv_schema,
     "a4_sink_parquet" -> a4_sink_parquet,
