@@ -42,9 +42,15 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
     Option(options.get("extnum")).map(_.toInt).getOrElse(0)
 
   private def path(options: CaseInsensitiveStringMap): String = {
-    val p = Option(options.get("path")).orElse(
-      Option(options.get("paths")).map(_.stripPrefix("[\"").stripSuffix("\"]")))
-    p.getOrElse(throw new IllegalArgumentException("FITS source requires a path"))
+    val fromPaths = Option(options.get("paths")).map { js =>
+      val items = js.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      if (items.length != 1) throw new IllegalArgumentException(
+        s"FITS source supports exactly one path per load, got ${items.length}")
+      items(0)
+    }
+    Option(options.get("path")).orElse(fromPaths)
+      .getOrElse(throw new IllegalArgumentException("FITS source requires a path"))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -150,8 +156,11 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
   in.seek(swo.dataStart + part.rowStart * spec.rowBytes)
 
   // Positioned reads into the heap area for variable-length (P/Q) cells —
-  // opened lazily so fixed-width-only scans pay nothing.
-  private lazy val heapIn = fs.open(p)
+  // opened on first use so fixed-width-only scans pay nothing (a lazy val
+  // would be forced by close()).
+  private var heapInOpt: Option[org.apache.hadoop.fs.FSDataInputStream] = None
+  private def heapIn: org.apache.hadoop.fs.FSDataInputStream =
+    heapInOpt.getOrElse { val h = fs.open(p); heapInOpt = Some(h); h }
   private val heapStart = swo.dataStart + spec.theap
 
   private val rowBuf = new Array[Byte](spec.rowBytes)
@@ -228,7 +237,6 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
   override def get(): InternalRow = current
   override def close(): Unit = {
     in.close()
-    // heapIn is lazy; close only if it was materialized
-    try heapIn.close() catch { case _: Throwable => () }
+    heapInOpt.foreach(h => try h.close() catch { case _: Throwable => () })
   }
 }

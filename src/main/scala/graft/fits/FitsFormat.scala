@@ -118,10 +118,22 @@ object FitsFormat {
         if (key == "END") { done = true; i = BlockSize }
         else {
           if (key.nonEmpty && card.length > 9 && card.charAt(8) == '=') {
-            val raw = card.substring(10).split("/", 2)(0).trim
+            // '/' starts a comment only OUTSIDE a quoted string; inside one,
+            // '' is an escaped quote (FITS 4.0 §4.2.1). Parse quotes first.
+            val raw = card.substring(10).trim
             val value =
-              if (raw.startsWith("'")) raw.stripPrefix("'").split("'")(0).reverse.dropWhile(_ == ' ').reverse
-              else raw
+              if (raw.startsWith("'")) {
+                val sb = new StringBuilder
+                var i = 1
+                var open = true
+                while (open && i < raw.length) {
+                  if (raw.charAt(i) == '\'') {
+                    if (i + 1 < raw.length && raw.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+                    else open = false
+                  } else { sb.append(raw.charAt(i)); i += 1 }
+                }
+                sb.toString.reverse.dropWhile(_ == ' ').reverse // trailing blanks insignificant
+              } else raw.split("/", 2)(0).trim
             cards(key) = value
           }
           i += 1
@@ -215,7 +227,9 @@ object FitsFormat {
     case 'L' => buf.get(pos) == 'T'.toByte
     case 'B' =>
       val raw = (buf.get(pos) & 0xff).toShort
-      if (c.tnull.exists(_ == raw.toLong)) null else raw
+      if (c.tnull.exists(_ == raw.toLong)) null
+      else if (c.isUnsignedIdiom) (raw - 128).toShort // TZERO=-128 signed-byte idiom
+      else raw
     case 'I' =>
       val raw = buf.getShort(pos)
       if (c.tnull.exists(_ == raw.toLong)) null

@@ -98,7 +98,12 @@ object FitsWriter {
               val b = r.getString(i).getBytes(StandardCharsets.US_ASCII)
               buf.put(b.take(w).padTo(w, ' '.toByte))
             case ArrayType(FloatType, _) =>
-              r.getSeq[Float](i).foreach(buf.putFloat)
+              // Enforce the declared repeat: truncate long cells, zero-pad
+              // short ones (otherwise offsets shift / stale bytes leak).
+              val n = arrayLens.getOrElse(f.name, 1)
+              val xs = r.getSeq[Float](i)
+              var k = 0
+              while (k < n) { buf.putFloat(if (k < xs.length) xs(k) else 0f); k += 1 }
             case other => throw new IllegalArgumentException(s"unsupported $other")
           }
         }

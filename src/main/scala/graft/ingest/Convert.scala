@@ -60,7 +60,11 @@ object Convert {
     */
   def addStablePkey(df: DataFrame, name: String = "pkey"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withPid = df.withColumn("__pid", spark_partition_id())
+    // Pin ONE physical evaluation: both passes below must see the same
+    // partitioning/row distribution, which a plain lazy plan does not
+    // guarantee (AQE re-plans, task retries, non-deterministic sources).
+    val pinned = df.localCheckpoint()
+    val withPid = pinned.withColumn("__pid", spark_partition_id())
     // Pass 1 (lightweight job): per-partition row counts → exclusive prefix
     // offsets, computed on the driver (numPartitions rows, not data rows).
     val counts = withPid.groupBy("__pid").count()

@@ -42,11 +42,14 @@ object LlmOps {
   private val toks: Column = col("toks")
 
   /** Distinct word-2-gram shingle set (dedup fingerprint base); expects the
-    * `toks` column (use after withToks).
+    * `toks` column (use after withToks). Documents with < 2 tokens get an
+    * empty set — without the guard, sequence(0, -1) counts DOWN and
+    * element_at(toks, 0) throws.
     */
-  private val shingles: Column = array_distinct(
-    transform(sequence(lit(0), size(toks) - 2),
-      i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2))))
+  private val shingles: Column = when(size(toks) < 2, array().cast("array<string>"))
+    .otherwise(array_distinct(
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))))
 
   private val shinglesSqlCte: String =
     """WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
@@ -228,6 +231,9 @@ object LlmOps {
       // equi-join — the blocking pattern that survives a 100× scale-up.
       val sh = withToks(t(s, d, "documents")).withColumn("shs", shingles)
         .select(col("doc_id"), col("lang"), hashedShingles.as("sh"))
+        // shingle-less docs can't reach any positive jaccard, and an
+        // empty-vs-empty pair would be 0/0 (ANSI divide error) — drop them.
+        .filter(size(col("sh")) > 0)
         .withColumn("band",
           floor(log(size(col("sh")).cast(DoubleType)) / math.log(1.25)).cast(IntegerType))
       val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("sh_a"),
@@ -272,9 +278,16 @@ object LlmOps {
       // no explode, no shuffle, no aggregation state. The explode+64×min()
       // formulation costs a shuffle and measured ~7s at sf0.1; this is a
       // map-only pass.
-      val sigs = withToks(docs).withColumn("shs", shingles)
+      // One shared, materialized frame feeds BOTH the signature branch and
+      // the verification branch — localCheckpoint stops the tokenize→
+      // shingle→hash pipeline (the expensive map-side work) from running
+      // twice. ~n_docs rows of (id, 50 longs): tiny.
+      val base = withToks(docs).withColumn("shs", shingles)
         .select(col("doc_id"),
-          minhashSignature(transform(col("shs"), tk => xxhash64(lit(1), tk))).as("mh"))
+          transform(col("shs"), tk => xxhash64(lit(1), tk)).as("hs"))
+        .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
+        .localCheckpoint()
+      val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
       // 16 bands × 4 rows; the band bucket is a hash of its 4 minhashes.
       val buckets = (0 until 16).map(bd =>
         xxhash64((lit(bd) +: (0 until 4).map(r => element_at(col("mh"), 4 * bd + r + 1))): _*))
@@ -284,9 +297,8 @@ object LlmOps {
       val y = banded.select(col("doc_id").as("b_id"), col("bucket").as("bucket_b"))
       val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      // Exact verification of the (tiny) candidate set.
-      val sh = withToks(docs).withColumn("shs", shingles)
-        .select(col("doc_id"), hashedShingles.as("sh"))
+      // Exact verification of the (tiny) candidate set, from the same base.
+      val sh = base.select(col("doc_id"), sort_array(col("hs")).as("sh"))
       cand
         .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")

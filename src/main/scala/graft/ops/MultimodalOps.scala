@@ -62,11 +62,11 @@ object MultimodalOps {
   val m2_multimodal_frame_sample = OpQuery(
     (s, d) => t(s, d, "documents")
       .select(col("doc_id"),
-        expr("transform(sequence(0, 7), i -> ascii(substr(text, (i * 7) % length(text) + 1, 1)))")
+        expr("transform(sequence(0, 7), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1)))")
           .as("frames"))
       .orderBy("doc_id"),
     """SELECT doc_id,
-      |  list_transform(range(0, 8), i -> ascii(substr(text, (i * 7) % length(text) + 1, 1))) AS frames
+      |  list_transform(range(0, 8), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))) AS frames
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   val all: Map[String, OpQuery] = Map(

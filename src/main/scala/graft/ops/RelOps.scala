@@ -187,10 +187,13 @@ object RelOps {
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = t(s, d, "events")
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // RANGE frame + max: a purchase at the SAME timestamp as the current
+      // event is part of the frame regardless of tie order (DuckDB ASOF's
+      // inclusive >= semantics); max over the frame is tie-order-free.
+      val w = Window.partitionBy("user_id").orderBy("ts")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
       ev.withColumn("pts", when(col("event_type") === "purchase", col("ts")))
-        .withColumn("last_purchase_ts", last(col("pts"), ignoreNulls = true).over(w))
+        .withColumn("last_purchase_ts", max(col("pts")).over(w))
         .select("event_id", "user_id", "ts", "last_purchase_ts")
         .orderBy("event_id")
     },

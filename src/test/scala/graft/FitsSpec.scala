@@ -183,6 +183,50 @@ class FitsSpec extends SparkTestBase {
     assert(FitsFormat.parseTform("1QD") == (('D', 0, Some('Q'))))
   }
 
+  test("signed-byte idiom (B with TZERO=-128) applies the offset") {
+    val p = "/tmp/graft_test/sbyte.fits"
+    val out = new DataOutputStream(new FileOutputStream(p))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(' '.toByte)
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", "1", quote = false))
+    out.write(card("NAXIS2", "3", quote = false))
+    out.write(card("PCOUNT", "0", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "1", quote = false))
+    out.write(card("TTYPE1", "sb", quote = true))
+    out.write(card("TFORM1", "B", quote = true))
+    out.write(card("TZERO1", "-128", quote = false))
+    out.write(endCard); pad(' '.toByte)
+    out.write(Array[Byte](0x00, 0xFF.toByte, 0x80.toByte))
+    pad(0.toByte)
+    out.close()
+    val vals = spark.read.format("fits").load(p).collect().map(_.getShort(0)).toSeq
+    assert(vals == Seq(-128, 127, 0))
+  }
+
+  test("quoted header values keep slashes and escaped quotes") {
+    import java.io.{ByteArrayInputStream, DataInputStream}
+    val cards = Seq(
+      card("SIMPLE", "T", quote = false),
+      card("TTYPE1", "RA/DEC f", quote = true), // '/' inside quotes ≠ comment
+      f"${"TUNIT1".padTo(8, ' ')}= 'it''s   '           / a comment".padTo(80, ' ')
+        .getBytes(StandardCharsets.US_ASCII),
+      endCard)
+    val block = cards.flatten.toArray ++
+      Array.fill(2880 - cards.map(_.length).sum)(' '.toByte)
+    val (parsed, _) = FitsFormat.readHeader(
+      new DataInputStream(new ByteArrayInputStream(block)))
+    assert(parsed("TTYPE1") == "RA/DEC f")
+    assert(parsed("TUNIT1") == "it's")
+  }
+
   test("variable-length P/Q array cells read from the heap") {
     val p = "/tmp/graft_test/varlen.fits"
     val out = new DataOutputStream(new FileOutputStream(p))

@@ -39,6 +39,22 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("degenerate documents (empty / single-token) don't break text ops") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_degen").toString
+    Seq((1L, "", "en", "src0", 0L), (2L, "one", "en", "src0", 3L),
+      (3L, "two words here", "en", "src0", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sh = LlmOps.i3_text_ngram_shingle.fn(spark, tmp).collect()
+    assert(sh.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 0L), (2L, 0L), (3L, 2L))) // n_uniq shingles
+    assert(LlmOps.i5_dedup_near_jaccard.fn(spark, tmp).count() >= 0)
+    assert(LlmOps.i10_dedup_minhash_lsh.fn(spark, tmp).count() >= 0)
+    assert(LlmOps.i16_token_count.fn(spark, tmp).count() == 3)
+    assert(MultimodalOps.m2_multimodal_frame_sample.fn(spark, tmp).count() == 3)
+  }
+
   test("e4 approx_count_distinct is within 5% of exact") {
     val r = AggOps.e4_agg_approx_distinct.fn(spark, sfDir).collect()(0)
     val (approx, exact) = (r.getLong(0), r.getLong(1))
