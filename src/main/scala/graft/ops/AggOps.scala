@@ -229,7 +229,31 @@ object AggOps {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
 
+  /** Two-phase salted aggregation — the hot-key pattern: phase 1 aggregates
+    * on (key, salt) spreading any skewed key over N reducers, phase 2 merges
+    * the partials. Result is identical to a direct groupBy (the oracle is
+    * the unsalted form); only the shuffle distribution changes. At 100 TB
+    * this (or AQE skew handling) is what keeps one hot user/date from
+    * pinning a single reducer.
+    */
+  val e13_agg_salted_skew = OpQuery(
+    (s, d) => {
+      val salted = t(s, d, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+      val partial = salted.groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pn"),
+          sum(col("value").cast(DecimalType(30, 10))).as("pv"))
+      partial.groupBy("user_id")
+        .agg(sum(col("pn")).as("n_events"),
+          round(sum(col("pv")), 4).cast(DoubleType).as("sum_value"))
+        .orderBy("user_id")
+    },
+    s"""SELECT user_id, count(*) AS n_events,
+       |  ${Par.dsumSql("value")} AS sum_value
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "e13_agg_salted_skew" -> e13_agg_salted_skew,
     "e1_agg_global" -> e1_agg_global,
     "e2_agg_groupby" -> e2_agg_groupby,
     "e3_agg_distinct" -> e3_agg_distinct,

@@ -148,7 +148,50 @@ object ScanOps {
     },
     "SELECT * FROM nation ORDER BY n_nationkey")
 
+  /** Bucketed tables + shuffle-free co-located join: both sides written
+    * bucketBy(8, join key) ⇒ the sort-merge join reads pre-partitioned
+    * buckets and the plan has NO Exchange on either side (asserted in
+    * ScanOpsSpec). At 100 TB this is the table-layout decision that removes
+    * the dominant fact⋈fact shuffle from every downstream query.
+    */
+  val a9_sink_bucketed = OpQuery(
+    (s, d) => {
+      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt")
+      // The in-memory catalog forgets tables between JVMs but their
+      // warehouse directories survive — drop both metadata and location.
+      Seq("orders_b", "lineitem_b").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS graft_bkt.$tbl")
+        val loc = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+          s"graft_bkt.db/$tbl")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_bkt.orders_b")
+      t(s, d, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_bkt.lineitem_b")
+      val o = s.table("graft_bkt.orders_b")
+      val li = s.table("graft_bkt.lineitem_b")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(graft.Par.dsum(col("l_quantity") * col("o_totalprice")).as("weighted"))
+        .orderBy("o_custkey")
+    },
+    s"""SELECT o_custkey, ${graft.Par.dsumSql("l_quantity * o_totalprice")} AS weighted
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "a9_sink_bucketed" -> a9_sink_bucketed,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

@@ -15,6 +15,24 @@ class ScanOpsSpec extends SparkTestBase {
     assert(years == Seq(1996))
   }
 
+  test("a9 bucketed join plans without a shuffle exchange") {
+    ScanOps.a9_sink_bucketed.fn(spark, sfDir).count() // writes the tables
+    // Disable broadcast so the sort-merge path is planned — the property
+    // under test is that bucketing removes the SHUFFLE, which is what
+    // matters when both sides are too big to broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = spark.table("graft_bkt.orders_b")
+      val li = spark.table("graft_bkt.lineitem_b")
+      val joined = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n${plan.take(1000)}")
+      assert(plan.contains("Bucketed: true"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("a2 multifile union doubles row count") {
     assert(ScanOps.a2_scan_multifile_union.fn(spark, sfDir).count() ==
       2 * Tables.t(spark, sfDir, "region").count())
