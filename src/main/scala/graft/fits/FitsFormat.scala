@@ -26,7 +26,7 @@ object FitsFormat {
     */
   final case class ColSpec(
       name: String,
-      code: Char,      // element type: L X B I J K E D A (C/M unsupported)
+      code: Char,      // element type: L X B I J K E D A C M
       repeat: Int,
       scale: Option[Double],
       zero: Option[Double],
@@ -37,7 +37,8 @@ object FitsFormat {
       case 'L' | 'B' | 'A' | 'X' => 1
       case 'I' => 2
       case 'J' | 'E' => 4
-      case 'K' | 'D' => 8
+      case 'K' | 'D' | 'C' => 8  // C = complex64: (re, im) float32 pair
+      case 'M' => 16             // M = complex128: (re, im) float64 pair
       case c => throw new IllegalArgumentException(s"Unsupported TFORM code '$c'")
     }
 
@@ -60,7 +61,8 @@ object FitsFormat {
     }
 
     def hasScaling: Boolean =
-      (scale.exists(_ != 1.0) || zero.exists(_ != 0.0)) && !isUnsignedIdiom
+      (scale.exists(_ != 1.0) || zero.exists(_ != 0.0)) && !isUnsignedIdiom &&
+        !Set('L', 'A', 'X', 'C', 'M').contains(code) // scaling undefined there
 
     /** Spark type per the SURVEY §1.2 widening table. */
     def sparkElemType: DataType =
@@ -75,6 +77,8 @@ object FitsFormat {
         case 'E' => FloatType
         case 'D' => DoubleType
         case 'A' => StringType
+        case 'C' => StructType(Seq(StructField("re", FloatType), StructField("im", FloatType)))
+        case 'M' => StructType(Seq(StructField("re", DoubleType), StructField("im", DoubleType)))
       }
 
     def sparkType: DataType =
@@ -143,16 +147,15 @@ object FitsFormat {
     (cards.toMap, consumed)
   }
 
-  private val TformRe = "^([0-9]*)([LXBIJKAED])".r
-  private val VarTformRe = "^([0-9]*)([PQ])([LXBIJKAED])(?:\\(([0-9]+)\\))?".r
+  private val TformRe = "^([0-9]*)([LXBIJKAEDCM])".r
+  private val VarTformRe = "^([0-9]*)([PQ])([LXBIJKAEDCM])(?:\\(([0-9]+)\\))?".r
 
   /** Returns (elementCode, repeat, varDesc). */
   def parseTform(tform: String): (Char, Int, Option[Char]) = tform.trim match {
     case VarTformRe(_, pq, c, max) =>
       (c.head, Option(max).map(_.toInt).getOrElse(0), Some(pq.head))
     case TformRe(r, c) => (c.head, if (r.isEmpty) 1 else r.toInt, None)
-    case other => throw new IllegalArgumentException(
-      s"Unsupported TFORM '$other' (complex C/M are not supported)")
+    case other => throw new IllegalArgumentException(s"Unsupported TFORM '$other'")
   }
 
   def tableSpec(cards: Map[String, String]): TableSpec = {
@@ -252,6 +255,10 @@ object FitsFormat {
     case 'D' =>
       val v = buf.getDouble(pos)
       if (v.isNaN || v.isInfinite) null else v
+    case 'C' =>
+      org.apache.spark.sql.catalyst.InternalRow(buf.getFloat(pos), buf.getFloat(pos + 4))
+    case 'M' =>
+      org.apache.spark.sql.catalyst.InternalRow(buf.getDouble(pos), buf.getDouble(pos + 8))
     case other => throw new IllegalStateException(s"decodeElem on '$other'")
   }
 

@@ -176,11 +176,47 @@ class FitsSpec extends SparkTestBase {
 
   test("header parser rejects unsupported TFORMs with a clear error") {
     val e = intercept[IllegalArgumentException] {
-      FitsFormat.parseTform("2C") // complex — not supported
+      FitsFormat.parseTform("3Z") // not a FITS 4.0 binary-table code
     }
     assert(e.getMessage.contains("Unsupported TFORM"))
     assert(FitsFormat.parseTform("PJ(5)") == (('J', 5, Some('P'))))
     assert(FitsFormat.parseTform("1QD") == (('D', 0, Some('Q'))))
+    assert(FitsFormat.parseTform("2C") == (('C', 2, None)))
+  }
+
+  test("complex C/M cells decode to (re, im) structs") {
+    val p = "/tmp/graft_test/complex.fits"
+    val out = new DataOutputStream(new FileOutputStream(p))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(' '.toByte)
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", "24", quote = false)) // C(8) + M(16)
+    out.write(card("NAXIS2", "2", quote = false))
+    out.write(card("PCOUNT", "0", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "2", quote = false))
+    out.write(card("TTYPE1", "c64", quote = true))
+    out.write(card("TFORM1", "C", quote = true))
+    out.write(card("TTYPE2", "c128", quote = true))
+    out.write(card("TFORM2", "M", quote = true))
+    out.write(endCard); pad(' '.toByte)
+    val buf = ByteBuffer.allocate(48)
+    buf.putFloat(1.5f); buf.putFloat(-2.5f); buf.putDouble(3.25); buf.putDouble(-4.75)
+    buf.putFloat(0f); buf.putFloat(1f); buf.putDouble(-1.0); buf.putDouble(0.0)
+    out.write(buf.array()); pad(0.toByte)
+    out.close()
+    val df = spark.read.format("fits").load(p)
+    val r0 = df.collect()(0)
+    val c64 = r0.getStruct(0)
+    assert(c64.getFloat(0) == 1.5f && c64.getFloat(1) == -2.5f)
+    val c128 = r0.getStruct(1)
+    assert(c128.getDouble(0) == 3.25 && c128.getDouble(1) == -4.75)
   }
 
   test("signed-byte idiom (B with TZERO=-128) applies the offset") {
