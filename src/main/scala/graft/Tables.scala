@@ -52,6 +52,15 @@ object Tables {
   }
 }
 
+/** Small shared file utilities. */
+object Util {
+  /** Best-effort recursive delete (null-safe on racing listFiles). */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+}
+
 /** Oracle-parity helpers (SURVEY §7.4 determinism rules).
   *
   * The central trick: floating-point SUMs are order-dependent, and Spark and

@@ -66,16 +66,31 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
 }
 
 object FitsTable {
+  // DSv2 calls inferSchema and then getTable, each needing the header —
+  // memoize per (path, extnum) so the HDU walk happens once per session
+  // (FITS headers are immutable for a given file version).
+  private val specCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), FitsSpecWithOffset]()
+
   /** Driver-side header read: spec + absolute data offset. */
-  def readSpec(path: String, extnum: Int): FitsSpecWithOffset = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    val in = fs.open(p)
-    try {
-      val (cards, dataStart) = FitsFormat.locateBintable(in, extnum)
-      FitsSpecWithOffset(FitsFormat.tableSpec(cards), dataStart)
-    } finally in.close()
-  }
+  def readSpec(path: String, extnum: Int): FitsSpecWithOffset =
+    specCache.computeIfAbsent((path, extnum), { _ =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(driverHadoopConf())
+      val in = fs.open(p)
+      try {
+        val (cards, dataStart) = FitsFormat.locateBintable(in, extnum)
+        FitsSpecWithOffset(FitsFormat.tableSpec(cards), dataStart)
+      } finally in.close()
+    })
+
+  /** The session's Hadoop conf (spark.hadoop.*, core-site) — a bare
+    * `new Configuration()` would miss credentials/filesystem settings.
+    */
+  def driverHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 }
 
 final case class FitsSpecWithOffset(spec: FitsFormat.TableSpec, dataStart: Long)
@@ -99,8 +114,14 @@ class FitsScanBuilder(path: String, swo: FitsSpecWithOffset, rowsPerSplit: Optio
   private var required: StructType = swo.spec.schema
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // Preserve declaration order; an empty projection (count(*)) is legal.
-    required = requiredSchema
+    // Prune at COLUMN granularity only: Catalyst may hand us nested-pruned
+    // struct types (complex C/M columns), but the reader always emits the
+    // full (re, im) struct — reporting the pruned shape while emitting the
+    // full row would silently misalign field ordinals. Look each requested
+    // name up in the declared spec and keep its full type.
+    val declared = swo.spec.schema
+    required = StructType(requiredSchema.fieldNames.flatMap(n =>
+      declared.fields.find(_.name == n)).toIndexedSeq)
   }
 
   override def build(): Scan = new FitsScan(path, swo, required, rowsPerSplit)
@@ -127,21 +148,33 @@ class FitsScan(path: String, swo: FitsSpecWithOffset, required: StructType,
     if (splits.isEmpty) Array(FitsInputPartition(0, 0)) else splits.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new FitsReaderFactory(path, swo, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Hadoop Configuration is not serializable; ship its entries and
+    // rebuild on the executor so fs credentials/settings survive.
+    val props = {
+      val c = FitsTable.driverHadoopConf()
+      val it = c.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    new FitsReaderFactory(path, swo, required, props)
+  }
 }
 
 final case class FitsInputPartition(rowStart: Long, rowEnd: Long) extends InputPartition
 
-class FitsReaderFactory(path: String, swo: FitsSpecWithOffset, required: StructType)
+class FitsReaderFactory(path: String, swo: FitsSpecWithOffset,
+    required: StructType, confProps: Map[String, String])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new FitsPartitionReader(path, swo, required,
-      partition.asInstanceOf[FitsInputPartition])
+      partition.asInstanceOf[FitsInputPartition], confProps)
 }
 
 class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
-    required: StructType, part: FitsInputPartition)
+    required: StructType, part: FitsInputPartition,
+    confProps: Map[String, String] = Map.empty)
   extends PartitionReader[InternalRow] {
 
   private val spec = swo.spec
@@ -151,7 +184,11 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     required.fieldNames.map(n => spec.cols.indexWhere(_.name == n))
 
   private val p = new Path(path)
-  private val fs = p.getFileSystem(new Configuration())
+  private val fs = {
+    val c = new Configuration()
+    confProps.foreach { case (k, v) => c.set(k, v) }
+    p.getFileSystem(c)
+  }
   private val in = fs.open(p)
   in.seek(swo.dataStart + part.rowStart * spec.rowBytes)
 
@@ -215,9 +252,15 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       case 'P' => (buf.getInt(base).toLong, buf.getInt(base + 4).toLong)
       case _ => (buf.getLong(base), buf.getLong(base + 8))
     }
-    val nBytes = (cnt * c.elemBytes).toInt
+    val nBytesL =
+      if (c.code == 'X') (cnt + 7) / 8 // var-length bit array: cnt BITS
+      else cnt * c.elemBytes
+    require(cnt >= 0 && nBytesL <= Int.MaxValue - 8,
+      s"variable-length cell too large: $cnt elements (${nBytesL}B) in ${c.name}")
+    val nBytes = nBytesL.toInt
     val cell = new Array[Byte](nBytes)
     if (nBytes > 0) heapIn.readFully(heapStart + off, cell, 0, nBytes)
+    if (c.code == 'X') return cell // packed bits as binary
     val hb = ByteBuffer.wrap(cell)
     if (c.code == 'A') {
       val s = new String(cell, java.nio.charset.StandardCharsets.US_ASCII)

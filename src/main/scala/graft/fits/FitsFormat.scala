@@ -147,8 +147,10 @@ object FitsFormat {
     (cards.toMap, consumed)
   }
 
-  private val TformRe = "^([0-9]*)([LXBIJKAEDCM])".r
-  private val VarTformRe = "^([0-9]*)([PQ])([LXBIJKAEDCM])(?:\\(([0-9]+)\\))?".r
+  // FITS 4.0 §7.3.1 permits trailing "additional characters" after the
+  // type code (e.g. 'E14.7') — match the prefix, ignore the tail.
+  private val TformRe = "^([0-9]*)([LXBIJKAEDCM]).*".r
+  private val VarTformRe = "^([0-9]*)([PQ])([LXBIJKAEDCM])(?:\\(([0-9]+)\\))?.*".r
 
   /** Returns (elementCode, repeat, varDesc). */
   def parseTform(tform: String): (Char, Int, Option[Char]) = tform.trim match {
@@ -164,10 +166,15 @@ object FitsFormat {
     val rowBytes = cards("NAXIS1").toInt
     val nRows = cards("NAXIS2").toLong
     val nFields = cards("TFIELDS").toInt
+    val seen = scala.collection.mutable.Map.empty[String, Int]
     val cols = (1 to nFields).map { i =>
       val (code, repeat, varDesc) = parseTform(cards(s"TFORM$i"))
+      val rawName = cards.getOrElse(s"TTYPE$i", s"col$i")
+      // FITS permits duplicate TTYPE values; Spark columns (and our
+      // name-based pruning lookup) need unique names.
+      val n = seen.getOrElse(rawName, 0); seen(rawName) = n + 1
       ColSpec(
-        name = cards.getOrElse(s"TTYPE$i", s"col$i"),
+        name = if (n == 0) rawName else s"${rawName}_${n + 1}",
         code = code, repeat = repeat,
         scale = cards.get(s"TSCAL$i").map(_.toDouble),
         zero = cards.get(s"TZERO$i").map(_.toDouble),
@@ -227,7 +234,11 @@ object FitsFormat {
     * (TNULL sentinel / float NaN policy).
     */
   def decodeElem(buf: ByteBuffer, pos: Int, c: ColSpec): Any = c.code match {
-    case 'L' => buf.get(pos) == 'T'.toByte
+    case 'L' => buf.get(pos) match { // FITS 4.0: 'T', 'F', 0x00 = undefined
+      case 0x54 => true
+      case 0x46 => false
+      case _ => null
+    }
     case 'B' =>
       val raw = (buf.get(pos) & 0xff).toShort
       if (c.tnull.exists(_ == raw.toLong)) null

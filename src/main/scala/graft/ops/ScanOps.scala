@@ -156,20 +156,14 @@ object ScanOps {
     */
   val a9_sink_bucketed = OpQuery(
     (s, d) => {
-      s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt")
       // The in-memory catalog forgets tables between JVMs but their
       // warehouse directories survive — drop both metadata and location.
       Seq("orders_b", "lineitem_b").foreach { tbl =>
         s.sql(s"DROP TABLE IF EXISTS graft_bkt.$tbl")
-        val loc = new java.io.File(
+        graft.Util.deleteRecursively(new java.io.File(
           s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-          s"graft_bkt.db/$tbl")
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        if (loc.exists()) rm(loc)
+          s"graft_bkt.db/$tbl"))
       }
       t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
         .write.mode("overwrite").format("parquet")

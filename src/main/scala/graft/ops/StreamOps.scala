@@ -125,11 +125,7 @@ object StreamOps {
   val j6_stream_agg_sink = OpQuery(
     (s, d) => {
       val ckpt = new java.io.File("/tmp/graft_ckpt_j6")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (ckpt.exists()) rm(ckpt)
+      graft.Util.deleteRecursively(ckpt)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batchSchema = Tables.t(s, d, "events").schema
       val rawSchema = StructType(batchSchema.map {
