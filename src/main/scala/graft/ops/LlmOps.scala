@@ -490,7 +490,34 @@ object LlmOps {
        |WHERE contains(d.text, 'join')
        |ORDER BY sim DESC, doc_id LIMIT 15""".stripMargin)
 
+  /** Text cleaning — the standard pre-training normalization chain:
+    * lowercase → strip non-alphanumerics → whitespace-split → drop
+    * stopwords/empties → rejoin. Pure codegen'd string expressions.
+    */
+  val i18_text_clean = OpQuery(
+    (s, d) => {
+      val stop = Seq("the", "a", "of")
+      val kept = filter(
+        split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+"),
+        tk => tk =!= "" && !tk.isInCollection(stop))
+      t(s, d, "documents")
+        .withColumn("kept", kept)
+        .select(col("doc_id"),
+          array_join(col("kept"), " ").as("cleaned"),
+          size(col("kept")).cast(LongType).as("n_kept"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  array_to_string(kept, ' ') AS cleaned,
+      |  CAST(len(kept) AS BIGINT) AS n_kept
+      |FROM (SELECT doc_id,
+      |  list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
+      |    t -> t <> '' AND NOT list_contains(['the','a','of'], t)) AS kept
+      |FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "i18_text_clean" -> i18_text_clean,
     "i1_text_tokenize_count" -> i1_text_tokenize_count,
     "i2_text_stats" -> i2_text_stats,
     "i3_text_ngram_shingle" -> i3_text_ngram_shingle,

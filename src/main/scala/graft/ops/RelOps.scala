@@ -251,6 +251,44 @@ object RelOps {
       |FROM documents JOIN embeddings ON doc_id = vec_id
       |ORDER BY doc_id""".stripMargin)
 
+  /** Dynamic partition pruning: fact table partitioned on o_year, dim side
+    * carries the selective predicate — Catalyst injects a runtime IN-subquery
+    * on the partition column (`dynamicpruningexpression` in the plan,
+    * asserted in RelOpsSpec), so only matching partitions are scanned. At
+    * 100 TB this is the star-schema pattern: the dim filter decides which
+    * date/tenant partitions of the fact ever get read.
+    */
+  val d10_join_dpp = OpQuery(
+    (s, d) => {
+      val out = "/tmp/graft_sink/d10_orders_part"
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(out)
+      val fact = s.read.parquet(out)
+      // The dim predicate must be (a) on a real scan — local relations get
+      // constant-folded, and (b) on a NON-join column — a predicate on the
+      // join key itself is propagated as a STATIC partition filter by
+      // InferFiltersFromConstraints (even better than DPP, but not the
+      // mechanism under test). Filtering on the aggregate forces the
+      // runtime dynamicpruning subquery.
+      val dim = t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") % 2 === 0)
+      fact.join(dim, fact("o_year") === dim("y"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_year")
+        .orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year
+      |FROM orders
+      |WHERE EXTRACT(YEAR FROM o_orderdate) IN (
+      |  SELECT y FROM (
+      |    SELECT EXTRACT(YEAR FROM o_orderdate) AS y, count(*) AS cnt
+      |    FROM orders GROUP BY 1)
+      |  WHERE cnt % 2 = 0)
+      |ORDER BY o_orderkey""".stripMargin)
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -321,6 +359,7 @@ object RelOps {
     "d7_join_asof" -> d7_join_asof,
     "d8_join_multiway_star" -> d8_join_multiway_star,
     "d9_join_multimodal" -> d9_join_multimodal,
+    "d10_join_dpp" -> d10_join_dpp,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,
