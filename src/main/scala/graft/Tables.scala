@@ -59,6 +59,16 @@ object Util {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete()
   }
+
+  /** Process-unique scratch path: concurrent Verify/Bench JVMs must not
+    * collide on sink fixtures, Derby databases or stream checkpoints.
+    */
+  def scratch(name: String): String = {
+    val dir = s"/tmp/graft_run_${ProcessHandle.current().pid()}/$name"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir).getParent)
+    dir
+  }
 }
 
 /** Oracle-parity helpers (SURVEY §7.4 determinism rules).

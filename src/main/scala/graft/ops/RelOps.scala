@@ -260,7 +260,7 @@ object RelOps {
     */
   val d10_join_dpp = OpQuery(
     (s, d) => {
-      val out = "/tmp/graft_sink/d10_orders_part"
+      val out = graft.Util.scratch("d10_orders_part")
       t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)

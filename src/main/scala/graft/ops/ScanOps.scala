@@ -31,14 +31,13 @@ object ScanOps {
     """SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
       |ORDER BY r_regionkey""".stripMargin)
 
-  private val nationCsvPath = "/tmp/graft_fixtures/nation.csv"
+  private val nationCsvPath = graft.Util.scratch("nation.csv")
 
   /** Writes the CSV fixture deterministically (sorted rows, single file). */
   private def writeNationCsv(s: SparkSession, d: String): Unit = {
     val rows = t(s, d, "nation").orderBy("n_nationkey").collect()
     val sb = new StringBuilder("n_nationkey,n_name,n_regionkey\n")
     rows.foreach(r => sb.append(s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}\n"))
-    Files.createDirectories(Paths.get("/tmp/graft_fixtures"))
     Files.writeString(Paths.get(nationCsvPath), sb.toString)
   }
 
@@ -62,7 +61,7 @@ object ScanOps {
   /** Columnar sink round-trip: write parquet, read it back. */
   val a4_sink_parquet = OpQuery(
     (s, d) => {
-      val out = "/tmp/graft_sink/a4_orders"
+      val out = graft.Util.scratch("a4_orders")
       t(s, d, "orders")
         .filter(col("o_totalprice") > 200000)
         .select("o_orderkey", "o_totalprice")
@@ -78,7 +77,7 @@ object ScanOps {
     */
   val a5_sink_jdbc = OpQuery(
     (s, d) => {
-      val url = "jdbc:derby:/tmp/graft_derby/db;create=true"
+      val url = s"jdbc:derby:${graft.Util.scratch("derby_db")};create=true"
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
       t(s, d, "customer")
@@ -97,7 +96,7 @@ object ScanOps {
   /** Text export (fits2db CSV emit mode): write CSV, read back w/ schema. */
   val a6_sink_csv = OpQuery(
     (s, d) => {
-      val out = "/tmp/graft_sink/a6_region"
+      val out = graft.Util.scratch("a6_region")
       t(s, d, "region").write.mode("overwrite")
         .option("header", "true").csv(out)
       val schema = StructType(Seq(
@@ -117,7 +116,7 @@ object ScanOps {
     */
   val a8_sink_partitioned = OpQuery(
     (s, d) => {
-      val out = "/tmp/graft_sink/a8_orders_part"
+      val out = graft.Util.scratch("a8_orders_part")
       t(s, d, "orders")
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(out)
@@ -138,8 +137,7 @@ object ScanOps {
     */
   val a7_fits_source = OpQuery(
     (s, d) => {
-      val fitsPath = "/tmp/graft_fixtures/nation.fits"
-      Files.createDirectories(Paths.get("/tmp/graft_fixtures"))
+      val fitsPath = graft.Util.scratch("nation.fits")
       val nation = t(s, d, "nation")
       graft.fits.FitsWriter.write(fitsPath, nation.schema,
         nation.orderBy("n_nationkey").collect().toIndexedSeq,

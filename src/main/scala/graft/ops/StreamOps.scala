@@ -124,7 +124,7 @@ object StreamOps {
     */
   val j6_stream_agg_sink = OpQuery(
     (s, d) => {
-      val ckpt = new java.io.File("/tmp/graft_ckpt_j6")
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j6"))
       graft.Util.deleteRecursively(ckpt)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val batchSchema = Tables.t(s, d, "events").schema
