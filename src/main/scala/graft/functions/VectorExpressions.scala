@@ -46,7 +46,11 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      // skip null elements (UnsafeArrayData would read them as 0 anyway,
+      // but 0-contribution must be intentional, not accidental)
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        s += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      }
       i += 1
     }
     s
@@ -61,7 +65,9 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -99,6 +105,8 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val (na, nb) = (a.numElements(), b.numElements())
     var i = 0; var j = 0; var c = 0
+    while (i < na && a.isNullAt(i)) i += 1 // sort_array places nulls first
+    while (j < nb && b.isNullAt(j)) j += 1
     while (i < na && j < nb) {
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
@@ -116,6 +124,8 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $na && $a.isNullAt($i)) $i++;
+         |while ($j < $nb && $b.isNullAt($j)) $j++;
          |while ($i < $na && $j < $nb) {
          |  long $x = $a.getLong($i); long $y = $b.getLong($j);
          |  if ($x == $y) { $c++; $i++; $j++; }

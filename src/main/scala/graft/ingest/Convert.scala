@@ -40,6 +40,12 @@ object Convert {
     */
   def convert(df: DataFrame, spec: ConvertSpec): DataFrame = {
     val named = if (spec.normalizeNames) EtlOps.normalizeColumns(df) else df
+    // A rule keyed by a name that doesn't exist POST-normalization would be
+    // silently skipped (unscaled values reaching the sink) — fail loudly.
+    val unknown = spec.rules.keySet -- named.columns.toSet
+    require(unknown.isEmpty,
+      s"ConvertSpec rules reference unknown columns: ${unknown.mkString(", ")} " +
+        s"(note: rule keys match POST-normalization names; available: ${named.columns.mkString(", ")})")
     val converted = named.schema.fields.map { f =>
       val rule = spec.rules.getOrElse(f.name, ColumnRule())
       var c: Column = col(s"`${f.name}`")
@@ -71,31 +77,40 @@ object Convert {
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, n) => val o = (pid, acc); acc += n; o }
-    val offsetCol = offsets.foldRight(lit(0L)) { case ((pid, off), rest) =>
-      when(col("__pid") === pid, lit(off)).otherwise(rest)
-    }
+    // Broadcast-join the tiny (pid, offset) table — a WHEN-chain would grow
+    // one branch per partition and blow plan depth at real split counts.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
     // Pass 2: partition-local ordinal (position order within the split).
     val w = Window.partitionBy("__pid").orderBy(monotonically_increasing_id())
-    withPid.withColumn(name, row_number().over(w).cast(LongType) + offsetCol)
-      .drop("__pid")
+    withPid.join(offsetDf, "__pid")
+      .withColumn(name, row_number().over(w).cast(LongType) + col("__off"))
+      .drop("__pid", "__off")
   }
 
-  /** Full ingest: parquet/FITS source → convert → sink (parquet or JDBC). */
+  /** JDBC driver class by URL scheme; None lets Spark resolve from the
+    * driver registry (normal for server DBs with the jar on the classpath).
+    */
+  private def jdbcDriverFor(url: String): Option[String] =
+    if (url.startsWith("jdbc:derby:")) Some("org.apache.derby.jdbc.EmbeddedDriver")
+    else None
+
+  /** Full ingest: any-format source → convert → sink (parquet/csv/JDBC). */
   def ingest(spark: SparkSession, sourcePath: String, format: String,
       spec: ConvertSpec, sinkPath: String, sinkFormat: String = "parquet",
       jdbcTable: String = "converted"): Unit = {
-    val src = format match {
-      case "fits" => spark.read.format("fits").load(sourcePath)
-      case f => spark.read.format(f).load(sourcePath)
-    }
+    val src = spark.read.format(format).load(sourcePath)
     val out = convert(src, spec)
     sinkFormat match {
       case "jdbc" =>
         val props = new java.util.Properties()
-        props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        jdbcDriverFor(sinkPath).foreach(props.setProperty("driver", _))
         out.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
       case "parquet" => out.write.mode("overwrite").parquet(sinkPath)
       case "csv" => out.write.mode("overwrite").option("header", "true").csv(sinkPath)
+      case other => throw new IllegalArgumentException(
+        s"Unsupported sink format '$other' (jdbc, parquet, csv)")
     }
   }
 }

@@ -442,8 +442,11 @@ object LlmOps {
       val qex = e.filter(col("vec_id") === 42)
         .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
         .withColumn("qv", col("qv").cast(DoubleType))
+      // Rank coarse cells on a ROUNDED key: csim is a raw double sum whose
+      // cross-engine ulp noise could otherwise flip which cells get probed
+      // (SURVEY §7.4 determinism rule applied to an INTERNAL decision).
       val top2 = cent.join(broadcast(qex), Seq("pos"))
-        .groupBy("label").agg(sum(col("c") * col("qv")).as("csim"))
+        .groupBy("label").agg(round(sum(col("c") * col("qv")), 6).as("csim"))
         .orderBy(desc("csim"), asc("label")).limit(2)
         .select("label")
       val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qvec"))
@@ -459,7 +462,7 @@ object LlmOps {
        |            FROM embeddings, range(1,65) r(i)),
        |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
        |qex AS (SELECT pos, v AS qv FROM ex WHERE vec_id = 42),
-       |csim AS (SELECT label, sum(c * qv) AS s FROM cent JOIN qex USING (pos) GROUP BY label),
+       |csim AS (SELECT label, round(sum(c * qv), 6) AS s FROM cent JOIN qex USING (pos) GROUP BY label),
        |top2 AS (SELECT label FROM csim ORDER BY s DESC, label LIMIT 2),
        |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 42)
        |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "q.qvec")}, 6) AS sim
