@@ -470,6 +470,49 @@ object LlmOps {
        |WHERE e.label IN (SELECT label FROM top2) AND e.vec_id <> 42
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** i19: LSH-bucketed ANN — the other scale path next to IVF (i13).
+    * 8 deterministic pseudo-random hyperplanes (multiplicative-hash
+    * formula, reproducible in ANY engine — no RNG); bucket = 8 sign bits;
+    * search only the query's bucket, exact top-k inside. At 100 TB the
+    * bucket id is a partition key: probing = partition pruning, and the
+    * hyperplanes are a broadcast constant. Hyperplane dots use double
+    * arithmetic identical to the oracle's, so bucket assignment is
+    * cross-engine deterministic (sign flips would need |dot| ≈ 1e-15).
+    */
+  val i19_sim_ann_lsh = OpQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      // hp(j)(k) = ((j*64+k)*2654435761 mod 1000003)/1000003 - 0.5
+      val bucketExpr = expr(
+        """aggregate(sequence(0, 7), 0L, (acc, j) ->
+          |  acc + CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+          |    (sacc, k) -> sacc + embedding[k] *  -- Spark [] is 0-based; DuckDB's is 1-based
+          |      (CAST((j * 64 + k) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+          |  ) > 0 THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
+      val bucketed = e.withColumn("bucket", bucketExpr)
+      val q = bucketed.filter(col("vec_id") === 7)
+        .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
+      bucketed.crossJoin(broadcast(q))
+        .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 7)
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .select("vec_id", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(5)
+    },
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      CASE WHEN list_sum(list_transform(range(0, 64), k ->
+       |          embedding[k + 1] *
+       |          (CAST((j * 64 + k) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)))
+       |        > 0 THEN CAST(2 ** j AS BIGINT) ELSE 0 END)) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 7)
+       |SELECT b.vec_id, round(${dotSql("b.embedding", "q.qvec")}, 6) AS sim
+       |FROM b, q
+       |WHERE b.bucket = q.qbucket AND b.vec_id <> 7
+       |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
+
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
     */
@@ -521,6 +564,7 @@ object LlmOps {
 
   val all: Map[String, OpQuery] = Map(
     "i18_text_clean" -> i18_text_clean,
+    "i19_sim_ann_lsh" -> i19_sim_ann_lsh,
     "i1_text_tokenize_count" -> i1_text_tokenize_count,
     "i2_text_stats" -> i2_text_stats,
     "i3_text_ngram_shingle" -> i3_text_ngram_shingle,
