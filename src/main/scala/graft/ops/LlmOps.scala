@@ -236,15 +236,25 @@ object LlmOps {
         .filter(size(col("sh")) > 0)
         .withColumn("band",
           floor(log(size(col("sh")).cast(DoubleType)) / math.log(1.25)).cast(IntegerType))
-      val a = sh.select(col("doc_id").as("a_id"), col("lang"), col("sh").as("sh_a"),
-        col("band").as("band_a"))
-      val b = sh.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
-        col("sh").as("sh_b"),
+        .localCheckpoint() // one evaluation feeds the id-join and both array lookups
+      // Stage 1 — candidate ids only: the banded pair join carries (id,
+      // size) — NOT the arrays, whose per-pair copy would dominate (the
+      // sort-merge join buffers whole rows per key group). Stage 2 then
+      // attaches the arrays to the ~5× smaller filtered pair set via
+      // broadcast lookups (the per-doc array table is tiny).
+      val slim = sh.select(col("doc_id"), col("lang"), col("band"), size(col("sh")).as("sz"))
+      val a = slim.select(col("doc_id").as("a_id"), col("lang"),
+        col("band").as("band_a"), col("sz").as("sz_a"))
+      val b = slim.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("sz").as("sz_b"),
         explode(array(col("band") - 1, col("band"), col("band") + 1)).as("bk"))
-      a.join(b, col("lang") === col("lang_b") && col("band_a") === col("bk") &&
-          col("a_id") < col("b_id") &&
-          size(col("sh_a")) * lit(5) >= size(col("sh_b")) * lit(4) &&
-          size(col("sh_b")) * lit(5) >= size(col("sh_a")) * lit(4))
+      val candidates = a.join(b, col("lang") === col("lang_b") && col("band_a") === col("bk") &&
+        col("a_id") < col("b_id") &&
+        col("sz_a") * lit(5) >= col("sz_b") * lit(4) &&
+        col("sz_b") * lit(5) >= col("sz_a") * lit(4))
+      candidates
+        .join(broadcast(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))), "a_id")
+        .join(broadcast(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))), "b_id")
         .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
         .withColumn("jac", col("inter").cast(DoubleType) /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
