@@ -44,11 +44,32 @@ object Tables {
       // and truncate to µs — exactly what DuckDB does on read (SURVEY
       // §7.4.4), so both engines see identical µs values.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/$name.parquet")
-      if (raw.schema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+      nanosTsToMicros(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The single owner of the ns→µs rule (used by the batch loader, the
+    * streaming source and the parity tests — keep the conversion in one
+    * place).
+    */
+  def nanosTsToMicros(df: DataFrame): DataFrame =
+    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+
+  /** Structured-streaming source over the events parquet, with the same
+    * nanos handling as the batch loader.
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(t(s, dir, "events").schema.map {
+      case f if f.name == "ts" => StructField("ts", LongType, f.nullable)
+      case f => f
+    })
+    nanosTsToMicros(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 }
 

@@ -141,11 +141,11 @@ class FitsScan(path: String, swo: FitsSpecWithOffset, required: StructType,
     val targetBytes = 128L * 1024 * 1024 // align with files.maxPartitionBytes default
     val rowsPerSplit = rowsPerSplitOpt.getOrElse(
       math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
-    val splits = Iterator.iterate(0L)(_ + rowsPerSplit)
+    val splits: Array[InputPartition] = Iterator.iterate(0L)(_ + rowsPerSplit)
       .takeWhile(_ < spec.nRows)
-      .map(start => FitsInputPartition(start, math.min(start + rowsPerSplit, spec.nRows)))
+      .map(start => FitsInputPartition(start, math.min(start + rowsPerSplit, spec.nRows)): InputPartition)
       .toArray
-    if (splits.isEmpty) Array(FitsInputPartition(0, 0)) else splits.toArray
+    if (splits.isEmpty) Array(FitsInputPartition(0, 0)) else splits
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -126,16 +126,7 @@ object StreamOps {
     (s, d) => {
       val ckpt = new java.io.File(graft.Util.scratch("ckpt_j6"))
       graft.Util.deleteRecursively(ckpt)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batchSchema = Tables.t(s, d, "events").schema
-      val rawSchema = StructType(batchSchema.map {
-        case f if f.name == "ts" => StructField("ts", LongType, f.nullable)
-        case f => f
-      })
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val src = Tables.eventsStream(s, d)
       val q = tumblingAgg(src.withWatermark("ts", "10 minutes"))
         .writeStream.format("memory").queryName("graft_j6")
         .outputMode("complete")

@@ -12,18 +12,7 @@ import org.apache.spark.sql.types._
   */
 class StreamOpsSpec extends SparkTestBase {
 
-  private def eventsStream: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batchSchema = Tables.t(spark, sfDir, "events").schema
-    val rawSchema = StructType(batchSchema.map {
-      case f if f.name == "ts" => StructField("ts", LongType, f.nullable)
-      case f => f
-    })
-    spark.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
+  private def eventsStream: DataFrame = Tables.eventsStream(spark, sfDir)
 
   private def runToTable(df: DataFrame, name: String, mode: String): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ckpt_$name")
