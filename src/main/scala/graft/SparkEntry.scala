@@ -15,7 +15,14 @@ object SparkEntry {
     Seq(ScanOps.all, EtlOps.all, RelOps.all, AggOps.all, WindowOps.all,
       ScalarOps.all, LlmOps.all, StreamOps.all, MultimodalOps.all)
 
-  private val ops: Map[String, OpQuery] = groups.reduce(_ ++ _)
+  private val ops: Map[String, OpQuery] = {
+    val merged = groups.reduce(_ ++ _)
+    // Map ++ silently keeps the right-hand entry on key collision — a
+    // shadowed operator would just vanish from the gate. Fail loudly.
+    require(merged.size == groups.map(_.size).sum,
+      "duplicate operator key across groups")
+    merged
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

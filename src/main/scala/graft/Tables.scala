@@ -31,11 +31,17 @@ object Tables {
   // listing + footer read, which across ~90 bench queries × 2-6 tables adds
   // tens of seconds of pure planning overhead. Plans are immutable, so
   // sharing the handle is safe; no rows are cached.
+  // ASSUMES the fixture parquet is immutable for the cache's lifetime
+  // (TESTDATA.md: read-only, driver-generated) — a regenerated file would
+  // serve a stale listing. Crudely bounded so long-lived multi-session
+  // JVMs (test runs) can't grow it without limit.
   private val handles =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (handles.size > 256) handles.clear()
     handles.computeIfAbsent((s, dir, name), _ => load(s, dir, name))
+  }
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
@@ -82,13 +88,28 @@ object Util {
   }
 
   /** Process-unique scratch path: concurrent Verify/Bench JVMs must not
-    * collide on sink fixtures, Derby databases or stream checkpoints.
+    * collide on sink fixtures, Derby databases or stream checkpoints. The
+    * run directory is wiped on first use (pid recycling must not inherit a
+    * dead run's state). NO exit-time deletion: the DuckDB oracle reads the
+    * CSV/FITS fixtures AFTER the Verify JVM exits — instead, each new run
+    * sweeps sibling run dirs that have been untouched for >6h.
     */
+  private lazy val runRoot: java.io.File = {
+    val root = new java.io.File(s"/tmp/graft_run_${ProcessHandle.current().pid()}")
+    deleteRecursively(root)
+    Option(root.getParentFile.listFiles()).foreach(_.foreach { f =>
+      if (f.getName.startsWith("graft_run_") &&
+        f.lastModified() < System.currentTimeMillis() - 6L * 3600 * 1000)
+        deleteRecursively(f)
+    })
+    root.mkdirs()
+    root
+  }
+
   def scratch(name: String): String = {
-    val dir = s"/tmp/graft_run_${ProcessHandle.current().pid()}/$name"
-    java.nio.file.Files.createDirectories(
-      java.nio.file.Paths.get(dir).getParent)
-    dir
+    val f = new java.io.File(runRoot, name)
+    f.getParentFile.mkdirs()
+    f.getAbsolutePath
   }
 }
 

@@ -166,15 +166,20 @@ object FitsFormat {
     val rowBytes = cards("NAXIS1").toInt
     val nRows = cards("NAXIS2").toLong
     val nFields = cards("TFIELDS").toInt
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val used = scala.collection.mutable.Set.empty[String]
     val cols = (1 to nFields).map { i =>
       val (code, repeat, varDesc) = parseTform(cards(s"TFORM$i"))
       val rawName = cards.getOrElse(s"TTYPE$i", s"col$i")
       // FITS permits duplicate TTYPE values; Spark columns (and our
-      // name-based pruning lookup) need unique names.
-      val n = seen.getOrElse(rawName, 0); seen(rawName) = n + 1
+      // name-based pruning lookup) need unique names — dedup against all
+      // assigned names (a per-name counter could still collide with a
+      // header literally named rawName_2).
+      var name = rawName
+      var k = 2
+      while (used(name)) { name = s"${rawName}_$k"; k += 1 }
+      used += name
       ColSpec(
-        name = if (n == 0) rawName else s"${rawName}_${n + 1}",
+        name = name,
         code = code, repeat = repeat,
         scale = cards.get(s"TSCAL$i").map(_.toDouble),
         zero = cards.get(s"TZERO$i").map(_.toDouble),

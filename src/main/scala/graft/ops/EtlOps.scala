@@ -39,13 +39,17 @@ object EtlOps {
   }
 
   def normalizeColumns(df: DataFrame): DataFrame = {
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // Dedup against ALL names assigned so far, not a per-base counter —
+    // otherwise ("A", "A 2", "a") → (a, a_2, a_2): a numbered duplicate can
+    // collide with a column whose base already IS base_N.
+    val used = scala.collection.mutable.Set.empty[String]
     val cols = df.columns.map { c =>
       val base = normalizeName(c)
-      val n = seen.getOrElse(base, 0)
-      seen(base) = n + 1
-      val finalName = if (n == 0) base else s"${base}_${n + 1}"
-      col(s"`$c`").as(finalName)
+      var name = base
+      var k = 2
+      while (used(name)) { name = s"${base}_$k"; k += 1 }
+      used += name
+      col(s"`$c`").as(name)
     }
     df.select(cols.toIndexedSeq: _*)
   }

@@ -218,7 +218,10 @@ object RelOps {
       val sup = t(s, d, "supplier")
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(sup, li("l_suppkey") === sup("s_suppkey"))
-        .join(broadcast(cus), ord("o_custkey") === cus("c_custkey") &&
+        // customer GROWS with sf — no broadcast hint (a hint overrides the
+        // size threshold); AQE broadcasts it while small and shuffles at
+        // scale. Only the bounded dims (nation/region) are hinted.
+        .join(cus, ord("o_custkey") === cus("c_custkey") &&
           cus("c_nationkey") === sup("s_nationkey"))
         .join(broadcast(nat), cus("c_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
