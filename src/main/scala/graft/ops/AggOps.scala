@@ -169,13 +169,18 @@ object AggOps {
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 
   /** Per-group array aggregation — sorted for determinism (SURVEY §7.4.5). */
+  /** collect_list is the op under test; the dumped cell is the sorted list
+    * serialized to CSV — the driver's pandas comparator cannot sort/hash
+    * array cells (r1 gate crash), so final projections are scalar-only.
+    */
   val e9_agg_collect = OpQuery(
     (s, d) => t(s, d, "customer")
       .groupBy("c_nationkey")
-      .agg(array_sort(collect_list(col("c_custkey"))).as("custkeys"),
+      .agg(array_join(transform(array_sort(collect_list(col("c_custkey"))),
+          k => k.cast(StringType)), ",").as("custkeys"),
         count(lit(1)).as("n"))
       .orderBy("c_nationkey"),
-    """SELECT c_nationkey, list(c_custkey ORDER BY c_custkey) AS custkeys, count(*) AS n
+    """SELECT c_nationkey, array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS custkeys, count(*) AS n
       |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 
   /** Conditional aggregation (FILTER/CASE) incl. empty-group NULL semantics. */

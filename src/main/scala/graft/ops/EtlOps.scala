@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{OpQuery, Par, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -69,18 +68,25 @@ object EtlOps {
     """SELECT event_id, event_type, value AS select_, user_id AS _2user
       |FROM events ORDER BY event_id""".stripMargin)
 
-  /** b2: FITS TFORM widening (short→int, int→long, float→double — §1.2). */
+  /** b2: FITS TFORM widening (short→int, int→long, float→double — §1.2).
+    * The unsigned-64 widening goes through DECIMAL(20,0) (the only type that
+    * holds TZERO=2^63 offsets) but the DUMPED cell is re-cast to BIGINT:
+    * parquet decimal128 vs DuckDB decimal reach the driver's row-hash
+    * through different pandas representations and hash-mismatch even when
+    * values are equal (r1 gate failure). Values here are < 2^63 so the
+    * round-trip is lossless.
+    */
   val b2_type_cast_widen = OpQuery(
     (s, d) => t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_linenumber").cast(LongType).as("l_linenumber_w"),
         col("l_quantity").cast(DoubleType).as("l_quantity_w"),
-        col("l_partkey").cast(DecimalType(20, 0)).as("l_partkey_u64"))
+        col("l_partkey").cast(DecimalType(20, 0)).cast(LongType).as("l_partkey_u64"))
       .orderBy("l_orderkey", "l_linenumber", "l_quantity_w", "l_partkey_u64"),
     """SELECT l_orderkey, l_linenumber,
       |  CAST(l_linenumber AS BIGINT) AS l_linenumber_w,
       |  CAST(l_quantity AS DOUBLE) AS l_quantity_w,
-      |  CAST(l_partkey AS DECIMAL(20,0)) AS l_partkey_u64
+      |  CAST(CAST(l_partkey AS DECIMAL(20,0)) AS BIGINT) AS l_partkey_u64
       |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity_w, l_partkey_u64""".stripMargin)
 
   /** TNULL sentinel → NULL. */
@@ -154,15 +160,19 @@ object EtlOps {
       |FROM embeddings, range(1, 65) r(i)
       |WHERE vec_id < 5 ORDER BY vec_id, pos""".stripMargin)
 
-  /** b8: serial primary key (fits2db --pkey). row_number over a total order,
-    * NOT monotonically_increasing_id (partition-dependent ⇒ non-reproducible).
-    * Scale note: a global row_number is a single-partition bottleneck; at
-    * 100 TB assign per-partition offsets via zipWithIndex-style two-pass
-    * (count per partition, then prefix sums) — documented in Convert.scala.
+  /** b8: serial primary key (fits2db --pkey), scale-safe form: range-
+    * partition by the business key, sort within partitions, then assign
+    * (partition-local ordinal + per-partition prefix offset) via
+    * Convert.addStablePkey. Equivalent to row_number() OVER (ORDER BY key)
+    * — RangePartitioner's partitions are ordered by id — but no row ever
+    * passes through a single global-window task, so the plan survives a
+    * 100 TB input (the r1 global-window form did not).
     */
   val b8_add_pkey = OpQuery(
-    (s, d) => t(s, d, "nation")
-      .withColumn("pkey", row_number().over(Window.orderBy("n_nationkey")).cast(LongType))
+    (s, d) => graft.ingest.Convert.addStablePkey(
+        t(s, d, "nation")
+          .repartitionByRange(col("n_nationkey"))
+          .sortWithinPartitions("n_nationkey"))
       .select("pkey", "n_nationkey", "n_name")
       .orderBy("pkey"),
     """SELECT CAST(row_number() OVER (ORDER BY n_nationkey) AS BIGINT) AS pkey,

@@ -99,13 +99,15 @@ object LlmOps {
       .select(col("doc_id"),
         (size(toks) - 1).cast(LongType).as("n_shingles"),
         size(col("shs")).cast(LongType).as("n_uniq"),
-        slice(sort_array(col("shs")), 1, 3).as("first3"))
+        // slice/sort exercised on the array; dumped joined on '|' (shingles
+        // contain spaces) — driver comparator is scalar-only (r1 crash).
+        array_join(slice(sort_array(col("shs")), 1, 3), "|").as("first3"))
       .orderBy("doc_id"),
     s"""$shinglesSqlCte
        |SELECT s.doc_id,
        |  CAST(len(d.toks) - 1 AS BIGINT) AS n_shingles,
        |  CAST(len(s.sh) AS BIGINT) AS n_uniq,
-       |  list_sort(s.sh)[1:3] AS first3
+       |  array_to_string(list_sort(s.sh)[1:3], '|') AS first3
        |FROM s JOIN d ON s.doc_id = d.doc_id
        |ORDER BY s.doc_id""".stripMargin)
 
@@ -482,11 +484,15 @@ object LlmOps {
 
   /** i19: LSH-bucketed ANN — the other scale path next to IVF (i13).
     * 8 deterministic pseudo-random hyperplanes (multiplicative-hash
-    * formula, reproducible in ANY engine — no RNG); bucket = 8 sign bits;
-    * search only the query's bucket, exact top-k inside. At 100 TB the
-    * bucket id is a partition key: probing = partition pruning, and the
-    * hyperplanes are a broadcast constant. Hyperplane dots use double
-    * arithmetic identical to the oracle's, so bucket assignment is
+    * formula, reproducible in ANY engine — no RNG); bucket = 8 sign bits.
+    * MULTI-PROBE: search the query's bucket plus its 8 one-bit-flip
+    * neighbors (9 of 256 buckets — still 96% pruned at scale). r1 probed
+    * only the exact bucket, which is EMPTY at sf0.01 (0=0 rows, vacuously
+    * green); hamming≤1 probing yields 35/25/200 candidates at
+    * sf0.001/0.01/0.1 (measured), so the gate compares real rows. At
+    * 100 TB the bucket id is a partition key: probing = partition pruning
+    * on 9 keys, hyperplanes a broadcast constant. Hyperplane dots use
+    * double arithmetic identical to the oracle's, so bucket assignment is
     * cross-engine deterministic (sign flips would need |dot| ≈ 1e-15).
     */
   val i19_sim_ann_lsh = OpQuery(
@@ -500,10 +506,15 @@ object LlmOps {
           |      (CAST((j * 64 + k) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
           |  ) > 0 THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
       val bucketed = e.withColumn("bucket", bucketExpr)
+      // 9 probe keys: the query bucket XOR {0, 1, 2, 4, ..., 128}. Distinct
+      // masks ⇒ distinct probe values ⇒ each corpus bucket matches ≤ 1 probe
+      // (no dedup needed), and the probe join stays a broadcast equi-join.
+      val masks = lit(0L) +: (0 until 8).map(j => lit(1L << j))
       val q = bucketed.filter(col("vec_id") === 7)
-        .select(col("embedding").as("qvec"), col("bucket").as("qbucket"))
-      bucketed.crossJoin(broadcast(q))
-        .filter(col("bucket") === col("qbucket") && col("vec_id") =!= 7)
+        .select(col("embedding").as("qvec"),
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)).as("probe"))
+      bucketed.join(broadcast(q),
+          col("bucket") === col("probe") && col("vec_id") =!= 7)
         .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
         .select("vec_id", "sim")
         .orderBy(desc("sim"), asc("vec_id"))
@@ -520,7 +531,7 @@ object LlmOps {
        |q AS (SELECT embedding AS qvec, bucket AS qbucket FROM b WHERE vec_id = 7)
        |SELECT b.vec_id, round(${dotSql("b.embedding", "q.qvec")}, 6) AS sim
        |FROM b, q
-       |WHERE b.bucket = q.qbucket AND b.vec_id <> 7
+       |WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1 AND b.vec_id <> 7
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
 
   /** i9: fused text+vector query — filter documents by text predicate, rank

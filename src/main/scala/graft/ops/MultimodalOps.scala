@@ -59,14 +59,17 @@ object MultimodalOps {
     * (stand-in for video frame extraction; batch shape: fixed-size sample
     * vector per row, computed in codegen'd collection expressions).
     */
+  /** Frame sampling builds an array internally; the dumped cell is the
+    * CSV-joined form (driver comparator is scalar-only — r1 gate crash).
+    */
   val m2_multimodal_frame_sample = OpQuery(
     (s, d) => t(s, d, "documents")
       .select(col("doc_id"),
-        expr("transform(sequence(0, 7), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1)))")
+        expr("array_join(transform(transform(sequence(0, 7), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))), x -> cast(x AS STRING)), ',')")
           .as("frames"))
       .orderBy("doc_id"),
     """SELECT doc_id,
-      |  list_transform(range(0, 8), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))) AS frames
+      |  array_to_string(list_transform(range(0, 8), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))), ',') AS frames
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   val all: Map[String, OpQuery] = Map(

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OpQuery, Par, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -116,22 +116,31 @@ object ScalarOps {
       |  least(o_totalprice, 100000.0) AS lo
       |FROM orders ORDER BY o_orderkey""".stripMargin)
 
+  /** Array ops (size/max/min/slice/sort). The slice results are arrays
+    * INTERNALLY but the dumped projection expands them to scalar columns:
+    * the driver's pandas comparator cannot sort (or hash) array cells, so a
+    * final projection must be scalar-only (r1 gate crash).
+    */
   val h6_array_funcs = OpQuery(
-    (s, d) => t(s, d, "embeddings")
-      .select(col("vec_id"),
-        size(col("embedding")).cast(LongType).as("dim"),
-        array_max(col("embedding")).as("amax"),
-        array_min(col("embedding")).as("amin"),
-        slice(col("embedding"), 1, 3).as("first3"),
-        slice(sort_array(col("embedding"), asc = false), 1, 3).as("top3"))
-      .orderBy("vec_id"),
-    """SELECT vec_id,
-      |  CAST(len(embedding) AS BIGINT) AS dim,
-      |  list_aggregate(embedding, 'max') AS amax,
-      |  list_aggregate(embedding, 'min') AS amin,
-      |  embedding[1:3] AS first3,
-      |  list_sort(embedding, 'DESC')[1:3] AS top3
-      |FROM embeddings ORDER BY vec_id""".stripMargin)
+    (s, d) => {
+      val first3 = slice(col("embedding"), 1, 3)
+      val top3 = slice(sort_array(col("embedding"), asc = false), 1, 3)
+      def el(a: Column, i: Int) = round(element_at(a, i).cast(DoubleType), 6)
+      t(s, d, "embeddings")
+        .select(col("vec_id") +:
+          size(col("embedding")).cast(LongType).as("dim") +:
+          round(array_max(col("embedding")).cast(DoubleType), 6).as("amax") +:
+          round(array_min(col("embedding")).cast(DoubleType), 6).as("amin") +:
+          ((1 to 3).map(i => el(first3, i).as(s"f3_$i")) ++
+            (1 to 3).map(i => el(top3, i).as(s"t3_$i"))): _*)
+        .orderBy("vec_id")
+    },
+    "SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim, " +
+      "round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS amax, " +
+      "round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS amin, " +
+      (1 to 3).map(i => s"round(CAST(embedding[$i] AS DOUBLE), 6) AS f3_$i").mkString(", ") + ", " +
+      (1 to 3).map(i => s"round(CAST(list_sort(embedding, 'DESC')[$i] AS DOUBLE), 6) AS t3_$i").mkString(", ") +
+      " FROM embeddings ORDER BY vec_id")
 
   /** Higher-order functions: transform/filter/aggregate/zip_with. The
     * L2-norm-via-aggregate is the SURVEY's showcase; the fold is sequential
@@ -140,22 +149,28 @@ object ScalarOps {
   val h7_array_hof = OpQuery(
     (s, d) => {
       val dbl = transform(col("embedding"), x => x.cast(DoubleType))
+      // transform() is the op under test; the dump expands its array result
+      // to scalars (driver comparator is scalar-only — see h6).
+      val scaled4 = transform(slice(dbl, 1, 4), x => round(x * 2, 6))
       t(s, d, "embeddings")
-        .select(col("vec_id"),
+        .select(col("vec_id") +:
           Par.r6(sqrt(aggregate(transform(dbl, x => x * x), lit(0.0), (acc, x) => acc + x)))
-            .as("l2norm"),
-          size(filter(col("embedding"), x => x > 0)).cast(LongType).as("n_pos"),
-          transform(slice(dbl, 1, 4), x => round(x * 2, 6)).as("scaled4"),
+            .as("l2norm") +:
+          size(filter(col("embedding"), x => x > 0)).cast(LongType).as("n_pos") +:
           Par.r6(aggregate(zip_with(dbl, reverse(dbl), (a, b) => a * b),
-            lit(0.0), (acc, x) => acc + x)).as("dot_rev"))
+            lit(0.0), (acc, x) => acc + x)).as("dot_rev") +:
+          (1 to 4).map(i => element_at(scaled4, i).as(s"s4_$i")): _*)
         .orderBy("vec_id")
     },
     """SELECT vec_id,
       |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2norm,
       |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
-      |  list_transform(embedding[1:4], x -> round(x::DOUBLE * 2, 6)) AS scaled4,
       |  round(list_sum(list_transform(range(1, 65),
-      |    i -> embedding[i]::DOUBLE * embedding[65 - i]::DOUBLE)), 6) AS dot_rev
+      |    i -> embedding[i]::DOUBLE * embedding[65 - i]::DOUBLE)), 6) AS dot_rev,
+      |  round(embedding[1]::DOUBLE * 2, 6) AS s4_1,
+      |  round(embedding[2]::DOUBLE * 2, 6) AS s4_2,
+      |  round(embedding[3]::DOUBLE * 2, 6) AS s4_3,
+      |  round(embedding[4]::DOUBLE * 2, 6) AS s4_4
       |FROM embeddings ORDER BY vec_id""".stripMargin)
 
   /** Map construction + lookup. DuckDB element_at returns a LIST ⇒ oracle
@@ -170,13 +185,14 @@ object ScalarOps {
         .withColumn("m", m)
         .select(col("n_nationkey"),
           element_at(col("m"), "reg").as("reg_val"),
-          array_sort(map_keys(col("m"))).as("keys"),
+          // map_keys yields an array; dump it joined (scalar-only rule, h6)
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
           size(col("m")).cast(LongType).as("m_size"))
         .orderBy("n_nationkey")
     },
     """SELECT n_nationkey,
       |  m['reg'][1] AS reg_val,
-      |  list_sort(map_keys(m)) AS keys,
+      |  array_to_string(list_sort(map_keys(m)), ',') AS keys,
       |  CAST(cardinality(m) AS BIGINT) AS m_size
       |FROM (SELECT n_nationkey,
       |        map_from_entries([{'k': 'nat', 'v': n_nationkey}, {'k': 'reg', 'v': n_regionkey}]) AS m

@@ -121,4 +121,21 @@ class EtlOpsSpec extends SparkTestBase {
     val keys = out.select("pkey").collect().map(_.getLong(0)).sorted
     assert(keys.toSeq == (1L to df.count()).toSeq)
   }
+
+  test("b8 pkey matches ORDER BY rank and plans no global (un-partitioned) window") {
+    val out = EtlOps.b8_add_pkey.fn(spark, sfDir)
+    val rows = out.select("pkey", "n_nationkey").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue))
+    assert(rows.sortBy(_._1).map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+      "pkey order must equal n_nationkey order")
+    assert(rows.map(_._1).sorted.toSeq == (1L to rows.length).toSeq)
+    // the r1 regression: row_number over Window.orderBy with no partitionBy
+    // funnels every row through one task — assert it's gone for good
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
+    val globalWindows = out.queryExecution.optimizedPlan.collect {
+      case w: WindowNode if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"un-partitioned window in plan: ${globalWindows.mkString("; ")}")
+  }
 }

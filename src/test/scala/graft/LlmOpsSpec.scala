@@ -55,6 +55,33 @@ class LlmOpsSpec extends SparkTestBase {
     assert(MultimodalOps.m2_multimodal_frame_sample.fn(spark, tmp).count() == 3)
   }
 
+  test("i19 multi-probe LSH ANN returns rows at every scale factor") {
+    // r1's single-bucket probe was vacuously green (0 rows = 0 rows at
+    // sf0.01); hamming-1 multi-probe must yield real candidates everywhere.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { d =>
+        val n = LlmOps.i19_sim_ann_lsh.fn(spark, d).count()
+        assert(n > 0, s"i19 returned 0 rows at $d — gate would be vacuous")
+      }
+  }
+
+  test("i13 IVF ANN probed top-k is a subset of the i6 exact pair space") {
+    // ANN must never fabricate similarity: every (query=42, vec) hit from
+    // the probed cells must score exactly what brute force computes for it.
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val ivf = LlmOps.i13_sim_ann_ivf.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    import graft.functions.VectorFunctions.dot
+    val q = e.filter(col("vec_id") === 42).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(q).filter(col("vec_id") =!= 42)
+      .select(col("vec_id"), round(dot(col("embedding"), col("qv")), 6).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { case (id, sim) =>
+      assert(exact.get(id).contains(sim),
+        s"IVF sim for vec $id ($sim) disagrees with brute force (${exact.get(id)})")
+    }
+  }
+
   test("e4 approx_count_distinct is within 5% of exact") {
     val r = AggOps.e4_agg_approx_distinct.fn(spark, sfDir).collect()(0)
     val (approx, exact) = (r.getLong(0), r.getLong(1))
