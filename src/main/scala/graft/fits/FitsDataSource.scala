@@ -79,8 +79,8 @@ object FitsTable {
       val fs = p.getFileSystem(driverHadoopConf())
       val in = fs.open(p)
       try {
-        val (cards, dataStart) = FitsFormat.locateBintable(in, extnum)
-        FitsSpecWithOffset(FitsFormat.tableSpec(cards), dataStart)
+        val (cards, dataStart) = FitsFormat.locateTable(in, extnum)
+        FitsSpecWithOffset(FitsFormat.anySpec(cards), dataStart)
       } finally in.close()
     })
 
@@ -93,7 +93,7 @@ object FitsTable {
       .getOrElse(new Configuration())
 }
 
-final case class FitsSpecWithOffset(spec: FitsFormat.TableSpec, dataStart: Long)
+final case class FitsSpecWithOffset(spec: FitsFormat.HduSpec, dataStart: Long)
 
 class FitsTable(path: String, extnum: Int) extends Table with SupportsRead {
   private lazy val specWithOffset = FitsTable.readSpec(path, extnum)
@@ -178,10 +178,19 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
   extends PartitionReader[InternalRow] {
 
   private val spec = swo.spec
+  // Binary vs ASCII table flavor; exactly one is defined.
+  private val binSpec: Option[FitsFormat.TableSpec] = spec match {
+    case b: FitsFormat.TableSpec => Some(b); case _ => None
+  }
+  private val asciiSpec: Option[FitsFormat.AsciiTableSpec] = spec match {
+    case a: FitsFormat.AsciiTableSpec => Some(a); case _ => None
+  }
+  private val colNames: Seq[String] = binSpec.map(_.cols.map(_.name))
+    .getOrElse(asciiSpec.get.cols.map(_.name))
   // Indices (into the full column list) of the requested columns, in
   // requested order — only these are decoded.
   private val colIdx: Array[Int] =
-    required.fieldNames.map(n => spec.cols.indexWhere(_.name == n))
+    required.fieldNames.map(n => colNames.indexWhere(_ == n))
 
   private val p = new Path(path)
   private val fs = {
@@ -198,7 +207,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
   private var heapInOpt: Option[org.apache.hadoop.fs.FSDataInputStream] = None
   private def heapIn: org.apache.hadoop.fs.FSDataInputStream =
     heapInOpt.getOrElse { val h = fs.open(p); heapInOpt = Some(h); h }
-  private val heapStart = swo.dataStart + spec.theap
+  private lazy val heapStart = swo.dataStart + binSpec.get.theap
 
   private val rowBuf = new Array[Byte](spec.rowBytes)
   private val buf = ByteBuffer.wrap(rowBuf) // big-endian per FITS
@@ -213,7 +222,27 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     true
   }
 
-  private def decode(): InternalRow = {
+  private def decode(): InternalRow = binSpec match {
+    case Some(b) => decodeBin(b)
+    case None => decodeAscii(asciiSpec.get)
+  }
+
+  /** ASCII TABLE record: fixed character fields, parsed per TFORM/TBCOL. */
+  private def decodeAscii(a: FitsFormat.AsciiTableSpec): InternalRow = {
+    val rowChars = new String(rowBuf, java.nio.charset.StandardCharsets.US_ASCII)
+    val values = new Array[Any](colIdx.length)
+    var k = 0
+    while (k < colIdx.length) {
+      values(k) = FitsFormat.decodeAsciiField(rowChars, a.cols(colIdx(k))) match {
+        case s: String => UTF8String.fromString(s)
+        case v => v
+      }
+      k += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  private def decodeBin(spec: FitsFormat.TableSpec): InternalRow = {
     val values = new Array[Any](colIdx.length)
     var k = 0
     while (k < colIdx.length) {
@@ -234,7 +263,10 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
             arr(i) = if (c.hasScaling) FitsFormat.applyScale(raw, c) else raw
             i += 1
           }
-          new GenericArrayData(arr)
+          c.tdim match {
+            case Some(dims) if dims.length >= 2 => nest(arr, dims)
+            case _ => new GenericArrayData(arr)
+          }
         case _ =>
           val raw = FitsFormat.decodeElem(buf, base, c)
           if (c.hasScaling) FitsFormat.applyScale(raw, c) else raw
@@ -243,6 +275,18 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     }
     InternalRow.fromSeq(values.toIndexedSeq)
   }
+
+  /** TDIM re-nesting: FITS cells are column-major flat (first axis varies
+    * fastest), so dims (d1,…,dn) become n nested arrays with dn outermost.
+    */
+  private def nest(flat: Array[Any], dims: Seq[Int]): GenericArrayData =
+    if (dims.length == 1) new GenericArrayData(flat)
+    else {
+      val outerN = dims.last
+      val chunk = flat.length / outerN
+      new GenericArrayData((0 until outerN).map(o =>
+        nest(flat.slice(o * chunk, (o + 1) * chunk), dims.init): Any).toArray)
+    }
 
   /** Variable-length cell: (count, offset) descriptor in the record, data
     * in the heap (FITS 4.0 §7.3.5).

@@ -31,7 +31,8 @@ object FitsFormat {
       scale: Option[Double],
       zero: Option[Double],
       tnull: Option[Long],
-      varDesc: Option[Char] = None) {
+      varDesc: Option[Char] = None,
+      tdim: Option[Seq[Int]] = None) { // TDIMn shape, first axis fastest
 
     val elemBytes: Int = code match {
       case 'L' | 'B' | 'A' | 'X' => 1
@@ -88,20 +89,59 @@ object FitsFormat {
       }
       else code match {
         case 'A' | 'X' => sparkElemType // char array = one string; bits = bytes
-        case _ if repeat > 1 => ArrayType(sparkElemType, containsNull = true)
+        case _ if repeat > 1 => tdim match {
+          // TDIM (d1,...,dn) ⇒ nested arrays, innermost axis = d1 (§1.2)
+          case Some(dims) if dims.length >= 2 =>
+            dims.tail.foldLeft(ArrayType(sparkElemType, containsNull = true): DataType)(
+              (t, _) => ArrayType(t, containsNull = true))
+          case _ => ArrayType(sparkElemType, containsNull = true)
+        }
         case _ => sparkElemType
       }
+  }
+
+  /** Either flavor of FITS table extension (BINTABLE or ASCII TABLE). */
+  sealed trait HduSpec {
+    def rowBytes: Int
+    def nRows: Long
+    def schema: StructType
   }
 
   /** `theap` = heap offset from the start of the data unit (defaults to the
     * end of the main table, per the standard).
     */
   final case class TableSpec(rowBytes: Int, nRows: Long, cols: Seq[ColSpec],
-      theap: Long) {
+      theap: Long) extends HduSpec {
     def schema: StructType =
       StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
     /** Byte offset of each column within a record. */
     val offsets: Array[Int] = cols.scanLeft(0)(_ + _.byteWidth).init.toArray
+  }
+
+  /** ASCII TABLE (XTENSION='TABLE') column: fixed character field at
+    * TBCOLn (1-based in the header, 0-based here), format Aw/Iw/Fw.d/
+    * Ew.d/Dw.d (FITS 4.0 §7.2). ASCII TNULLn is a literal string.
+    */
+  final case class AsciiColSpec(
+      name: String,
+      code: Char, // A I F E D
+      start0: Int,
+      width: Int,
+      scale: Option[Double],
+      zero: Option[Double],
+      tnullStr: Option[String]) {
+    def hasScaling: Boolean = scale.exists(_ != 1.0) || zero.exists(_ != 0.0)
+    def sparkType: DataType = code match {
+      case 'A' => StringType
+      case 'I' => if (hasScaling) DoubleType else LongType
+      case _ => DoubleType // F / E / D
+    }
+  }
+
+  final case class AsciiTableSpec(rowBytes: Int, nRows: Long,
+      cols: Seq[AsciiColSpec]) extends HduSpec {
+    def schema: StructType =
+      StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   }
 
   // ------------------------------------------------------------ header read
@@ -178,13 +218,23 @@ object FitsFormat {
       var k = 2
       while (used(name)) { name = s"${rawName}_$k"; k += 1 }
       used += name
+      // TDIMn = '(d1,d2,…)'; the standard requires the product to equal the
+      // repeat count — reject mismatches rather than mis-slice data.
+      val tdim = cards.get(s"TDIM$i").map { v =>
+        val dims = v.trim.stripPrefix("(").stripSuffix(")")
+          .split(",").map(_.trim.toInt).toSeq
+        require(varDesc.isEmpty && dims.product == repeat,
+          s"TDIM$i=$v incompatible with TFORM$i=${cards(s"TFORM$i")}")
+        dims
+      }
       ColSpec(
         name = name,
         code = code, repeat = repeat,
         scale = cards.get(s"TSCAL$i").map(_.toDouble),
         zero = cards.get(s"TZERO$i").map(_.toDouble),
         tnull = cards.get(s"TNULL$i").map(_.toLong),
-        varDesc = varDesc)
+        varDesc = varDesc,
+        tdim = tdim)
     }
     val width = cols.map(_.byteWidth).sum
     require(width == rowBytes,
@@ -193,10 +243,68 @@ object FitsFormat {
       cards.get("THEAP").map(_.toLong).getOrElse(rowBytes.toLong * nRows))
   }
 
-  /** Locates the target BINTABLE extension: returns (cards, dataStartOffset).
-    * Walks HDUs sequentially, skipping each HDU's (2880-padded) data unit.
+  private val AsciiTformRe = "^([AIFED])([0-9]+)(?:\\.[0-9]+)?$".r
+
+  /** ASCII TABLE header → spec (FITS 4.0 §7.2). */
+  def asciiTableSpec(cards: Map[String, String]): AsciiTableSpec = {
+    require(cards.get("XTENSION").exists(_.trim == "TABLE"),
+      s"Not an ASCII TABLE extension: ${cards.get("XTENSION")}")
+    val rowBytes = cards("NAXIS1").toInt
+    val nRows = cards("NAXIS2").toLong
+    val nFields = cards("TFIELDS").toInt
+    val used = scala.collection.mutable.Set.empty[String]
+    val cols = (1 to nFields).map { i =>
+      val (code, width) = cards(s"TFORM$i").trim match {
+        case AsciiTformRe(c, w) => (c.head, w.toInt)
+        case other => throw new IllegalArgumentException(
+          s"Unsupported ASCII TFORM '$other'")
+      }
+      val start0 = cards(s"TBCOL$i").trim.toInt - 1
+      require(start0 >= 0 && start0 + width <= rowBytes,
+        s"TBCOL$i/TFORM$i field [$start0, ${start0 + width}) outside NAXIS1=$rowBytes")
+      val rawName = cards.getOrElse(s"TTYPE$i", s"col$i")
+      var name = rawName
+      var k = 2
+      while (used(name)) { name = s"${rawName}_$k"; k += 1 }
+      used += name
+      AsciiColSpec(name, code, start0, width,
+        scale = cards.get(s"TSCAL$i").map(_.toDouble),
+        zero = cards.get(s"TZERO$i").map(_.toDouble),
+        tnullStr = cards.get(s"TNULL$i").map(_.trim))
+    }
+    AsciiTableSpec(rowBytes, nRows, cols)
+  }
+
+  /** Header cards of either table flavor → spec. */
+  def anySpec(cards: Map[String, String]): HduSpec =
+    if (cards.get("XTENSION").exists(_.trim == "TABLE")) asciiTableSpec(cards)
+    else tableSpec(cards)
+
+  /** Decodes one ASCII TABLE field from a row's character record. Blank
+    * fields and TNULL matches are SQL NULL; Fortran 'D' exponents are
+    * accepted for D columns.
     */
-  def locateBintable(in: java.io.DataInput, extnum: Int): (Map[String, String], Long) = {
+  def decodeAsciiField(rowChars: String, c: AsciiColSpec): Any = {
+    val s = rowChars.substring(c.start0,
+      math.min(c.start0 + c.width, rowChars.length)).trim
+    if (s.isEmpty || c.tnullStr.contains(s)) null
+    else c.code match {
+      case 'A' => s
+      case 'I' =>
+        val v = s.toLong
+        if (c.hasScaling) v * c.scale.getOrElse(1.0) + c.zero.getOrElse(0.0) else v
+      case _ =>
+        val v = s.replace('D', 'E').replace('d', 'e').toDouble
+        if (c.hasScaling) v * c.scale.getOrElse(1.0) + c.zero.getOrElse(0.0) else v
+    }
+  }
+
+  /** Locates the target table extension (BINTABLE or ASCII TABLE):
+    * returns (cards, dataStartOffset). Walks HDUs sequentially, skipping
+    * each HDU's (2880-padded) data unit. `extnum` counts table extensions
+    * of either flavor in file order.
+    */
+  def locateTable(in: java.io.DataInput, extnum: Int): (Map[String, String], Long) = {
     var offset = 0L
     var bintablesSeen = 0
     var hduIndex = 0
@@ -215,7 +323,9 @@ object FitsFormat {
         }
       }
       val padded = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
-      if (cards.get("XTENSION").exists(_.startsWith("BINTABLE"))) {
+      val isTable = cards.get("XTENSION").exists(x =>
+        x.startsWith("BINTABLE") || x.trim == "TABLE")
+      if (isTable) {
         if (bintablesSeen == extnum) return (cards, offset)
         bintablesSeen += 1
       }
@@ -229,8 +339,12 @@ object FitsFormat {
       offset += padded
       hduIndex += 1
     }
-    throw new IllegalArgumentException(s"No BINTABLE extension #$extnum found")
+    throw new IllegalArgumentException(s"No table extension #$extnum found")
   }
+
+  /** Back-compat alias (pre-ASCII-TABLE name). */
+  def locateBintable(in: java.io.DataInput, extnum: Int): (Map[String, String], Long) =
+    locateTable(in, extnum)
 
   // ------------------------------------------------------------ cell decode
 

@@ -146,6 +146,29 @@ object ScanOps {
     },
     "SELECT * FROM nation ORDER BY n_nationkey")
 
+  /** ASCII TABLE (XTENSION='TABLE') source — fits2db accepts both table
+    * flavors (SURVEY §1.1); round-trip proof like a7: region + a derived
+    * half-key column written as fixed character fields (Iw/Aw/Fw.d),
+    * read back through the same DSv2 (schema from TBCOL/TFORM cards).
+    * Values are exact in binary (0.5 steps) so the text round-trip is
+    * hash-exact against the parquet oracle.
+    */
+  val a10_fits_ascii_source = OpQuery(
+    (s, d) => {
+      val fitsPath = graft.Util.scratch("region_ascii.fits")
+      val region = t(s, d, "region")
+        .select(col("r_regionkey").cast(LongType).as("r_regionkey"),
+          col("r_name"),
+          (col("r_regionkey") * 0.5).cast(DoubleType).as("half"))
+      graft.fits.FitsWriter.writeAscii(fitsPath, region.schema,
+        region.orderBy("r_regionkey").collect().toIndexedSeq,
+        strLens = Map("r_name" -> 25), dblFmt = (10, 1))
+      s.read.format("fits").load(fitsPath).orderBy("r_regionkey")
+    },
+    """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |  CAST(r_regionkey * 0.5 AS DOUBLE) AS half
+      |FROM region ORDER BY r_regionkey""".stripMargin)
+
   /** Bucketed tables + shuffle-free co-located join: both sides written
     * bucketBy(8, join key) ⇒ the sort-merge join reads pre-partitioned
     * buckets and the plan has NO Exchange on either side (asserted in
@@ -184,6 +207,7 @@ object ScanOps {
 
   val all: Map[String, OpQuery] = Map(
     "a9_sink_bucketed" -> a9_sink_bucketed,
+    "a10_fits_ascii_source" -> a10_fits_ascii_source,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

@@ -312,4 +312,133 @@ class FitsSpec extends SparkTestBase {
     assert(rows(1).getAs[scala.collection.Seq[Int]]("varr").isEmpty)
     assert(rows(1).getAs[scala.collection.Seq[Double]]("darr").toSeq == Seq(9.25))
   }
+
+  test("FitsWriter P/Q var-length write round-trips byte-exactly") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("pj", ArrayType(IntegerType), nullable = true),
+      StructField("qd", ArrayType(DoubleType), nullable = true)))
+    val rows = Seq(
+      Row(1, Seq(10, 20, 30), Seq(1.5, 2.5)),
+      Row(2, Seq.empty[Int], Seq(9.25)),
+      Row(3, Seq(7), Seq.empty[Double]))
+    val a = "/tmp/graft_test/varlen_w1.fits"
+    FitsWriter.write(a, schema, rows, varCols = Map("pj" -> 'P', "qd" -> 'Q'))
+
+    val back = spark.read.format("fits").load(a)
+    assert(back.schema("pj").dataType == ArrayType(IntegerType))
+    assert(back.schema("qd").dataType == ArrayType(DoubleType))
+    val got = back.orderBy("id").collect()
+    assert(got(0).getAs[scala.collection.Seq[Int]]("pj").toSeq == Seq(10, 20, 30))
+    assert(got(1).getAs[scala.collection.Seq[Int]]("pj").isEmpty)
+    assert(got(2).getAs[scala.collection.Seq[Double]]("qd").isEmpty)
+    assert(got(0).getAs[scala.collection.Seq[Double]]("qd").toSeq == Seq(1.5, 2.5))
+
+    // read → re-write: the two files must be byte-identical (writer/reader
+    // agree on descriptors, heap layout, PCOUNT and padding)
+    val b = "/tmp/graft_test/varlen_w2.fits"
+    FitsWriter.write(b, schema,
+      got.map(r => Row(r.getInt(0),
+        r.getAs[scala.collection.Seq[Int]]("pj").toSeq,
+        r.getAs[scala.collection.Seq[Double]]("qd").toSeq)).toIndexedSeq,
+      varCols = Map("pj" -> 'P', "qd" -> 'Q'))
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(Paths.get(a)), Files.readAllBytes(Paths.get(b))),
+      "read→write round-trip is not byte-exact")
+  }
+
+  test("TDIM multi-dimensional cells read back as nested arrays") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("img", ArrayType(FloatType), nullable = true)))
+    // 6 floats per cell declared as TDIM (3,2): 2 outer rows × 3 inner
+    val rows = Seq(
+      Row(1, Seq(1f, 2f, 3f, 4f, 5f, 6f)),
+      Row(2, Seq(10f, 20f, 30f, 40f, 50f, 60f)))
+    val p = "/tmp/graft_test/tdim.fits"
+    FitsWriter.write(p, schema, rows,
+      arrayLens = Map("img" -> 6), tdims = Map("img" -> Seq(3, 2)))
+    val df = spark.read.format("fits").load(p)
+    assert(df.schema("img").dataType ==
+      ArrayType(ArrayType(FloatType, containsNull = true), containsNull = true))
+    val got = df.orderBy("id").collect()
+    val outer = got(0).getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("img")
+    assert(outer.map(_.toSeq).toSeq ==
+      Seq(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))) // first axis varies fastest
+    assert(got(1).getAs[scala.collection.Seq[scala.collection.Seq[Float]]]("img")
+      .map(_.toSeq).toSeq == Seq(Seq(10f, 20f, 30f), Seq(40f, 50f, 60f)))
+  }
+
+  test("ASCII TABLE extension reads fixed character fields") {
+    val p = "/tmp/graft_test/ascii.fits"
+    val out = new DataOutputStream(new FileOutputStream(p))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(' '.toByte)
+
+    // 30-char rows: name A8 @1, count I6 @9, flux E10.3 @15, mag F5.2 @25, +1 spare
+    out.write(card("XTENSION", "TABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", "30", quote = false))
+    out.write(card("NAXIS2", "3", quote = false))
+    out.write(card("PCOUNT", "0", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "4", quote = false))
+    out.write(card("TTYPE1", "name", quote = true))
+    out.write(card("TFORM1", "A8", quote = true))
+    out.write(card("TBCOL1", "1", quote = false))
+    out.write(card("TTYPE2", "count", quote = true))
+    out.write(card("TFORM2", "I6", quote = true))
+    out.write(card("TBCOL2", "9", quote = false))
+    out.write(card("TNULL2", "-99", quote = true))
+    out.write(card("TTYPE3", "flux", quote = true))
+    out.write(card("TFORM3", "E10.3", quote = true))
+    out.write(card("TBCOL3", "15", quote = false))
+    out.write(card("TTYPE4", "mag", quote = true))
+    out.write(card("TFORM4", "F5.2", quote = true))
+    out.write(card("TBCOL4", "25", quote = false))
+    out.write(endCard); pad(' '.toByte)
+
+    def f(name: String, count: String, flux: String, mag: String) = {
+      def right(s: String, w: Int) = (" " * (w - s.length)) + s
+      name.padTo(8, ' ') + right(count, 6) + right(flux, 10) + right(mag, 5) + " "
+    }
+    val rows = Seq(
+      f("sirius", "42", "1.234E+02", "-1.46"),
+      f("vega", "-99", "2.500D+01", "0.03"), // TNULL int; Fortran D exponent
+      f("algol", "7", "", "12.50")) // blank flux → NULL
+    rows.foreach(r => out.write(r.take(30).padTo(30, ' ').getBytes(StandardCharsets.US_ASCII)))
+    pad(' '.toByte)
+    out.close()
+
+    val df = spark.read.format("fits").load(p)
+    assert(df.schema == StructType(Seq(
+      StructField("name", StringType), StructField("count", LongType),
+      StructField("flux", DoubleType), StructField("mag", DoubleType))))
+    val got = df.collect()
+    assert(got(0).getString(0) == "sirius" && got(0).getLong(1) == 42 &&
+      got(0).getDouble(2) == 123.4 && got(0).getDouble(3) == -1.46)
+    assert(got(1).isNullAt(1), "TNULL string must map to SQL NULL")
+    assert(got(1).getDouble(2) == 25.0, "Fortran D exponent must parse")
+    assert(got(2).isNullAt(2), "blank field must map to SQL NULL")
+    assert(got(2).getDouble(3) == 12.50)
+    // column pruning works through the ASCII path too
+    assert(df.select("count").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq ==
+      Seq(Some(42L), None, Some(7L)))
+  }
+
+  test("TDIM incompatible with repeat count is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      FitsFormat.tableSpec(Map(
+        "XTENSION" -> "BINTABLE", "NAXIS1" -> "24", "NAXIS2" -> "1",
+        "TFIELDS" -> "1", "TFORM1" -> "6E", "TTYPE1" -> "img",
+        "TDIM1" -> "(4,2)"))
+    }
+    assert(e.getMessage.contains("TDIM"))
+  }
 }
