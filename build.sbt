@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program stdout goes straight through instead of being logged
+// with an "[info] " prefix — the r1 bench record failed to parse because
+// the driver captured "[info] {json}" (plus sbt's trailer). With
+// StdoutOutput the JSON line is byte-clean on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
