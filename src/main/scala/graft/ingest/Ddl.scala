@@ -26,6 +26,10 @@ object Ddl {
     def serialPkey(name: String): String
     /** TRUNCATE has no sqlite spelling; DELETE FROM is its documented analog. */
     def truncate(table: String): String = s"TRUNCATE TABLE ${quote(table)}"
+    /** Derby has no IF [NOT] EXISTS clause; emitters degrade to the plain
+      * form there (loaders catch the already/never-existed errors).
+      */
+    def supportsIfExists: Boolean = true
   }
 
   /** SURVEY §1.2 "Typical SQL (postgres)" column, verbatim where given. */
@@ -96,8 +100,36 @@ object Ddl {
     override def truncate(table: String): String = s"DELETE FROM ${quote(table)}"
   }
 
+  /** Embedded Derby — not a fits2db target, but the only live SQL server
+    * in this sandbox; lets DdlSpec EXECUTE the emitted DDL (create → load
+    * via the JDBC sink → read back) instead of only string-matching it.
+    */
+  case object Derby extends Dialect {
+    val name = "derby"
+    def sqlType(dt: DataType): String = dt match {
+      case BooleanType => "boolean"
+      case ByteType | ShortType => "smallint"
+      case IntegerType => "integer"
+      case LongType => "bigint"
+      case d: DecimalType => s"decimal(${math.min(d.precision, 31)},${d.scale})"
+      case FloatType => "real"
+      case DoubleType => "double"
+      // Spark's JDBC writer binds StringType as CLOB on Derby; a varchar
+      // column would reject its setNull(CLOB) — match the loader.
+      case StringType => "clob"
+      case BinaryType => "blob"
+      case DateType => "date"
+      case TimestampType | TimestampNTZType => "timestamp"
+      case other => throw new IllegalArgumentException(
+        s"no derby mapping for $other (expand structs/arrays before DDL)")
+    }
+    def serialPkey(name: String): String =
+      s"${quote(name)} bigint GENERATED ALWAYS AS IDENTITY PRIMARY KEY"
+    override def supportsIfExists: Boolean = false
+  }
+
   val dialects: Map[String, Dialect] =
-    Seq(Postgres, MySql, Sqlite).map(d => d.name -> d).toMap
+    Seq(Postgres, MySql, Sqlite, Derby).map(d => d.name -> d).toMap
 
   /** Load-preparation policy, mirroring the reference CLI flags: --create
     * (create if absent), --drop (drop + recreate), --truncate (create if
@@ -128,13 +160,14 @@ object Ddl {
       val base = s"${dialect.quote(f.name)} ${dialect.sqlType(f.dataType)}"
       if (f.nullable) base else s"$base NOT NULL"
     }
-    val ine = if (ifNotExists) "IF NOT EXISTS " else ""
+    val ine = if (ifNotExists && dialect.supportsIfExists) "IF NOT EXISTS " else ""
     (pkeyCol ++ cols).mkString(
       s"CREATE TABLE $ine${dialect.quote(table)} (\n  ", ",\n  ", "\n)")
   }
 
   def dropTable(table: String, dialect: Dialect): String =
-    s"DROP TABLE IF EXISTS ${dialect.quote(table)}"
+    if (dialect.supportsIfExists) s"DROP TABLE IF EXISTS ${dialect.quote(table)}"
+    else s"DROP TABLE ${dialect.quote(table)}"
 
   /** The ordered statement list a loader runs before its first batch. */
   def statements(schema: StructType, table: String, dialect: Dialect,

@@ -3,14 +3,14 @@ package graft
 import graft.ingest.Ddl
 import graft.ingest.Ddl.{Create, DropCreate, TruncateLoad}
 import org.apache.spark.sql.types._
-import org.scalatest.funsuite.AnyFunSuite
 
 /** Golden-DDL gate for the dialect layer: every SURVEY §1.2 type row that
   * reaches a Spark type, rendered for each of the reference's three targets.
-  * No DB server exists in the sandbox (SURVEY §0), so exact strings ARE the
-  * contract.
+  * No postgres/mysql/sqlite server exists in the sandbox (SURVEY §0), so
+  * exact strings ARE the contract for those; the Derby dialect additionally
+  * EXECUTES (create → JDBC load → read back).
   */
-class DdlSpec extends AnyFunSuite {
+class DdlSpec extends SparkTestBase {
 
   // one column per §1.2 row (TFORM noted): L, X, B/I, I-unsigned→J, J, K,
   // K-unsigned→decimal, E, D, rA, C/M struct, rT array, corpus date/ts
@@ -125,6 +125,43 @@ class DdlSpec extends AnyFunSuite {
       .contains("\"ta\"\"ble\"") )
     val m = StructType(Seq(StructField("we`ird", IntegerType)))
     assert(Ddl.createTable(m, "ta`ble", Ddl.MySql).contains("`ta``ble`"))
+  }
+
+  test("emitted DDL executes on a live server (Derby): create -> load -> read back") {
+    // Derby is not a fits2db target but it is the only live SQL server in
+    // the sandbox — executing the emitted statements proves the DDL layer
+    // produces real SQL, not just strings that look right.
+    val url = "jdbc:derby:/tmp/graft_test/ddl_derby;create=true"
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("label", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true)))
+    val stmts = Ddl.statements(schema, "ddl_exec", Ddl.Derby, Ddl.DropCreate)
+    assert(stmts == Seq(
+      "DROP TABLE \"ddl_exec\"",
+      "CREATE TABLE \"ddl_exec\" (\n  \"k\" bigint NOT NULL,\n  \"label\" clob,\n  \"score\" double\n)"))
+    Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      stmts.foreach { s =>
+        try st.execute(s)
+        catch { // plain DROP on a table that never existed (no IF EXISTS in Derby)
+          case e: java.sql.SQLException if s.startsWith("DROP") && e.getSQLState == "42Y55" => ()
+        }
+      }
+    } finally conn.close()
+    import spark.implicits._
+    val df = Seq((1L, "a", 0.5), (2L, "b", 1.5), (3L, null: String, 2.5))
+      .toDF("k", "label", "score")
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    df.write.mode("append").jdbc(url, "\"ddl_exec\"", props)
+    val back = spark.read.jdbc(url, "\"ddl_exec\"", props)
+    assert(back.count() == 3)
+    assert(back.orderBy("k").collect().map(r => (r.getLong(0),
+      Option(r.getString(1)), r.getDouble(2))).toSeq ==
+      Seq((1L, Some("a"), 0.5), (2L, Some("b"), 1.5), (3L, None, 2.5)))
   }
 
   test("unknown dialect and unmappable type fail loudly") {
