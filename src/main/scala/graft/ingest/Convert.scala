@@ -96,17 +96,67 @@ object Convert {
     if (url.startsWith("jdbc:derby:")) Some("org.apache.derby.jdbc.EmbeddedDriver")
     else None
 
-  /** Full ingest: any-format source → convert → sink (parquet/csv/JDBC). */
+  /** fits2db's --create/--drop/--truncate lifecycle against a JDBC target:
+    * run the dialect's DDL (graft.ingest.Ddl) in the loader's setup
+    * transaction, then the data lands with SaveMode.Append into the table
+    * WE defined — not the one Spark's writer would improvise. A DROP/
+    * TRUNCATE against a table that does not exist yet is not an error
+    * (first load), matching the reference CLI.
+    */
+  def prepareJdbcTable(url: String, table: String, schema: StructType,
+      dialect: Ddl.Dialect, mode: Ddl.Mode): Unit = {
+    jdbcDriverFor(url).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      Ddl.statements(schema, table, dialect, mode).foreach { s =>
+        try st.execute(s)
+        catch {
+          case e: java.sql.SQLException
+              if (s.startsWith("DROP") || s.startsWith("TRUNCATE") ||
+                s.startsWith("DELETE")) && isMissingTable(e) => ()
+          // dialects without IF NOT EXISTS (Derby) emit a plain CREATE;
+          // an existing table is then the IF-NOT-EXISTS success case
+          case e: java.sql.SQLException
+              if s.startsWith("CREATE") && isAlreadyExists(e) => ()
+        }
+      }
+    } finally conn.close()
+  }
+
+  /** Missing-table SQLSTATEs: standard 42S02 (mysql), Derby 42Y55/42X05,
+    * postgres 42P01.
+    */
+  private def isMissingTable(e: java.sql.SQLException): Boolean =
+    Set("42Y55", "42X05", "42S02", "42P01").contains(e.getSQLState)
+
+  /** Already-exists SQLSTATEs: Derby X0Y32, mysql 42S01, postgres 42P07. */
+  private def isAlreadyExists(e: java.sql.SQLException): Boolean =
+    Set("X0Y32", "42S01", "42P07").contains(e.getSQLState)
+
+  /** Full ingest: any-format source → convert → sink (parquet/csv/JDBC).
+    * `jdbcDdl` = Some(dialect, mode) runs the fits2db DDL lifecycle first
+    * and appends into the prepared table; None keeps Spark's own
+    * overwrite-with-inferred-DDL behavior.
+    */
   def ingest(spark: SparkSession, sourcePath: String, format: String,
       spec: ConvertSpec, sinkPath: String, sinkFormat: String = "parquet",
-      jdbcTable: String = "converted"): Unit = {
+      jdbcTable: String = "converted",
+      jdbcDdl: Option[(Ddl.Dialect, Ddl.Mode)] = None): Unit = {
     val src = spark.read.format(format).load(sourcePath)
     val out = convert(src, spec)
     sinkFormat match {
       case "jdbc" =>
         val props = new java.util.Properties()
         jdbcDriverFor(sinkPath).foreach(props.setProperty("driver", _))
-        out.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
+        jdbcDdl match {
+          case Some((dialect, mode)) =>
+            prepareJdbcTable(sinkPath, jdbcTable, out.schema, dialect, mode)
+            // quoted: our DDL created a case-exact identifier
+            out.write.mode("append").jdbc(sinkPath, s"\"$jdbcTable\"", props)
+          case None =>
+            out.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
+        }
       case "parquet" => out.write.mode("overwrite").parquet(sinkPath)
       case "csv" => out.write.mode("overwrite").option("header", "true").csv(sinkPath)
       case other => throw new IllegalArgumentException(

@@ -169,6 +169,40 @@ object ScanOps {
       |  CAST(r_regionkey * 0.5 AS DOUBLE) AS half
       |FROM region ORDER BY r_regionkey""".stripMargin)
 
+  /** Fixed-array (64E) + variable-length (PE heap) FITS round-trip: the
+    * embeddings table with a derived var-length prefix column goes out
+    * through FitsWriter and back through the DSv2; the dump is scalar-only
+    * checksums (l2 norm, var-cell length/sum) the oracle recomputes from
+    * the parquet original — float cells must survive byte-exactly for the
+    * round-6 hashes to match.
+    */
+  val a11_fits_varlen_source = OpQuery(
+    (s, d) => {
+      val fitsPath = graft.Util.scratch("emb_varlen.fits")
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("slice(embedding, 1, CAST(vec_id % 5 AS INT))").as("head_var"))
+      graft.fits.FitsWriter.write(fitsPath, emb.schema,
+        emb.orderBy("vec_id").collect().toIndexedSeq,
+        arrayLens = Map("embedding" -> 64),
+        varCols = Map("head_var" -> 'P'))
+      s.read.format("fits").load(fitsPath)
+        .select(col("vec_id"),
+          graft.Par.r6(expr(
+            "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"))
+            .as("l2"),
+          size(col("head_var")).cast(LongType).as("n_head"),
+          graft.Par.r6(expr(
+            "aggregate(transform(head_var, x -> CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+            .as("head_sum"))
+        .orderBy("vec_id")
+    },
+    """SELECT vec_id,
+      |  round(sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))), 6) AS l2,
+      |  CAST(vec_id % 5 AS BIGINT) AS n_head,
+      |  round(coalesce(list_sum(list_transform(embedding[1:(vec_id % 5)], x -> x::DOUBLE)), 0.0), 6) AS head_sum
+      |FROM embeddings ORDER BY vec_id""".stripMargin)
+
   /** Bucketed tables + shuffle-free co-located join: both sides written
     * bucketBy(8, join key) ⇒ the sort-merge join reads pre-partitioned
     * buckets and the plan has NO Exchange on either side (asserted in
@@ -208,6 +242,7 @@ object ScanOps {
   val all: Map[String, OpQuery] = Map(
     "a9_sink_bucketed" -> a9_sink_bucketed,
     "a10_fits_ascii_source" -> a10_fits_ascii_source,
+    "a11_fits_varlen_source" -> a11_fits_varlen_source,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

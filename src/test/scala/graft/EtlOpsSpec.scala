@@ -115,6 +115,30 @@ class EtlOpsSpec extends SparkTestBase {
     assert(a.toSeq == e.toSeq)
   }
 
+  test("ingest with the fits2db DDL lifecycle: drop-create, append, truncate-reload") {
+    import graft.ingest.Ddl
+    val src = "/tmp/graft_test/ddl_ingest_src"
+    Tables.t(spark, sfDir, "region").write.mode("overwrite").parquet(src)
+    val url = "jdbc:derby:/tmp/graft_test/ddl_ingest_db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    // first load: DROP on a missing table must be tolerated (42Y55)
+    Convert.ingest(spark, src, "parquet", Convert.ConvertSpec(), url,
+      sinkFormat = "jdbc", jdbcTable = "region_ddl",
+      jdbcDdl = Some((Ddl.Derby, Ddl.DropCreate)))
+    assert(spark.read.jdbc(url, "\"region_ddl\"", props).count() == 5)
+
+    // truncate-reload: same table, rows replaced not doubled
+    Convert.ingest(spark, src, "parquet", Convert.ConvertSpec(), url,
+      sinkFormat = "jdbc", jdbcTable = "region_ddl",
+      jdbcDdl = Some((Ddl.Derby, Ddl.TruncateLoad)))
+    val back = spark.read.jdbc(url, "\"region_ddl\"", props)
+    assert(back.count() == 5, "TruncateLoad must clear before append")
+    assert(back.columns.toSeq == Seq("r_regionkey", "r_name"),
+      "our DDL (lowercase, case-exact) defines the table, not Spark's writer")
+  }
+
   test("Convert.addStablePkey assigns a dense 1..n key") {
     val df = Tables.t(spark, sfDir, "customer").repartition(7)
     val out = Convert.addStablePkey(df)
