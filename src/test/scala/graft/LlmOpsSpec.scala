@@ -65,6 +65,16 @@ class LlmOpsSpec extends SparkTestBase {
       }
   }
 
+  test("i19 multi-probe stays an equi-join (no nested-loop all-pairs)") {
+    val df = LlmOps.i19_sim_ann_lsh.fn(spark, sfDir)
+    df.count() // materialize so AQE settles the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"multi-probe must not degrade to an all-pairs join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/merge equi-join on the probe bucket:\n$plan")
+  }
+
   test("i13 IVF ANN probed top-k is a subset of the i6 exact pair space") {
     // ANN must never fabricate similarity: every (query=42, vec) hit from
     // the probed cells must score exactly what brute force computes for it.
