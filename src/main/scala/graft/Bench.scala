@@ -48,10 +48,16 @@ object Bench {
     // sbt's trailer, got null). Belt and braces: (a) a dedicated file a
     // consumer can read unambiguously, (b) stop Spark FIRST so no executor
     // shutdown lines land after the JSON, then print it as our last line.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // A SPARK_GRAFT_ONLY profiling subset must not overwrite the official
+    // record at the DEFAULT path (a 2-query "total" would masquerade as
+    // the full run) — subset runs only write when given an explicit path.
+    val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("/tmp/graft_bench.json") else None)
+    outFile.foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
+    }
     spark.stop()
     println(json)
   }

@@ -285,11 +285,14 @@ object FitsFormat {
     * accepted for D columns.
     */
   def decodeAsciiField(rowChars: String, c: AsciiColSpec): Any = {
-    val s = rowChars.substring(c.start0,
-      math.min(c.start0 + c.width, rowChars.length)).trim
+    val raw = rowChars.substring(c.start0,
+      math.min(c.start0 + c.width, rowChars.length))
+    val s = raw.trim
     if (s.isEmpty || c.tnullStr.contains(s)) null
     else c.code match {
-      case 'A' => s
+      // character fields: only TRAILING blanks are insignificant (FITS
+      // 4.0); leading spaces are data and must survive
+      case 'A' => raw.replaceAll("\\s+$", "")
       case 'I' =>
         val v = s.toLong
         if (c.hasScaling) v * c.scale.getOrElse(1.0) + c.zero.getOrElse(0.0) else v

@@ -61,7 +61,15 @@ object FitsWriter {
       arrayLens: Map[String, Int] = Map.empty,
       varCols: Map[String, Char] = Map.empty,
       tdims: Map[String, Seq[Int]] = Map.empty): Unit = {
-    varCols.values.foreach(d => require(d == 'P' || d == 'Q', s"varCols descriptor must be P or Q, got $d"))
+    varCols.foreach { case (n, d) =>
+      require(d == 'P' || d == 'Q', s"varCols descriptor must be P or Q, got $d")
+      // a varCols key that is not an array column would reserve descriptor
+      // bytes in widthOf but write through the scalar branch — record
+      // corruption. Validate up front.
+      require(schema.fields.exists(f => f.name == n &&
+          f.dataType.isInstanceOf[ArrayType]),
+        s"varCols('$n') must name an ArrayType column of the schema")
+    }
     tdims.foreach { case (n, dims) =>
       require(arrayLens.get(n).forall(_ == dims.product),
         s"TDIM ${dims.mkString("(", ",", ")")} product != arrayLens($n)") }
@@ -214,7 +222,9 @@ object FitsWriter {
         val sb = new StringBuilder
         schema.fields.zipWithIndex.foreach { case (f, i) =>
           val w = widths(i)
-          val cell = f.dataType match {
+          // SQL NULL → all-blank field, which the reader (and the FITS
+          // convention) decodes back to NULL — the pair round-trips nulls.
+          val cell = if (r.isNullAt(i)) " " * w else f.dataType match {
             case StringType =>
               val s = r.getString(i)
               require(s.length <= w, s"'$s' exceeds A$w in ${f.name}")

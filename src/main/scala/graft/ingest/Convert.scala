@@ -152,8 +152,9 @@ object Convert {
         jdbcDdl match {
           case Some((dialect, mode)) =>
             prepareJdbcTable(sinkPath, jdbcTable, out.schema, dialect, mode)
-            // quoted: our DDL created a case-exact identifier
-            out.write.mode("append").jdbc(sinkPath, s"\"$jdbcTable\"", props)
+            // quoted with the DIALECT's quoting (mysql backticks, not "")
+            // to hit the case-exact identifier our DDL created
+            out.write.mode("append").jdbc(sinkPath, dialect.quote(jdbcTable), props)
           case None =>
             out.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
         }

@@ -178,7 +178,13 @@ object ScanOps {
     */
   val a11_fits_varlen_source = OpQuery(
     (s, d) => {
-      val fitsPath = graft.Util.scratch("emb_varlen.fits")
+      // per-sfDir fixture name: FitsTable memoizes header specs per (path,
+      // extnum) for the JVM lifetime, and THIS fixture's NAXIS2/heap vary
+      // with the scale factor — reusing one path would serve a stale spec
+      // when two SFs run in the same JVM (nation/region in a7/a10 are
+      // constant-size, so only a11 needs this).
+      val fitsPath = graft.Util.scratch(
+        s"emb_varlen_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
           expr("slice(embedding, 1, CAST(vec_id % 5 AS INT))").as("head_var"))

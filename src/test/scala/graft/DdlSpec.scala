@@ -165,12 +165,13 @@ class DdlSpec extends SparkTestBase {
   }
 
   test("unknown dialect and unmappable type fail loudly") {
-    intercept[IllegalArgumentException] {
-      Ddl.statements(StructType(Nil), "t",
-        Ddl.dialects.getOrElse("oracle",
-          throw new IllegalArgumentException("unknown dialect 'oracle'")),
-        Create)
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("x", IntegerType))))
+    val e = intercept[IllegalArgumentException] {
+      Ddl.forFrame(df, "t", "oracle") // library's own unknown-dialect path
     }
+    assert(e.getMessage.contains("unknown dialect"))
     intercept[IllegalArgumentException] {
       Ddl.createTable(StructType(Seq(
         StructField("m", MapType(StringType, IntegerType)))), "t", Ddl.Postgres)

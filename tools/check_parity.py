@@ -117,6 +117,8 @@ def diag_diff(name, con, sql, dump_dir):
     o_types = {c: str(oracle.schema.field(c).type) for c in cols}
     s_types = {c: str(spark.schema.field(c).type) for c in cols if c in spark.column_names}
     tdiff = {c: (o_types[c], s_types.get(c)) for c in cols if o_types[c] != s_types.get(c)}
+    if len(op) != len(sp):
+        return f"  diag: ROW COUNT differs: oracle={len(op)} spark={len(sp)}; typediff={tdiff}"
     for i, (orow, srow) in enumerate(zip(op, sp)):
         if orow != srow:
             return f"  diag: first value diff at sorted row {i}:\n    oracle={orow!r}\n    spark ={srow!r}\n    typediff={tdiff}"
