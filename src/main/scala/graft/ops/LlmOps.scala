@@ -362,21 +362,87 @@ object LlmOps {
     },
     None)
 
+  /** Spark round(x, 6) semantics (BigDecimal HALF_UP) for kernel-side
+    * rounding — local ordering/thresholding must use the exact value the
+    * final projection would show, or block-local pruning could disagree
+    * with the global order on round-ties.
+    */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Block-partitioned all-pairs kernel — the scale path for dense pairwise
+    * similarity (replaces the r1 BroadcastNestedLoop row-at-a-time join).
+    * Vectors group into id-range blocks; the tiny block table self-joins on
+    * blk_a ≤ blk_b (√n-ish blocks ⇒ O(blocks²) coarse rows, each a dense
+    * primitive loop over ≤ width² pairs); the kernel returns only survivors
+    * (top-k / τ-matches), so almost nothing explodes. Shuffle volume is
+    * O(n·blocks·dim) — at 100 TB the block pairs are the parallel unit and
+    * each executor runs a cache-friendly dense loop instead of 2M join rows.
+    * Summation order inside the loop matches DotProduct (sequential k), so
+    * results are bit-identical to the r1 plan and the unchanged oracle.
+    */
+  private def blockedPairs(e: DataFrame, blockWidth: Int,
+      kernel: (Array[Long], Array[Array[Float]], Array[Long], Array[Array[Float]])
+        => Seq[(Long, Long, Double)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    val blocks = e
+      .select(floor(col("vec_id") / blockWidth).cast(IntegerType).as("blk"),
+        col("vec_id"), col("embedding"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("embedding"))).as("vs"))
+    val a = blocks.select(col("blk").as("blk_a"), col("vs").as("vs_a"))
+    val b = blocks.select(col("blk").as("blk_b"), col("vs").as("vs_b"))
+    val kernelUdf = udf { (va: Seq[Row], vb: Seq[Row]) =>
+      def unpack(v: Seq[Row]) = {
+        val ids = new Array[Long](v.length)
+        val vecs = new Array[Array[Float]](v.length)
+        var i = 0
+        v.foreach { r =>
+          ids(i) = r.getLong(0); vecs(i) = r.getSeq[Float](1).toArray; i += 1
+        }
+        (ids, vecs)
+      }
+      val (ia, ea) = unpack(va)
+      val (ib, eb) = unpack(vb)
+      kernel(ia, ea, ib, eb)
+    }
+    a.join(b, col("blk_a") <= col("blk_b"))
+      .select(explode(kernelUdf(col("vs_a"), col("vs_b"))).as("p"))
+      .select(col("p._1").as("a_id"), col("p._2").as("b_id"), col("p._3").as("sim"))
+  }
+
+  /** Sequential-k dot, identical accumulation order to DotProduct. */
+  private def dotArr(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var k = 0
+    while (k < n) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+    s
+  }
+
   /** i12: embedding-cosine near-dup (vectors L2-normalized ⇒ cosine ≡ dot).
     * τ = 0.4 is fixture-calibrated (max pairwise sim ≈ 0.51); production
     * would use ~0.95 — the shape, not the constant, is the operator.
+    * Blocked kernel (see blockedPairs): τ-filter inside the dense loop.
     */
   val i12_dedup_embcos = OpQuery(
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim", dot(col("ea"), col("eb")))
-        .filter(col("sim") >= 0.4)
-        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
-        .orderBy("a_id", "b_id")
-    },
+    (s, d) => blockedPairs(t(s, d, "embeddings"), 512, (ia, ea, ib, eb) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ia.length) {
+        var j = 0
+        while (j < ib.length) {
+          if (ia(i) < ib(j)) {
+            val sim = dotArr(ea(i), eb(j)) // raw τ-test, rounded output (r1 parity)
+            if (sim >= 0.4) out += ((ia(i), ib(j), round6(sim)))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }).orderBy("a_id", "b_id"),
     s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -385,18 +451,40 @@ object LlmOps {
 
   // -------- similarity search ----------------------------------------------
 
-  /** i6: brute-force top-k most-similar pairs (native codegen'd dot). */
+  /** i6: exact top-k most-similar pairs via the blocked kernel: each block
+    * pair keeps its LOCAL top-20 under the final (sim desc, a_id, b_id)
+    * order — a global top-20 member beats all but <20 pairs globally, so
+    * a fortiori it is in its own block pair's top-20 ⇒ lossless.
+    */
   val i6_sim_pairwise_topk = OpQuery(
-    (s, d) => {
-      val e = t(s, d, "embeddings")
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim", round(dot(col("ea"), col("eb")), 6))
-        .select("a_id", "b_id", "sim")
-        .orderBy(desc("sim"), asc("a_id"), asc("b_id"))
-        .limit(20)
-    },
+    (s, d) => blockedPairs(t(s, d, "embeddings"), 512, (ia, ea, ib, eb) => {
+      // bounded top-k: a max-at-top (worst-first) heap of size 20, so the
+      // dense loop never materializes the block pair's full pair set
+      val worstFirst = Ordering.by[(Long, Long, Double), (Double, Long, Long)] {
+        case (a, b, sim) => (-sim, a, b) // pq.head = LARGEST key = worst pair
+      }
+      val pq = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Double)](worstFirst)
+      var i = 0
+      while (i < ia.length) {
+        var j = 0
+        while (j < ib.length) {
+          if (ia(i) < ib(j)) {
+            val raw = dotArr(ea(i), eb(j))
+            // primitive pre-filter: raw ≤ head.rounded − 1e-6 ⇒
+            // round6(raw) < head.rounded ⇒ strictly worse — skip without
+            // allocating (round6's BigDecimal per pair was the hot cost)
+            if (pq.size < 20) pq.enqueue((ia(i), ib(j), round6(raw)))
+            else if (raw > pq.head._3 - 1e-6) {
+              val cand = (ia(i), ib(j), round6(raw))
+              if (worstFirst.lt(cand, pq.head)) { pq.dequeue(); pq.enqueue(cand) }
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      pq.toSeq
+    }).orderBy(desc("sim"), asc("a_id"), asc("b_id")).limit(20),
     s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  round(${dotSql("a.embedding", "b.embedding")}, 6) AS sim
        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
