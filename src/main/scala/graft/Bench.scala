@@ -22,8 +22,14 @@ object Bench {
     // same harness/warm-up (official runs leave it unset).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty = unset, not "run nothing"
     val selected = only match {
-      case Some(keys) => SparkEntry.queries.filter(kv => keys(kv._1))
+      case Some(keys) =>
+        // a typo'd key would otherwise yield a vacuous 0-second "total"
+        val unknown = keys -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_ONLY keys not in SparkEntry.queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.filter(kv => keys(kv._1))
       case None => SparkEntry.queries
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -71,8 +71,14 @@ object FitsWriter {
         s"varCols('$n') must name an ArrayType column of the schema")
     }
     tdims.foreach { case (n, dims) =>
-      require(arrayLens.get(n).forall(_ == dims.product),
-        s"TDIM ${dims.mkString("(", ",", ")")} product != arrayLens($n)") }
+      // must name a FIXED array column whose declared repeat equals the
+      // shape product — a vacuous pass here would write TFORM '1E' with
+      // TDIM '(3,2)' and every read would then fail in tableSpec
+      require(schema.fields.exists(f => f.name == n &&
+          f.dataType.isInstanceOf[ArrayType]) && !varCols.contains(n),
+        s"tdims('$n') must name a fixed ArrayType column of the schema")
+      require(arrayLens.getOrElse(n, 1) == dims.product,
+        s"TDIM ${dims.mkString("(", ",", ")")} product != arrayLens($n) = ${arrayLens.getOrElse(n, 1)}") }
     val out = new DataOutputStream(new FileOutputStream(path))
     try {
       // Primary HDU: no data.
@@ -107,6 +113,11 @@ object FitsWriter {
             case ArrayType(et, _) if varCols.contains(f.name) =>
               val (_, w, put) = elem(et)
               val xs = r.getSeq[Any](i)
+              // FITS var-length cells have no NULL distinct from count-0;
+              // fail loudly instead of NPE-ing mid-write (truncated file)
+              require(xs != null,
+                s"NULL var-length cell in ${f.name}: FITS cannot represent " +
+                  "it distinctly from an empty array — map to Seq.empty first")
               val off = heap.size().toLong
               val eb = ByteBuffer.allocate(xs.length * w)
               xs.foreach(put(eb, _))
@@ -228,13 +239,23 @@ object FitsWriter {
             case StringType =>
               val s = r.getString(i)
               require(s.length <= w, s"'$s' exceeds A$w in ${f.name}")
+              // blank-padded fields cannot represent "" / all-blank /
+              // trailing-space values distinctly (reader: blank→NULL,
+              // trailing blanks insignificant) — reject what can't
+              // round-trip rather than silently corrupt
+              require(s.trim.nonEmpty && s == s.replaceAll("\\s+$", ""),
+                s"'$s' in ${f.name} would not round-trip through a blank-padded A field " +
+                  "(empty/all-blank/trailing-whitespace); use NULL or trim first")
               s.padTo(w, ' ')
             case ShortType | IntegerType | LongType =>
               val s = String.valueOf(r.getAs[Number](i).longValue)
               require(s.length <= w, s"$s exceeds I$w in ${f.name}")
               (" " * (w - s.length)) + s
             case _ =>
-              val s = s"%$dw.${dd}f".format(r.getAs[Number](i).doubleValue).trim
+              // Locale.ROOT: a comma-decimal default locale (de_DE…) would
+              // write '2,5' — invalid FITS and unparseable on read-back
+              val s = String.format(java.util.Locale.ROOT,
+                s"%$dw.${dd}f", r.getAs[Number](i).doubleValue).trim
               require(s.length <= w, s"$s exceeds F$dw.$dd in ${f.name}")
               (" " * (w - s.length)) + s
           }
