@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, IntersectCountSorted}
+import graft.functions.{DotProduct, IntersectCountSorted, LshBucket64}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -28,7 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((c: Seq[Expression]) => DotProduct(c(0), c(1))),
-    "intersect_count" -> ((c: Seq[Expression]) => IntersectCountSorted(c(0), c(1))))
+    "intersect_count" -> ((c: Seq[Expression]) => IntersectCountSorted(c(0), c(1))),
+    "vec_lsh_bucket" -> ((c: Seq[Expression]) => LshBucket64(c(0))))
 
   /** Same registrations on an already-running session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

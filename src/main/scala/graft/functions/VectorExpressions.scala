@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
@@ -140,6 +140,72 @@ case class IntersectCountSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 8-bit sign-LSH bucket of an embedding (i19): bit j is the sign of the
+  * dot with pseudo-random hyperplane j, hp(j)(k) = ((j·64+k)·2654435761
+  * mod 1000003)/1000003 − 0.5 — a multiplicative-hash formula any engine
+  * reproduces exactly in double arithmetic (no RNG), so bucket ids are
+  * cross-engine deterministic. One narrow codegen'd loop replaces the
+  * nested aggregate(sequence(...)) HOF pair, whose per-row lambda
+  * interpretation measured ~1 s at sf0.1.
+  */
+case class LshBucket64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "vec_lsh_bucket"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), 64)
+    var bucket = 0L
+    var j = 0
+    while (j < 8) {
+      var s = 0.0
+      var k = 0
+      while (k < n) { // same accumulation order as the SQL/oracle formula
+        if (!a.isNullAt(k)) {
+          s += a.getFloat(k).toDouble *
+            (((j * 64 + k) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
+        }
+        k += 1
+      }
+      if (s > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val b = ctx.freshName("b")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), 64);
+         |long $b = 0L;
+         |for (int $j = 0; $j < 8; $j++) {
+         |  double $s = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    if (!$a.isNullAt($k)) {
+         |      $s += ((double) $a.getFloat($k)) *
+         |        ((double) (($j * 64 + $k) * 2654435761L % 1000003L) / 1000003.0 - 0.5);
+         |    }
+         |  }
+         |  if ($s > 0) $b |= (1L << $j);
+         |}
+         |${ev.value} = $b;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket64 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level entry point: cosine ≡ dot on L2-normalized vectors. */
   def dot(a: Column, b: Column): Column =
@@ -148,4 +214,8 @@ object VectorFunctions {
   /** Intersection cardinality of two sorted, distinct array<bigint>s. */
   def intersectCount(a: Column, b: Column): Column =
     Bridge.column(IntersectCountSorted(Bridge.expression(a), Bridge.expression(b)))
+
+  /** 8-hyperplane sign-LSH bucket id (i19). */
+  def lshBucket(a: Column): Column =
+    Bridge.column(LshBucket64(Bridge.expression(a)))
 }

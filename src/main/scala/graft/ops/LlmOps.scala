@@ -586,14 +586,15 @@ object LlmOps {
   val i19_sim_ann_lsh = OpQuery(
     (s, d) => {
       val e = t(s, d, "embeddings")
-      // hp(j)(k) = ((j*64+k)*2654435761 mod 1000003)/1000003 - 0.5
-      val bucketExpr = expr(
-        """aggregate(sequence(0, 7), 0L, (acc, j) ->
-          |  acc + CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
-          |    (sacc, k) -> sacc + embedding[k] *  -- Spark [] is 0-based; DuckDB's is 1-based
-          |      (CAST((j * 64 + k) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
-          |  ) > 0 THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
-      val bucketed = e.withColumn("bucket", bucketExpr)
+      // hp(j)(k) = ((j*64+k)*2654435761 mod 1000003)/1000003 - 0.5 —
+      // one codegen'd loop (LshBucket64) instead of the nested
+      // aggregate(sequence(...)) HOF pair. Bit-identical to the HOF (and
+      // the oracle's formula) by VectorExpressionsSpec; measured neutral
+      // on i19's total at sf0.1 (the query's cost is join+top-k, not the
+      // bucket pass) — kept for the narrower plan and SQL surface
+      // (vec_lsh_bucket via GraftExtensions).
+      val bucketed = e.withColumn("bucket",
+        graft.functions.VectorFunctions.lshBucket(col("embedding")))
       // 9 probe keys: the query bucket XOR {0, 1, 2, 4, ..., 128}. Distinct
       // masks ⇒ distinct probe values ⇒ each corpus bucket matches ≤ 1 probe
       // (no dedup needed), and the probe join stays a broadcast equi-join.

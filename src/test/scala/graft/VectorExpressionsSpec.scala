@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.VectorFunctions.{dot, intersectCount}
+import graft.functions.VectorFunctions.{dot, intersectCount, lshBucket}
 import org.apache.spark.sql.functions._
 import scala.util.Random
 
@@ -53,5 +53,24 @@ class VectorExpressionsSpec extends SparkTestBase {
       assert(df.select(dot(col("a"), col("b"))).collect()(0).getDouble(0) == 11.0)
       assert(df.select(intersectCount(col("x"), col("y"))).collect()(0).getInt(0) == 2)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("LshBucket64 equals the HOF formula on real embeddings (both eval paths)") {
+    // the i19 oracle recomputes buckets with this exact double arithmetic —
+    // the codegen expression must match it bit-for-bit on every vector
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val hof = org.apache.spark.sql.functions.expr(
+      """aggregate(sequence(0, 7), 0L, (acc, j) ->
+        |  acc + CASE WHEN aggregate(sequence(0, 63), CAST(0.0 AS DOUBLE),
+        |    (sacc, k) -> sacc + embedding[k] *
+        |      (CAST((j * 64 + k) * 2654435761 % 1000003 AS DOUBLE) / 1000003.0 - 0.5)
+        |  ) > 0 THEN CAST(shiftleft(1L, CAST(j AS INT)) AS BIGINT) ELSE 0L END)""".stripMargin)
+    def mismatches() = e
+      .select(lshBucket(col("embedding")).as("fast"), hof.as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mismatches() == 0, "codegen path disagrees with HOF formula")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(mismatches() == 0, "interpreted path disagrees with HOF formula")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 }
