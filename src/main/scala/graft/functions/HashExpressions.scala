@@ -143,9 +143,87 @@ case class SimHash64(child: Expression) extends SignatureExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct 2-gram shingle hashes straight from the token array:
+  * hash each token's UTF-8 bytes once (xxhash64), mix consecutive pairs,
+  * sort, dedup in place — one compiled pass per row producing the
+  * array<bigint> that i5/i10 intersect and minhash.
+  *
+  * The composed pipeline this replaces (concat shingle strings →
+  * array_distinct over strings → xxhash64 per string → sort_array)
+  * allocates one UTF8String per shingle and dedups via a string hash set;
+  * here the only allocation is the output long[]. Hash VALUES differ from
+  * the string formulation (pair-mix vs hash-of-concat) — that is internal:
+  * both sides of every jaccard use the same representation, and collisions
+  * (~|sh|²/2⁶⁴) are as negligible as before. Docs with < 2 tokens yield an
+  * empty set (same guard as the string `shingles`).
+  */
+case class ShingleHashSet(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "shingle_hash_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> (tokens), got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashSet.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashSet.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSet =
+    copy(child = newChild)
+}
+
+object ShingleHashSet {
+  /** Static entry point shared by eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.emptyLongArray)
+    // per-token hash of the UTF-8 bytes, one pass
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (arr.isNullAt(i)) 0L
+        else {
+          val s = arr.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
+        }
+      i += 1
+    }
+    // pair mix: xxhash64-style avalanche over (h_i, h_{i+1})
+    val out = new Array[Long](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
+        th(i), th(i + 1)) // second hash as the seed: order-sensitive mix
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // dedup in place on the sorted array
+    var w = 1
+    i = 1
+    while (i < out.length) {
+      if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (w == out.length) out
+      else java.util.Arrays.copyOf(out, w))
+  }
+}
+
 object HashFunctions {
   def minhashSignature(hashedElems: Column): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashedElems)))
   def simhash64(hashedTokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(hashedTokens)))
+  /** Sorted distinct consecutive-pair shingle hashes from a token array. */
+  def shingleHashSet(tokens: Column): Column =
+    Bridge.column(ShingleHashSet(Bridge.expression(tokens)))
 }

@@ -215,24 +215,24 @@ object LlmOps {
     * All-pairs form = the sf-scale oracle-checkable semantics; i10 is the
     * LSH encoding of the same predicate for scale.
     */
-  /** Hashed-shingle representation: xxhash64 each distinct shingle once per
-    * doc, sorted — so the per-pair work is an allocation-free two-pointer
-    * merge (IntersectCountSorted) instead of a per-pair string hash set.
+  /** Hashed-shingle representation: ShingleHashSet computes the sorted
+    * distinct 2-gram hash array in ONE compiled pass over the tokens (no
+    * shingle strings, no string-set distinct — see HashExpressions), so
+    * the per-pair work is an allocation-free two-pointer merge
+    * (IntersectCountSorted) instead of a per-pair string hash set.
     * Hash collisions (~|sh|²/2⁶⁴) are negligible vs the string-set oracle.
     */
-  private val hashedShingles: Column =
-    sort_array(transform(col("shs"), tk => xxhash64(lit(1), tk)))
-
   val i5_dedup_near_jaccard = OpQuery(
     (s, d) => {
       import graft.functions.VectorFunctions.intersectCount
+      import graft.functions.HashFunctions.shingleHashSet
       // Size-band blocking is LOSSLESS at τ=0.8: jac ≥ 0.8 ⇒ |A∩B| ≥
       // 0.8·|A∪B| ⇒ min(|A|,|B|)/max(|A|,|B|) ≥ 0.8 = 1/1.25, so two
       // qualifying sets sit in the same or adjacent log₁.₂₅ size bands.
       // Banding turns the lang-only O(n²/langs) join into a (lang, band)
       // equi-join — the blocking pattern that survives a 100× scale-up.
-      val sh = withToks(t(s, d, "documents")).withColumn("shs", shingles)
-        .select(col("doc_id"), col("lang"), hashedShingles.as("sh"))
+      val sh = withToks(t(s, d, "documents"))
+        .select(col("doc_id"), col("lang"), shingleHashSet(toks).as("sh"))
         // shingle-less docs can't reach any positive jaccard, and an
         // empty-vs-empty pair would be 0/0 (ANSI divide error) — drop them.
         .filter(size(col("sh")) > 0)
@@ -283,20 +283,20 @@ object LlmOps {
   val i10_dedup_minhash_lsh = OpQuery(
     (s, d) => {
       import graft.functions.VectorFunctions.intersectCount
-      import graft.functions.HashFunctions.minhashSignature
+      import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
       val docs = t(s, d, "documents")
       // The full 64-permutation signature is ONE narrow codegen'd expression
       // over the hashed shingle array (graft.functions.MinHashSignature) —
       // no explode, no shuffle, no aggregation state. The explode+64×min()
       // formulation costs a shuffle and measured ~7s at sf0.1; this is a
-      // map-only pass.
+      // map-only pass. Shingle hashes come from the same one-pass
+      // ShingleHashSet as i5 (already sorted distinct).
       // One shared, materialized frame feeds BOTH the signature branch and
       // the verification branch — localCheckpoint stops the tokenize→
       // shingle→hash pipeline (the expensive map-side work) from running
       // twice. ~n_docs rows of (id, 50 longs): tiny.
-      val base = withToks(docs).withColumn("shs", shingles)
-        .select(col("doc_id"),
-          transform(col("shs"), tk => xxhash64(lit(1), tk)).as("hs"))
+      val base = withToks(docs)
+        .select(col("doc_id"), shingleHashSet(toks).as("hs"))
         .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
         .localCheckpoint()
       val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
@@ -310,7 +310,7 @@ object LlmOps {
       val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
       // Exact verification of the (tiny) candidate set, from the same base.
-      val sh = base.select(col("doc_id"), sort_array(col("hs")).as("sh"))
+      val sh = base.select(col("doc_id"), col("hs").as("sh")) // already sorted distinct
       cand
         .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
         .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
