@@ -4,6 +4,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // validate the subset filter BEFORE paying session startup + warm-up:
+    // a typo'd key should fail in milliseconds, not after ~15 s of init
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty) // set-but-empty = unset, not "run nothing"
+    only.foreach { keys =>
+      val unknown = keys -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY keys not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -19,17 +29,9 @@ object Bench {
       spark.range(1000).localCheckpoint().count()
     } catch { case _: Throwable => () }
     // Profiling aid: SPARK_GRAFT_ONLY=i5_x,i10_y runs a subset under the
-    // same harness/warm-up (official runs leave it unset).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty) // set-but-empty = unset, not "run nothing"
+    // same harness/warm-up (official runs leave it unset; validated above).
     val selected = only match {
-      case Some(keys) =>
-        // a typo'd key would otherwise yield a vacuous 0-second "total"
-        val unknown = keys -- SparkEntry.queries.keySet
-        require(unknown.isEmpty,
-          s"SPARK_GRAFT_ONLY keys not in SparkEntry.queries: ${unknown.mkString(", ")}")
-        SparkEntry.queries.filter(kv => keys(kv._1))
+      case Some(keys) => SparkEntry.queries.filter(kv => keys(kv._1))
       case None => SparkEntry.queries
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]

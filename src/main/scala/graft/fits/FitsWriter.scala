@@ -109,15 +109,17 @@ object FitsWriter {
       rows.foreach { r =>
         buf.clear()
         schema.fields.zipWithIndex.foreach { case (f, i) =>
+          // BINTABLE NULLs need TNULL sentinels, which this writer does
+          // not emit — fail loudly up front for EVERY branch rather than
+          // NPE mid-write and leave a truncated file on disk (var-length
+          // cells additionally have no NULL distinct from count-0).
+          require(!r.isNullAt(i),
+            s"NULL cell in ${f.name}: this writer emits no TNULL sentinels" +
+              " — filter or fill nulls before writing")
           f.dataType match {
             case ArrayType(et, _) if varCols.contains(f.name) =>
               val (_, w, put) = elem(et)
               val xs = r.getSeq[Any](i)
-              // FITS var-length cells have no NULL distinct from count-0;
-              // fail loudly instead of NPE-ing mid-write (truncated file)
-              require(xs != null,
-                s"NULL var-length cell in ${f.name}: FITS cannot represent " +
-                  "it distinctly from an empty array — map to Seq.empty first")
               val off = heap.size().toLong
               val eb = ByteBuffer.allocate(xs.length * w)
               xs.foreach(put(eb, _))

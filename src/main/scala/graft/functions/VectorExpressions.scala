@@ -159,22 +159,31 @@ case class LshBucket64(child: Expression) extends UnaryExpression {
       s"$prettyName expects array<float>, got $t")
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), 64)
+  // A short (<64) or null-bearing vector has no well-defined bucket under
+  // the reference formula (the HOF errors on a short array under ANSI and
+  // NULL-poisons the sums on a null element) — return NULL rather than
+  // a silently different bucket. NaN sums follow Spark's ordering, where
+  // NaN > 0 is TRUE.
+  override def nullable: Boolean = true
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return null
+    val a = v.asInstanceOf[ArrayData]
+    if (a.numElements() < 64) return null
+    var k = 0
+    while (k < 64) { if (a.isNullAt(k)) return null; k += 1 }
     var bucket = 0L
     var j = 0
     while (j < 8) {
       var s = 0.0
-      var k = 0
-      while (k < n) { // same accumulation order as the SQL/oracle formula
-        if (!a.isNullAt(k)) {
-          s += a.getFloat(k).toDouble *
-            (((j * 64 + k) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
-        }
+      k = 0
+      while (k < 64) { // same accumulation order as the SQL/oracle formula
+        s += a.getFloat(k).toDouble *
+          (((j * 64 + k) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5)
         k += 1
       }
-      if (s > 0) bucket |= (1L << j)
+      if (s > 0 || s.isNaN) bucket |= (1L << j)
       j += 1
     }
     bucket
@@ -182,23 +191,30 @@ case class LshBucket64(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val n = ctx.freshName("n"); val b = ctx.freshName("b")
+      val b = ctx.freshName("b")
       val j = ctx.freshName("j"); val k = ctx.freshName("k")
-      val s = ctx.freshName("s")
+      val s = ctx.freshName("s"); val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), 64);
-         |long $b = 0L;
-         |for (int $j = 0; $j < 8; $j++) {
-         |  double $s = 0.0;
-         |  for (int $k = 0; $k < $n; $k++) {
-         |    if (!$a.isNullAt($k)) {
+         |boolean $bad = $a.numElements() < 64;
+         |if (!$bad) {
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if ($a.isNullAt($k)) { $bad = true; break; }
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $b = 0L;
+         |  for (int $j = 0; $j < 8; $j++) {
+         |    double $s = 0.0;
+         |    for (int $k = 0; $k < 64; $k++) {
          |      $s += ((double) $a.getFloat($k)) *
          |        ((double) (($j * 64 + $k) * 2654435761L % 1000003L) / 1000003.0 - 0.5);
          |    }
+         |    if ($s > 0 || Double.isNaN($s)) $b |= (1L << $j);
          |  }
-         |  if ($s > 0) $b |= (1L << $j);
+         |  ${ev.value} = $b;
          |}
-         |${ev.value} = $b;
        """.stripMargin
     })
 

@@ -387,6 +387,10 @@ object LlmOps {
         => Seq[(Long, Long, Double)]): DataFrame = {
     import org.apache.spark.sql.Row
     val blocks = e
+      // r1-plan parity: dot(NULL, x) was NULL and fell out of the
+      // filter/orderBy; the kernel would instead NPE (null array) or
+      // fabricate id 0 (null vec_id unboxing) — drop such rows up front
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
       .select(floor(col("vec_id") / blockWidth).cast(IntegerType).as("blk"),
         col("vec_id"), col("embedding"))
       .groupBy("blk")

@@ -67,7 +67,10 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("i19 multi-probe stays an equi-join (no nested-loop all-pairs)") {
     val df = LlmOps.i19_sim_ann_lsh.fn(spark, sfDir)
-    df.count() // materialize so AQE settles the final plan
+    // collect() on THIS Dataset finalizes its own AdaptiveSparkPlan —
+    // count() would execute a different QueryExecution and leave df's
+    // adaptive plan un-finalized (assertions would see the initial plan)
+    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"multi-probe must not degrade to an all-pairs join:\n$plan")
