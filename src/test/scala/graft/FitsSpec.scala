@@ -432,6 +432,42 @@ class FitsSpec extends SparkTestBase {
       Seq(Some(42L), None, Some(7L)))
   }
 
+  test("writers reject what cannot round-trip: NULL cells, bad varCols/tdims") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("v", ArrayType(FloatType), nullable = true)))
+    // NULL cell in the binary writer → loud failure BEFORE bytes hit disk
+    val e1 = intercept[IllegalArgumentException] {
+      FitsWriter.write("/tmp/graft_test/null_cell.fits", schema,
+        Seq(Row(1, null)), arrayLens = Map("v" -> 2))
+    }
+    assert(e1.getMessage.contains("NULL cell"))
+    // varCols naming a scalar column would corrupt record layout
+    val e2 = intercept[IllegalArgumentException] {
+      FitsWriter.write("/tmp/graft_test/bad_var.fits", schema,
+        Seq.empty, varCols = Map("id" -> 'P'))
+    }
+    assert(e2.getMessage.contains("varCols"))
+    // tdims without a matching arrayLens used to pass vacuously
+    val e3 = intercept[IllegalArgumentException] {
+      FitsWriter.write("/tmp/graft_test/bad_tdim.fits", schema,
+        Seq.empty, tdims = Map("v" -> Seq(3, 2)))
+    }
+    assert(e3.getMessage.contains("TDIM"))
+    // ASCII writer: un-round-trippable strings rejected; NULLs accepted
+    val s2 = StructType(Seq(StructField("s", StringType, nullable = true)))
+    val e4 = intercept[IllegalArgumentException] {
+      FitsWriter.writeAscii("/tmp/graft_test/bad_str.fits", s2,
+        Seq(Row("trailing ")), strLens = Map("s" -> 10))
+    }
+    assert(e4.getMessage.contains("round-trip"))
+    val p = "/tmp/graft_test/ascii_null.fits"
+    FitsWriter.writeAscii(p, s2, Seq(Row("x"), Row(null)), strLens = Map("s" -> 4))
+    val back = spark.read.format("fits").load(p).collect()
+    assert(back(0).getString(0) == "x" && back(1).isNullAt(0),
+      "ASCII NULL cell must round-trip as NULL")
+  }
+
   test("TDIM incompatible with repeat count is rejected") {
     val e = intercept[IllegalArgumentException] {
       FitsFormat.tableSpec(Map(

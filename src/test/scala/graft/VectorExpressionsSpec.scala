@@ -55,6 +55,43 @@ class VectorExpressionsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("LshBucket64 returns NULL for short or null-bearing vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(Seq.fill(64)(0.5f))), // well-formed
+      (2L, Some(Seq.fill(32)(0.5f))), // short: formula undefined
+      (3L, None) // null vector
+    ).toDF("id", "embedding")
+    val out = df.select(col("id"), lshBucket(col("embedding")).as("b"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1))
+    assert(out(1).isNullAt(1), "short vector must yield NULL, not a partial bucket")
+    assert(out(2).isNullAt(1))
+  }
+
+  test("ShingleHashSet matches the composed string-shingle pipeline's set sizes") {
+    // collision-free on the corpus: |distinct pair hashes| must equal
+    // |distinct string shingles| for every document, and the two-pointer
+    // intersect counts must agree pairwise (spot-checked via i5's jaccard
+    // parity at sf0.1 — here we gate the per-doc set construction)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val composed = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shs", when(size(col("toks")) < 2, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(0), size(col("toks")) - 2),
+          i => concat(element_at(col("toks"), i + 1), lit(" "),
+            element_at(col("toks"), i + 2))))))
+      .select(col("doc_id"), size(col("shs")).as("n_str"))
+    val onepass = docs
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(graft.functions.HashFunctions.shingleHashSet(col("toks"))).as("n_hash"))
+    val diff = composed.join(onepass, "doc_id")
+      .filter(col("n_str") =!= col("n_hash")).count()
+    assert(diff == 0, "pair-hash distinct set diverges from string shingle set")
+  }
+
   test("LshBucket64 equals the HOF formula on real embeddings (both eval paths)") {
     // the i19 oracle recomputes buckets with this exact double arithmetic —
     // the codegen expression must match it bit-for-bit on every vector
