@@ -72,7 +72,68 @@ object MultimodalOps {
       |  array_to_string(list_transform(range(0, 8), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))), ',') AS frames
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** Per-partition "model" for m3 — the batch-inference shape: one
+    * instantiation per partition, rows stream through. The featurizer is a
+    * deterministic stand-in (16-bin byte histogram, normalized); swapping
+    * in a real encoder changes nothing in the plan.
+    */
+  class StubFeaturizer {
+    def embed(payload: Array[Byte]): Array[Double] = {
+      val counts = new Array[Long](16)
+      var i = 0
+      while (i < payload.length) {
+        counts((payload(i) & 0xff) % 16) += 1
+        i += 1
+      }
+      val n = math.max(payload.length, 1).toDouble
+      counts.map(_ / n)
+    }
+  }
+
+  /** m3: feature extraction over binary payloads — the missing brief
+    * bullet next to decode (m1) and frame-sample (m2). Plumbing identical
+    * to batch inference: `Dataset[BinDoc].mapPartitions` with one model
+    * per partition; fixed-width feature vector out, dumped as 16 scalar
+    * columns (driver comparator is scalar-only). Oracle recomputes the
+    * histogram from the characters — payloads are UTF-8 of pure-ASCII
+    * text, so byte values equal code points (verified on the corpus).
+    */
+  val m3_multimodal_feature_extract = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val bin = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[BinDoc]
+      val feats = bin.mapPartitions { it =>
+        val model = new StubFeaturizer() // one per partition
+        it.map(b => (b.doc_id, model.embed(b.payload)))
+      }.toDF("doc_id", "f")
+      feats.select(col("doc_id") +:
+        (0 until 16).map(i => round(col("f")(i), 6).as(s"f_$i")): _*)
+        .orderBy("doc_id")
+    },
+    "SELECT doc_id, " + (0 until 16).map(i =>
+      s"round(CAST(len(list_filter(range(1, strlen(text)+1), k -> ascii(substr(text,k,1)) % 16 = $i)) AS DOUBLE) / greatest(strlen(text), 1), 6) AS f_$i")
+      .mkString(", ") +
+      " FROM documents ORDER BY doc_id")
+
+  /** m4: resize — nearest-neighbor resample of the payload to a fixed
+    * 8-byte thumbnail (the image-resize shape on opaque bytes; codegen'd
+    * collection expression, dumped CSV-joined per the scalar-only rule).
+    */
+  val m4_multimodal_resize = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        expr("array_join(transform(sequence(0, 7), k -> cast(ascii(substr(text, cast((k * length(text)) div 8 AS INT) + 1, 1)) AS STRING)), ',')")
+          .as("resized"))
+      .orderBy("doc_id"),
+    """SELECT doc_id,
+      |  array_to_string(list_transform(range(0, 8), k -> ascii(substr(text, CAST(k * strlen(text) // 8 AS INT) + 1, 1))), ',') AS resized
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "m1_multimodal_decode_stub" -> m1_multimodal_decode_stub,
-    "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample)
+    "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
+    "m3_multimodal_feature_extract" -> m3_multimodal_feature_extract,
+    "m4_multimodal_resize" -> m4_multimodal_resize)
 }
