@@ -34,39 +34,59 @@ object Bench {
       case Some(keys) => SparkEntry.queries.filter(kv => keys(kv._1))
       case None => SparkEntry.queries
     }
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case scala.util.control.NonFatal(e) =>
-        // A failed query must be LOUD: a swallowed exception would read as
-        // a (fast) success and a regression would lower the total.
-        errors += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    // Co-tenant contention corrupted two official records (r1: i5=23 s,
+    // r2: j3=14.8 s — both ~0.5-2 s in isolated re-runs). In-JVM reps with
+    // a per-query MEDIAN make one official run contention-robust.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+      .max(1)
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val samples = (1 to reps).map { _ =>
+      selected.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
+        catch { case scala.util.control.NonFatal(e) =>
+          // A failed query must be LOUD: a swallowed exception would read
+          // as a (fast) success and a regression would lower the total.
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val results = selected.keys.map { name =>
+      name -> median(samples.map(_(name)))
+    }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    // r1's official record was lost to log interleaving (the driver parsed
-    // sbt's trailer, got null). Belt and braces: (a) a dedicated file a
-    // consumer can read unambiguously, (b) stop Spark FIRST so no executor
-    // shutdown lines land after the JSON, then print it as our last line.
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Sum is formatted compactly: the driver keeps only a 2000-char stdout
+    // TAIL, so the final line must be short enough to survive whole even
+    // with sbt's [success] trailer after it (r1+r2 lost the record because
+    // "metric":"total" sat at the HEAD of a >2000-char line).
+    val totalStr = f"$total%.3f"
+    val summary =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","errors":$errJson,"sf":"$sfDir","reps":$reps}"""
+    val detail =
+      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","reps":$reps}"""
+    // Belt and braces: (a) a dedicated file holds the full per-query
+    // detail, (b) stop Spark FIRST so no executor shutdown lines land
+    // after the JSON, then print the compact summary as our last line.
     // A SPARK_GRAFT_ONLY profiling subset must not overwrite the official
     // record at the DEFAULT path (a 2-query "total" would masquerade as
     // the full run) — subset runs only write when given an explicit path.
     val outFile = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(if (only.isEmpty) Some("/tmp/graft_bench.json") else None)
     outFile.foreach { f =>
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), json + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), detail + "\n")
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
     }
     spark.stop()
-    println(json)
+    println(summary)
   }
 }
