@@ -219,11 +219,15 @@ object FitsFormat {
       while (used(name)) { name = s"${rawName}_$k"; k += 1 }
       used += name
       // TDIMn = '(d1,d2,…)'; the standard requires the product to equal the
-      // repeat count — reject mismatches rather than mis-slice data.
-      val tdim = cards.get(s"TDIM$i").map { v =>
+      // repeat count — reject mismatches rather than mis-slice data. On a
+      // P/Q variable-length column FITS 4.0 §7.3.2 permits TDIMn as the
+      // max-cell shape; each cell's actual length is dynamic, so the card
+      // carries no layout information for us — ignore it (a require here
+      // rejected standard-conforming external files).
+      val tdim = cards.get(s"TDIM$i").filter(_ => varDesc.isEmpty).map { v =>
         val dims = v.trim.stripPrefix("(").stripSuffix(")")
           .split(",").map(_.trim.toInt).toSeq
-        require(varDesc.isEmpty && dims.product == repeat,
+        require(dims.product == repeat,
           s"TDIM$i=$v incompatible with TFORM$i=${cards(s"TFORM$i")}")
         dims
       }

@@ -1,15 +1,28 @@
 package graft.fits
 
-import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream}
+import java.io.{ByteArrayOutputStream, DataOutputStream, FileOutputStream, RandomAccessFile}
 import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
 
-/** Minimal BINTABLE writer — produces standard-conforming FITS files for
-  * round-trip tests and the a7 fixture (no FITS library exists in this
-  * container, SURVEY §0/§5). Driver-side only (collects rows — fixtures are
-  * small; bulk FITS *reading* is the distributed path, a7).
+/** BINTABLE / ASCII TABLE writer — produces standard-conforming FITS files
+  * (no FITS library exists in this container, SURVEY §0/§5).
+  *
+  * Two write paths share one row codec:
+  *  - `write` / `writeAscii`: driver-side, for small in-memory fixtures
+  *    (unit tests, header fuzzing).
+  *  - `writeDataFrame` / `writeAsciiDataFrame`: executor-side parallel
+  *    export. FITS fixed-width records make the layout exactly computable:
+  *    a stats pass collects per-partition (rowCount, heapBytes, varMax) —
+  *    numPartitions tuples, not data — the driver writes the header and
+  *    pre-sizes the file, then each partition writes its own byte range
+  *    (records and heap) through positioned channel writes. No row data
+  *    ever moves through the driver. Requires every task to see `path` on
+  *    a shared POSIX filesystem (true in local mode and on the Lustre/GPFS
+  *    mounts astronomy clusters export to; for object stores you would
+  *    write per-partition parts and compose — out of scope here).
   *
   * Writer/reader parity (FITS 4.0):
   *  - scalar codes L I J K E D, fixed char columns rA;
@@ -36,6 +49,9 @@ object FitsWriter {
     out.write(Array.fill(rem)(fill))
   }
 
+  private def blockPad(n: Long): Long =
+    (FitsFormat.BlockSize - n % FitsFormat.BlockSize) % FitsFormat.BlockSize
+
   /** Numeric element: (TFORM code, byte width, big-endian putter). */
   private def elem(dt: DataType): (Char, Int, (ByteBuffer, Any) => Unit) = dt match {
     case ShortType => ('I', 2, (b, v) => b.putShort(v.asInstanceOf[Short]))
@@ -47,20 +63,101 @@ object FitsWriter {
       s"FitsWriter: unsupported array element $other")
   }
 
-  /** Writes rows as a single-BINTABLE FITS file.
-    *  - `strLens`: char width per fixed string column (default 16).
-    *  - `arrayLens`: fixed repeat count per array column.
-    *  - `varCols`: array columns stored variable-length instead — name →
-    *    'P' (32-bit descriptors) or 'Q' (64-bit).
-    *  - `tdims`: multi-dim shape card per fixed array column, e.g.
-    *    Seq(3, 2) ⇒ TDIMn = '(3,2)' (first axis varies fastest). The
-    *    product must equal the column's `arrayLens` entry.
+  /** Row → record/heap bytes for one BINTABLE layout. Serializable so the
+    * executor-side path can encode rows where they live.
     */
-  def write(path: String, schema: StructType, rows: Seq[Row],
-      strLens: Map[String, Int] = Map.empty,
-      arrayLens: Map[String, Int] = Map.empty,
-      varCols: Map[String, Char] = Map.empty,
-      tdims: Map[String, Seq[Int]] = Map.empty): Unit = {
+  private[fits] final class BinCodec(
+      val schema: StructType,
+      strLens: Map[String, Int],
+      arrayLens: Map[String, Int],
+      varCols: Map[String, Char]) extends Serializable {
+
+    def widthOf(f: StructField): Int = f.dataType match {
+      case _ if varCols.contains(f.name) => if (varCols(f.name) == 'P') 8 else 16
+      case StringType => strLens.getOrElse(f.name, 16)
+      case ArrayType(e, _) => elem(e)._2 * arrayLens.getOrElse(f.name, 1)
+      case BooleanType => 1
+      case dt => elem(dt)._2
+    }
+
+    val rowBytes: Int = schema.fields.map(widthOf).sum
+
+    /** Var-length columns in schema order: (field index, elem width). */
+    private val varFields: Array[(Int, Int)] =
+      schema.fields.zipWithIndex.collect {
+        case (f, i) if varCols.contains(f.name) =>
+          (i, elem(f.dataType.asInstanceOf[ArrayType].elementType)._2)
+      }
+
+    /** Names of var-length columns, in schema order (varMax keying). */
+    val varNames: Array[String] =
+      schema.fields.map(_.name).filter(varCols.contains)
+
+    /** Element count of each var cell, aligned with `varNames`. */
+    def varLensOf(r: Row): Array[Long] =
+      varFields.map { case (i, _) => r.getSeq[Any](i).length.toLong }
+
+    /** Heap bytes this row contributes. */
+    def heapBytesOf(r: Row): Long =
+      varFields.foldLeft(0L) { case (acc, (i, w)) =>
+        acc + r.getSeq[Any](i).length.toLong * w
+      }
+
+    /** Encodes one row: record bytes into `buf` (caller clears), heap
+      * cells to `heapSink`; `heapRel` = this row's first heap byte
+      * relative to THEAP; returns the updated heapRel.
+      */
+    def encode(r: Row, buf: ByteBuffer, heapRel: Long,
+        heapSink: Array[Byte] => Unit): Long = {
+      var rel = heapRel
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        // BINTABLE NULLs need TNULL sentinels, which this writer does
+        // not emit — fail loudly up front for EVERY branch rather than
+        // NPE mid-write and leave a truncated file on disk (var-length
+        // cells additionally have no NULL distinct from count-0).
+        require(!r.isNullAt(i),
+          s"NULL cell in ${f.name}: this writer emits no TNULL sentinels" +
+            " — filter or fill nulls before writing")
+        f.dataType match {
+          case ArrayType(et, _) if varCols.contains(f.name) =>
+            val (_, w, put) = elem(et)
+            val xs = r.getSeq[Any](i)
+            val eb = ByteBuffer.allocate(xs.length * w)
+            xs.foreach(put(eb, _))
+            heapSink(eb.array())
+            if (varCols(f.name) == 'P') {
+              require(rel <= Int.MaxValue && xs.length <= Int.MaxValue,
+                s"heap too large for P descriptors in ${f.name}; use Q")
+              buf.putInt(xs.length); buf.putInt(rel.toInt)
+            } else { buf.putLong(xs.length.toLong); buf.putLong(rel) }
+            rel += xs.length.toLong * w
+          case BooleanType => buf.put((if (r.getBoolean(i)) 'T' else 'F').toByte)
+          case StringType =>
+            val w = strLens.getOrElse(f.name, 16)
+            val b = r.getString(i).getBytes(StandardCharsets.US_ASCII)
+            buf.put(b.take(w).padTo(w, ' '.toByte))
+          case ArrayType(et, _) =>
+            // Enforce the declared repeat: truncate long cells, zero-pad
+            // short ones (otherwise offsets shift / stale bytes leak).
+            val (_, w, put) = elem(et)
+            val n = arrayLens.getOrElse(f.name, 1)
+            val xs = r.getSeq[Any](i)
+            var k = 0
+            while (k < n) {
+              if (k < xs.length) put(buf, xs(k))
+              else buf.put(new Array[Byte](w))
+              k += 1
+            }
+          case dt => elem(dt)._3(buf, r.get(i))
+        }
+      }
+      rel
+    }
+  }
+
+  private def validateLayout(schema: StructType,
+      arrayLens: Map[String, Int], varCols: Map[String, Char],
+      tdims: Map[String, Seq[Int]]): Unit = {
     varCols.foreach { case (n, d) =>
       require(d == 'P' || d == 'Q', s"varCols descriptor must be P or Q, got $d")
       // a varCols key that is not an array column would reserve descriptor
@@ -78,194 +175,336 @@ object FitsWriter {
           f.dataType.isInstanceOf[ArrayType]) && !varCols.contains(n),
         s"tdims('$n') must name a fixed ArrayType column of the schema")
       require(arrayLens.getOrElse(n, 1) == dims.product,
-        s"TDIM ${dims.mkString("(", ",", ")")} product != arrayLens($n) = ${arrayLens.getOrElse(n, 1)}") }
+        s"TDIM ${dims.mkString("(", ",", ")")} product != arrayLens($n) = ${arrayLens.getOrElse(n, 1)}")
+    }
+  }
+
+  /** Primary HDU + BINTABLE extension header, block-padded. Every field is
+    * known before any record is written (varMax from the stats pass), so
+    * both write paths emit byte-identical headers for the same data.
+    */
+  private def binHeader(codec: BinCodec, strLens: Map[String, Int],
+      arrayLens: Map[String, Int], varCols: Map[String, Char],
+      tdims: Map[String, Seq[Int]], nRows: Long, pcount: Long,
+      varMax: Map[String, Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(out, ' '.toByte)
+
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", codec.rowBytes.toString, quote = false))
+    out.write(card("NAXIS2", nRows.toString, quote = false))
+    out.write(card("PCOUNT", pcount.toString, quote = false)) // heap bytes
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", codec.schema.fields.length.toString, quote = false))
+    codec.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      out.write(card(s"TTYPE${i + 1}", f.name, quote = true))
+      val tf = f.dataType match {
+        case ArrayType(et, _) if varCols.contains(f.name) =>
+          s"1${varCols(f.name)}${elem(et)._1}(${varMax.getOrElse(f.name, 0L)})"
+        case StringType => s"${strLens.getOrElse(f.name, 16)}A"
+        case ArrayType(et, _) => s"${arrayLens.getOrElse(f.name, 1)}${elem(et)._1}"
+        case BooleanType => "L"
+        case dt => elem(dt)._1.toString
+      }
+      out.write(card(s"TFORM${i + 1}", tf, quote = true))
+      tdims.get(f.name).foreach(dims =>
+        out.write(card(s"TDIM${i + 1}", dims.mkString("(", ",", ")"), quote = true)))
+    }
+    out.write(endCard); pad(out, ' '.toByte)
+    bos.toByteArray
+  }
+
+  /** Writes rows as a single-BINTABLE FITS file (driver-side; for small
+    * fixtures — bulk export is `writeDataFrame`).
+    *  - `strLens`: char width per fixed string column (default 16).
+    *  - `arrayLens`: fixed repeat count per array column.
+    *  - `varCols`: array columns stored variable-length instead — name →
+    *    'P' (32-bit descriptors) or 'Q' (64-bit).
+    *  - `tdims`: multi-dim shape card per fixed array column, e.g.
+    *    Seq(3, 2) ⇒ TDIMn = '(3,2)' (first axis varies fastest). The
+    *    product must equal the column's `arrayLens` entry.
+    */
+  def write(path: String, schema: StructType, rows: Seq[Row],
+      strLens: Map[String, Int] = Map.empty,
+      arrayLens: Map[String, Int] = Map.empty,
+      varCols: Map[String, Char] = Map.empty,
+      tdims: Map[String, Seq[Int]] = Map.empty): Unit = {
+    validateLayout(schema, arrayLens, varCols, tdims)
+    val codec = new BinCodec(schema, strLens, arrayLens, varCols)
+    // Records and heap buffer in memory; the header needs NAXIS2, PCOUNT
+    // and the per-column var max, all known only after encoding.
+    val records = new ByteArrayOutputStream()
+    val heap = new ByteArrayOutputStream()
+    val buf = ByteBuffer.allocate(codec.rowBytes) // big-endian by default
+    val varMax = scala.collection.mutable.Map.empty[String, Long]
+    var heapRel = 0L
+    rows.foreach { r =>
+      buf.clear()
+      codec.varNames.zip(codec.varLensOf(r)).foreach { case (n, len) =>
+        varMax(n) = math.max(varMax.getOrElse(n, 0L), len)
+      }
+      heapRel = codec.encode(r, buf, heapRel, heap.write)
+      records.write(buf.array(), 0, codec.rowBytes)
+    }
     val out = new DataOutputStream(new FileOutputStream(path))
     try {
-      // Primary HDU: no data.
-      out.write(card("SIMPLE", "T", quote = false))
-      out.write(card("BITPIX", "8", quote = false))
-      out.write(card("NAXIS", "0", quote = false))
-      out.write(endCard); pad(out, ' '.toByte)
-
-      def widthOf(f: StructField): Int = f.dataType match {
-        case _ if varCols.contains(f.name) => if (varCols(f.name) == 'P') 8 else 16
-        case StringType => strLens.getOrElse(f.name, 16)
-        case ArrayType(e, _) => elem(e)._2 * arrayLens.getOrElse(f.name, 1)
-        case BooleanType => 1
-        case dt => elem(dt)._2
-      }
-      val widths = schema.fields.map(widthOf)
-      val rowBytes = widths.sum
-
-      // ---- data unit: records first (buffered), heap second -------------
-      // Heap offsets are relative to THEAP, which we leave at its default
-      // (= NAXIS1 × NAXIS2), so records and heap are written back-to-back.
-      val records = new ByteArrayOutputStream()
-      val heap = new ByteArrayOutputStream()
-      val buf = ByteBuffer.allocate(rowBytes) // big-endian by default
-      // max element count actually written per var column (for TFORM rPE(max))
-      val varMax = scala.collection.mutable.Map.empty[String, Long]
-
-      rows.foreach { r =>
-        buf.clear()
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
-          // BINTABLE NULLs need TNULL sentinels, which this writer does
-          // not emit — fail loudly up front for EVERY branch rather than
-          // NPE mid-write and leave a truncated file on disk (var-length
-          // cells additionally have no NULL distinct from count-0).
-          require(!r.isNullAt(i),
-            s"NULL cell in ${f.name}: this writer emits no TNULL sentinels" +
-              " — filter or fill nulls before writing")
-          f.dataType match {
-            case ArrayType(et, _) if varCols.contains(f.name) =>
-              val (_, w, put) = elem(et)
-              val xs = r.getSeq[Any](i)
-              val off = heap.size().toLong
-              val eb = ByteBuffer.allocate(xs.length * w)
-              xs.foreach(put(eb, _))
-              heap.write(eb.array())
-              varMax(f.name) = math.max(varMax.getOrElse(f.name, 0L), xs.length.toLong)
-              if (varCols(f.name) == 'P') {
-                require(off <= Int.MaxValue && xs.length <= Int.MaxValue,
-                  s"heap too large for P descriptors in ${f.name}; use Q")
-                buf.putInt(xs.length); buf.putInt(off.toInt)
-              } else { buf.putLong(xs.length.toLong); buf.putLong(off) }
-            case BooleanType => buf.put((if (r.getBoolean(i)) 'T' else 'F').toByte)
-            case StringType =>
-              val w = strLens.getOrElse(f.name, 16)
-              val b = r.getString(i).getBytes(StandardCharsets.US_ASCII)
-              buf.put(b.take(w).padTo(w, ' '.toByte))
-            case ArrayType(et, _) =>
-              // Enforce the declared repeat: truncate long cells, zero-pad
-              // short ones (otherwise offsets shift / stale bytes leak).
-              val (_, w, put) = elem(et)
-              val n = arrayLens.getOrElse(f.name, 1)
-              val xs = r.getSeq[Any](i)
-              var k = 0
-              while (k < n) {
-                if (k < xs.length) put(buf, xs(k))
-                else buf.put(new Array[Byte](w))
-                k += 1
-              }
-            case dt => elem(dt)._3(buf, r.get(i))
-          }
-        }
-        records.write(buf.array(), 0, rowBytes)
-      }
-
-      out.write(card("XTENSION", "BINTABLE", quote = true))
-      out.write(card("BITPIX", "8", quote = false))
-      out.write(card("NAXIS", "2", quote = false))
-      out.write(card("NAXIS1", rowBytes.toString, quote = false))
-      out.write(card("NAXIS2", rows.size.toString, quote = false))
-      out.write(card("PCOUNT", heap.size().toString, quote = false)) // heap bytes
-      out.write(card("GCOUNT", "1", quote = false))
-      out.write(card("TFIELDS", schema.fields.length.toString, quote = false))
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        out.write(card(s"TTYPE${i + 1}", f.name, quote = true))
-        val tf = f.dataType match {
-          case ArrayType(et, _) if varCols.contains(f.name) =>
-            s"1${varCols(f.name)}${elem(et)._1}(${varMax.getOrElse(f.name, 0L)})"
-          case StringType => s"${strLens.getOrElse(f.name, 16)}A"
-          case ArrayType(et, _) => s"${arrayLens.getOrElse(f.name, 1)}${elem(et)._1}"
-          case BooleanType => "L"
-          case dt => elem(dt)._1.toString
-        }
-        out.write(card(s"TFORM${i + 1}", tf, quote = true))
-        tdims.get(f.name).foreach(dims =>
-          out.write(card(s"TDIM${i + 1}", dims.mkString("(", ",", ")"), quote = true)))
-      }
-      out.write(endCard); pad(out, ' '.toByte)
-
+      out.write(binHeader(codec, strLens, arrayLens, varCols, tdims,
+        rows.size.toLong, heap.size().toLong, varMax.toMap))
       records.writeTo(out)
       heap.writeTo(out)
       pad(out)
     } finally out.close()
   }
 
+  /** Buffered positioned writes into one exclusive byte range of `ch`.
+    * Each partition task owns two: its record range and its heap range.
+    */
+  private final class RegionWriter(ch: FileChannel, start: Long) {
+    private var pos = start
+    private val buf = ByteBuffer.allocate(1 << 20)
+    def write(bytes: Array[Byte], off: Int, len: Int): Unit = {
+      var o = off; var rem = len
+      while (rem > 0) {
+        val n = math.min(rem, buf.remaining())
+        buf.put(bytes, o, n); o += n; rem -= n
+        if (!buf.hasRemaining) flush()
+      }
+    }
+    def write(bytes: Array[Byte]): Unit = write(bytes, 0, bytes.length)
+    def flush(): Unit = {
+      buf.flip()
+      while (buf.hasRemaining) pos += ch.write(buf, pos)
+      buf.clear()
+    }
+  }
+
+  /** Executor-side parallel BINTABLE export — same file bytes as `write`
+    * on the same row sequence, without moving any row through the driver.
+    *
+    * Stats pass: per-partition (rows, heapBytes, per-var-col max) — a
+    * numPartitions-row collect, the scale-safe offset-table pattern.
+    * Write pass: the driver writes the header and pre-sizes the file
+    * (zero fill = the standard's data-unit padding), then each partition
+    * writes its record range at recordsStart + Σ earlier rows × NAXIS1
+    * and its heap range at THEAP + Σ earlier heap bytes, with P/Q
+    * descriptors offset by its heap base. File row order = partition
+    * order, so a range-sorted (`orderBy`) input exports globally sorted.
+    */
+  def writeDataFrame(path: String, df: DataFrame,
+      strLens: Map[String, Int] = Map.empty,
+      arrayLens: Map[String, Int] = Map.empty,
+      varCols: Map[String, Char] = Map.empty,
+      tdims: Map[String, Seq[Int]] = Map.empty): Unit = {
+    val schema = df.schema
+    validateLayout(schema, arrayLens, varCols, tdims)
+    val codec = new BinCodec(schema, strLens, arrayLens, varCols)
+    // The two passes must see identical partition contents; persist so the
+    // (possibly nondeterministic-at-recompute) upstream plan runs once.
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var n = 0L; var hb = 0L
+        val vm = Array.fill(codec.varNames.length)(0L)
+        it.foreach { r =>
+          n += 1; hb += codec.heapBytesOf(r)
+          val ls = codec.varLensOf(r)
+          var i = 0
+          while (i < ls.length) { vm(i) = math.max(vm(i), ls(i)); i += 1 }
+        }
+        Iterator.single((pid, n, hb, vm))
+      }.collect().sortBy(_._1)
+      val nRows = stats.map(_._2).sum
+      val pcount = stats.map(_._3).sum
+      val varMax = codec.varNames.zipWithIndex.map { case (n, i) =>
+        n -> stats.foldLeft(0L)((m, s) => math.max(m, s._4(i)))
+      }.toMap
+      val header = binHeader(codec, strLens, arrayLens, varCols, tdims,
+        nRows, pcount, varMax)
+      val recordsStart = header.length.toLong
+      val theap = codec.rowBytes.toLong * nRows // THEAP default: heap follows records
+      val dataEnd = recordsStart + theap + pcount
+      val raf = new RandomAccessFile(path, "rw")
+      try {
+        raf.setLength(0)
+        raf.setLength(dataEnd + blockPad(dataEnd - recordsStart)) // zero fill
+        raf.seek(0); raf.write(header)
+      } finally raf.close()
+      val recOff = stats.scanLeft(recordsStart)((a, s) => a + s._2 * codec.rowBytes)
+      val heapRelBase = stats.scanLeft(0L)((a, s) => a + s._3)
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.hasNext) {
+          val f = new RandomAccessFile(path, "rw")
+          try {
+            val ch = f.getChannel
+            val rec = new RegionWriter(ch, recOff(pid))
+            val hp = new RegionWriter(ch, recordsStart + theap + heapRelBase(pid))
+            val buf = ByteBuffer.allocate(codec.rowBytes)
+            var heapRel = heapRelBase(pid)
+            it.foreach { r =>
+              buf.clear()
+              heapRel = codec.encode(r, buf, heapRel, hp.write)
+              rec.write(buf.array(), 0, codec.rowBytes)
+            }
+            rec.flush(); hp.flush()
+          } finally f.close()
+        }
+        Iterator.single(pid)
+      }.count()
+    } finally rdd.unpersist(blocking = false)
+  }
+
+  /** Field widths/formats for an ASCII TABLE layout (shared by both
+    * ASCII write paths).
+    */
+  private[fits] final class AsciiCodec(
+      val schema: StructType,
+      strLens: Map[String, Int],
+      dblFmt: (Int, Int)) extends Serializable {
+    private val (dw, dd) = dblFmt
+    def widthOf(f: StructField): Int = f.dataType match {
+      case StringType => strLens.getOrElse(f.name, 16)
+      case ShortType | IntegerType | LongType => 20
+      case DoubleType | FloatType => dw
+      case other => throw new IllegalArgumentException(
+        s"writeAscii: unsupported $other (ASCII tables hold scalars only)")
+    }
+    def tformOf(f: StructField): String = f.dataType match {
+      case StringType => s"A${widthOf(f)}"
+      case ShortType | IntegerType | LongType => s"I${widthOf(f)}"
+      case _ => s"F$dw.$dd"
+    }
+    val widths: Array[Int] = schema.fields.map(widthOf)
+    val starts: Array[Int] = widths.scanLeft(0)(_ + _).init // 0-based
+    val rowBytes: Int = widths.sum
+
+    /** One row as its fixed-width ASCII record. */
+    def encode(r: Row): Array[Byte] = {
+      val sb = new StringBuilder
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val w = widths(i)
+        // SQL NULL → all-blank field, which the reader (and the FITS
+        // convention) decodes back to NULL — the pair round-trips nulls.
+        val cell = if (r.isNullAt(i)) " " * w else f.dataType match {
+          case StringType =>
+            val s = r.getString(i)
+            require(s.length <= w, s"'$s' exceeds A$w in ${f.name}")
+            // blank-padded fields cannot represent "" / all-blank /
+            // trailing-space values distinctly (reader: blank→NULL,
+            // trailing blanks insignificant) — reject what can't
+            // round-trip rather than silently corrupt
+            require(s.trim.nonEmpty && s == s.replaceAll("\\s+$", ""),
+              s"'$s' in ${f.name} would not round-trip through a blank-padded A field " +
+                "(empty/all-blank/trailing-whitespace); use NULL or trim first")
+            s.padTo(w, ' ')
+          case ShortType | IntegerType | LongType =>
+            val s = String.valueOf(r.getAs[Number](i).longValue)
+            require(s.length <= w, s"$s exceeds I$w in ${f.name}")
+            (" " * (w - s.length)) + s
+          case _ =>
+            // Locale.ROOT: a comma-decimal default locale (de_DE…) would
+            // write '2,5' — invalid FITS and unparseable on read-back
+            val s = String.format(java.util.Locale.ROOT,
+              s"%$dw.${dd}f", r.getAs[Number](i).doubleValue).trim
+            require(s.length <= w, s"$s exceeds F$dw.$dd in ${f.name}")
+            (" " * (w - s.length)) + s
+        }
+        sb.append(cell)
+      }
+      sb.toString.getBytes(StandardCharsets.US_ASCII)
+    }
+  }
+
+  /** Primary HDU + ASCII TABLE extension header, block-padded. */
+  private def asciiHeader(codec: AsciiCodec, nRows: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(out, ' '.toByte)
+
+    out.write(card("XTENSION", "TABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", codec.rowBytes.toString, quote = false))
+    out.write(card("NAXIS2", nRows.toString, quote = false))
+    out.write(card("PCOUNT", "0", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", codec.schema.fields.length.toString, quote = false))
+    codec.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      out.write(card(s"TTYPE${i + 1}", f.name, quote = true))
+      out.write(card(s"TFORM${i + 1}", codec.tformOf(f), quote = true))
+      out.write(card(s"TBCOL${i + 1}", (codec.starts(i) + 1).toString, quote = false))
+    }
+    out.write(endCard); pad(out, ' '.toByte)
+    bos.toByteArray
+  }
+
   /** ASCII TABLE (XTENSION='TABLE') writer — fixed character fields per
     * FITS 4.0 §7.2. Strings → Aw (left-justified), integers → Iw
     * (right-justified), doubles → Fw.d fixed-point. `dblFmt` = (w, d);
     * values must fit w chars or the write fails loudly (a silently
-    * truncated number would corrupt the table).
+    * truncated number would corrupt the table). Driver-side; bulk export
+    * is `writeAsciiDataFrame`.
     */
   def writeAscii(path: String, schema: StructType, rows: Seq[Row],
       strLens: Map[String, Int] = Map.empty,
       dblFmt: (Int, Int) = (14, 4)): Unit = {
+    val codec = new AsciiCodec(schema, strLens, dblFmt)
     val out = new DataOutputStream(new FileOutputStream(path))
     try {
-      out.write(card("SIMPLE", "T", quote = false))
-      out.write(card("BITPIX", "8", quote = false))
-      out.write(card("NAXIS", "0", quote = false))
-      out.write(endCard); pad(out, ' '.toByte)
-
-      val (dw, dd) = dblFmt
-      def widthOf(f: StructField): Int = f.dataType match {
-        case StringType => strLens.getOrElse(f.name, 16)
-        case ShortType | IntegerType | LongType => 20
-        case DoubleType | FloatType => dw
-        case other => throw new IllegalArgumentException(
-          s"writeAscii: unsupported $other (ASCII tables hold scalars only)")
-      }
-      def tformOf(f: StructField): String = f.dataType match {
-        case StringType => s"A${widthOf(f)}"
-        case ShortType | IntegerType | LongType => s"I${widthOf(f)}"
-        case _ => s"F$dw.$dd"
-      }
-      val widths = schema.fields.map(widthOf)
-      val starts = widths.scanLeft(0)(_ + _).init // 0-based field starts
-      val rowBytes = widths.sum
-
-      out.write(card("XTENSION", "TABLE", quote = true))
-      out.write(card("BITPIX", "8", quote = false))
-      out.write(card("NAXIS", "2", quote = false))
-      out.write(card("NAXIS1", rowBytes.toString, quote = false))
-      out.write(card("NAXIS2", rows.size.toString, quote = false))
-      out.write(card("PCOUNT", "0", quote = false))
-      out.write(card("GCOUNT", "1", quote = false))
-      out.write(card("TFIELDS", schema.fields.length.toString, quote = false))
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        out.write(card(s"TTYPE${i + 1}", f.name, quote = true))
-        out.write(card(s"TFORM${i + 1}", tformOf(f), quote = true))
-        out.write(card(s"TBCOL${i + 1}", (starts(i) + 1).toString, quote = false))
-      }
-      out.write(endCard); pad(out, ' '.toByte)
-
-      rows.foreach { r =>
-        val sb = new StringBuilder
-        schema.fields.zipWithIndex.foreach { case (f, i) =>
-          val w = widths(i)
-          // SQL NULL → all-blank field, which the reader (and the FITS
-          // convention) decodes back to NULL — the pair round-trips nulls.
-          val cell = if (r.isNullAt(i)) " " * w else f.dataType match {
-            case StringType =>
-              val s = r.getString(i)
-              require(s.length <= w, s"'$s' exceeds A$w in ${f.name}")
-              // blank-padded fields cannot represent "" / all-blank /
-              // trailing-space values distinctly (reader: blank→NULL,
-              // trailing blanks insignificant) — reject what can't
-              // round-trip rather than silently corrupt
-              require(s.trim.nonEmpty && s == s.replaceAll("\\s+$", ""),
-                s"'$s' in ${f.name} would not round-trip through a blank-padded A field " +
-                  "(empty/all-blank/trailing-whitespace); use NULL or trim first")
-              s.padTo(w, ' ')
-            case ShortType | IntegerType | LongType =>
-              val s = String.valueOf(r.getAs[Number](i).longValue)
-              require(s.length <= w, s"$s exceeds I$w in ${f.name}")
-              (" " * (w - s.length)) + s
-            case _ =>
-              // Locale.ROOT: a comma-decimal default locale (de_DE…) would
-              // write '2,5' — invalid FITS and unparseable on read-back
-              val s = String.format(java.util.Locale.ROOT,
-                s"%$dw.${dd}f", r.getAs[Number](i).doubleValue).trim
-              require(s.length <= w, s"$s exceeds F$dw.$dd in ${f.name}")
-              (" " * (w - s.length)) + s
-          }
-          sb.append(cell)
-        }
-        out.write(sb.toString.getBytes(StandardCharsets.US_ASCII))
-      }
-      pad(out, ' '.toByte)
+      out.write(asciiHeader(codec, rows.size.toLong))
+      rows.foreach(r => out.write(codec.encode(r)))
+      pad(out, ' '.toByte) // ASCII table data unit pads with blanks (§7.2)
     } finally out.close()
+  }
+
+  /** Executor-side parallel ASCII TABLE export — `writeAscii` semantics
+    * without collecting rows. Simpler than the BINTABLE path (no heap):
+    * partition p's records start at recordsStart + NAXIS1 × Σ earlier
+    * partition counts. Same shared-filesystem requirement as
+    * `writeDataFrame`.
+    */
+  def writeAsciiDataFrame(path: String, df: DataFrame,
+      strLens: Map[String, Int] = Map.empty,
+      dblFmt: (Int, Int) = (14, 4)): Unit = {
+    val codec = new AsciiCodec(df.schema, strLens, dblFmt)
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+        Iterator.single((pid, it.size.toLong))
+      }.collect().sortBy(_._1)
+      val nRows = counts.map(_._2).sum
+      val header = asciiHeader(codec, nRows)
+      val recordsStart = header.length.toLong
+      val dataBytes = codec.rowBytes.toLong * nRows
+      val raf = new RandomAccessFile(path, "rw")
+      try {
+        raf.setLength(0)
+        raf.setLength(recordsStart + dataBytes + blockPad(dataBytes))
+        raf.seek(0); raf.write(header)
+        // the pre-size zero-fills; ASCII data units pad with blanks (§7.2)
+        raf.seek(recordsStart + dataBytes)
+        raf.write(Array.fill(blockPad(dataBytes).toInt)(' '.toByte))
+      } finally raf.close()
+      val recOff = counts.scanLeft(recordsStart)((a, c) => a + c._2 * codec.rowBytes)
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.hasNext) {
+          val f = new RandomAccessFile(path, "rw")
+          try {
+            val rec = new RegionWriter(f.getChannel, recOff(pid))
+            it.foreach(r => rec.write(codec.encode(r)))
+            rec.flush()
+          } finally f.close()
+        }
+        Iterator.single(pid)
+      }.count()
+    } finally rdd.unpersist(blocking = false)
   }
 }

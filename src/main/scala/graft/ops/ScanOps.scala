@@ -138,9 +138,10 @@ object ScanOps {
   val a7_fits_source = OpQuery(
     (s, d) => {
       val fitsPath = graft.Util.scratch("nation.fits")
-      val nation = t(s, d, "nation")
-      graft.fits.FitsWriter.write(fitsPath, nation.schema,
-        nation.orderBy("n_nationkey").collect().toIndexedSeq,
+      // Executor-side export: partitions write their own byte ranges; no
+      // row moves through the driver (range-sort ⇒ globally sorted file).
+      graft.fits.FitsWriter.writeDataFrame(fitsPath,
+        t(s, d, "nation").orderBy("n_nationkey"),
         strLens = Map("n_name" -> 25))
       s.read.format("fits").load(fitsPath).orderBy("n_nationkey")
     },
@@ -160,8 +161,8 @@ object ScanOps {
         .select(col("r_regionkey").cast(LongType).as("r_regionkey"),
           col("r_name"),
           (col("r_regionkey") * 0.5).cast(DoubleType).as("half"))
-      graft.fits.FitsWriter.writeAscii(fitsPath, region.schema,
-        region.orderBy("r_regionkey").collect().toIndexedSeq,
+      graft.fits.FitsWriter.writeAsciiDataFrame(fitsPath,
+        region.orderBy("r_regionkey"),
         strLens = Map("r_name" -> 25), dblFmt = (10, 1))
       s.read.format("fits").load(fitsPath).orderBy("r_regionkey")
     },
@@ -188,8 +189,8 @@ object ScanOps {
       val emb = t(s, d, "embeddings")
         .select(col("vec_id"), col("embedding"),
           expr("slice(embedding, 1, CAST(vec_id % 5 AS INT))").as("head_var"))
-      graft.fits.FitsWriter.write(fitsPath, emb.schema,
-        emb.orderBy("vec_id").collect().toIndexedSeq,
+      graft.fits.FitsWriter.writeDataFrame(fitsPath,
+        emb.orderBy("vec_id"),
         arrayLens = Map("embedding" -> 64),
         varCols = Map("head_var" -> 'P'))
       s.read.format("fits").load(fitsPath)

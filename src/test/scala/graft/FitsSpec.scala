@@ -174,6 +174,92 @@ class FitsSpec extends SparkTestBase {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("writeDataFrame is byte-identical to driver-side write (nation)") {
+    val nation = Tables.t(spark, sfDir, "nation").orderBy("n_nationkey")
+    val drv = "/tmp/graft_test/nation_drv.fits"
+    val dist = "/tmp/graft_test/nation_dist.fits"
+    FitsWriter.write(drv, nation.schema, nation.collect().toIndexedSeq,
+      strLens = Map("n_name" -> 25))
+    FitsWriter.writeDataFrame(dist, nation, strLens = Map("n_name" -> 25))
+    // the 25 sorted rows range-partition across several tasks (shuffle
+    // partitions = 4 in tests), so this exercises the multi-partition
+    // offset math, not a degenerate single-writer case
+    assert(Files.readAllBytes(Paths.get(drv)).toSeq ==
+      Files.readAllBytes(Paths.get(dist)).toSeq)
+  }
+
+  test("writeDataFrame byte parity with heap columns (fixed + var-length)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("slice(embedding, 1, CAST(vec_id % 5 AS INT))").as("head_var"))
+      .orderBy("vec_id")
+    val drv = "/tmp/graft_test/emb_drv.fits"
+    val dist = "/tmp/graft_test/emb_dist.fits"
+    FitsWriter.write(drv, emb.schema, emb.collect().toIndexedSeq,
+      arrayLens = Map("embedding" -> 64), varCols = Map("head_var" -> 'P'))
+    FitsWriter.writeDataFrame(dist, emb,
+      arrayLens = Map("embedding" -> 64), varCols = Map("head_var" -> 'P'))
+    // per-partition heap bases must line descriptors up exactly with the
+    // driver writer's sequential heap for the bytes to match
+    assert(Files.readAllBytes(Paths.get(drv)).toSeq ==
+      Files.readAllBytes(Paths.get(dist)).toSeq)
+    val back = spark.read.format("fits").load(dist)
+    assert(back.count() == emb.count())
+  }
+
+  test("writeAsciiDataFrame is byte-identical to driver-side writeAscii") {
+    import org.apache.spark.sql.functions._
+    val region = Tables.t(spark, sfDir, "region")
+      .select(col("r_regionkey").cast(LongType).as("r_regionkey"),
+        col("r_name"),
+        (col("r_regionkey") * 0.5).cast(DoubleType).as("half"))
+      .orderBy("r_regionkey")
+    val drv = "/tmp/graft_test/region_drv.fits"
+    val dist = "/tmp/graft_test/region_dist.fits"
+    FitsWriter.writeAscii(drv, region.schema, region.collect().toIndexedSeq,
+      strLens = Map("r_name" -> 25), dblFmt = (10, 1))
+    FitsWriter.writeAsciiDataFrame(dist, region,
+      strLens = Map("r_name" -> 25), dblFmt = (10, 1))
+    assert(Files.readAllBytes(Paths.get(drv)).toSeq ==
+      Files.readAllBytes(Paths.get(dist)).toSeq)
+  }
+
+  test("writeDataFrame on an empty frame yields a readable 0-row table") {
+    val p = "/tmp/graft_test/empty_dist.fits"
+    val empty = Tables.t(spark, sfDir, "nation").filter("n_nationkey < 0")
+    FitsWriter.writeDataFrame(p, empty, strLens = Map("n_name" -> 25))
+    val back = spark.read.format("fits").load(p)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.contains("n_nationkey"))
+  }
+
+  test("TDIM on a P/Q var-length column is ignored, not rejected") {
+    // FITS 4.0 §7.3.2 allows TDIMn as the max-cell shape on var-length
+    // columns; build such a header by patching a generated file's cards
+    val base = "/tmp/graft_test/vartdim_base.fits"
+    val schema = StructType(Seq(StructField("v", ArrayType(IntegerType))))
+    FitsWriter.write(base, schema, Seq(Row(Seq(1, 2)), Row(Seq(3))),
+      varCols = Map("v" -> 'P'))
+    val bytes = Files.readAllBytes(Paths.get(base))
+    // append a TDIM1 card by rewriting the extension header: find END in
+    // the second HDU and replace it with TDIM1 + END (header has room in
+    // its 2880 block: 10 cards used)
+    val extStart = 2880
+    val cardAt = (k: Int) => new String(bytes, extStart + k * 80, 80,
+      StandardCharsets.US_ASCII)
+    val endIdx = (0 until 36).indexWhere(k => cardAt(k).startsWith("END"))
+    assert(endIdx > 0 && endIdx < 35)
+    System.arraycopy(card("TDIM1", "(2,1)", quote = true), 0,
+      bytes, extStart + endIdx * 80, 80)
+    System.arraycopy(endCard, 0, bytes, extStart + (endIdx + 1) * 80, 80)
+    val patched = "/tmp/graft_test/vartdim.fits"
+    Files.write(Paths.get(patched), bytes)
+    val back = spark.read.format("fits").load(patched)
+    assert(back.collect().map(_.getSeq[Int](0).toSeq).toSeq ==
+      Seq(Seq(1, 2), Seq(3)))
+  }
+
   test("header parser rejects unsupported TFORMs with a clear error") {
     val e = intercept[IllegalArgumentException] {
       FitsFormat.parseTform("3Z") // not a FITS 4.0 binary-table code
