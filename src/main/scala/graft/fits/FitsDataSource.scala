@@ -41,25 +41,28 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
   private def extnum(options: CaseInsensitiveStringMap): Int =
     Option(options.get("extnum")).map(_.toInt).getOrElse(0)
 
-  private def path(options: CaseInsensitiveStringMap): String = {
+  /** Multi-file loads (`load(p1, p2, …)` / the CLI's expanded globs) are
+    * one scan over same-schema files — the reference's N-file append.
+    */
+  private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
     val fromPaths = Option(options.get("paths")).map { js =>
-      val items = js.stripPrefix("[").stripSuffix("]")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-      if (items.length != 1) throw new IllegalArgumentException(
-        s"FITS source supports exactly one path per load, got ${items.length}")
-      items(0)
-    }
-    Option(options.get("path")).orElse(fromPaths)
-      .getOrElse(throw new IllegalArgumentException("FITS source requires a path"))
+      js.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    }.getOrElse(Nil)
+    val all = Option(options.get("path")).toSeq ++ fromPaths
+    if (all.isEmpty) throw new IllegalArgumentException(
+      "FITS source requires at least one path")
+    all
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FitsTable.readSpec(path(options), extnum(options)).spec.schema
+    FitsTable.readSpec(paths(options).head, extnum(options)).spec.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new FitsTable(path(opts), extnum(opts))
+    new FitsTable(paths(opts), extnum(opts))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -95,20 +98,24 @@ object FitsTable {
 
 final case class FitsSpecWithOffset(spec: FitsFormat.HduSpec, dataStart: Long)
 
-class FitsTable(path: String, extnum: Int) extends Table with SupportsRead {
-  private lazy val specWithOffset = FitsTable.readSpec(path, extnum)
+class FitsTable(paths: Seq[String], extnum: Int) extends Table with SupportsRead {
+  // schema authority = first file; every other file must match at plan time
+  private lazy val specWithOffset = FitsTable.readSpec(paths.head, extnum)
 
-  override def name(): String = s"fits:$path#$extnum"
+  override def name(): String =
+    if (paths.length == 1) s"fits:${paths.head}#$extnum"
+    else s"fits:${paths.head}(+${paths.length - 1})#$extnum"
   override def schema(): StructType = specWithOffset.spec.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FitsScanBuilder(path, specWithOffset,
+    new FitsScanBuilder(paths, extnum, specWithOffset,
       Option(options.get("rowspersplit")).map(_.toLong))
 }
 
-class FitsScanBuilder(path: String, swo: FitsSpecWithOffset, rowsPerSplit: Option[Long])
+class FitsScanBuilder(paths: Seq[String], extnum: Int,
+    swo: FitsSpecWithOffset, rowsPerSplit: Option[Long])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = swo.spec.schema
@@ -124,28 +131,40 @@ class FitsScanBuilder(path: String, swo: FitsSpecWithOffset, rowsPerSplit: Optio
       declared.fields.find(_.name == n)).toIndexedSeq)
   }
 
-  override def build(): Scan = new FitsScan(path, swo, required, rowsPerSplit)
+  override def build(): Scan = new FitsScan(paths, extnum, swo, required, rowsPerSplit)
 }
 
-class FitsScan(path: String, swo: FitsSpecWithOffset, required: StructType,
-    rowsPerSplitOpt: Option[Long] = None)
+class FitsScan(paths: Seq[String], extnum: Int, swo: FitsSpecWithOffset,
+    required: StructType, rowsPerSplitOpt: Option[Long] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"FitsScan(${path}, rows=${swo.spec.nRows}, cols=${required.fieldNames.mkString(",")})"
+    s"FitsScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")})"
 
+  /** Row-range splits per file; each split carries its file's spec (specs
+    * may differ in widths — e.g. 16A vs 25A — as long as the Spark schemas
+    * agree, which is required here against the first file's).
+    */
   override def planInputPartitions(): Array[InputPartition] = {
-    val spec = swo.spec
+    val firstSchema = swo.spec.schema
     val targetBytes = 128L * 1024 * 1024 // align with files.maxPartitionBytes default
-    val rowsPerSplit = rowsPerSplitOpt.getOrElse(
-      math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
-    val splits: Array[InputPartition] = Iterator.iterate(0L)(_ + rowsPerSplit)
-      .takeWhile(_ < spec.nRows)
-      .map(start => FitsInputPartition(start, math.min(start + rowsPerSplit, spec.nRows)): InputPartition)
-      .toArray
-    if (splits.isEmpty) Array(FitsInputPartition(0, 0)) else splits
+    val splits: Array[InputPartition] = paths.toArray.flatMap { p =>
+      val pswo = FitsTable.readSpec(p, extnum)
+      require(pswo.spec.schema == firstSchema,
+        s"FITS multi-file load: '$p' decodes to ${pswo.spec.schema.simpleString}, " +
+          s"but '${paths.head}' declares ${firstSchema.simpleString}")
+      val spec = pswo.spec
+      val rowsPerSplit = rowsPerSplitOpt.getOrElse(
+        math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
+      Iterator.iterate(0L)(_ + rowsPerSplit)
+        .takeWhile(_ < spec.nRows)
+        .map(start => FitsInputPartition(p, pswo, start,
+          math.min(start + rowsPerSplit, spec.nRows)): InputPartition)
+        .toArray
+    }
+    if (splits.isEmpty) Array(FitsInputPartition(paths.head, swo, 0, 0)) else splits
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -158,18 +177,19 @@ class FitsScan(path: String, swo: FitsSpecWithOffset, required: StructType,
       while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
       b.result()
     }
-    new FitsReaderFactory(path, swo, required, props)
+    new FitsReaderFactory(required, props)
   }
 }
 
-final case class FitsInputPartition(rowStart: Long, rowEnd: Long) extends InputPartition
+final case class FitsInputPartition(path: String, swo: FitsSpecWithOffset,
+    rowStart: Long, rowEnd: Long) extends InputPartition
 
-class FitsReaderFactory(path: String, swo: FitsSpecWithOffset,
-    required: StructType, confProps: Map[String, String])
+class FitsReaderFactory(required: StructType, confProps: Map[String, String])
   extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new FitsPartitionReader(path, swo, required,
-      partition.asInstanceOf[FitsInputPartition], confProps)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[FitsInputPartition]
+    new FitsPartitionReader(p.path, p.swo, required, p, confProps)
+  }
 }
 
 class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,

@@ -96,6 +96,22 @@ object Convert {
     if (url.startsWith("jdbc:derby:")) Some("org.apache.derby.jdbc.EmbeddedDriver")
     else None
 
+  /** Mirrors `Ddl.flattenStructs` on the data side: struct columns (the
+    * C/M complex case) expand to `name_field` scalar columns, so the frame
+    * Spark appends lines up column-for-column with the table our DDL
+    * created. Without this the DDL and the written frame disagree for any
+    * struct-bearing schema (and Spark's JDBC writer cannot bind structs
+    * anyway).
+    */
+  def flattenStructCols(df: DataFrame): DataFrame = {
+    val cols: Seq[Column] = df.schema.fields.toSeq.flatMap {
+      case StructField(n, st: StructType, _, _) =>
+        st.fields.toSeq.map(f => col(s"`$n`.`${f.name}`").as(s"${n}_${f.name}"))
+      case f => Seq(col(s"`${f.name}`"))
+    }
+    df.select(cols: _*)
+  }
+
   /** fits2db's --create/--drop/--truncate lifecycle against a JDBC target:
     * run the dialect's DDL (graft.ingest.Ddl) in the loader's setup
     * transaction, then the data lands with SaveMode.Append into the table
@@ -105,6 +121,18 @@ object Convert {
     */
   def prepareJdbcTable(url: String, table: String, schema: StructType,
       dialect: Ddl.Dialect, mode: Ddl.Mode): Unit = {
+    // MySql/Sqlite DDL maps arrays to json/text columns that Spark's JDBC
+    // writer can never bind an ArrayType to — the emitted table would be
+    // unpopulatable through this load path. Fail at prepare time with the
+    // remedy (scalar expansion, EtlOps b6) instead of at first batch.
+    if (dialect == Ddl.MySql || dialect == Ddl.Sqlite)
+      Ddl.flattenStructs(schema).fields
+        .find(_.dataType.isInstanceOf[ArrayType]).foreach { f =>
+          throw new IllegalArgumentException(
+            s"${dialect.name}: array column '${f.name}' cannot be loaded over " +
+              "JDBC (Spark binds no ArrayType for json/text targets) — expand " +
+              "to scalar columns first (EtlOps.b6_array_expand)")
+        }
     jdbcDriverFor(url).foreach(Class.forName)
     val conn = java.sql.DriverManager.getConnection(url)
     try {
@@ -142,21 +170,46 @@ object Convert {
   def ingest(spark: SparkSession, sourcePath: String, format: String,
       spec: ConvertSpec, sinkPath: String, sinkFormat: String = "parquet",
       jdbcTable: String = "converted",
-      jdbcDdl: Option[(Ddl.Dialect, Ddl.Mode)] = None): Unit = {
-    val src = spark.read.format(format).load(sourcePath)
-    val out = convert(src, spec)
+      jdbcDdl: Option[(Ddl.Dialect, Ddl.Mode)] = None): Unit =
+    ingestAll(spark, Seq(sourcePath), format, Map.empty, spec, sinkPath,
+      sinkFormat, jdbcTable, jdbcDdl)
+
+  /** Multi-file ingest — the CLI's expanded-glob entry (same-schema files
+    * become one scan, the reference's worker-pool fan-out as tasks over
+    * file splits).
+    *  - `pkey`: add a stable serial key column (fits2db --pkey).
+    *  - `concurrency`: repartition before the sink — DB fan-in control
+    *    (one connection per partition on the JDBC path).
+    *  - `batchRows`: rows per JDBC INSERT batch (the chunk-size analog).
+    */
+  def ingestAll(spark: SparkSession, sourcePaths: Seq[String], format: String,
+      readerOptions: Map[String, String], spec: ConvertSpec, sinkPath: String,
+      sinkFormat: String = "parquet", jdbcTable: String = "converted",
+      jdbcDdl: Option[(Ddl.Dialect, Ddl.Mode)] = None,
+      pkey: Option[String] = None, concurrency: Option[Int] = None,
+      batchRows: Option[Int] = None): Unit = {
+    require(sourcePaths.nonEmpty, "ingest needs at least one source path")
+    val src = spark.read.format(format).options(readerOptions)
+      .load(sourcePaths: _*)
+    val converted = convert(src, spec)
+    val keyed = pkey.fold(converted)(addStablePkey(converted, _))
+    val out = concurrency.fold(keyed)(keyed.repartition(_))
     sinkFormat match {
       case "jdbc" =>
         val props = new java.util.Properties()
         jdbcDriverFor(sinkPath).foreach(props.setProperty("driver", _))
+        batchRows.foreach(n => props.setProperty("batchsize", n.toString))
+        // struct columns flatten to name_field scalars on BOTH sides (the
+        // DDL flattens internally; the frame must match what it created)
+        val flat = flattenStructCols(out)
         jdbcDdl match {
           case Some((dialect, mode)) =>
-            prepareJdbcTable(sinkPath, jdbcTable, out.schema, dialect, mode)
+            prepareJdbcTable(sinkPath, jdbcTable, flat.schema, dialect, mode)
             // quoted with the DIALECT's quoting (mysql backticks, not "")
             // to hit the case-exact identifier our DDL created
-            out.write.mode("append").jdbc(sinkPath, dialect.quote(jdbcTable), props)
+            flat.write.mode("append").jdbc(sinkPath, dialect.quote(jdbcTable), props)
           case None =>
-            out.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
+            flat.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
         }
       case "parquet" => out.write.mode("overwrite").parquet(sinkPath)
       case "csv" => out.write.mode("overwrite").option("header", "true").csv(sinkPath)
