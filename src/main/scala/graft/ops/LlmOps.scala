@@ -382,15 +382,34 @@ object LlmOps {
     * Summation order inside the loop matches DotProduct (sequential k), so
     * results are bit-identical to the r1 plan and the unchanged oracle.
     */
-  private def blockedPairs(e: DataFrame, blockWidth: Int,
+  private[graft] def blockedPairs(e: DataFrame,
       kernel: (Array[Long], Array[Array[Float]], Array[Long], Array[Array[Float]])
-        => Seq[(Long, Long, Double)]): DataFrame = {
+        => Seq[(Long, Long, Double)],
+      blockWidthOverride: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.Row
-    val blocks = e
+    val filtered = e
       // r1-plan parity: dot(NULL, x) was NULL and fell out of the
       // filter/orderBy; the kernel would instead NPE (null array) or
       // fabricate id 0 (null vec_id unboxing) — drop such rows up front
       .filter(col("vec_id").isNotNull && col("embedding").isNotNull)
+    val blockWidth = blockWidthOverride.getOrElse {
+      // One tiny stats job (two scalars, not data) sizes the blocking to
+      // the input instead of a fixture-tuned constant: ~√n/4 id-range
+      // blocks. Fewer blocks ⇒ less replication (shuffle volume is
+      // O(n·blocks·dim)); more blocks ⇒ more parallel block pairs; √n/4
+      // keeps per-pair dense work ~16n tests while block pairs (~n/32)
+      // comfortably exceed cluster cores at any real n — and guarantees
+      // the multi-block path runs at every SF instead of only sf0.1.
+      val row = filtered
+        .agg(count(lit(1)).as("n"), max(col("vec_id").cast(LongType)).as("m"))
+        .head()
+      val n = row.getLong(0)
+      if (n == 0) 1 else {
+        val nBlocks = math.max(2L, math.round(math.sqrt(n.toDouble) / 4))
+        math.max(1, math.ceil((row.getLong(1) + 1).toDouble / nBlocks).toInt)
+      }
+    }
+    val blocks = filtered
       .select(floor(col("vec_id") / blockWidth).cast(IntegerType).as("blk"),
         col("vec_id"), col("embedding"))
       .groupBy("blk")
@@ -431,7 +450,7 @@ object LlmOps {
     * Blocked kernel (see blockedPairs): τ-filter inside the dense loop.
     */
   val i12_dedup_embcos = OpQuery(
-    (s, d) => blockedPairs(t(s, d, "embeddings"), 512, (ia, ea, ib, eb) => {
+    (s, d) => blockedPairs(t(s, d, "embeddings"), (ia, ea, ib, eb) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
       var i = 0
       while (i < ia.length) {
@@ -461,7 +480,7 @@ object LlmOps {
     * a fortiori it is in its own block pair's top-20 ⇒ lossless.
     */
   val i6_sim_pairwise_topk = OpQuery(
-    (s, d) => blockedPairs(t(s, d, "embeddings"), 512, (ia, ea, ib, eb) => {
+    (s, d) => blockedPairs(t(s, d, "embeddings"), (ia, ea, ib, eb) => {
       // bounded top-k: a max-at-top (worst-first) heap of size 20, so the
       // dense loop never materializes the block pair's full pair set
       val worstFirst = Ordering.by[(Long, Long, Double), (Double, Long, Long)] {

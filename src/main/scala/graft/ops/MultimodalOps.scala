@@ -26,6 +26,17 @@ object MultimodalOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
+  /** m1/m3 count BYTES on the Spark side while their oracles count
+    * CHARACTERS — equivalent only for ASCII. Make that precondition loud:
+    * a non-ASCII document fails the query with this message instead of
+    * silently hash-mismatching the gate. (assert_true returns NULL on
+    * success, throws on violation; ifnull keeps the filter all-pass.)
+    */
+  private def asciiOnly(df: org.apache.spark.sql.DataFrame) =
+    df.filter(expr(
+      "ifnull(assert_true(octet_length(text) = char_length(text), " +
+        "'m1/m3 byte-level parity requires an ASCII corpus'), true)"))
+
   /** Deterministic fake codec: "dimensions" derived from payload length.
     * A real implementation would parse the container header here.
     */
@@ -41,7 +52,7 @@ object MultimodalOps {
   val m1_multimodal_decode_stub = OpQuery(
     (s, d) => {
       import s.implicits._
-      val bin = t(s, d, "documents")
+      val bin = asciiOnly(t(s, d, "documents"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[BinDoc]
       bin.mapPartitions { it =>
@@ -101,7 +112,7 @@ object MultimodalOps {
   val m3_multimodal_feature_extract = OpQuery(
     (s, d) => {
       import s.implicits._
-      val bin = t(s, d, "documents")
+      val bin = asciiOnly(t(s, d, "documents"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[BinDoc]
       val feats = bin.mapPartitions { it =>

@@ -113,6 +113,44 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("blocked kernel output is invariant to block width (multi-block path)") {
+    // Forces the cross-block path (≥3 blocks) at unit scale — before this,
+    // multi-block only ran at sf0.1 — and pins the adaptive default to the
+    // explicit-width results. Per-pair dot order is identical under any
+    // blocking, so results must match exactly, not approximately.
+    val e = Tables.t(spark, sfDir, "embeddings")
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var k = 0
+      while (k < math.min(a.length, b.length)) {
+        s += a(k).toDouble * b(k).toDouble; k += 1
+      }
+      s
+    }
+    def run(w: Option[Int]) = LlmOps.blockedPairs(e, (ia, ea, ib, eb) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ia.length) {
+        var j = 0
+        while (j < ib.length) {
+          if (ia(i) < ib(j)) {
+            val sim = dot(ea(i), eb(j))
+            if (sim >= 0.2) out += ((ia(i), ib(j), sim))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    }, w).orderBy("a_id", "b_id").collect().toSeq
+    val n = e.count()
+    val tiny = run(Some(7)) // many small blocks
+    assert(n / 7 >= 3, s"fixture too small to force multi-block: n=$n")
+    val one = run(Some(Int.MaxValue)) // degenerate single block
+    val adaptive = run(None)
+    assert(tiny.nonEmpty, "kernel must produce pairs at unit scale")
+    assert(tiny == one && adaptive == one)
+  }
+
   test("knn query result is the true top-10 (brute-force cross-check)") {
     import graft.functions.VectorFunctions.dot
     val e = Tables.t(spark, sfDir, "embeddings")
