@@ -63,6 +63,15 @@ object FitsWriter {
       s"FitsWriter: unsupported array element $other")
   }
 
+  /** The complex (re, im) struct shapes that map to TFORM C / M. */
+  private def complexCode(dt: DataType): Option[Char] = dt match {
+    case StructType(Array(StructField("re", FloatType, _, _),
+        StructField("im", FloatType, _, _))) => Some('C')
+    case StructType(Array(StructField("re", DoubleType, _, _),
+        StructField("im", DoubleType, _, _))) => Some('M')
+    case _ => None
+  }
+
   /** Row → record/heap bytes for one BINTABLE layout. Serializable so the
     * executor-side path can encode rows where they live.
     */
@@ -70,14 +79,20 @@ object FitsWriter {
       val schema: StructType,
       strLens: Map[String, Int],
       arrayLens: Map[String, Int],
-      varCols: Map[String, Char]) extends Serializable {
+      varCols: Map[String, Char],
+      bitCols: Map[String, Int]) extends Serializable {
 
     def widthOf(f: StructField): Int = f.dataType match {
       case _ if varCols.contains(f.name) => if (varCols(f.name) == 'P') 8 else 16
+      case BinaryType if bitCols.contains(f.name) => (bitCols(f.name) + 7) / 8
       case StringType => strLens.getOrElse(f.name, 16)
       case ArrayType(e, _) => elem(e)._2 * arrayLens.getOrElse(f.name, 1)
       case BooleanType => 1
-      case dt => elem(dt)._2
+      case dt => complexCode(dt) match {
+        case Some('C') => 8
+        case Some('M') => 16
+        case _ => elem(dt)._2
+      }
     }
 
     val rowBytes: Int = schema.fields.map(widthOf).sum
@@ -132,10 +147,24 @@ object FitsWriter {
             } else { buf.putLong(xs.length.toLong); buf.putLong(rel) }
             rel += xs.length.toLong * w
           case BooleanType => buf.put((if (r.getBoolean(i)) 'T' else 'F').toByte)
+          case BinaryType if bitCols.contains(f.name) =>
+            // X bit array: MSB-first packed bytes, zero-padded/truncated
+            // to the declared bit width (stale tail bits would round-trip
+            // as phantom flags)
+            val w = (bitCols(f.name) + 7) / 8
+            val b = r.getAs[Array[Byte]](i)
+            buf.put(b.take(w).padTo(w, 0.toByte))
           case StringType =>
             val w = strLens.getOrElse(f.name, 16)
             val b = r.getString(i).getBytes(StandardCharsets.US_ASCII)
             buf.put(b.take(w).padTo(w, ' '.toByte))
+          case dt if complexCode(dt).isDefined =>
+            val st = r.getStruct(i)
+            require(!st.isNullAt(0) && !st.isNullAt(1),
+              s"NULL component in complex cell ${f.name}")
+            if (complexCode(dt).contains('C')) {
+              buf.putFloat(st.getFloat(0)); buf.putFloat(st.getFloat(1))
+            } else { buf.putDouble(st.getDouble(0)); buf.putDouble(st.getDouble(1)) }
           case ArrayType(et, _) =>
             // Enforce the declared repeat: truncate long cells, zero-pad
             // short ones (otherwise offsets shift / stale bytes leak).
@@ -157,7 +186,24 @@ object FitsWriter {
 
   private def validateLayout(schema: StructType,
       arrayLens: Map[String, Int], varCols: Map[String, Char],
-      tdims: Map[String, Seq[Int]]): Unit = {
+      tdims: Map[String, Seq[Int]], bitCols: Map[String, Int]): Unit = {
+    bitCols.foreach { case (n, bits) =>
+      require(bits >= 1, s"bitCols('$n') needs a positive bit count, got $bits")
+      // a bitCols key on a non-binary column would fall through to the
+      // scalar branch with a mismatched declared width — record corruption
+      require(schema.fields.exists(f => f.name == n && f.dataType == BinaryType),
+        s"bitCols('$n') must name a BinaryType column of the schema")
+    }
+    schema.fields.foreach { f =>
+      if (f.dataType == BinaryType && !bitCols.contains(f.name))
+        throw new IllegalArgumentException(
+          s"binary column '${f.name}' needs a bitCols entry declaring its " +
+            "X bit width (FITS has no untyped byte-blob column)")
+      if (f.dataType.isInstanceOf[StructType] && complexCode(f.dataType).isEmpty)
+        throw new IllegalArgumentException(
+          s"struct column '${f.name}' is not a complex (re, im) float/double " +
+            "pair — flatten other structs before writing")
+    }
     varCols.foreach { case (n, d) =>
       require(d == 'P' || d == 'Q', s"varCols descriptor must be P or Q, got $d")
       // a varCols key that is not an array column would reserve descriptor
@@ -185,7 +231,8 @@ object FitsWriter {
     */
   private def binHeader(codec: BinCodec, strLens: Map[String, Int],
       arrayLens: Map[String, Int], varCols: Map[String, Char],
-      tdims: Map[String, Seq[Int]], nRows: Long, pcount: Long,
+      tdims: Map[String, Seq[Int]], bitCols: Map[String, Int],
+      nRows: Long, pcount: Long,
       varMax: Map[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -207,10 +254,12 @@ object FitsWriter {
       val tf = f.dataType match {
         case ArrayType(et, _) if varCols.contains(f.name) =>
           s"1${varCols(f.name)}${elem(et)._1}(${varMax.getOrElse(f.name, 0L)})"
+        case BinaryType if bitCols.contains(f.name) => s"${bitCols(f.name)}X"
         case StringType => s"${strLens.getOrElse(f.name, 16)}A"
         case ArrayType(et, _) => s"${arrayLens.getOrElse(f.name, 1)}${elem(et)._1}"
         case BooleanType => "L"
-        case dt => elem(dt)._1.toString
+        case dt => complexCode(dt).map(_.toString)
+          .getOrElse(elem(dt)._1.toString)
       }
       out.write(card(s"TFORM${i + 1}", tf, quote = true))
       tdims.get(f.name).foreach(dims =>
@@ -234,9 +283,10 @@ object FitsWriter {
       strLens: Map[String, Int] = Map.empty,
       arrayLens: Map[String, Int] = Map.empty,
       varCols: Map[String, Char] = Map.empty,
-      tdims: Map[String, Seq[Int]] = Map.empty): Unit = {
-    validateLayout(schema, arrayLens, varCols, tdims)
-    val codec = new BinCodec(schema, strLens, arrayLens, varCols)
+      tdims: Map[String, Seq[Int]] = Map.empty,
+      bitCols: Map[String, Int] = Map.empty): Unit = {
+    validateLayout(schema, arrayLens, varCols, tdims, bitCols)
+    val codec = new BinCodec(schema, strLens, arrayLens, varCols, bitCols)
     // Records and heap buffer in memory; the header needs NAXIS2, PCOUNT
     // and the per-column var max, all known only after encoding.
     val records = new ByteArrayOutputStream()
@@ -254,7 +304,7 @@ object FitsWriter {
     }
     val out = new DataOutputStream(new FileOutputStream(path))
     try {
-      out.write(binHeader(codec, strLens, arrayLens, varCols, tdims,
+      out.write(binHeader(codec, strLens, arrayLens, varCols, tdims, bitCols,
         rows.size.toLong, heap.size().toLong, varMax.toMap))
       records.writeTo(out)
       heap.writeTo(out)
@@ -300,10 +350,11 @@ object FitsWriter {
       strLens: Map[String, Int] = Map.empty,
       arrayLens: Map[String, Int] = Map.empty,
       varCols: Map[String, Char] = Map.empty,
-      tdims: Map[String, Seq[Int]] = Map.empty): Unit = {
+      tdims: Map[String, Seq[Int]] = Map.empty,
+      bitCols: Map[String, Int] = Map.empty): Unit = {
     val schema = df.schema
-    validateLayout(schema, arrayLens, varCols, tdims)
-    val codec = new BinCodec(schema, strLens, arrayLens, varCols)
+    validateLayout(schema, arrayLens, varCols, tdims, bitCols)
+    val codec = new BinCodec(schema, strLens, arrayLens, varCols, bitCols)
     // The two passes must see identical partition contents; persist so the
     // (possibly nondeterministic-at-recompute) upstream plan runs once.
     val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -325,7 +376,7 @@ object FitsWriter {
         n -> stats.foldLeft(0L)((m, s) => math.max(m, s._4(i)))
       }.toMap
       val header = binHeader(codec, strLens, arrayLens, varCols, tdims,
-        nRows, pcount, varMax)
+        bitCols, nRows, pcount, varMax)
       val recordsStart = header.length.toLong
       val theap = codec.rowBytes.toLong * nRows // THEAP default: heap follows records
       val dataEnd = recordsStart + theap + pcount

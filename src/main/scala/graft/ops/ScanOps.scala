@@ -210,6 +210,54 @@ object ScanOps {
       |  round(coalesce(list_sum(list_transform(embedding[1:(vec_id % 5)], x -> x::DOUBLE)), 0.0), 6) AS head_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin)
 
+  /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
+    * type rows that read-path unit tests covered but no gate row
+    * round-tripped through FitsWriter. A 12-bit mask (packed MSB-first
+    * into 2 bytes), a complex64 from the first two embedding components
+    * and a complex128 pair go out via the executor-side writer and come
+    * back through the DSv2; the dump re-expands the packed bytes and
+    * complex components to scalars the oracle recomputes from parquet.
+    */
+  val a12_fits_bits_complex_source = OpQuery(
+    (s, d) => {
+      // per-sfDir fixture name: same spec-memoization reason as a11
+      val fitsPath = graft.Util.scratch(
+        s"emb_xc_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          // 12-bit mask = vec_id % 4096, FITS X packing: bit 1 is the MSB
+          // of byte 0 ⇒ byte0 = mask >> 4, byte1 = (mask & 15) << 4
+          expr("unhex(concat(lpad(hex(CAST((vec_id % 4096) DIV 16 AS INT)), 2, '0'), " +
+            "lpad(hex(CAST(((vec_id % 4096) % 16) * 16 AS INT)), 2, '0')))").as("mask"),
+          struct(expr("CAST(element_at(embedding, 1) AS FLOAT)").as("re"),
+            expr("CAST(element_at(embedding, 2) AS FLOAT)").as("im")).as("vis"),
+          struct((col("vec_id") * 0.5).cast(DoubleType).as("re"),
+            (col("vec_id") * -0.25).cast(DoubleType).as("im")).as("vis_d"))
+        .orderBy("vec_id")
+      graft.fits.FitsWriter.writeDataFrame(fitsPath, emb,
+        bitCols = Map("mask" -> 12))
+      s.read.format("fits").load(fitsPath)
+        .select(col("vec_id"),
+          expr("CAST(conv(hex(substring(mask, 1, 1)), 16, 10) AS BIGINT)").as("x_b0"),
+          expr("CAST(conv(hex(substring(mask, 2, 1)), 16, 10) AS BIGINT)").as("x_b1"),
+          // + 0.0 collapses IEEE −0.0 → +0.0: round() of a tiny negative
+          // yields −0.0 in one engine and +0.0 in the other — equal by ==
+          // but different bit patterns to a dtype-sensitive row hash
+          (graft.Par.r6(col("vis.re").cast(DoubleType)) + 0.0).as("c_re"),
+          (graft.Par.r6(col("vis.im").cast(DoubleType)) + 0.0).as("c_im"),
+          (col("vis_d.re") + 0.0).as("m_re"),
+          (col("vis_d.im") + 0.0).as("m_im"))
+        .orderBy("vec_id")
+    },
+    """SELECT vec_id,
+      |  CAST((vec_id % 4096) // 16 AS BIGINT) AS x_b0,
+      |  CAST(((vec_id % 4096) % 16) * 16 AS BIGINT) AS x_b1,
+      |  round(CAST(embedding[1] AS DOUBLE), 6) + 0.0 AS c_re,
+      |  round(CAST(embedding[2] AS DOUBLE), 6) + 0.0 AS c_im,
+      |  CAST(vec_id * 0.5 AS DOUBLE) + 0.0 AS m_re,
+      |  CAST(vec_id * -0.25 AS DOUBLE) + 0.0 AS m_im
+      |FROM embeddings ORDER BY vec_id""".stripMargin)
+
   /** Bucketed tables + shuffle-free co-located join: both sides written
     * bucketBy(8, join key) ⇒ the sort-merge join reads pre-partitioned
     * buckets and the plan has NO Exchange on either side (asserted in
@@ -250,6 +298,7 @@ object ScanOps {
     "a9_sink_bucketed" -> a9_sink_bucketed,
     "a10_fits_ascii_source" -> a10_fits_ascii_source,
     "a11_fits_varlen_source" -> a11_fits_varlen_source,
+    "a12_fits_bits_complex_source" -> a12_fits_bits_complex_source,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

@@ -1,0 +1,213 @@
+package graft
+
+import graft.fits.{FitsFormat, FitsWriter}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based FITS header + round-trip fuzzing (raw ScalaCheck — the
+  * scalatest bridge is not on the offline classpath). Valid random card
+  * sets must parse to consistent specs and round-trip through the writer;
+  * malformed cards must raise IllegalArgumentException, never NPE or a
+  * mis-parsed spec.
+  */
+class FitsFuzzSpec extends SparkTestBase {
+
+  private def check(prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val scalarCodes = "LBIJKAED".toSeq // fixed-width, writer-agnostic
+
+  test("random valid TFORMs (with legal junk tails) parse to (code, repeat)") {
+    val tail = Gen.oneOf("", ".4", "E2", "14.7", "x")
+    val fixed = for {
+      rep <- Gen.option(Gen.choose(0, 999))
+      c <- Gen.oneOf("LXBIJKAEDCM".toSeq)
+      t <- tail
+    } yield (s"${rep.map(_.toString).getOrElse("")}$c$t", c, rep.getOrElse(1))
+    val prop = Prop.forAll(fixed) { case (tform, c, rep) =>
+      val (code, repeat, varDesc) = FitsFormat.parseTform(tform)
+      code == c && repeat == rep && varDesc.isEmpty
+    }
+    check(prop)
+  }
+
+  test("random var-length TFORMs parse descriptor and max") {
+    val varG = for {
+      pq <- Gen.oneOf('P', 'Q')
+      c <- Gen.oneOf("LXBIJKAEDCM".toSeq)
+      max <- Gen.option(Gen.choose(0, 9999))
+    } yield (s"1$pq$c${max.map(m => s"($m)").getOrElse("")}", pq, c, max.getOrElse(0))
+    check(Prop.forAll(varG) { case (tform, pq, c, max) =>
+      FitsFormat.parseTform(tform) == ((c, max, Some(pq)))
+    })
+  }
+
+  test("garbage TFORMs raise IllegalArgumentException, never NPE") {
+    check(Prop.forAll(Gen.alphaNumStr) { s =>
+      try { FitsFormat.parseTform(s); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    })
+  }
+
+  /** One random BINTABLE column: (code, repeat, optional TSCAL/TZERO). */
+  private val colGen: Gen[(Char, Int, Option[(Double, Double)])] = for {
+    c <- Gen.oneOf(scalarCodes)
+    rep <- if (c == 'A') Gen.choose(1, 24) else Gen.choose(1, 4)
+    scaled <- if ("BIJKED".contains(c)) Gen.option(
+      Gen.zip(Gen.choose(1, 4).map(_.toDouble), Gen.choose(-10, 10).map(_.toDouble)))
+    else Gen.const(None)
+  } yield (c, rep, scaled)
+
+  private def cardsFor(cols: Seq[(Char, Int, Option[(Double, Double)])],
+      nRows: Int): Map[String, String] = {
+    val widths = cols.map { case (c, rep, _) => FitsFormat.parseTform(s"$rep$c") match {
+      case _ => rep * (c match {
+        case 'L' | 'B' | 'A' => 1; case 'I' => 2; case 'J' | 'E' => 4; case _ => 8
+      })
+    }}
+    Map("XTENSION" -> "BINTABLE", "NAXIS1" -> widths.sum.toString,
+      "NAXIS2" -> nRows.toString, "TFIELDS" -> cols.length.toString) ++
+      cols.zipWithIndex.flatMap { case ((c, rep, sc), i) =>
+        Seq(s"TTYPE${i + 1}" -> s"col_$i", s"TFORM${i + 1}" -> s"$rep$c") ++
+          sc.toSeq.flatMap { case (s, z) =>
+            Seq(s"TSCAL${i + 1}" -> s.toString, s"TZERO${i + 1}" -> z.toString) }
+      }
+  }
+
+  test("random valid card sets parse to a consistent TableSpec") {
+    val gen = for {
+      cols <- Gen.nonEmptyListOf(colGen).map(_.take(8))
+      n <- Gen.choose(0, 1000)
+    } yield (cols, n)
+    check(Prop.forAll(gen) { case (cols, n) =>
+      val spec = FitsFormat.tableSpec(cardsFor(cols, n))
+      spec.nRows == n && spec.cols.length == cols.length &&
+        spec.rowBytes == spec.cols.map(_.byteWidth).sum &&
+        spec.cols.map(_.name).distinct.length == cols.length
+    }, n = 100)
+  }
+
+  test("corrupt NAXIS1 is rejected, not mis-sliced") {
+    val gen = for {
+      cols <- Gen.nonEmptyListOf(colGen).map(_.take(6))
+      delta <- Gen.oneOf(-3, -2, -1, 1, 2, 3)
+    } yield (cols, delta)
+    check(Prop.forAll(gen) { case (cols, delta) =>
+      val cards = cardsFor(cols, 1)
+      val bad = cards + ("NAXIS1" -> (cards("NAXIS1").toInt + delta).toString)
+      try { FitsFormat.tableSpec(bad); false }
+      catch { case _: IllegalArgumentException => true; case _: Throwable => false }
+    }, n = 100)
+  }
+
+  test("TDIM product must equal the repeat count") {
+    val gen = for {
+      rep <- Gen.choose(2, 24)
+      d1 <- Gen.choose(1, 6)
+      d2 <- Gen.choose(1, 6)
+    } yield (rep, d1, d2)
+    check(Prop.forAll(gen) { case (rep, d1, d2) =>
+      val cards = Map("XTENSION" -> "BINTABLE",
+        "NAXIS1" -> (rep * 4).toString, "NAXIS2" -> "1", "TFIELDS" -> "1",
+        "TTYPE1" -> "v", "TFORM1" -> s"${rep}E", "TDIM1" -> s"($d1,$d2)")
+      if (d1 * d2 == rep)
+        FitsFormat.tableSpec(cards).cols.head.tdim.contains(Seq(d1, d2))
+      else
+        try { FitsFormat.tableSpec(cards); false }
+        catch { case _: IllegalArgumentException => true; case _: Throwable => false }
+    }, n = 100)
+  }
+
+  test("random frames round-trip through writer and DSv2 byte-exactly") {
+    // a Spark job per sample: keep the sample count small but the shapes
+    // wide (scalars, strings, fixed float arrays, 0-row frames)
+    val fieldGen: Gen[DataType] = Gen.oneOf(
+      BooleanType, ShortType, IntegerType, LongType, FloatType, DoubleType,
+      StringType, ArrayType(FloatType))
+    val schemaGen = Gen.choose(1, 5).flatMap(k =>
+      Gen.listOfN(k, fieldGen).map { ts =>
+        StructType(ts.zipWithIndex.map { case (t, i) =>
+          StructField(s"c_$i", t, nullable = false) })
+      })
+    def valueFor(dt: DataType): Gen[Any] = dt match {
+      case BooleanType => Gen.oneOf(true, false)
+      case ShortType => Gen.choose(Short.MinValue, Short.MaxValue)
+      case IntegerType => Gen.choose(Int.MinValue, Int.MaxValue)
+      case LongType => Gen.choose(Long.MinValue, Long.MaxValue)
+      case FloatType => Gen.choose(-1e6f, 1e6f) // finite: reader nulls NaN/Inf
+      case DoubleType => Gen.choose(-1e9, 1e9)
+      case StringType => Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+      case ArrayType(FloatType, _) => Gen.listOfN(3, Gen.choose(-1e6f, 1e6f))
+      case other => sys.error(s"no gen for $other")
+    }
+    val caseGen = for {
+      schema <- schemaGen
+      n <- Gen.frequency(4 -> Gen.choose(1, 20), 1 -> Gen.const(0))
+      rows <- Gen.listOfN(n, Gen.sequence[Seq[Any], Any](
+        schema.fields.toSeq.map(f => valueFor(f.dataType))))
+    } yield (schema, rows.map(Row.fromSeq))
+    var i = 0
+    check(Prop.forAll(caseGen) { case (schema, rows) =>
+      i += 1
+      val path = s"/tmp/graft_test/fuzz_rt_$i.fits" // unique: spec memoization
+      FitsWriter.write(path, schema, rows,
+        strLens = schema.fields.collect {
+          case StructField(n, StringType, _, _) => n -> 8 }.toMap,
+        arrayLens = schema.fields.collect {
+          case StructField(n, ArrayType(_, _), _, _) => n -> 3 }.toMap)
+      val back = spark.read.format("fits").load(path).collect()
+      back.length == rows.length && {
+        val exp = rows.map(r => r.toSeq.map {
+          case s: Seq[_] => s.toList
+          case v => v
+        })
+        val got = back.map(r => r.toSeq.map {
+          case s: scala.collection.Seq[_] => s.toList
+          case v => v
+        })
+        got.sortBy(_.toString()).sameElements(exp.sortBy(_.toString()))
+      }
+    }, n = 12)
+  }
+
+  test("complex and bit columns round-trip through write + read") {
+    val gen = for {
+      n <- Gen.choose(1, 12)
+      vals <- Gen.listOfN(n, for {
+        re <- Gen.choose(-1e3f, 1e3f)
+        im <- Gen.choose(-1e3f, 1e3f)
+        dre <- Gen.choose(-1e6, 1e6)
+        dim <- Gen.choose(-1e6, 1e6)
+        bytes <- Gen.listOfN(2, Gen.choose(0, 255).map(_.toByte))
+      } yield (re, im, dre, dim, bytes.toArray))
+    } yield vals
+    val schema = StructType(Seq(
+      StructField("vis", StructType(Seq(
+        StructField("re", FloatType), StructField("im", FloatType)))),
+      StructField("vis_d", StructType(Seq(
+        StructField("re", DoubleType), StructField("im", DoubleType)))),
+      StructField("mask", BinaryType)))
+    var i = 0
+    check(Prop.forAll(gen) { vals =>
+      i += 1
+      val path = s"/tmp/graft_test/fuzz_cx_$i.fits"
+      val rows = vals.map { case (re, im, dre, dim, b) =>
+        Row(Row(re, im), Row(dre, dim), b) }
+      // 16-bit mask: the declared width must round the 2 generated bytes
+      FitsWriter.write(path, schema, rows, bitCols = Map("mask" -> 16))
+      val back = spark.read.format("fits").load(path).collect()
+      back.length == vals.length && back.sortBy(_.toString()).zip(
+        rows.sortBy(_.toString())).forall { case (g, e) =>
+          g.getStruct(0) == e.getStruct(0) && g.getStruct(1) == e.getStruct(1) &&
+            java.util.Arrays.equals(g.getAs[Array[Byte]](2), e.getAs[Array[Byte]](2))
+      }
+    }, n = 8)
+  }
+}
