@@ -36,8 +36,10 @@ object Bench {
     }
     // Co-tenant contention corrupted two official records (r1: i5=23 s,
     // r2: j3=14.8 s — both ~0.5-2 s in isolated re-runs). In-JVM reps with
-    // a per-query MEDIAN make one official run contention-robust.
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
+    // a per-query MEDIAN make one official run contention-robust — and the
+    // official run is whoever invokes Bench with a default env, so the
+    // robust setting must BE the default (3 reps ≈ 2.5 min at sf0.1).
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
       .max(1)
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     val samples = (1 to reps).map { _ =>
