@@ -13,7 +13,8 @@ object SparkEntry {
 
   private val groups: Seq[Map[String, OpQuery]] =
     Seq(ScanOps.all, EtlOps.all, RelOps.all, AggOps.all, WindowOps.all,
-      ScalarOps.all, LlmOps.all, StreamOps.all, MultimodalOps.all)
+      ScalarOps.all, LlmOps.all, StreamOps.all, MultimodalOps.all,
+      TrainOps.all)
 
   private val ops: Map[String, OpQuery] = {
     val merged = groups.reduce(_ ++ _)

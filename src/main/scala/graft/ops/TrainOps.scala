@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.{OpQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data assembly operators (builder-prompt north star): the steps
+  * between a cleaned corpus and a training run — reproducible splits,
+  * output sharding, sequence packing. The common design rule: NOTHING is
+  * random at run time. Every assignment is a pure function of stable ids,
+  * so a re-run (or another engine — the DuckDB oracle proves it) produces
+  * the identical dataset, job retries can't fork history, and adding data
+  * doesn't reshuffle earlier assignments.
+  */
+object TrainOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  /** Knuth-style multiplicative hash bucket in [0, 1000). doc_id stays
+    * ≤ ~10⁶ so the product is < 2⁵² — exact in Spark's ANSI bigint AND in
+    * every engine's double-free integer path (the parity trap that rules
+    * out xxhash/rand here).
+    */
+  private val bucket: org.apache.spark.sql.Column =
+    (col("doc_id") * 2654435761L) % 1000
+
+  /** i20: deterministic train/val/test split (80/10/10) — the hash-bucket
+    * split is per-document stable: adding or removing other documents
+    * never moves an existing one between splits (sampling by rand() or by
+    * row position does, silently leaking val into train across dataset
+    * versions). Pure narrow map: no shuffle at any scale.
+    */
+  val i20_train_split = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        when(bucket < 800, "train").when(bucket < 900, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id"),
+    """SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket,
+      |  CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+      |       WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** i21: deterministic output sharding — shard = hash(doc_id) % 64 plus a
+    * dense within-shard ordinal. This is the "write the corpus as N
+    * stable training shards" step: the shard column is the partition key
+    * of the final write (64 here; thousands at 100 TB), and the ordinal
+    * gives every document a reproducible (shard, pos) address. One
+    * shuffle on the shard key; the window partitions by shard so there is
+    * no global-order bottleneck.
+    */
+  val i21_shard_assign = OpQuery(
+    (s, d) => {
+      val shard = ((col("doc_id") * 40503L) % 64).cast(IntegerType)
+      t(s, d, "documents")
+        .select(col("doc_id"), shard.as("shard"))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("shard").orderBy("doc_id")).cast(LongType))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, CAST((doc_id * 40503) % 64 AS INTEGER) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY (doc_id * 40503) % 64
+      |    ORDER BY doc_id) AS BIGINT) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** i22: sequence packing — concatenate documents (in stable doc_id
+    * order, per (lang, source) stream) and cut the token stream every 512
+    * whitespace tokens: the standard concat-and-chunk pretraining packing,
+    * where a document may straddle a cut. Running-cumsum formulation:
+    * seq_bin = (tokens-before-it) DIV 512 is the sequence holding the
+    * document's first token, seq_offset its position there. One window
+    * per (lang, source) stream key keeps the windows parallel at scale —
+    * packing one global stream would serialize, and nothing in training
+    * needs cross-stream order.
+    */
+  val i22_seq_pack = OpQuery(
+    (s, d) => {
+      val toksN = size(split(col("text"), " ")).cast(LongType)
+      val w = Window.partitionBy("lang", "source").orderBy("doc_id")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), toksN.as("n_tok"))
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tok"),
+          // DIV, not '/': long / long is DOUBLE in Spark SQL
+          expr("CAST(cum_before DIV 512 AS BIGINT)").as("seq_bin"),
+          (col("cum_before") % 512).as("seq_offset"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, lang, source,
+      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+      |  CAST(cum_before // 512 AS BIGINT) AS seq_bin,
+      |  CAST(cum_before % 512 AS BIGINT) AS seq_offset
+      |FROM (
+      |  SELECT doc_id, lang, source, text,
+      |    -- windowed sum(BIGINT) widens to HUGEINT/decimal in DuckDB
+      |    coalesce(CAST(sum(CAST(len(string_split(text,' ')) AS BIGINT)) OVER (
+      |      PARTITION BY lang, source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cum_before
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin)
+
+  val all: Map[String, OpQuery] = Map(
+    "i20_train_split" -> i20_train_split,
+    "i21_shard_assign" -> i21_shard_assign,
+    "i22_seq_pack" -> i22_seq_pack)
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.ops.TrainOps
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the training-data assembly ops — the guarantees
+  * the oracle hash cannot express: split stability under dataset growth,
+  * dense per-shard ordinals, packing arithmetic against a driver-side
+  * recomputation.
+  */
+class TrainOpsSpec extends SparkTestBase {
+
+  test("i20 split assignments are per-document stable under dataset growth") {
+    // the whole point of hash splits: recompute on a SUBSET of the corpus
+    // and every surviving document keeps its assignment (position- or
+    // rand()-based sampling would reshuffle)
+    val full = TrainOps.i20_train_split.fn(spark, sfDir)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subsetDocs = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") % 3 === 0)
+    val subset = TrainOps.i20_train_split.fn(spark, sfDir) // same op...
+    // ...applied to the subset via the same expressions
+    val sub = subsetDocs
+      .select(col("doc_id"),
+        when((col("doc_id") * 2654435761L) % 1000 < 800, "train")
+          .when((col("doc_id") * 2654435761L) % 1000 < 900, "val")
+          .otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(sub.nonEmpty)
+    sub.foreach { case (id, s) => assert(full(id) == s,
+      s"doc $id moved from ${full(id)} to $s when the corpus shrank") }
+    // and the fractions land near 80/10/10 (hash uniformity sanity)
+    val n = full.size.toDouble
+    val train = full.values.count(_ == "train") / n
+    assert(train > 0.7 && train < 0.9, s"train fraction $train")
+    assert(subset.columns.contains("split")) // op surface unchanged
+  }
+
+  test("i21 shard positions are dense 1..count within every shard") {
+    val out = TrainOps.i21_shard_assign.fn(spark, sfDir)
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("d"))
+      .collect()
+    assert(byShard.nonEmpty)
+    byShard.foreach { r =>
+      val (n, lo, hi, distinct) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(lo == 1L && hi == n && distinct == n,
+        s"shard ${r.getInt(0)}: positions not dense 1..$n (lo=$lo hi=$hi distinct=$distinct)")
+    }
+    // (shard, pos) is a unique address for every document
+    assert(out.select("shard", "pos").distinct().count() == out.count())
+  }
+
+  test("i22 packing matches a driver-side recomputation of one stream") {
+    val out = TrainOps.i22_seq_pack.fn(spark, sfDir)
+      .filter(col("lang") === "en")
+    val streams = out.select("source").distinct().collect().map(_.getString(0))
+    assert(streams.nonEmpty)
+    val src = streams.min
+    val rows = out.filter(col("source") === src)
+      .select("doc_id", "n_tok", "seq_bin", "seq_offset")
+      .orderBy("doc_id").collect()
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == cum / 512, s"doc ${r.getLong(0)} bin")
+      assert(r.getLong(3) == cum % 512, s"doc ${r.getLong(0)} offset")
+      cum += r.getLong(1)
+    }
+    // offsets stay inside sequence capacity by construction
+    assert(rows.forall(_.getLong(3) < 512))
+  }
+}
