@@ -89,6 +89,10 @@ object Bench {
         System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
     }
     spark.stop()
+    // a SPARK_GRAFT_ONLY profiling run exists to SHOW per-query numbers —
+    // print the detail line too (driver-parsed official runs never set
+    // ONLY, and the compact summary stays the final line regardless)
+    if (only.nonEmpty) println(detail)
     println(summary)
   }
 }

@@ -108,14 +108,21 @@ object FitsWriter {
     val varNames: Array[String] =
       schema.fields.map(_.name).filter(varCols.contains)
 
-    /** Element count of each var cell, aligned with `varNames`. */
-    def varLensOf(r: Row): Array[Long] =
-      varFields.map { case (i, _) => r.getSeq[Any](i).length.toLong }
+    /** Per-element byte width of each var column, aligned with `varNames`
+      * (turns `varLensOf` lengths into heap bytes without re-reading rows).
+      */
+    val varElemBytes: Array[Int] = varFields.map(_._2)
 
-    /** Heap bytes this row contributes. */
-    def heapBytesOf(r: Row): Long =
-      varFields.foldLeft(0L) { case (acc, (i, w)) =>
-        acc + r.getSeq[Any](i).length.toLong * w
+    /** Element count of each var cell, aligned with `varNames`. Carries
+      * the same loud NULL rejection as `encode` — a stats pass must fail
+      * with the actionable message, not NPE inside an executor task.
+      */
+    def varLensOf(r: Row): Array[Long] =
+      varFields.map { case (i, _) =>
+        require(!r.isNullAt(i),
+          s"NULL cell in ${schema.fields(i).name}: this writer emits no " +
+            "TNULL sentinels — filter or fill nulls before writing")
+        r.getSeq[Any](i).length.toLong
       }
 
     /** Encodes one row: record bytes into `buf` (caller clears), heap
@@ -363,10 +370,14 @@ object FitsWriter {
         var n = 0L; var hb = 0L
         val vm = Array.fill(codec.varNames.length)(0L)
         it.foreach { r =>
-          n += 1; hb += codec.heapBytesOf(r)
+          n += 1
           val ls = codec.varLensOf(r)
           var i = 0
-          while (i < ls.length) { vm(i) = math.max(vm(i), ls(i)); i += 1 }
+          while (i < ls.length) {
+            vm(i) = math.max(vm(i), ls(i))
+            hb += ls(i) * codec.varElemBytes(i)
+            i += 1
+          }
         }
         Iterator.single((pid, n, hb, vm))
       }.collect().sortBy(_._1)

@@ -63,21 +63,40 @@ object Main {
     def intArg(flag: String, v: String): Int =
       try v.toInt catch { case _: NumberFormatException =>
         fail(s"$flag expects an integer, got '$v'") }
+    // a flag's value must not itself be a flag: '--table --drop' would
+    // otherwise silently load into a table named '--drop' AND discard the
+    // lifecycle the user asked for
+    def valueOf(flag: String, rest: List[String]): (String, List[String]) =
+      rest match {
+        case v :: t if !v.startsWith("--") => (v, t)
+        case _ => fail(s"$flag expects a value")
+      }
     @annotation.tailrec
     def go(rest: List[String], acc: CliArgs): CliArgs = rest match {
       case Nil => acc
-      case "--table" :: v :: t => go(t, acc.copy(table = v))
-      case "--format" :: v :: t => go(t, acc.copy(format = v))
-      case "--dialect" :: v :: t => go(t, acc.copy(dialect = v.toLowerCase))
-      case "--url" :: v :: t => go(t, acc.copy(url = Some(v)))
-      case "--out" :: v :: t => go(t, acc.copy(out = Some(v)))
+      case "--table" :: r =>
+        val (v, t) = valueOf("--table", r); go(t, acc.copy(table = v))
+      case "--format" :: r =>
+        val (v, t) = valueOf("--format", r); go(t, acc.copy(format = v))
+      case "--dialect" :: r =>
+        val (v, t) = valueOf("--dialect", r); go(t, acc.copy(dialect = v.toLowerCase))
+      case "--url" :: r =>
+        val (v, t) = valueOf("--url", r); go(t, acc.copy(url = Some(v)))
+      case "--out" :: r =>
+        val (v, t) = valueOf("--out", r); go(t, acc.copy(out = Some(v)))
       case "--create" :: t => go(t, acc.copy(mode = Ddl.Create))
       case "--drop" :: t => go(t, acc.copy(mode = Ddl.DropCreate))
       case "--truncate" :: t => go(t, acc.copy(mode = Ddl.TruncateLoad))
-      case "--extnum" :: v :: t => go(t, acc.copy(extnum = Some(intArg("--extnum", v))))
-      case "--pkey" :: v :: t => go(t, acc.copy(pkey = Some(v)))
-      case "--chunk" :: v :: t => go(t, acc.copy(chunk = Some(intArg("--chunk", v))))
-      case "--concurrency" :: v :: t =>
+      case "--extnum" :: r =>
+        val (v, t) = valueOf("--extnum", r)
+        go(t, acc.copy(extnum = Some(intArg("--extnum", v))))
+      case "--pkey" :: r =>
+        val (v, t) = valueOf("--pkey", r); go(t, acc.copy(pkey = Some(v)))
+      case "--chunk" :: r =>
+        val (v, t) = valueOf("--chunk", r)
+        go(t, acc.copy(chunk = Some(intArg("--chunk", v))))
+      case "--concurrency" :: r =>
+        val (v, t) = valueOf("--concurrency", r)
         go(t, acc.copy(concurrency = Some(intArg("--concurrency", v))))
       case flag :: _ if flag.startsWith("--") => fail(s"unknown option $flag")
       case p :: t => go(t, acc.copy(inputs = acc.inputs :+ p))

@@ -33,8 +33,11 @@ object MultimodalOps {
     * success, throws on violation; ifnull keeps the filter all-pass.)
     */
   private def asciiOnly(df: org.apache.spark.sql.DataFrame) =
+    // NULL text must not trip the assert (assert_true throws on NULL as
+    // well as false — the message would send the reader hunting for
+    // non-ASCII bytes when the problem is a NULL document)
     df.filter(expr(
-      "ifnull(assert_true(octet_length(text) = char_length(text), " +
+      "ifnull(assert_true(text IS NULL OR octet_length(text) = char_length(text), " +
         "'m1/m3 byte-level parity requires an ASCII corpus'), true)"))
 
   /** Deterministic fake codec: "dimensions" derived from payload length.

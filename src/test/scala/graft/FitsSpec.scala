@@ -528,6 +528,13 @@ class FitsSpec extends SparkTestBase {
         Seq(Row(1, null)), arrayLens = Map("v" -> 2))
     }
     assert(e1.getMessage.contains("NULL cell"))
+    // NULL in a VAR-LENGTH cell must hit the same loud guard (the stats
+    // path reads var lengths before encode — it must not NPE first)
+    val e1v = intercept[IllegalArgumentException] {
+      FitsWriter.write("/tmp/graft_test/null_var.fits", schema,
+        Seq(Row(1, null)), varCols = Map("v" -> 'P'))
+    }
+    assert(e1v.getMessage.contains("NULL cell"))
     // varCols naming a scalar column would corrupt record layout
     val e2 = intercept[IllegalArgumentException] {
       FitsWriter.write("/tmp/graft_test/bad_var.fits", schema,

@@ -32,6 +32,12 @@ class IngestCliSpec extends SparkTestBase {
     assert(msg("--bogus", "x.fits").contains("unknown option"))
     assert(msg("--out", "o").contains("no input files"))
     assert(msg("--extnum", "two", "x.fits").contains("expects an integer"))
+    // a flag must not swallow the NEXT flag as its value ('--table --drop'
+    // would load into a table named '--drop' and drop the lifecycle)
+    assert(msg("--table", "--drop", "--dialect", "parquet", "--out", "o", "x.fits")
+      .contains("--table expects a value"))
+    assert(msg("--dialect", "parquet", "--out", "o", "x.fits", "--pkey")
+      .contains("--pkey expects a value"))
   }
 
   test("glob expansion matches files and rejects empty matches") {

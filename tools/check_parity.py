@@ -166,7 +166,10 @@ def main():
                     print(f"  diag failed: {e}")
     vtail = f", {len(vacuous)} vacuous-green" if vacuous else ""
     print(f"\n{len(ok)} ok, {len(bad)} fail{vtail}")
-    sys.exit(1 if bad else 0)
+    # exit codes: 1 = hard comparison failure; 2 = vacuous-green only (a
+    # 0-row green proves nothing — callers that EXPECT an empty result at
+    # this SF may treat 2 as pass, but a bare `== 0` check still flags it)
+    sys.exit(1 if bad else (2 if vacuous else 0))
 
 
 if __name__ == "__main__":
