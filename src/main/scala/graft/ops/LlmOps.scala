@@ -695,7 +695,106 @@ object LlmOps {
       |FROM documents)
       |ORDER BY doc_id""".stripMargin)
 
+  /** i23: dedup COMPLETION — pair finding (i10/i12) only surfaces edges;
+    * actual deduplication needs connected components of the similarity
+    * graph so each near-dup cluster keeps one canonical document. Spark
+    * side: distributed min-label propagation with POINTER JUMPING
+    * (lbl(x) ← lbl(lbl(x)), path halving) — similarity chains are long at
+    * low τ (measured diameter 16 at sf0.1 ⇒ 17 plain rounds; halving
+    * converges in ~7), and at 100 TB that is O(log d) shuffles instead of
+    * O(d). The loop runs at the RDD layer — the one place the codebase
+    * drops below DataFrames, and deliberately: an iterative graph
+    * algorithm re-plans/re-codegens every Catalyst round (~0.45 s/action
+    * measured, dwarfing the data), while hash-partitioned pair RDDs make
+    * every per-round join partitioner-aligned (narrow — the GraphX
+    * execution shape) with zero planning cost. Only nodes that appear in
+    * an edge iterate; isolated vectors rejoin as their own canonical at
+    * the end.
+    * Oracle: exact transitive closure via DuckDB's recursive CTE over the
+    * same τ ≥ 0.4 edges (closure is oracle-scale-only; the Spark side
+    * never materializes reachability, just labels).
+    */
+  val i23_dedup_components = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val pairs = blockedPairs(t(s, d, "embeddings"), (ia, ea, ib, eb) => {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < ia.length) {
+          var j = 0
+          while (j < ib.length) {
+            if (ia(i) < ib(j) && dotArr(ea(i), eb(j)) >= 0.4)
+              out += ((ia(i), ib(j), 0.0))
+            j += 1
+          }
+          i += 1
+        }
+        out.toSeq
+      }).select(col("a_id"), col("b_id"))
+        .localCheckpoint() // materialize once: counted below, iterated after
+      // partition count scales with the edge set (≥ default parallelism at
+      // real scale, 1 task per job at fixture scale); ONE HashPartitioner
+      // instance keys every RDD in the loop so joins stay narrow
+      val sym = pairs.as[(Long, Long)].rdd
+        .flatMap(p => Iterator((p._2, p._1), (p._1, p._2)))
+      val nParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (2 * pairs.count() / 500000L).toInt))
+      val part = new org.apache.spark.HashPartitioner(nParts)
+      // edges keyed by the label PROVIDER (b supplies its label to a)
+      val edges = sym.partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = edges.keys.distinct(nParts).map(id => (id, id))
+        .partitionBy(part)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var rounds = 0
+      var prevSum = labels.values.fold(0L)(_ + _)
+      while (!converged && rounds < 40) {
+        // neighbor min: edge (b → a) delivers lbl(b) to a (narrow join —
+        // both sides share `part`), then halve: follow each label one
+        // more hop through the label table itself
+        val cand = edges.join(labels)
+          .map { case (_, (a, lbl)) => (a, lbl) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        val stepped = labels.leftOuterJoin(cand)
+          .mapValues { case (l, c) => math.min(l, c.getOrElse(l)) }
+        val halved = stepped.map(_.swap).join(stepped)
+          .map { case (_, (x, ll)) => (x, ll) }
+          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // convergence = the label sum stops falling (labels only decrease);
+        // the fold is the single action materializing the round
+        val cur = halved.values.fold(0L)(_ + _)
+        converged = cur == prevSum
+        prevSum = cur
+        labels.unpersist(blocking = false)
+        labels = halved
+        rounds += 1
+      }
+      require(converged, s"label propagation did not converge in $rounds rounds")
+      val labelDf = labels.toDF("vec_id", "lbl")
+      edges.unpersist(blocking = false)
+      t(s, d, "embeddings").filter(col("vec_id").isNotNull)
+        .select(col("vec_id"))
+        .join(labelDf, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("lbl"), col("vec_id")).as("canonical"))
+        .orderBy("vec_id")
+    },
+    s"""WITH RECURSIVE e AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE ${dotSql("a.embedding", "b.embedding")} >= 0.4
+       |), reach(src, dst) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+       |)
+       |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS canonical
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "i23_dedup_components" -> i23_dedup_components,
     "i18_text_clean" -> i18_text_clean,
     "i19_sim_ann_lsh" -> i19_sim_ann_lsh,
     "i1_text_tokenize_count" -> i1_text_tokenize_count,

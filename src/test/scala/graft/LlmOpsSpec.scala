@@ -151,6 +151,29 @@ class LlmOpsSpec extends SparkTestBase {
     assert(tiny == one && adaptive == one)
   }
 
+  test("i23 components: every tau-pair shares a canonical; isolated vecs keep their own") {
+    val labels = LlmOps.i23_dedup_components.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = LlmOps.i12_dedup_embcos.fn(spark, sfDir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.nonEmpty)
+    // connectivity: both endpoints of every similarity edge resolve to the
+    // same canonical (this is exactly what pair output alone cannot say)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across components")
+    }
+    // canonical is a member of its own component and is the minimum
+    labels.groupBy(_._2).foreach { case (canon, members) =>
+      assert(members.keys.min == canon,
+        s"component $canon: canonical is not the min member")
+    }
+    // vectors in no pair are their own canonical
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.filter(kv => !paired.contains(kv._1)).foreach { case (id, canon) =>
+      assert(id == canon, s"isolated vec $id mapped to $canon")
+    }
+  }
+
   test("knn query result is the true top-10 (brute-force cross-check)") {
     import graft.functions.VectorFunctions.dot
     val e = Tables.t(spark, sfDir, "embeddings")
