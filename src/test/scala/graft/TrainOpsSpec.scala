@@ -52,6 +52,25 @@ class TrainOpsSpec extends SparkTestBase {
     assert(out.select("shard", "pos").distinct().count() == out.count())
   }
 
+  test("i20 plans as a pure narrow map: no Exchange before the final sort") {
+    // the split itself must never shuffle — only the dump's ORDER BY may
+    val plan = TrainOps.i20_train_split.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected at most the final-sort Exchange:\n$plan")
+  }
+
+  test("i22 windows are stream-keyed, never global") {
+    // an empty partitionBy would serialize the whole corpus through one
+    // task at scale — the b8 lesson, asserted here for the packing window
+    val plan = TrainOps.i22_seq_pack.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"))
+    assert(!plan.contains("SinglePartition") ||
+      !plan.split("\n").exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      s"global (un-partitioned) window in plan:\n$plan")
+  }
+
   test("i22 packing matches a driver-side recomputation of one stream") {
     val out = TrainOps.i22_seq_pack.fn(spark, sfDir)
       .filter(col("lang") === "en")
