@@ -45,10 +45,16 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
     * one scan over same-schema files — the reference's N-file append.
     */
   private def paths(options: CaseInsensitiveStringMap): Seq[String] = {
+    // Spark serializes multi-path loads as a JSON array — decode it as
+    // JSON (jackson ships with Spark), not by splitting on ',' which
+    // would shred any path containing a comma
     val fromPaths = Option(options.get("paths")).map { js =>
-      js.stripPrefix("[").stripSuffix("]")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      try mapper.readValue(js, classOf[Array[String]]).toSeq
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"FITS source: cannot parse paths option '$js' as a JSON array", e)
+      }
     }.getOrElse(Nil)
     val all = Option(options.get("path")).toSeq ++ fromPaths
     if (all.isEmpty) throw new IllegalArgumentException(

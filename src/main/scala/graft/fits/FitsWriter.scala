@@ -156,11 +156,15 @@ object FitsWriter {
           case BooleanType => buf.put((if (r.getBoolean(i)) 'T' else 'F').toByte)
           case BinaryType if bitCols.contains(f.name) =>
             // X bit array: MSB-first packed bytes, zero-padded/truncated
-            // to the declared bit width (stale tail bits would round-trip
-            // as phantom flags)
-            val w = (bitCols(f.name) + 7) / 8
-            val b = r.getAs[Array[Byte]](i)
-            buf.put(b.take(w).padTo(w, 0.toByte))
+            // to the declared bit width. FITS 4.0 §7.3.3 requires unused
+            // trailing bits to be ZERO — mask the final byte, or stale
+            // tail bits become phantom flags to a conforming reader
+            val bits = bitCols(f.name)
+            val w = (bits + 7) / 8
+            val b = r.getAs[Array[Byte]](i).take(w).padTo(w, 0.toByte)
+            if (bits % 8 != 0)
+              b(w - 1) = (b(w - 1) & (0xFF << (8 - bits % 8))).toByte
+            buf.put(b)
           case StringType =>
             val w = strLens.getOrElse(f.name, 16)
             val b = r.getString(i).getBytes(StandardCharsets.US_ASCII)

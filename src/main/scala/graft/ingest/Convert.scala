@@ -104,12 +104,18 @@ object Convert {
     * anyway).
     */
   def flattenStructCols(df: DataFrame): DataFrame = {
+    // the output NAMES come from Ddl.flattenStructs itself — one source of
+    // truth, so a future change to its naming rule cannot desynchronize
+    // the DDL'd table from the frame the JDBC writer appends
+    val targetNames = Ddl.flattenStructs(df.schema).fieldNames
     val cols: Seq[Column] = df.schema.fields.toSeq.flatMap {
       case StructField(n, st: StructType, _, _) =>
-        st.fields.toSeq.map(f => col(s"`$n`.`${f.name}`").as(s"${n}_${f.name}"))
+        st.fields.toSeq.map(f => col(s"`$n`.`${f.name}`"))
       case f => Seq(col(s"`${f.name}`"))
     }
-    df.select(cols: _*)
+    require(cols.length == targetNames.length,
+      "flattenStructCols drifted from Ddl.flattenStructs")
+    df.select(cols.zip(targetNames).map { case (c, nm) => c.as(nm) }: _*)
   }
 
   /** fits2db's --create/--drop/--truncate lifecycle against a JDBC target:
@@ -212,7 +218,17 @@ object Convert {
             flat.write.mode("overwrite").jdbc(sinkPath, jdbcTable, props)
         }
       case "parquet" => out.write.mode("overwrite").parquet(sinkPath)
-      case "csv" => out.write.mode("overwrite").option("header", "true").csv(sinkPath)
+      case "csv" =>
+        // CSV holds scalars only: flatten complex structs like the JDBC
+        // path, and reject arrays with the same remedy the DB dialects
+        // give (Spark's bare AnalysisException names no fix)
+        val flat = flattenStructCols(out)
+        flat.schema.fields.find(_.dataType.isInstanceOf[ArrayType]).foreach { f =>
+          throw new IllegalArgumentException(
+            s"csv: array column '${f.name}' cannot be written to CSV — " +
+              "expand to scalar columns first (EtlOps.b6_array_expand)")
+        }
+        flat.write.mode("overwrite").option("header", "true").csv(sinkPath)
       case other => throw new IllegalArgumentException(
         s"Unsupported sink format '$other' (jdbc, parquet, csv)")
     }

@@ -32,12 +32,12 @@ object Main {
 
   final case class CliArgs(
       inputs: Seq[String] = Nil,
-      table: String = "converted",
+      table: Option[String] = None, // default "converted" (DB dialects only)
       format: String = "fits",
       dialect: String = "parquet",
       url: Option[String] = None,
       out: Option[String] = None,
-      mode: Ddl.Mode = Ddl.Create,
+      mode: Option[Ddl.Mode] = None, // default Create (DB dialects only)
       extnum: Option[Int] = None,
       pkey: Option[String] = None,
       chunk: Option[Int] = None,
@@ -75,7 +75,7 @@ object Main {
     def go(rest: List[String], acc: CliArgs): CliArgs = rest match {
       case Nil => acc
       case "--table" :: r =>
-        val (v, t) = valueOf("--table", r); go(t, acc.copy(table = v))
+        val (v, t) = valueOf("--table", r); go(t, acc.copy(table = Some(v)))
       case "--format" :: r =>
         val (v, t) = valueOf("--format", r); go(t, acc.copy(format = v))
       case "--dialect" :: r =>
@@ -84,9 +84,9 @@ object Main {
         val (v, t) = valueOf("--url", r); go(t, acc.copy(url = Some(v)))
       case "--out" :: r =>
         val (v, t) = valueOf("--out", r); go(t, acc.copy(out = Some(v)))
-      case "--create" :: t => go(t, acc.copy(mode = Ddl.Create))
-      case "--drop" :: t => go(t, acc.copy(mode = Ddl.DropCreate))
-      case "--truncate" :: t => go(t, acc.copy(mode = Ddl.TruncateLoad))
+      case "--create" :: t => go(t, acc.copy(mode = Some(Ddl.Create)))
+      case "--drop" :: t => go(t, acc.copy(mode = Some(Ddl.DropCreate)))
+      case "--truncate" :: t => go(t, acc.copy(mode = Some(Ddl.TruncateLoad)))
       case "--extnum" :: r =>
         val (v, t) = valueOf("--extnum", r)
         go(t, acc.copy(extnum = Some(intArg("--extnum", v))))
@@ -109,6 +109,21 @@ object Main {
       fail(s"--dialect ${args.dialect} needs --out")
     if (!jdbcDialects(args.dialect) && !fileSinks(args.dialect))
       fail(s"unknown dialect '${args.dialect}'")
+    // DB-only flags on a file sink would be silently discarded — the same
+    // loud-over-lossy rule as the '--table --drop' guard above
+    if (fileSinks(args.dialect)) {
+      val dbOnly = Seq(
+        args.table.map(_ => "--table"),
+        args.mode.map {
+          case Ddl.Create => "--create"
+          case Ddl.DropCreate => "--drop"
+          case Ddl.TruncateLoad => "--truncate"
+        },
+        args.chunk.map(_ => "--chunk")).flatten
+      if (dbOnly.nonEmpty)
+        fail(s"${dbOnly.mkString("/")} apply only to DB dialects " +
+          s"(postgres|mysql|sqlite|derby), not --dialect ${args.dialect}")
+    }
     args
   }
 
@@ -137,8 +152,8 @@ object Main {
     if (jdbcDialects(args.dialect))
       Convert.ingestAll(spark, files, args.format, readerOptions,
         Convert.ConvertSpec(), args.url.get, sinkFormat = "jdbc",
-        jdbcTable = args.table,
-        jdbcDdl = Some((Ddl.dialects(args.dialect), args.mode)),
+        jdbcTable = args.table.getOrElse("converted"),
+        jdbcDdl = Some((Ddl.dialects(args.dialect), args.mode.getOrElse(Ddl.Create))),
         pkey = args.pkey, concurrency = args.concurrency,
         batchRows = args.chunk)
     else
@@ -158,7 +173,11 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .getOrCreate()
+    // run-phase usage errors (empty glob match, dialect/type rejections)
+    // are CLI errors too — message + exit 2, not a raw stack trace
     try run(spark, args)
+    catch { case e: IllegalArgumentException =>
+      System.err.println(e.getMessage); spark.stop(); sys.exit(2) }
     finally spark.stop()
   }
 }

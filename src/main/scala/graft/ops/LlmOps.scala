@@ -758,6 +758,9 @@ object LlmOps {
           .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
         val stepped = labels.leftOuterJoin(cand)
           .mapValues { case (l, c) => math.min(l, c.getOrElse(l)) }
+          // both sides of the halving join read this — persist or the
+          // edge-join + merge recomputes twice per round
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val halved = stepped.map(_.swap).join(stepped)
           .map { case (_, (x, ll)) => (x, ll) }
           .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
@@ -768,6 +771,7 @@ object LlmOps {
         converged = cur == prevSum
         prevSum = cur
         labels.unpersist(blocking = false)
+        stepped.unpersist(blocking = false)
         labels = halved
         rounds += 1
       }

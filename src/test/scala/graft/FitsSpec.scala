@@ -260,6 +260,19 @@ class FitsSpec extends SparkTestBase {
       Seq(Seq(1, 2), Seq(3)))
   }
 
+  test("X write zeroes unused trailing bits (FITS 4.0 §7.3.3)") {
+    val schema = StructType(Seq(StructField("mask", BinaryType)))
+    val p = "/tmp/graft_test/xbits_mask.fits"
+    // 12-bit column, dirty low nibble in the input: bits 13-16 must not
+    // survive the write (a conforming reader would drop them; ours would
+    // round-trip phantom flags)
+    FitsWriter.write(p, schema,
+      Seq(Row(Array(0xAB.toByte, 0xCF.toByte))), bitCols = Map("mask" -> 12))
+    val back = spark.read.format("fits").load(p).collect()
+    assert(back.head.getAs[Array[Byte]](0).toSeq ==
+      Seq(0xAB.toByte, 0xC0.toByte))
+  }
+
   test("header parser rejects unsupported TFORMs with a clear error") {
     val e = intercept[IllegalArgumentException] {
       FitsFormat.parseTform("3Z") // not a FITS 4.0 binary-table code

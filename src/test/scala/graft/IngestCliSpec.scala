@@ -17,7 +17,8 @@ class IngestCliSpec extends SparkTestBase {
       "--url", "jdbc:derby:x;create=true", "--drop", "--extnum", "1",
       "--pkey", "id", "--chunk", "500", "--concurrency", "4",
       "in1.fits", "in2.fits"))
-    assert(a.table == "obs" && a.dialect == "derby" && a.mode == Ddl.DropCreate)
+    assert(a.table.contains("obs") && a.dialect == "derby" &&
+      a.mode.contains(Ddl.DropCreate))
     assert(a.extnum.contains(1) && a.pkey.contains("id") &&
       a.chunk.contains(500) && a.concurrency.contains(4))
     assert(a.inputs == Seq("in1.fits", "in2.fits"))
@@ -38,6 +39,31 @@ class IngestCliSpec extends SparkTestBase {
       .contains("--table expects a value"))
     assert(msg("--dialect", "parquet", "--out", "o", "x.fits", "--pkey")
       .contains("--pkey expects a value"))
+    // DB-only flags on a file sink are rejected, not silently discarded
+    assert(msg("--dialect", "parquet", "--out", "o", "--drop", "x.fits")
+      .contains("apply only to DB dialects"))
+    assert(msg("--dialect", "csv", "--out", "o", "--table", "t", "x.fits")
+      .contains("apply only to DB dialects"))
+  }
+
+  test("csv sink flattens structs and rejects arrays with the b6 remedy") {
+    import spark.implicits._
+    val src = "/tmp/graft_test/cli_csv_src"
+    Seq((1L, (0.5f, 1.5f))).toDF("k", "vis")
+      .select(col("k"), struct(col("vis._1").as("re"), col("vis._2").as("im")).as("vis"))
+      .write.mode("overwrite").parquet(src)
+    val out = "/tmp/graft_test/cli_csv_out"
+    Convert.ingestAll(spark, Seq(src), "parquet", Map.empty,
+      Convert.ConvertSpec(), out, sinkFormat = "csv")
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq == Seq("k", "vis_re", "vis_im"))
+    val arrSrc = "/tmp/graft_test/cli_csv_arr"
+    Seq((1L, Seq(0.5f))).toDF("k", "spec").write.mode("overwrite").parquet(arrSrc)
+    val e = intercept[IllegalArgumentException] {
+      Convert.ingestAll(spark, Seq(arrSrc), "parquet", Map.empty,
+        Convert.ConvertSpec(), out, sinkFormat = "csv")
+    }
+    assert(e.getMessage.contains("b6_array_expand"))
   }
 
   test("glob expansion matches files and rejects empty matches") {
