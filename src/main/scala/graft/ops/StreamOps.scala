@@ -176,7 +176,43 @@ object StreamOps {
       |  min(ts) AS first_ts, max(ts) AS last_ts
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  /** j8's transformation, shared verbatim between batch and two
+    * readStreams: purchases joined to same-user views in the trailing
+    * 30 minutes — the attribution shape. The equality key (user_id) plus
+    * the two-sided time-range bound is exactly what Structured Streaming
+    * requires of a stream-stream inner join so the state store can evict:
+    * with both sides watermarked, a buffered view is droppable once the
+    * purchase-side watermark passes v_ts + 30 min. One shuffle on
+    * user_id per side at any scale.
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = views.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    p.join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("v_id"), col("user_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
+
+  val j8_stream_stream_join = OpQuery(
+    (s, d) => {
+      val ev = t(s, d, "events")
+      purchaseViewJoin(ev, ev).orderBy("p_id", "v_id")
+    },
+    """SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id,
+      |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+      |FROM events p JOIN events v
+      |  ON p.user_id = v.user_id
+      | AND p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+      |ORDER BY p_id, v_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j8_stream_stream_join" -> j8_stream_stream_join,
     "j7_stateful_custom" -> j7_stateful_custom,
     "j1_tumbling_window" -> j1_tumbling_window,
     "j2_sliding_window" -> j2_sliding_window,

@@ -90,4 +90,22 @@ class StreamOpsSpec extends SparkTestBase {
     val batch = StreamOps.j1_tumbling_window.fn(spark, sfDir)
     assertSameRows(fromStream, batch)
   }
+
+  test("j8 stream-stream join: two watermarked streams equal the batch join") {
+    // a REAL stream-stream inner join: both sides are independent
+    // readStreams with watermarks; the user_id equality + two-sided time
+    // bound lets the state store evict buffered views once the watermark
+    // passes v_ts + 30 min (without the bound Spark would reject or
+    // buffer forever). Append mode — joins emit rows exactly once.
+    val batch = {
+      val ev = Tables.t(spark, sfDir, "events")
+      StreamOps.purchaseViewJoin(ev, ev)
+    }
+    val stream = runToTable(
+      StreamOps.purchaseViewJoin(
+        eventsStream.withWatermark("ts", "1 hour"),
+        eventsStream.withWatermark("ts", "1 hour")),
+      "p_j8", "append")
+    assertSameRows(batch, stream)
+  }
 }
