@@ -63,7 +63,8 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FitsTable.readSpec(paths(options).head, extnum(options)).spec.schema
+    FitsTable.readSpec(FitsTable.firstMatching(paths(options)), extnum(options))
+      .spec.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -75,6 +76,28 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
 }
 
 object FitsTable {
+
+  /** Expands Hadoop glob patterns to concrete files, sorted for a stable
+    * scan/offset order. Literal existing paths pass through unchanged.
+    */
+  def expandGlobs(patterns: Seq[String]): Seq[String] = {
+    val conf = driverHadoopConf()
+    patterns.flatMap { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+        .filter(_.isFile).map(_.getPath.toString)
+    }.distinct.sorted
+  }
+
+  /** First concrete file of the pattern list (schema authority); clear
+    * error when nothing matches yet — FITS headers carry the schema, so
+    * an empty source directory cannot define a stream or a scan.
+    */
+  def firstMatching(patterns: Seq[String]): String =
+    expandGlobs(patterns).headOption.getOrElse(throw new IllegalArgumentException(
+      s"FITS source: no files match ${patterns.mkString(", ")} " +
+        "(at least one must exist to define the schema)"))
   // DSv2 calls inferSchema and then getTable, each needing the header —
   // memoize per (path, extnum) so the HDU walk happens once per session
   // (FITS headers are immutable for a given file version).
@@ -105,15 +128,18 @@ object FitsTable {
 final case class FitsSpecWithOffset(spec: FitsFormat.HduSpec, dataStart: Long)
 
 class FitsTable(paths: Seq[String], extnum: Int) extends Table with SupportsRead {
-  // schema authority = first file; every other file must match at plan time
-  private lazy val specWithOffset = FitsTable.readSpec(paths.head, extnum)
+  // schema authority = first matching file; every other file must match
+  // at plan time (paths may be globs — batch expands once, the micro-
+  // batch stream re-expands per trigger to pick up newly dropped files)
+  private lazy val specWithOffset =
+    FitsTable.readSpec(FitsTable.firstMatching(paths), extnum)
 
   override def name(): String =
     if (paths.length == 1) s"fits:${paths.head}#$extnum"
     else s"fits:${paths.head}(+${paths.length - 1})#$extnum"
   override def schema(): StructType = specWithOffset.spec.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FitsScanBuilder(paths, extnum, specWithOffset,
@@ -140,27 +166,20 @@ class FitsScanBuilder(paths: Seq[String], extnum: Int,
   override def build(): Scan = new FitsScan(paths, extnum, swo, required, rowsPerSplit)
 }
 
-class FitsScan(paths: Seq[String], extnum: Int, swo: FitsSpecWithOffset,
-    required: StructType, rowsPerSplitOpt: Option[Long] = None)
-  extends Scan with Batch {
-
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"FitsScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")})"
-
+object FitsScan {
   /** Row-range splits per file; each split carries its file's spec (specs
     * may differ in widths — e.g. 16A vs 25A — as long as the Spark schemas
-    * agree, which is required here against the first file's).
+    * agree, which is required here against `firstSchema`). Shared by the
+    * batch plan and the micro-batch stream's per-trigger plan.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val firstSchema = swo.spec.schema
+  def splitsFor(files: Seq[String], extnum: Int,
+      firstSchema: StructType, rowsPerSplitOpt: Option[Long]): Array[InputPartition] = {
     val targetBytes = 128L * 1024 * 1024 // align with files.maxPartitionBytes default
-    val splits: Array[InputPartition] = paths.toArray.flatMap { p =>
+    files.toArray.flatMap { p =>
       val pswo = FitsTable.readSpec(p, extnum)
       require(pswo.spec.schema == firstSchema,
         s"FITS multi-file load: '$p' decodes to ${pswo.spec.schema.simpleString}, " +
-          s"but '${paths.head}' declares ${firstSchema.simpleString}")
+          s"but the source schema is ${firstSchema.simpleString}")
       val spec = pswo.spec
       val rowsPerSplit = rowsPerSplitOpt.getOrElse(
         math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
@@ -170,21 +189,86 @@ class FitsScan(paths: Seq[String], extnum: Int, swo: FitsSpecWithOffset,
           math.min(start + rowsPerSplit, spec.nRows)): InputPartition)
         .toArray
     }
-    if (splits.isEmpty) Array(FitsInputPartition(paths.head, swo, 0, 0)) else splits
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Hadoop Configuration is not serializable; ship its entries and
-    // rebuild on the executor so fs credentials/settings survive.
-    val props = {
-      val c = FitsTable.driverHadoopConf()
-      val it = c.iterator()
-      val b = Map.newBuilder[String, String]
-      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
-      b.result()
-    }
-    new FitsReaderFactory(required, props)
+  /** Hadoop conf entries, shipped to executors (Configuration itself is
+    * not serializable).
+    */
+  def confProps(): Map[String, String] = {
+    val c = FitsTable.driverHadoopConf()
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+    b.result()
   }
+}
+
+class FitsScan(paths: Seq[String], extnum: Int, swo: FitsSpecWithOffset,
+    required: StructType, rowsPerSplitOpt: Option[Long] = None)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new FitsMicroBatchStream(paths, extnum, swo.spec.schema, required, rowsPerSplitOpt)
+  override def description(): String =
+    s"FitsScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splits = FitsScan.splitsFor(FitsTable.expandGlobs(paths), extnum,
+      swo.spec.schema, rowsPerSplitOpt)
+    // 0-row fallback must name a CONCRETE file (paths may be globs) —
+    // the reader opens it even for an empty row range
+    if (splits.isEmpty)
+      Array(FitsInputPartition(FitsTable.firstMatching(paths), swo, 0, 0))
+    else splits
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FitsReaderFactory(required, FitsScan.confProps())
+}
+
+/** Micro-batch FITS stream — the nightly-drop ingest shape: files land in
+  * a directory (or any glob set) and each trigger processes exactly the
+  * files not seen before. The offset IS the sorted seen-file list
+  * (append-only directories make that monotonic); per-trigger planning
+  * re-expands the globs, diffs against the previous offset, and reuses
+  * the batch reader's per-file row-range splits, so a single huge new
+  * BINTABLE still parallelizes inside one micro-batch.
+  */
+class FitsMicroBatchStream(patterns: Seq[String], extnum: Int,
+    firstSchema: StructType, required: StructType, rowsPerSplitOpt: Option[Long])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private case class FilesOffset(files: Seq[String]) extends Offset {
+    override def json(): String =
+      mapper.writeValueAsString(files.toArray)
+  }
+
+  override def initialOffset(): Offset = FilesOffset(Nil)
+
+  override def latestOffset(): Offset =
+    FilesOffset(FitsTable.expandGlobs(patterns))
+
+  override def deserializeOffset(json: String): Offset =
+    FilesOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FilesOffset].files.toSet
+    val fresh = end.asInstanceOf[FilesOffset].files.filterNot(seen)
+    FitsScan.splitsFor(fresh, extnum, firstSchema, rowsPerSplitOpt)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FitsReaderFactory(required, FitsScan.confProps())
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class FitsInputPartition(path: String, swo: FitsSpecWithOffset,
