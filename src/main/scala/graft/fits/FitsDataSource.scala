@@ -77,18 +77,34 @@ class FitsDataSource extends TableProvider with DataSourceRegister {
 
 object FitsTable {
 
-  /** Expands Hadoop glob patterns to concrete files, sorted for a stable
-    * scan/offset order. Literal existing paths pass through unchanged.
+  /** Expands ONE pattern to concrete files, sorted for a stable
+    * scan/offset order. A literal existing file short-circuits glob
+    * interpretation, so names containing glob metacharacters
+    * (`obs[1].fits`) load as-is instead of being read as character
+    * classes.
     */
-  def expandGlobs(patterns: Seq[String]): Seq[String] = {
-    val conf = driverHadoopConf()
-    patterns.flatMap { p =>
-      val path = new Path(p)
-      val fs = path.getFileSystem(conf)
-      Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
-        .filter(_.isFile).map(_.getPath.toString)
-    }.distinct.sorted
+  def expandOne(pattern: String): Seq[String] = {
+    val path = new Path(pattern)
+    val fs = path.getFileSystem(driverHadoopConf())
+    val literal =
+      try { val st = fs.getFileStatus(path); if (st.isFile) Some(st) else None }
+      catch { case _: java.io.FileNotFoundException => None }
+    literal match {
+      case Some(st) => Seq(st.getPath.toString)
+      case None =>
+        Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+          .filter(_.isFile).map(_.getPath.toString).sorted
+    }
   }
+
+  /** Per-pattern expansion concatenated in pattern order. Deliberately NOT
+    * de-duplicated: `load(p, p)` scans the file twice — the reference's
+    * N-file append semantics, where each listed input contributes once per
+    * mention. (The streaming offset log de-dupes on its side, where
+    * seen-set semantics are the contract.)
+    */
+  def expandGlobs(patterns: Seq[String]): Seq[String] =
+    patterns.flatMap(expandOne)
 
   /** First concrete file of the pattern list (schema authority); clear
     * error when nothing matches yet — FITS headers carry the schema, so
@@ -128,11 +144,17 @@ object FitsTable {
 final case class FitsSpecWithOffset(spec: FitsFormat.HduSpec, dataStart: Long)
 
 class FitsTable(paths: Seq[String], extnum: Int) extends Table with SupportsRead {
+  // Batch file set is FROZEN here (table construction = load() time), the
+  // way Spark's file sources freeze their InMemoryFileIndex: every action
+  // on the resulting DataFrame — both scan nodes of a self-join included —
+  // sees the same snapshot even while new files land. The micro-batch
+  // stream ignores the snapshot and re-expands per trigger by design.
+  private lazy val snapshot: Seq[String] = FitsTable.expandGlobs(paths)
   // schema authority = first matching file; every other file must match
-  // at plan time (paths may be globs — batch expands once, the micro-
-  // batch stream re-expands per trigger to pick up newly dropped files)
+  // the schema at plan time
   private lazy val specWithOffset =
-    FitsTable.readSpec(FitsTable.firstMatching(paths), extnum)
+    FitsTable.readSpec(snapshot.headOption.getOrElse(
+      FitsTable.firstMatching(paths)), extnum)
 
   override def name(): String =
     if (paths.length == 1) s"fits:${paths.head}#$extnum"
@@ -142,11 +164,11 @@ class FitsTable(paths: Seq[String], extnum: Int) extends Table with SupportsRead
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FitsScanBuilder(paths, extnum, specWithOffset,
+    new FitsScanBuilder(paths, snapshot, extnum, specWithOffset,
       Option(options.get("rowspersplit")).map(_.toLong))
 }
 
-class FitsScanBuilder(paths: Seq[String], extnum: Int,
+class FitsScanBuilder(paths: Seq[String], snapshot: Seq[String], extnum: Int,
     swo: FitsSpecWithOffset, rowsPerSplit: Option[Long])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
@@ -163,7 +185,8 @@ class FitsScanBuilder(paths: Seq[String], extnum: Int,
       declared.fields.find(_.name == n)).toIndexedSeq)
   }
 
-  override def build(): Scan = new FitsScan(paths, extnum, swo, required, rowsPerSplit)
+  override def build(): Scan =
+    new FitsScan(paths, snapshot, extnum, swo, required, rowsPerSplit)
 }
 
 object FitsScan {
@@ -203,25 +226,29 @@ object FitsScan {
   }
 }
 
-class FitsScan(paths: Seq[String], extnum: Int, swo: FitsSpecWithOffset,
-    required: StructType, rowsPerSplitOpt: Option[Long] = None)
+class FitsScan(patterns: Seq[String], snapshot: Seq[String], extnum: Int,
+    swo: FitsSpecWithOffset, required: StructType,
+    rowsPerSplitOpt: Option[Long] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new FitsMicroBatchStream(paths, extnum, swo.spec.schema, required, rowsPerSplitOpt)
+    new FitsMicroBatchStream(patterns, extnum, swo.spec.schema, required,
+      rowsPerSplitOpt, checkpointLocation)
   override def description(): String =
-    s"FitsScan(${paths.mkString(",")}, cols=${required.fieldNames.mkString(",")})"
+    s"FitsScan(${patterns.mkString(",")}, cols=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val splits = FitsScan.splitsFor(FitsTable.expandGlobs(paths), extnum,
+    // plan over the table's FROZEN snapshot — no re-listing per execution
+    val splits = FitsScan.splitsFor(snapshot, extnum,
       swo.spec.schema, rowsPerSplitOpt)
-    // 0-row fallback must name a CONCRETE file (paths may be globs) —
+    // 0-row fallback must name a CONCRETE file (patterns may be globs) —
     // the reader opens it even for an empty row range
     if (splits.isEmpty)
-      Array(FitsInputPartition(FitsTable.firstMatching(paths), swo, 0, 0))
+      Array(FitsInputPartition(snapshot.headOption.getOrElse(
+        FitsTable.firstMatching(patterns)), swo, 0, 0))
     else splits
   }
 
@@ -231,37 +258,102 @@ class FitsScan(paths: Seq[String], extnum: Int, swo: FitsSpecWithOffset,
 
 /** Micro-batch FITS stream — the nightly-drop ingest shape: files land in
   * a directory (or any glob set) and each trigger processes exactly the
-  * files not seen before. The offset IS the sorted seen-file list
-  * (append-only directories make that monotonic); per-trigger planning
-  * re-expands the globs, diffs against the previous offset, and reuses
-  * the batch reader's per-file row-range splits, so a single huge new
-  * BINTABLE still parallelizes inside one micro-batch.
+  * files not seen before.
+  *
+  * Offset design (the FileStreamSource pattern): the offset in Spark's
+  * WAL is just a batch COUNT; the files themselves go to an append-only
+  * seen-file log under `<checkpoint>/fits-seen/<batchIdx>` (one entry per
+  * trigger that found new files, atomic tmp+rename write). Consequences:
+  *  - offsets stay O(1) in the WAL instead of re-serializing the full
+  *    cumulative file list every trigger (no quadratic checkpoint);
+  *  - the seen-set is persistent and MONOTONE: a processed file that
+  *    transiently vanishes from one glob listing (eventual-consistency
+  *    hiccup, replace-by-rename) and reappears later is still in the log,
+  *    so it is never re-ingested as "fresh";
+  *  - restart replay is deterministic — `planInputPartitions(a, b)` reads
+  *    logged batches [a, b), never a live listing.
+  * Per-batch planning reuses the batch reader's per-file row-range splits,
+  * so a single huge new BINTABLE still parallelizes inside one micro-batch.
   */
 class FitsMicroBatchStream(patterns: Seq[String], extnum: Int,
-    firstSchema: StructType, required: StructType, rowsPerSplitOpt: Option[Long])
+    firstSchema: StructType, required: StructType,
+    rowsPerSplitOpt: Option[Long], checkpointLocation: String)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
 
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
-  private case class FilesOffset(files: Seq[String]) extends Offset {
-    override def json(): String =
-      mapper.writeValueAsString(files.toArray)
+  private case class LogOffset(n: Long) extends Offset {
+    override def json(): String = n.toString
   }
 
-  override def initialOffset(): Offset = FilesOffset(Nil)
+  private val logDir = new Path(checkpointLocation, "fits-seen")
+  private val fs = logDir.getFileSystem(FitsTable.driverHadoopConf())
 
-  override def latestOffset(): Offset =
-    FilesOffset(FitsTable.expandGlobs(patterns))
+  // in-memory mirror of the log: batches(i) = files first seen at entry i.
+  // Loaded once at construction (the restart path); latestOffset appends.
+  private val batches = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+  private val seen = scala.collection.mutable.HashSet[String]()
+  locally {
+    if (fs.exists(logDir)) {
+      Iterator.from(0).map(i => new Path(logDir, i.toString))
+        .takeWhile(fs.exists).foreach { p =>
+          val files = readLogEntry(p)
+          batches += files
+          seen ++= files
+        }
+    } else fs.mkdirs(logDir)
+  }
+
+  private def readLogEntry(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Atomic append of entry `i`; if a crashed previous run already wrote
+    * it (log write landed, WAL commit did not), adopt the existing entry
+    * so replay stays deterministic.
+    */
+  private def writeLogEntry(i: Int, files: Seq[String]): Seq[String] = {
+    val target = new Path(logDir, i.toString)
+    if (fs.exists(target)) return readLogEntry(target)
+    val tmp = new Path(logDir, s".$i.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((files.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      require(fs.exists(target), s"cannot write FITS seen-log entry $target")
+      return readLogEntry(target)
+    }
+    files
+  }
+
+  override def initialOffset(): Offset = LogOffset(0)
+
+  override def latestOffset(): Offset = {
+    val fresh = FitsTable.expandGlobs(patterns).distinct.filterNot(seen)
+    if (fresh.nonEmpty) {
+      val adopted = writeLogEntry(batches.length, fresh)
+      batches += adopted
+      seen ++= adopted
+    }
+    LogOffset(batches.length)
+  }
 
   override def deserializeOffset(json: String): Offset =
-    FilesOffset(mapper.readValue(json, classOf[Array[String]]).toSeq)
+    LogOffset(json.trim.toLong)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val seen = start.asInstanceOf[FilesOffset].files.toSet
-    val fresh = end.asInstanceOf[FilesOffset].files.filterNot(seen)
-    FitsScan.splitsFor(fresh, extnum, firstSchema, rowsPerSplitOpt)
+    val a = start.asInstanceOf[LogOffset].n.toInt
+    val b = end.asInstanceOf[LogOffset].n.toInt
+    val files = (a until b).flatMap { i =>
+      if (i < batches.length) batches(i)
+      else readLogEntry(new Path(logDir, i.toString))
+    }
+    FitsScan.splitsFor(files, extnum, firstSchema, rowsPerSplitOpt)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

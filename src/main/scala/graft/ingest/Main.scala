@@ -131,16 +131,15 @@ object Main {
     * shell-glob inputs map onto; fails loudly when a pattern matches
     * nothing (a silent empty scan would "succeed" and load zero rows).
     */
-  def expandGlobs(spark: SparkSession, patterns: Seq[String]): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+  def expandGlobs(spark: SparkSession, patterns: Seq[String]): Seq[String] =
     patterns.flatMap { p =>
-      val path = new org.apache.hadoop.fs.Path(p)
-      val fs = path.getFileSystem(conf)
-      val matched = Option(fs.globStatus(path)).map(_.toSeq).getOrElse(Nil)
+      // one expander for CLI and DSv2 (graft.fits.FitsTable.expandOne:
+      // literal fast-path + sorted glob); the CLI adds its own
+      // fail-loudly-per-pattern contract on top
+      val matched = graft.fits.FitsTable.expandOne(p)
       require(matched.nonEmpty, s"no input files match '$p'")
-      matched.map(_.getPath.toString)
+      matched
     }
-  }
 
   /** Runs one parsed invocation against an existing session (separated
     * from `main` so tests drive the full path without exiting the JVM).

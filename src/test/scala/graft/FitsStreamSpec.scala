@@ -60,8 +60,34 @@ class FitsStreamSpec extends SparkTestBase {
   }
 
   test("fits batch load accepts a glob directly") {
-    val dir = "/tmp/graft_test/fits_stream"
-    val got = spark.read.format("fits").load(s"$dir/drop_*.fits")
+    // self-contained fixture — must not depend on the streaming test's dir
+    val dir = "/tmp/graft_test/fits_glob_batch"
+    graft.Util.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    writeNationSlice(dir, "part_a.fits", 0, 8)
+    writeNationSlice(dir, "part_b.fits", 8, 100)
+    val got = spark.read.format("fits").load(s"$dir/part_*.fits")
     assert(got.count() == Tables.t(spark, sfDir, "nation").count())
+  }
+
+  test("fits batch load: literal path with glob metacharacters") {
+    val dir = "/tmp/graft_test/fits_glob_literal"
+    graft.Util.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // '[1]' would be a character class under glob interpretation and match
+    // nothing; the literal fast-path must win
+    writeNationSlice(dir, "obs[1].fits", 0, 8)
+    val got = spark.read.format("fits").load(s"$dir/obs[1].fits")
+    assert(got.count() == 8)
+  }
+
+  test("fits batch load: repeated path keeps append semantics (no dedupe)") {
+    val dir = "/tmp/graft_test/fits_glob_repeat"
+    graft.Util.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    writeNationSlice(dir, "n.fits", 0, 8)
+    val p = s"$dir/n.fits"
+    val got = spark.read.format("fits").load(p, p)
+    assert(got.count() == 16, "each mention of a path must contribute once")
   }
 }
