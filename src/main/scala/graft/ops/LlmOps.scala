@@ -797,8 +797,106 @@ object LlmOps {
        |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS canonical
        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)
 
+  /** i24: benchmark decontamination — flag training documents that contain
+    * an eval-benchmark document (source 'src0' stands in for the eval
+    * suite). The metric is asymmetric CONTAINMENT |sh(train) ∩ sh(bench)| /
+    * |sh(bench)|: an eval doc pasted inside a larger page must still flag,
+    * where symmetric Jaccard would dilute below any threshold. Shape:
+    * inverted index — both sides explode to (id, shingle-hash) rows and
+    * meet in a hash equi-join, so cost is O(total shingles), never
+    * corpus × benchmark pairs; the benchmark side is broadcast (eval
+    * suites are tiny next to the corpus), leaving the per-pair match count
+    * as the only shuffle. Hashed shingles stand in for strings exactly as
+    * in i5 (collision odds ~|sh|²/2⁶⁴ vs the string oracle).
+    */
+  val i24_decontaminate = OpQuery(
+    (s, d) => {
+      import graft.functions.HashFunctions.shingleHashSet
+      val sh = withToks(t(s, d, "documents"))
+        .select(col("doc_id"), col("source"), shingleHashSet(toks).as("sh"))
+        .filter(size(col("sh")) > 0) // ⇔ oracle's len(toks) >= 2
+      val bench = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("bench_id"), size(col("sh")).as("sz_bench"),
+          explode(col("sh")).as("h"))
+      val train = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+      // sh elements are distinct (sorted-set expression), so the per-pair
+      // match count IS the intersection size.
+      train.join(broadcast(bench), "h")
+        .groupBy("train_id", "bench_id", "sz_bench")
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast(DoubleType) / col("sz_bench") >= 0.8)
+        .select(col("train_id"), col("bench_id"),
+          round(col("inter").cast(DoubleType) / col("sz_bench"), 6).as("containment"))
+        .orderBy("train_id", "bench_id")
+    },
+    """WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
+      |s AS (SELECT doc_id, source,
+      |        list_distinct(list_transform(range(1, len(toks)),
+      |          i -> toks[i] || ' ' || toks[i+1])) AS sh
+      |      FROM d WHERE len(toks) >= 2)
+      |SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+      |  round(len(list_intersect(tr.sh, be.sh))::DOUBLE / len(be.sh), 6) AS containment
+      |FROM s tr JOIN s be ON tr.source <> 'src0' AND be.source = 'src0'
+      |WHERE len(list_intersect(tr.sh, be.sh))::DOUBLE / len(be.sh) >= 0.8
+      |ORDER BY train_id, bench_id""".stripMargin)
+
+  /** i25: incremental (batch-vs-corpus) near-dup — the nightly-crawl shape:
+    * a new batch (doc_id % 10 = 0 stands in for today's crawl) is deduped
+    * against the existing corpus WITHOUT the corpus ever self-joining.
+    * Same MinHash+LSH machinery as i10, but the band-bucket join is
+    * batch × corpus only: at scale the corpus side is a precomputed,
+    * incrementally-maintained signature index keyed by bucket, and each
+    * nightly batch costs O(batch · bands) broadcast probes — corpus
+    * self-pairs never form, which is what makes nightly dedup affordable
+    * when the corpus is 100 TB and the batch is 0.1%. Candidates are
+    * exact-verified at τ = 0.8; fixture dup pairs sit at j ≥ 0.96, so the
+    * (1−j⁴)¹⁶ LSH miss bound is ≤ 1e-13 and the exact-join oracle and
+    * this path provably agree.
+    */
+  val i25_dedup_incremental = OpQuery(
+    (s, d) => {
+      import graft.functions.VectorFunctions.intersectCount
+      import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
+      val base = withToks(t(s, d, "documents"))
+        .select(col("doc_id"), shingleHashSet(toks).as("hs"))
+        .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
+        .localCheckpoint() // feeds signatures AND both verify lookups once
+      val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
+      // 16 bands × 4 rows, band index seeded into the bucket hash (as i10).
+      val buckets = (0 until 16).map(bd =>
+        xxhash64((lit(bd) +: (0 until 4).map(r => element_at(col("mh"), 4 * bd + r + 1))): _*))
+      val banded = sigs.select(col("doc_id"), explode(array(buckets: _*)).as("bucket"))
+      val batch = banded.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("batch_id"), col("bucket"))
+      val corpus = banded.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("bucket").as("bucket_c"))
+      val cand = corpus.join(broadcast(batch), col("bucket_c") === col("bucket"))
+        .select("batch_id", "corpus_id").distinct()
+      val sh = base.select(col("doc_id"), col("hs"))
+      cand
+        .join(sh.select(col("doc_id").as("batch_id"), col("hs").as("sh_a")), "batch_id")
+        .join(sh.select(col("doc_id").as("corpus_id"), col("hs").as("sh_b")), "corpus_id")
+        .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .select(col("batch_id"), col("corpus_id"), round(col("jac"), 6).as("jaccard"))
+        .orderBy("batch_id", "corpus_id")
+    },
+    s"""$shinglesSqlCte
+       |SELECT ba.doc_id AS batch_id, co.doc_id AS corpus_id,
+       |  round(len(list_intersect(ba.sh, co.sh))::DOUBLE
+       |    / (len(ba.sh) + len(co.sh) - len(list_intersect(ba.sh, co.sh))), 6) AS jaccard
+       |FROM s ba JOIN s co ON ba.doc_id % 10 = 0 AND co.doc_id % 10 <> 0
+       |WHERE len(list_intersect(ba.sh, co.sh))::DOUBLE
+       |    / (len(ba.sh) + len(co.sh) - len(list_intersect(ba.sh, co.sh))) >= 0.8
+       |ORDER BY batch_id, corpus_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "i23_dedup_components" -> i23_dedup_components,
+    "i24_decontaminate" -> i24_decontaminate,
+    "i25_dedup_incremental" -> i25_dedup_incremental,
     "i18_text_clean" -> i18_text_clean,
     "i19_sim_ann_lsh" -> i19_sim_ann_lsh,
     "i1_text_tokenize_count" -> i1_text_tokenize_count,

@@ -104,8 +104,39 @@ object TrainOps {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin)
 
+  /** i26: stratified sampling — a fixed-size (k = 50) per-stratum sample,
+    * deterministic like everything else here: rank within each lang
+    * stratum by a multiplicative hash of doc_id (a different odd
+    * multiplier than i20's, so the sample is independent of the train
+    * split) and keep the k smallest. doc_id · 1099087573 stays < 2⁵² for
+    * ids up to ~4×10⁶ — beyond that, pre-fold the id (as b10's 128-bit
+    * note). Per-stratum windows parallelize across strata; in the
+    * few-huge-strata regime the same hash key degrades gracefully to a
+    * threshold filter (keep skey < k/n · M: constant memory, no window,
+    * k hit only in expectation) — the exact-k window form is the gate
+    * semantics.
+    */
+  val i26_sample_stratified = OpQuery(
+    (s, d) => {
+      val key = (col("doc_id") * 1099087573L) % 1000000007L
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), key.as("skey"))
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("lang").orderBy("skey", "doc_id"))
+          .cast(LongType)) // rank is int32 in Spark, BIGINT in DuckDB
+        .filter(col("rk") <= 50)
+        .orderBy("lang", "rk")
+    },
+    """SELECT doc_id, lang, skey, CAST(rk AS BIGINT) AS rk
+      |FROM (SELECT doc_id, lang, (doc_id * 1099087573) % 1000000007 AS skey,
+      |        row_number() OVER (PARTITION BY lang
+      |          ORDER BY (doc_id * 1099087573) % 1000000007, doc_id) AS rk
+      |      FROM documents)
+      |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "i20_train_split" -> i20_train_split,
     "i21_shard_assign" -> i21_shard_assign,
-    "i22_seq_pack" -> i22_seq_pack)
+    "i22_seq_pack" -> i22_seq_pack,
+    "i26_sample_stratified" -> i26_sample_stratified)
 }

@@ -174,6 +174,58 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i24 decontaminate: flagged pairs match a driver-side string-shingle recompute") {
+    // independent oracle: true 2-gram string sets (no hashing, no inverted
+    // index) — the op's hashed inverted-index join must find exactly the
+    // pairs with containment >= 0.8
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").toSeq.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSet))
+      .filter(_._3.nonEmpty)
+    val bench = docs.filter(_._2 == "src0")
+    val train = docs.filter(_._2 != "src0")
+    val expected = (for {
+      (tid, _, tsh) <- train
+      (bid, _, bsh) <- bench
+      if tsh.intersect(bsh).size.toDouble / bsh.size >= 0.8
+    } yield (tid, bid)).toSet
+    val got = LlmOps.i24_decontaminate.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "decontamination must flag the planted overlaps")
+    assert(got == expected)
+  }
+
+  test("i25 incremental dedup equals the exact batch-vs-corpus join") {
+    import graft.functions.VectorFunctions.intersectCount
+    import graft.functions.HashFunctions.shingleHashSet
+    // exact (LSH-free) reference on the same hashed shingle sets: every
+    // batch x corpus pair, filtered at the same tau
+    val sh = Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleHashSet(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val exact = sh.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("batch_id"), col("sh").as("sh_a"))
+      .crossJoin(sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("sh").as("sh_b")))
+      .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .select("batch_id", "corpus_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = LlmOps.i25_dedup_incremental.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty, "fixture plants batch-vs-corpus duplicates")
+    assert(got == exact)
+    // incremental contract: no corpus self-pairs, no batch self-pairs
+    got.foreach { case (b, c) =>
+      assert(b % 10 == 0 && c % 10 != 0, s"pair ($b,$c) crosses the wrong split")
+    }
+  }
+
   test("knn query result is the true top-10 (brute-force cross-check)") {
     import graft.functions.VectorFunctions.dot
     val e = Tables.t(spark, sfDir, "embeddings")

@@ -89,4 +89,26 @@ class TrainOpsSpec extends SparkTestBase {
     // offsets stay inside sequence capacity by construction
     assert(rows.forall(_.getLong(3) < 512))
   }
+
+  test("i26 takes exactly the k hash-smallest docs per stratum, ranks dense") {
+    val k = 50
+    val out = TrainOps.i26_sample_stratified.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val all = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), (r.getLong(0) * 1099087573L) % 1000000007L))
+    all.groupBy(_._2).foreach { case (lang, docs) =>
+      val expect = docs.sortBy(d => (d._3, d._1)).take(k).map(_._1).toSeq
+      val got = out.filter(_._2 == lang).sortBy(_._4)
+      assert(got.map(_._1).toSeq == expect,
+        s"$lang: sample is not the $k hash-smallest docs")
+      assert(got.map(_._4).toSeq == (1L to got.size.toLong),
+        s"$lang: ranks not dense 1..k")
+    }
+    // determinism: a second run is bit-identical (nothing random at run time)
+    val again = TrainOps.i26_sample_stratified.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
