@@ -51,12 +51,48 @@ object LlmOps {
       transform(sequence(lit(0), size(toks) - 2),
         i => concat(element_at(toks, i + 1), lit(" "), element_at(toks, i + 2)))))
 
-  private val shinglesSqlCte: String =
-    """WITH d AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
-      |s AS (SELECT doc_id, lang,
-      |        list_distinct(list_transform(range(1, len(toks)),
-      |          i -> toks[i] || ' ' || toks[i+1])) AS sh
-      |      FROM d)""".stripMargin
+  /** One definition of the DuckDB shingle-set construction (must stay in
+    * lockstep with `shingles`/ShingleHashSet): parameterized by the carried
+    * metadata column and an optional ≥2-token filter (used where a
+    * downstream ratio would divide by an empty set's size).
+    */
+  private def shinglesSqlCteFor(carry: String, minToks: Boolean = false): String =
+    s"""WITH d AS (SELECT doc_id, $carry, string_split(text,' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, $carry,
+       |        list_distinct(list_transform(range(1, len(toks)),
+       |          i -> toks[i] || ' ' || toks[i+1])) AS sh
+       |      FROM d${if (minToks) " WHERE len(toks) >= 2" else ""})""".stripMargin
+
+  private val shinglesSqlCte: String = shinglesSqlCteFor("lang")
+
+  /** The LSH band-bucket array shared by i10 (corpus self-dedup) and i25
+    * (batch-vs-corpus): 16 bands × 4 minhash rows, the band index seeded
+    * into each bucket hash so buckets from different bands cannot collide.
+    * Changing the geometry here changes BOTH consumers together — their
+    * documented (1−j⁴)¹⁶ miss bounds assume this exact 16×4 shape.
+    */
+  private def bandBuckets(mh: Column): Column =
+    array((0 until 16).map(bd =>
+      xxhash64((lit(bd) +: (0 until 4).map(r =>
+        element_at(mh, 4 * bd + r + 1))): _*)): _*)
+
+  /** Exact-Jaccard verification of an LSH candidate id-pair set against the
+    * hashed-shingle table `sh` (columns doc_id, hs — sorted distinct).
+    * Returns (leftKey, rightKey, jaccard) for pairs at ≥ τ, ordered.
+    */
+  private def verifyJaccard(cand: DataFrame, sh: DataFrame,
+      leftKey: String, rightKey: String, tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions.intersectCount
+    cand
+      .join(sh.select(col("doc_id").as(leftKey), col("hs").as("sh_a")), leftKey)
+      .join(sh.select(col("doc_id").as(rightKey), col("hs").as("sh_b")), rightKey)
+      .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= tau)
+      .select(col(leftKey), col(rightKey), round(col("jac"), 6).as("jaccard"))
+      .orderBy(leftKey, rightKey)
+  }
 
   /** DuckDB dot product between two embedding expressions (element-wise
     * double arithmetic — matches DotProduct up to O(1e-14) summation order,
@@ -282,7 +318,6 @@ object LlmOps {
     */
   val i10_dedup_minhash_lsh = OpQuery(
     (s, d) => {
-      import graft.functions.VectorFunctions.intersectCount
       import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
       val docs = t(s, d, "documents")
       // The full 64-permutation signature is ONE narrow codegen'd expression
@@ -300,26 +335,13 @@ object LlmOps {
         .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
         .localCheckpoint()
       val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
-      // 16 bands × 4 rows; the band bucket is a hash of its 4 minhashes.
-      val buckets = (0 until 16).map(bd =>
-        xxhash64((lit(bd) +: (0 until 4).map(r => element_at(col("mh"), 4 * bd + r + 1))): _*))
-      val banded = sigs.select(col("doc_id"),
-        posexplode(array(buckets: _*)).as(Seq("band", "bucket")))
+      val banded = sigs.select(col("doc_id"), explode(bandBuckets(col("mh"))).as("bucket"))
       val x = banded.select(col("doc_id").as("a_id"), col("bucket"))
       val y = banded.select(col("doc_id").as("b_id"), col("bucket").as("bucket_b"))
       val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
       // Exact verification of the (tiny) candidate set, from the same base.
-      val sh = base.select(col("doc_id"), col("hs").as("sh")) // already sorted distinct
-      cand
-        .join(sh.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-        .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
-        .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
-        .withColumn("jac", col("inter").cast(DoubleType) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .filter(col("jac") >= 0.8)
-        .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
-        .orderBy("a_id", "b_id")
+      verifyJaccard(cand, base, "a_id", "b_id", 0.8)
     },
     s"""$shinglesSqlCte
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -830,11 +852,7 @@ object LlmOps {
           round(col("inter").cast(DoubleType) / col("sz_bench"), 6).as("containment"))
         .orderBy("train_id", "bench_id")
     },
-    """WITH d AS (SELECT doc_id, source, string_split(text,' ') AS toks FROM documents),
-      |s AS (SELECT doc_id, source,
-      |        list_distinct(list_transform(range(1, len(toks)),
-      |          i -> toks[i] || ' ' || toks[i+1])) AS sh
-      |      FROM d WHERE len(toks) >= 2)
+    s"""${shinglesSqlCteFor("source", minToks = true)}
       |SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
       |  round(len(list_intersect(tr.sh, be.sh))::DOUBLE / len(be.sh), 6) AS containment
       |FROM s tr JOIN s be ON tr.source <> 'src0' AND be.source = 'src0'
@@ -856,33 +874,20 @@ object LlmOps {
     */
   val i25_dedup_incremental = OpQuery(
     (s, d) => {
-      import graft.functions.VectorFunctions.intersectCount
       import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
       val base = withToks(t(s, d, "documents"))
         .select(col("doc_id"), shingleHashSet(toks).as("hs"))
         .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
         .localCheckpoint() // feeds signatures AND both verify lookups once
       val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
-      // 16 bands × 4 rows, band index seeded into the bucket hash (as i10).
-      val buckets = (0 until 16).map(bd =>
-        xxhash64((lit(bd) +: (0 until 4).map(r => element_at(col("mh"), 4 * bd + r + 1))): _*))
-      val banded = sigs.select(col("doc_id"), explode(array(buckets: _*)).as("bucket"))
+      val banded = sigs.select(col("doc_id"), explode(bandBuckets(col("mh"))).as("bucket"))
       val batch = banded.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("batch_id"), col("bucket"))
       val corpus = banded.filter(col("doc_id") % 10 =!= 0)
         .select(col("doc_id").as("corpus_id"), col("bucket").as("bucket_c"))
       val cand = corpus.join(broadcast(batch), col("bucket_c") === col("bucket"))
         .select("batch_id", "corpus_id").distinct()
-      val sh = base.select(col("doc_id"), col("hs"))
-      cand
-        .join(sh.select(col("doc_id").as("batch_id"), col("hs").as("sh_a")), "batch_id")
-        .join(sh.select(col("doc_id").as("corpus_id"), col("hs").as("sh_b")), "corpus_id")
-        .withColumn("inter", intersectCount(col("sh_a"), col("sh_b")))
-        .withColumn("jac", col("inter").cast(DoubleType) /
-          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-        .filter(col("jac") >= 0.8)
-        .select(col("batch_id"), col("corpus_id"), round(col("jac"), 6).as("jaccard"))
-        .orderBy("batch_id", "corpus_id")
+      verifyJaccard(cand, base, "batch_id", "corpus_id", 0.8)
     },
     s"""$shinglesSqlCte
        |SELECT ba.doc_id AS batch_id, co.doc_id AS corpus_id,

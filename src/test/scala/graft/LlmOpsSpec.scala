@@ -181,7 +181,9 @@ class LlmOpsSpec extends SparkTestBase {
     val docs = Tables.t(spark, sfDir, "documents")
       .select("doc_id", "source", "text").collect()
       .map(r => (r.getLong(0), r.getString(1),
-        r.getString(2).split(" ").toSeq.sliding(2).filter(_.size == 2)
+        // -1 keeps trailing empty tokens — Spark split and DuckDB
+        // string_split both do, and the shingle sets must match theirs
+        r.getString(2).split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
           .map(_.mkString(" ")).toSet))
       .filter(_._3.nonEmpty)
     val bench = docs.filter(_._2 == "src0")
