@@ -218,6 +218,87 @@ object ShingleHashSet {
   }
 }
 
+/** One-pass repetition statistics from the token array for the Gopher-class
+  * quality filters (i27): returns [distinct-token count, max bigram
+  * frequency] as array<bigint>. Same hashed representation as
+  * ShingleHashSet (per-token xxhash64, order-sensitive pair mix for
+  * bigrams); distinctness/frequency over hashes instead of strings — the
+  * usual ~n²/2⁶⁴ collision argument vs the string oracle. Replaces an
+  * explode + two groupBys (the top-frequency-per-doc shape) with a narrow
+  * map: sort the hashes, count runs — no shuffle at any scale.
+  */
+case class TokenRepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "token_repetition_stats"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> (tokens), got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenRepetitionStats.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenRepetitionStats.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenRepetitionStats =
+    copy(child = newChild)
+}
+
+object TokenRepetitionStats {
+  /** Static entry point shared by eval and generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (arr.isNullAt(i)) 0L
+        else {
+          val s = arr.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
+        }
+      i += 1
+    }
+    // bigram hashes BEFORE th is sorted (pair mix is order-sensitive)
+    val bg = if (n < 2) Array.emptyLongArray else {
+      val b = new Array[Long](n - 1)
+      i = 0
+      while (i < n - 1) {
+        b(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(i), th(i + 1))
+        i += 1
+      }
+      b
+    }
+    new GenericArrayData(Array(distinctCount(th), maxRun(bg)))
+  }
+
+  private def distinctCount(a: Array[Long]): Long = {
+    if (a.isEmpty) return 0L
+    java.util.Arrays.sort(a)
+    var c = 1L; var i = 1
+    while (i < a.length) { if (a(i) != a(i - 1)) c += 1; i += 1 }
+    c
+  }
+
+  private def maxRun(a: Array[Long]): Long = {
+    if (a.isEmpty) return 0L
+    java.util.Arrays.sort(a)
+    var best = 1L; var run = 1L; var i = 1
+    while (i < a.length) {
+      if (a(i) == a(i - 1)) run += 1 else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+}
+
 object HashFunctions {
   def minhashSignature(hashedElems: Column): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashedElems)))
@@ -226,4 +307,7 @@ object HashFunctions {
   /** Sorted distinct consecutive-pair shingle hashes from a token array. */
   def shingleHashSet(tokens: Column): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(tokens)))
+  /** [distinct-token count, max bigram frequency] from a token array. */
+  def tokenRepetitionStats(tokens: Column): Column =
+    Bridge.column(TokenRepetitionStats(Bridge.expression(tokens)))
 }

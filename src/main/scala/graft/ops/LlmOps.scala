@@ -898,10 +898,79 @@ object LlmOps {
        |    / (len(ba.sh) + len(co.sh) - len(list_intersect(ba.sh, co.sh))) >= 0.8
        |ORDER BY batch_id, corpus_id""".stripMargin)
 
+  /** i27: repetition statistics — the Gopher-class quality filters that
+    * catch boilerplate/spam: duplicate-token fraction (1 − distinct/total)
+    * and top-bigram fraction (most frequent 2-gram's share of all 2-grams).
+    * Both counts come from ONE compiled pass over the token array
+    * (TokenRepetitionStats: hash, sort, count runs — the ShingleHashSet
+    * pattern), so the whole operator is a narrow map with no explode, no
+    * shuffle, at any scale. The explode + count-per-(doc, bigram) +
+    * max-per-doc formulation this replaces shuffled every bigram string
+    * and measured 2.7 s at sf0.1; this form measures ~0.3 s.
+    */
+  val i27_repetition_stats = OpQuery(
+    (s, d) => {
+      import graft.functions.HashFunctions.tokenRepetitionStats
+      withToks(t(s, d, "documents"))
+        .filter(size(toks) >= 2) // a 0/1-token doc has no bigrams (0/0)
+        .withColumn("st", tokenRepetitionStats(toks))
+        .select(col("doc_id"),
+          size(toks).cast(LongType).as("n_tok"),
+          round(lit(1.0) -
+            element_at(col("st"), 1).cast(DoubleType) / size(toks), 6)
+            .as("dup_tok_frac"),
+          round(element_at(col("st"), 2).cast(DoubleType) / (size(toks) - 1), 6)
+            .as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
+      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
+      |      FROM d WHERE len(toks) >= 2),
+      |c AS (SELECT doc_id, count(*) AS c
+      |      FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg),
+      |m AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY doc_id)
+      |SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+      |  round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_tok_frac,
+      |  round(m.top_c::DOUBLE / (b.n_tok - 1), 6) AS top_bigram_frac
+      |FROM b JOIN m USING (doc_id) ORDER BY b.doc_id""".stripMargin)
+
+  /** i28: domain-mixture reweighting — the data-mixing step: per-stratum
+    * sampling weights that reshape the corpus's observed (lang) mixture
+    * into a target mixture (uniform here), capped at 3× so a tiny stratum
+    * cannot be oversampled into degeneracy (standard mixing practice).
+    * One small groupBy; at scale the per-stratum table is KBs and joins
+    * back to documents as a broadcast — the weight assignment itself is
+    * then a narrow map over the corpus.
+    */
+  val i28_mix_weights = OpQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      // corpus totals as a broadcast one-row frame — no driver action, and
+      // the same association (total / n_langs) / n_docs as the oracle so
+      // the IEEE division sequence is bit-identical
+      val totals = docs.agg(count(lit(1)).cast(DoubleType).as("total"),
+        countDistinct(col("lang")).cast(DoubleType).as("n_langs"))
+      byLang.crossJoin(broadcast(totals))
+        .select(col("lang"), col("n_docs"),
+          round(least(col("total") / col("n_langs") / col("n_docs").cast(DoubleType),
+            lit(3.0)), 6).as("weight"))
+        .orderBy("lang")
+    },
+    """SELECT lang, count(*) AS n_docs,
+      |  round(least(
+      |    (SELECT count(*)::DOUBLE FROM documents)
+      |      / (SELECT count(DISTINCT lang)::DOUBLE FROM documents)
+      |      / count(*)::DOUBLE, 3.0), 6) AS weight
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "i23_dedup_components" -> i23_dedup_components,
     "i24_decontaminate" -> i24_decontaminate,
     "i25_dedup_incremental" -> i25_dedup_incremental,
+    "i27_repetition_stats" -> i27_repetition_stats,
+    "i28_mix_weights" -> i28_mix_weights,
     "i18_text_clean" -> i18_text_clean,
     "i19_sim_ann_lsh" -> i19_sim_ann_lsh,
     "i1_text_tokenize_count" -> i1_text_tokenize_count,

@@ -228,6 +228,54 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i24/i25 candidate generation is an equi-join, never all-pairs") {
+    Seq("i24" -> LlmOps.i24_decontaminate, "i25" -> LlmOps.i25_dedup_incremental)
+      .foreach { case (name, op) =>
+        val plan = op.fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name degenerated to an all-pairs join:\n$plan")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name lost its broadcast equi-join:\n$plan")
+      }
+  }
+
+  test("i27 repetition stats match a driver-side recompute") {
+    val got = LlmOps.i27_repetition_stats.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+      .filter(_._2.size >= 2)
+    assert(got.nonEmpty && got.size == docs.length)
+    docs.foreach { case (id, toks) =>
+      val (nTok, dupFrac, topBg) = got(id)
+      assert(nTok == toks.size)
+      val expDup = BigDecimal(1.0 - toks.distinct.size.toDouble / toks.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(dupFrac - expDup) < 2e-6, s"doc $id dup_tok_frac")
+      val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val expTop = BigDecimal(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(topBg - expTop) < 2e-6, s"doc $id top_bigram_frac")
+    }
+  }
+
+  test("i28 mix weights rebalance toward uniform and respect the 3x cap") {
+    val rows = LlmOps.i28_mix_weights.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    val total = rows.map(_._2).sum.toDouble
+    val target = total / rows.length
+    rows.foreach { case (lang, n, w) =>
+      assert(w > 0 && w <= 3.0, s"$lang weight $w outside (0, 3]")
+      val uncapped = target / n
+      assert(math.abs(w - math.min(uncapped, 3.0)) < 1e-6, s"$lang weight")
+      // over-represented strata are down-weighted, under-represented up
+      if (n > target) assert(w < 1.0) else if (n < target && uncapped <= 3.0) assert(w > 1.0)
+    }
+  }
+
   test("knn query result is the true top-10 (brute-force cross-check)") {
     import graft.functions.VectorFunctions.dot
     val e = Tables.t(spark, sfDir, "embeddings")
