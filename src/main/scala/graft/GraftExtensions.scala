@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{DotProduct, IntersectCountSorted, LshBucket64}
+import graft.functions.{DotProduct, IntersectCountSorted, LshBucket64,
+  MinHashSignature, ShingleHashSet, SimHash64, TokenRepetitionStats}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,7 +30,11 @@ object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((c: Seq[Expression]) => DotProduct(c(0), c(1))),
     "intersect_count" -> ((c: Seq[Expression]) => IntersectCountSorted(c(0), c(1))),
-    "vec_lsh_bucket" -> ((c: Seq[Expression]) => LshBucket64(c(0))))
+    "vec_lsh_bucket" -> ((c: Seq[Expression]) => LshBucket64(c(0))),
+    "minhash_signature" -> ((c: Seq[Expression]) => MinHashSignature(c(0))),
+    "simhash64" -> ((c: Seq[Expression]) => SimHash64(c(0))),
+    "shingle_hash_set" -> ((c: Seq[Expression]) => ShingleHashSet(c(0))),
+    "token_repetition_stats" -> ((c: Seq[Expression]) => TokenRepetitionStats(c(0))))
 
   /** Same registrations on an already-running session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

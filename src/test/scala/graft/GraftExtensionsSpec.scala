@@ -14,4 +14,29 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)
   }
+
+  test("signature expressions register as SQL functions and match the Column API") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT shingle_hash_set(array('a','b','a','b')) AS sh,
+        |       minhash_signature(array(1L, 2L, 3L)) AS mh,
+        |       simhash64(array(1L, 2L, 3L)) AS sim,
+        |       token_repetition_stats(array('a','b','a','b')) AS st""".stripMargin)
+      .collect()(0)
+    // 'a b','b a','a b' -> 2 distinct shingle hashes
+    assert(r.getSeq[Long](0).length == 2)
+    assert(r.getSeq[Long](1).length == graft.functions.MinHashSignature.NumHashes)
+    // SQL path computes the same values as the Column-API path
+    import graft.functions.HashFunctions.{shingleHashSet, simhash64, tokenRepetitionStats}
+    import org.apache.spark.sql.functions._
+    val viaCol = spark.range(1)
+      .select(shingleHashSet(array(lit("a"), lit("b"), lit("a"), lit("b"))).as("sh"),
+        simhash64(array(lit(1L), lit(2L), lit(3L))).as("sim"),
+        tokenRepetitionStats(array(lit("a"), lit("b"), lit("a"), lit("b"))).as("st"))
+      .collect()(0)
+    assert(r.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(r.getLong(2) == viaCol.getLong(1))
+    // [distinct tokens, max bigram frequency]: 2 distinct, 'a b' twice
+    assert(r.getSeq[Long](3) == Seq(2L, 2L) && viaCol.getSeq[Long](2) == Seq(2L, 2L))
+  }
 }
