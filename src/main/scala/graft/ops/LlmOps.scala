@@ -227,17 +227,29 @@ object LlmOps {
   /** Rolling positional-polynomial document fingerprint — exact integer
     * arithmetic (mod 1e9+7) so both engines agree bit-for-bit.
     */
+  /** The i17 rolling-hash content fingerprint as a reusable column over a
+    * materialized token array — engine-portable (exact long arithmetic
+    * < 2⁵²), shared with the streaming ingest-dedup (j9).
+    */
+  private[graft] def fingerprint(toksCol: Column): Column = {
+    val pows = array((0 to 6).map(p => lit(math.pow(31, p).toLong)): _*)
+    val terms = transform(sequence(lit(0), size(toksCol) - 1),
+      i => length(element_at(toksCol, i + 1)).cast(LongType) *
+        element_at(pows, pmod(i, lit(7)) + 1))
+    aggregate(terms, lit(0L), (acc, x) => acc + x) % lit(1000000007L)
+  }
+
+  /** DuckDB text of the same fingerprint (i17/j9 oracles). */
+  private[graft] val fingerprintSql: String =
+    """CAST(list_sum(list_transform(range(1, len(string_split(text,' ')) + 1),
+      |    i -> length(string_split(text,' ')[i])
+      |         * [1,31,961,29791,923521,28629151,887503681][(i-1)%7 + 1]))
+      |    AS BIGINT) % 1000000007""".stripMargin
+
   val i17_doc_fingerprint = OpQuery(
-    (s, d) => {
-      val pows = array((0 to 6).map(p => lit(math.pow(31, p).toLong)): _*)
-      val terms = transform(sequence(lit(0), size(toks) - 1),
-        i => length(element_at(toks, i + 1)).cast(LongType) *
-          element_at(pows, pmod(i, lit(7)) + 1))
-      withToks(t(s, d, "documents"))
-        .select(col("doc_id"),
-          (aggregate(terms, lit(0L), (acc, x) => acc + x) % lit(1000000007L)).as("fp"))
-        .orderBy("doc_id")
-    },
+    (s, d) => withToks(t(s, d, "documents"))
+      .select(col("doc_id"), fingerprint(toks).as("fp"))
+      .orderBy("doc_id"),
     """SELECT doc_id,
       |  CAST(list_sum(list_transform(range(1, len(string_split(text,' ')) + 1),
       |    i -> length(string_split(text,' ')[i])

@@ -211,7 +211,41 @@ object StreamOps {
       | AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
       |ORDER BY p_id, v_id""".stripMargin)
 
+  /** j9: dedup-on-ingest — the crawl-time face of exact dedup: a document
+    * stream grouped by content fingerprint (i17's engine-portable rolling
+    * hash), keeping min doc_id as canonical plus a copy count. Streaming
+    * state is one row per DISTINCT fingerprint — ids and hashes, never
+    * document bodies — so state size tracks the deduplicated corpus, not
+    * the crawl volume; the same shape runs continuously against a real
+    * crawl feed (with update mode + a sink that upserts on fp). Oracle =
+    * the identical batch aggregation in DuckDB.
+    */
+  val j9_stream_ingest_dedup = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j9"))
+      graft.Util.deleteRecursively(ckpt)
+      val src = s.readStream
+        .schema(Tables.t(s, d, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val agg = src.withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), LlmOps.fingerprint(col("toks")).as("fp"))
+        .groupBy("fp")
+        .agg(min("doc_id").as("canonical"), count(lit(1)).as("n_copies"))
+      val q = agg.writeStream.format("memory").queryName("graft_j9")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j9").orderBy("canonical")
+    },
+    s"""SELECT fp, min(doc_id) AS canonical, count(*) AS n_copies
+       |FROM (SELECT doc_id, ${LlmOps.fingerprintSql} AS fp FROM documents)
+       |GROUP BY fp ORDER BY canonical""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j9_stream_ingest_dedup" -> j9_stream_ingest_dedup,
     "j8_stream_stream_join" -> j8_stream_stream_join,
     "j7_stateful_custom" -> j7_stateful_custom,
     "j1_tumbling_window" -> j1_tumbling_window,

@@ -108,4 +108,20 @@ class StreamOpsSpec extends SparkTestBase {
       "p_j8", "append")
     assertSameRows(batch, stream)
   }
+
+  test("j9 streaming ingest-dedup equals the batch fingerprint dedup") {
+    val fromStream = StreamOps.j9_stream_ingest_dedup.fn(spark, sfDir)
+    val batch = Tables.t(spark, sfDir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), graft.ops.LlmOps.fingerprint(col("toks")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("canonical"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical")
+    assertSameRows(fromStream, batch)
+    // the dedup is real: canonicals are distinct, copy counts cover the corpus
+    val rows = fromStream.collect()
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+    assert(rows.map(_.getLong(2)).sum ==
+      Tables.t(spark, sfDir, "documents").count())
+  }
 }
