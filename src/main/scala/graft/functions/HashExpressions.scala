@@ -250,22 +250,31 @@ case class TokenRepetitionStats(child: Expression) extends UnaryExpression {
 }
 
 object TokenRepetitionStats {
-  /** Static entry point shared by eval and generated code. */
+  /** Static entry point shared by eval and generated code. Null tokens
+    * hash to 0L in the bigram mix (the ShingleHashSet precedent) but are
+    * EXCLUDED from the distinct-token count — matching the DuckDB
+    * `list_distinct` oracle formulation, which drops NULLs (unreachable
+    * from i27's split()-derived tokens, but this function is SQL-exposed).
+    */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val th = new Array[Long](n)
+    val nn = new Array[Long](n) // hashes of non-null tokens only
+    var nonNull = 0
     var i = 0
     while (i < n) {
-      th(i) =
-        if (arr.isNullAt(i)) 0L
-        else {
-          val s = arr.getUTF8String(i)
-          org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
-        }
+      if (arr.isNullAt(i)) th(i) = 0L
+      else {
+        val s = arr.getUTF8String(i)
+        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
+        nn(nonNull) = th(i)
+        nonNull += 1
+      }
       i += 1
     }
-    // bigram hashes BEFORE th is sorted (pair mix is order-sensitive)
+    // bigram hashes BEFORE the count paths sort anything (pair mix is
+    // order-sensitive)
     val bg = if (n < 2) Array.emptyLongArray else {
       val b = new Array[Long](n - 1)
       i = 0
@@ -275,7 +284,8 @@ object TokenRepetitionStats {
       }
       b
     }
-    new GenericArrayData(Array(distinctCount(th), maxRun(bg)))
+    new GenericArrayData(Array(
+      distinctCount(java.util.Arrays.copyOf(nn, nonNull)), maxRun(bg)))
   }
 
   private def distinctCount(a: Array[Long]): Long = {

@@ -224,12 +224,10 @@ object LlmOps {
       |  CAST(list_max(list_transform(string_split(text,' '), t -> length(t))) AS BIGINT) AS longest_tok
       |FROM documents ORDER BY doc_id""".stripMargin)
 
-  /** Rolling positional-polynomial document fingerprint — exact integer
-    * arithmetic (mod 1e9+7) so both engines agree bit-for-bit.
-    */
-  /** The i17 rolling-hash content fingerprint as a reusable column over a
-    * materialized token array — engine-portable (exact long arithmetic
-    * < 2⁵²), shared with the streaming ingest-dedup (j9).
+  /** The i17 rolling positional-polynomial content fingerprint as a
+    * reusable column over a materialized token array — exact integer
+    * arithmetic (mod 1e9+7, every intermediate < 2⁵²) so both engines
+    * agree bit-for-bit; shared with the streaming ingest-dedup (j9).
     */
   private[graft] def fingerprint(toksCol: Column): Column = {
     val pows = array((0 to 6).map(p => lit(math.pow(31, p).toLong)): _*)
@@ -250,12 +248,8 @@ object LlmOps {
     (s, d) => withToks(t(s, d, "documents"))
       .select(col("doc_id"), fingerprint(toks).as("fp"))
       .orderBy("doc_id"),
-    """SELECT doc_id,
-      |  CAST(list_sum(list_transform(range(1, len(string_split(text,' ')) + 1),
-      |    i -> length(string_split(text,' ')[i])
-      |         * [1,31,961,29791,923521,28629151,887503681][(i-1)%7 + 1]))
-      |    AS BIGINT) % 1000000007 AS fp
-      |FROM documents ORDER BY doc_id""".stripMargin)
+    s"""SELECT doc_id, $fingerprintSql AS fp
+       |FROM documents ORDER BY doc_id""".stripMargin)
 
   // -------- near-duplicate detection ---------------------------------------
 
