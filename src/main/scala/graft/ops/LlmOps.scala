@@ -971,12 +971,69 @@ object LlmOps {
       |      / count(*)::DOUBLE, 3.0), 6) AS weight
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
 
+  /** i29: the composed quality FILTER — the step that actually produces a
+    * training corpus from the raw one: length gate, repetition gate
+    * (TokenRepetitionStats signals), quality-score gate (the i15 formula),
+    * folded into one precedence-ordered keep/drop verdict with the drop
+    * reason. Thresholds (20 tokens, dup > 0.65, top-bigram > 0.1,
+    * quality < 0.25) sit at the fixture distribution's p50–p90 so every
+    * verdict class is populated at every SF. All signals are narrow
+    * per-row expressions — the whole filter is a single map over the
+    * corpus, which is what lets it run inline during ingest at 100 TB.
+    * Gates compare the ROUNDED (6 dp) signals, so both engines threshold
+    * identical doubles.
+    */
+  val i29_quality_filter = OpQuery(
+    (s, d) => {
+      import graft.functions.HashFunctions.tokenRepetitionStats
+      val nTok = size(toks).cast(LongType)
+      val stop = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of"))))
+      withToks(t(s, d, "documents"))
+        .filter(size(toks) >= 2) // bigram signals undefined below 2 tokens
+        .withColumn("st", tokenRepetitionStats(toks))
+        .select(col("doc_id"), nTok.as("n_tok"),
+          round(lit(1.0) -
+            element_at(col("st"), 1).cast(DoubleType) / size(toks), 6).as("dup_frac"),
+          round(element_at(col("st"), 2).cast(DoubleType) / (size(toks) - 1), 6)
+            .as("top_bg_frac"),
+          round(least(lit(1.0), nTok / lit(100.0)) * 0.5 +
+            (stop.cast(DoubleType) / nTok) * 0.5, 6).as("quality"))
+        .withColumn("verdict",
+          when(col("n_tok") < 20, "too_short")
+            .when(col("dup_frac") > 0.65 || col("top_bg_frac") > 0.1, "repetitive")
+            .when(col("quality") < 0.25, "low_quality")
+            .otherwise("keep"))
+        .orderBy("doc_id")
+    },
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
+      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+      |        len(list_filter(toks, t -> list_contains(['the','a','of'], t))) AS n_stop
+      |      FROM d WHERE len(toks) >= 2),
+      |m AS (SELECT doc_id, max(c) AS top_c FROM (
+      |        SELECT doc_id, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg)
+      |      GROUP BY doc_id),
+      |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+      |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
+      |        round(m.top_c::DOUBLE / (b.n_tok - 1), 6) AS top_bg_frac,
+      |        round(least(1.0, b.n_tok / 100.0) * 0.5
+      |          + (b.n_stop::DOUBLE / b.n_tok) * 0.5, 6) AS quality
+      |      FROM b JOIN m USING (doc_id))
+      |SELECT doc_id, n_tok, dup_frac, top_bg_frac, quality,
+      |  CASE WHEN n_tok < 20 THEN 'too_short'
+      |       WHEN dup_frac > 0.65 OR top_bg_frac > 0.1 THEN 'repetitive'
+      |       WHEN quality < 0.25 THEN 'low_quality'
+      |       ELSE 'keep' END AS verdict
+      |FROM x ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "i23_dedup_components" -> i23_dedup_components,
     "i24_decontaminate" -> i24_decontaminate,
     "i25_dedup_incremental" -> i25_dedup_incremental,
     "i27_repetition_stats" -> i27_repetition_stats,
     "i28_mix_weights" -> i28_mix_weights,
+    "i29_quality_filter" -> i29_quality_filter,
     "i18_text_clean" -> i18_text_clean,
     "i19_sim_ann_lsh" -> i19_sim_ann_lsh,
     "i1_text_tokenize_count" -> i1_text_tokenize_count,

@@ -276,6 +276,20 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i29 verdicts follow the gate precedence and every class is populated") {
+    val rows = LlmOps.i29_quality_filter.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))
+    // thresholds are tuned so the fixture exercises all four outcomes
+    assert(rows.map(_._5).toSet ==
+      Set("keep", "too_short", "repetitive", "low_quality"))
+    rows.foreach { case (n, dup, bg, q, v) =>
+      val expect = if (n < 20) "too_short"
+        else if (dup > 0.65 || bg > 0.1) "repetitive"
+        else if (q < 0.25) "low_quality" else "keep"
+      assert(v == expect, s"(n=$n dup=$dup bg=$bg q=$q) -> $v, expected $expect")
+    }
+  }
+
   test("knn query result is the true top-10 (brute-force cross-check)") {
     import graft.functions.VectorFunctions.dot
     val e = Tables.t(spark, sfDir, "embeddings")
