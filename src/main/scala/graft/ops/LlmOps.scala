@@ -65,6 +65,49 @@ object LlmOps {
 
   private val shinglesSqlCte: String = shinglesSqlCteFor("lang")
 
+  /** The stop-word list shared by i15 (quality score), i18 (cleaning) and
+    * i29 (filter gate) — one definition, with its DuckDB literal.
+    */
+  private val stopwords = Seq("the", "a", "of")
+  private val stopwordsSql = "['the','a','of']"
+
+  /** The i15 quality-score formula, shared with i29 ("must stay in
+    * lockstep" convention): round-6 so thresholds downstream compare
+    * identical doubles in both engines.
+    */
+  private def qualityScore(nTok: Column, stopRatio: Column): Column =
+    round(least(lit(1.0), nTok / lit(100.0)) * 0.5 + stopRatio * 0.5, 6)
+
+  private def qualityScoreSql(nTok: String, stopRatio: String): String =
+    s"round(least(1.0, $nTok / 100.0) * 0.5 + $stopRatio * 0.5, 6)"
+
+  /** Rounded repetition-signal columns shared by i27 and i29 (lockstep):
+    * expect `toks` plus `st` = tokenRepetitionStats(toks). The < 2-token
+    * branch makes top-bigram 0.0 (no bigrams exist) instead of dividing
+    * by zero; CaseWhen only evaluates the division when the guard fails.
+    */
+  private val dupFrac6: Column =
+    round(lit(1.0) - element_at(col("st"), 1).cast(DoubleType) / size(toks), 6)
+  private val topBgFrac6: Column =
+    when(size(toks) < 2, lit(0.0))
+      .otherwise(round(element_at(col("st"), 2).cast(DoubleType) / (size(toks) - 1), 6))
+
+  /** DuckDB CTEs for the same per-doc repetition signals (i27/i29
+    * lockstep): exposes b(doc_id, n_tok, n_uniq, bgs, n_stop) over ALL
+    * documents and m(doc_id, top_c) over documents with ≥ 1 bigram —
+    * consumers LEFT JOIN m (or filter n_tok ≥ 2, which implies presence).
+    */
+  private val repStatsSqlCte: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
+       |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
+       |        len(list_filter(toks, t -> list_contains($stopwordsSql, t))) AS n_stop
+       |      FROM d),
+       |m AS (SELECT doc_id, max(c) AS top_c FROM (
+       |        SELECT doc_id, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg)
+       |      GROUP BY doc_id)""".stripMargin
+
   /** The LSH band-bucket array shared by i10 (corpus self-dedup) and i25
     * (batch-vs-corpus): 16 bands × 4 minhash rows, the band index seeded
     * into each bucket hash so buckets from different bands cannot collide.
@@ -185,28 +228,26 @@ object LlmOps {
   val i15_text_quality = OpQuery(
     (s, d) => {
       val nTok = size(toks).cast(LongType)
-      val stop = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of")))).cast(LongType)
+      val stop = size(filter(toks, t => t.isInCollection(stopwords))).cast(LongType)
       withToks(t(s, d, "documents"))
         .select(col("doc_id"), nTok.as("n_tok"),
           ((length(col("text")) - (nTok - 1)).cast(DoubleType) / nTok).as("avg_tok_len"),
           (stop.cast(DoubleType) / nTok).as("stop_ratio"),
           length(regexp_replace(col("text"), "[^0-9]", "")).cast(LongType).as("n_digits"))
-        .withColumn("quality",
-          round(least(lit(1.0), col("n_tok") / lit(100.0)) * 0.5 +
-            col("stop_ratio") * 0.5, 6))
+        .withColumn("quality", qualityScore(col("n_tok"), col("stop_ratio")))
         .orderBy("doc_id")
     },
-    """SELECT doc_id, n_tok, avg_tok_len, stop_ratio, n_digits,
-      |  round(least(1.0, n_tok / 100.0) * 0.5 + stop_ratio * 0.5, 6) AS quality
-      |FROM (SELECT doc_id,
-      |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
-      |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
-      |    / len(string_split(text,' ')) AS avg_tok_len,
-      |  CAST(len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of'], t))) AS DOUBLE)
-      |    / len(string_split(text,' ')) AS stop_ratio,
-      |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
-      |FROM documents)
-      |ORDER BY doc_id""".stripMargin)
+    s"""SELECT doc_id, n_tok, avg_tok_len, stop_ratio, n_digits,
+       |  ${qualityScoreSql("n_tok", "stop_ratio")} AS quality
+       |FROM (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+       |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS avg_tok_len,
+       |  CAST(len(list_filter(string_split(text,' '), t -> list_contains($stopwordsSql, t))) AS DOUBLE)
+       |    / len(string_split(text,' ')) AS stop_ratio,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits
+       |FROM documents)
+       |ORDER BY doc_id""".stripMargin)
 
   /** Token counting: whitespace tokens + a BPE-ish chars/4 estimate. */
   val i16_token_count = OpQuery(
@@ -703,10 +744,9 @@ object LlmOps {
     */
   val i18_text_clean = OpQuery(
     (s, d) => {
-      val stop = Seq("the", "a", "of")
       val kept = filter(
         split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), "\\s+"),
-        tk => tk =!= "" && !tk.isInCollection(stop))
+        tk => tk =!= "" && !tk.isInCollection(stopwords))
       t(s, d, "documents")
         .withColumn("kept", kept)
         .select(col("doc_id"),
@@ -714,14 +754,14 @@ object LlmOps {
           size(col("kept")).cast(LongType).as("n_kept"))
         .orderBy("doc_id")
     },
-    """SELECT doc_id,
-      |  array_to_string(kept, ' ') AS cleaned,
-      |  CAST(len(kept) AS BIGINT) AS n_kept
-      |FROM (SELECT doc_id,
-      |  list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\s+'),
-      |    t -> t <> '' AND NOT list_contains(['the','a','of'], t)) AS kept
-      |FROM documents)
-      |ORDER BY doc_id""".stripMargin)
+    s"""SELECT doc_id,
+       |  array_to_string(kept, ' ') AS cleaned,
+       |  CAST(len(kept) AS BIGINT) AS n_kept
+       |FROM (SELECT doc_id,
+       |  list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), '\\s+'),
+       |    t -> t <> '' AND NOT list_contains($stopwordsSql, t)) AS kept
+       |FROM documents)
+       |ORDER BY doc_id""".stripMargin)
 
   /** i23: dedup COMPLETION — pair finding (i10/i12) only surfaces edges;
     * actual deduplication needs connected components of the similarity
@@ -918,28 +958,20 @@ object LlmOps {
     (s, d) => {
       import graft.functions.HashFunctions.tokenRepetitionStats
       withToks(t(s, d, "documents"))
-        .filter(size(toks) >= 2) // a 0/1-token doc has no bigrams (0/0)
+        .filter(size(toks) >= 2) // stats for degenerate docs are i29's job
         .withColumn("st", tokenRepetitionStats(toks))
         .select(col("doc_id"),
           size(toks).cast(LongType).as("n_tok"),
-          round(lit(1.0) -
-            element_at(col("st"), 1).cast(DoubleType) / size(toks), 6)
-            .as("dup_tok_frac"),
-          round(element_at(col("st"), 2).cast(DoubleType) / (size(toks) - 1), 6)
-            .as("top_bigram_frac"))
+          dupFrac6.as("dup_tok_frac"),
+          topBgFrac6.as("top_bigram_frac"))
         .orderBy("doc_id")
     },
-    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-      |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
-      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs
-      |      FROM d WHERE len(toks) >= 2),
-      |c AS (SELECT doc_id, count(*) AS c
-      |      FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg),
-      |m AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY doc_id)
-      |SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
-      |  round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_tok_frac,
-      |  round(m.top_c::DOUBLE / (b.n_tok - 1), 6) AS top_bigram_frac
-      |FROM b JOIN m USING (doc_id) ORDER BY b.doc_id""".stripMargin)
+    s"""$repStatsSqlCte
+       |SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+       |  round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_tok_frac,
+       |  round(m.top_c::DOUBLE / (b.n_tok - 1), 6) AS top_bigram_frac
+       |FROM b JOIN m USING (doc_id) WHERE b.n_tok >= 2
+       |ORDER BY b.doc_id""".stripMargin)
 
   /** i28: domain-mixture reweighting — the data-mixing step: per-stratum
     * sampling weights that reshape the corpus's observed (lang) mixture
@@ -973,31 +1005,30 @@ object LlmOps {
 
   /** i29: the composed quality FILTER — the step that actually produces a
     * training corpus from the raw one: length gate, repetition gate
-    * (TokenRepetitionStats signals), quality-score gate (the i15 formula),
-    * folded into one precedence-ordered keep/drop verdict with the drop
-    * reason. Thresholds (20 tokens, dup > 0.65, top-bigram > 0.1,
-    * quality < 0.25) sit at the fixture distribution's p50–p90 so every
-    * verdict class is populated at every SF. All signals are narrow
-    * per-row expressions — the whole filter is a single map over the
-    * corpus, which is what lets it run inline during ingest at 100 TB.
-    * Gates compare the ROUNDED (6 dp) signals, so both engines threshold
-    * identical doubles.
+    * (the i27 signals, shared columns), quality-score gate (the i15
+    * formula, shared helper), folded into one precedence-ordered
+    * keep/drop verdict with the drop reason. EVERY document gets a
+    * verdict — 0/1-token docs are classified too_short (their top-bigram
+    * signal is 0.0: no bigrams exist), never silently excluded, so
+    * anti-joining on the verdict reconstructs the full corpus. Thresholds
+    * (20 tokens, dup > 0.65, top-bigram > 0.1, quality < 0.25) sit at the
+    * fixture distribution's p50–p90 so every verdict class is populated
+    * at every SF. All signals are narrow per-row expressions — the whole
+    * filter is a single map over the corpus, which is what lets it run
+    * inline during ingest at 100 TB. Gates compare the ROUNDED (6 dp)
+    * signals, so both engines threshold identical doubles.
     */
   val i29_quality_filter = OpQuery(
     (s, d) => {
       import graft.functions.HashFunctions.tokenRepetitionStats
       val nTok = size(toks).cast(LongType)
-      val stop = size(filter(toks, t => t.isInCollection(Seq("the", "a", "of"))))
+      val stop = size(filter(toks, t => t.isInCollection(stopwords)))
       withToks(t(s, d, "documents"))
-        .filter(size(toks) >= 2) // bigram signals undefined below 2 tokens
         .withColumn("st", tokenRepetitionStats(toks))
         .select(col("doc_id"), nTok.as("n_tok"),
-          round(lit(1.0) -
-            element_at(col("st"), 1).cast(DoubleType) / size(toks), 6).as("dup_frac"),
-          round(element_at(col("st"), 2).cast(DoubleType) / (size(toks) - 1), 6)
-            .as("top_bg_frac"),
-          round(least(lit(1.0), nTok / lit(100.0)) * 0.5 +
-            (stop.cast(DoubleType) / nTok) * 0.5, 6).as("quality"))
+          dupFrac6.as("dup_frac"),
+          topBgFrac6.as("top_bg_frac"),
+          qualityScore(nTok, stop.cast(DoubleType) / nTok).as("quality"))
         .withColumn("verdict",
           when(col("n_tok") < 20, "too_short")
             .when(col("dup_frac") > 0.65 || col("top_bg_frac") > 0.1, "repetitive")
@@ -1005,27 +1036,19 @@ object LlmOps {
             .otherwise("keep"))
         .orderBy("doc_id")
     },
-    """WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
-      |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq,
-      |        list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bgs,
-      |        len(list_filter(toks, t -> list_contains(['the','a','of'], t))) AS n_stop
-      |      FROM d WHERE len(toks) >= 2),
-      |m AS (SELECT doc_id, max(c) AS top_c FROM (
-      |        SELECT doc_id, count(*) AS c
-      |        FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) GROUP BY doc_id, bg)
-      |      GROUP BY doc_id),
-      |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
-      |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
-      |        round(m.top_c::DOUBLE / (b.n_tok - 1), 6) AS top_bg_frac,
-      |        round(least(1.0, b.n_tok / 100.0) * 0.5
-      |          + (b.n_stop::DOUBLE / b.n_tok) * 0.5, 6) AS quality
-      |      FROM b JOIN m USING (doc_id))
-      |SELECT doc_id, n_tok, dup_frac, top_bg_frac, quality,
-      |  CASE WHEN n_tok < 20 THEN 'too_short'
-      |       WHEN dup_frac > 0.65 OR top_bg_frac > 0.1 THEN 'repetitive'
-      |       WHEN quality < 0.25 THEN 'low_quality'
-      |       ELSE 'keep' END AS verdict
-      |FROM x ORDER BY doc_id""".stripMargin)
+    s"""$repStatsSqlCte,
+       |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+       |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
+       |        CASE WHEN b.n_tok < 2 THEN 0.0
+       |             ELSE round(m.top_c::DOUBLE / (b.n_tok - 1), 6) END AS top_bg_frac,
+       |        ${qualityScoreSql("b.n_tok", "(b.n_stop::DOUBLE / b.n_tok)")} AS quality
+       |      FROM b LEFT JOIN m USING (doc_id))
+       |SELECT doc_id, n_tok, dup_frac, top_bg_frac, quality,
+       |  CASE WHEN n_tok < 20 THEN 'too_short'
+       |       WHEN dup_frac > 0.65 OR top_bg_frac > 0.1 THEN 'repetitive'
+       |       WHEN quality < 0.25 THEN 'low_quality'
+       |       ELSE 'keep' END AS verdict
+       |FROM x ORDER BY doc_id""".stripMargin)
 
   val all: Map[String, OpQuery] = Map(
     "i23_dedup_components" -> i23_dedup_components,

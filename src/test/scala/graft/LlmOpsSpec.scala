@@ -276,18 +276,42 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
-  test("i29 verdicts follow the gate precedence and every class is populated") {
-    val rows = LlmOps.i29_quality_filter.fn(spark, sfDir).collect()
-      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5)))
-    // thresholds are tuned so the fixture exercises all four outcomes
-    assert(rows.map(_._5).toSet ==
-      Set("keep", "too_short", "repetitive", "low_quality"))
-    rows.foreach { case (n, dup, bg, q, v) =>
+  test("i29 verdicts match a driver-side recompute from raw text") {
+    // independent oracle: signals AND verdicts recomputed from the text
+    // itself (string tokens, no hashing, no reuse of the op's columns) —
+    // a wrong denominator in any signal fails this, unlike re-deriving
+    // the verdict from the op's own output
+    val got = LlmOps.i29_quality_filter.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getString(5))).toMap
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    assert(docs.nonEmpty && got.size == docs.length,
+      "every document must receive a verdict — none silently excluded")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, tk) =>
+      val n = tk.size
+      val dup = r6(1.0 - tk.distinct.size.toDouble / n)
+      val bg = if (n < 2) 0.0 else {
+        val bgs = tk.sliding(2).map(_.mkString(" ")).toSeq
+        r6(bgs.groupBy(identity).values.map(_.size).max.toDouble / bgs.size)
+      }
+      val q = r6(math.min(1.0, n / 100.0) * 0.5 +
+        tk.count(Set("the", "a", "of")).toDouble / n * 0.5)
       val expect = if (n < 20) "too_short"
         else if (dup > 0.65 || bg > 0.1) "repetitive"
         else if (q < 0.25) "low_quality" else "keep"
-      assert(v == expect, s"(n=$n dup=$dup bg=$bg q=$q) -> $v, expected $expect")
+      val (gn, gd, gb, gq, gv) = got(id)
+      assert(gn == n && math.abs(gd - dup) < 2e-6 &&
+        math.abs(gb - bg) < 2e-6 && math.abs(gq - q) < 2e-6,
+        s"doc $id signals: got ($gn,$gd,$gb,$gq), expected ($n,$dup,$bg,$q)")
+      assert(gv == expect, s"doc $id verdict: $gv != $expect")
     }
+    // thresholds are tuned so the fixture exercises all four outcomes
+    assert(got.values.map(_._5).toSet ==
+      Set("keep", "too_short", "repetitive", "low_quality"))
   }
 
   test("knn query result is the true top-10 (brute-force cross-check)") {
