@@ -1,7 +1,8 @@
 package graft
 
 import graft.functions.{DotProduct, IntersectCountSorted, LshBucket64,
-  MinHashSignature, ShingleHashSet, SimHash64, TokenRepetitionStats}
+  MinHashSignature, ShingleHashSet, SimHash64, TokenRepetitionStats,
+  TokenTermFreq}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -34,7 +35,8 @@ object GraftExtensions {
     "minhash_signature" -> ((c: Seq[Expression]) => MinHashSignature(c(0))),
     "simhash64" -> ((c: Seq[Expression]) => SimHash64(c(0))),
     "shingle_hash_set" -> ((c: Seq[Expression]) => ShingleHashSet(c(0))),
-    "token_repetition_stats" -> ((c: Seq[Expression]) => TokenRepetitionStats(c(0))))
+    "token_repetition_stats" -> ((c: Seq[Expression]) => TokenRepetitionStats(c(0))),
+    "token_term_freq" -> ((c: Seq[Expression]) => TokenTermFreq(c(0))))
 
   /** Same registrations on an already-running session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -14,7 +14,7 @@ object SparkEntry {
   private val groups: Seq[Map[String, OpQuery]] =
     Seq(ScanOps.all, EtlOps.all, RelOps.all, AggOps.all, WindowOps.all,
       ScalarOps.all, LlmOps.all, StreamOps.all, MultimodalOps.all,
-      TrainOps.all)
+      TrainOps.all, CorpusOps.all)
 
   private val ops: Map[String, OpQuery] = {
     val merged = groups.reduce(_ ++ _)

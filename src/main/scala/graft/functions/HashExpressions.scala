@@ -309,6 +309,66 @@ object TokenRepetitionStats {
   }
 }
 
+/** Per-document term frequencies in one narrow pass (i31): token array →
+  * array<struct<tok, tf>> over the DISTINCT tokens, sorted by token. Term
+  * frequency is row-local information, so computing it here (instead of
+  * explode + groupBy(doc_id, tok)) deletes the corpus-sized tf shuffle
+  * from the term-weighting pipeline — only the vocabulary-sized df
+  * aggregate still moves (the ShingleHashSet/TokenRepetitionStats rule:
+  * per-row collection pipelines belong in a compiled expression). Empty
+  * and null tokens are skipped, matching the oracle's `tok <> ''` filter.
+  */
+case class TokenTermFreq(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "token_term_freq"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("tok", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> (tokens), got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenTermFreq.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenTermFreq.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTermFreq =
+    copy(child = newChild)
+}
+
+object TokenTermFreq {
+  /** Static entry point shared by eval and generated code. Input
+    * UTF8Strings may alias a reused scan buffer, so kept keys are cloned.
+    */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val counts = new java.util.TreeMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (s.numBytes() > 0) counts.merge(s.clone(), 1L, (a, b) => a + b)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    var w = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object HashFunctions {
   def minhashSignature(hashedElems: Column): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashedElems)))
@@ -320,4 +380,7 @@ object HashFunctions {
   /** [distinct-token count, max bigram frequency] from a token array. */
   def tokenRepetitionStats(tokens: Column): Column =
     Bridge.column(TokenRepetitionStats(Bridge.expression(tokens)))
+  /** Distinct (tok, tf) pairs from a token array, sorted by token. */
+  def tokenTermFreq(tokens: Column): Column =
+    Bridge.column(TokenTermFreq(Bridge.expression(tokens)))
 }

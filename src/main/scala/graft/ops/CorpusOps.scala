@@ -1,0 +1,194 @@
+package graft.ops
+
+import graft.{OpQuery, Tables}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators (builder-prompt north star, extending the
+  * LlmOps family): PII scrubbing and vocabulary/term-weighting — the steps
+  * between raw crawl text and a training corpus that LlmOps' dedup/quality
+  * chain doesn't cover.
+  *
+  * Scale posture: i30 is a pure narrow map (regex per row, no shuffle at
+  * any scale). i33/i31 shuffle once on the token key — the token explode
+  * stays map-side and only (id, token) pairs move, never document bodies;
+  * the vocabulary itself is tiny relative to the corpus (Heaps' law), so
+  * the df table broadcasts.
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
+
+  // -------- i30: PII redaction ---------------------------------------------
+
+  /** Patterns are kept to the regex subset with identical semantics in Java
+    * regex (Spark, codegen'd) and RE2 (DuckDB oracle): character classes,
+    * bounded repetition, no backrefs/lookaround.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\+1-555-[0-9]{4}"
+  private val Ipv4Pat =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The synthetic corpus carries no PII (no digits or '@' anywhere), so
+    * the fixture plants it deterministically from doc_id — some docs get
+    * multiple emails, some none, so counts exercise 0/1/2 per type. The
+    * SAME construction runs in the oracle SQL; the redaction under test is
+    * the regex chain, not the planting.
+    */
+  private def plantedPii: Column = {
+    val id = col("doc_id")
+    val ids = id.cast(StringType)
+    concat(
+      col("text"),
+      when(id % 3 > 0,
+        concat(lit(" contact user"), ids, lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(id % 5 === 0,
+        concat(lit(" cc admin"), ids, lit("@corp.example.org")))
+        .otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((id % 10000).cast(StringType), 4, "0")))
+        .otherwise(lit("")),
+      when(id % 4 === 1,
+        concat(lit(" from 10.0."), (id % 256).cast(StringType), lit("."),
+          ((id * 7) % 256).cast(StringType)))
+        .otherwise(lit(""))
+    )
+  }
+
+  /** i30: PII redaction — count then replace email/phone/IPv4 with typed
+    * placeholders. Email runs first so its digit-bearing local part can't
+    * be half-eaten by the IPv4 pass; counts are taken on the pre-redaction
+    * text so they audit what was removed. Narrow map: no shuffle.
+    */
+  val i30_pii_redact = OpQuery(
+    (s, d) => {
+      def nMatches(pat: String): Column =
+        size(regexp_extract_all(col("raw"), lit(pat), lit(0))).cast(LongType)
+      t(s, d, "documents")
+        .withColumn("raw", plantedPii)
+        .select(col("doc_id"),
+          nMatches(EmailPat).as("n_email"),
+          nMatches(PhonePat).as("n_phone"),
+          nMatches(Ipv4Pat).as("n_ip"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), EmailPat, "<EMAIL>"),
+              PhonePat, "<PHONE>"),
+            Ipv4Pat, "<IP>").as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH doctored AS (
+      |  SELECT doc_id,
+      |    text
+      |    || CASE WHEN doc_id % 3 > 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org' ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 0 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 1 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END
+      |    AS raw
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |  CAST(len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+      |  regexp_replace(regexp_replace(regexp_replace(raw,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+      |FROM doctored ORDER BY doc_id""".stripMargin))
+
+  // -------- i33 / i31: vocabulary + term weighting -------------------------
+
+  /** Distinct (doc, tok, tf) rows with tf computed map-side by the
+    * compiled TokenTermFreq expression (tokens materialized before the
+    * explode — the generator-re-evaluation trap, LlmOps.withToks). One row
+    * per DISTINCT token per doc: both term-weighting ops build on this
+    * instead of raw (doc, token-occurrence) pairs, so nothing
+    * corpus-duplicate-sized ever shuffles.
+    */
+  private def docTermFreq(s: SparkSession, d: String) =
+    t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(graft.functions.HashFunctions.tokenTermFreq(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.tf").as("tf"))
+
+  /** i33: corpus vocabulary build — collection frequency + document
+    * frequency per token, ranked by cf. The tokenizer-construction step of
+    * a training pipeline. cf = sum of the row-local tfs and df = row count
+    * per token, so the single shuffle carries distinct (doc, tok) rows and
+    * needs no count-distinct expand. The final rank window is global but
+    * runs over the AGGREGATED vocabulary (≪ corpus, Heaps' law), not the
+    * corpus.
+    */
+  val i33_vocab_df = OpQuery(
+    (s, d) => docTermFreq(s, d)
+      .groupBy("tok")
+      .agg(sum(col("tf")).as("cf"), count(lit(1)).as("df"))
+      .withColumn("rnk", row_number()
+        .over(Window.orderBy(col("cf").desc, col("tok"))).cast(LongType))
+      .orderBy("rnk"),
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |vocab AS (
+      |  SELECT tok, CAST(count(*) AS BIGINT) AS cf,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM toks WHERE tok <> '' GROUP BY tok)
+      |SELECT tok, cf, df,
+      |  CAST(row_number() OVER (ORDER BY cf DESC, tok) AS BIGINT) AS rnk
+      |FROM vocab ORDER BY rnk""".stripMargin))
+
+  /** i31: top-3 characteristic terms per document by a tf·idf-style score.
+    * The score is tf · 10⁶ DIV df — reciprocal-df weighting in EXACT
+    * integer arithmetic (tf ≤ doc length, so tf·10⁶ < 2⁵²): a float idf
+    * (ln-damped) ranks near-ties by sub-ulp differences that no two
+    * engines resolve identically, while integer scores make the
+    * (score desc, tok asc) order total and portable.
+    *
+    * Shape: tf is ROW-LOCAL, so TokenTermFreq computes it map-side in one
+    * compiled pass — the explode emits one row per DISTINCT (doc, token)
+    * and the corpus-sized groupBy(doc_id, tok) shuffle of the naive plan
+    * never exists. df is derived from those rows (count per token =
+    * distinct docs) — the only corpus-wide aggregate, vocabulary-sized
+    * output, broadcast back. The rank window partitions by doc — parallel
+    * across documents at any scale.
+    */
+  val i31_tfidf_topterms = OpQuery(
+    (s, d) => {
+      val tf = docTermFreq(s, d)
+      val dfTbl = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfTbl), "tok")
+        .withColumn("score",
+          expr("CAST((tf * 1000000) DIV df AS BIGINT)"))
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("tok"))).cast(LongType))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (
+      |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |  FROM toks WHERE tok <> '' GROUP BY doc_id, tok),
+      |df AS (
+      |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM toks WHERE tok <> '' GROUP BY tok)
+      |SELECT doc_id, tok, tf, df, score, CAST(rk AS BIGINT) AS rk FROM (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY (tf.tf * 1000000) // df.df DESC, tf.tok) AS rk
+      |  FROM tf JOIN df ON tf.tok = df.tok)
+      |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
+
+  val all: Map[String, OpQuery] = Map(
+    "i30_pii_redact" -> i30_pii_redact,
+    "i31_tfidf_topterms" -> i31_tfidf_topterms,
+    "i33_vocab_df" -> i33_vocab_df)
+}

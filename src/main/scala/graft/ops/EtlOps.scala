@@ -221,6 +221,59 @@ object EtlOps {
        |  count(DISTINCT l_orderkey) AS n_orders
        |FROM lineitem""".stripMargin)
 
+  /** b12: CDC-style snapshot merge (upsert + delete) — apply a changeset
+    * (deterministically derived from the snapshot here: deletes %13,
+    * updates %7, inserts as key+10⁹) in one pass: broadcast-able update
+    * join + anti-join for deletes + union of inserts. At 100 TB the
+    * snapshot never re-sorts: both joins are equi-joins on the primary
+    * key, so a key-bucketed snapshot layout (a9) makes the merge
+    * shuffle-free on the big side; the changeset (a day's CDC feed)
+    * broadcasts.
+    */
+  val b12_merge_upsert = OpQuery(
+    (s, d) => {
+      val snap = t(s, d, "orders")
+      val key = col("o_orderkey")
+      val dels = snap.filter(key % 13 === 0).select(key.as("del_key"))
+      val ups = snap.filter(key % 13 =!= 0 && key % 7 === 0)
+        .select(key.as("up_key"), lit("X").as("up_status"),
+          lit("9-RECLASS").as("up_priority"))
+      val ins = snap.filter(key % 17 === 0)
+        .select((key + 1000000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), lit("1-URGENT").as("o_orderpriority"),
+          lit("insert").as("op"))
+      snap
+        .join(broadcast(dels), key === col("del_key"), "left_anti")
+        .join(broadcast(ups), key === col("up_key"), "left_outer")
+        .select(key, col("o_custkey"),
+          coalesce(col("up_status"), col("o_orderstatus")).as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          coalesce(col("up_priority"), col("o_orderpriority"))
+            .as("o_orderpriority"),
+          when(col("up_key").isNotNull, "update").otherwise("keep").as("op"))
+        .unionByName(ins)
+        .orderBy("o_orderkey")
+    },
+    """WITH ups AS (
+      |  SELECT o_orderkey AS up_key, 'X' AS up_status, '9-RECLASS' AS up_priority
+      |  FROM orders WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 = 0),
+      |ins AS (
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+      |    'N' AS o_orderstatus, o_totalprice, o_orderdate,
+      |    '1-URGENT' AS o_orderpriority, 'insert' AS op
+      |  FROM orders WHERE o_orderkey % 17 = 0)
+      |SELECT s.o_orderkey, s.o_custkey,
+      |  coalesce(u.up_status, s.o_orderstatus) AS o_orderstatus,
+      |  s.o_totalprice, s.o_orderdate,
+      |  coalesce(u.up_priority, s.o_orderpriority) AS o_orderpriority,
+      |  CASE WHEN u.up_key IS NOT NULL THEN 'update' ELSE 'keep' END AS op
+      |FROM orders s LEFT JOIN ups u ON s.o_orderkey = u.up_key
+      |WHERE s.o_orderkey % 13 <> 0
+      |UNION ALL
+      |SELECT * FROM ins
+      |ORDER BY o_orderkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "b1_colname_normalize" -> b1_colname_normalize,
     "b2_type_cast_widen" -> b2_type_cast_widen,
@@ -232,5 +285,6 @@ object EtlOps {
     "b8_add_pkey" -> b8_add_pkey,
     "b9_add_random_id" -> b9_add_random_id,
     "b10_dedupe_exact" -> b10_dedupe_exact,
-    "b11_checksum_table" -> b11_checksum_table)
+    "b11_checksum_table" -> b11_checksum_table,
+    "b12_merge_upsert" -> b12_merge_upsert)
 }

@@ -1,0 +1,124 @@
+package graft
+
+import graft.ops.{CorpusOps, EtlOps}
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the corpus-preparation ops beyond the oracle
+  * hash: actual redaction completeness (no pattern survives), exact score
+  * recomputation, vocabulary accounting identities, and merge semantics
+  * per changeset class.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("i30 leaves no redactable pattern and counts what it removed") {
+    val out = CorpusOps.i30_pii_redact.fn(spark, sfDir).collect()
+    assert(out.length == Tables.t(spark, sfDir, "documents").count())
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}".r
+    val phone = "\\+1-555-[0-9]{4}".r
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}".r
+    out.foreach { r =>
+      val red = r.getString(4)
+      assert(email.findFirstIn(red).isEmpty, s"email survived in doc ${r.getLong(0)}")
+      assert(phone.findFirstIn(red).isEmpty, s"phone survived in doc ${r.getLong(0)}")
+      assert(ip.findFirstIn(red).isEmpty, s"ip survived in doc ${r.getLong(0)}")
+    }
+    // count audit per planting rule: emails = (%3>0) + (%5==0), phone = (%2==0),
+    // ip = (%4==1); the base corpus carries no '@' or digits (probed in-test)
+    val base = Tables.t(spark, sfDir, "documents")
+      .filter(col("text").rlike("[@0-9]")).count()
+    assert(base == 0L, "fixture assumption broken: base text carries PII-like chars")
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val wantEmail = (if (id % 3 > 0) 1 else 0) + (if (id % 5 == 0) 1 else 0)
+      assert(r.getLong(1) == wantEmail, s"doc $id n_email")
+      assert(r.getLong(2) == (if (id % 2 == 0) 1L else 0L), s"doc $id n_phone")
+      assert(r.getLong(3) == (if (id % 4 == 1) 1L else 0L), s"doc $id n_ip")
+      // placeholders appear exactly count-many times
+      assert("<EMAIL>".r.findAllIn(r.getString(4)).size == wantEmail)
+    }
+    // count variety: the fixture must exercise 0, 1 and 2 emails
+    assert(out.map(_.getLong(1)).distinct.sorted.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("i33 vocabulary accounting: cf sums to token count, ranks dense") {
+    val out = CorpusOps.i33_vocab_df.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val totalToks = Tables.t(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    assert(out.map(_.getLong(1)).sum == totalToks, "sum(cf) != corpus token count")
+    val nDocs = Tables.t(spark, sfDir, "documents").count()
+    out.foreach { r =>
+      assert(r.getLong(2) <= nDocs && r.getLong(2) >= 1, s"df out of range for ${r.getString(0)}")
+      assert(r.getLong(2) <= r.getLong(1), "df > cf is impossible")
+    }
+    assert(out.map(_.getLong(3)).toSeq == (1L to out.length).toSeq, "ranks not dense")
+    // cf non-increasing along the rank order
+    assert(out.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
+  test("i31 scores are the exact integer tf*1e6 div df, top-3 per doc") {
+    val out = CorpusOps.i31_tfidf_topterms.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3),
+        s"score mismatch for doc ${r.getLong(0)} tok ${r.getString(1)}")
+      assert(r.getLong(5) >= 1 && r.getLong(5) <= 3)
+    }
+    // driver-side recompute for one document: same top-3 under
+    // (score desc, tok asc)
+    val docId = out.head.getLong(0)
+    val text = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") === docId).select("text").head().getString(0)
+    val toks = text.split(" ").filter(_.nonEmpty)
+    val tf = toks.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    val dfMap = CorpusOps.i33_vocab_df.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val expect = tf.toSeq
+      .map { case (t, f) => (t, f * 1000000L / dfMap(t)) }
+      .sortBy { case (t, sc) => (-sc, t) }.take(3).map(_._1)
+    val got = out.filter(_.getLong(0) == docId).sortBy(_.getLong(5)).map(_.getString(1)).toSeq
+    assert(got == expect, s"doc $docId top terms: got $got want $expect")
+  }
+
+  test("i31 df side broadcasts (no cartesian / nested-loop anywhere)") {
+    val plan = CorpusOps.i31_tfidf_topterms.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "df join should broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("b12 merge applies deletes, updates, inserts exactly once") {
+    val out = EtlOps.b12_merge_upsert.fn(spark, sfDir).collect()
+    val snap = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val nDel = snap.keys.count(_ % 13 == 0)
+    val nIns = snap.keys.count(_ % 17 == 0)
+    assert(out.length == snap.size - nDel + nIns)
+    val byKey = out.map(r => r.getLong(0) -> r).toMap
+    snap.keys.foreach { k =>
+      if (k % 13 == 0) assert(!byKey.contains(k), s"deleted key $k survived")
+      else if (k % 7 == 0) {
+        val r = byKey(k)
+        assert(r.getString(2) == "X" && r.getString(5) == "9-RECLASS"
+          && r.getString(6) == "update", s"update not applied to $k")
+      } else {
+        val r = byKey(k)
+        assert((r.getString(2), r.getString(5)) == snap(k) && r.getString(6) == "keep",
+          s"untouched row $k changed")
+      }
+    }
+    snap.keys.filter(_ % 17 == 0).foreach { k =>
+      val r = byKey(k + 1000000000L)
+      assert(r.getString(2) == "N" && r.getString(6) == "insert", s"insert $k missing")
+    }
+  }
+
+  test("b12 changeset joins broadcast against the snapshot") {
+    val plan = EtlOps.b12_merge_upsert.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+}

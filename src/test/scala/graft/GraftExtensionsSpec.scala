@@ -39,4 +39,13 @@ class GraftExtensionsSpec extends SparkTestBase {
     // [distinct tokens, max bigram frequency]: 2 distinct, 'a b' twice
     assert(r.getSeq[Long](3) == Seq(2L, 2L) && viaCol.getSeq[Long](2) == Seq(2L, 2L))
   }
+
+  test("token_term_freq: counts per distinct token, sorted, skips empty/null") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT inline(token_term_freq(array('b', 'a', 'b', '', cast(NULL AS STRING), 'b')))")
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 3L)))
+  }
 }
