@@ -294,7 +294,30 @@ object ScanOps {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)
 
+  /** a13: JSONL (newline-delimited JSON) sink + source round-trip — the
+    * interchange format of training corpora (one document object per
+    * line). Spark's json writer emits one part file per partition
+    * (parallel write) and the read pins an EXPLICIT schema: schema
+    * inference at 100 TB is a full extra pass over the data, and a
+    * drifting field type silently forks downstream plans — pin it.
+    * Oracle = the source table: the round-trip must be lossless.
+    */
+  val a13_jsonl_source = OpQuery(
+    (s, d) => {
+      val out = graft.Util.scratch("a13_documents_jsonl")
+      t(s, d, "documents").write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(out).orderBy("doc_id")
+    },
+    "SELECT * FROM documents ORDER BY doc_id")
+
   val all: Map[String, OpQuery] = Map(
+    "a13_jsonl_source" -> a13_jsonl_source,
     "a9_sink_bucketed" -> a9_sink_bucketed,
     "a10_fits_ascii_source" -> a10_fits_ascii_source,
     "a11_fits_varlen_source" -> a11_fits_varlen_source,

@@ -115,6 +115,38 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("TokenTermFreq matches a naive recompute on random token arrays") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.functions._
+    val tokGen = Gen.oneOf(Gen.oneOf("a", "b", "c", "día", "łang"),
+      Gen.const(""), Gen.alphaNumStr.map(_.take(6)))
+    val arrGen = Gen.listOf(tokGen)
+    val prop = Prop.forAll(arrGen) { toks =>
+      import spark.implicits._
+      val got = Seq(toks).toDF("toks")
+        .select(graft.functions.HashFunctions.tokenTermFreq(col("toks")).as("p"))
+        .selectExpr("inline(p)").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val want = toks.filter(_.nonEmpty).groupBy(identity)
+        .map { case (t, a) => t -> a.length.toLong }.toSeq.sortBy(_._1)
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a13 JSONL round-trip is lossless and written in parallel parts") {
+    val out = graft.ops.ScanOps.a13_jsonl_source.fn(spark, sfDir)
+    val src = Tables.t(spark, sfDir, "documents")
+    assert(out.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)))
+    assert(out.count() == src.count())
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+    val parts = new java.io.File(Util.scratch("a13_documents_jsonl"))
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert(parts >= 1)
+  }
+
   test("b12 changeset joins broadcast against the snapshot") {
     val plan = EtlOps.b12_merge_upsert.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
