@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OpQuery, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -187,8 +187,138 @@ object CorpusOps {
       |  FROM tf JOIN df ON tf.tok = df.tok)
       |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin))
 
+  // -------- i32: bigram language-model counts ------------------------------
+
+  /** i32: bigram LM table — count(w1,w2), the predecessor total count(w1·),
+    * and the conditional probability P(w2|w1) in exact integer micro-units
+    * (c12·10⁶ DIV c1, the i31 portable-score convention). The n-gram
+    * count table behind corpus perplexity filters and contamination
+    * heuristics.
+    *
+    * Shape: the pair explode is map-side (one row per adjacent token
+    * pair); the (w1, w2) groupBy is the only corpus-sized shuffle and
+    * runs with partial aggregation. The predecessor totals are a second
+    * aggregate OVER THE BIGRAM TABLE (vocabulary², ≪ corpus) and join
+    * back by broadcast. Top-50 by (c12 desc, w1, w2) is a total order
+    * (bigram keys unique) → TakeOrderedAndProject, no global sort.
+    */
+  val i32_bigram_lm = OpQuery(
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2) // sequence(1,0) would run DESCENDING
+      val pairs = toks.select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val c = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val u = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      c.join(broadcast(u), "w1")
+        .select(col("w1"), col("w2"), col("c12"), col("c1"),
+          expr("c12 * 1000000 DIV c1").as("p_micro"))
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some("""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b
+      |       FROM d WHERE len(toks) >= 2),
+      |c AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, count(*) AS c12
+      |      FROM bg GROUP BY 1, 2),
+      |u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1)
+      |SELECT c.w1, c.w2, c.c12, u.c1, c.c12 * 1000000 // u.c1 AS p_micro
+      |FROM c JOIN u ON c.w1 = u.w1
+      |ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 50""".stripMargin))
+
+  // -------- i34: k-means (Lloyd) over embeddings ---------------------------
+
+  /** i34: two Lloyd iterations of k-means (k = 4) over the embedding table
+    * — the semantic-clustering primitive behind cluster-then-dedup and
+    * per-cluster mixture balancing. Deterministic and EXACT across
+    * engines: coordinates are quantized to an integer grid
+    * (floor(x·1000), exact on IEEE doubles widened from float32), so
+    * distances, argmin ties (broken by centroid id), and the element-wise
+    * integer-mean update (sum DIV count — both engines truncate toward
+    * zero) involve no floating-point at all.
+    *
+    * Shape at scale: k centroids are BROADCAST against the point set
+    * (N·k rows, map-side); assignment argmin is min(struct(dist, cid))
+    * inside a hash aggregate keyed by point; the centroid update is the
+    * i8 posexplode re-agg pattern (the only shuffles, keyed (cid, pos) —
+    * 64·k cells regardless of N). Iteration count is fixed (2), not
+    * data-dependent — the driver never sees per-iteration results.
+    */
+  val i34_kmeans_lloyd = OpQuery(
+    (s, d) => {
+      val k = 4
+      val q = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
+      def assign(cents: DataFrame): DataFrame =
+        q.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("qv"), col("cid"),
+            expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
+              .as("dist"))
+          .groupBy("vec_id")
+          .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("qv")).as("qv"))
+          .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
+      val c0 = q.where(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val c1 = assign(c0)
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(expr("sum(v) DIV count(*)").as("cv_i"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)").as("cv"))
+      assign(c1)
+        .join(broadcast(c1), "cid")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)")).as("sum_norm"),
+          min(expr("aggregate(transform(cv, x -> x * x), 0L, (a, v) -> a + v)")).as("centroid_ssq"))
+        .select(col("cid").as("cluster_id"), col("n_points"), col("sum_norm"),
+          col("centroid_ssq"))
+        .orderBy("cluster_id")
+    },
+    Some("""WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < 4),
+      |a1 AS (
+      |  SELECT vec_id, qv, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM (
+      |    SELECT q.vec_id, q.qv, c0.cid,
+      |           list_sum(list_transform(range(1, len(q.qv) + 1),
+      |             i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS dist
+      |    FROM q CROSS JOIN c0)),
+      |m1 AS (
+      |  SELECT cid, r.range AS pos, CAST(sum(qv[r.range]) AS BIGINT) // count(*) AS v
+      |  FROM a1 CROSS JOIN range(1, 65) r
+      |  WHERE rn = 1
+      |  GROUP BY cid, r.range),
+      |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+      |a2 AS (
+      |  SELECT vec_id, qv, cid,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |  FROM (
+      |    SELECT q.vec_id, q.qv, c1.cid,
+      |           list_sum(list_transform(range(1, len(q.qv) + 1),
+      |             i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS dist
+      |    FROM q CROSS JOIN c1))
+      |SELECT a2.cid AS cluster_id,
+      |       count(*) AS n_points,
+      |       CAST(sum(list_sum(list_transform(qv, x -> x * x))) AS BIGINT) AS sum_norm,
+      |       CAST(min(list_sum(list_transform(c1.cv, x -> x * x))) AS BIGINT) AS centroid_ssq
+      |FROM a2 JOIN c1 ON a2.cid = c1.cid
+      |WHERE rn = 1
+      |GROUP BY a2.cid
+      |ORDER BY cluster_id""".stripMargin))
+
   val all: Map[String, OpQuery] = Map(
     "i30_pii_redact" -> i30_pii_redact,
     "i31_tfidf_topterms" -> i31_tfidf_topterms,
-    "i33_vocab_df" -> i33_vocab_df)
+    "i32_bigram_lm" -> i32_bigram_lm,
+    "i33_vocab_df" -> i33_vocab_df,
+    "i34_kmeans_lloyd" -> i34_kmeans_lloyd)
 }

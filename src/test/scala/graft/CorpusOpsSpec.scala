@@ -153,4 +153,47 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("i32 bigram counts recompute exactly and conditionals are consistent") {
+    val out = CorpusOps.i32_bigram_lm.fn(spark, sfDir).collect()
+    assert(out.length == 50)
+    // (w1, w2) keys unique; c12 non-increasing down the ranking
+    val keys = out.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    assert(out.map(_.getLong(2)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    out.foreach { r =>
+      val (c12, c1, p) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c12 >= 1 && c12 <= c1, s"c12 out of range for ${keys.toSeq}")
+      assert(p == c12 * 1000000L / c1, "p_micro is not the exact integer div")
+    }
+    // independent recount of the TOP bigram straight off the corpus
+    val (w1, w2, c12) = (out(0).getString(0), out(0).getString(1), out(0).getLong(2))
+    val direct = Tables.t(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .selectExpr("explode(transform(sequence(1, size(toks) - 1), " +
+        "i -> struct(toks[i-1] AS w1, toks[i] AS w2))) AS p")
+      .filter(col("p.w1") === w1 && col("p.w2") === w2)
+      .count()
+    assert(direct == c12, s"top bigram ($w1,$w2) recount mismatch")
+  }
+
+  test("i34 k-means partitions all points; norms sum to the corpus total") {
+    val out = CorpusOps.i34_kmeans_lloyd.fn(spark, sfDir).collect()
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    // every point lands in exactly one cluster (assignment is a partition)
+    assert(out.map(_.getLong(1)).sum == emb.count())
+    assert(out.map(_.getLong(0)).toSeq == out.map(_.getLong(0)).toSeq.sorted)
+    assert(out.length >= 2 && out.length <= 4, "k=4 clustering degenerated")
+    // sum of per-cluster member norms is assignment-invariant: it must
+    // equal the total quantized squared norm computed independently
+    val totalNorm = emb.selectExpr(
+      "aggregate(transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)), " +
+        "0L, (a, v) -> a + v * v) AS n")
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalNorm, "member norms lost mass")
+    // deterministic: a second run yields byte-identical rows
+    val again = CorpusOps.i34_kmeans_lloyd.fn(spark, sfDir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
