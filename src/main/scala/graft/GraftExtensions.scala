@@ -1,8 +1,8 @@
 package graft
 
 import graft.functions.{DotProduct, IntersectCountSorted, LshBucket64,
-  MinHashSignature, ShingleHashSet, SimHash64, TokenRepetitionStats,
-  TokenTermFreq}
+  MinHashSignature, ShingleHashSet, SimHash64, SqDistLong,
+  TokenRepetitionStats, TokenTermFreq}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> ((c: Seq[Expression]) => DotProduct(c(0), c(1))),
+    "vec_sqdist_long" -> ((c: Seq[Expression]) => SqDistLong(c(0), c(1))),
     "intersect_count" -> ((c: Seq[Expression]) => IntersectCountSorted(c(0), c(1))),
     "vec_lsh_bucket" -> ((c: Seq[Expression]) => LshBucket64(c(0))),
     "minhash_signature" -> ((c: Seq[Expression]) => MinHashSignature(c(0))),

@@ -222,10 +222,79 @@ case class LshBucket64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Integer squared-L2 distance over two array<bigint> columns — the inner
+  * loop of the quantized-grid clustering/dedup path (i34/i35). Same
+  * rationale as DotProduct: `zip_with`+`aggregate` allocates a 64-element
+  * intermediate array and walks interpreted lambdas per PAIR, which at
+  * Σ|cluster|² pairs dominates the whole query; this is one tight
+  * primitive loop inside whole-stage codegen. Σ (a(i)−b(i))² over the
+  * common prefix; null elements contribute 0 (same contract as vec_dot).
+  */
+case class SqDistLong(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "vec_sqdist_long"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_sqdist_long expects array<bigint> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val d = a.getLong(i) - b.getLong(i)
+        s += d * d
+      }
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistLong =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column-level entry point: cosine ≡ dot on L2-normalized vectors. */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Integer squared-L2 over two array<bigint>s (quantized grid, i34/i35). */
+  def sqDistLong(a: Column, b: Column): Column =
+    Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
 
   /** Intersection cardinality of two sorted, distinct array<bigint>s. */
   def intersectCount(a: Column, b: Column): Column =

@@ -247,39 +247,44 @@ object CorpusOps {
     * 64·k cells regardless of N). Iteration count is fixed (2), not
     * data-dependent — the driver never sees per-iteration results.
     */
-  val i34_kmeans_lloyd = OpQuery(
-    (s, d) => {
-      val k = 4
-      val q = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
-      def assign(cents: DataFrame): DataFrame =
-        q.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("qv"), col("cid"),
-            expr("aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)")
-              .as("dist"))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("qv")).as("qv"))
-          .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
-      val c0 = q.where(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      val c1 = assign(c0)
-        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(expr("sum(v) DIV count(*)").as("cv_i"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)").as("cv"))
-      assign(c1)
-        .join(broadcast(c1), "cid")
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n_points"),
-          sum(expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)")).as("sum_norm"),
-          min(expr("aggregate(transform(cv, x -> x * x), 0L, (a, v) -> a + v)")).as("centroid_ssq"))
-        .select(col("cid").as("cluster_id"), col("n_points"), col("sum_norm"),
-          col("centroid_ssq"))
-        .orderBy("cluster_id")
-    },
-    Some("""WITH q AS (
+  /** Integer-grid quantized embeddings: (vec_id, qv: array<bigint>). */
+  private def quantizedEmb(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
+
+  /** Nearest-centroid assignment: broadcast the k centroids (cid, cv),
+    * integer L2², argmin with ties broken by centroid id.
+    */
+  private def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("cid"),
+        graft.functions.VectorFunctions.sqDistLong(col("qv"), col("cv"))
+          .as("dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("qv")).as("qv"))
+      .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
+
+  /** One Lloyd update from the deterministic seed (points vec_id < 4):
+    * the centroid table both i34 and i35 assign against.
+    */
+  private def lloydCentroids(q: DataFrame): DataFrame = {
+    val c0 = q.where(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    lloydAssign(q, c0)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(expr("sum(v) DIV count(*)").as("cv_i"))
+      .groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)").as("cv"))
+  }
+
+  /** The shared i34/i35 oracle prefix: quantize → seed → assign → update →
+    * re-assign; exposes q, c1(cid, cv) and a2(vec_id, qv, cid, rn) with
+    * rn = 1 marking the final assignment row.
+    */
+  private val lloydSqlCte: String =
+    """WITH q AS (
       |  SELECT vec_id,
       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
       |  FROM embeddings),
@@ -305,8 +310,23 @@ object CorpusOps {
       |    SELECT q.vec_id, q.qv, c1.cid,
       |           list_sum(list_transform(range(1, len(q.qv) + 1),
       |             i -> (q.qv[i] - c1.cv[i]) * (q.qv[i] - c1.cv[i]))) AS dist
-      |    FROM q CROSS JOIN c1))
-      |SELECT a2.cid AS cluster_id,
+      |    FROM q CROSS JOIN c1))""".stripMargin
+
+  val i34_kmeans_lloyd = OpQuery(
+    (s, d) => {
+      val q = quantizedEmb(s, d)
+      val c1 = lloydCentroids(q)
+      lloydAssign(q, c1)
+        .join(broadcast(c1), "cid")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(expr("aggregate(transform(qv, x -> x * x), 0L, (a, v) -> a + v)")).as("sum_norm"),
+          min(expr("aggregate(transform(cv, x -> x * x), 0L, (a, v) -> a + v)")).as("centroid_ssq"))
+        .select(col("cid").as("cluster_id"), col("n_points"), col("sum_norm"),
+          col("centroid_ssq"))
+        .orderBy("cluster_id")
+    },
+    Some(lloydSqlCte + "\n" + """SELECT a2.cid AS cluster_id,
       |       count(*) AS n_points,
       |       CAST(sum(list_sum(list_transform(qv, x -> x * x))) AS BIGINT) AS sum_norm,
       |       CAST(min(list_sum(list_transform(c1.cv, x -> x * x))) AS BIGINT) AS centroid_ssq
@@ -315,10 +335,56 @@ object CorpusOps {
       |GROUP BY a2.cid
       |ORDER BY cluster_id""".stripMargin))
 
+  // -------- i35: semantic dedup (cluster-then-pair) ------------------------
+
+  /** i35: SemDeDup-style semantic dedup — candidate pairs are generated
+    * ONLY within a k-means cluster, then kept if the exact integer L2²
+    * distance is under threshold. This is the scale story for embedding
+    * dedup: clustering prunes the O(n²) pair space to Σ|cluster|², and the
+    * pair join is an equi-join on the cluster id (one shuffle keyed cid —
+    * at 100 TB the cluster id is the partition key and each cluster's
+    * pairs are generated locally; cluster size is bounded by increasing k,
+    * which this fixed-k fixture stands in for).
+    *
+    * The threshold (1 150 000 on the ×1000 integer grid ≈ raw L2 1.07)
+    * sits in the low tail of the corpus distance distribution so the
+    * result is non-empty but small at every SF (15/15/152 pairs) — the
+    * corpus plants no true embedding duplicates.
+    *
+    * The assignment is localCheckpoint'ed before the self-join — without
+    * it each join side re-evaluates the whole Lloyd subtree (measured 2×
+    * ≈ 2 s at sf0.1); the materialized set is (id, 64 longs, cid) rows,
+    * tiny relative to the pair stage it feeds. The pair distance is the
+    * compiled SqDistLong kernel, not a zip_with/aggregate lambda chain —
+    * the Σ|cluster|² inner loop is where this query lives or dies.
+    */
+  val i35_semdedup = OpQuery(
+    (s, d) => {
+      val q = quantizedEmb(s, d)
+      val a2 = lloydAssign(q, lloydCentroids(q)).localCheckpoint()
+      val left = a2.select(col("cid"), col("vec_id").as("id_a"), col("qv").as("qa"))
+      val right = a2.select(col("cid"), col("vec_id").as("id_b"), col("qv").as("qb"))
+      left.join(right, Seq("cid"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("cid").as("cluster_id"), col("id_a"), col("id_b"),
+          graft.functions.VectorFunctions.sqDistLong(col("qa"), col("qb")).as("qdist"))
+        .where(col("qdist") <= 1150000L)
+        .orderBy("id_a", "id_b")
+    },
+    Some(lloydSqlCte + "\n" + """SELECT * FROM (
+      |  SELECT a.cid AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+      |         CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+      |           i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS BIGINT) AS qdist
+      |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |  WHERE a.rn = 1 AND b.rn = 1)
+      |WHERE qdist <= 1150000
+      |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Map[String, OpQuery] = Map(
     "i30_pii_redact" -> i30_pii_redact,
     "i31_tfidf_topterms" -> i31_tfidf_topterms,
     "i32_bigram_lm" -> i32_bigram_lm,
     "i33_vocab_df" -> i33_vocab_df,
-    "i34_kmeans_lloyd" -> i34_kmeans_lloyd)
+    "i34_kmeans_lloyd" -> i34_kmeans_lloyd,
+    "i35_semdedup" -> i35_semdedup)
 }

@@ -259,8 +259,37 @@ object ScalarOps {
       |      FROM documents WHERE doc_id < 50)
       |ORDER BY doc_id, pos""".stripMargin)
 
+  /** h12: bitwise function family — AND/OR/XOR/NOT, shifts, popcount.
+    * All on BIGINT where Java and DuckDB semantics coincide (two's
+    * complement; keys are positive so shifts can't hit the
+    * engine-divergent overflow edge: the shifted operand is bounded to
+    * < 1024 before `<< 3`). DuckDB's `^` is POWER — its XOR is the
+    * xor() function. Narrow codegen'd map, no shuffle.
+    */
+  val h12_bit_funcs = OpQuery(
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("b_or"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("b_xor"),
+        expr("~o_orderkey").as("b_not"),
+        expr("shiftleft(o_orderkey % 1024, 3)").as("b_shl"),
+        expr("shiftright(o_orderkey, 2)").as("b_shr"),
+        expr("CAST(bit_count(o_orderkey) AS BIGINT)").as("b_cnt"))
+      .orderBy("o_orderkey"),
+    """SELECT o_orderkey,
+      |  o_orderkey & 255 AS b_and,
+      |  o_orderkey | 4096 AS b_or,
+      |  xor(o_orderkey, o_custkey) AS b_xor,
+      |  ~o_orderkey AS b_not,
+      |  (o_orderkey % 1024) << 3 AS b_shl,
+      |  o_orderkey >> 2 AS b_shr,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt
+      |FROM orders ORDER BY o_orderkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "h1_string_core" -> h1_string_core,
+    "h12_bit_funcs" -> h12_bit_funcs,
     "h2_string_split_regex" -> h2_string_split_regex,
     "h3_date_core" -> h3_date_core,
     "h4_math_core" -> h4_math_core,

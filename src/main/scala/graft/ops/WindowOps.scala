@@ -157,8 +157,36 @@ object WindowOps {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
+  /** f8: distribution window functions — percent_rank, cume_dist, the
+    * derived decile bucket, and the partition row count. pr/cd are ratios
+    * of exact integers ((rank−1)/(n−1), rows≤current/n): both engines
+    * divide the same integer operands, so the doubles are bit-identical —
+    * no rounding needed (unlike frame-sums of doubles, which ARE
+    * order-sensitive and go through Par.dsum elsewhere).
+    */
+  val f8_win_distribution = OpQuery(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      val wp = Window.partitionBy("o_custkey")
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ceil(cume_dist().over(w) * 10).cast(LongType).as("decile"),
+          count(lit(1)).over(wp).as("n_part"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    """SELECT o_custkey, o_orderkey,
+      |  percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+      |  CAST(ceil(cume_dist() OVER w * 10) AS BIGINT) AS decile,
+      |  CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_part
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "f1_win_rank" -> f1_win_rank,
+    "f8_win_distribution" -> f8_win_distribution,
     "f2_win_topk_per_group" -> f2_win_topk_per_group,
     "f3_win_lag_lead" -> f3_win_lag_lead,
     "f4_win_running_frame" -> f4_win_running_frame,

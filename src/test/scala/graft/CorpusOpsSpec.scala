@@ -196,4 +196,44 @@ class CorpusOpsSpec extends SparkTestBase {
     val again = CorpusOps.i34_kmeans_lloyd.fn(spark, sfDir).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("i32/i34/i35 physical plans have the shapes the docs claim") {
+    // i32: top-50 must be TakeOrderedAndProject (no global sort), and the
+    // predecessor-totals join must broadcast
+    val p32 = CorpusOps.i32_bigram_lm.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p32.contains("TakeOrderedAndProject"), "i32 lost its top-k plan")
+    assert(p32.contains("BroadcastHashJoin"), "i32 predecessor join not broadcast")
+    // i34/i35: centroid assignment must broadcast the centroids — a
+    // sort-merge join against a 4-row side would be the wrong plan at any N
+    val p34 = CorpusOps.i34_kmeans_lloyd.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p34.contains("BroadcastNestedLoopJoin") || p34.contains("BroadcastHashJoin"),
+      "i34 centroids not broadcast")
+    assert(!p34.contains("CartesianProduct"), "i34 fell back to a cartesian")
+    val p35 = CorpusOps.i35_semdedup.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p35.contains("CartesianProduct"), "i35 pair join must stay cid-keyed")
+  }
+
+  test("i35 pair distances recompute exactly from the embeddings table") {
+    val out = CorpusOps.i35_semdedup.fn(spark, sfDir).collect()
+    assert(out.nonEmpty, "semdedup found no pairs at this SF")
+    val keys = out.map(r => (r.getLong(1), r.getLong(2)))
+    assert(keys.distinct.length == keys.length)
+    out.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2), "pair not canonically ordered")
+      assert(r.getLong(3) <= 1150000L, "pair over threshold leaked through")
+    }
+    // recompute every returned pair's integer distance straight from the
+    // source table (no Lloyd machinery) — must match bit-for-bit
+    val quant = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    out.foreach { r =>
+      val (a, b) = (quant(r.getLong(1)), quant(r.getLong(2)))
+      val d = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(d == r.getLong(3), s"pair (${r.getLong(1)},${r.getLong(2)}) distance drifted")
+    }
+  }
 }

@@ -30,4 +30,30 @@ class OpSmokeSpec extends SparkTestBase {
   test("d5 cross join cardinality is |region| × |nation|") {
     assert(SparkEntry.queries("d5_join_cross")(spark, sfDir).count() == 125)
   }
+
+  test("h12 bitwise results match JVM integer semantics") {
+    val rows = SparkEntry.queries("h12_bit_funcs")(spark, sfDir).limit(500).collect()
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == (k & 255L) && r.getLong(2) == (k | 4096L))
+      assert(r.getLong(4) == ~k)
+      assert(r.getLong(5) == ((k % 1024L) << 3) && r.getLong(6) == (k >> 2))
+      assert(r.getLong(7) == java.lang.Long.bitCount(k).toLong)
+    }
+  }
+
+  test("f8 distribution values satisfy their defining identities") {
+    val rows = SparkEntry.queries("f8_win_distribution")(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, part) =>
+      val n = part.length
+      assert(part.forall(_.getLong(5) == n.toLong), "n_part != partition size")
+      // cume_dist ranges in (0, 1] and hits 1 exactly once per partition
+      assert(part.count(_.getDouble(3) == 1.0) >= 1)
+      part.foreach { r =>
+        assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+        assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+        assert(r.getLong(4) == math.ceil(r.getDouble(3) * 10).toLong)
+      }
+    }
+  }
 }

@@ -110,4 +110,57 @@ class VectorExpressionsSpec extends SparkTestBase {
     try assert(mismatches() == 0, "interpreted path disagrees with HOF formula")
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("SqDistLong edge semantics: common prefix, null elements, null input") {
+    import spark.implicits._
+    // common-prefix truncation mirrors DotProduct's contract
+    val df = Seq((Seq(1L, 2L, 3L), Seq(4L, 6L))).toDF("a", "b")
+    assert(df.select(graft.functions.VectorFunctions.sqDistLong(col("a"), col("b")))
+      .collect()(0).getLong(0) == 9L + 16L)
+    // a null ELEMENT contributes 0; a null ARRAY nulls the result
+    val withNullElem = spark.sql(
+      "SELECT array(1L, CAST(NULL AS BIGINT), 3L) AS a, array(1L, 5L, 7L) AS b")
+    assert(withNullElem.select(
+      graft.functions.VectorFunctions.sqDistLong(col("a"), col("b")))
+      .collect()(0).getLong(0) == 16L)
+    val withNullArr = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(withNullArr.select(
+      graft.functions.VectorFunctions.sqDistLong(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("SqDistLong matches a reference fold on random arrays") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val arrGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L)))
+    val prop = Prop.forAll(arrGen, arrGen) { (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.VectorFunctions.sqDistLong(col("a"), col("b")))
+        .collect()(0).getLong(0)
+      val want = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("SqDistLong equals the zip_with formula on quantized pairs (both eval paths)") {
+    import org.apache.spark.sql.functions._
+    val q = Tables.t(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv")
+    // adjacent-id pairs give a deterministic sample including self-pairs' zero
+    val pairs = q.as("a").join(q.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id") || col("a.vec_id") === col("b.vec_id"))
+    val hof = expr(
+      "aggregate(zip_with(a.qv, b.qv, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+    def mismatches() = pairs
+      .select(graft.functions.VectorFunctions.sqDistLong(col("a.qv"), col("b.qv")).as("fast"),
+        hof.as("ref"), col("a.vec_id") === col("b.vec_id") as "self")
+      .filter(col("fast") =!= col("ref") || (col("self") && col("fast") =!= 0L)).count()
+    assert(mismatches() == 0, "codegen path disagrees with zip_with formula")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(mismatches() == 0, "interpreted path disagrees with zip_with formula")
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
