@@ -274,7 +274,36 @@ object EtlOps {
       |SELECT * FROM ins
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** b13: schema evolution across dataset generations — the corpus-refresh
+    * reality that an old crawl snapshot lacks columns a newer one carries.
+    * Two parquet generations are written with different schemas (gen1:
+    * id+text only; gen2: +lang, +n_chars), then read as ONE dataset with
+    * mergeSchema — missing columns surface as NULL, no rewrite of the old
+    * generation. At 100 TB this is the only affordable evolution strategy
+    * (schema-on-read; rewriting history is a full-corpus job). The
+    * explicit post-read select pins column order — merge order follows
+    * file listing order, which is not a contract.
+    */
+  val b13_schema_evolution = OpQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val gen1 = graft.Util.scratch("b13_gen1")
+      val gen2 = graft.Util.scratch("b13_gen2")
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+        .write.mode("overwrite").parquet(gen1)
+      docs.filter(col("doc_id") % 2 === 1).select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(gen2)
+      s.read.option("mergeSchema", "true").parquet(gen1, gen2)
+        .select("doc_id", "text", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, text,
+      |  CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+      |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "b13_schema_evolution" -> b13_schema_evolution,
     "b1_colname_normalize" -> b1_colname_normalize,
     "b2_type_cast_widen" -> b2_type_cast_widen,
     "b3_null_sentinel" -> b3_null_sentinel,

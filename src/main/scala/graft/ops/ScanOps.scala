@@ -316,8 +316,31 @@ object ScanOps {
     },
     "SELECT * FROM documents ORDER BY doc_id")
 
+  /** a14: ORC sink + source round-trip — Spark's second first-class
+    * columnar format (bundled orc-core; no extra dependency). Same
+    * pushdown/pruning machinery as parquet, and the natural interchange
+    * with Hive-era warehouses. The timestamp column is deliberately
+    * excluded: ORC and parquet disagree on timestamp epoch handling
+    * across writer versions, which is a format-semantics rabbit hole, not
+    * a query-engine property. Oracle = the same projection from parquet:
+    * the round-trip must be lossless for longs/doubles/strings.
+    */
+  val a14_orc_source = OpQuery(
+    (s, d) => {
+      val out = graft.Util.scratch("a14_lineitem_orc")
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("l_orderkey", "l_linenumber")
+    },
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |FROM lineitem WHERE l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "a13_jsonl_source" -> a13_jsonl_source,
+    "a14_orc_source" -> a14_orc_source,
     "a9_sink_bucketed" -> a9_sink_bucketed,
     "a10_fits_ascii_source" -> a10_fits_ascii_source,
     "a11_fits_varlen_source" -> a11_fits_varlen_source,

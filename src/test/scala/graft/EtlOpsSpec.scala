@@ -162,4 +162,18 @@ class EtlOpsSpec extends SparkTestBase {
     assert(globalWindows.isEmpty,
       s"un-partitioned window in plan: ${globalWindows.mkString("; ")}")
   }
+
+  test("b13 merged read surfaces old-generation gaps as NULL, new rows intact") {
+    import org.apache.spark.sql.functions._
+    val out = EtlOps.b13_schema_evolution.fn(spark, sfDir)
+    val docs = Tables.t(spark, sfDir, "documents")
+    assert(out.count() == docs.count(), "merge lost or duplicated rows")
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang", "n_chars"))
+    // gen1 (even ids) lacked lang/n_chars → NULL; gen2 (odd ids) kept them
+    assert(out.filter(col("doc_id") % 2 === 0 && col("lang").isNotNull).count() == 0)
+    assert(out.filter(col("doc_id") % 2 === 1 && col("lang").isNull).count() == 0)
+    val odd = out.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+    val srcOdd = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+    assert(odd.exceptAll(srcOdd).isEmpty, "gen2 column values drifted through the merge")
+  }
 }

@@ -45,4 +45,20 @@ class ScanOpsSpec extends SparkTestBase {
     assert(a.intersectAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
     assert(a.exceptAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
+
+  test("a14 ORC round-trip is lossless and the ORC scan pushes filters") {
+    ScanOps.a14_orc_source.fn(spark, sfDir).count() // writes the ORC dir
+    val orc = spark.read.orc(graft.Util.scratch("a14_lineitem_orc"))
+    // filters/projections must reach the ORC reader like they do parquet
+    val plan = orc.filter(col("l_quantity") > 48).select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"),
+      s"ORC scan did not push the filter:\n${plan.take(800)}")
+    assert(plan.contains("ReadSchema") && !plan.contains("l_returnflag"),
+      "ORC scan did not prune columns")
+    // losslessness vs the parquet source, including the double column
+    val src = Tables.t(spark, sfDir, "lineitem").filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    assert(orc.exceptAll(src).isEmpty && src.exceptAll(orc).isEmpty)
+  }
 }
