@@ -42,12 +42,17 @@ object PrepMain {
     var in = ""; var out = ""; var dedup = "minhash"
     var i = 0
     while (i < args.length) {
-      args(i) match {
-        case "--in" => in = args(i + 1); i += 2
-        case "--out" => out = args(i + 1); i += 2
-        case "--dedup" => dedup = args(i + 1); i += 2
-        case other => throw new IllegalArgumentException(s"unknown flag: $other")
+      val flag = args(i)
+      if (!Set("--in", "--out", "--dedup")(flag))
+        throw new IllegalArgumentException(s"unknown flag: $flag")
+      if (i + 1 >= args.length)
+        throw new IllegalArgumentException(s"$flag needs a value")
+      flag match {
+        case "--in" => in = args(i + 1)
+        case "--out" => out = args(i + 1)
+        case "--dedup" => dedup = args(i + 1)
       }
+      i += 2
     }
     require(in.nonEmpty && out.nonEmpty, "usage: --in <tableDir> --out <dir> [--dedup minhash|none]")
     require(Set("minhash", "none")(dedup), s"--dedup must be minhash|none, got $dedup")
@@ -95,11 +100,18 @@ object PrepMain {
     val splitCounts = written.groupBy("split").count()
       .collect().map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toMap
 
+    // n_dedup_dropped = docs the dedup STAGE removed (so the counts
+    // reconcile: quality_kept − dedup_dropped = final); the corpus-wide
+    // pair-member set is reported separately — a doc can be both a b_id
+    // and already quality-dropped, and must not be double-counted
+    val nQualityKept = keptQuality.count()
+    val nFinal = written.count()
     val manifest: Map[String, Long] = Map(
       "n_input" -> nInput,
-      "n_quality_kept" -> keptQuality.count(),
-      "n_dedup_dropped" -> drops.count(),
-      "n_final" -> written.count()) ++ verdictCounts ++ splitCounts
+      "n_quality_kept" -> nQualityKept,
+      "n_dedup_dropped" -> (nQualityKept - nFinal),
+      "n_dup_members_corpus" -> drops.count(),
+      "n_final" -> nFinal) ++ verdictCounts ++ splitCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))

@@ -14,10 +14,21 @@ class PrepPipelineSpec extends SparkTestBase {
   private lazy val manifest =
     PrepMain.run(spark, PrepMain.Opts(sfDir, outDir, "minhash"))
 
+  /** Every test forces this first: with only test 1 touching the lazy
+    * `manifest`, running a later test in isolation (testOnly -z) would
+    * read an output dir the pipeline never wrote.
+    */
+  private def pipelineRan(): Unit = assert(manifest.nonEmpty)
+
   test("manifest counts are internally consistent") {
     assert(manifest("n_input") > 0)
     assert(manifest("n_quality_kept") <= manifest("n_input"))
     assert(manifest("n_final") <= manifest("n_quality_kept"))
+    // the stage counts must reconcile exactly
+    assert(manifest("n_quality_kept") - manifest("n_dedup_dropped") ==
+      manifest("n_final"), "stage arithmetic doesn't reconcile")
+    assert(manifest("n_dedup_dropped") <= manifest("n_dup_members_corpus"),
+      "stage can't drop more than the corpus-wide pair-member set")
     // verdict histogram partitions the input
     val verdictTotal = manifest.collect {
       case (k, v) if k.startsWith("verdict_") => v
@@ -31,6 +42,7 @@ class PrepPipelineSpec extends SparkTestBase {
   }
 
   test("output dir is a valid operator input and the kept set is pair-free") {
+    pipelineRan()
     val written = spark.read.parquet(s"$outDir/documents.parquet")
     assert(written.columns.contains("split") && written.columns.contains("shard"))
     // re-run the SAME gated dedup operator ON the output: every detected
@@ -40,6 +52,7 @@ class PrepPipelineSpec extends SparkTestBase {
   }
 
   test("every kept doc has verdict keep and is not a dropped pair member") {
+    pipelineRan()
     val written = spark.read.parquet(s"$outDir/documents.parquet")
     val verdicts = LlmOps.i29_quality_filter.fn(spark, sfDir)
       .select(col("doc_id"), col("verdict"))
@@ -52,6 +65,7 @@ class PrepPipelineSpec extends SparkTestBase {
   }
 
   test("per-shard positions are dense 1..n over the kept set") {
+    pipelineRan()
     val written = spark.read.parquet(s"$outDir/documents.parquet")
     val bad = written.groupBy("shard")
       .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
@@ -62,6 +76,7 @@ class PrepPipelineSpec extends SparkTestBase {
   }
 
   test("manifest.json exists and parses as flat key:number pairs") {
+    pipelineRan()
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$outDir/manifest.json")))
     assert(txt.startsWith("{") && txt.trim.endsWith("}"))
@@ -77,6 +92,9 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(o == PrepMain.Opts("a", "b", "none"))
     intercept[IllegalArgumentException](PrepMain.parse(Array("--in", "a")))
     intercept[IllegalArgumentException](PrepMain.parse(Array("--bogus", "x")))
+    // dangling flag (value forgotten) must give the usage error, not AIOOBE
+    intercept[IllegalArgumentException](
+      PrepMain.parse(Array("--in", "a", "--out")))
     intercept[IllegalArgumentException](
       PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "simhash")))
   }
