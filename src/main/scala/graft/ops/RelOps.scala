@@ -3,6 +3,7 @@ package graft.ops
 import graft.{OpQuery, Par, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** SURVEY §2 groups C (projection/filter), D (joins), G (sort/limit/set ops).
   *
@@ -292,6 +293,49 @@ object RelOps {
       |  WHERE cnt % 2 = 0)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** d11: point-in-interval lookup WITHOUT an equi key (the IP-range /
+    * price-band / time-validity lookup shape). A naive `p BETWEEN lo AND
+    * hi` join has no equi condition, so Spark plans BroadcastNestedLoopJoin
+    * — O(points × ranges), a scale killer once ranges outgrow a broadcast.
+    * The scale encoding used here: explode each interval into the COARSE
+    * BUCKETS it covers (width chosen so a typical interval spans a
+    * handful), put each point in its one bucket, equi-join on bucket, and
+    * apply the exact bounds as a residual filter. Each (point, range)
+    * match meets in exactly the point's bucket — no dedup needed. The
+    * plan becomes a hash/SMJ shuffle on the bucket key at ANY data size;
+    * RelOpsSpec asserts no nested-loop/cartesian survives.
+    *
+    * Intervals are fabricated from nation (irregular, overlapping
+    * widths); output aggregates per interval, summed via Par.dsum.
+    */
+  val d11_join_range_lookup = OpQuery(
+    (s, d) => {
+      val w = 25000L // bucket width: typical interval spans 1-3 buckets
+      val ranges = t(s, d, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 7919 % 400000).cast(LongType).as("lo"))
+        .withColumn("hi", col("lo") + 5000L + (col("n_nationkey") % 7).cast(LongType) * 9000L)
+      val exploded = ranges.select(col("n_nationkey"), col("lo"), col("hi"),
+        explode(sequence(floor(col("lo") / w), floor(col("hi") / w))).as("bucket"))
+      val points = t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"),
+        floor(col("o_totalprice") / w).as("bucket"))
+      points.join(exploded, "bucket")
+        .where(col("o_totalprice") >= col("lo") && col("o_totalprice") <= col("hi"))
+        .groupBy("n_nationkey", "lo", "hi")
+        .agg(count(lit(1)).as("n_orders"),
+          Par.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("n_nationkey")
+    },
+    s"""WITH r AS (
+       |  SELECT n_nationkey,
+       |    CAST((n_nationkey * 7919) % 400000 AS BIGINT) AS lo,
+       |    CAST((n_nationkey * 7919) % 400000 + 5000 + (n_nationkey % 7) * 9000 AS BIGINT) AS hi
+       |  FROM nation)
+       |SELECT n_nationkey, lo, hi,
+       |  count(*) AS n_orders,
+       |  ${Par.dsumSql("o_totalprice")} AS sum_price
+       |FROM r JOIN orders ON o_totalprice >= lo AND o_totalprice <= hi
+       |GROUP BY 1, 2, 3 ORDER BY n_nationkey""".stripMargin)
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -363,6 +407,7 @@ object RelOps {
     "d8_join_multiway_star" -> d8_join_multiway_star,
     "d9_join_multimodal" -> d9_join_multimodal,
     "d10_join_dpp" -> d10_join_dpp,
+    "d11_join_range_lookup" -> d11_join_range_lookup,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,
