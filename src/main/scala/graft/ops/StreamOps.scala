@@ -244,7 +244,74 @@ object StreamOps {
        |FROM (SELECT doc_id, ${LlmOps.fingerprintSql} AS fp FROM documents)
        |GROUP BY fp ORDER BY canonical""".stripMargin)
 
+  /** Typed output row for j10 (top-level for a stable Encoder). */
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** j10's processor: per-user event-type histogram in a typed MapState —
+    * the Spark 4 `transformWithState` arbitrary-state API (the successor
+    * to mapGroupsWithState, j7): named state variables on a handle,
+    * composite state shapes (map, not one value blob), per-variable TTL.
+    * Emits the full per-user snapshot each batch; with the AvailableNow
+    * one-file source that is exactly the final histogram (same one-batch
+    * contract j7's update-mode parity test documents).
+    */
+  class TypeCountProcessor extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, Ev, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timers: org.apache.spark.sql.streaming.TimerValues): Iterator[TypeCount] = {
+      rows.foreach { e =>
+        val cur = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, cur + 1)
+      }
+      counts.iterator().map { case (tp, n) => TypeCount(key, tp, n) }
+    }
+  }
+
+  /** j10: the new-generation stateful operator, run through the REAL
+    * micro-batch harness (readStream → transformWithState → memory sink).
+    * transformWithState requires the RocksDB state store provider — set
+    * for this query and restored after (the provider is per-query state
+    * store machinery; the older j5/j7 ops run on either provider).
+    * Scale: state is (user × event_type) counters in RocksDB — spillable
+    * off-heap keyed state, the 100 TB answer to unbounded key spaces.
+    */
+  val j10_transform_with_state = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val ckpt = java.nio.file.Files.createTempDirectory("graft_j10_ckpt").toFile
+        val out = Tables.eventsStream(s, d)
+          .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
+          .groupByKey(_.user_id)
+          .transformWithState(new TypeCountProcessor, TimeMode.None(), OutputMode.Update())
+        val q = out.toDF().writeStream.format("memory").queryName("graft_j10")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_j10").orderBy("user_id", "event_type")
+      } finally prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    },
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j10_transform_with_state" -> j10_transform_with_state,
     "j9_stream_ingest_dedup" -> j9_stream_ingest_dedup,
     "j8_stream_stream_join" -> j8_stream_stream_join,
     "j7_stateful_custom" -> j7_stateful_custom,

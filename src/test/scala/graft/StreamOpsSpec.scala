@@ -124,4 +124,55 @@ class StreamOpsSpec extends SparkTestBase {
     assert(rows.map(_.getLong(2)).sum ==
       Tables.t(spark, sfDir, "documents").count())
   }
+
+  test("j10 MapState persists ACROSS micro-batches (two-file source)") {
+    // The gate runs j10 as one AvailableNow batch; this drives the SAME
+    // processor over TWO batches (two files, maxFilesPerTrigger=1) and
+    // proves the typed MapState carries counts between them: in update
+    // mode every batch emits its running snapshot, so the LAST emission
+    // per (user, type) must equal the full batch groupBy count — which
+    // only holds if batch 2 resumed from batch 1's state.
+    import spark.implicits._
+    val events = Tables.t(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_j10_two").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/f0")
+    events.filter(col("event_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/f1")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(dir)
+        .as[graft.ops.StreamOps.Ev]
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new graft.ops.StreamOps.TypeCountProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_j10_two_ckpt")
+      val q = out.toDF().writeStream.format("memory").queryName("p_j10_two")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val sink = spark.table("p_j10_two")
+      // counts only grow ⇒ last emission per key = max n
+      val finalCounts = sink.groupBy("user_id", "event_type").agg(max("n").as("n"))
+      val expected = events.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      assert(finalCounts.exceptAll(expected).isEmpty &&
+        expected.exceptAll(finalCounts).isEmpty,
+        "cross-batch state did not accumulate")
+      // and the sink really saw MORE emissions than final keys (≥2 batches)
+      assert(sink.count() > expected.count(), "source did not split into two batches")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
