@@ -202,16 +202,33 @@ object CorpusOps {
     * back by broadcast. Top-50 by (c12 desc, w1, w2) is a total order
     * (bigram keys unique) → TakeOrderedAndProject, no global sort.
     */
+  /** Shared by i32/i36: the corpus bigram count table (w1, w2, c12). The
+    * pair explode is map-side; the (w1, w2) groupBy is the ONLY
+    * corpus-sized shuffle either op pays (partial agg); every further
+    * aggregate runs over the vocab²-sized bigram table.
+    */
+  private def bigramCounts(s: SparkSession, d: String): DataFrame = {
+    val toks = t(s, d, "documents")
+      .where(col("text").isNotNull)
+      .select(split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2) // sequence(1,0) would run DESCENDING
+    toks.select(explode(expr(
+      "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+  }
+
+  /** The matching DuckDB CTE: exposes c(w1, w2, c12). */
+  private val bigramSqlCte: String =
+    """WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b
+      |       FROM d WHERE len(toks) >= 2),
+      |c AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, count(*) AS c12
+      |      FROM bg GROUP BY 1, 2)""".stripMargin
+
   val i32_bigram_lm = OpQuery(
     (s, d) => {
-      val toks = t(s, d, "documents")
-        .where(col("text").isNotNull)
-        .select(split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 2) // sequence(1,0) would run DESCENDING
-      val pairs = toks.select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      val c = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val c = bigramCounts(s, d)
       val u = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
       c.join(broadcast(u), "w1")
         .select(col("w1"), col("w2"), col("c12"), col("c1"),
@@ -219,15 +236,48 @@ object CorpusOps {
         .orderBy(col("c12").desc, col("w1"), col("w2"))
         .limit(50)
     },
-    Some("""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
-      |bg AS (SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS b
-      |       FROM d WHERE len(toks) >= 2),
-      |c AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, count(*) AS c12
-      |      FROM bg GROUP BY 1, 2),
+    Some(bigramSqlCte + """,
       |u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1)
       |SELECT c.w1, c.w2, c.c12, u.c1, c.c12 * 1000000 // u.c1 AS p_micro
       |FROM c JOIN u ON c.w1 = u.w1
       |ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 50""".stripMargin))
+
+  /** i36: collocation mining by pointwise lift — c12·N / (c1·c2) in exact
+    * integer micro-units (lift > 10⁶ ⇔ the pair co-occurs more than
+    * independence predicts; the log of this is PMI, monotone in it, so
+    * integer lift ranks identically without the float log). The c12 ≥ 5
+    * support floor is the standard collocation guard against
+    * low-frequency noise pairs.
+    *
+    * Shape: everything past the shared bigram count runs on the
+    * vocab²-sized table — two small aggregates (broadcast back) and a
+    * one-row total (broadcast cross join). Top-30 on a total order →
+    * TakeOrderedAndProject.
+    */
+  val i36_collocation_lift = OpQuery(
+    (s, d) => {
+      val c = bigramCounts(s, d)
+      val u1 = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val u2 = c.groupBy("w2").agg(sum(col("c12")).as("c2"))
+      val n = c.agg(sum(col("c12")).as("nb"))
+      c.where(col("c12") >= 5)
+        .join(broadcast(u1), "w1")
+        .join(broadcast(u2), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          expr("c12 * nb * 1000000 DIV (c1 * c2)").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+    Some(bigramSqlCte + """,
+      |u1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+      |u2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM c)
+      |SELECT c.w1, c.w2, c.c12, u1.c1, u2.c2,
+      |       c.c12 * n.nb * 1000000 // (u1.c1 * u2.c2) AS lift_micro
+      |FROM c JOIN u1 ON c.w1 = u1.w1 JOIN u2 ON c.w2 = u2.w2 CROSS JOIN n
+      |WHERE c.c12 >= 5
+      |ORDER BY lift_micro DESC, c.w1, c.w2 LIMIT 30""".stripMargin))
 
   // -------- i34: k-means (Lloyd) over embeddings ---------------------------
 
@@ -386,5 +436,6 @@ object CorpusOps {
     "i32_bigram_lm" -> i32_bigram_lm,
     "i33_vocab_df" -> i33_vocab_df,
     "i34_kmeans_lloyd" -> i34_kmeans_lloyd,
-    "i35_semdedup" -> i35_semdedup)
+    "i35_semdedup" -> i35_semdedup,
+    "i36_collocation_lift" -> i36_collocation_lift)
 }

@@ -197,6 +197,26 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("i36 lift scores recompute exactly; support floor and order hold") {
+    val out = CorpusOps.i36_collocation_lift.fn(spark, sfDir).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 5, "support floor violated")
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4))
+    }
+    // lift non-increasing down the ranking
+    assert(out.map(_.getLong(5)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // recompute the formula from the row's own counts and the corpus total
+    val nb = Tables.t(spark, sfDir, "documents")
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .selectExpr("size(toks) - 1 AS n").agg(sum("n")).collect()(0).getLong(0)
+    out.foreach { r =>
+      val want = r.getLong(2) * nb * 1000000L / (r.getLong(3) * r.getLong(4))
+      assert(r.getLong(5) == want, s"lift drifted for (${r.getString(0)},${r.getString(1)})")
+    }
+  }
+
   test("i32/i34/i35 physical plans have the shapes the docs claim") {
     // i32: top-50 must be TakeOrderedAndProject (no global sort), and the
     // predecessor-totals join must broadcast
