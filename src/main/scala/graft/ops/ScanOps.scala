@@ -338,9 +338,57 @@ object ScanOps {
       |FROM lineitem WHERE l_quantity > 45
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
+  /** a15: small-file compaction — the operational fix for the classic
+    * 100 TB failure mode (a crawl lands as millions of tiny files; every
+    * downstream scan pays per-file open/footer cost). Fragment the input
+    * into many small files, then compact: coalesce to a target file count
+    * with `maxRecordsPerFile` as the upper bound so one file can never
+    * grow unbounded either. Oracle = the source data: compaction must be
+    * a pure layout change. The spec asserts the file counts (many → few)
+    * — the part the oracle can't see.
+    */
+  val a15_compact_files = OpQuery(
+    (s, d) => {
+      val frag = graft.Util.scratch("a15_fragmented")
+      val compact = graft.Util.scratch("a15_compacted")
+      val src = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+      src.repartition(64).write.mode("overwrite").parquet(frag) // the problem
+      s.read.parquet(frag)
+        .coalesce(4) // no shuffle: merges splits
+        .write.mode("overwrite").option("maxRecordsPerFile", 500000)
+        .parquet(compact)
+      s.read.parquet(compact).orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** a16: sorted range-partitioned layout — the data-skipping write: rows
+    * range-partitioned on the key then sorted within each partition, so
+    * every output file owns a DISJOINT key range and parquet row-group
+    * min/max stats prune scans server-side (the poor man's z-order for a
+    * single key). `repartitionByRange` samples range bounds — a shuffle,
+    * paid once at write time to make every later selective scan cheap.
+    * Oracle = the source data (pure layout change); ScanOpsSpec asserts
+    * the per-file ranges really are disjoint via input_file_name().
+    */
+  val a16_sorted_layout = OpQuery(
+    (s, d) => {
+      val out = graft.Util.scratch("a16_sorted")
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
+    },
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "a13_jsonl_source" -> a13_jsonl_source,
     "a14_orc_source" -> a14_orc_source,
+    "a15_compact_files" -> a15_compact_files,
+    "a16_sorted_layout" -> a16_sorted_layout,
     "a9_sink_bucketed" -> a9_sink_bucketed,
     "a10_fits_ascii_source" -> a10_fits_ascii_source,
     "a11_fits_varlen_source" -> a11_fits_varlen_source,

@@ -46,6 +46,30 @@ class ScanOpsSpec extends SparkTestBase {
     assert(a.exceptAll(b).collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
   }
 
+  test("a15 compaction: many files in, few files out, bytes unchanged") {
+    ScanOps.a15_compact_files.fn(spark, sfDir).count() // runs the compaction
+    def parts(p: String) = new java.io.File(graft.Util.scratch(p))
+      .listFiles().count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val before = parts("a15_fragmented")
+    val after = parts("a15_compacted")
+    assert(before == 64, s"fragmentation fixture wrote $before files")
+    assert(after <= 4 && after >= 1, s"compaction left $after files")
+  }
+
+  test("a16 sorted layout: per-file key ranges are disjoint") {
+    ScanOps.a16_sorted_layout.fn(spark, sfDir).count() // writes the layout
+    val ranges = spark.read.parquet(graft.Util.scratch("a16_sorted"))
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, "range partitioning produced a single file")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+      case _ =>
+    }
+  }
+
   test("a14 ORC round-trip is lossless and the ORC scan pushes filters") {
     ScanOps.a14_orc_source.fn(spark, sfDir).count() // writes the ORC dir
     val orc = spark.read.orc(graft.Util.scratch("a14_lineitem_orc"))
