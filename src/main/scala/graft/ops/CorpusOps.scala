@@ -189,19 +189,6 @@ object CorpusOps {
 
   // -------- i32: bigram language-model counts ------------------------------
 
-  /** i32: bigram LM table — count(w1,w2), the predecessor total count(w1·),
-    * and the conditional probability P(w2|w1) in exact integer micro-units
-    * (c12·10⁶ DIV c1, the i31 portable-score convention). The n-gram
-    * count table behind corpus perplexity filters and contamination
-    * heuristics.
-    *
-    * Shape: the pair explode is map-side (one row per adjacent token
-    * pair); the (w1, w2) groupBy is the only corpus-sized shuffle and
-    * runs with partial aggregation. The predecessor totals are a second
-    * aggregate OVER THE BIGRAM TABLE (vocabulary², ≪ corpus) and join
-    * back by broadcast. Top-50 by (c12 desc, w1, w2) is a total order
-    * (bigram keys unique) → TakeOrderedAndProject, no global sort.
-    */
   /** Shared by i32/i36: the corpus bigram count table (w1, w2, c12). The
     * pair explode is map-side; the (w1, w2) groupBy is the ONLY
     * corpus-sized shuffle either op pays (partial agg); every further
@@ -226,6 +213,14 @@ object CorpusOps {
       |c AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2, count(*) AS c12
       |      FROM bg GROUP BY 1, 2)""".stripMargin
 
+  /** i32: bigram LM table — count(w1,w2), the predecessor total count(w1·),
+    * and the conditional probability P(w2|w1) in exact integer micro-units
+    * (c12·10⁶ DIV c1, the i31 portable-score convention; c12·10⁶
+    * overflows only past ~9·10¹² occurrences of ONE bigram — orders of
+    * magnitude beyond any real corpus). Top-50 by (c12 desc, w1, w2) is
+    * a total order (bigram keys unique) → TakeOrderedAndProject, no
+    * global sort.
+    */
   val i32_bigram_lm = OpQuery(
     (s, d) => {
       val c = bigramCounts(s, d)
@@ -242,12 +237,20 @@ object CorpusOps {
       |FROM c JOIN u ON c.w1 = u.w1
       |ORDER BY c.c12 DESC, c.w1, c.w2 LIMIT 50""".stripMargin))
 
-  /** i36: collocation mining by pointwise lift — c12·N / (c1·c2) in exact
-    * integer micro-units (lift > 10⁶ ⇔ the pair co-occurs more than
-    * independence predicts; the log of this is PMI, monotone in it, so
-    * integer lift ranks identically without the float log). The c12 ≥ 5
-    * support floor is the standard collocation guard against
-    * low-frequency noise pairs.
+  /** i36: collocation mining by pointwise lift — c12·N / (c1·c2), the
+    * quantity whose log is PMI (lift > 1 ⇔ the pair co-occurs more than
+    * independence predicts; monotone in PMI, so ranking needs no float
+    * log). The c12 ≥ 5 support floor is the standard collocation guard
+    * against low-frequency noise pairs.
+    *
+    * Score arithmetic is ROUNDED DOUBLE, not the integer-micro convention:
+    * the single-truncation integer form c12·N·10⁶ DIV (c1·c2) overflows
+    * Long once N·max(c12) passes ~9·10¹² (a few-TB corpus) — and Spark
+    * wraps silently where DuckDB errors, the worst cross-engine shape.
+    * Each operand is cast to double FIRST (both engines evaluate the same
+    * IEEE tree: (c12·nb) / (c1·c2), then round-6), so results stay
+    * bit-identical at any corpus size — the i5-jaccard portability
+    * convention. Ties at 6dp break on (w1, w2): still a total order.
     *
     * Shape: everything past the shared bigram count runs on the
     * vocab²-sized table — two small aggregates (broadcast back) and a
@@ -265,8 +268,9 @@ object CorpusOps {
         .join(broadcast(u2), "w2")
         .crossJoin(broadcast(n))
         .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
-          expr("c12 * nb * 1000000 DIV (c1 * c2)").as("lift_micro"))
-        .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+          round((col("c12").cast("double") * col("nb").cast("double")) /
+            (col("c1").cast("double") * col("c2").cast("double")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
         .limit(30)
     },
     Some(bigramSqlCte + """,
@@ -274,10 +278,11 @@ object CorpusOps {
       |u2 AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM c GROUP BY 1),
       |n AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM c)
       |SELECT c.w1, c.w2, c.c12, u1.c1, u2.c2,
-      |       c.c12 * n.nb * 1000000 // (u1.c1 * u2.c2) AS lift_micro
+      |       round((CAST(c.c12 AS DOUBLE) * CAST(n.nb AS DOUBLE))
+      |         / (CAST(u1.c1 AS DOUBLE) * CAST(u2.c2 AS DOUBLE)), 6) AS lift
       |FROM c JOIN u1 ON c.w1 = u1.w1 JOIN u2 ON c.w2 = u2.w2 CROSS JOIN n
       |WHERE c.c12 >= 5
-      |ORDER BY lift_micro DESC, c.w1, c.w2 LIMIT 30""".stripMargin))
+      |ORDER BY lift DESC, c.w1, c.w2 LIMIT 30""".stripMargin))
 
   // -------- i34: k-means (Lloyd) over embeddings ---------------------------
 

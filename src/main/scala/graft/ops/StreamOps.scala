@@ -290,7 +290,10 @@ object StreamOps {
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       try {
-        val ckpt = java.nio.file.Files.createTempDirectory("graft_j10_ckpt").toFile
+        // same sweeper-managed scratch pattern as j6/j9 — a raw temp dir
+        // would leak RocksDB SSTs on every invocation
+        val ckpt = new java.io.File(graft.Util.scratch("ckpt_j10"))
+        graft.Util.deleteRecursively(ckpt)
         val out = Tables.eventsStream(s, d)
           .select("event_id", "ts", "user_id", "event_type", "value").as[Ev]
           .groupByKey(_.user_id)

@@ -205,15 +205,19 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(r.getLong(2) <= r.getLong(3) && r.getLong(2) <= r.getLong(4))
     }
     // lift non-increasing down the ranking
-    assert(out.map(_.getLong(5)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
-    // recompute the formula from the row's own counts and the corpus total
+    assert(out.map(_.getDouble(5)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // recompute the formula from the row's own counts and the corpus
+    // total, with Spark round()'s exact semantics (HALF_UP on BigDecimal)
     val nb = Tables.t(spark, sfDir, "documents")
       .select(split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
       .selectExpr("size(toks) - 1 AS n").agg(sum("n")).collect()(0).getLong(0)
     out.foreach { r =>
-      val want = r.getLong(2) * nb * 1000000L / (r.getLong(3) * r.getLong(4))
-      assert(r.getLong(5) == want, s"lift drifted for (${r.getString(0)},${r.getString(1)})")
+      val raw = (r.getLong(2).toDouble * nb.toDouble) /
+        (r.getLong(3).toDouble * r.getLong(4).toDouble)
+      val want = BigDecimal(raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == want, s"lift drifted for (${r.getString(0)},${r.getString(1)})")
     }
   }
 

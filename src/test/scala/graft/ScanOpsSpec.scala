@@ -63,9 +63,12 @@ class ScanOpsSpec extends SparkTestBase {
       .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(ranges.length >= 2, "range partitioning produced a single file")
+    // STRICT inequality: RangePartitioner keeps equal keys in one
+    // partition, so a boundary key must never straddle two files (<=
+    // would tolerate exactly the overlap min/max pruning suffers from)
     ranges.sliding(2).foreach {
       case Array((_, hi1), (lo2, _)) =>
-        assert(hi1 <= lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
+        assert(hi1 < lo2, s"file ranges overlap: hi=$hi1 vs next lo=$lo2")
       case _ =>
     }
   }

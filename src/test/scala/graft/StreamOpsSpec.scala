@@ -135,7 +135,7 @@ class StreamOpsSpec extends SparkTestBase {
     import spark.implicits._
     val events = Tables.t(spark, sfDir, "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
-    val dir = java.nio.file.Files.createTempDirectory("graft_j10_two").toString
+    val dir = Util.scratch("j10_two_files")
     events.filter(col("event_id") % 2 === 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/f0")
     events.filter(col("event_id") % 2 === 1).coalesce(1)
@@ -154,10 +154,11 @@ class StreamOpsSpec extends SparkTestBase {
       val out = src.groupByKey(_.user_id)
         .transformWithState(new graft.ops.StreamOps.TypeCountProcessor,
           TimeMode.None(), OutputMode.Update())
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_j10_two_ckpt")
+      val ckpt = new java.io.File(Util.scratch("ckpt_j10_two"))
+      Util.deleteRecursively(ckpt)
       val q = out.toDF().writeStream.format("memory").queryName("p_j10_two")
         .outputMode("update")
-        .option("checkpointLocation", ckpt.toString)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
