@@ -229,6 +229,15 @@ case class LshBucket64(child: Expression) extends UnaryExpression {
   * Σ|cluster|² pairs dominates the whole query; this is one tight
   * primitive loop inside whole-stage codegen. Σ (a(i)−b(i))² over the
   * common prefix; null elements contribute 0 (same contract as vec_dot).
+  *
+  * BOUNDED-INPUT CONTRACT: the accumulation is unchecked Long arithmetic —
+  * element diffs beyond ~3e9, or Σd² beyond 2⁶³, wrap silently (Spark
+  * wraps where DuckDB would error — the cross-engine divergence shape the
+  * i36 doc warns about). That is safe by construction on the quantized
+  * grid this expression serves (|d| ≤ ~2000 on the ×1000 grid of unit
+  * vectors, 64 dims ⇒ Σd² ≤ ~2.6e8), but `vec_sqdist_long` is registered
+  * as a general SQL function: callers with arbitrary array<bigint> inputs
+  * must keep |aᵢ−bᵢ| < 2³¹ and n·max|d|² < 2⁶³ or quantize first.
   */
 case class SqDistLong(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -90,12 +90,24 @@ object AggOps {
       |  count(*) AS n_rows
       |FROM lineitem""".stripMargin)
 
-  /** HLL++ sketch ≠ DuckDB's sketch ⇒ no oracle; gated by a ±5% unit test. */
+  /** The HLL++ estimate itself is engine-specific (DuckDB's sketch is a
+    * different algorithm), so the gated columns are the exact count plus
+    * a ±5% ACCURACY PREDICATE, which both engines can attest: Spark
+    * computes |approx − exact| ≤ 0.05·exact, DuckDB asserts `true` having
+    * no approx to test. A sketch drifting outside its envelope now fails
+    * the oracle gate, not just the unit test. The sketch is requested at
+    * rsd = 0.01, so the ±5% gate sits at 5 standard deviations — rsd is a
+    * STANDARD DEVIATION, not a bound, and the default 0.05 sketch lands
+    * outside ±5% on real inputs (it did at sf0.01: 1576 vs 1500 exact).
+    */
   val e4_agg_approx_distinct = OpQuery(
-    (s, d) => t(s, d, "orders").agg(
-      approx_count_distinct(col("o_custkey")).as("approx_cust"),
-      countDistinct(col("o_custkey")).as("exact_cust")),
-    None)
+    (s, d) => t(s, d, "orders")
+      .agg(approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      .select(col("exact_cust"),
+        (abs(col("approx") - col("exact_cust")).cast(DoubleType) <=
+          lit(0.05) * col("exact_cust").cast(DoubleType)).as("within_5pct")),
+    Some("SELECT count(DISTINCT o_custkey) AS exact_cust, true AS within_5pct FROM orders"))
 
   val e5_agg_rollup_cube = OpQuery(
     (s, d) => t(s, d, "lineitem")

@@ -284,6 +284,151 @@ object CorpusOps {
       |WHERE c.c12 >= 5
       |ORDER BY lift DESC, c.w1, c.w2 LIMIT 30""".stripMargin))
 
+  // -------- i37: line-level exact dedup (boilerplate removal) --------------
+
+  /** The synthetic corpus has no newlines, so "lines" are synthesized the
+    * way i30 plants PII: a deterministic boilerplate header/footer on
+    * id-derived subsets plus the natural text chunked 8 tokens per line,
+    * with the SAME construction in the oracle. The operator under test is
+    * the frequency-based line drop + order-preserving reassembly, not the
+    * planting.
+    */
+  private val BoilerHeader = "subscribe to our newsletter for daily updates"
+  private val BoilerFooter = "copyright twenty twenty four example corp all rights reserved"
+
+  /** i37: sub-document (line/paragraph-level) exact dedup — the boilerplate
+    * scrubber: split every document into lines, count each distinct line's
+    * document frequency corpus-wide, drop lines occurring in > 10 distinct
+    * documents (site chrome, headers, footers), and reassemble the
+    * remaining text preserving line order. This is the dedup granularity
+    * between document-exact (b10) and near-dup (i5/i10): it removes
+    * repeated fragments from otherwise-unique pages.
+    *
+    * Shape at scale: the split/explode is map-side; the line-frequency
+    * aggregate is one shuffle of (line, doc_id) pairs — at 100 TB the
+    * group key would be xxhash64(line) so only 8-byte hashes shuffle, with
+    * the string kept only on the probe side (the string key here keeps the
+    * oracle engine-portable). Boilerplate lines are FEW by definition
+    * (high document frequency ⇒ small distinct count), so the drop set
+    * broadcasts and the drop itself is a map-side left join. The only
+    * corpus-sized shuffle carrying text is the per-doc reassembly groupBy —
+    * inherent to producing reassembled documents, keyed doc_id, parallel
+    * across docs.
+    */
+  val i37_dedup_lines = OpQuery(
+    (s, d) => {
+      val emptyArr = array().cast(ArrayType(StringType))
+      val lines = t(s, d, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("chunks", expr(
+          "transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT) - 1), " +
+            "i -> array_join(slice(toks, i * 8 + 1, 8), ' '))"))
+        .withColumn("lines", concat(
+          when(col("doc_id") % 2 === 0, array(lit(BoilerHeader))).otherwise(emptyArr),
+          col("chunks"),
+          when(col("doc_id") % 3 === 0, array(lit(BoilerFooter))).otherwise(emptyArr)))
+        .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      val boiler = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") > 10)
+        .select(col("line"), lit(true).as("is_boiler"))
+      lines.join(broadcast(boiler), Seq("line"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_dropped"),
+          // collect_list skips the nulls the unmatched WHEN leaves, and
+          // array_sort on (pos, line) structs restores document order
+          array_join(transform(array_sort(collect_list(
+            when(col("is_boiler").isNull, struct(col("pos"), col("line"))))),
+            p => p.getField("line")), "\n").as("text_clean"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |ch AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+      |         i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS chunks FROM d),
+      |lns AS (SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN ['$BoilerHeader'] ELSE [] END)
+      |    || chunks
+      |    || (CASE WHEN doc_id % 3 = 0 THEN ['$BoilerFooter'] ELSE [] END) AS lines FROM ch),
+      |x AS (SELECT doc_id, unnest(list_transform(range(0, len(lines)),
+      |        i -> {'pos': i, 'line': lines[i+1]}), recursive := true) FROM lns),
+      |boiler AS (SELECT line FROM x GROUP BY line HAVING count(DISTINCT doc_id) > 10)
+      |SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(count(*) FILTER (WHERE b.line IS NOT NULL) AS BIGINT) AS n_dropped,
+      |  coalesce(array_to_string(list(x.line ORDER BY x.pos)
+      |    FILTER (WHERE b.line IS NULL), chr(10)), '') AS text_clean
+      |FROM x LEFT JOIN boiler b ON x.line = b.line
+      |GROUP BY x.doc_id ORDER BY x.doc_id""".stripMargin))
+
+  // -------- i38: doc-level LM quality score --------------------------------
+
+  /** i38: CCNet-style LM quality score — each document's mean log
+    * P(w2|w1) under the corpus's own bigram LM (the i32 table), with the
+    * low tail flagged for removal. Documents whose transitions are
+    * systematically improbable under the corpus distribution are the
+    * gibberish/boilerplate candidates a perplexity filter drops.
+    *
+    * Exactness: per-bigram log-probs are quantized ONCE to integer
+    * micro-nats — floor(ln(c12/c1)·10⁶) — on the vocab²-sized LM table,
+    * then per-doc scores are integer sums/divisions (order-independent,
+    * exact, same DIV truncation both engines). The only float op is that
+    * single ln per DISTINCT bigram: both engines evaluate ln on the
+    * bit-identical double c12/c1, agree to ≤2 ulp (≈6e-15 abs), and a
+    * floor flip needs ln·10⁶ within ~1e-8 of an integer — ~1e-8 odds per
+    * distinct bigram, vocab²-bounded, vanishing. (A per-OCCURRENCE float
+    * sum would instead inherit Spark's nondeterministic reduce order —
+    * the hash risk this convention exists to avoid.)
+    *
+    * Shape at scale: the LM join is an equi-join on (w1, w2) against the
+    * vocab²-sized (Heaps-bounded) LM table — broadcast here, a plain hash
+    * join at 100 TB; the per-doc aggregate is one shuffle keyed doc_id.
+    * Every doc bigram exists in the corpus LM by construction, so the
+    * inner join is lossless for docs with ≥ 2 tokens.
+    */
+  val i38_doc_logprob = OpQuery(
+    (s, d) => {
+      val c = bigramCounts(s, d)
+      val u = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
+      val lp = c.join(broadcast(u), "w1")
+        .select(col("w1"), col("w2"),
+          floor(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
+            * lit(1000000.0d)).as("lp_micro"))
+      val occ = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2) // same guard as bigramCounts
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      occ.join(broadcast(lp), Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
+          expr("sum_lp_micro DIV n_bigrams").as("mean_lp_micro"))
+        // fixed threshold in the fixture distribution's low-middle (p30–p40
+        // at sf0.01) so both flag classes are populated at every SF
+        .withColumn("flag_low", col("mean_lp_micro") < lit(-3400000L))
+        .orderBy("doc_id")
+    },
+    Some(bigramSqlCte.replace(
+      "WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),",
+      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
+        |d AS (SELECT toks FROM d0),""".stripMargin) + """,
+      |u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+      |lp AS (SELECT c.w1, c.w2,
+      |         CAST(floor(ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+      |       FROM c JOIN u ON c.w1 = u.w1),
+      |occ AS (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(toks)),
+      |            i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+      |        FROM d0 WHERE len(toks) >= 2)
+      |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(lp.lp_micro) AS BIGINT) AS sum_lp_micro,
+      |  CAST(sum(lp.lp_micro) // count(*) AS BIGINT) AS mean_lp_micro,
+      |  CAST(sum(lp.lp_micro) // count(*) AS BIGINT) < -3400000 AS flag_low
+      |FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
+      |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin))
+
   // -------- i34: k-means (Lloyd) over embeddings ---------------------------
 
   /** i34: two Lloyd iterations of k-means (k = 4) over the embedding table
@@ -353,10 +498,15 @@ object CorpusOps {
       |             i -> (q.qv[i] - c0.cv[i]) * (q.qv[i] - c0.cv[i]))) AS dist
       |    FROM q CROSS JOIN c0)),
       |m1 AS (
-      |  SELECT cid, r.range AS pos, CAST(sum(qv[r.range]) AS BIGINT) // count(*) AS v
-      |  FROM a1 CROSS JOIN range(1, 65) r
-      |  WHERE rn = 1
-      |  GROUP BY cid, r.range),
+      |  -- per-row positions (unnest of a struct list), NOT range(1, 65):
+      |  -- the Spark side (posexplode over qv) is dimension-agnostic, so the
+      |  -- oracle must be too — a hardcoded dim would silently truncate or
+      |  -- NULL-pad centroids on a different-width fixture
+      |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
+      |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
+      |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
+      |        FROM a1 WHERE rn = 1)
+      |  GROUP BY cid, pos),
       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
       |a2 AS (
       |  SELECT vec_id, qv, cid,
@@ -442,5 +592,7 @@ object CorpusOps {
     "i33_vocab_df" -> i33_vocab_df,
     "i34_kmeans_lloyd" -> i34_kmeans_lloyd,
     "i35_semdedup" -> i35_semdedup,
-    "i36_collocation_lift" -> i36_collocation_lift)
+    "i36_collocation_lift" -> i36_collocation_lift,
+    "i37_dedup_lines" -> i37_dedup_lines,
+    "i38_doc_logprob" -> i38_doc_logprob)
 }

@@ -4,7 +4,6 @@ import graft.{OpQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Paths}
 
 /** SURVEY §2 group A — scans, sources and sinks.
   *
@@ -31,15 +30,17 @@ object ScanOps {
     """SELECT * FROM (SELECT * FROM region UNION ALL SELECT * FROM region)
       |ORDER BY r_regionkey""".stripMargin)
 
-  private val nationCsvPath = graft.Util.scratch("nation.csv")
+  private val nationCsvDir = graft.Util.scratch("nation_csv")
 
-  /** Writes the CSV fixture deterministically (sorted rows, single file). */
-  private def writeNationCsv(s: SparkSession, d: String): Unit = {
-    val rows = t(s, d, "nation").orderBy("n_nationkey").collect()
-    val sb = new StringBuilder("n_nationkey,n_name,n_regionkey\n")
-    rows.foreach(r => sb.append(s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}\n"))
-    Files.writeString(Paths.get(nationCsvPath), sb.toString)
-  }
+  /** Writes the CSV fixture deterministically (sorted rows, single file) —
+    * EXECUTOR-side: coalesce(1) + sortWithinPartitions gives one sorted
+    * part file without the rows ever visiting the driver (the r3 verdict's
+    * last query-path collect). Both readers below glob the directory.
+    */
+  private def writeNationCsv(s: SparkSession, d: String): Unit =
+    t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1).sortWithinPartitions("n_nationkey")
+      .write.mode("overwrite").option("header", "true").csv(nationCsvDir)
 
   /** Delimited text with an explicit schema (never inferred — FITS headers
     * declare schemas, SURVEY §1.1; same policy for CSV).
@@ -51,10 +52,10 @@ object ScanOps {
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),
         StructField("n_regionkey", IntegerType)))
-      s.read.schema(schema).option("header", "true").csv(nationCsvPath)
+      s.read.schema(schema).option("header", "true").csv(nationCsvDir)
         .orderBy("n_nationkey")
     },
-    s"""SELECT * FROM read_csv('$nationCsvPath', header=true,
+    s"""SELECT * FROM read_csv('$nationCsvDir/*.csv', header=true,
        |  columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'})
        |ORDER BY n_nationkey""".stripMargin)
 

@@ -260,4 +260,58 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(d == r.getLong(3), s"pair (${r.getLong(1)},${r.getLong(2)}) distance drifted")
     }
   }
+
+  test("i37 drops exactly the planted boilerplate and preserves line order") {
+    val out = CorpusOps.i37_dedup_lines.fn(spark, sfDir).collect()
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    val hdr = "subscribe to our newsletter for daily updates"
+    val ftr = "copyright twenty twenty four example corp all rights reserved"
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val chunks = docs(id).split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      val planted = (if (id % 2 == 0) 1 else 0) + (if (id % 3 == 0) 1 else 0)
+      assert(r.getLong(1) == chunks.length + planted, s"doc $id line count")
+      // at this SF no NATURAL chunk crosses the >10-doc frequency line
+      // (the oracle would still agree if one did — this pins the fixture)
+      assert(r.getLong(2) == planted, s"doc $id dropped ${r.getLong(2)} != $planted")
+      val clean = r.getString(3)
+      assert(!clean.contains(hdr) && !clean.contains(ftr),
+        s"doc $id kept a boilerplate line")
+      // reassembly preserves the original chunk sequence exactly
+      assert(clean == chunks.mkString("\n"), s"doc $id lines reordered/mangled")
+    }
+  }
+
+  test("i38 scores recompute from a locally built bigram LM") {
+    val out = CorpusOps.i38_doc_logprob.fn(spark, sfDir).collect()
+    // build the corpus LM in plain Scala (independent of the Spark path)
+    val docToks = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val occ = docToks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))) }
+    val c12 = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = occ.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val lp = c12.map { case (bg, c) =>
+      bg -> math.floor(math.log(c.toDouble / c1(bg._1).toDouble) * 1e6).toLong }
+    val expected = occ.groupBy(_._1).view.mapValues { os =>
+      val sum = os.map(o => lp(o._2)).sum
+      (os.size.toLong, sum, sum / os.size)  // Java / truncates like DIV
+    }.toMap
+    assert(out.length == expected.size, "docs with >= 2 tokens must all score")
+    out.foreach { r =>
+      val (n, sum, mean) = expected(r.getLong(0))
+      assert(r.getLong(1) == n, s"doc ${r.getLong(0)} bigram count")
+      assert(r.getLong(2) == sum, s"doc ${r.getLong(0)} sum drifted")
+      assert(r.getLong(3) == mean, s"doc ${r.getLong(0)} mean drifted")
+      assert(r.getBoolean(4) == (mean < -3400000L), s"doc ${r.getLong(0)} flag")
+    }
+    // both flag classes populated — the threshold sits inside the
+    // distribution, not at an edge
+    assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)),
+      "flag_low threshold degenerated to a constant")
+  }
 }

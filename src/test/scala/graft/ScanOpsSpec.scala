@@ -52,8 +52,15 @@ class ScanOpsSpec extends SparkTestBase {
       .listFiles().count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
     val before = parts("a15_fragmented")
     val after = parts("a15_compacted")
-    assert(before == 64, s"fragmentation fixture wrote $before files")
-    assert(after <= 4 && after >= 1, s"compaction left $after files")
+    // Bounds derived from the data, not the fixture SF: repartition(64) may
+    // skip empty partitions at tiny SFs, and maxRecordsPerFile=500000 splits
+    // the 4 coalesced partitions into more files once orders outgrows ~2M
+    // rows — the exact-64 / ≤4 constants only held at the gate SF.
+    val rows = spark.read.parquet(graft.Util.scratch("a15_fragmented")).count()
+    val maxAfter = 4 * math.ceil(rows / (4.0 * 500000)).toInt
+    assert(before >= 32, s"fragmentation fixture wrote only $before files")
+    assert(after >= 1 && after <= maxAfter, s"compaction left $after files (max $maxAfter)")
+    assert(after < before, s"compaction did not reduce file count ($before -> $after)")
   }
 
   test("a16 sorted layout: per-file key ranges are disjoint") {
