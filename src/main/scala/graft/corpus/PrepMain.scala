@@ -12,21 +12,30 @@ import org.apache.spark.sql.types.LongType
   * GATED operators into the standard prep chain:
   *
   *   quality filter (i29) → near-dup drop (i10 MinHash+LSH) →
+  *   benchmark decontamination (i24, optional `--decontam <benchDir>`) →
   *   split assignment (i20) → shard + dense position (i21) →
   *   partitioned parquet write + JSON manifest
   *
-  * No stage re-implements operator logic: verdicts, dup pairs and split
-  * come from the same `OpQuery.fn`s the correctness gate hash-matches, so
-  * the pipeline inherits their oracles. Output layout mirrors the input
-  * table layout (`<out>/documents.parquet/split=…`), so every gated
-  * operator — including i10 itself — can run ON the pipeline's output
-  * (PrepPipelineSpec proves the kept set is pair-free that way).
+  * No stage re-implements operator logic: the quality verdict, dup pairs
+  * and containment flags come from the same shared helpers the gated
+  * `OpQuery.fn`s instantiate (`qualitySignals`/`qualityVerdict`,
+  * `minhashVerifiedPairs`, `containmentFlags`), so the pipeline inherits
+  * their oracles — at default thresholds each stage is bit-equal to its
+  * gated operator. Thresholds are CLI flags (`--min-tokens`,
+  * `--max-dup-frac`, `--max-top-bigram`, `--min-quality`, `--dedup-tau`,
+  * `--min-containment`); defaults are the gate constants.
   *
-  * Dedup semantics: every pair (a < b) drops b, keyed on the FULL corpus
-  * pair set, independent of the quality verdicts. That over-drops a doc
-  * whose only duplicate partner was already quality-dropped — deliberate:
-  * dedup must never under-drop, and making drops a function of corpus
-  * content alone keeps the stage idempotent and order-independent.
+  * Output layout mirrors the input table layout
+  * (`<out>/documents.parquet/split=…`), so every gated operator —
+  * including i10 and i24 themselves — can run ON the pipeline's output
+  * (PrepPipelineSpec proves the kept set pair-free and, with --decontam,
+  * bench-overlap-free that way).
+  *
+  * Dedup/decontam semantics: drop sets are keyed on the FULL corpus,
+  * independent of earlier verdicts. That over-drops a doc whose only
+  * duplicate partner was already quality-dropped — deliberate: dedup must
+  * never under-drop, and making drops a function of corpus content alone
+  * keeps each stage idempotent and order-independent.
   *
   * Scale posture: counts in the manifest are the only driver-side data
   * (a fixed handful of longs); everything else is joins on doc_id —
@@ -36,27 +45,49 @@ import org.apache.spark.sql.types.LongType
   */
 object PrepMain {
 
-  final case class Opts(in: String, out: String, dedup: String)
+  final case class Opts(in: String, out: String, dedup: String,
+      dedupTau: Double = 0.8, decontam: Option[String] = None,
+      minContainment: Double = 0.8, minTokens: Long = 20L,
+      maxDupFrac: Double = 0.65, maxTopBigram: Double = 0.1,
+      minQuality: Double = 0.25)
+
+  private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
+    "--decontam", "--min-containment", "--min-tokens", "--max-dup-frac",
+    "--max-top-bigram", "--min-quality")
 
   def parse(args: Array[String]): Opts = {
-    var in = ""; var out = ""; var dedup = "minhash"
+    var o = Opts(in = "", out = "", dedup = "minhash")
     var i = 0
     while (i < args.length) {
       val flag = args(i)
-      if (!Set("--in", "--out", "--dedup")(flag))
+      if (!flagNames(flag))
         throw new IllegalArgumentException(s"unknown flag: $flag")
       if (i + 1 >= args.length)
         throw new IllegalArgumentException(s"$flag needs a value")
+      val v = args(i + 1)
       flag match {
-        case "--in" => in = args(i + 1)
-        case "--out" => out = args(i + 1)
-        case "--dedup" => dedup = args(i + 1)
+        case "--in" => o = o.copy(in = v)
+        case "--out" => o = o.copy(out = v)
+        case "--dedup" => o = o.copy(dedup = v)
+        case "--dedup-tau" => o = o.copy(dedupTau = v.toDouble)
+        case "--decontam" => o = o.copy(decontam = Some(v))
+        case "--min-containment" => o = o.copy(minContainment = v.toDouble)
+        case "--min-tokens" => o = o.copy(minTokens = v.toLong)
+        case "--max-dup-frac" => o = o.copy(maxDupFrac = v.toDouble)
+        case "--max-top-bigram" => o = o.copy(maxTopBigram = v.toDouble)
+        case "--min-quality" => o = o.copy(minQuality = v.toDouble)
       }
       i += 2
     }
-    require(in.nonEmpty && out.nonEmpty, "usage: --in <tableDir> --out <dir> [--dedup minhash|none]")
-    require(Set("minhash", "none")(dedup), s"--dedup must be minhash|none, got $dedup")
-    Opts(in, out, dedup)
+    require(o.in.nonEmpty && o.out.nonEmpty,
+      "usage: --in <tableDir> --out <dir> [--dedup minhash|none] " +
+        "[--dedup-tau t>=0.8] [--decontam <benchDir>] [--min-containment t] " +
+        "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q]")
+    require(Set("minhash", "none")(o.dedup),
+      s"--dedup must be minhash|none, got ${o.dedup}")
+    require(o.dedupTau >= 0.8,
+      s"--dedup-tau must be >= 0.8 (LSH banding recall bound), got ${o.dedupTau}")
+    o
   }
 
   /** Runs the pipeline; returns the manifest counts (also written to
@@ -66,23 +97,38 @@ object PrepMain {
     val docs = Tables.t(spark, opts.in, "documents")
     val nInput = docs.count()
 
-    // -- stage 1: quality (i29 verdicts; "keep" survives) ------------------
-    val verdicts = LlmOps.i29_quality_filter.fn(spark, opts.in)
+    // -- stage 1: quality (i29 signals + shared verdict; "keep" survives) --
+    val verdicts = LlmOps.qualitySignals(spark, opts.in)
+      .withColumn("verdict", LlmOps.qualityVerdict(opts.minTokens,
+        opts.maxDupFrac, opts.maxTopBigram, opts.minQuality))
       .select(col("doc_id"), col("verdict"))
     val verdictCounts = verdicts.groupBy("verdict").count()
       .collect().map(r => s"verdict_${r.getString(0)}" -> r.getLong(1)).toMap
     val keptQuality = docs.join(
       broadcast(verdicts.filter(col("verdict") === "keep").select("doc_id")), "doc_id")
+    val nQualityKept = keptQuality.count()
 
     // -- stage 2: near-dup drop (i10 pairs; right member of each pair) -----
-    val drops: DataFrame = opts.dedup match {
-      case "minhash" => LlmOps.i10_dedup_minhash_lsh.fn(spark, opts.in)
+    val dupDrops: DataFrame = opts.dedup match {
+      case "minhash" => LlmOps.minhashVerifiedPairs(spark, opts.in, opts.dedupTau)
         .select(col("b_id").as("doc_id")).distinct()
       case _ => spark.range(0).select(col("id").as("doc_id"))
     }
-    val kept = keptQuality.join(broadcast(drops), Seq("doc_id"), "left_anti")
+    val keptDedup = keptQuality.join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
+    val nAfterDedup = keptDedup.count()
 
-    // -- stage 3: split + shard addresses ----------------------------------
+    // -- stage 3: benchmark decontamination (i24 containment, optional) ----
+    val decontamDrops: DataFrame = opts.decontam match {
+      case Some(benchDir) =>
+        val bench = Tables.t(spark, benchDir, "documents")
+        LlmOps.containmentFlags(docs, bench, opts.minContainment)
+          .select(col("train_id").as("doc_id")).distinct()
+      case None => spark.range(0).select(col("id").as("doc_id"))
+    }
+    val kept = keptDedup.join(broadcast(decontamDrops), Seq("doc_id"), "left_anti")
+    val nAfterDecontam = kept.count()
+
+    // -- stage 4: split + shard addresses ----------------------------------
     val split = TrainOps.i20_train_split.fn(spark, opts.in).select("doc_id", "split")
     val shard = TrainOps.i21_shard_assign.fn(spark, opts.in).select("doc_id", "shard")
     // i21's dense per-shard ordinal, recomputed over the KEPT set so output
@@ -90,6 +136,12 @@ object PrepMain {
     val addressed = kept.join(split, "doc_id").join(shard, "doc_id")
       .withColumn("pos", row_number()
         .over(Window.partitionBy("shard").orderBy("doc_id")).cast(LongType))
+    // the split/shard inner joins must COVER the kept set — a partial
+    // doc_id surface in i20/i21 output would otherwise lose rows silently
+    // and the loss would masquerade as a stage drop in the manifest
+    val nAddressed = addressed.count()
+    require(nAddressed == nAfterDecontam,
+      s"split/shard coverage gap: $nAfterDecontam kept docs, $nAddressed addressed")
 
     addressed.write.mode("overwrite").partitionBy("split")
       .parquet(s"${opts.out}/documents.parquet")
@@ -100,17 +152,19 @@ object PrepMain {
     val splitCounts = written.groupBy("split").count()
       .collect().map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toMap
 
-    // n_dedup_dropped = docs the dedup STAGE removed (so the counts
-    // reconcile: quality_kept − dedup_dropped = final); the corpus-wide
-    // pair-member set is reported separately — a doc can be both a b_id
-    // and already quality-dropped, and must not be double-counted
-    val nQualityKept = keptQuality.count()
+    // every stage's drop count is measured DIRECTLY at that stage (not
+    // inferred from end-to-end differences), so the manifest attributes
+    // each dropped doc to the stage that actually dropped it
     val nFinal = written.count()
+    require(nFinal == nAfterDecontam,
+      s"write round-trip lost rows: $nAfterDecontam in, $nFinal back")
     val manifest: Map[String, Long] = Map(
       "n_input" -> nInput,
       "n_quality_kept" -> nQualityKept,
-      "n_dedup_dropped" -> (nQualityKept - nFinal),
-      "n_dup_members_corpus" -> drops.count(),
+      "n_dedup_dropped" -> (nQualityKept - nAfterDedup),
+      "n_decontam_dropped" -> (nAfterDedup - nAfterDecontam),
+      "n_dup_members_corpus" -> dupDrops.count(),
+      "n_contaminated_corpus" -> decontamDrops.count(),
       "n_final" -> nFinal) ++ verdictCounts ++ splitCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")

@@ -363,33 +363,44 @@ object LlmOps {
     * 2.2e-4, and the fixture's qualifying pairs are all j ≈ 1.0 (measured),
     * so the verified output equals the exact all-pairs oracle.
     */
+  /** The MinHash-LSH candidate pipeline shared by i10 (pair surface) and
+    * i39 (component completion): map-only signatures, band-bucket
+    * equi-join, exact verification of the tiny candidate set.
+    */
+  private[graft] def minhashVerifiedPairs(s: SparkSession, d: String,
+      tau: Double = 0.8): DataFrame = {
+    // Banding (16 bands × 4 rows) is tuned for τ ≥ 0.8: P(candidate miss)
+    // = (1−j⁴)¹⁶ ≤ 2.2e-4 there. Verifying at a LOWER τ would silently
+    // lose recall (edges the bands never surface), so refuse it.
+    require(tau >= 0.8, s"minhash banding is tuned for tau >= 0.8, got $tau")
+    import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
+    val docs = t(s, d, "documents")
+    // The full 64-permutation signature is ONE narrow codegen'd expression
+    // over the hashed shingle array (graft.functions.MinHashSignature) —
+    // no explode, no shuffle, no aggregation state. The explode+64×min()
+    // formulation costs a shuffle and measured ~7s at sf0.1; this is a
+    // map-only pass. Shingle hashes come from the same one-pass
+    // ShingleHashSet as i5 (already sorted distinct).
+    // One shared, materialized frame feeds BOTH the signature branch and
+    // the verification branch — localCheckpoint stops the tokenize→
+    // shingle→hash pipeline (the expensive map-side work) from running
+    // twice. ~n_docs rows of (id, 50 longs): tiny.
+    val base = withToks(docs)
+      .select(col("doc_id"), shingleHashSet(toks).as("hs"))
+      .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
+      .localCheckpoint()
+    val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
+    val banded = sigs.select(col("doc_id"), explode(bandBuckets(col("mh"))).as("bucket"))
+    val x = banded.select(col("doc_id").as("a_id"), col("bucket"))
+    val y = banded.select(col("doc_id").as("b_id"), col("bucket").as("bucket_b"))
+    val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // Exact verification of the (tiny) candidate set, from the same base.
+    verifyJaccard(cand, base, "a_id", "b_id", tau)
+  }
+
   val i10_dedup_minhash_lsh = OpQuery(
-    (s, d) => {
-      import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
-      val docs = t(s, d, "documents")
-      // The full 64-permutation signature is ONE narrow codegen'd expression
-      // over the hashed shingle array (graft.functions.MinHashSignature) —
-      // no explode, no shuffle, no aggregation state. The explode+64×min()
-      // formulation costs a shuffle and measured ~7s at sf0.1; this is a
-      // map-only pass. Shingle hashes come from the same one-pass
-      // ShingleHashSet as i5 (already sorted distinct).
-      // One shared, materialized frame feeds BOTH the signature branch and
-      // the verification branch — localCheckpoint stops the tokenize→
-      // shingle→hash pipeline (the expensive map-side work) from running
-      // twice. ~n_docs rows of (id, 50 longs): tiny.
-      val base = withToks(docs)
-        .select(col("doc_id"), shingleHashSet(toks).as("hs"))
-        .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
-        .localCheckpoint()
-      val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
-      val banded = sigs.select(col("doc_id"), explode(bandBuckets(col("mh"))).as("bucket"))
-      val x = banded.select(col("doc_id").as("a_id"), col("bucket"))
-      val y = banded.select(col("doc_id").as("b_id"), col("bucket").as("bucket_b"))
-      val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      // Exact verification of the (tiny) candidate set, from the same base.
-      verifyJaccard(cand, base, "a_id", "b_id", 0.8)
-    },
+    (s, d) => minhashVerifiedPairs(s, d),
     s"""$shinglesSqlCte
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
@@ -763,28 +774,101 @@ object LlmOps {
        |FROM documents)
        |ORDER BY doc_id""".stripMargin)
 
+  /** Shared connected-components engine — distributed min-label propagation
+    * with POINTER JUMPING (lbl(x) ← lbl(lbl(x)), path halving): similarity
+    * chains are long at low τ (measured diameter 16 at sf0.1 ⇒ 17 plain
+    * rounds; halving converges in ~7), and at 100 TB that is O(log d)
+    * shuffles instead of O(d). The loop runs at the RDD layer — the one
+    * place the codebase drops below DataFrames, and deliberately: an
+    * iterative graph algorithm re-plans/re-codegens every Catalyst round
+    * (~0.45 s/action measured, dwarfing the data), while hash-partitioned
+    * pair RDDs make every per-round join partitioner-aligned (narrow — the
+    * GraphX execution shape) with zero planning cost. Only nodes that
+    * appear in an edge iterate; callers rejoin isolated nodes as their own
+    * canonical. Input: undirected edge list (a_id, b_id); output: one
+    * (node_id, lbl) row per edge-touching node, lbl = component min id.
+    *
+    * This is the component engine behind BOTH gated component operators —
+    * i23 (embedding τ ≥ 0.4 graph, exact edges) and i39 (document
+    * near-dup graph, i10's verified MinHash-LSH edges) — so the edge
+    * SOURCE is a plug: exact kernels where LSH cannot prune (see i23's
+    * doc), sub-quadratic LSH candidates where it can (i39, the 100 TB
+    * path).
+    */
+  private[graft] def connectedComponents(s: SparkSession,
+      pairsIn: DataFrame): DataFrame = {
+    import s.implicits._
+    val pairs = pairsIn
+      .localCheckpoint() // materialize once: counted below, iterated after
+    // partition count scales with the edge set (≥ default parallelism at
+    // real scale, 1 task per job at fixture scale); ONE HashPartitioner
+    // instance keys every RDD in the loop so joins stay narrow
+    val sym = pairs.as[(Long, Long)].rdd
+      .flatMap(p => Iterator((p._2, p._1), (p._1, p._2)))
+    val nParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (2 * pairs.count() / 500000L).toInt))
+    val part = new org.apache.spark.HashPartitioner(nParts)
+    // edges keyed by the label PROVIDER (b supplies its label to a)
+    val edges = sym.partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.keys.distinct(nParts).map(id => (id, id))
+      .partitionBy(part)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    var prevSum = labels.values.fold(0L)(_ + _)
+    while (!converged && rounds < 40) {
+      // neighbor min: edge (b → a) delivers lbl(b) to a (narrow join —
+      // both sides share `part`), then halve: follow each label one
+      // more hop through the label table itself
+      val cand = edges.join(labels)
+        .map { case (_, (a, lbl)) => (a, lbl) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+      val stepped = labels.leftOuterJoin(cand)
+        .mapValues { case (l, c) => math.min(l, c.getOrElse(l)) }
+        // both sides of the halving join read this — persist or the
+        // edge-join + merge recomputes twice per round
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val halved = stepped.map(_.swap).join(stepped)
+        .map { case (_, (x, ll)) => (x, ll) }
+        .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // convergence = the label sum stops falling (labels only decrease);
+      // the fold is the single action materializing the round
+      val cur = halved.values.fold(0L)(_ + _)
+      converged = cur == prevSum
+      prevSum = cur
+      labels.unpersist(blocking = false)
+      stepped.unpersist(blocking = false)
+      labels = halved
+      rounds += 1
+    }
+    require(converged, s"label propagation did not converge in $rounds rounds")
+    val labelDf = labels.toDF("node_id", "lbl")
+    edges.unpersist(blocking = false)
+    labelDf
+  }
+
   /** i23: dedup COMPLETION — pair finding (i10/i12) only surfaces edges;
     * actual deduplication needs connected components of the similarity
-    * graph so each near-dup cluster keeps one canonical document. Spark
-    * side: distributed min-label propagation with POINTER JUMPING
-    * (lbl(x) ← lbl(lbl(x)), path halving) — similarity chains are long at
-    * low τ (measured diameter 16 at sf0.1 ⇒ 17 plain rounds; halving
-    * converges in ~7), and at 100 TB that is O(log d) shuffles instead of
-    * O(d). The loop runs at the RDD layer — the one place the codebase
-    * drops below DataFrames, and deliberately: an iterative graph
-    * algorithm re-plans/re-codegens every Catalyst round (~0.45 s/action
-    * measured, dwarfing the data), while hash-partitioned pair RDDs make
-    * every per-round join partitioner-aligned (narrow — the GraphX
-    * execution shape) with zero planning cost. Only nodes that appear in
-    * an edge iterate; isolated vectors rejoin as their own canonical at
-    * the end.
+    * graph so each near-dup cluster keeps one canonical document. Engine:
+    * `connectedComponents` (label propagation + pointer jumping, above).
+    *
+    * Edge source: the EXACT blocked kernel, and necessarily so — this
+    * graph's τ = 0.4 cosine edges sit near hyperplane-LSH's indifference
+    * point (p(bit agree) = 1 − θ/π ≈ 0.63), measured on the fixture:
+    * preserving the components needs bucket-hamming ≤ 7 of 8, i.e. no
+    * pruning, and the sparse τ = 0.4 graph (59 edges / 500 nodes at
+    * sf0.01) has no redundant paths to absorb misses. Low-τ semantic
+    * grouping at 100 TB goes through k-means cells (i34/i35) instead;
+    * the sub-quadratic LSH edge source lives in i39 where the τ = 0.8
+    * near-dup graph makes it lossless in practice.
     * Oracle: exact transitive closure via DuckDB's recursive CTE over the
     * same τ ≥ 0.4 edges (closure is oracle-scale-only; the Spark side
     * never materializes reachability, just labels).
     */
   val i23_dedup_components = OpQuery(
     (s, d) => {
-      import s.implicits._
       val pairs = blockedPairs(t(s, d, "embeddings"), (ia, ea, ib, eb) => {
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
         var i = 0
@@ -799,53 +883,8 @@ object LlmOps {
         }
         out.toSeq
       }).select(col("a_id"), col("b_id"))
-        .localCheckpoint() // materialize once: counted below, iterated after
-      // partition count scales with the edge set (≥ default parallelism at
-      // real scale, 1 task per job at fixture scale); ONE HashPartitioner
-      // instance keys every RDD in the loop so joins stay narrow
-      val sym = pairs.as[(Long, Long)].rdd
-        .flatMap(p => Iterator((p._2, p._1), (p._1, p._2)))
-      val nParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
-        (2 * pairs.count() / 500000L).toInt))
-      val part = new org.apache.spark.HashPartitioner(nParts)
-      // edges keyed by the label PROVIDER (b supplies its label to a)
-      val edges = sym.partitionBy(part)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.keys.distinct(nParts).map(id => (id, id))
-        .partitionBy(part)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var converged = false
-      var rounds = 0
-      var prevSum = labels.values.fold(0L)(_ + _)
-      while (!converged && rounds < 40) {
-        // neighbor min: edge (b → a) delivers lbl(b) to a (narrow join —
-        // both sides share `part`), then halve: follow each label one
-        // more hop through the label table itself
-        val cand = edges.join(labels)
-          .map { case (_, (a, lbl)) => (a, lbl) }
-          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-        val stepped = labels.leftOuterJoin(cand)
-          .mapValues { case (l, c) => math.min(l, c.getOrElse(l)) }
-          // both sides of the halving join read this — persist or the
-          // edge-join + merge recomputes twice per round
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val halved = stepped.map(_.swap).join(stepped)
-          .map { case (_, (x, ll)) => (x, ll) }
-          .reduceByKey(part, (a: Long, b: Long) => math.min(a, b))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // convergence = the label sum stops falling (labels only decrease);
-        // the fold is the single action materializing the round
-        val cur = halved.values.fold(0L)(_ + _)
-        converged = cur == prevSum
-        prevSum = cur
-        labels.unpersist(blocking = false)
-        stepped.unpersist(blocking = false)
-        labels = halved
-        rounds += 1
-      }
-      require(converged, s"label propagation did not converge in $rounds rounds")
-      val labelDf = labels.toDF("vec_id", "lbl")
-      edges.unpersist(blocking = false)
+      val labelDf = connectedComponents(s, pairs)
+        .withColumnRenamed("node_id", "vec_id")
       t(s, d, "embeddings").filter(col("vec_id").isNotNull)
         .select(col("vec_id"))
         .join(labelDf, Seq("vec_id"), "left")
@@ -865,6 +904,54 @@ object LlmOps {
        |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS canonical
        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)
 
+  /** i39: near-dup component completion with a SUB-QUADRATIC edge source —
+    * connected components of the document near-dup graph, edges from
+    * i10's verified MinHash-LSH candidates (`minhashVerifiedPairs`): the
+    * 100 TB shape of "cluster the duplicates, keep one canonical". Where
+    * i23 must pay the exact kernel (its τ = 0.4 cosine graph defeats LSH
+    * — see i23's doc), the τ = 0.8 Jaccard graph is exactly where banding
+    * is tight: total work is O(n·bands) for candidates plus the verified
+    * pair set, never O(n²).
+    *
+    * LSH miss bound (the i25 convention): an edge at Jaccard j survives
+    * banding with P = 1 − (1−j⁴)¹⁶ ≥ 0.99978 at j = 0.8, and signatures
+    * are DETERMINISTIC functions of the text — the fixture's qualifying
+    * pairs are all j ≈ 1.0, so the candidate set provably contains every
+    * edge and the components equal the exact-edge components (spec proves
+    * equality against a brute-force all-pairs union-find at fixture
+    * scale). At 100 TB a missed edge can only split a component whose
+    * nodes have no other path — and near-dup clusters are dense by
+    * construction (every pair of copies qualifies), so redundancy absorbs
+    * the 2.2e-4 tail.
+    * Oracle: recursive closure over the EXACT Jaccard ≥ 0.8 edge set —
+    * the oracle does not model LSH at all, so a banding miss would
+    * hash-mismatch, not silently pass.
+    */
+  val i39_dedup_components_lsh = OpQuery(
+    (s, d) => {
+      val edges = minhashVerifiedPairs(s, d).select(col("a_id"), col("b_id"))
+      val labelDf = connectedComponents(s, edges)
+        .withColumnRenamed("node_id", "doc_id")
+      t(s, d, "documents").select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("canonical"))
+        .orderBy("doc_id")
+    },
+    Some(shinglesSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+       |e AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
+       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |), reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+       |)
+       |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canonical
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin))
+
   /** i24: benchmark decontamination — flag training documents that contain
     * an eval-benchmark document (source 'src0' stands in for the eval
     * suite). The metric is asymmetric CONTAINMENT |sh(train) ∩ sh(bench)| /
@@ -877,26 +964,38 @@ object LlmOps {
     * as the only shuffle. Hashed shingles stand in for strings exactly as
     * in i5 (collision odds ~|sh|²/2⁶⁴ vs the string oracle).
     */
+  /** The containment engine behind i24, reusable against an EXTERNAL
+    * benchmark table (PrepMain --decontam): both inputs are document
+    * frames (doc_id, text); output is (train_id, bench_id, containment)
+    * at ≥ τ. Same inverted-index shape as documented on i24.
+    */
+  private[graft] def containmentFlags(train: DataFrame, bench: DataFrame,
+      tau: Double): DataFrame = {
+    import graft.functions.HashFunctions.shingleHashSet
+    def sh(df: DataFrame) = withToks(df)
+      .select(col("doc_id"), shingleHashSet(toks).as("sh"))
+      .filter(size(col("sh")) > 0) // ⇔ oracle's len(toks) >= 2
+    val be = sh(bench)
+      .select(col("doc_id").as("bench_id"), size(col("sh")).as("sz_bench"),
+        explode(col("sh")).as("h"))
+    val tr = sh(train)
+      .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+    // sh elements are distinct (sorted-set expression), so the per-pair
+    // match count IS the intersection size.
+    tr.join(broadcast(be), "h")
+      .groupBy("train_id", "bench_id", "sz_bench")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast(DoubleType) / col("sz_bench") >= tau)
+      .select(col("train_id"), col("bench_id"),
+        round(col("inter").cast(DoubleType) / col("sz_bench"), 6).as("containment"))
+      .orderBy("train_id", "bench_id")
+  }
+
   val i24_decontaminate = OpQuery(
     (s, d) => {
-      import graft.functions.HashFunctions.shingleHashSet
-      val sh = withToks(t(s, d, "documents"))
-        .select(col("doc_id"), col("source"), shingleHashSet(toks).as("sh"))
-        .filter(size(col("sh")) > 0) // ⇔ oracle's len(toks) >= 2
-      val bench = sh.filter(col("source") === "src0")
-        .select(col("doc_id").as("bench_id"), size(col("sh")).as("sz_bench"),
-          explode(col("sh")).as("h"))
-      val train = sh.filter(col("source") =!= "src0")
-        .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
-      // sh elements are distinct (sorted-set expression), so the per-pair
-      // match count IS the intersection size.
-      train.join(broadcast(bench), "h")
-        .groupBy("train_id", "bench_id", "sz_bench")
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter").cast(DoubleType) / col("sz_bench") >= 0.8)
-        .select(col("train_id"), col("bench_id"),
-          round(col("inter").cast(DoubleType) / col("sz_bench"), 6).as("containment"))
-        .orderBy("train_id", "bench_id")
+      val docs = t(s, d, "documents")
+      containmentFlags(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), 0.8)
     },
     s"""${shinglesSqlCteFor("source", minToks = true)}
       |SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
@@ -1018,24 +1117,38 @@ object LlmOps {
     * inline during ingest at 100 TB. Gates compare the ROUNDED (6 dp)
     * signals, so both engines threshold identical doubles.
     */
+  /** The precedence-ordered verdict over i29's signal columns (n_tok,
+    * dup_frac, top_bg_frac, quality), parameterized so PrepMain can expose
+    * the thresholds as CLI flags while the GATED i29 instantiates the gate
+    * constants — one verdict definition, two callers.
+    */
+  private[graft] def qualityVerdict(minTok: Long, maxDupFrac: Double,
+      maxTopBg: Double, minQuality: Double): Column =
+    when(col("n_tok") < minTok, "too_short")
+      .when(col("dup_frac") > maxDupFrac || col("top_bg_frac") > maxTopBg,
+        "repetitive")
+      .when(col("quality") < minQuality, "low_quality")
+      .otherwise("keep")
+
+  /** i29's signal columns without a verdict — the frame PrepMain re-verdicts
+    * under CLI thresholds (the signals are threshold-independent).
+    */
+  private[graft] def qualitySignals(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.HashFunctions.tokenRepetitionStats
+    val nTok = size(toks).cast(LongType)
+    val stop = size(filter(toks, t => t.isInCollection(stopwords)))
+    withToks(t(s, d, "documents"))
+      .withColumn("st", tokenRepetitionStats(toks))
+      .select(col("doc_id"), nTok.as("n_tok"),
+        dupFrac6.as("dup_frac"),
+        topBgFrac6.as("top_bg_frac"),
+        qualityScore(nTok, stop.cast(DoubleType) / nTok).as("quality"))
+  }
+
   val i29_quality_filter = OpQuery(
-    (s, d) => {
-      import graft.functions.HashFunctions.tokenRepetitionStats
-      val nTok = size(toks).cast(LongType)
-      val stop = size(filter(toks, t => t.isInCollection(stopwords)))
-      withToks(t(s, d, "documents"))
-        .withColumn("st", tokenRepetitionStats(toks))
-        .select(col("doc_id"), nTok.as("n_tok"),
-          dupFrac6.as("dup_frac"),
-          topBgFrac6.as("top_bg_frac"),
-          qualityScore(nTok, stop.cast(DoubleType) / nTok).as("quality"))
-        .withColumn("verdict",
-          when(col("n_tok") < 20, "too_short")
-            .when(col("dup_frac") > 0.65 || col("top_bg_frac") > 0.1, "repetitive")
-            .when(col("quality") < 0.25, "low_quality")
-            .otherwise("keep"))
-        .orderBy("doc_id")
-    },
+    (s, d) => qualitySignals(s, d)
+      .withColumn("verdict", qualityVerdict(20L, 0.65, 0.1, 0.25))
+      .orderBy("doc_id"),
     s"""$repStatsSqlCte,
        |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
        |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
@@ -1052,6 +1165,7 @@ object LlmOps {
 
   val all: Map[String, OpQuery] = Map(
     "i23_dedup_components" -> i23_dedup_components,
+    "i39_dedup_components_lsh" -> i39_dedup_components_lsh,
     "i24_decontaminate" -> i24_decontaminate,
     "i25_dedup_incremental" -> i25_dedup_incremental,
     "i27_repetition_stats" -> i27_repetition_stats,

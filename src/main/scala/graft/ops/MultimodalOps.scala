@@ -5,68 +5,129 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Input to the stub decoder: an opaque binary payload keyed by doc. */
-case class BinDoc(doc_id: Long, payload: Array[Byte])
+/** A document with an image payload: opaque PNG bytes keyed by doc. */
+case class ImgDoc(doc_id: Long, png: Array[Byte])
 
-/** Typed metadata the "decoder" extracts per payload. */
-case class MediaMeta(doc_id: Long, width: Long, height: Long, n_bytes: Long)
+/** Typed metadata the decoder extracts per image. `px_sum` comes out of
+  * the DECODED raster, so a broken decode cannot pass the gate.
+  */
+case class MediaMeta(doc_id: Long, width: Long, height: Long,
+                     n_pixels: Long, px_sum: Long)
 
 /** Multimodal columns (builder-prompt north star): media as opaque BINARY
   * columns + typed metadata, decoded per partition.
   *
-  * The decode step is a STUB — no image/audio codecs exist in this
-  * container — but the Spark-side plumbing is real: binary column in,
-  * `Dataset[BinDoc].mapPartitions` over partition iterators (the Scala
-  * analog of mapInPandas batch processing: one decoder instantiation per
-  * partition, streaming rows through it, constant memory), typed
-  * `MediaMeta` out. Swapping `StubCodec.decode` for a real codec changes
-  * nothing in the plan.
+  * Since round 4 the decode is REAL: deterministic grayscale PNGs are
+  * synthesized executor-side with `javax.imageio` (in the JDK — no new
+  * dependency), carried as a binary column, and m1/m3 decode them back
+  * with `ImageIO.read` inside the existing `mapPartitions` plumbing (the
+  * Scala analog of mapInPandas batch processing: one codec instantiation
+  * per partition, rows streaming through, constant memory). The oracle
+  * cannot decode PNG, so it recomputes the PLANTED construction —
+  * dimensions and pixel values are pure functions of doc_id — while the
+  * Spark side reports only what the decoder actually read: any encode or
+  * decode defect (wrong dims, wrong samples, channel confusion) is a gate
+  * hash-mismatch, not a silent pass.
   */
 object MultimodalOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables.t(s, d, n)
 
-  /** m1/m3 count BYTES on the Spark side while their oracles count
-    * CHARACTERS — equivalent only for ASCII. Make that precondition loud:
-    * a non-ASCII document fails the query with this message instead of
-    * silently hash-mismatching the gate. (assert_true returns NULL on
-    * success, throws on violation; ifnull keeps the filter all-pass.)
+  /** Deterministic image corpus: width/height/pixels are closed-form in
+    * doc_id (the oracle's side of the contract). Pixel at linear index i
+    * (row-major) is (doc_id + i) mod 256 — every gray level is exercised
+    * once width·height ≥ 256.
     */
-  private def asciiOnly(df: org.apache.spark.sql.DataFrame) =
-    // NULL text must not trip the assert (assert_true throws on NULL as
-    // well as false — the message would send the reader hunting for
-    // non-ASCII bytes when the problem is a NULL document)
-    df.filter(expr(
-      "ifnull(assert_true(text IS NULL OR octet_length(text) = char_length(text), " +
-        "'m1/m3 byte-level parity requires an ASCII corpus'), true)"))
+  object PngCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
 
-  /** Deterministic fake codec: "dimensions" derived from payload length.
-    * A real implementation would parse the container header here.
-    */
-  object StubCodec {
-    def decode(b: BinDoc): MediaMeta =
-      MediaMeta(b.doc_id, b.payload.length % 640, b.payload.length % 480,
-        b.payload.length.toLong)
+    def width(id: Long): Int = 16 + (id % 32).toInt
+    def height(id: Long): Int = 8 + (id % 16).toInt
+
+    /** Encode the planted image for one doc (8-bit gray, lossless PNG). */
+    def synth(id: Long): Array[Byte] = {
+      val (w, h) = (width(id), height(id))
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((id + i) % 256L).toInt)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Real decode: parse the PNG container, read every sample back. */
+    def decode(b: ImgDoc): MediaMeta = {
+      val img = ImageIO.read(new ByteArrayInputStream(b.png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      MediaMeta(b.doc_id, w.toLong, h.toLong, w.toLong * h, sum)
+    }
+
+    /** Real decode → 16-bin histogram of 8-bit gray levels (level / 16). */
+    def histogram(b: ImgDoc): Array[Long] = {
+      val img = ImageIO.read(new ByteArrayInputStream(b.png))
+      val raster = img.getRaster
+      val counts = new Array[Long](16)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          counts(raster.getSample(x, y, 0) / 16) += 1
+          x += 1
+        }
+        y += 1
+      }
+      counts
+    }
   }
 
-  /** m1: binary payload → per-partition decode → typed metadata. Oracle
-    * re-derives the stub arithmetic from text length (payload = UTF-8 text).
+  /** The synthesized binary column all m-queries over images share: PNG
+    * bytes materialized executor-side (narrow map, no shuffle — at 100 TB
+    * this stage is the `binary` column already sitting in the lake).
     */
-  val m1_multimodal_decode_stub = OpQuery(
+  private def pngTable(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => ImgDoc(id, PngCodec.synth(id))))
+  }
+
+  /** m1: binary PNG column → per-partition real decode → typed metadata.
+    * Oracle recomputes the planted dims + the mod-256 pixel ramp sum;
+    * Spark reports only decoder output (see object doc).
+    */
+  val m1_multimodal_decode = OpQuery(
     (s, d) => {
       import s.implicits._
-      val bin = asciiOnly(t(s, d, "documents"))
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[BinDoc]
-      bin.mapPartitions { it =>
+      pngTable(s, d).mapPartitions { it =>
         // One codec per partition; rows stream through (constant memory).
-        it.map(StubCodec.decode)
+        it.map(PngCodec.decode)
       }.toDF().orderBy("doc_id")
     },
     """SELECT doc_id,
-      |  CAST(strlen(text) % 640 AS BIGINT) AS width,
-      |  CAST(strlen(text) % 480 AS BIGINT) AS height,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes
+      |  CAST(16 + doc_id % 32 AS BIGINT) AS width,
+      |  CAST(8 + doc_id % 16 AS BIGINT) AS height,
+      |  CAST((16 + doc_id % 32) * (8 + doc_id % 16) AS BIGINT) AS n_pixels,
+      |  CAST(list_sum(list_transform(
+      |    range(0, (16 + doc_id % 32) * (8 + doc_id % 16)),
+      |    i -> (doc_id + i) % 256)) AS BIGINT) AS px_sum
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** m2: frame sampling — every-7th-position probes of the payload
@@ -86,50 +147,36 @@ object MultimodalOps {
       |  array_to_string(list_transform(range(0, 8), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))), ',') AS frames
       |FROM documents ORDER BY doc_id""".stripMargin)
 
-  /** Per-partition "model" for m3 — the batch-inference shape: one
-    * instantiation per partition, rows stream through. The featurizer is a
-    * deterministic stand-in (16-bin byte histogram, normalized); swapping
-    * in a real encoder changes nothing in the plan.
-    */
-  class StubFeaturizer {
-    def embed(payload: Array[Byte]): Array[Double] = {
-      val counts = new Array[Long](16)
-      var i = 0
-      while (i < payload.length) {
-        counts((payload(i) & 0xff) % 16) += 1
-        i += 1
-      }
-      val n = math.max(payload.length, 1).toDouble
-      counts.map(_ / n)
-    }
-  }
-
-  /** m3: feature extraction over binary payloads — the missing brief
-    * bullet next to decode (m1) and frame-sample (m2). Plumbing identical
-    * to batch inference: `Dataset[BinDoc].mapPartitions` with one model
-    * per partition; fixed-width feature vector out, dumped as 16 scalar
-    * columns (driver comparator is scalar-only). Oracle recomputes the
-    * histogram from the characters — payloads are UTF-8 of pure-ASCII
-    * text, so byte values equal code points (verified on the corpus).
+  /** m3: feature extraction over the DECODED image — the batch-inference
+    * shape: `Dataset[ImgDoc].mapPartitions`, one model per partition, rows
+    * streaming through; fixed-width feature vector out, dumped as 16
+    * scalar columns (driver comparator is scalar-only). The feature is
+    * the normalized 16-bin gray-level histogram of the decoded raster;
+    * the oracle recomputes it from the planted pixel formula, so a decode
+    * that returns wrong samples hash-mismatches. Counts and totals are
+    * exact ints, so count/n is the same IEEE division in both engines;
+    * round-6 per the established m-family convention.
     */
   val m3_multimodal_feature_extract = OpQuery(
     (s, d) => {
       import s.implicits._
-      val bin = asciiOnly(t(s, d, "documents"))
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[BinDoc]
-      val feats = bin.mapPartitions { it =>
-        val model = new StubFeaturizer() // one per partition
-        it.map(b => (b.doc_id, model.embed(b.payload)))
-      }.toDF("doc_id", "f")
+      val feats = pngTable(s, d).mapPartitions { it =>
+        it.map(b => (b.doc_id, PngCodec.histogram(b)))
+      }.toDF("doc_id", "hist")
       feats.select(col("doc_id") +:
-        (0 until 16).map(i => round(col("f")(i), 6).as(s"f_$i")): _*)
+        (0 until 16).map(i =>
+          round(col("hist")(i).cast(DoubleType) / aggregateHist, 6)
+            .as(s"f_$i")): _*)
         .orderBy("doc_id")
     },
     "SELECT doc_id, " + (0 until 16).map(i =>
-      s"round(CAST(len(list_filter(range(1, strlen(text)+1), k -> ascii(substr(text,k,1)) % 16 = $i)) AS DOUBLE) / greatest(strlen(text), 1), 6) AS f_$i")
+      s"round(CAST(len(list_filter(range(0, (16 + doc_id % 32) * (8 + doc_id % 16)), j -> ((doc_id + j) % 256) // 16 = $i)) AS DOUBLE) / ((16 + doc_id % 32) * (8 + doc_id % 16)), 6) AS f_$i")
       .mkString(", ") +
       " FROM documents ORDER BY doc_id")
+
+  /** Sum of the 16 histogram bins = n_pixels (exact int denominator). */
+  private def aggregateHist =
+    expr("aggregate(hist, 0L, (acc, x) -> acc + x)").cast(DoubleType)
 
   /** m4: resize — nearest-neighbor resample of the payload to a fixed
     * 8-byte thumbnail (the image-resize shape on opaque bytes; codegen'd
@@ -146,7 +193,7 @@ object MultimodalOps {
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   val all: Map[String, OpQuery] = Map(
-    "m1_multimodal_decode_stub" -> m1_multimodal_decode_stub,
+    "m1_multimodal_decode" -> m1_multimodal_decode,
     "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
     "m3_multimodal_feature_extract" -> m3_multimodal_feature_extract,
     "m4_multimodal_resize" -> m4_multimodal_resize)

@@ -97,19 +97,64 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("e4 approx_count_distinct is within 5% of exact") {
     val r = AggOps.e4_agg_approx_distinct.fn(spark, sfDir).collect()(0)
-    val (approx, exact) = (r.getLong(0), r.getLong(1))
-    assert(math.abs(approx - exact).toDouble / exact < 0.05,
-      s"approx=$approx exact=$exact")
+    assert(r.getLong(0) > 0, "exact distinct count must be positive")
+    assert(r.getBoolean(1), s"HLL++ estimate outside ±5% of exact=${r.getLong(0)}")
   }
 
-  test("multimodal decode stub: metadata matches payload arithmetic") {
-    val out = MultimodalOps.m1_multimodal_decode_stub.fn(spark, sfDir)
-    val joined = out.join(Tables.t(spark, sfDir, "documents"), "doc_id")
-      .select(col("width"), col("n_bytes"), length(col("text")).cast("long").as("len"))
-      .collect()
-    joined.foreach { r =>
-      assert(r.getLong(1) == r.getLong(2)) // ascii text: bytes == chars
-      assert(r.getLong(0) == r.getLong(2) % 640)
+  test("multimodal decode: PNG round-trip recovers planted dims and pixels") {
+    val out = MultimodalOps.m1_multimodal_decode.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (16 + id % 32, 8 + id % 16)
+      assert(r.getLong(1) == w && r.getLong(2) == h, s"doc $id dims")
+      assert(r.getLong(3) == w * h, s"doc $id n_pixels")
+      val expSum = (0L until w * h).map(i => (id + i) % 256).sum
+      assert(r.getLong(4) == expSum, s"doc $id decoded pixel sum")
+    }
+    // the codec itself round-trips byte-exactly on one concrete image
+    val img = MultimodalOps.PngCodec.synth(42L)
+    val meta = MultimodalOps.PngCodec.decode(graft.ops.ImgDoc(42L, img))
+    assert(meta.width == 16 + 42 % 32 && meta.height == 8 + 42 % 16)
+  }
+
+  test("i39 LSH-edge components equal brute-force exact-edge components") {
+    val out = LlmOps.i39_dedup_components_lsh.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.t(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val sh = docs.map { case (id, txt) =>
+      val t = txt.split(" ")
+      id -> (if (t.length < 2) Set.empty[String]
+             else t.sliding(2).map(_.mkString(" ")).toSet)
+    }.toMap
+    val ids = docs.map(_._1)
+    // union-find over the EXACT all-pairs Jaccard >= 0.8 edge set; larger
+    // root attaches under smaller, so find() yields the component min id
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    var nEdges = 0
+    for (i <- ids.indices; j <- (i + 1) until ids.length) {
+      val (sa, sb) = (sh(ids(i)), sh(ids(j)))
+      val inter = (sa & sb).size
+      val uni = sa.size + sb.size - inter
+      if (uni > 0 && inter.toDouble / uni >= 0.8) {
+        nEdges += 1
+        val (ra, rb) = (find(ids(i)), find(ids(j)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    assert(nEdges > 0, "fixture must contain near-dup edges (non-vacuous)")
+    assert(out.size == ids.length, "every document must receive a canonical")
+    ids.foreach { id =>
+      assert(out(id) == find(id),
+        s"doc $id: LSH-edge canonical ${out(id)} != exact-edge ${find(id)}")
     }
   }
 

@@ -25,10 +25,14 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(manifest("n_quality_kept") <= manifest("n_input"))
     assert(manifest("n_final") <= manifest("n_quality_kept"))
     // the stage counts must reconcile exactly
-    assert(manifest("n_quality_kept") - manifest("n_dedup_dropped") ==
+    assert(manifest("n_quality_kept") - manifest("n_dedup_dropped") -
+      manifest("n_decontam_dropped") ==
       manifest("n_final"), "stage arithmetic doesn't reconcile")
     assert(manifest("n_dedup_dropped") <= manifest("n_dup_members_corpus"),
       "stage can't drop more than the corpus-wide pair-member set")
+    assert(manifest("n_decontam_dropped") == 0 &&
+      manifest("n_contaminated_corpus") == 0,
+      "no --decontam was given, so the decontam stage must be a no-op")
     // verdict histogram partitions the input
     val verdictTotal = manifest.collect {
       case (k, v) if k.startsWith("verdict_") => v
@@ -87,9 +91,38 @@ class PrepPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("--decontam drops every contaminated doc; output is bench-overlap-free") {
+    // benchmark = the corpus's src0 docs, written out as an EXTERNAL
+    // documents table (the real shape: an eval suite dir next to the lake)
+    val benchDir = Util.scratch("prep_bench")
+    val decontamOut = Util.scratch("prep_out_decontam")
+    Tables.t(spark, sfDir, "documents").filter(col("source") === "src0")
+      .write.mode("overwrite").parquet(s"$benchDir/documents.parquet")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, decontamOut, "minhash",
+      decontam = Some(benchDir)))
+    // the bench docs themselves live in this corpus, so the stage must
+    // have dropped at least them (containment 1.0 self-matches)
+    assert(m("n_contaminated_corpus") > 0, "no contamination flagged (vacuous)")
+    assert(m("n_quality_kept") - m("n_dedup_dropped") - m("n_decontam_dropped")
+      == m("n_final"), "stage arithmetic doesn't reconcile with decontam")
+    // prove bench-overlap-freedom by re-running the gated i24 containment
+    // between the PIPELINE OUTPUT and the bench table: zero flags survive
+    val out = spark.read.parquet(s"$decontamOut/documents.parquet")
+    val bench = spark.read.parquet(s"$benchDir/documents.parquet")
+    val residual = LlmOps.containmentFlags(out, bench, 0.8).count()
+    assert(residual == 0, s"$residual contaminated docs survived --decontam")
+  }
+
   test("argv parsing: flags map to opts, bad input rejected") {
     val o = PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "none"))
     assert(o == PrepMain.Opts("a", "b", "none"))
+    val o2 = PrepMain.parse(Array("--in", "a", "--out", "b",
+      "--decontam", "bd", "--min-containment", "0.9", "--dedup-tau", "0.85",
+      "--min-tokens", "30", "--max-dup-frac", "0.5", "--max-top-bigram", "0.2",
+      "--min-quality", "0.3"))
+    assert(o2 == PrepMain.Opts("a", "b", "minhash", dedupTau = 0.85,
+      decontam = Some("bd"), minContainment = 0.9, minTokens = 30L,
+      maxDupFrac = 0.5, maxTopBigram = 0.2, minQuality = 0.3))
     intercept[IllegalArgumentException](PrepMain.parse(Array("--in", "a")))
     intercept[IllegalArgumentException](PrepMain.parse(Array("--bogus", "x")))
     // dangling flag (value forgotten) must give the usage error, not AIOOBE
@@ -97,5 +130,8 @@ class PrepPipelineSpec extends SparkTestBase {
       PrepMain.parse(Array("--in", "a", "--out")))
     intercept[IllegalArgumentException](
       PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "simhash")))
+    // sub-0.8 dedup tau would silently lose LSH recall — refused loudly
+    intercept[IllegalArgumentException](
+      PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup-tau", "0.5")))
   }
 }
