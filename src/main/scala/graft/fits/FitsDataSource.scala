@@ -120,16 +120,28 @@ object FitsTable {
   private val specCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), FitsSpecWithOffset]()
 
+  /** Gzipped members are read through a decompressing stream; offsets in
+    * the spec are positions in the DECOMPRESSED byte stream (locateTable
+    * counts logical FITS blocks, so this falls out for free).
+    */
+  def isGzip(path: String): Boolean = path.endsWith(".gz")
+
   /** Driver-side header read: spec + absolute data offset. */
   def readSpec(path: String, extnum: Int): FitsSpecWithOffset =
     specCache.computeIfAbsent((path, extnum), { _ =>
       val p = new Path(path)
       val fs = p.getFileSystem(driverHadoopConf())
-      val in = fs.open(p)
+      val raw = fs.open(p)
       try {
+        // header walk is strictly sequential (readFully + skipBytes), so a
+        // gzip stream serves it as-is — no random access until row decode
+        val in: java.io.DataInput =
+          if (isGzip(path))
+            new java.io.DataInputStream(new java.util.zip.GZIPInputStream(raw))
+          else raw
         val (cards, dataStart) = FitsFormat.locateTable(in, extnum)
         FitsSpecWithOffset(FitsFormat.anySpec(cards), dataStart)
-      } finally in.close()
+      } finally raw.close()
     })
 
   /** The session's Hadoop conf (spark.hadoop.*, core-site) — a bare
@@ -204,8 +216,13 @@ object FitsScan {
         s"FITS multi-file load: '$p' decodes to ${pswo.spec.schema.simpleString}, " +
           s"but the source schema is ${firstSchema.simpleString}")
       val spec = pswo.spec
-      val rowsPerSplit = rowsPerSplitOpt.getOrElse(
-        math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
+      // gzip is not splittable (same rule as every gzip source in Spark):
+      // one partition per .gz member, however many rows it holds —
+      // parallelism across FILES, never within one
+      val rowsPerSplit =
+        if (FitsTable.isGzip(p)) math.max(1L, spec.nRows)
+        else rowsPerSplitOpt.getOrElse(
+          math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
       Iterator.iterate(0L)(_ + rowsPerSplit)
         .takeWhile(_ < spec.nRows)
         .map(start => FitsInputPartition(p, pswo, start,
@@ -400,15 +417,71 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     confProps.foreach { case (k, v) => c.set(k, v) }
     p.getFileSystem(c)
   }
-  private val in = fs.open(p)
-  in.seek(swo.dataStart + part.rowStart * spec.rowBytes)
 
-  // Positioned reads into the heap area for variable-length (P/Q) cells —
-  // opened on first use so fixed-width-only scans pay nothing (a lazy val
-  // would be forced by close()).
-  private var heapInOpt: Option[org.apache.hadoop.fs.FSDataInputStream] = None
-  private def heapIn: org.apache.hadoop.fs.FSDataInputStream =
-    heapInOpt.getOrElse { val h = fs.open(p); heapInOpt = Some(h); h }
+  /** Row bytes come sequentially; heap (P/Q) cells by positioned read. */
+  private trait ByteSrc {
+    def readFully(b: Array[Byte]): Unit
+    def readAt(pos: Long, b: Array[Byte], off: Int, len: Int): Unit
+    def close(): Unit
+  }
+
+  /** Plain file: seekable stream + a second lazily-opened handle for heap
+    * reads, so fixed-width-only scans pay nothing for it.
+    */
+  private final class FileSrc extends ByteSrc {
+    private val in = fs.open(p)
+    in.seek(swo.dataStart + part.rowStart * spec.rowBytes)
+    private var heapInOpt: Option[org.apache.hadoop.fs.FSDataInputStream] = None
+    def readFully(b: Array[Byte]): Unit = in.readFully(b)
+    def readAt(pos: Long, b: Array[Byte], off: Int, len: Int): Unit = {
+      val h = heapInOpt.getOrElse {
+        val x = fs.open(p); heapInOpt = Some(x); x
+      }
+      h.readFully(pos, b, off, len)
+    }
+    def close(): Unit = {
+      in.close()
+      heapInOpt.foreach(h => try h.close() catch { case _: Throwable => () })
+    }
+  }
+
+  /** Gzipped member: not seekable, so the whole member is decompressed
+    * once into memory and served from the array (positions are logical
+    * decompressed offsets, which is what the spec carries). Memory is
+    * bounded by the decompressed file size — acceptable because planning
+    * gives each .gz member exactly ONE partition; the splittable path for
+    * big tables is the uncompressed layout. Tile compression (fpack/RICE)
+    * stays out of scope — it compresses cell data inside an otherwise
+    * ordinary BINTABLE, a different mechanism entirely.
+    */
+  private final class GzipSrc extends ByteSrc {
+    private val bytes: Array[Byte] = {
+      val s = new java.util.zip.GZIPInputStream(fs.open(p))
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](1 << 16)
+        var n = s.read(b)
+        while (n >= 0) { if (n > 0) out.write(b, 0, n); n = s.read(b) }
+        out.toByteArray
+      } finally s.close()
+    }
+    private var pos: Long = swo.dataStart + part.rowStart * spec.rowBytes
+    def readFully(b: Array[Byte]): Unit = {
+      if (pos + b.length > bytes.length)
+        throw new java.io.EOFException(s"gzip FITS member truncated at $pos")
+      System.arraycopy(bytes, pos.toInt, b, 0, b.length)
+      pos += b.length
+    }
+    def readAt(at: Long, b: Array[Byte], off: Int, len: Int): Unit = {
+      if (at + len > bytes.length)
+        throw new java.io.EOFException(s"gzip FITS heap read past end at $at")
+      System.arraycopy(bytes, at.toInt, b, off, len)
+    }
+    def close(): Unit = ()
+  }
+
+  private val src: ByteSrc =
+    if (FitsTable.isGzip(path)) new GzipSrc else new FileSrc
   private lazy val heapStart = swo.dataStart + binSpec.get.theap
 
   private val rowBuf = new Array[Byte](spec.rowBytes)
@@ -418,7 +491,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
 
   override def next(): Boolean = {
     if (row >= part.rowEnd) return false
-    in.readFully(rowBuf)
+    src.readFully(rowBuf)
     current = decode()
     row += 1
     true
@@ -505,7 +578,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       s"variable-length cell too large: $cnt elements (${nBytesL}B) in ${c.name}")
     val nBytes = nBytesL.toInt
     val cell = new Array[Byte](nBytes)
-    if (nBytes > 0) heapIn.readFully(heapStart + off, cell, 0, nBytes)
+    if (nBytes > 0) src.readAt(heapStart + off, cell, 0, nBytes)
     if (c.code == 'X') return cell // packed bits as binary
     val hb = ByteBuffer.wrap(cell)
     if (c.code == 'A') {
@@ -524,8 +597,5 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = {
-    in.close()
-    heapInOpt.foreach(h => try h.close() catch { case _: Throwable => () })
-  }
+  override def close(): Unit = src.close()
 }

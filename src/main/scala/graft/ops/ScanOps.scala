@@ -211,6 +211,35 @@ object ScanOps {
       |  round(coalesce(list_sum(list_transform(embedding[1:(vec_id % 5)], x -> x::DOUBLE)), 0.0), 6) AS head_sum
       |FROM embeddings ORDER BY vec_id""".stripMargin)
 
+  /** Gzipped FITS input (the compressed-inputs gap from the r3 verdict):
+    * nation goes out as a plain FITS BINTABLE, a `.fits.gz` copy is made
+    * (bounded fixture IO — 25 rows, a dimension-table invariant like a3),
+    * and ONE multi-file load mixes the plain and gzipped members — per
+    * the DSv2's per-file planning, the plain member still row-range
+    * splits while the gz member gets exactly one partition (gzip is not
+    * splittable; parallelism across files). Oracle: nation twice.
+    * Tile compression (fpack/RICE) is documented out of scope in
+    * FitsDataSource — a different mechanism (compressed cells inside an
+    * ordinary BINTABLE), and [UPSTREAM-PK, Low] for fits2db core.
+    */
+  val a17_fits_gzip_source = OpQuery(
+    (s, d) => {
+      val fitsPath = graft.Util.scratch("nation_for_gz.fits")
+      graft.fits.FitsWriter.writeDataFrame(fitsPath,
+        t(s, d, "nation").orderBy("n_nationkey"),
+        strLens = Map("n_name" -> 25))
+      val gzPath = fitsPath + ".gz"
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(gzPath)))
+      try out.write(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(fitsPath)))
+      finally out.close()
+      s.read.format("fits").load(fitsPath, gzPath)
+        .orderBy("n_nationkey")
+    },
+    """SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+      |ORDER BY n_nationkey""".stripMargin)
+
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
     * round-tripped through FitsWriter. A 12-bit mask (packed MSB-first
@@ -394,6 +423,7 @@ object ScanOps {
     "a10_fits_ascii_source" -> a10_fits_ascii_source,
     "a11_fits_varlen_source" -> a11_fits_varlen_source,
     "a12_fits_bits_complex_source" -> a12_fits_bits_complex_source,
+    "a17_fits_gzip_source" -> a17_fits_gzip_source,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

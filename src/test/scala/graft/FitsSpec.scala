@@ -446,6 +446,39 @@ class FitsSpec extends SparkTestBase {
       "read→write round-trip is not byte-exact")
   }
 
+  test("gzipped FITS member reads identically, including var-length heap cells") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = true),
+      StructField("pj", ArrayType(IntegerType), nullable = true),
+      StructField("qd", ArrayType(DoubleType), nullable = true)))
+    val rows = Seq(
+      Row(1, Seq(10, 20, 30), Seq(1.5, 2.5)),
+      Row(2, Seq.empty[Int], Seq(9.25)),
+      Row(3, Seq(7), Seq.empty[Double]))
+    val plain = "/tmp/graft_test/varlen_gz_src.fits"
+    FitsWriter.write(plain, schema, rows, varCols = Map("pj" -> 'P', "qd" -> 'Q'))
+    val gz = plain + ".gz"
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(Paths.get(gz)))
+    try out.write(Files.readAllBytes(Paths.get(plain))) finally out.close()
+
+    // schema from the gz header walk + every cell (fixed AND heap) equal
+    val a = spark.read.format("fits").load(plain).orderBy("id").collect()
+    val b = spark.read.format("fits").load(gz).orderBy("id").collect()
+    assert(spark.read.format("fits").load(gz).schema ==
+      spark.read.format("fits").load(plain).schema)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      "gzipped member decoded differently from the plain file")
+
+    // a .gz member must plan exactly ONE partition (not splittable)
+    val parts = spark.read.format("fits")
+      .option("rowsPerSplit", "1").load(gz).rdd.getNumPartitions
+    assert(parts == 1, s"gz member split into $parts partitions")
+    val plainParts = spark.read.format("fits")
+      .option("rowsPerSplit", "1").load(plain).rdd.getNumPartitions
+    assert(plainParts == 3, s"plain file ignored rowsPerSplit ($plainParts)")
+  }
+
   test("TDIM multi-dimensional cells read back as nested arrays") {
     val schema = StructType(Seq(
       StructField("id", IntegerType, nullable = true),
