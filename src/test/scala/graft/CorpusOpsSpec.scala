@@ -261,6 +261,19 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i37/i38 plans: equi-joins only, small sides broadcast") {
+    Seq("i37" -> CorpusOps.i37_dedup_lines, "i38" -> CorpusOps.i38_doc_logprob)
+      .foreach { case (name, op) =>
+        val plan = op.fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") &&
+          !plan.contains("CartesianProduct"),
+          s"$name degenerated to an all-pairs join:\n$plan")
+        // i37's boiler drop set / i38's LM table must attach map-side
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name lost its broadcast equi-join:\n$plan")
+      }
+  }
+
   test("i37 drops exactly the planted boilerplate and preserves line order") {
     val out = CorpusOps.i37_dedup_lines.fn(spark, sfDir).collect()
     val docs = Tables.t(spark, sfDir, "documents")

@@ -163,16 +163,24 @@ class FitsFuzzSpec extends SparkTestBase {
         arrayLens = schema.fields.collect {
           case StructField(n, ArrayType(_, _), _, _) => n -> 3 }.toMap)
       val back = spark.read.format("fits").load(path).collect()
+      // the gz path must decode the same frame from the same bytes
+      val gz = path + ".gz"
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(gz)))
+      try out.write(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)))
+      finally out.close()
+      val backGz = spark.read.format("fits").load(gz).collect()
       back.length == rows.length && {
+        def norm(rs: Array[Row]) = rs.map(r => r.toSeq.map {
+          case s: scala.collection.Seq[_] => s.toList
+          case v => v
+        }).sortBy(_.toString())
         val exp = rows.map(r => r.toSeq.map {
           case s: Seq[_] => s.toList
           case v => v
-        })
-        val got = back.map(r => r.toSeq.map {
-          case s: scala.collection.Seq[_] => s.toList
-          case v => v
-        })
-        got.sortBy(_.toString()).sameElements(exp.sortBy(_.toString()))
+        }).sortBy(_.toString())
+        norm(back).sameElements(exp) && norm(backGz).sameElements(exp)
       }
     }, n = 12)
   }

@@ -59,6 +59,29 @@ class FitsStreamSpec extends SparkTestBase {
       nation.exceptAll(all).count() == 0)
   }
 
+  test("fits readStream ingests gzipped drops alongside plain ones") {
+    val dir = "/tmp/graft_test/fits_stream_gz"
+    graft.Util.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    writeNationSlice(dir, "drop_a.fits", 0, 8)
+    // the gz member: written plain under a name OUTSIDE the glob, then
+    // compressed into it (the crawl-drop shape: compressed files land)
+    writeNationSlice(dir, "raw_b.fits", 8, 16)
+    val out = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(s"$dir/drop_b.fits.gz")))
+    try out.write(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/raw_b.fits")))
+    finally out.close()
+    runAvailableNow(s"$dir/drop_*", s"$dir/ckpt", s"$dir/out")
+    val got = spark.read.parquet(s"$dir/out")
+    val expect = Tables.t(spark, sfDir, "nation").filter(col("n_nationkey") < 16)
+    assert(got.count() == expect.count(),
+      s"plain+gz stream ingested ${got.count()} rows")
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+  }
+
   test("fits batch load accepts a glob directly") {
     // self-contained fixture — must not depend on the streaming test's dir
     val dir = "/tmp/graft_test/fits_glob_batch"
