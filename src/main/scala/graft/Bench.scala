@@ -59,17 +59,22 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val results = selected.keys.map { name =>
+    // Errored queries are EXCLUDED from value/queries/spreads: a query
+    // failing fast would otherwise LOWER the official total and the
+    // diagnosis fields would read as a clean faster run — the errors
+    // array is the flag, the timings must not reward the failure.
+    val okKeys = selected.keys.filterNot(errors.contains).toSeq
+    val results = okKeys.map { name =>
       name -> median(samples.map(_(name)))
-    }.toSeq
+    }
     // Per-query rep SPREAD (max − min across the in-JVM reps) makes the
     // record self-diagnosing: co-tenant contention shows up as a large
     // spread_s without needing an independent judge re-run (r1–r3 all had
     // contention-inflated official totals that only a re-run could explain).
-    val spreads = selected.keys.map { name =>
+    val spreads = okKeys.map { name =>
       val xs = samples.map(_(name))
       name -> (xs.max - xs.min)
-    }.toSeq
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val spreadJson = spreads.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }

@@ -111,6 +111,22 @@ object Util {
     f.getParentFile.mkdirs()
     f.getAbsolutePath
   }
+
+  /** Streams `src` through gzip into `dst` (bounded buffer, no whole-file
+    * materialization) — the one definition behind every .fits.gz fixture.
+    */
+  def gzipFile(src: String, dst: String): Unit = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(src))
+    try {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(dst)))
+      try {
+        val b = new Array[Byte](1 << 16)
+        var n = in.read(b)
+        while (n >= 0) { if (n > 0) out.write(b, 0, n); n = in.read(b) }
+      } finally out.close()
+    } finally in.close()
+  }
 }
 
 /** Oracle-parity helpers (SURVEY §7.4 determinism rules).

@@ -85,7 +85,9 @@ object PrepMain {
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q]")
     require(Set("minhash", "none")(o.dedup),
       s"--dedup must be minhash|none, got ${o.dedup}")
-    require(o.dedupTau >= 0.8,
+    // only meaningful when the minhash stage actually runs: --dedup none
+    // with a stray tau must not be rejected for a disabled stage
+    require(o.dedup != "minhash" || o.dedupTau >= 0.8,
       s"--dedup-tau must be >= 0.8 (LSH banding recall bound), got ${o.dedupTau}")
     o
   }
@@ -104,8 +106,13 @@ object PrepMain {
       .select(col("doc_id"), col("verdict"))
     val verdictCounts = verdicts.groupBy("verdict").count()
       .collect().map(r => s"verdict_${r.getString(0)}" -> r.getLong(1)).toMap
+    // each stage frame feeds its own count PLUS every later stage — persist
+    // (MEMORY_AND_DISK, the component-loop convention) or the direct
+    // per-stage counts below re-execute the whole upstream lineage ~5×
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val keptQuality = docs.join(
       broadcast(verdicts.filter(col("verdict") === "keep").select("doc_id")), "doc_id")
+      .persist(lvl)
     val nQualityKept = keptQuality.count()
 
     // -- stage 2: near-dup drop (i10 pairs; right member of each pair) -----
@@ -115,6 +122,7 @@ object PrepMain {
       case _ => spark.range(0).select(col("id").as("doc_id"))
     }
     val keptDedup = keptQuality.join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
+      .persist(lvl)
     val nAfterDedup = keptDedup.count()
 
     // -- stage 3: benchmark decontamination (i24 containment, optional) ----
@@ -126,6 +134,7 @@ object PrepMain {
       case None => spark.range(0).select(col("id").as("doc_id"))
     }
     val kept = keptDedup.join(broadcast(decontamDrops), Seq("doc_id"), "left_anti")
+      .persist(lvl)
     val nAfterDecontam = kept.count()
 
     // -- stage 4: split + shard addresses ----------------------------------
@@ -171,6 +180,9 @@ object PrepMain {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${opts.out}/manifest.json"), json)
+    keptQuality.unpersist(blocking = false)
+    keptDedup.unpersist(blocking = false)
+    kept.unpersist(blocking = false)
     manifest
   }
 

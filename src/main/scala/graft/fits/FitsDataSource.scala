@@ -460,8 +460,22 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       try {
         val out = new java.io.ByteArrayOutputStream()
         val b = new Array[Byte](1 << 16)
+        var total = 0L
         var n = s.read(b)
-        while (n >= 0) { if (n > 0) out.write(b, 0, n); n = s.read(b) }
+        while (n >= 0) {
+          if (n > 0) {
+            total += n
+            // JVM arrays cap near 2^31 bytes: fail with the remedy instead
+            // of an opaque OutOfMemoryError mid-scan
+            if (total > Int.MaxValue - 16)
+              throw new UnsupportedOperationException(
+                s"gzipped FITS member $path decompresses past ${Int.MaxValue - 16} " +
+                  "bytes (JVM array limit); store tables this large uncompressed " +
+                  "— that also restores splittable row-range scans")
+            out.write(b, 0, n)
+          }
+          n = s.read(b)
+        }
         out.toByteArray
       } finally s.close()
     }

@@ -318,7 +318,16 @@ object CorpusOps {
   val i37_dedup_lines = OpQuery(
     (s, d) => {
       val emptyArr = array().cast(ArrayType(StringType))
+      // NULL-text guard (same contract as i38/bigramCounts): without it a
+      // NULL doc diverges between engines — legacy-mode size(NULL) = -1
+      // makes sequence(0,-1) run DESCENDING and fabricate chunk entries,
+      // while the oracle's range(0,NULL) drops the doc entirely.
+      // localCheckpoint: BOTH the boiler aggregate and the probe side read
+      // this frame — without it the tokenize→chunk→posexplode pipeline
+      // (the expensive map-side work) runs twice (the minhashVerifiedPairs
+      // convention).
       val lines = t(s, d, "documents")
+        .where(col("text").isNotNull)
         .withColumn("toks", split(col("text"), " "))
         .withColumn("chunks", expr(
           "transform(sequence(0, CAST(ceil(size(toks) / 8.0) AS INT) - 1), " +
@@ -328,6 +337,7 @@ object CorpusOps {
           col("chunks"),
           when(col("doc_id") % 3 === 0, array(lit(BoilerFooter))).otherwise(emptyArr)))
         .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+        .localCheckpoint()
       val boiler = lines.groupBy("line")
         .agg(countDistinct(col("doc_id")).as("n_docs"))
         .filter(col("n_docs") > 10)
@@ -343,7 +353,8 @@ object CorpusOps {
             p => p.getField("line")), "\n").as("text_clean"))
         .orderBy("doc_id")
     },
-    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |         WHERE text IS NOT NULL),
       |ch AS (SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
       |         i -> array_to_string(toks[i*8+1 : i*8+8], ' ')) AS chunks FROM d),
       |lns AS (SELECT doc_id,

@@ -925,7 +925,13 @@ object LlmOps {
     * the 2.2e-4 tail.
     * Oracle: recursive closure over the EXACT Jaccard ≥ 0.8 edge set —
     * the oracle does not model LSH at all, so a banding miss would
-    * hash-mismatch, not silently pass.
+    * hash-mismatch, not silently pass. The edge set is specified through
+    * an inverted shingle index (unnest → h-equi-join → per-pair match
+    * count = intersection, sh being distinct) rather than an all-pairs
+    * list_intersect join: the SAME exact edges (verified equal), but
+    * O(shingle matches) instead of O(n²·|sh|) — 0.6 s vs 18.7 s at
+    * sf0.01, ~3 min vs ~35 min at sf0.1. MATERIALIZED pins e to one
+    * evaluation under the recursion.
     */
   val i39_dedup_components_lsh = OpQuery(
     (s, d) => {
@@ -939,11 +945,14 @@ object LlmOps {
         .orderBy("doc_id")
     },
     Some(shinglesSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
-       |e AS (
-       |  SELECT a.doc_id AS a, b.doc_id AS b
-       |  FROM s a JOIN s b ON a.doc_id <> b.doc_id
-       |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-       |      / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+       |x AS (SELECT doc_id, unnest(sh) AS h FROM s),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |          FROM x a JOIN x b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |          GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT ia AS a, ib AS b FROM inter
+       |  JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib
+       |  WHERE i::DOUBLE / (len(sa.sh) + len(sb.sh) - i) >= 0.8
        |), reach(src, dst) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION

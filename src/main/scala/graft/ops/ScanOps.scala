@@ -229,11 +229,7 @@ object ScanOps {
         t(s, d, "nation").orderBy("n_nationkey"),
         strLens = Map("n_name" -> 25))
       val gzPath = fitsPath + ".gz"
-      val out = new java.util.zip.GZIPOutputStream(
-        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(gzPath)))
-      try out.write(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(fitsPath)))
-      finally out.close()
+      graft.Util.gzipFile(fitsPath, gzPath)
       s.read.format("fits").load(fitsPath, gzPath)
         .orderBy("n_nationkey")
     },
@@ -377,6 +373,11 @@ object ScanOps {
     * a pure layout change. The spec asserts the file counts (many → few)
     * — the part the oracle can't see.
     */
+  /** Shared with ScanOpsSpec, whose expected-file-count bound is derived
+    * from this value — one definition or the bound silently drifts.
+    */
+  private[graft] val CompactMaxRecordsPerFile = 500000
+
   val a15_compact_files = OpQuery(
     (s, d) => {
       val frag = graft.Util.scratch("a15_fragmented")
@@ -385,7 +386,8 @@ object ScanOps {
       src.repartition(64).write.mode("overwrite").parquet(frag) // the problem
       s.read.parquet(frag)
         .coalesce(4) // no shuffle: merges splits
-        .write.mode("overwrite").option("maxRecordsPerFile", 500000)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", CompactMaxRecordsPerFile)
         .parquet(compact)
       s.read.parquet(compact).orderBy("o_orderkey")
     },

@@ -165,11 +165,7 @@ class FitsFuzzSpec extends SparkTestBase {
       val back = spark.read.format("fits").load(path).collect()
       // the gz path must decode the same frame from the same bytes
       val gz = path + ".gz"
-      val out = new java.util.zip.GZIPOutputStream(
-        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(gz)))
-      try out.write(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(path)))
-      finally out.close()
+      Util.gzipFile(path, gz)
       val backGz = spark.read.format("fits").load(gz).collect()
       back.length == rows.length && {
         def norm(rs: Array[Row]) = rs.map(r => r.toSeq.map {

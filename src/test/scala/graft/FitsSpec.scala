@@ -458,9 +458,7 @@ class FitsSpec extends SparkTestBase {
     val plain = "/tmp/graft_test/varlen_gz_src.fits"
     FitsWriter.write(plain, schema, rows, varCols = Map("pj" -> 'P', "qd" -> 'Q'))
     val gz = plain + ".gz"
-    val out = new java.util.zip.GZIPOutputStream(
-      java.nio.file.Files.newOutputStream(Paths.get(gz)))
-    try out.write(Files.readAllBytes(Paths.get(plain))) finally out.close()
+    Util.gzipFile(plain, gz)
 
     // schema from the gz header walk + every cell (fixed AND heap) equal
     val a = spark.read.format("fits").load(plain).orderBy("id").collect()

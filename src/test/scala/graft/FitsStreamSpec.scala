@@ -67,12 +67,7 @@ class FitsStreamSpec extends SparkTestBase {
     // the gz member: written plain under a name OUTSIDE the glob, then
     // compressed into it (the crawl-drop shape: compressed files land)
     writeNationSlice(dir, "raw_b.fits", 8, 16)
-    val out = new java.util.zip.GZIPOutputStream(
-      java.nio.file.Files.newOutputStream(
-        java.nio.file.Paths.get(s"$dir/drop_b.fits.gz")))
-    try out.write(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/raw_b.fits")))
-    finally out.close()
+    Util.gzipFile(s"$dir/raw_b.fits", s"$dir/drop_b.fits.gz")
     runAvailableNow(s"$dir/drop_*", s"$dir/ckpt", s"$dir/out")
     val got = spark.read.parquet(s"$dir/out")
     val expect = Tables.t(spark, sfDir, "nation").filter(col("n_nationkey") < 16)

@@ -57,7 +57,8 @@ class ScanOpsSpec extends SparkTestBase {
     // the 4 coalesced partitions into more files once orders outgrows ~2M
     // rows — the exact-64 / ≤4 constants only held at the gate SF.
     val rows = spark.read.parquet(graft.Util.scratch("a15_fragmented")).count()
-    val maxAfter = 4 * math.ceil(rows / (4.0 * 500000)).toInt
+    val perFile = graft.ops.ScanOps.CompactMaxRecordsPerFile
+    val maxAfter = 4 * math.ceil(rows / (4.0 * perFile)).toInt
     assert(before >= 32, s"fragmentation fixture wrote only $before files")
     assert(after >= 1 && after <= maxAfter, s"compaction left $after files (max $maxAfter)")
     assert(after < before, s"compaction did not reduce file count ($before -> $after)")
