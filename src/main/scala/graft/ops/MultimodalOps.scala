@@ -136,21 +136,39 @@ object MultimodalOps {
       |    i -> (doc_id + i) % 256)) AS BIGINT) AS px_sum
       |FROM documents ORDER BY doc_id""".stripMargin)
 
-  /** m2: frame sampling — every-7th-position probes of the payload
-    * (stand-in for video frame extraction; batch shape: fixed-size sample
-    * vector per row, computed in codegen'd collection expressions).
-    */
-  /** Frame sampling builds an array internally; the dumped cell is the
-    * CSV-joined form (driver comparator is scalar-only — r1 gate crash).
+  /** m2: frame sampling over the DECODED image (real since r4, like
+    * m1/m3): the image's rows stand in for a clip's frames — sample 8 of
+    * them at even stride (row floor(k·h/8)) and emit each sampled frame's
+    * pixel sum (exact integer). Per-partition decode, fixed-size sample
+    * vector per row, dumped CSV-joined (driver comparator is
+    * scalar-only — r1 gate crash). The oracle recomputes the planted
+    * closed form; sums come out of the real decoded raster.
     */
   val m2_multimodal_frame_sample = OpQuery(
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        expr("array_join(transform(transform(sequence(0, 7), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))), x -> cast(x AS STRING)), ',')")
-          .as("frames"))
-      .orderBy("doc_id"),
+    (s, d) => {
+      import s.implicits._
+      val sampled = pngTable(s, d).mapPartitions { it =>
+        it.map { b =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.png))
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val sums = (0 until 8).map { k =>
+            val y = k * h / 8
+            var s = 0L
+            var x = 0
+            while (x < w) { s += raster.getSample(x, y, 0); x += 1 }
+            s
+          }
+          (b.doc_id, sums.mkString(","))
+        }
+      }.toDF("doc_id", "frames")
+      sampled.orderBy("doc_id")
+    },
     """SELECT doc_id,
-      |  array_to_string(list_transform(range(0, 8), i -> ascii(substr(text, (i * 7) % greatest(length(text), 1) + 1, 1))), ',') AS frames
+      |  array_to_string(list_transform(range(0, 8),
+      |    k -> CAST(list_sum(list_transform(range(0, 16 + doc_id % 32),
+      |           x -> (doc_id + (k * (8 + doc_id % 16) // 8) * (16 + doc_id % 32) + x) % 256)) AS BIGINT)), ',') AS frames
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   /** m3: feature extraction over the DECODED image — the batch-inference
@@ -184,18 +202,34 @@ object MultimodalOps {
   private def aggregateHist =
     expr("aggregate(hist, 0L, (acc, x) -> acc + x)").cast(DoubleType)
 
-  /** m4: resize — nearest-neighbor resample of the payload to a fixed
-    * 8-byte thumbnail (the image-resize shape on opaque bytes; codegen'd
-    * collection expression, dumped CSV-joined per the scalar-only rule).
+  /** m4: resize over the DECODED image (real since r4): nearest-neighbor
+    * resample of the raster to a fixed 4×4 thumbnail —
+    * out(x,y) = px(⌊x·w/4⌋, ⌊y·h/4⌋) — dumped as the 16 gray levels
+    * CSV-joined (scalar-only rule). Same per-partition decode plumbing;
+    * the oracle recomputes the planted pixel formula at the 16 sampled
+    * coordinates, so a resize reading wrong source pixels hash-mismatches.
     */
   val m4_multimodal_resize = OpQuery(
-    (s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        expr("array_join(transform(sequence(0, 7), k -> cast(ascii(substr(text, cast((k * length(text)) div 8 AS INT) + 1, 1)) AS STRING)), ',')")
-          .as("resized"))
-      .orderBy("doc_id"),
+    (s, d) => {
+      import s.implicits._
+      val thumbs = pngTable(s, d).mapPartitions { it =>
+        it.map { b =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b.png))
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          val px = for (y <- 0 until 4; x <- 0 until 4)
+            yield raster.getSample(x * w / 4, y * h / 4, 0)
+          (b.doc_id, px.mkString(","))
+        }
+      }.toDF("doc_id", "resized")
+      thumbs.orderBy("doc_id")
+    },
     """SELECT doc_id,
-      |  array_to_string(list_transform(range(0, 8), k -> ascii(substr(text, CAST(k * strlen(text) // 8 AS INT) + 1, 1))), ',') AS resized
+      |  array_to_string(list_transform(range(0, 16),
+      |    k -> (doc_id
+      |          + ((k // 4) * (8 + doc_id % 16) // 4) * (16 + doc_id % 32)
+      |          + (k % 4) * (16 + doc_id % 32) // 4) % 256), ',') AS resized
       |FROM documents ORDER BY doc_id""".stripMargin)
 
   val all: Map[String, OpQuery] = Map(
