@@ -298,6 +298,51 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i37 agrees with a plain-Scala reference on a random corpus") {
+    // randomized robustness beyond the fixture: short docs (< 8 tokens),
+    // docs sharing natural chunks (so NATURAL lines can cross the >10-doc
+    // frequency threshold, not just the planted boiler), variable lengths
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    // a fixed 8-token opening shared by 15 docs forms an identical first
+    // CHUNK — a natural line that must cross the >10-doc frequency bar
+    val shared = Seq.fill(8)("omega")
+    val docs = (0L until 60L).map { id =>
+      val n = 1 + rnd.nextInt(20)
+      val toks = (if (id % 4 == 1) shared else Nil) ++
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (id, toks.mkString(" "), "en", s"src${id % 3}", 0L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_i37_rand").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.i37_dedup_lines.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // plain-Scala reference of the whole operator (planting + frequency +
+    // drop + ordered reassembly)
+    val hdr = "subscribe to our newsletter for daily updates"
+    val ftr = "copyright twenty twenty four example corp all rights reserved"
+    val lines = docs.map { case (id, text, _, _, _) =>
+      val chunks = text.split(" ").grouped(8).map(_.mkString(" ")).toSeq
+      id -> ((if (id % 2 == 0) Seq(hdr) else Nil) ++ chunks ++
+        (if (id % 3 == 0) Seq(ftr) else Nil))
+    }.toMap
+    val docFreq = lines.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val boiler = docFreq.filter(_._2 > 10).keySet
+    assert(boiler.exists(l => l != hdr && l != ftr),
+      "random corpus must push a NATURAL line over the frequency bar")
+    docs.foreach { case (id, _, _, _, _) =>
+      val ls = lines(id)
+      val keptLines = ls.filterNot(boiler)
+      val (nl, nd, txt) = out(id)
+      assert(nl == ls.length, s"doc $id line count")
+      assert(nd == (ls.length - keptLines.length), s"doc $id dropped count")
+      assert(txt == keptLines.mkString("\n"), s"doc $id reassembly")
+    }
+  }
+
   test("i38 scores recompute from a locally built bigram LM") {
     val out = CorpusOps.i38_doc_logprob.fn(spark, sfDir).collect()
     // build the corpus LM in plain Scala (independent of the Spark path)

@@ -118,6 +118,25 @@ class LlmOpsSpec extends SparkTestBase {
     assert(meta.width == 16 + 42 % 32 && meta.height == 8 + 42 % 16)
   }
 
+  test("PngCodec: every pixel survives encode->decode for random ids") {
+    // pixel-exact round-trip (not just dims/sums): PNG gray-8 is lossless,
+    // so the decoded raster must equal the planted formula everywhere
+    val rnd = new scala.util.Random(7)
+    (0 until 25).map(_ => math.abs(rnd.nextLong()) % 1000000).foreach { id =>
+      val png = MultimodalOps.PngCodec.synth(id)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      val (w, h) = (img.getWidth, img.getHeight)
+      assert(w == 16 + id % 32 && h == 8 + id % 16, s"id $id dims")
+      val raster = img.getRaster
+      var i = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        assert(raster.getSample(x, y, 0) == ((id + i) % 256).toInt,
+          s"id $id pixel ($x,$y)")
+        i += 1
+      }
+    }
+  }
+
   test("i39 LSH-edge components equal brute-force exact-edge components") {
     val out = LlmOps.i39_dedup_components_lsh.fn(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
