@@ -141,6 +141,32 @@ class IngestCliSpec extends SparkTestBase {
       supplier.count())
   }
 
+  test("CLI ingests a mixed plain+gzipped FITS glob (the compressed-drop shape)") {
+    val dir = "/tmp/graft_test/cli_gz"
+    graft.Util.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val supplier = Tables.t(spark, sfDir, "supplier").orderBy("s_suppkey")
+    val lo = supplier.filter(col("s_suppkey") % 2 === 0)
+    val hi = supplier.filter(col("s_suppkey") % 2 === 1)
+    graft.fits.FitsWriter.writeDataFrame(s"$dir/in_a.fits", lo,
+      strLens = Map("s_name" -> 20))
+    graft.fits.FitsWriter.writeDataFrame(s"$dir/raw_b.fits", hi,
+      strLens = Map("s_name" -> 20))
+    graft.Util.gzipFile(s"$dir/raw_b.fits", s"$dir/in_b.fits.gz")
+    val out = s"$dir/out"
+    Main.run(spark, Main.parse(Seq(
+      "--format", "fits", "--dialect", "parquet", "--out", out,
+      s"$dir/in_*")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == supplier.count(),
+      s"mixed plain+gz CLI ingest produced ${back.count()} rows")
+    val a = back.select(col("s_suppkey").cast(LongType), col("s_name"))
+      .orderBy("s_suppkey").collect()
+    val e = supplier.select(col("s_suppkey").cast(LongType), col("s_name"))
+      .orderBy("s_suppkey").collect()
+    assert(a.toSeq == e.toSeq)
+  }
+
   test("struct columns flatten identically in DDL and written frame") {
     // the C/M complex case: DDL flattens vis -> vis_re/vis_im; the frame
     // Spark appends must agree or the load fails (ADVICE r2 medium)
