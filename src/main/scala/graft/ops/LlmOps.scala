@@ -973,6 +973,62 @@ object LlmOps {
        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canonical
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin))
 
+  /** i40: canonical SELECTION — the policy step after component finding:
+    * real pipelines keep the LONGEST member of each near-dup cluster (the
+    * truncated/excerpted copies are the ones to drop), not the min-id.
+    * Composes i39's machinery (minhash LSH edges → shared component
+    * engine) with the keep-best verdict: one row per document carrying
+    * its component, a keep flag, and the id actually kept for its
+    * cluster. Selection orders by (n_chars DESC, doc_id) — deterministic
+    * under ties — via two windows partitioned BY COMPONENT: at 100 TB
+    * components are tiny (near-dup clusters), so the window shuffle keys
+    * on millions of small partitions, the parallel-friendly shape.
+    * Oracle: i39's inverted-index closure CTE + the same two windows.
+    */
+  val i40_dedup_keep_best = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val edges = minhashVerifiedPairs(s, d).select(col("a_id"), col("b_id"))
+      val labelDf = connectedComponents(s, edges)
+        .withColumnRenamed("node_id", "doc_id")
+      val labeled = docs.select(col("doc_id"), col("n_chars"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("lbl"), col("doc_id")))
+      val ord = Window.partitionBy("component")
+        .orderBy(desc("n_chars"), asc("doc_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      labeled
+        .withColumn("keep", row_number().over(ord) === 1)
+        .withColumn("kept_id", first(col("doc_id")).over(full))
+        .select(col("doc_id"), col("component"), col("keep"), col("kept_id"))
+        .orderBy("doc_id")
+    },
+    Some(shinglesSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+       |x AS (SELECT doc_id, unnest(sh) AS h FROM s),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |          FROM x a JOIN x b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |          GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT ia AS a, ib AS b FROM inter
+       |  JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib
+       |  WHERE i::DOUBLE / (len(sa.sh) + len(sb.sh) - i) >= 0.8
+       |), reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+       |),
+       |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
+       |         FROM reach GROUP BY src)
+       |SELECT c.doc_id, c.component,
+       |  row_number() OVER (PARTITION BY c.component
+       |                     ORDER BY dd.n_chars DESC, c.doc_id) = 1 AS keep,
+       |  first_value(c.doc_id) OVER (PARTITION BY c.component
+       |    ORDER BY dd.n_chars DESC, c.doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_id
+       |FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
+       |ORDER BY c.doc_id""".stripMargin))
+
   /** i24: benchmark decontamination — flag training documents that contain
     * an eval-benchmark document (source 'src0' stands in for the eval
     * suite). The metric is asymmetric CONTAINMENT |sh(train) ∩ sh(bench)| /
@@ -1187,6 +1243,7 @@ object LlmOps {
   val all: Map[String, OpQuery] = Map(
     "i23_dedup_components" -> i23_dedup_components,
     "i39_dedup_components_lsh" -> i39_dedup_components_lsh,
+    "i40_dedup_keep_best" -> i40_dedup_keep_best,
     "i24_decontaminate" -> i24_decontaminate,
     "i25_dedup_incremental" -> i25_dedup_incremental,
     "i27_repetition_stats" -> i27_repetition_stats,

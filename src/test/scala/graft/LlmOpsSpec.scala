@@ -177,6 +177,31 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i40 keeps exactly the longest member of every i39 component") {
+    val comps = LlmOps.i39_dedup_components_lsh.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = Tables.t(spark, sfDir, "documents").select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = LlmOps.i40_dedup_keep_best.fn(spark, sfDir).collect()
+    assert(out.length == comps.size)
+    val byComp = comps.groupBy(_._2)
+    out.foreach { r =>
+      val (id, comp, keep, keptId) =
+        (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))
+      assert(comp == comps(id), s"doc $id component disagrees with i39")
+      val members = byComp(comp).keys.toSeq
+      val best = members.maxBy(m => (chars(m), -m)) // n_chars desc, id asc
+      assert(keptId == best, s"component $comp kept $keptId, longest is $best")
+      assert(keep == (id == best), s"doc $id keep flag")
+    }
+    // non-vacuous: some cluster must actually drop a shorter member
+    assert(out.exists(r => !r.getBoolean(2)), "no multi-doc cluster exercised")
+    // and at least one cluster's kept member must NOT be the min id —
+    // otherwise this would be indistinguishable from i39's min-label policy
+    assert(out.exists(r => r.getLong(3) != r.getLong(1)),
+      "keep-best never diverged from min-id; fixture too weak")
+  }
+
   test("blocked kernel output is invariant to block width (multi-block path)") {
     // Forces the cross-block path (≥3 blocks) at unit scale — before this,
     // multi-block only ran at sf0.1 — and pins the adaptive default to the
