@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.LongType
   * `graft.ingest.Main` (which is the fits2db argv surface). Composes the
   * GATED operators into the standard prep chain:
   *
-  *   quality filter (i29) → near-dup drop (i10 MinHash+LSH) →
+  *   quality filter (i29) → near-dup drop (i10 pair semantics, or
+  *   i39+i40 keep-longest component semantics via `--dedup keepbest`) →
   *   benchmark decontamination (i24, optional `--decontam <benchDir>`) →
   *   split assignment (i20) → shard + dense position (i21) →
   *   partitioned parquet write + JSON manifest
@@ -80,14 +81,14 @@ object PrepMain {
       i += 2
     }
     require(o.in.nonEmpty && o.out.nonEmpty,
-      "usage: --in <tableDir> --out <dir> [--dedup minhash|none] " +
+      "usage: --in <tableDir> --out <dir> [--dedup minhash|keepbest|none] " +
         "[--dedup-tau t>=0.8] [--decontam <benchDir>] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q]")
-    require(Set("minhash", "none")(o.dedup),
-      s"--dedup must be minhash|none, got ${o.dedup}")
-    // only meaningful when the minhash stage actually runs: --dedup none
-    // with a stray tau must not be rejected for a disabled stage
-    require(o.dedup != "minhash" || o.dedupTau >= 0.8,
+    require(Set("minhash", "keepbest", "none")(o.dedup),
+      s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
+    // only meaningful when an LSH stage actually runs: --dedup none with a
+    // stray tau must not be rejected for a disabled stage
+    require(o.dedup == "none" || o.dedupTau >= 0.8,
       s"--dedup-tau must be >= 0.8 (LSH banding recall bound), got ${o.dedupTau}")
     o
   }
@@ -115,10 +116,29 @@ object PrepMain {
       .persist(lvl)
     val nQualityKept = keptQuality.count()
 
-    // -- stage 2: near-dup drop (i10 pairs; right member of each pair) -----
+    // -- stage 2: near-dup drop ------------------------------------------
+    // minhash:  i10's pair semantics — every pair (a < b) drops b.
+    // keepbest: i39+i40's component semantics — cluster the pairs into
+    //           components and drop everything but each cluster's LONGEST
+    //           member (the policy real pipelines ship: truncated copies
+    //           are the ones to lose). Both are corpus-keyed (idempotent).
     val dupDrops: DataFrame = opts.dedup match {
       case "minhash" => LlmOps.minhashVerifiedPairs(spark, opts.in, opts.dedupTau)
         .select(col("b_id").as("doc_id")).distinct()
+      case "keepbest" =>
+        val edges = LlmOps.minhashVerifiedPairs(spark, opts.in, opts.dedupTau)
+          .select(col("a_id"), col("b_id"))
+        val labels = LlmOps.connectedComponents(spark, edges)
+          .withColumnRenamed("node_id", "doc_id")
+        // only edge-touching docs can be non-canonical; pick each
+        // component's keeper by (n_chars DESC, doc_id) as i40 does
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lbl").orderBy(col("n_chars").desc, col("doc_id").asc)
+        docs.select(col("doc_id"), col("n_chars"))
+          .join(labels, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") > 1)
+          .select("doc_id")
       case _ => spark.range(0).select(col("id").as("doc_id"))
     }
     val keptDedup = keptQuality.join(broadcast(dupDrops), Seq("doc_id"), "left_anti")

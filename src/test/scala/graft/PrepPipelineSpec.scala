@@ -113,6 +113,30 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(residual == 0, s"$residual contaminated docs survived --decontam")
   }
 
+  test("--dedup keepbest keeps each cluster's longest member; output still pair-free") {
+    val out2 = Util.scratch("prep_out_keepbest")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, out2, "keepbest"))
+    // pair-free: pairs cluster into components and only one member
+    // survives, so re-running the gated i10 on the output finds nothing
+    val residual = LlmOps.i10_dedup_minhash_lsh.fn(spark, out2).count()
+    assert(residual == 0, s"$residual duplicate pairs survived keepbest")
+    // the survivor of every cluster is i40's keeper (when quality kept it)
+    val written = spark.read.parquet(s"$out2/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val i40 = LlmOps.i40_dedup_keep_best.fn(spark, sfDir).collect()
+    i40.filter(r => !r.getBoolean(2)).foreach { r =>
+      assert(!written.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} is not its cluster's keeper but survived")
+    }
+    assert(m("n_dedup_dropped") <= m("n_dup_members_corpus"))
+    // keepbest must actually diverge from the pair policy somewhere: some
+    // kept doc is a cluster keeper that the b_id rule would have dropped
+    val bIds = LlmOps.i10_dedup_minhash_lsh.fn(spark, sfDir)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(i40.exists(r => r.getBoolean(2) && bIds.contains(r.getLong(0))),
+      "fixture never distinguishes keepbest from the b_id rule")
+  }
+
   test("argv parsing: flags map to opts, bad input rejected") {
     val o = PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "none"))
     assert(o == PrepMain.Opts("a", "b", "none"))
