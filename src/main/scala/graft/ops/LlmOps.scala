@@ -347,13 +347,19 @@ object LlmOps {
         .select(col("a_id"), col("b_id"), round(col("jac"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     },
-    s"""$shinglesSqlCte
-       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
-       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-       |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-       |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    // inverted-index form of the exact pair spec (same rewrite as i10's
+    // oracle, lang carried into the h-join): verified row-identical,
+    // 1.2 s → 0.1 s at sf0.01, 123 s → 9 s at sf0.1
+    s"""$shinglesSqlCte,
+       |x AS (SELECT doc_id, lang, unnest(sh) AS h FROM s),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |          FROM x a JOIN x b ON a.h = b.h AND a.lang = b.lang
+       |            AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT ia AS a_id, ib AS b_id,
+       |  round(i::DOUBLE / (len(sa.sh) + len(sb.sh) - i), 6) AS jaccard
+       |FROM inter JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib
+       |WHERE i::DOUBLE / (len(sa.sh) + len(sb.sh) - i) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin)
 
   /** i10: MinHash + LSH banding — the 100 TB near-dup path. 64 minhashes,
@@ -1074,11 +1080,16 @@ object LlmOps {
       containmentFlags(docs.filter(col("source") =!= "src0"),
         docs.filter(col("source") === "src0"), 0.8)
     },
-    s"""${shinglesSqlCteFor("source", minToks = true)}
-      |SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
-      |  round(len(list_intersect(tr.sh, be.sh))::DOUBLE / len(be.sh), 6) AS containment
-      |FROM s tr JOIN s be ON tr.source <> 'src0' AND be.source = 'src0'
-      |WHERE len(list_intersect(tr.sh, be.sh))::DOUBLE / len(be.sh) >= 0.8
+    s"""${shinglesSqlCteFor("source", minToks = true)},
+      |x AS (SELECT doc_id, source, unnest(sh) AS h FROM s),
+      |inter AS (SELECT a.doc_id AS it, b.doc_id AS ibe, count(*) AS i
+      |          FROM x a JOIN x b ON a.h = b.h
+      |            AND a.source <> 'src0' AND b.source = 'src0'
+      |          GROUP BY 1, 2)
+      |SELECT it AS train_id, ibe AS bench_id,
+      |  round(i::DOUBLE / len(sb.sh), 6) AS containment
+      |FROM inter JOIN s sb ON sb.doc_id = ibe
+      |WHERE i::DOUBLE / len(sb.sh) >= 0.8
       |ORDER BY train_id, bench_id""".stripMargin)
 
   /** i25: incremental (batch-vs-corpus) near-dup — the nightly-crawl shape:
@@ -1111,13 +1122,16 @@ object LlmOps {
         .select("batch_id", "corpus_id").distinct()
       verifyJaccard(cand, base, "batch_id", "corpus_id", 0.8)
     },
-    s"""$shinglesSqlCte
-       |SELECT ba.doc_id AS batch_id, co.doc_id AS corpus_id,
-       |  round(len(list_intersect(ba.sh, co.sh))::DOUBLE
-       |    / (len(ba.sh) + len(co.sh) - len(list_intersect(ba.sh, co.sh))), 6) AS jaccard
-       |FROM s ba JOIN s co ON ba.doc_id % 10 = 0 AND co.doc_id % 10 <> 0
-       |WHERE len(list_intersect(ba.sh, co.sh))::DOUBLE
-       |    / (len(ba.sh) + len(co.sh) - len(list_intersect(ba.sh, co.sh))) >= 0.8
+    s"""$shinglesSqlCte,
+       |x AS (SELECT doc_id, unnest(sh) AS h FROM s),
+       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+       |          FROM x a JOIN x b ON a.h = b.h
+       |            AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+       |          GROUP BY 1, 2)
+       |SELECT ia AS batch_id, ib AS corpus_id,
+       |  round(i::DOUBLE / (len(sa.sh) + len(sb.sh) - i), 6) AS jaccard
+       |FROM inter JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib
+       |WHERE i::DOUBLE / (len(sa.sh) + len(sb.sh) - i) >= 0.8
        |ORDER BY batch_id, corpus_id""".stripMargin)
 
   /** i27: repetition statistics — the Gopher-class quality filters that
