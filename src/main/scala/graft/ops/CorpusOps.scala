@@ -440,6 +440,110 @@ object CorpusOps {
       |FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin))
 
+  // -------- i41: substring-level exact dedup -------------------------------
+
+  /** The synthetic corpus has no natural long repeats, so (the i30/i37
+    * planting convention) a 12-token sentinel passage is inserted after
+    * token 5 of every doc_id % 7 == 0 document, with the SAME construction
+    * in the oracle. Sentinel words appear nowhere else in the corpus, so
+    * the spec can assert they are all removed; natural 8-gram repeats the
+    * small fixture vocabulary produces are ALSO legitimately removed (both
+    * engines agree by construction).
+    */
+  private val PlantToks: Seq[String] =
+    "abcdefghijkl".map(c => s"dupseg$c$c")
+  private val plantSql = PlantToks.map(w => s"'$w'").mkString("[", ",", "]")
+
+  /** i41: substring-level (k-token span) exact dedup — the finest of the
+    * dedup granularities (document b10, near i5/i10/i11, semantic i35,
+    * line i37, incremental i25): remove every token covered by some
+    * k-token span that occurs verbatim in ≥ 2 distinct documents. This is
+    * the exact-substring dedup of the standard LLM prep stack (train-set
+    * memorization removal) expressed relationally: spans are the k = 8
+    * rolling windows over the token stream; a span's corpus frequency
+    * decides duplication; covered token positions are the union of
+    * duplicated-span extents; output = per-doc token/coverage counts plus
+    * the kept text with covered tokens excised, order preserved.
+    *
+    * Shape at scale: the span explode is map-side (k·n_tokens rows of
+    * (id, pos, span)); span frequency is ONE shuffle keyed by the span —
+    * at 100 TB the key would be xxhash64(span) so 8-byte hashes shuffle,
+    * not text (the string key here keeps the oracle engine-portable), and
+    * k would be ~50 tokens. The coverage join is an equi-join on the same
+    * key (no broadcast assumed: the duplicated-span set is corpus-sized in
+    * the worst case, and AQE downgrades to broadcast when it is small, as
+    * on this fixture). Position expansion is ×k map-side; the only
+    * text-carrying shuffle is the per-doc reassembly groupBy, keyed
+    * doc_id — parallel across documents, same as i37.
+    */
+  val i41_dedup_substring = OpQuery(
+    (s, d) => {
+      val k = 8
+      val docs = t(s, d, "documents")
+        .where(col("text").isNotNull) // the i37/i38 NULL-text guard
+        .withColumn("toks0", split(col("text"), " "))
+        .withColumn("toks", when(col("doc_id") % 7 === 0,
+          concat(slice(col("toks0"), 1, 5),
+            array(PlantToks.map(lit): _*),
+            expr("slice(toks0, 6, greatest(size(toks0) - 5, 0))")))
+          .otherwise(col("toks0")))
+        .select("doc_id", "toks")
+        // both the span pipeline and the token pipeline read this frame —
+        // without the checkpoint the tokenize+plant map runs twice (the
+        // i37 shared-base convention)
+        .localCheckpoint()
+      // CASE guard: sequence(1, n) runs DESCENDING for n < 1 (the b6/i37
+      // sequence trap) — short docs must yield zero spans, not garbage
+      val spans = docs
+        .select(col("doc_id"), explode(expr(
+          s"""CASE WHEN size(toks) >= $k
+             |  THEN transform(sequence(1, size(toks) - ${k - 1}),
+             |    i -> struct(i - 1 AS p0, array_join(slice(toks, i, $k), ' ') AS span))
+             |  ELSE CAST(array() AS array<struct<p0:int,span:string>>) END""".stripMargin))
+          .as("sp"))
+        .select(col("doc_id"), col("sp.p0").as("p0"), col("sp.span").as("span"))
+        .localCheckpoint() // read twice: frequency agg + probe side
+      val dup = spans.groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select("span")
+      val covered = spans.join(dup, Seq("span"))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(p0 + 1, p0 + $k)")).as("pos"))
+        .distinct()
+        .withColumn("cov", lit(true))
+      docs
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0t", "tok")))
+        .select(col("doc_id"), (col("p0t") + 1).as("pos"), col("tok"))
+        .join(covered, Seq("doc_id", "pos"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("cov"), 1L).otherwise(0L)).as("n_dup_tokens"),
+          array_join(transform(array_sort(collect_list(
+            when(col("cov").isNull, struct(col("pos"), col("tok"))))),
+            p => p.getField("tok")), " ").as("text_kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents
+      |         WHERE text IS NOT NULL),
+      |d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+      |        THEN toks0[1:5] || $plantSql || toks0[6:]
+      |        ELSE toks0 END AS toks FROM d0),
+      |sp AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 7, 0) + 1),
+      |         i -> {'p0': i - 1, 'span': array_to_string(toks[i:i+7], ' ')}),
+      |         recursive := true) FROM d),
+      |dup AS (SELECT span FROM sp GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, pos FROM (
+      |         SELECT s.doc_id, unnest(range(s.p0 + 1, s.p0 + 9)) AS pos
+      |         FROM sp s JOIN dup USING (span))),
+      |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |         i -> {'pos': i, 'tok': toks[i]}), recursive := true) FROM d)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT) AS n_dup_tokens,
+      |  coalesce(array_to_string(list(t.tok ORDER BY t.pos)
+      |    FILTER (WHERE c.pos IS NULL), ' '), '') AS text_kept
+      |FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+
   // -------- i34: k-means (Lloyd) over embeddings ---------------------------
 
   /** i34: two Lloyd iterations of k-means (k = 4) over the embedding table
@@ -605,5 +709,6 @@ object CorpusOps {
     "i35_semdedup" -> i35_semdedup,
     "i36_collocation_lift" -> i36_collocation_lift,
     "i37_dedup_lines" -> i37_dedup_lines,
-    "i38_doc_logprob" -> i38_doc_logprob)
+    "i38_doc_logprob" -> i38_doc_logprob,
+    "i41_dedup_substring" -> i41_dedup_substring)
 }

@@ -343,6 +343,88 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  /** Plain-Scala reference of the whole i41 operator (planting + span
+    * frequency + coverage + ordered excision) for both i41 tests.
+    */
+  private def refSubstringDedup(docs: Map[Long, String])
+  : Map[Long, (Long, Long, String)] = {
+    val plant = "abcdefghijkl".map(c => s"dupseg$c$c")
+    val toks = docs.map { case (id, text) =>
+      val t0 = text.split(" ").toSeq
+      id -> (if (id % 7 == 0) t0.take(5) ++ plant ++ t0.drop(5) else t0)
+    }
+    val spanDocs = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(8).filter(_.length == 8).map(_.mkString(" ")).distinct.map(_ -> id) }
+    val dup = spanDocs.groupBy(_._1)
+      .collect { case (s, xs) if xs.map(_._2).distinct.size >= 2 => s }.toSet
+    toks.map { case (id, ts) =>
+      val covered = ts.sliding(8).zipWithIndex
+        .filter { case (w, _) => w.length == 8 && dup(w.mkString(" ")) }
+        .flatMap { case (_, i) => i until i + 8 }.toSet
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> ((ts.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }
+  }
+
+  test("i41 plan: equi-joins only, no all-pairs fallback") {
+    val plan = CorpusOps.i41_dedup_substring.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"i41 degenerated to an all-pairs join:\n$plan")
+  }
+
+  test("i41 removes every planted span occurrence and matches the reference") {
+    val out = CorpusOps.i41_dedup_substring.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == docs.size)
+    val expected = refSubstringDedup(docs)
+    docs.keys.foreach { id =>
+      assert(out(id) == expected(id), s"doc $id diverged from reference")
+    }
+    // the sentinel passage is removed EVERYWHERE it was planted, and the
+    // fixture exercises both classes (planted docs, untouched docs)
+    out.values.foreach { case (_, _, kept) =>
+      assert(!kept.contains("dupseg"), "a planted span survived dedup") }
+    assert(docs.keys.exists(id => id % 7 == 0 && out(id)._2 >= 12))
+    assert(out.exists { case (id, (n, nd, _)) => nd == 0 && n > 0 && id % 7 != 0 })
+  }
+
+  test("i41 agrees with the reference on a random corpus with short docs") {
+    // beyond the fixture: docs shorter than the span width (zero spans),
+    // natural cross-doc repeats from a 3-word vocabulary, and docs that
+    // end up fully covered (text_kept == "")
+    val rnd = new scala.util.Random(17)
+    import spark.implicits._
+    val vocab = Vector("ax", "bx", "cx")
+    val shared = Seq.tabulate(10)(i => vocab(i % 3))
+    val docs = (0L until 80L).map { id =>
+      val n = 1 + rnd.nextInt(18)
+      val toks =
+        if (id % 5 == 2) shared // whole doc = the shared passage
+        else Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      (id, toks.mkString(" "), "en", s"src${id % 3}", 0L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_i41_rand").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.i41_dedup_substring.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val expected = refSubstringDedup(docs.map(d => d._1 -> d._2).toMap)
+    assert(out.size == expected.size)
+    expected.foreach { case (id, want) =>
+      assert(out(id) == want, s"doc $id diverged from reference")
+    }
+    // the regime assertions: a fully covered doc and a zero-span doc exist
+    assert(out.values.exists { case (n, nd, txt) => n == nd && txt == "" },
+      "random corpus must produce a fully-covered doc")
+    assert(out.exists { case (id, (n, nd, _)) => n < 8 && nd == 0 },
+      "random corpus must include short zero-span docs")
+  }
+
   test("i38 scores recompute from a locally built bigram LM") {
     val out = CorpusOps.i38_doc_logprob.fn(spark, sfDir).collect()
     // build the corpus LM in plain Scala (independent of the Spark path)
