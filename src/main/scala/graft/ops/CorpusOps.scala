@@ -440,6 +440,62 @@ object CorpusOps {
       |FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin))
 
+  // -------- i42: vocabulary-apply encode -----------------------------------
+
+  /** i42: corpus encode — apply a top-V vocabulary to turn every document
+    * into its token-id sequence, the tokenizer-encode step between vocab
+    * construction (i33) and sequence packing (i22): id = frequency rank
+    * (1-based, ties by token — i33's total order), out-of-vocabulary = 0.
+    * V = 16 here so the fixture (31 distinct tokens) exercises both the
+    * in-vocab and the OOV regime at every SF; production V (BPE-sized,
+    * 32k–256k entries) changes nothing below.
+    *
+    * Shape at scale: the vocabulary is a Heaps-law-bounded aggregate
+    * (one token-keyed shuffle over (tok, count) pairs — map-side partial
+    * agg, never document bodies), collapsed to a SINGLE map row and
+    * broadcast; the encode itself is then a NARROW map — transform +
+    * element_at per token, whole-stage codegen, no shuffle, no explode,
+    * no reassembly. The 1-row broadcast nested-loop attach is the
+    * sanctioned scalar-bridge shape (j4's global-max pattern), free at
+    * any corpus size. The rank window runs over the aggregated
+    * vocabulary, not the corpus (the i33 precedent).
+    */
+  val i42_vocab_encode = OpQuery(
+    (s, d) => {
+      val toksDf = t(s, d, "documents")
+        .where(col("text").isNotNull) // the i37/i38 NULL-text guard
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint() // read twice: vocab aggregate + encode
+      val vocab = toksDf.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cf"))
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("cf").desc, col("tok"))))
+        .filter(col("rnk") <= 16)
+      val vmap = vocab.agg(map_from_entries(
+        collect_list(struct(col("tok"), col("rnk")))).as("vmap"))
+      toksDf.crossJoin(broadcast(vmap))
+        .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"),
+          expr("transform(toks, t -> CAST(coalesce(element_at(vmap, t), 0) AS BIGINT))")
+            .as("ids_arr"))
+        .select(col("doc_id"), col("n_tok"),
+          expr("CAST(size(filter(ids_arr, i -> i = 0)) AS BIGINT)").as("n_oov"),
+          array_join(expr("transform(ids_arr, i -> CAST(i AS STRING))"), " ")
+            .as("ids"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |         WHERE text IS NOT NULL),
+      |v AS (SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+      |      FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok
+      |      QUALIFY rnk <= 16),
+      |tk AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+      |         i -> {'pos': i, 'tok': toks[i]}), recursive := true) FROM d)
+      |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |  CAST(count(*) FILTER (WHERE v.rnk IS NULL) AS BIGINT) AS n_oov,
+      |  array_to_string(list(CAST(coalesce(v.rnk, 0) AS BIGINT) ORDER BY tk.pos), ' ') AS ids
+      |FROM tk LEFT JOIN v ON tk.tok = v.tok
+      |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin))
+
   // -------- i41: substring-level exact dedup -------------------------------
 
   /** The synthetic corpus has no natural long repeats, so (the i30/i37
@@ -710,5 +766,6 @@ object CorpusOps {
     "i36_collocation_lift" -> i36_collocation_lift,
     "i37_dedup_lines" -> i37_dedup_lines,
     "i38_doc_logprob" -> i38_doc_logprob,
-    "i41_dedup_substring" -> i41_dedup_substring)
+    "i41_dedup_substring" -> i41_dedup_substring,
+    "i42_vocab_encode" -> i42_vocab_encode)
 }

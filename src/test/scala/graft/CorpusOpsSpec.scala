@@ -425,6 +425,44 @@ class CorpusOpsSpec extends SparkTestBase {
       "random corpus must include short zero-span docs")
   }
 
+  test("i42 encode matches a plain-Scala vocab build and is losslessly decodable") {
+    val out = CorpusOps.i42_vocab_encode.fn(spark, sfDir).collect()
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // independent vocab: top-16 by (count desc, token asc)
+    val cf = docs.values.flatMap(_.split(" ")).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val rank = cf.toSeq.sortBy { case (t, c) => (-c, t) }.take(16)
+      .zipWithIndex.map { case ((t, _), i) => t -> (i + 1L) }.toMap
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val (id, nTok, nOov, ids) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val toks = docs(id).split(" ").toSeq
+      val want = toks.map(t => rank.getOrElse(t, 0L))
+      assert(nTok == toks.length, s"doc $id n_tok")
+      assert(nOov == want.count(_ == 0L), s"doc $id n_oov")
+      assert(ids == want.mkString(" "), s"doc $id ids")
+    }
+    // both regimes are populated: in-vocab ids and OOV zeros
+    assert(out.exists(_.getLong(2) > 0), "no OOV token in the fixture")
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)), "no in-vocab token")
+  }
+
+  test("i42 encode is a narrow map: no shuffle between the scan and the ids") {
+    // the corpus side must not shuffle to encode — only the vocab aggregate
+    // (Heaps-bounded) and the final dump sort may exchange
+    val plan = CorpusOps.i42_vocab_encode.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"vocab attach fell off the broadcast path:\n$plan")
+    // corpus rows reach the project through a broadcast attach, never a
+    // corpus-keyed repartition: no HashAggregate keyed by doc_id and no
+    // Exchange hashpartitioning(doc_id...) may appear
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"encode shuffled the corpus:\n$plan")
+  }
+
   test("i38 scores recompute from a locally built bigram LM") {
     val out = CorpusOps.i38_doc_logprob.fn(spark, sfDir).collect()
     // build the corpus LM in plain Scala (independent of the Spark path)
