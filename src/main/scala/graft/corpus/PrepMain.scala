@@ -14,6 +14,8 @@ import org.apache.spark.sql.types.LongType
   *   quality filter (i29) → near-dup drop (i10 pair semantics, or
   *   i39+i40 keep-longest component semantics via `--dedup keepbest`) →
   *   benchmark decontamination (i24, optional `--decontam <benchDir>`) →
+  *   substring scrub (i41 core, optional `--scrub substring` — rewrites
+  *   text: excises tokens covered by cross-document duplicated spans) →
   *   split assignment (i20) → shard + dense position (i21) →
   *   partitioned parquet write + JSON manifest
   *
@@ -50,11 +52,13 @@ object PrepMain {
       dedupTau: Double = 0.8, decontam: Option[String] = None,
       minContainment: Double = 0.8, minTokens: Long = 20L,
       maxDupFrac: Double = 0.65, maxTopBigram: Double = 0.1,
-      minQuality: Double = 0.25)
+      minQuality: Double = 0.25, scrub: String = "none",
+      scrubSpan: Int = 8, scrubMinDocs: Int = 2)
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--min-containment", "--min-tokens", "--max-dup-frac",
-    "--max-top-bigram", "--min-quality")
+    "--max-top-bigram", "--min-quality", "--scrub", "--scrub-span",
+    "--scrub-min-docs")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -77,15 +81,27 @@ object PrepMain {
         case "--max-dup-frac" => o = o.copy(maxDupFrac = v.toDouble)
         case "--max-top-bigram" => o = o.copy(maxTopBigram = v.toDouble)
         case "--min-quality" => o = o.copy(minQuality = v.toDouble)
+        case "--scrub" => o = o.copy(scrub = v)
+        case "--scrub-span" => o = o.copy(scrubSpan = v.toInt)
+        case "--scrub-min-docs" => o = o.copy(scrubMinDocs = v.toInt)
       }
       i += 2
     }
     require(o.in.nonEmpty && o.out.nonEmpty,
       "usage: --in <tableDir> --out <dir> [--dedup minhash|keepbest|none] " +
         "[--dedup-tau t>=0.8] [--decontam <benchDir>] [--min-containment t] " +
-        "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q]")
+        "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
+        "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
+    require(Set("substring", "none")(o.scrub),
+      s"--scrub must be substring|none, got ${o.scrub}")
+    // only meaningful when the scrub stage actually runs (the --dedup-tau
+    // convention): k = 1 would excise every repeated TOKEN, min-docs = 1
+    // every document
+    require(o.scrub == "none" || (o.scrubSpan >= 2 && o.scrubMinDocs >= 2),
+      s"--scrub-span and --scrub-min-docs must be >= 2, " +
+        s"got ${o.scrubSpan}/${o.scrubMinDocs}")
     // only meaningful when an LSH stage actually runs: --dedup none with a
     // stray tau must not be rejected for a disabled stage
     require(o.dedup == "none" || o.dedupTau >= 0.8,
@@ -157,12 +173,49 @@ object PrepMain {
       .persist(lvl)
     val nAfterDecontam = kept.count()
 
+    // -- stage 3.5: substring scrub (i41 core, optional) -------------------
+    // Rewrites TEXT rather than dropping documents: every token covered by
+    // a scrub-span occurring in >= scrub-min-docs distinct KEPT documents
+    // is excised (i41's exact semantics via the same substringScrub core).
+    // Runs LAST among the content stages, over the kept set, so the
+    // doc-level drop stages above stay corpus-keyed and idempotent; a doc
+    // scrubbed to empty text remains a (empty) document — quality is not
+    // re-run. n_chars is recomputed from the rewritten text.
+    val extraPersists = scala.collection.mutable.Buffer.empty[DataFrame]
+    val (keptFinal, scrubCounts) = opts.scrub match {
+      case "substring" =>
+        val sc = graft.ops.CorpusOps.substringScrub(
+          kept.where(col("text").isNotNull)
+            // expr-form: the `split` name is shadowed by stage 4's frame
+            .select(col("doc_id"), expr("split(text, ' ')").as("toks")),
+          k = opts.scrubSpan, minDocs = opts.scrubMinDocs)
+          .persist(lvl)
+        extraPersists += sc
+        val agg = sc.agg(
+          coalesce(sum(col("n_dup_tokens")), lit(0L)),
+          coalesce(sum(when(col("n_dup_tokens") > 0, 1L).otherwise(0L)), lit(0L)))
+          .head() // bounded: one 2-long row (the manifest-count pattern)
+        // left join + coalesce: a NULL-text doc has no scrub row but must
+        // SURVIVE the stage unchanged (an inner join would silently drop
+        // it and trip the split/shard coverage require below)
+        val rewritten = kept
+          .join(sc.select(col("doc_id"), col("text_kept")), Seq("doc_id"), "left")
+          .withColumn("text", coalesce(col("text_kept"), col("text")))
+          .drop("text_kept")
+          .withColumn("n_chars", when(col("text").isNotNull,
+            length(col("text")).cast(LongType)).otherwise(col("n_chars")))
+        (rewritten, Map(
+          "n_scrub_tokens_dropped" -> agg.getLong(0),
+          "n_scrub_docs_touched" -> agg.getLong(1)))
+      case _ => (kept, Map.empty[String, Long])
+    }
+
     // -- stage 4: split + shard addresses ----------------------------------
     val split = TrainOps.i20_train_split.fn(spark, opts.in).select("doc_id", "split")
     val shard = TrainOps.i21_shard_assign.fn(spark, opts.in).select("doc_id", "shard")
     // i21's dense per-shard ordinal, recomputed over the KEPT set so output
     // addresses have no gaps (same window shape: parallel across shards)
-    val addressed = kept.join(split, "doc_id").join(shard, "doc_id")
+    val addressed = keptFinal.join(split, "doc_id").join(shard, "doc_id")
       .withColumn("pos", row_number()
         .over(Window.partitionBy("shard").orderBy("doc_id")).cast(LongType))
     // the split/shard inner joins must COVER the kept set — a partial
@@ -194,7 +247,7 @@ object PrepMain {
       "n_decontam_dropped" -> (nAfterDedup - nAfterDecontam),
       "n_dup_members_corpus" -> dupDrops.count(),
       "n_contaminated_corpus" -> decontamDrops.count(),
-      "n_final" -> nFinal) ++ verdictCounts ++ splitCounts
+      "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))
@@ -203,6 +256,7 @@ object PrepMain {
     keptQuality.unpersist(blocking = false)
     keptDedup.unpersist(blocking = false)
     kept.unpersist(blocking = false)
+    extraPersists.foreach(_.unpersist(blocking = false))
     manifest
   }
 

@@ -532,10 +532,52 @@ object CorpusOps {
     * text-carrying shuffle is the per-doc reassembly groupBy, keyed
     * doc_id — parallel across documents, same as i37.
     */
+  /** The i41 core, reusable by the prep CLI (`--scrub substring`): input
+    * is (doc_id, toks: array<string>); output one row per doc with
+    * (n_tokens, n_dup_tokens, text_kept). See i41's Scaladoc for the
+    * shape-at-scale argument.
+    */
+  private[graft] def substringScrub(docsToks: DataFrame, k: Int,
+      minDocs: Int): DataFrame = {
+    // both the span pipeline and the token pipeline read this frame —
+    // without the checkpoint the upstream map (tokenize+plant for i41,
+    // the whole prep chain for the CLI) runs twice (the i37 shared-base
+    // convention)
+    val docs = docsToks.localCheckpoint()
+    // CASE guard: sequence(1, n) runs DESCENDING for n < 1 (the b6/i37
+    // sequence trap) — short docs must yield zero spans, not garbage
+    val spans = docs
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $k
+           |  THEN transform(sequence(1, size(toks) - ${k - 1}),
+           |    i -> struct(i - 1 AS p0, array_join(slice(toks, i, $k), ' ') AS span))
+           |  ELSE CAST(array() AS array<struct<p0:int,span:string>>) END""".stripMargin))
+        .as("sp"))
+      .select(col("doc_id"), col("sp.p0").as("p0"), col("sp.span").as("span"))
+      .localCheckpoint() // read twice: frequency agg + probe side
+    val dup = spans.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("span")
+    val covered = spans.join(dup, Seq("span"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(p0 + 1, p0 + $k)")).as("pos"))
+      .distinct()
+      .withColumn("cov", lit(true))
+    docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0t", "tok")))
+      .select(col("doc_id"), (col("p0t") + 1).as("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("n_dup_tokens"),
+        array_join(transform(array_sort(collect_list(
+          when(col("cov").isNull, struct(col("pos"), col("tok"))))),
+          p => p.getField("tok")), " ").as("text_kept"))
+  }
+
   val i41_dedup_substring = OpQuery(
     (s, d) => {
-      val k = 8
-      val docs = t(s, d, "documents")
+      val planted = t(s, d, "documents")
         .where(col("text").isNotNull) // the i37/i38 NULL-text guard
         .withColumn("toks0", split(col("text"), " "))
         .withColumn("toks", when(col("doc_id") % 7 === 0,
@@ -544,40 +586,7 @@ object CorpusOps {
             expr("slice(toks0, 6, greatest(size(toks0) - 5, 0))")))
           .otherwise(col("toks0")))
         .select("doc_id", "toks")
-        // both the span pipeline and the token pipeline read this frame —
-        // without the checkpoint the tokenize+plant map runs twice (the
-        // i37 shared-base convention)
-        .localCheckpoint()
-      // CASE guard: sequence(1, n) runs DESCENDING for n < 1 (the b6/i37
-      // sequence trap) — short docs must yield zero spans, not garbage
-      val spans = docs
-        .select(col("doc_id"), explode(expr(
-          s"""CASE WHEN size(toks) >= $k
-             |  THEN transform(sequence(1, size(toks) - ${k - 1}),
-             |    i -> struct(i - 1 AS p0, array_join(slice(toks, i, $k), ' ') AS span))
-             |  ELSE CAST(array() AS array<struct<p0:int,span:string>>) END""".stripMargin))
-          .as("sp"))
-        .select(col("doc_id"), col("sp.p0").as("p0"), col("sp.span").as("span"))
-        .localCheckpoint() // read twice: frequency agg + probe side
-      val dup = spans.groupBy("span")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= 2).select("span")
-      val covered = spans.join(dup, Seq("span"))
-        .select(col("doc_id"),
-          explode(expr(s"sequence(p0 + 1, p0 + $k)")).as("pos"))
-        .distinct()
-        .withColumn("cov", lit(true))
-      docs
-        .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0t", "tok")))
-        .select(col("doc_id"), (col("p0t") + 1).as("pos"), col("tok"))
-        .join(covered, Seq("doc_id", "pos"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("cov"), 1L).otherwise(0L)).as("n_dup_tokens"),
-          array_join(transform(array_sort(collect_list(
-            when(col("cov").isNull, struct(col("pos"), col("tok"))))),
-            p => p.getField("tok")), " ").as("text_kept"))
-        .orderBy("doc_id")
+      substringScrub(planted, k = 8, minDocs = 2).orderBy("doc_id")
     },
     Some(s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks0 FROM documents
       |         WHERE text IS NOT NULL),

@@ -137,6 +137,48 @@ class PrepPipelineSpec extends SparkTestBase {
       "fixture never distinguishes keepbest from the b_id rule")
   }
 
+  test("--scrub substring excises exactly the cross-doc duplicated spans") {
+    pipelineRan()
+    val scrubOut = Util.scratch("prep_out_scrub")
+    // --dedup none: the minhash drop removes exactly the docs that SHARE
+    // spans, which would leave the scrub stage nothing to excise at this
+    // SF — without doc-level dedup the near-dup survivors carry genuine
+    // cross-document spans into the stage
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, scrubOut, "none",
+      scrub = "substring"))
+    // scrub rewrites text; it never drops documents
+    assert(m("n_final") == m("n_quality_kept"), "scrub must not drop documents")
+    val written = spark.read.parquet(s"$scrubOut/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // plain-Scala reference over the same kept set, pre-scrub text from
+    // the INPUT corpus
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text").collect()
+      .filter(r => written.contains(r.getLong(0)))
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val spanDocs = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(8).filter(_.length == 8).map(_.mkString(" ")).distinct.map(_ -> id) }
+    val dup = spanDocs.groupBy(_._1)
+      .collect { case (sp, xs) if xs.map(_._2).distinct.size >= 2 => sp }.toSet
+    val expected = toks.map { case (id, ts) =>
+      val covered = ts.sliding(8).zipWithIndex
+        .filter { case (w, _) => w.length == 8 && dup(w.mkString(" ")) }
+        .flatMap { case (_, i) => i until i + 8 }.toSet
+      val keptTxt = ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      id -> ((keptTxt.mkString(" "), covered.size.toLong))
+    }
+    assert(written.keySet == expected.keySet)
+    expected.foreach { case (id, (txt, _)) =>
+      assert(written(id)._1 == txt, s"doc $id scrubbed text diverges")
+      assert(written(id)._2 == txt.length.toLong, s"doc $id n_chars stale")
+    }
+    assert(m("n_scrub_tokens_dropped") == expected.values.map(_._2).sum)
+    assert(m("n_scrub_docs_touched") == expected.values.count(_._2 > 0).toLong)
+    assert(m("n_scrub_tokens_dropped") > 0,
+      "fixture kept set has no duplicated spans (vacuous scrub test)")
+  }
+
   test("argv parsing: flags map to opts, bad input rejected") {
     val o = PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "none"))
     assert(o == PrepMain.Opts("a", "b", "none"))
@@ -157,5 +199,16 @@ class PrepPipelineSpec extends SparkTestBase {
     // sub-0.8 dedup tau would silently lose LSH recall — refused loudly
     intercept[IllegalArgumentException](
       PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup-tau", "0.5")))
+    // scrub flags: valid values map through, degenerate ones are refused
+    val o3 = PrepMain.parse(Array("--in", "a", "--out", "b",
+      "--scrub", "substring", "--scrub-span", "12", "--scrub-min-docs", "3"))
+    assert(o3.scrub == "substring" && o3.scrubSpan == 12 && o3.scrubMinDocs == 3)
+    intercept[IllegalArgumentException](
+      PrepMain.parse(Array("--in", "a", "--out", "b", "--scrub", "lines")))
+    intercept[IllegalArgumentException](PrepMain.parse(Array("--in", "a",
+      "--out", "b", "--scrub", "substring", "--scrub-span", "1")))
+    // span/min-docs values only constrain an ENABLED scrub stage
+    assert(PrepMain.parse(Array("--in", "a", "--out", "b",
+      "--scrub-span", "1")).scrubSpan == 1)
   }
 }
