@@ -219,15 +219,38 @@ object FitsScan {
       // gzip is not splittable (same rule as every gzip source in Spark):
       // one partition per .gz member, however many rows it holds —
       // parallelism across FILES, never within one
-      val rowsPerSplit =
-        if (FitsTable.isGzip(p)) math.max(1L, spec.nRows)
-        else rowsPerSplitOpt.getOrElse(
-          math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
-      Iterator.iterate(0L)(_ + rowsPerSplit)
-        .takeWhile(_ < spec.nRows)
-        .map(start => FitsInputPartition(p, pswo, start,
-          math.min(start + rowsPerSplit, spec.nRows)): InputPartition)
-        .toArray
+      spec match {
+        case ts: FitsFormat.TiledTableSpec =>
+          // tiled tables split on TILE boundaries (each tile decompresses
+          // independently): rowStart/rowEnd are TILE indices here, and the
+          // reader expands each stored row to its tileLen logical rows.
+          // rowsPerSplitOpt is interpreted in LOGICAL rows, rounded up to
+          // whole tiles, so callers can force multi-partition plans.
+          val tilesPerSplit =
+            if (FitsTable.isGzip(p)) math.max(1L, ts.nTiles)
+            else {
+              val wanted = rowsPerSplitOpt
+                .map(r => (r + ts.tileLen - 1) / ts.tileLen)
+                .getOrElse(targetBytes /
+                  math.max(1L, ts.tileLen * math.max(1, ts.zRowBytes)))
+              math.max(1L, wanted)
+            }
+          Iterator.iterate(0L)(_ + tilesPerSplit)
+            .takeWhile(_ < ts.nTiles)
+            .map(start => FitsInputPartition(p, pswo, start,
+              math.min(start + tilesPerSplit, ts.nTiles)): InputPartition)
+            .toArray
+        case _ =>
+          val rowsPerSplit =
+            if (FitsTable.isGzip(p)) math.max(1L, spec.nRows)
+            else rowsPerSplitOpt.getOrElse(
+              math.max(1L, targetBytes / math.max(1, spec.rowBytes)))
+          Iterator.iterate(0L)(_ + rowsPerSplit)
+            .takeWhile(_ < spec.nRows)
+            .map(start => FitsInputPartition(p, pswo, start,
+              math.min(start + rowsPerSplit, spec.nRows)): InputPartition)
+            .toArray
+      }
     }
   }
 
@@ -404,7 +427,13 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
   private val asciiSpec: Option[FitsFormat.AsciiTableSpec] = spec match {
     case a: FitsFormat.AsciiTableSpec => Some(a); case _ => None
   }
+  // Tiled (ZTABLE=T) flavor: part.rowStart/rowEnd are TILE indices, and
+  // each stored record expands to tileLen logical rows (see splitsFor).
+  private val tiledSpec: Option[FitsFormat.TiledTableSpec] = spec match {
+    case t: FitsFormat.TiledTableSpec => Some(t); case _ => None
+  }
   private val colNames: Seq[String] = binSpec.map(_.cols.map(_.name))
+    .orElse(tiledSpec.map(_.cols.map(_.name)))
     .getOrElse(asciiSpec.get.cols.map(_.name))
   // Indices (into the full column list) of the requested columns, in
   // requested order — only these are decoded.
@@ -449,10 +478,11 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     * once into memory and served from the array (positions are logical
     * decompressed offsets, which is what the spec carries). Memory is
     * bounded by the decompressed file size — acceptable because planning
-    * gives each .gz member exactly ONE partition; the splittable path for
-    * big tables is the uncompressed layout. Tile compression (fpack/RICE)
-    * stays out of scope — it compresses cell data inside an otherwise
-    * ordinary BINTABLE, a different mechanism entirely.
+    * gives each .gz member exactly ONE partition; the splittable paths
+    * for big tables are the uncompressed layout and the TILED layout
+    * (ZTABLE=T, the fpack table shape — compressed cells inside an
+    * ordinary BINTABLE), which splits on tile boundaries: see
+    * TiledTableSpec and the tiled reader path above.
     */
   private final class GzipSrc extends ByteSrc {
     private val bytes: Array[Byte] = {
@@ -496,19 +526,89 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
 
   private val src: ByteSrc =
     if (FitsTable.isGzip(path)) new GzipSrc else new FileSrc
-  private lazy val heapStart = swo.dataStart + binSpec.get.theap
+  private lazy val heapStart = swo.dataStart +
+    binSpec.map(_.theap).orElse(tiledSpec.map(_.theap)).get
 
   private val rowBuf = new Array[Byte](spec.rowBytes)
   private val buf = ByteBuffer.wrap(rowBuf) // big-endian per FITS
   private var row = part.rowStart
   private var current: InternalRow = _
 
-  override def next(): Boolean = {
-    if (row >= part.rowEnd) return false
-    src.readFully(rowBuf)
-    current = decode()
-    row += 1
+  override def next(): Boolean = tiledSpec match {
+    case Some(ts) => nextTiled(ts)
+    case None =>
+      if (row >= part.rowEnd) return false
+      src.readFully(rowBuf)
+      current = decode()
+      row += 1
+      true
+  }
+
+  // ------------------------------------------------------------- tiled path
+
+  private var tileRowIdx = 0
+  private var tileRowCount = 0
+  /** Decoded values of the CURRENT tile, one array per required column —
+    * column pruning means unrequested columns are never decompressed.
+    */
+  private var tileVals: Array[Array[Any]] = _
+
+  private def nextTiled(ts: FitsFormat.TiledTableSpec): Boolean = {
+    while (tileVals == null || tileRowIdx >= tileRowCount) {
+      if (row >= part.rowEnd) return false // row = tile cursor here
+      loadTile(ts, row)
+      row += 1
+    }
+    val vals = new Array[Any](colIdx.length)
+    var k = 0
+    while (k < colIdx.length) { vals(k) = tileVals(k)(tileRowIdx); k += 1 }
+    current = InternalRow.fromSeq(vals.toIndexedSeq)
+    tileRowIdx += 1
     true
+  }
+
+  private def loadTile(ts: FitsFormat.TiledTableSpec, tile: Long): Unit = {
+    src.readFully(rowBuf) // this tile's stored record: one 1PB per column
+    val inTile = ts.rowsInTile(tile)
+    tileRowCount = inTile
+    tileRowIdx = 0
+    tileVals = new Array[Array[Any]](colIdx.length)
+    var k = 0
+    while (k < colIdx.length) {
+      val ci = colIdx(k)
+      val c = ts.cols(ci)
+      val nbytes = buf.getInt(ci * 8)
+      val off = buf.getInt(ci * 8 + 4)
+      require(nbytes >= 0 && off >= 0,
+        s"tiled cell descriptor out of range in ${c.name}: ($nbytes, $off)")
+      val blob = new Array[Byte](nbytes)
+      if (nbytes > 0) src.readAt(heapStart + off, blob, 0, nbytes)
+      val raw = TileCodec.decodeCell(ts.zctyp(ci), blob,
+        inTile * c.repeat, c.elemBytes)
+      require(raw.length == inTile * c.repeat * c.elemBytes,
+        s"tile $tile column ${c.name}: decompressed to ${raw.length} bytes, " +
+          s"expected ${inTile * c.repeat * c.elemBytes}")
+      val out = new Array[Any](inTile)
+      if (c.code == 'A') {
+        var i = 0
+        while (i < inTile) {
+          val s = new String(raw, i * c.repeat, c.repeat,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          out(i) = UTF8String.fromString(s.replaceAll("\\s+$", ""))
+          i += 1
+        }
+      } else {
+        val bb = ByteBuffer.wrap(raw)
+        var i = 0
+        while (i < inTile) {
+          val v = FitsFormat.decodeElem(bb, i * c.elemBytes, c)
+          out(i) = if (c.hasScaling) FitsFormat.applyScale(v, c) else v
+          i += 1
+        }
+      }
+      tileVals(k) = out
+      k += 1
+    }
   }
 
   private def decode(): InternalRow = binSpec match {

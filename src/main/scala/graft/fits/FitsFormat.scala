@@ -144,6 +144,28 @@ object FitsFormat {
       StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   }
 
+  /** Tiled-table compression (the fpack table convention): an ordinary
+    * BINTABLE marked ZTABLE=T whose STORED rows are tiles — one 1PB
+    * descriptor cell per logical column per tile, pointing at that
+    * column's compressed values for `tileLen` logical rows (column-major
+    * within the cell, ZCTYPn per column). The logical table geometry
+    * lives in ZNAXIS1/ZNAXIS2/ZFORMn; `rowBytes`/the stored NAXIS2 drive
+    * the physical record reads, while `nRows`/`schema` present the
+    * LOGICAL table to Spark. Tiles are the split unit: each is
+    * independently decompressible, so a huge compressed table still
+    * scans in parallel (unlike whole-file gzip members).
+    */
+  final case class TiledTableSpec(storedRowBytes: Int, nTiles: Long,
+      tileLen: Long, zRows: Long, zRowBytes: Int, cols: Seq[ColSpec],
+      zctyp: Seq[String], theap: Long) extends HduSpec {
+    def rowBytes: Int = storedRowBytes
+    def nRows: Long = zRows
+    def schema: StructType =
+      StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
+    def rowsInTile(tile: Long): Int =
+      math.min(tileLen, zRows - tile * tileLen).toInt
+  }
+
   // ------------------------------------------------------------ header read
 
   /** Reads 2880-blocks until an END card; returns (cards, bytesConsumed). */
@@ -279,9 +301,61 @@ object FitsFormat {
     AsciiTableSpec(rowBytes, nRows, cols)
   }
 
+  /** ZTABLE=T header → tiled spec. Logical columns come from ZFORMn (same
+    * grammar as TFORMn, scalar numeric or wA only); the stored columns
+    * must be the convention's 1PB byte descriptors. ZCTYPn defaults to
+    * NOCOMPRESS when absent.
+    */
+  def tiledTableSpec(cards: Map[String, String]): TiledTableSpec = {
+    require(cards.get("XTENSION").exists(_.startsWith("BINTABLE")),
+      s"Not a BINTABLE extension: ${cards.get("XTENSION")}")
+    val storedRowBytes = cards("NAXIS1").toInt
+    val nTiles = cards("NAXIS2").toLong
+    val nFields = cards("TFIELDS").toInt
+    val tileLen = cards("ZTILELEN").toLong
+    val zRows = cards("ZNAXIS2").toLong
+    require(tileLen > 0, s"ZTILELEN must be positive, got $tileLen")
+    require(nTiles == (zRows + tileLen - 1) / tileLen,
+      s"NAXIS2=$nTiles tiles inconsistent with ZNAXIS2=$zRows/ZTILELEN=$tileLen")
+    val used = scala.collection.mutable.Set.empty[String]
+    val cols = (1 to nFields).map { i =>
+      require(cards(s"TFORM$i").trim == "1PB" ||
+        cards(s"TFORM$i").trim.startsWith("1PB("),
+        s"tiled table stored TFORM$i must be 1PB, got ${cards(s"TFORM$i")}")
+      val (code, repeat, varDesc) = parseTform(cards(s"ZFORM$i"))
+      require(varDesc.isEmpty, s"ZFORM$i: variable-length logical columns " +
+        "cannot be tile-compressed")
+      require(code == 'A' || repeat == 1,
+        s"ZFORM$i=${cards(s"ZFORM$i")}: only scalar numeric or wA logical " +
+          "columns are supported in tiled tables")
+      val rawName = cards.getOrElse(s"TTYPE$i", s"col$i")
+      var name = rawName
+      var k = 2
+      while (used(name)) { name = s"${rawName}_$k"; k += 1 }
+      used += name
+      ColSpec(name = name, code = code, repeat = repeat,
+        scale = cards.get(s"TSCAL$i").map(_.toDouble),
+        zero = cards.get(s"TZERO$i").map(_.toDouble),
+        tnull = cards.get(s"TNULL$i").map(_.toLong))
+    }
+    require(storedRowBytes == nFields * 8,
+      s"NAXIS1=$storedRowBytes but $nFields 1PB descriptors need ${nFields * 8}")
+    val zctyp = (1 to nFields).map(i =>
+      cards.getOrElse(s"ZCTYP$i", "NOCOMPRESS").trim)
+    val zRowBytes = cards.get("ZNAXIS1").map(_.toInt)
+      .getOrElse(cols.map(c => c.repeat * c.elemBytes).sum)
+    require(zRowBytes == cols.map(c => c.repeat * c.elemBytes).sum,
+      s"ZNAXIS1=$zRowBytes but ZFORMs sum to " +
+        s"${cols.map(c => c.repeat * c.elemBytes).sum} bytes")
+    TiledTableSpec(storedRowBytes, nTiles, tileLen, zRows, zRowBytes, cols,
+      zctyp, cards.get("THEAP").map(_.toLong)
+        .getOrElse(storedRowBytes.toLong * nTiles))
+  }
+
   /** Header cards of either table flavor → spec. */
   def anySpec(cards: Map[String, String]): HduSpec =
     if (cards.get("XTENSION").exists(_.trim == "TABLE")) asciiTableSpec(cards)
+    else if (cards.get("ZTABLE").exists(_.trim == "T")) tiledTableSpec(cards)
     else tableSpec(cards)
 
   /** Decodes one ASCII TABLE field from a row's character record. Blank

@@ -425,6 +425,235 @@ object FitsWriter {
     } finally rdd.unpersist(blocking = false)
   }
 
+  // ------------------------------------------------------------ tiled write
+
+  /** Logical column layout for a tiled (ZTABLE=T) export: FITS code,
+    * element bytes, repeat (char width for A), and compression per the
+    * fpack defaults — RICE_1 for integers, GZIP_2 (shuffled gzip) for
+    * floats, GZIP_1 for character fields.
+    */
+  private final case class TiledCol(name: String, code: Char, elemBytes: Int,
+      repeat: Int, zctyp: String) {
+    def zform: String = if (code == 'A') s"${repeat}A" else code.toString
+  }
+
+  private def tiledCols(schema: StructType,
+      strLens: Map[String, Int]): Seq[TiledCol] =
+    schema.fields.toSeq.map { f =>
+      f.dataType match {
+        // ByteType deliberately widens to I: a 'B' logical column is
+        // unsigned in FITS and would read back as ShortType anyway
+        case ByteType | ShortType => TiledCol(f.name, 'I', 2, 1, "RICE_1")
+        case IntegerType => TiledCol(f.name, 'J', 4, 1, "RICE_1")
+        case LongType => TiledCol(f.name, 'K', 8, 1, "RICE_1")
+        case FloatType => TiledCol(f.name, 'E', 4, 1, "GZIP_2")
+        case DoubleType => TiledCol(f.name, 'D', 8, 1, "GZIP_2")
+        case StringType =>
+          TiledCol(f.name, 'A', 1, strLens.getOrElse(f.name, 16), "GZIP_1")
+        case dt => throw new IllegalArgumentException(
+          s"tiled FITS export: unsupported type $dt for column ${f.name} " +
+            "(scalar numeric and string only)")
+      }
+    }
+
+  /** One tile's values for one column as the raw big-endian bytes an
+    * uncompressed column-major cell would hold (NULLs are not
+    * representable in this export — fail loudly, as the plain writer's
+    * numeric path does).
+    */
+  private def tileRaw(rows: scala.collection.Seq[Row], fieldIdx: Int,
+      c: TiledCol): Array[Byte] = {
+    val buf = ByteBuffer.allocate(rows.length * c.elemBytes * c.repeat)
+    rows.foreach { r =>
+      require(!r.isNullAt(fieldIdx),
+        s"tiled FITS export: NULL in column ${c.name} is not representable")
+      c.code match {
+        case 'I' => buf.putShort(r.get(fieldIdx) match {
+          case b: Byte => b.toShort
+          case s: Short => s
+        })
+        case 'J' => buf.putInt(r.getInt(fieldIdx))
+        case 'K' => buf.putLong(r.getLong(fieldIdx))
+        case 'E' => buf.putFloat(r.getFloat(fieldIdx))
+        case 'D' => buf.putDouble(r.getDouble(fieldIdx))
+        case 'A' =>
+          val s = r.getString(fieldIdx)
+          require(s.length <= c.repeat,
+            s"string '${s.take(40)}' exceeds ${c.repeat}A in ${c.name}")
+          buf.put(s.padTo(c.repeat, ' ')
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      }
+    }
+    buf.array()
+  }
+
+  /** Groups an idx-sorted iterator into whole tiles and compresses each
+    * column; deterministic, so the sizes pass and the write pass agree.
+    */
+  private def compressTiles(it: Iterator[(Long, Row)], tileLen: Int,
+      cols: Seq[TiledCol]): Iterator[(Long, Array[Array[Byte]])] =
+    new Iterator[(Long, Array[Array[Byte]])] {
+      private val bi = it.buffered // `buffered` would clash with Iterator's own
+      def hasNext: Boolean = bi.hasNext
+      def next(): (Long, Array[Array[Byte]]) = {
+        val tileId = bi.head._1 / tileLen
+        val rows = scala.collection.mutable.ArrayBuffer.empty[Row]
+        while (bi.hasNext && bi.head._1 / tileLen == tileId)
+          rows += bi.next()._2
+        val blobs = cols.zipWithIndex.map { case (c, i) =>
+          TileCodec.encodeCell(c.zctyp, tileRaw(rows, i, c), c.elemBytes)
+        }.toArray
+        (tileId, blobs)
+      }
+    }
+
+  private def tiledHeader(cols: Seq[TiledCol], nTiles: Long, nRows: Long,
+      tileLen: Int, pcount: Long, varMax: Array[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(out, ' '.toByte)
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", (cols.length * 8).toString, quote = false))
+    out.write(card("NAXIS2", nTiles.toString, quote = false))
+    out.write(card("PCOUNT", pcount.toString, quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", cols.length.toString, quote = false))
+    out.write(card("ZTABLE", "T", quote = false))
+    out.write(card("ZTILELEN", tileLen.toString, quote = false))
+    out.write(card("ZNAXIS1",
+      cols.map(c => c.elemBytes * c.repeat).sum.toString, quote = false))
+    out.write(card("ZNAXIS2", nRows.toString, quote = false))
+    cols.zipWithIndex.foreach { case (c, i0) =>
+      val i = i0 + 1
+      out.write(card(s"TTYPE$i", c.name, quote = true))
+      out.write(card(s"TFORM$i", s"1PB(${varMax(i0)})", quote = true))
+      out.write(card(s"ZFORM$i", c.zform, quote = true))
+      out.write(card(s"ZCTYP$i", c.zctyp, quote = true))
+    }
+    out.write(endCard); pad(out, ' '.toByte)
+    bos.toByteArray
+  }
+
+  /** Executor-side tile-compressed (ZTABLE=T) BINTABLE export — the fpack
+    * table shape: stored rows are tiles of `tileLen` logical rows, one
+    * compressed column-major cell per logical column (RICE_1 integers,
+    * GZIP_2 floats, GZIP_1 strings). Layout:
+    *
+    *  1. stats pass — per-partition row counts (the offset-table pattern);
+    *  2. ONE alignment shuffle — rows keyed by global index and
+    *     range-partitioned so every task owns whole consecutive tiles
+    *     (tiles may not straddle tasks: a tile is one compression unit);
+    *  3. sizes pass — each task compresses its tiles and reports only the
+    *     per-tile per-column blob SIZES (compression is deterministic, so
+    *     pass 3 and pass 4 agree byte-for-byte);
+    *  4. the driver lays out the heap from the sizes, writes the header
+    *     and ALL descriptor records (metadata, nTiles × 8·C bytes — the
+    *     sanctioned bounded collect, like writeDataFrame's offsets), and
+    *     pre-sizes the file;
+    *  5. write pass — each task re-compresses its tiles and writes the
+    *     blobs at their assigned heap positions via positioned channel
+    *     writes (no row or cell ever moves through the driver).
+    *
+    * The export is what the tiled READER path scans in parallel: each
+    * tile decompresses independently, so splits are tile ranges.
+    */
+  def writeTiledDataFrame(path: String, df: DataFrame, tileLen: Int,
+      strLens: Map[String, Int] = Map.empty): Unit = {
+    require(tileLen > 0, s"tileLen must be positive, got $tileLen")
+    val cols = tiledCols(df.schema, strLens)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val rdd0 = df.rdd.persist(lvl)
+    try {
+      val counts = rdd0.mapPartitionsWithIndex((pid, it) =>
+        Iterator.single((pid, it.size.toLong))).collect().sortBy(_._1).map(_._2)
+      val nRows = counts.sum
+      val nTiles = (nRows + tileLen - 1) / tileLen
+      val offsets = counts.scanLeft(0L)(_ + _)
+      val tasks = math.max(1, rdd0.getNumPartitions)
+      val tilesPerTask = math.max(1L, (nTiles + tasks - 1) / tasks)
+      val keyed = rdd0.mapPartitionsWithIndex { (pid, it) =>
+        var i = offsets(pid)
+        it.map { r => val k = i; i += 1; (k, r) }
+      }
+      val partitioner = new org.apache.spark.Partitioner {
+        def numPartitions: Int = tasks
+        def getPartition(key: Any): Int =
+          ((key.asInstanceOf[Long] / tileLen) / tilesPerTask).toInt
+      }
+      import org.apache.spark.rdd.RDD.rddToPairRDDFunctions
+      val aligned = keyed.repartitionAndSortWithinPartitions(partitioner)
+        .persist(lvl)
+      try {
+        val sizes = aligned.mapPartitions(it =>
+          compressTiles(it, tileLen, cols).map { case (t, blobs) =>
+            (t, blobs.map(_.length))
+          }).collect().sortBy(_._1)
+        require(sizes.length == nTiles,
+          s"tile accounting: ${sizes.length} compressed tiles for $nTiles planned")
+        // heap layout: tile-major, column-minor — matches the write order
+        val heapOff = Array.ofDim[Long](sizes.length, cols.length)
+        var off = 0L
+        sizes.foreach { case (t, ss) =>
+          var c = 0
+          while (c < cols.length) {
+            heapOff(t.toInt)(c) = off; off += ss(c); c += 1
+          }
+        }
+        val pcount = off
+        require(pcount <= Int.MaxValue.toLong,
+          s"tiled heap of $pcount bytes exceeds 32-bit P descriptors; " +
+            "raise tileLen or split the export across files")
+        val varMax = cols.indices.map(c =>
+          sizes.foldLeft(0)((m, s) => math.max(m, s._2(c)))).toArray
+        val header = tiledHeader(cols, nTiles, nRows, tileLen, pcount, varMax)
+        val recordsStart = header.length.toLong
+        val storedRowBytes = cols.length * 8
+        val theap = storedRowBytes.toLong * nTiles
+        val dataEnd = recordsStart + theap + pcount
+        val raf = new RandomAccessFile(path, "rw")
+        try {
+          raf.setLength(0)
+          raf.setLength(dataEnd + blockPad(dataEnd - recordsStart))
+          raf.seek(0); raf.write(header)
+          // all descriptor records (metadata): (blobBytes, heapOffset)
+          val rec = ByteBuffer.allocate(storedRowBytes)
+          sizes.foreach { case (t, ss) =>
+            rec.clear()
+            var c = 0
+            while (c < cols.length) {
+              rec.putInt(ss(c)); rec.putInt(heapOff(t.toInt)(c).toInt); c += 1
+            }
+            raf.write(rec.array())
+          }
+        } finally raf.close()
+        val heapStart = recordsStart + theap
+        aligned.mapPartitions { it =>
+          val tiles = compressTiles(it, tileLen, cols)
+          if (tiles.hasNext) {
+            val f = new RandomAccessFile(path, "rw")
+            try {
+              val ch = f.getChannel
+              tiles.foreach { case (t, blobs) =>
+                var c = 0
+                while (c < cols.length) {
+                  ch.write(ByteBuffer.wrap(blobs(c)),
+                    heapStart + heapOff(t.toInt)(c))
+                  c += 1
+                }
+              }
+            } finally f.close()
+          }
+          Iterator.single(0)
+        }.count()
+      } finally aligned.unpersist(blocking = false)
+    } finally rdd0.unpersist(blocking = false)
+  }
+
   /** Field widths/formats for an ASCII TABLE layout (shared by both
     * ASCII write paths).
     */

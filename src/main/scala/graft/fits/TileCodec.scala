@@ -1,0 +1,314 @@
+package graft.fits
+
+import java.io.ByteArrayOutputStream
+
+/** Per-tile cell codecs for the FITS tiled-table compression convention
+  * (the fpack table format: a BINTABLE with ZTABLE=T whose stored cells
+  * hold each logical column's values for one tile of rows, compressed
+  * per ZCTYPn). SURVEY §1.1/§3 (compressed-inputs gap, r3 verdict item).
+  *
+  * Algorithms (all public knowledge):
+  *  - RICE_1 — Rice/Golomb adaptive integer coding as adopted by the
+  *    FITS tiled-compression convention: first sample raw, then
+  *    zigzag-mapped first differences in 32-sample blocks, each block
+  *    prefixed by a split-level selector (0 = all-zero block, escape =
+  *    verbatim block) and coded quotient-unary + fs low bits. The bit
+  *    layout here is self-consistent and round-trip tested at every
+  *    bytepix; byte-exact interop with cfitsio's rcomp cannot be
+  *    validated in this sandbox (no fpack binary, zero egress) and is
+  *    NOT claimed — external RICE files should be verified against a
+  *    reference decoder before relying on this reader.
+  *  - GZIP_1 — the cell bytes through standard gzip.
+  *  - GZIP_2 — byte-shuffle (all MSBs first, then next byte, …) by the
+  *    element size, then gzip: floats/doubles share exponent bytes, so
+  *    shuffling groups the compressible bytes (the fpack default for
+  *    floating-point table columns).
+  *  - NOCOMPRESS — stored verbatim.
+  *
+  * All integer work is on sign-extended Long values; zigzag uses the
+  * wrap-safe form ((d << 1) ^ (d >> 63)), a bijection on 64 bits, so
+  * first differences that overflow Long still round-trip exactly.
+  */
+object TileCodec {
+
+  val BlockSize = 32
+
+  // ------------------------------------------------------------------
+  // bit-level IO
+  // ------------------------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1)
+      nBits += 1
+      if (nBits == 8) { out.write(cur); cur = 0; nBits = 0 }
+    }
+    /** Low `n` bits of `v`, MSB first. */
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (nBits > 0) { out.write(cur << (8 - nBits)); cur = 0; nBits = 0 }
+      out.toByteArray
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte]) {
+    private var pos = 0
+    private var cur = 0
+    private var nBits = 0
+    def readBit(): Int = {
+      if (nBits == 0) {
+        if (pos >= bytes.length)
+          throw new java.io.EOFException("RICE stream truncated")
+        cur = bytes(pos) & 0xff; pos += 1; nBits = 8
+      }
+      nBits -= 1
+      (cur >>> nBits) & 1
+    }
+    def readBits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // RICE_1
+  // ------------------------------------------------------------------
+
+  private def selectorBits(bytepix: Int): Int = if (bytepix == 8) 7 else 5
+
+  private def zigzag(d: Long): Long = (d << 1) ^ (d >> 63)
+  private def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+
+  /** Encode `vals` (sign-extended logical integer values). */
+  def riceEncode(vals: Array[Long], bytepix: Int): Array[Byte] = {
+    require(Set(1, 2, 4, 8)(bytepix), s"bad bytepix $bytepix")
+    val w = new BitWriter
+    if (vals.isEmpty) return w.toBytes
+    val elemBits = bytepix * 8
+    val selBits = selectorBits(bytepix)
+    val escape = (1 << selBits) - 1
+    w.writeBits(vals(0), elemBits) // first sample raw
+    var i = 1
+    while (i < vals.length) {
+      val n = math.min(BlockSize, vals.length - i)
+      val u = new Array[Long](n)
+      var j = 0
+      while (j < n) { u(j) = zigzag(vals(i + j) - vals(i + j - 1)); j += 1 }
+      // choose fs minimizing the coded size; fall back to verbatim when
+      // even the best split loses to raw elemBits-per-sample dumping.
+      // u is UNSIGNED: a quotient with bit 63 set (only possible at
+      // fs = 0 on 64-bit data) must cost "astronomical", not negative —
+      // the r4 full-range bug. bestBits starts at the verbatim cost so
+      // the saturated additions below can never overflow past it.
+      val verbatimBits = n.toLong * elemBits
+      var bestFs = -1
+      var bestBits = verbatimBits
+      var fs = 0
+      while (fs < elemBits && fs < escape - 1) {
+        var bits = 0L
+        var k = 0
+        while (k < n && bits < bestBits) {
+          val q = u(k) >>> fs
+          // unary quotient + stop bit + fs low bits. The quotient cost is
+          // CLAMPED: treated as signed it can be negative (bit 63 set) or
+          // so large that q + 1 + fs itself wraps negative, and a wrapped
+          // sum once made a catastrophic fs win the comparison. Any
+          // quotient beyond Int.MaxValue already dwarfs every possible
+          // verbatim block, so the clamp changes no legitimate choice.
+          val qc = if (q < 0 || q > Int.MaxValue) Int.MaxValue.toLong else q
+          bits += qc + 1 + fs
+          k += 1
+        }
+        if (bits < bestBits) { bestBits = bits; bestFs = fs }
+        fs += 1
+      }
+      val allZero = u.forall(_ == 0L)
+      if (allZero) w.writeBits(0L, selBits) // zero block
+      else if (bestFs < 0) {
+        // verbatim block: the RAW VALUES, not the diffs — a zigzag diff
+        // between two in-width values needs elemBits + 1 bits (u can reach
+        // 2·(2^(bits-1) − 1) + 1), so writing u in elemBits bits would
+        // truncate. Values are in-width by the sign-extension contract.
+        w.writeBits(escape.toLong, selBits)
+        var k = 0
+        while (k < n) { w.writeBits(vals(i + k), elemBits); k += 1 }
+      } else {
+        w.writeBits((bestFs + 1).toLong, selBits)
+        var k = 0
+        while (k < n) {
+          val q = u(k) >>> bestFs
+          var b = 0L
+          while (b < q) { w.writeBit(1); b += 1 }
+          w.writeBit(0)
+          w.writeBits(u(k), bestFs)
+          k += 1
+        }
+      }
+      i += n
+    }
+    w.toBytes
+  }
+
+  /** Decode `n` logical values. */
+  def riceDecode(bytes: Array[Byte], n: Int, bytepix: Int): Array[Long] = {
+    require(Set(1, 2, 4, 8)(bytepix), s"bad bytepix $bytepix")
+    val out = new Array[Long](n)
+    if (n == 0) return out
+    val elemBits = bytepix * 8
+    val selBits = selectorBits(bytepix)
+    val escape = (1 << selBits) - 1
+    val r = new BitReader(bytes)
+    // sign-extend the raw first sample back to Long
+    out(0) = (r.readBits(elemBits) << (64 - elemBits)) >> (64 - elemBits)
+    var i = 1
+    while (i < n) {
+      val blockN = math.min(BlockSize, n - i)
+      val sel = r.readBits(selBits).toInt
+      var k = 0
+      if (sel == 0) {
+        while (k < blockN) { out(i + k) = out(i + k - 1); k += 1 }
+      } else if (sel == escape) {
+        while (k < blockN) { // verbatim: raw sign-extended values
+          out(i + k) = (r.readBits(elemBits) << (64 - elemBits)) >> (64 - elemBits)
+          k += 1
+        }
+      } else {
+        val fs = sel - 1
+        while (k < blockN) {
+          var q = 0L
+          while (r.readBit() == 1) q += 1
+          val u = (q << fs) | r.readBits(fs)
+          out(i + k) = out(i + k - 1) + unzigzag(u)
+          k += 1
+        }
+      }
+      i += blockN
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // GZIP_1 / GZIP_2
+  // ------------------------------------------------------------------
+
+  def gzipEncode(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(bytes); g.close()
+    bos.toByteArray
+  }
+
+  def gzipDecode(bytes: Array[Byte]): Array[Byte] = {
+    val g = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try g.readAllBytes() finally g.close()
+  }
+
+  /** GZIP_2 byte shuffle: output = all bytes 0 of each element, then all
+    * bytes 1, … (elements stay big-endian within the input).
+    */
+  def shuffle(bytes: Array[Byte], elemBytes: Int): Array[Byte] = {
+    require(bytes.length % elemBytes == 0,
+      s"shuffle: ${bytes.length} bytes not a multiple of $elemBytes")
+    val n = bytes.length / elemBytes
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    while (i < n) {
+      var b = 0
+      while (b < elemBytes) {
+        out(b * n + i) = bytes(i * elemBytes + b)
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  def unshuffle(bytes: Array[Byte], elemBytes: Int): Array[Byte] = {
+    require(bytes.length % elemBytes == 0,
+      s"unshuffle: ${bytes.length} bytes not a multiple of $elemBytes")
+    val n = bytes.length / elemBytes
+    val out = new Array[Byte](bytes.length)
+    var i = 0
+    while (i < n) {
+      var b = 0
+      while (b < elemBytes) {
+        out(i * elemBytes + b) = bytes(b * n + i)
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // per-column tile encode/decode (raw big-endian cell bytes <-> blob)
+  // ------------------------------------------------------------------
+
+  /** Compress one column-tile. `raw` = the tile's values as contiguous
+    * big-endian element bytes (exactly what an uncompressed BINTABLE
+    * column-major cell would hold). For RICE_1 the elements are read as
+    * sign-extended integers of `elemBytes`.
+    */
+  def encodeCell(algo: String, raw: Array[Byte], elemBytes: Int): Array[Byte] =
+    algo match {
+      case "RICE_1" =>
+        riceEncode(bytesToLongs(raw, elemBytes), elemBytes)
+      case "GZIP_1" => gzipEncode(raw)
+      case "GZIP_2" => gzipEncode(shuffle(raw, elemBytes))
+      case "NOCOMPRESS" => raw
+      case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
+    }
+
+  /** Decompress one column-tile back to raw big-endian element bytes.
+    * `nElems` = elements in this tile (rows × repeat).
+    */
+  def decodeCell(algo: String, blob: Array[Byte], nElems: Int,
+      elemBytes: Int): Array[Byte] = algo match {
+    case "RICE_1" =>
+      longsToBytes(riceDecode(blob, nElems, elemBytes), elemBytes)
+    case "GZIP_1" => gzipDecode(blob)
+    case "GZIP_2" => unshuffle(gzipDecode(blob), elemBytes)
+    case "NOCOMPRESS" => blob
+    case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
+  }
+
+  def bytesToLongs(raw: Array[Byte], elemBytes: Int): Array[Long] = {
+    require(raw.length % elemBytes == 0, "cell bytes not element-aligned")
+    val n = raw.length / elemBytes
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var v = 0L
+      var b = 0
+      while (b < elemBytes) { v = (v << 8) | (raw(i * elemBytes + b) & 0xffL); b += 1 }
+      // sign-extend from elemBytes*8 bits
+      out(i) = (v << (64 - elemBytes * 8)) >> (64 - elemBytes * 8)
+      i += 1
+    }
+    out
+  }
+
+  def longsToBytes(vals: Array[Long], elemBytes: Int): Array[Byte] = {
+    val out = new Array[Byte](vals.length * elemBytes)
+    var i = 0
+    while (i < vals.length) {
+      var b = 0
+      while (b < elemBytes) {
+        out(i * elemBytes + b) =
+          ((vals(i) >>> ((elemBytes - 1 - b) * 8)) & 0xff).toByte
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+}

@@ -218,9 +218,9 @@ object ScanOps {
     * the DSv2's per-file planning, the plain member still row-range
     * splits while the gz member gets exactly one partition (gzip is not
     * splittable; parallelism across files). Oracle: nation twice.
-    * Tile compression (fpack/RICE) is documented out of scope in
-    * FitsDataSource — a different mechanism (compressed cells inside an
-    * ordinary BINTABLE), and [UPSTREAM-PK, Low] for fits2db core.
+    * Tile compression (fpack's table shape) is the a18 operator — a
+    * different mechanism (compressed cells inside an ordinary BINTABLE)
+    * that, unlike gzip members, stays splittable.
     */
   val a17_fits_gzip_source = OpQuery(
     (s, d) => {
@@ -235,6 +235,31 @@ object ScanOps {
     },
     """SELECT * FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
       |ORDER BY n_nationkey""".stripMargin)
+
+  /** Tile-compressed (ZTABLE=T) FITS round-trip — the fpack table shape
+    * and the last compressed-inputs gap after a17's gzip members: supplier
+    * exports through the executor-side tiled writer (RICE_1 integers,
+    * GZIP_2 doubles, GZIP_1 strings; stats pass → ONE tile-alignment
+    * shuffle → sizes pass → positioned parallel heap writes) and returns
+    * through the DSv2, which plans TILE-boundary splits — each tile
+    * decompresses independently, so a compressed table still scans in
+    * parallel, unlike a .gz member. Values must survive byte-exactly for
+    * the hash gate (RICE and shuffled gzip are lossless). Byte-level
+    * codec fixtures + randomized round-trips live in TiledFitsSpec;
+    * cfitsio bit-level interop is documented as unverifiable here
+    * (TileCodec Scaladoc).
+    */
+  val a18_fits_tiled_source = OpQuery(
+    (s, d) => {
+      // per-sfDir fixture name: spec memoization, the a11 rule
+      val fitsPath = graft.Util.scratch(
+        s"supplier_tiled_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")
+      graft.fits.FitsWriter.writeTiledDataFrame(fitsPath,
+        t(s, d, "supplier").orderBy("s_suppkey"), tileLen = 32,
+        strLens = Map("s_name" -> 24))
+      s.read.format("fits").load(fitsPath).orderBy("s_suppkey")
+    },
+    "SELECT * FROM supplier ORDER BY s_suppkey")
 
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
@@ -426,6 +451,7 @@ object ScanOps {
     "a11_fits_varlen_source" -> a11_fits_varlen_source,
     "a12_fits_bits_complex_source" -> a12_fits_bits_complex_source,
     "a17_fits_gzip_source" -> a17_fits_gzip_source,
+    "a18_fits_tiled_source" -> a18_fits_tiled_source,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

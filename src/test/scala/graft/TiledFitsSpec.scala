@@ -1,0 +1,203 @@
+package graft
+
+import graft.fits.{FitsFormat, FitsWriter, TileCodec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Tiled-table compression (ZTABLE=T, the fpack table shape): codec
+  * round-trips per bytepix including the degenerate block paths, the
+  * executor-side tiled writer against the DSv2 reader end-to-end, tile
+  * (not row) split planning, and column-pruned decompression. Raw
+  * ScalaCheck, the FitsFuzzSpec convention (no scalatest bridge on the
+  * offline classpath).
+  */
+class TiledFitsSpec extends SparkTestBase {
+
+  private def check(prop: Prop, n: Int = 100): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ------------------------------------------------------------ RICE codec
+
+  test("RICE round-trips fixed vectors at every bytepix") {
+    for (bp <- Seq(1, 2, 4, 8)) {
+      val cases = Seq(
+        Array.empty[Long],
+        Array(0L),
+        Array(5L, 5L, 5L, 5L), // zero-diff block
+        Array.tabulate(100)(_.toLong), // constant diff
+        Array.tabulate(200)(i => (i * 13 % 7).toLong),
+        Array.fill(33)(0L) ++ Array(1L)) // block boundary straddle
+      cases.foreach { vs =>
+        val dec = TileCodec.riceDecode(TileCodec.riceEncode(vs, bp), vs.length, bp)
+        assert(dec.toSeq == vs.toSeq, s"bytepix $bp on ${vs.take(8).toSeq}...")
+      }
+    }
+  }
+
+  test("RICE survives full-range noise via the verbatim escape") {
+    val extremes = Array(Long.MinValue, Long.MaxValue, 0L, -1L,
+      Long.MinValue, Long.MaxValue, 1L, Long.MinValue / 2)
+    val dec = TileCodec.riceDecode(TileCodec.riceEncode(extremes, 8), extremes.length, 8)
+    assert(dec.toSeq == extremes.toSeq)
+    // narrower widths: values within the width, adversarial alternation
+    for (bp <- Seq(1, 2, 4)) {
+      val bits = bp * 8
+      val lo = -(1L << (bits - 1)); val hi = (1L << (bits - 1)) - 1
+      val vs = Array.tabulate(130)(i => if (i % 2 == 0) lo else hi)
+      val enc = TileCodec.riceEncode(vs, bp)
+      assert(TileCodec.riceDecode(enc, vs.length, bp).toSeq == vs.toSeq)
+    }
+  }
+
+  test("RICE round-trips random arrays (property)") {
+    val genCase = for {
+      bp <- Gen.oneOf(1, 2, 4, 8)
+      n <- Gen.choose(0, 300)
+      vs <- Gen.listOfN(n,
+        Gen.choose(-(1L << (bp * 8 - 1)), (1L << (bp * 8 - 1)) - 1))
+    } yield (bp, vs.toArray)
+    check(Prop.forAll(genCase) { case (bp, vs) =>
+      TileCodec.riceDecode(TileCodec.riceEncode(vs, bp), vs.length, bp)
+        .toSeq == vs.toSeq
+    }, n = 200)
+  }
+
+  test("RICE actually compresses smooth sequences") {
+    val smooth = Array.tabulate(10000)(i => 1000L + i / 3)
+    val enc = TileCodec.riceEncode(smooth, 8)
+    assert(enc.length < smooth.length * 8 / 8,
+      s"smooth 64-bit sequence compressed to ${enc.length} of ${smooth.length * 8}")
+  }
+
+  test("GZIP_2 shuffle round-trips and helps on doubles") {
+    for (eb <- Seq(2, 4, 8)) {
+      val raw = Array.tabulate(64 * eb)(i => (i * 31 % 251).toByte)
+      assert(TileCodec.unshuffle(TileCodec.shuffle(raw, eb), eb).toSeq == raw.toSeq)
+    }
+    // doubles from a smooth series share sign/exponent bytes: the shuffled
+    // gzip must beat plain gzip on the same bytes
+    val bb = java.nio.ByteBuffer.allocate(5000 * 8)
+    (0 until 5000).foreach(i => bb.putDouble(1.0 + i * 1e-6))
+    val plain = TileCodec.gzipEncode(bb.array()).length
+    val shuffled = TileCodec.gzipEncode(TileCodec.shuffle(bb.array(), 8)).length
+    assert(shuffled < plain, s"GZIP_2 ($shuffled) not beating GZIP_1 ($plain)")
+  }
+
+  // ------------------------------------------------- end-to-end write/read
+
+  private def fixtureDf(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, i * 3, (i % 1000 - 500).toShort, 1.5 * i, (0.25f * i),
+        s"name_$i")
+    }.toDF("k", "j", "i16", "d", "e", "s")
+      .repartition(5) // misaligned input partitions: the writer must realign
+  }
+
+  test("tiled write -> DSv2 read round-trips every supported type") {
+    val n = 1000
+    val path = Util.scratch("tiled_rt.fits")
+    // tileLen 96 does not divide 1000: the last tile is partial
+    FitsWriter.writeTiledDataFrame(path, fixtureDf(n), tileLen = 96,
+      strLens = Map("s" -> 12))
+    val back = spark.read.format("fits").load(path)
+    assert(back.schema.map(f => (f.name, f.dataType)) == Seq(
+      "k" -> LongType, "j" -> IntegerType, "i16" -> ShortType,
+      "d" -> DoubleType, "e" -> FloatType, "s" -> StringType))
+    val got = back.orderBy("k").collect()
+    assert(got.length == n)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == i && r.getInt(1) == i * 3 &&
+        r.getShort(2) == (i % 1000 - 500).toShort &&
+        r.getDouble(3) == 1.5 * i && r.getFloat(4) == 0.25f * i &&
+        r.getString(5) == s"name_$i", s"row $i mangled")
+    }
+  }
+
+  test("tiled header carries the convention cards and compression wins") {
+    val path = Util.scratch("tiled_hdr.fits")
+    FitsWriter.writeTiledDataFrame(path, fixtureDf(1000), tileLen = 128,
+      strLens = Map("s" -> 12))
+    val in = new java.io.DataInputStream(new java.io.FileInputStream(path))
+    try {
+      val (c1, _) = FitsFormat.readHeader(in) // primary
+      assert(c1.contains("SIMPLE"))
+      val (cards, _) = FitsFormat.readHeader(in)
+      assert(cards("ZTABLE").trim == "T")
+      assert(cards("ZTILELEN").trim.toInt == 128)
+      assert(cards("ZNAXIS2").trim.toLong == 1000L)
+      assert(cards("NAXIS2").trim.toLong == 8L) // ceil(1000/128) tiles
+      assert(cards("ZFORM1").trim == "K" && cards("ZCTYP1").trim == "RICE_1")
+      assert(cards("ZFORM4").trim == "D" && cards("ZCTYP4").trim == "GZIP_2")
+      assert(cards("ZFORM6").trim == "12A" && cards("ZCTYP6").trim == "GZIP_1")
+      // the compressed heap must be smaller than the logical data for this
+      // smooth fixture (RICE on sequential ints, GZIP_2 on smooth doubles)
+      val pcount = cards("PCOUNT").trim.toLong
+      val logical = cards("ZNAXIS1").trim.toLong * 1000L
+      assert(pcount < logical,
+        s"no compression win: heap $pcount vs logical $logical")
+    } finally in.close()
+  }
+
+  test("tiled scans split on tile boundaries and prune columns") {
+    val path = Util.scratch("tiled_split.fits")
+    FitsWriter.writeTiledDataFrame(path, fixtureDf(1000), tileLen = 100,
+      strLens = Map("s" -> 12))
+    // rowsPerSplit is LOGICAL rows, rounded up to whole tiles: 250 -> 3
+    // tiles per split -> ceil(10/3) = 4 partitions
+    val df = spark.read.format("fits").option("rowsPerSplit", "250").load(path)
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 tile-aligned splits, got ${df.rdd.getNumPartitions}")
+    val sums = df.select(sum(col("k")), sum(col("j"))).head()
+    assert(sums.getLong(0) == 499500L && sums.getLong(1) == 1498500L)
+    // pruned scan: only (k, d) decompress; values must still line up
+    val pruned = df.select("d", "k").where(col("k") < 10).orderBy("k").collect()
+    assert(pruned.length == 10)
+    pruned.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getDouble(0) == 1.5 * i && r.getLong(1) == i)
+    }
+  }
+
+  test("tiled round-trip survives randomized contents (property)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 400)
+      tileLen <- Gen.choose(1, 64)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (n, tileLen, seed)
+    check(Prop.forAll(gen) { case (n, tileLen, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextLong(), rnd.nextDouble(),
+          rnd.alphanumeric.take(rnd.nextInt(10)).mkString)
+      }
+      val path = Util.scratch(s"tiled_prop_${n}_$tileLen.fits")
+      FitsWriter.writeTiledDataFrame(path,
+        rows.toDF("idx", "v", "x", "s").repartition(3), tileLen,
+        strLens = Map("s" -> 10))
+      val back = spark.read.format("fits").load(path)
+        .orderBy("idx").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+      back.toSeq == rows.sortBy(_._1)
+    }, n = 8)
+  }
+
+  test("tiled writer refuses what it cannot represent") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      FitsWriter.writeTiledDataFrame(Util.scratch("tiled_bad.fits"),
+        Seq((1L, Seq(1.0))).toDF("k", "arr"), tileLen = 10)
+    }
+    val ex = intercept[org.apache.spark.SparkException] {
+      FitsWriter.writeTiledDataFrame(Util.scratch("tiled_null.fits"),
+        Seq((java.lang.Long.valueOf(1L), "a"), (null.asInstanceOf[java.lang.Long], "b"))
+          .toDF("k", "s"), tileLen = 10)
+    }
+    assert(ex.getMessage.contains("NULL") ||
+      Option(ex.getCause).exists(_.getMessage.contains("NULL")))
+  }
+}
