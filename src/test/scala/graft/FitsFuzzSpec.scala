@@ -125,6 +125,66 @@ class FitsFuzzSpec extends SparkTestBase {
     }, n = 100)
   }
 
+  /** Valid tiled (ZTABLE=T) card set for n logical columns of scalar
+    * numeric codes: stored rows are 1PB descriptors per the convention.
+    */
+  private def tiledCardsFor(codes: Seq[Char], nRows: Int,
+      tileLen: Int): Map[String, String] = {
+    val widths = codes.map {
+      case 'B' => 1; case 'I' => 2; case 'J' | 'E' => 4; case _ => 8
+    }
+    Map("XTENSION" -> "BINTABLE", "ZTABLE" -> "T",
+      "NAXIS1" -> (codes.length * 8).toString,
+      "NAXIS2" -> ((nRows + tileLen - 1) / tileLen).toString,
+      "TFIELDS" -> codes.length.toString,
+      "ZTILELEN" -> tileLen.toString,
+      "ZNAXIS1" -> widths.sum.toString, "ZNAXIS2" -> nRows.toString) ++
+      codes.zipWithIndex.flatMap { case (c, i) =>
+        Seq(s"TTYPE${i + 1}" -> s"col_$i", s"TFORM${i + 1}" -> "1PB(64)",
+          s"ZFORM${i + 1}" -> c.toString, s"ZCTYP${i + 1}" -> "RICE_1")
+      }
+  }
+
+  test("random valid tiled card sets parse to a consistent TiledTableSpec") {
+    val gen = for {
+      codes <- Gen.nonEmptyListOf(Gen.oneOf("BIJKED".toSeq)).map(_.take(6))
+      n <- Gen.choose(0, 5000)
+      tileLen <- Gen.choose(1, 300)
+    } yield (codes, n, tileLen)
+    check(Prop.forAll(gen) { case (codes, n, tileLen) =>
+      val spec = FitsFormat.tiledTableSpec(tiledCardsFor(codes, n, tileLen))
+      spec.nRows == n && spec.tileLen == tileLen &&
+        spec.nTiles == (n + tileLen - 1) / tileLen &&
+        spec.cols.length == codes.length &&
+        spec.rowBytes == codes.length * 8 &&
+        (0 until spec.nTiles.toInt).map(t => spec.rowsInTile(t).toLong)
+          .sum == n
+    }, n = 100)
+  }
+
+  test("corrupt tiled geometry is rejected, never mis-decoded") {
+    val base = tiledCardsFor(Seq('J', 'D'), 100, 16)
+    // each corruption must raise IllegalArgumentException from the parser
+    val corruptions: Seq[Map[String, String]] = Seq(
+      base + ("ZTILELEN" -> "0"),
+      base + ("ZTILELEN" -> "-4"),
+      base + ("NAXIS2" -> "3"), // ceil(100/16) = 7 tiles, not 3
+      base + ("TFORM1" -> "1QB"), // convention requires 1PB here
+      base + ("TFORM2" -> "8A"),
+      base + ("ZFORM1" -> "1PJ(9)"), // var-length logical col
+      base + ("ZFORM2" -> "3D"), // non-scalar numeric logical col
+      base + ("NAXIS1" -> "24"), // stored width != TFIELDS * 8
+      base + ("ZNAXIS1" -> "5")) // logical width != ZFORM sum
+    corruptions.zipWithIndex.foreach { case (cards, i) =>
+      intercept[IllegalArgumentException] {
+        FitsFormat.tiledTableSpec(cards)
+      }
+      assert(true, s"corruption $i")
+    }
+    // the uncorrupted base parses (guards the test itself)
+    assert(FitsFormat.tiledTableSpec(base).nTiles == 7)
+  }
+
   test("random frames round-trip through writer and DSv2 byte-exactly") {
     // a Spark job per sample: keep the sample count small but the shapes
     // wide (scalars, strings, fixed float arrays, 0-row frames)

@@ -167,6 +167,26 @@ class IngestCliSpec extends SparkTestBase {
     assert(a.toSeq == e.toSeq)
   }
 
+  test("CLI ingests tile-compressed (ZTABLE=T) FITS like any other member") {
+    val dir = "/tmp/graft_test/cli_tiled"
+    graft.Util.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    val supplier = Tables.t(spark, sfDir, "supplier").orderBy("s_suppkey")
+    graft.fits.FitsWriter.writeTiledDataFrame(s"$dir/in_tiled.fits", supplier,
+      tileLen = 4, strLens = Map("s_name" -> 20))
+    val out = s"$dir/out"
+    Main.run(spark, Main.parse(Seq(
+      "--format", "fits", "--dialect", "parquet", "--out", out,
+      s"$dir/in_*.fits")))
+    val back = spark.read.parquet(out)
+      .select(col("s_suppkey").cast(LongType), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey").collect()
+    val e = supplier
+      .select(col("s_suppkey").cast(LongType), col("s_name"), col("s_acctbal"))
+      .orderBy("s_suppkey").collect()
+    assert(back.toSeq == e.toSeq, "tiled FITS ingest diverged from source")
+  }
+
   test("struct columns flatten identically in DDL and written frame") {
     // the C/M complex case: DDL flattens vis -> vis_re/vis_im; the frame
     // Spark appends must agree or the load fails (ADVICE r2 medium)
