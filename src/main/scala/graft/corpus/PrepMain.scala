@@ -138,7 +138,7 @@ object PrepMain {
     //           components and drop everything but each cluster's LONGEST
     //           member (the policy real pipelines ship: truncated copies
     //           are the ones to lose). Both are corpus-keyed (idempotent).
-    val dupDrops: DataFrame = opts.dedup match {
+    val dupDrops0: DataFrame = opts.dedup match {
       case "minhash" => LlmOps.minhashVerifiedPairs(spark, opts.in, opts.dedupTau)
         .select(col("b_id").as("doc_id")).distinct()
       case "keepbest" =>
@@ -157,18 +157,25 @@ object PrepMain {
           .select("doc_id")
       case _ => spark.range(0).select(col("id").as("doc_id"))
     }
+    // persisted: read by the anti-join AND the manifest count below —
+    // without it the LSH band join + Jaccard verify (and for keepbest
+    // the whole component pipeline) would execute twice
+    val dupDrops = dupDrops0.persist(lvl)
     val keptDedup = keptQuality.join(broadcast(dupDrops), Seq("doc_id"), "left_anti")
       .persist(lvl)
     val nAfterDedup = keptDedup.count()
 
     // -- stage 3: benchmark decontamination (i24 containment, optional) ----
-    val decontamDrops: DataFrame = opts.decontam match {
+    val decontamDrops: DataFrame = (opts.decontam match {
       case Some(benchDir) =>
         val bench = Tables.t(spark, benchDir, "documents")
-        LlmOps.containmentFlags(docs, bench, opts.minContainment)
+        // broadcastBench = false: this bench dir is arbitrary user input,
+        // not the gated fixture — see containmentFlags
+        LlmOps.containmentFlags(docs, bench, opts.minContainment,
+          broadcastBench = false)
           .select(col("train_id").as("doc_id")).distinct()
       case None => spark.range(0).select(col("id").as("doc_id"))
-    }
+    }).persist(lvl) // same two-reader shape as dupDrops
     val kept = keptDedup.join(broadcast(decontamDrops), Seq("doc_id"), "left_anti")
       .persist(lvl)
     val nAfterDecontam = kept.count()
@@ -256,6 +263,8 @@ object PrepMain {
     keptQuality.unpersist(blocking = false)
     keptDedup.unpersist(blocking = false)
     kept.unpersist(blocking = false)
+    dupDrops.unpersist(blocking = false)
+    decontamDrops.unpersist(blocking = false)
     extraPersists.foreach(_.unpersist(blocking = false))
     manifest
   }

@@ -485,7 +485,21 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     * TiledTableSpec and the tiled reader path above.
     */
   private final class GzipSrc extends ByteSrc {
-    private val bytes: Array[Byte] = {
+    // LAZY on both paths (r4 review): sequential row reads STREAM through
+    // the decompressor — a LIMIT 1 or fixed-width-only scan never holds
+    // the member in memory — and the whole-member byte array materializes
+    // only when a heap (P/Q descriptor or tile blob) readAt occurs, since
+    // gzip cannot seek backwards.
+    private var seqOpt: Option[java.io.DataInputStream] = None
+    private def seq: java.io.DataInputStream = seqOpt.getOrElse {
+      val d = new java.io.DataInputStream(
+        new java.util.zip.GZIPInputStream(fs.open(p)))
+      d.skipNBytes(swo.dataStart + part.rowStart * spec.rowBytes)
+      seqOpt = Some(d)
+      d
+    }
+    private var heapBytes: Array[Byte] = _
+    private def materialize(): Array[Byte] = {
       val s = new java.util.zip.GZIPInputStream(fs.open(p))
       try {
         val out = new java.io.ByteArrayOutputStream()
@@ -501,7 +515,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
               throw new UnsupportedOperationException(
                 s"gzipped FITS member $path decompresses past ${Int.MaxValue - 16} " +
                   "bytes (JVM array limit); store tables this large uncompressed " +
-                  "— that also restores splittable row-range scans")
+                  "or tiled — both also restore splittable scans")
             out.write(b, 0, n)
           }
           n = s.read(b)
@@ -509,19 +523,15 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
         out.toByteArray
       } finally s.close()
     }
-    private var pos: Long = swo.dataStart + part.rowStart * spec.rowBytes
-    def readFully(b: Array[Byte]): Unit = {
-      if (pos + b.length > bytes.length)
-        throw new java.io.EOFException(s"gzip FITS member truncated at $pos")
-      System.arraycopy(bytes, pos.toInt, b, 0, b.length)
-      pos += b.length
-    }
+    def readFully(b: Array[Byte]): Unit = seq.readFully(b)
     def readAt(at: Long, b: Array[Byte], off: Int, len: Int): Unit = {
-      if (at + len > bytes.length)
+      if (heapBytes == null) heapBytes = materialize()
+      if (at + len > heapBytes.length)
         throw new java.io.EOFException(s"gzip FITS heap read past end at $at")
-      System.arraycopy(bytes, at.toInt, b, off, len)
+      System.arraycopy(heapBytes, at.toInt, b, off, len)
     }
-    def close(): Unit = ()
+    def close(): Unit =
+      seqOpt.foreach(d => try d.close() catch { case _: Throwable => () })
   }
 
   private val src: ByteSrc =

@@ -309,24 +309,30 @@ object FitsFormat {
   def tiledTableSpec(cards: Map[String, String]): TiledTableSpec = {
     require(cards.get("XTENSION").exists(_.startsWith("BINTABLE")),
       s"Not a BINTABLE extension: ${cards.get("XTENSION")}")
-    val storedRowBytes = cards("NAXIS1").toInt
-    val nTiles = cards("NAXIS2").toLong
-    val nFields = cards("TFIELDS").toInt
-    val tileLen = cards("ZTILELEN").toLong
-    val zRows = cards("ZNAXIS2").toLong
+    // reject-contract: a truncated ZTABLE header (card absent) must raise
+    // IllegalArgumentException like every other malformed header, not a
+    // bare NoSuchElementException from Map.apply
+    def req(key: String): String = cards.getOrElse(key,
+      throw new IllegalArgumentException(
+        s"tiled table header is missing required card $key"))
+    val storedRowBytes = req("NAXIS1").toInt
+    val nTiles = req("NAXIS2").toLong
+    val nFields = req("TFIELDS").toInt
+    val tileLen = req("ZTILELEN").toLong
+    val zRows = req("ZNAXIS2").toLong
     require(tileLen > 0, s"ZTILELEN must be positive, got $tileLen")
     require(nTiles == (zRows + tileLen - 1) / tileLen,
       s"NAXIS2=$nTiles tiles inconsistent with ZNAXIS2=$zRows/ZTILELEN=$tileLen")
     val used = scala.collection.mutable.Set.empty[String]
     val cols = (1 to nFields).map { i =>
-      require(cards(s"TFORM$i").trim == "1PB" ||
-        cards(s"TFORM$i").trim.startsWith("1PB("),
-        s"tiled table stored TFORM$i must be 1PB, got ${cards(s"TFORM$i")}")
-      val (code, repeat, varDesc) = parseTform(cards(s"ZFORM$i"))
+      require(req(s"TFORM$i").trim == "1PB" ||
+        req(s"TFORM$i").trim.startsWith("1PB("),
+        s"tiled table stored TFORM$i must be 1PB, got ${req(s"TFORM$i")}")
+      val (code, repeat, varDesc) = parseTform(req(s"ZFORM$i"))
       require(varDesc.isEmpty, s"ZFORM$i: variable-length logical columns " +
         "cannot be tile-compressed")
       require(code == 'A' || repeat == 1,
-        s"ZFORM$i=${cards(s"ZFORM$i")}: only scalar numeric or wA logical " +
+        s"ZFORM$i=${req(s"ZFORM$i")}: only scalar numeric or wA logical " +
           "columns are supported in tiled tables")
       val rawName = cards.getOrElse(s"TTYPE$i", s"col$i")
       var name = rawName

@@ -859,8 +859,12 @@ object LlmOps {
       rounds += 1
     }
     require(converged, s"label propagation did not converge in $rounds rounds")
-    val labelDf = labels.toDF("node_id", "lbl")
+    // eager localCheckpoint so BOTH loop caches can be released now: the
+    // final labels RDD used to stay persisted for the session's lifetime
+    // (one leaked cache per i23/i39/i40/PrepMain call and per bench rep)
+    val labelDf = labels.toDF("node_id", "lbl").localCheckpoint()
     edges.unpersist(blocking = false)
+    labels.unpersist(blocking = false)
     labelDf
   }
 
@@ -1051,9 +1055,17 @@ object LlmOps {
     * benchmark table (PrepMain --decontam): both inputs are document
     * frames (doc_id, text); output is (train_id, bench_id, containment)
     * at ≥ τ. Same inverted-index shape as documented on i24.
+    *
+    * `broadcastBench`: the gated i24 shape force-broadcasts the bench
+    * side (eval suites are KBs against the corpus, and the spec asserts
+    * the BroadcastHashJoin plan). PrepMain passes false — its bench dir
+    * is ARBITRARY user input, and force-broadcasting a few-GB exploded
+    * shingle frame would hit the broadcast limit / OOM the driver where
+    * a plain shuffled hash join (AQE still broadcasts small sides)
+    * works.
     */
   private[graft] def containmentFlags(train: DataFrame, bench: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double, broadcastBench: Boolean = true): DataFrame = {
     import graft.functions.HashFunctions.shingleHashSet
     def sh(df: DataFrame) = withToks(df)
       .select(col("doc_id"), shingleHashSet(toks).as("sh"))
@@ -1065,7 +1077,7 @@ object LlmOps {
       .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
     // sh elements are distinct (sorted-set expression), so the per-pair
     // match count IS the intersection size.
-    tr.join(broadcast(be), "h")
+    tr.join(if (broadcastBench) broadcast(be) else be, "h")
       .groupBy("train_id", "bench_id", "sz_bench")
       .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast(DoubleType) / col("sz_bench") >= tau)

@@ -72,16 +72,26 @@ object MultimodalOps {
       out.toByteArray
     }
 
+    /** THE decode entry point — every m-family consumer goes through it
+      * (m2/m4 once open the container inline; one decode contract means a
+      * future change — band layouts, corrupt bytes — lands everywhere).
+      * A null from ImageIO (undecodable bytes) fails loudly here instead
+      * of NPE-ing at first raster access.
+      */
+    def raster(png: Array[Byte]): (java.awt.image.Raster, Int, Int) = {
+      val img = ImageIO.read(new ByteArrayInputStream(png))
+      require(img != null, "ImageIO could not decode the PNG byte stream")
+      (img.getRaster, img.getWidth, img.getHeight)
+    }
+
     /** Real decode: parse the PNG container, read every sample back. */
     def decode(b: ImgDoc): MediaMeta = {
-      val img = ImageIO.read(new ByteArrayInputStream(b.png))
-      val (w, h) = (img.getWidth, img.getHeight)
-      val raster = img.getRaster
+      val (r, w, h) = raster(b.png)
       var sum = 0L
       var y = 0
       while (y < h) {
         var x = 0
-        while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+        while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
         y += 1
       }
       MediaMeta(b.doc_id, w.toLong, h.toLong, w.toLong * h, sum)
@@ -89,16 +99,12 @@ object MultimodalOps {
 
     /** Real decode → 16-bin histogram of 8-bit gray levels (level / 16). */
     def histogram(b: ImgDoc): Array[Long] = {
-      val img = ImageIO.read(new ByteArrayInputStream(b.png))
-      val raster = img.getRaster
+      val (r, w, h) = raster(b.png)
       val counts = new Array[Long](16)
       var y = 0
-      while (y < img.getHeight) {
+      while (y < h) {
         var x = 0
-        while (x < img.getWidth) {
-          counts(raster.getSample(x, y, 0) / 16) += 1
-          x += 1
-        }
+        while (x < w) { counts(r.getSample(x, y, 0) / 16) += 1; x += 1 }
         y += 1
       }
       counts
@@ -149,10 +155,7 @@ object MultimodalOps {
       import s.implicits._
       val sampled = pngTable(s, d).mapPartitions { it =>
         it.map { b =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b.png))
-          val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
+          val (raster, w, h) = PngCodec.raster(b.png)
           val sums = (0 until 8).map { k =>
             val y = k * h / 8
             var s = 0L
@@ -214,10 +217,7 @@ object MultimodalOps {
       import s.implicits._
       val thumbs = pngTable(s, d).mapPartitions { it =>
         it.map { b =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(b.png))
-          val raster = img.getRaster
-          val (w, h) = (img.getWidth, img.getHeight)
+          val (raster, w, h) = PngCodec.raster(b.png)
           val px = for (y <- 0 until 4; x <- 0 until 4)
             yield raster.getSample(x * w / 4, y * h / 4, 0)
           (b.doc_id, px.mkString(","))

@@ -174,7 +174,13 @@ class FitsFuzzSpec extends SparkTestBase {
       base + ("ZFORM1" -> "1PJ(9)"), // var-length logical col
       base + ("ZFORM2" -> "3D"), // non-scalar numeric logical col
       base + ("NAXIS1" -> "24"), // stored width != TFIELDS * 8
-      base + ("ZNAXIS1" -> "5")) // logical width != ZFORM sum
+      base + ("ZNAXIS1" -> "5"), // logical width != ZFORM sum
+      // TRUNCATION (absent cards) must hit the same reject contract as
+      // wrong values — not NoSuchElementException from Map.apply
+      base - "ZTILELEN",
+      base - "ZNAXIS2",
+      base - "ZFORM2",
+      base - "TFORM1")
     corruptions.zipWithIndex.foreach { case (cards, i) =>
       intercept[IllegalArgumentException] {
         FitsFormat.tiledTableSpec(cards)
