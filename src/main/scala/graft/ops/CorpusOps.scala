@@ -609,6 +609,45 @@ object CorpusOps {
       |FROM tk t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
 
+  // -------- i43: URL host extraction + per-domain stats --------------------
+
+  /** i43: domain-level corpus statistics — extract the host from each
+    * document's URL and aggregate per domain (doc count, bytes, language
+    * spread): the step behind domain blocklists, per-site caps and
+    * domain-aware mixture weighting in web-corpus pipelines (a C4/CCNet
+    * staple). The synthetic corpus has no URL column, so one is planted
+    * from doc_id (the i30/i37/i41 convention — same construction in the
+    * oracle); the operator under test is the regex host extraction +
+    * domain aggregate. The regex stays in the Java-regex ∩ RE2 subset
+    * (character class + quantifier, no backrefs/lookaround), the i30
+    * portability rule.
+    *
+    * Shape at scale: extraction is a narrow codegen'd map; the aggregate
+    * is ONE shuffle keyed by host with map-side partials, output is
+    * domain-cardinality-sized (≪ corpus). A per-site cap would compose as
+    * a host-partitioned window over the same key, parallel across
+    * domains.
+    */
+  val i43_url_host_stats = OpQuery(
+    (s, d) => t(s, d, "documents")
+      .withColumn("url", concat(lit("https://host"),
+        (col("doc_id") % 20).cast(StringType),
+        lit(".example.com/p/"), (col("doc_id") % 7).cast(StringType)))
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("host"),
+    Some("""SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+      |FROM (SELECT regexp_extract(
+      |        'https://host' || (doc_id % 20) || '.example.com/p/' || (doc_id % 7),
+      |        'https://([^/]+)/', 1) AS host, lang, n_chars
+      |      FROM documents)
+      |GROUP BY host ORDER BY host""".stripMargin))
+
   // -------- i34: k-means (Lloyd) over embeddings ---------------------------
 
   /** i34: two Lloyd iterations of k-means (k = 4) over the embedding table
@@ -776,5 +815,6 @@ object CorpusOps {
     "i37_dedup_lines" -> i37_dedup_lines,
     "i38_doc_logprob" -> i38_doc_logprob,
     "i41_dedup_substring" -> i41_dedup_substring,
-    "i42_vocab_encode" -> i42_vocab_encode)
+    "i42_vocab_encode" -> i42_vocab_encode,
+    "i43_url_host_stats" -> i43_url_host_stats)
 }

@@ -1234,19 +1234,41 @@ object LlmOps {
       .otherwise("keep")
 
   /** i29's signal columns without a verdict — the frame PrepMain re-verdicts
-    * under CLI thresholds (the signals are threshold-independent).
+    * under CLI thresholds (the signals are threshold-independent). The
+    * DataFrame-input form is STREAMING-SAFE (pure narrow column ops, no
+    * checkpoint/action) — j11 runs the identical lineage on a readStream
+    * source, the j-family shared-code convention.
     */
-  private[graft] def qualitySignals(s: SparkSession, d: String): DataFrame = {
+  private[graft] def qualitySignalsOf(docs: DataFrame): DataFrame = {
     import graft.functions.HashFunctions.tokenRepetitionStats
     val nTok = size(toks).cast(LongType)
     val stop = size(filter(toks, t => t.isInCollection(stopwords)))
-    withToks(t(s, d, "documents"))
+    withToks(docs)
       .withColumn("st", tokenRepetitionStats(toks))
       .select(col("doc_id"), nTok.as("n_tok"),
         dupFrac6.as("dup_frac"),
         topBgFrac6.as("top_bg_frac"),
         qualityScore(nTok, stop.cast(DoubleType) / nTok).as("quality"))
   }
+
+  private[graft] def qualitySignals(s: SparkSession, d: String): DataFrame =
+    qualitySignalsOf(t(s, d, "documents"))
+
+  /** The keep-verdict subset of i29's oracle, shared by j11's stream
+    * variant (doc_id, n_tok, quality of every kept doc).
+    */
+  private[graft] lazy val qualityKeepSql: String =
+    s"""$repStatsSqlCte,
+       |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+       |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
+       |        CASE WHEN b.n_tok < 2 THEN 0.0
+       |             ELSE round(m.top_c::DOUBLE / (b.n_tok - 1), 6) END AS top_bg_frac,
+       |        ${qualityScoreSql("b.n_tok", "(b.n_stop::DOUBLE / b.n_tok)")} AS quality
+       |      FROM b LEFT JOIN m USING (doc_id))
+       |SELECT doc_id, n_tok, quality FROM x
+       |WHERE n_tok >= 20 AND dup_frac <= 0.65 AND top_bg_frac <= 0.1
+       |  AND quality >= 0.25
+       |ORDER BY doc_id""".stripMargin
 
   val i29_quality_filter = OpQuery(
     (s, d) => qualitySignals(s, d)

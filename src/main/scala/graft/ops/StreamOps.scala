@@ -313,7 +313,40 @@ object StreamOps {
     """SELECT user_id, event_type, count(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin)
 
+  /** j11: STREAMING corpus quality gate — the i29 filter applied to a
+    * document stream (the continuous-crawl ingest shape: score and gate
+    * each arriving page before it ever lands in the lake, instead of
+    * batch-filtering later). The signal lineage is LITERALLY the shared
+    * `qualitySignalsOf` the batch i29 and the prep CLI use (pure narrow
+    * column ops incl. the compiled TokenRepetitionStats — streaming-safe
+    * because nothing aggregates), so batch and stream can never drift;
+    * append mode, no state, unbounded-safe at any rate. Oracle: the keep
+    * subset of i29's SQL.
+    */
+  val j11_stream_quality_filter = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j11"))
+      graft.Util.deleteRecursively(ckpt)
+      val src = s.readStream
+        .schema(Tables.t(s, d, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val kept = LlmOps.qualitySignalsOf(src)
+        .withColumn("verdict", LlmOps.qualityVerdict(20L, 0.65, 0.1, 0.25))
+        .filter(col("verdict") === "keep")
+        .select("doc_id", "n_tok", "quality")
+      val q = kept.writeStream.format("memory").queryName("graft_j11")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j11").orderBy("doc_id")
+    },
+    LlmOps.qualityKeepSql)
+
   val all: Map[String, OpQuery] = Map(
+    "j11_stream_quality_filter" -> j11_stream_quality_filter,
     "j10_transform_with_state" -> j10_transform_with_state,
     "j9_stream_ingest_dedup" -> j9_stream_ingest_dedup,
     "j8_stream_stream_join" -> j8_stream_stream_join,

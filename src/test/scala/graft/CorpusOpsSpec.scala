@@ -463,6 +463,24 @@ class CorpusOpsSpec extends SparkTestBase {
       s"encode shuffled the corpus:\n$plan")
   }
 
+  test("i43 host stats partition the corpus across the planted domains") {
+    val out = CorpusOps.i43_url_host_stats.fn(spark, sfDir).collect()
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // 20 planted hosts; stats recompute from the planting rule
+    assert(out.length == 20)
+    assert(out.map(_.getLong(1)).sum == docs.length)
+    out.foreach { r =>
+      val host = r.getString(0)
+      val k = host.stripPrefix("host").stripSuffix(".example.com").toLong
+      val mine = docs.filter(_._1 % 20 == k)
+      assert(r.getLong(1) == mine.length, s"$host n_docs")
+      assert(r.getLong(2) == mine.map(_._3).sum, s"$host sum_chars")
+      assert(r.getLong(3) == mine.map(_._2).distinct.length, s"$host n_langs")
+    }
+  }
+
   test("i38 scores recompute from a locally built bigram LM") {
     val out = CorpusOps.i38_doc_logprob.fn(spark, sfDir).collect()
     // build the corpus LM in plain Scala (independent of the Spark path)

@@ -125,6 +125,20 @@ class StreamOpsSpec extends SparkTestBase {
       Tables.t(spark, sfDir, "documents").count())
   }
 
+  test("j11 streaming quality gate equals the batch i29 keep subset") {
+    val fromStream = StreamOps.j11_stream_quality_filter.fn(spark, sfDir)
+    val batch = graft.ops.LlmOps.i29_quality_filter.fn(spark, sfDir)
+      .filter(col("verdict") === "keep")
+      .select("doc_id", "n_tok", "quality")
+      .orderBy("doc_id")
+    assertSameRows(fromStream, batch)
+    // the gate is real at this SF: some docs kept, some dropped
+    val kept = fromStream.count()
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(kept > 0 && kept < total,
+      s"quality gate vacuous: $kept of $total kept")
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
