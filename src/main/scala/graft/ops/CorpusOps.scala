@@ -628,25 +628,64 @@ object CorpusOps {
     * a host-partitioned window over the same key, parallel across
     * domains.
     */
+  /** The planted URL + extracted host columns shared by i43/i44 (same
+    * construction in both oracles).
+    */
+  private def withHost(docs: DataFrame): DataFrame = docs
+    .withColumn("url", concat(lit("https://host"),
+      (col("doc_id") % 20).cast(StringType),
+      lit(".example.com/p/"), (col("doc_id") % 7).cast(StringType)))
+    .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+
+  // single-line ON PURPOSE: interpolated inside stripMargin oracles, where
+  // a continuation line starting with '||' would lose its first '|'
+  private val hostSql = "regexp_extract('https://host' || (doc_id % 20) || " +
+    "'.example.com/p/' || (doc_id % 7), 'https://([^/]+)/', 1)"
+
   val i43_url_host_stats = OpQuery(
-    (s, d) => t(s, d, "documents")
-      .withColumn("url", concat(lit("https://host"),
-        (col("doc_id") % 20).cast(StringType),
-        lit(".example.com/p/"), (col("doc_id") % 7).cast(StringType)))
-      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+    (s, d) => withHost(t(s, d, "documents"))
       .groupBy("host")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
         countDistinct(col("lang")).as("n_langs"))
       .orderBy("host"),
-    Some("""SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+    Some(s"""SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-      |FROM (SELECT regexp_extract(
-      |        'https://host' || (doc_id % 20) || '.example.com/p/' || (doc_id % 7),
-      |        'https://([^/]+)/', 1) AS host, lang, n_chars
-      |      FROM documents)
+      |FROM (SELECT $hostSql AS host, lang, n_chars FROM documents)
       |GROUP BY host ORDER BY host""".stripMargin))
+
+  /** i44: per-domain cap — the POLICY step i43's stats inform: keep at
+    * most K = 20 documents per host, chosen by a deterministic
+    * multiplicative-hash order (a stable pseudo-random per-site sample:
+    * re-runs and engine changes keep the same docs, and adding documents
+    * to OTHER hosts never changes a host's selection — the i20/i26
+    * stability argument). C4-style site capping keeps one domain from
+    * dominating the mixture. doc_id·2971215073 < 2⁵² for ids ≤ ~10⁶
+    * (the i26 exactness bound; pre-fold beyond).
+    *
+    * Shape at scale: one window per host — millions of small partitions,
+    * the parallel-friendly shape (i40's argument); no global order
+    * anywhere. Output one verdict row per doc.
+    */
+  val i44_domain_cap = OpQuery(
+    (s, d) => {
+      val hkey = (col("doc_id") * 2971215073L) % 1000000007L
+      withHost(t(s, d, "documents"))
+        .select(col("doc_id"), col("host"), hkey.as("hkey"))
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("host").orderBy("hkey", "doc_id"))
+          .cast(LongType))
+        .withColumn("kept", col("rk") <= 20)
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id, host, hkey, CAST(rk AS BIGINT) AS rk, rk <= 20 AS kept
+      |FROM (SELECT doc_id, host, hkey,
+      |        row_number() OVER (PARTITION BY host ORDER BY hkey, doc_id) AS rk
+      |      FROM (SELECT doc_id, $hostSql AS host,
+      |              (doc_id * 2971215073) % 1000000007 AS hkey
+      |            FROM documents))
+      |ORDER BY doc_id""".stripMargin))
 
   // -------- i34: k-means (Lloyd) over embeddings ---------------------------
 
@@ -816,5 +855,6 @@ object CorpusOps {
     "i38_doc_logprob" -> i38_doc_logprob,
     "i41_dedup_substring" -> i41_dedup_substring,
     "i42_vocab_encode" -> i42_vocab_encode,
-    "i43_url_host_stats" -> i43_url_host_stats)
+    "i43_url_host_stats" -> i43_url_host_stats,
+    "i44_domain_cap" -> i44_domain_cap)
 }

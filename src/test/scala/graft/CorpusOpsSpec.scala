@@ -481,6 +481,29 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i44 caps each domain at 20 by the deterministic hash order") {
+    val out = CorpusOps.i44_domain_cap.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.size == ids.length)
+    // plain-Scala reference: per-host (hash, id) order, cap 20
+    val byHost = ids.groupBy(id => s"host${id % 20}.example.com")
+    byHost.foreach { case (host, members) =>
+      val ordered = members.sortBy(id => ((id * 2971215073L) % 1000000007L, id))
+      ordered.zipWithIndex.foreach { case (id, i) =>
+        val (h, rk, kept) = out(id)
+        assert(h == host && rk == i + 1 && kept == (i < 20), s"doc $id")
+      }
+    }
+    // the cap bites at this SF (hosts hold > 20 docs) and keeps exactly 20
+    assert(byHost.values.exists(_.length > 20), "fixture never exceeds the cap")
+    byHost.filter(_._2.length > 20).foreach { case (host, members) =>
+      assert(members.count(id => out(id)._3) == 20, s"$host kept != 20")
+    }
+  }
+
   test("i38 scores recompute from a locally built bigram LM") {
     val out = CorpusOps.i38_doc_logprob.fn(spark, sfDir).collect()
     // build the corpus LM in plain Scala (independent of the Spark path)
