@@ -302,7 +302,54 @@ object EtlOps {
       |  CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** b14: SCD2 (slowly-changing-dimension type 2) history — the other
+    * half of the warehouse change-capture pair (b12 is the overwrite
+    * upsert): applying a changes batch to a dimension CLOSES the old row
+    * (valid_to = new version, is_current = false) and appends the new
+    * version, preserving full history for as-of queries. The changes
+    * batch is synthesized deterministically (c_custkey % 10 == 3 gets
+    * +100 balance — the i30 planting convention, same construction in
+    * the oracle); versions are integers (engine-portable; wall-clock
+    * timestamps would never hash-match).
+    *
+    * Shape at scale: one equi-join of the dimension with the (small)
+    * changes batch — broadcast here, plain hash join when the batch is
+    * large; the history append is a union, no extra shuffle. Narrow
+    * after the join.
+    */
+  val b14_scd2_history = OpQuery(
+    (s, d) => {
+      val dim = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val changes = dim.filter(col("c_custkey") % 10 === 3)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
+      val j = dim.join(broadcast(changes), Seq("c_custkey"), "left")
+      val v1 = j.select(col("c_custkey"), lit(1L).as("version"),
+        col("c_acctbal").as("acctbal"), lit(1L).as("valid_from"),
+        when(col("new_bal").isNotNull, lit(2L)).as("valid_to"),
+        col("new_bal").isNull.as("is_current"))
+      val v2 = j.filter(col("new_bal").isNotNull)
+        .select(col("c_custkey"), lit(2L).as("version"),
+          col("new_bal").as("acctbal"), lit(2L).as("valid_from"),
+          lit(null).cast(LongType).as("valid_to"), lit(true).as("is_current"))
+      v1.unionAll(v2).orderBy("c_custkey", "version")
+    },
+    """WITH ch AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+      |           FROM customer WHERE c_custkey % 10 = 3),
+      |j AS (SELECT c.c_custkey, c.c_acctbal, ch.new_bal
+      |      FROM customer c LEFT JOIN ch USING (c_custkey))
+      |SELECT c_custkey, CAST(1 AS BIGINT) AS version, c_acctbal AS acctbal,
+      |  CAST(1 AS BIGINT) AS valid_from,
+      |  CASE WHEN new_bal IS NOT NULL THEN CAST(2 AS BIGINT) END AS valid_to,
+      |  new_bal IS NULL AS is_current
+      |FROM j
+      |UNION ALL
+      |SELECT c_custkey, CAST(2 AS BIGINT), new_bal, CAST(2 AS BIGINT),
+      |  CAST(NULL AS BIGINT), true
+      |FROM j WHERE new_bal IS NOT NULL
+      |ORDER BY c_custkey, version""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "b14_scd2_history" -> b14_scd2_history,
     "b13_schema_evolution" -> b13_schema_evolution,
     "b1_colname_normalize" -> b1_colname_normalize,
     "b2_type_cast_widen" -> b2_type_cast_widen,

@@ -184,7 +184,41 @@ object WindowOps {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
       |ORDER BY o_custkey, o_orderkey""".stripMargin)
 
+  /** f9: IGNORE NULLS window navigation — forward-fill (last non-null so
+    * far) and previous-non-null, the gap-filling idiom of sensor/event
+    * series (and of sparse feature columns in training data). NULLs are
+    * planted deterministically (o_orderkey % 3 — the i30 convention);
+    * both engines evaluate the SAME rows-frame semantics: Spark
+    * `last(col, ignoreNulls)` / `lag(col, 1, null, ignoreNulls)` vs
+    * DuckDB `last_value(x IGNORE NULLS)` / `lag(x, 1 IGNORE NULLS)`.
+    * Values pass through untouched (no frame arithmetic), so raw doubles
+    * hash-match. Same one-shuffle-per-partitionBy-key scale shape as the
+    * rest of the family.
+    */
+  val f9_win_ignore_nulls = OpQuery(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .withColumn("val", when(col("o_orderkey") % 3 === 0,
+          lit(null).cast(DoubleType)).otherwise(col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_custkey"), col("val"),
+          last(col("val"), ignoreNulls = true).over(wf).as("ffill"),
+          lag(col("val"), 1, null, ignoreNulls = true).over(w).as("prev_nn"))
+        .orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey, o_custkey, val,
+      |  last_value(val IGNORE NULLS) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      |  lag(val, 1 IGNORE NULLS) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderkey) AS prev_nn
+      |FROM (SELECT o_orderkey, o_custkey,
+      |        CASE WHEN o_orderkey % 3 = 0 THEN NULL
+      |             ELSE o_totalprice END AS val FROM orders)
+      |ORDER BY o_orderkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "f9_win_ignore_nulls" -> f9_win_ignore_nulls,
     "f1_win_rank" -> f1_win_rank,
     "f8_win_distribution" -> f8_win_distribution,
     "f2_win_topk_per_group" -> f2_win_topk_per_group,
