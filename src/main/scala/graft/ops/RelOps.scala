@@ -336,6 +336,55 @@ object RelOps {
        |FROM r JOIN orders ON o_totalprice >= lo AND o_totalprice <= hi
        |GROUP BY 1, 2, 3 ORDER BY n_nationkey""".stripMargin)
 
+  /** d12: interval-OVERLAP join — BOTH sides are interval sets and a pair
+    * matches when the intervals intersect (genomics region joins, session
+    * overlap, reservation conflicts). Completes the non-equi trilogy: d6
+    * has an equi key + range residual, d11 is point-in-interval; here
+    * neither side is a point and there is NO equi key, the shape Spark
+    * plans as a BroadcastNestedLoopJoin. Same bucketization cure as d11 —
+    * both sides explode to the coarse buckets they cover and the overlap
+    * predicate runs as a residual after the bucket equi-join — with ONE
+    * new requirement d11 didn't have: an overlapping pair can share
+    * SEVERAL buckets, so the matches need a distinct() on the pair key
+    * (d11's point met each range in exactly one bucket). Shuffle on the
+    * bucket key at any scale; RelOpsSpec asserts the nested loop is gone.
+    *
+    * Interval sets are fabricated from two order slices with the
+    * multiplicative-hash start positions (exact below 2⁵²) and unequal
+    * lengths, so overlaps are irregular. Oracle: DuckDB's native
+    * inequality join (IEJoin) over the same theta predicate.
+    */
+  val d12_join_interval_overlap = OpQuery(
+    (s, d) => {
+      val w = 512L
+      val a = t(s, d, "orders").filter(col("o_orderkey") % 37 === 0)
+        .select(col("o_orderkey").as("a_id"),
+          ((col("o_orderkey") * 2654435761L) % 100000L).as("sa"))
+        .withColumn("ea", col("sa") + 1L + col("a_id") % 50)
+      val b = t(s, d, "orders").filter(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey").as("b_id"),
+          ((col("o_orderkey") * 1099087573L) % 100000L).as("sb"))
+        .withColumn("eb", col("sb") + 1L + col("b_id") % 40)
+      val ax = a.withColumn("bk",
+        explode(sequence(floor(col("sa") / w), floor(col("ea") / w))))
+      val bx = b.withColumn("bk",
+        explode(sequence(floor(col("sb") / w), floor(col("eb") / w))))
+      ax.join(bx, "bk")
+        .where(col("sa") <= col("eb") && col("sb") <= col("ea"))
+        .select("a_id", "b_id").distinct()
+        .orderBy("a_id", "b_id")
+    },
+    """WITH a AS (SELECT o_orderkey AS a_id,
+      |    (o_orderkey * 2654435761) % 100000 AS s,
+      |    (o_orderkey * 2654435761) % 100000 + 1 + o_orderkey % 50 AS e
+      |  FROM orders WHERE o_orderkey % 37 = 0),
+      |b AS (SELECT o_orderkey AS b_id,
+      |    (o_orderkey * 1099087573) % 100000 AS s,
+      |    (o_orderkey * 1099087573) % 100000 + 1 + o_orderkey % 40 AS e
+      |  FROM orders WHERE o_orderkey % 11 = 0)
+      |SELECT a_id, b_id FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+      |ORDER BY a_id, b_id""".stripMargin)
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -408,6 +457,7 @@ object RelOps {
     "d9_join_multimodal" -> d9_join_multimodal,
     "d10_join_dpp" -> d10_join_dpp,
     "d11_join_range_lookup" -> d11_join_range_lookup,
+    "d12_join_interval_overlap" -> d12_join_interval_overlap,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,

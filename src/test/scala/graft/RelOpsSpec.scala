@@ -35,4 +35,30 @@ class RelOpsSpec extends SparkTestBase {
       assert(n == r.getLong(3), s"interval [${r.getLong(1)},${r.getLong(2)}] recount mismatch")
     }
   }
+
+  test("d12 interval-overlap join: equi-bucket plan, exact pair set") {
+    import org.apache.spark.sql.functions._
+    val df = RelOps.d12_join_interval_overlap.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"overlap join fell back to a non-equi plan:\n${plan.take(1000)}")
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // plain-Scala all-pairs reference over the same fabricated intervals
+    val keys = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    def iv(k: Long, mult: Long, m: Int) = {
+      val s = (k * mult) % 100000L; (s, s + 1 + k % m)
+    }
+    val as = keys.filter(_ % 37 == 0).map(k => k -> iv(k, 2654435761L, 50))
+    val bs = keys.filter(_ % 11 == 0).map(k => k -> iv(k, 1099087573L, 40))
+    val expect = (for {
+      (ai, (sa, ea)) <- as; (bi, (sb, eb)) <- bs
+      if sa <= eb && sb <= ea
+    } yield (ai, bi)).toSet
+    assert(out == expect, s"pair set diverges: ${out.size} vs ${expect.size}")
+    assert(out.nonEmpty, "fixture produced no overlaps (vacuous)")
+    // the distinct() is load-bearing: some pair must span >1 shared bucket
+    assert(as.exists { case (_, (s, e)) => e / 512 > s / 512 },
+      "no interval crosses a bucket boundary — bucket dedup untested")
+  }
 }
