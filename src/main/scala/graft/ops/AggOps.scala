@@ -269,7 +269,41 @@ object AggOps {
        |  ${Par.dsumSql("value")} AS sum_value
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 
+  /** e14: approximate percentile under an EXACT accuracy gate — e4's
+    * convention applied to quantiles: the raw sketch value
+    * (percentile_approx, a KLL/GK-style summary) is engine-specific and
+    * can never hash-match, so the gated columns are the exact group count
+    * plus a rank-accuracy predicate computed entirely in Spark — the
+    * approx median joins back against the data and `n_le = #{x ≤ approx}`
+    * must sit within 0.5 % of the true median rank (the sketch's
+    * configured rank error is n/10000, so the gate has 50× slack; +1
+    * absorbs interpolation at tiny groups). DuckDB recomputes the exact
+    * count and asserts the same literal `true`.
+    *
+    * This is the percentile that SURVIVES 100 TB: e8's exact form needs a
+    * per-group sort of everything, while the sketch is one map-side pass
+    * with mergeable partials; the verification join is a broadcast of k
+    * group medians.
+    */
+  val e14_agg_approx_percentile = OpQuery(
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val ap = li.groupBy("l_returnflag")
+        .agg(expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx"))
+      li.join(broadcast(ap), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= col("approx"), 1L).otherwise(0L)).as("n_le"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(col("n_le") - col("n") / lit(2.0)) <= col("n") * 0.005 + 1.0)
+            .as("rank_ok"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, true AS rank_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "e14_agg_approx_percentile" -> e14_agg_approx_percentile,
     "e13_agg_salted_skew" -> e13_agg_salted_skew,
     "e1_agg_global" -> e1_agg_global,
     "e2_agg_groupby" -> e2_agg_groupby,
