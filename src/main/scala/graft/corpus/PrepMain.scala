@@ -50,9 +50,12 @@ object PrepMain {
 
   final case class Opts(in: String, out: String, dedup: String,
       dedupTau: Double = 0.8, decontam: Option[String] = None,
-      minContainment: Double = 0.8, minTokens: Long = 20L,
-      maxDupFrac: Double = 0.65, maxTopBigram: Double = 0.1,
-      minQuality: Double = 0.25, scrub: String = "none",
+      minContainment: Double = 0.8,
+      // defaults ARE the gate constants — one definition (LlmOps)
+      minTokens: Long = LlmOps.QMinTok,
+      maxDupFrac: Double = LlmOps.QMaxDupFrac,
+      maxTopBigram: Double = LlmOps.QMaxTopBigram,
+      minQuality: Double = LlmOps.QMinQuality, scrub: String = "none",
       scrubSpan: Int = 8, scrubMinDocs: Int = 2)
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",

@@ -1254,37 +1254,48 @@ object LlmOps {
   private[graft] def qualitySignals(s: SparkSession, d: String): DataFrame =
     qualitySignalsOf(t(s, d, "documents"))
 
+  /** The gate-default thresholds, ONE definition for all three consumers:
+    * i29's verdict (Spark + oracle), j11's stream gate, and the keep-SQL
+    * below ("must stay in lockstep" convention — the r4 review found them
+    * hard-coded three times).
+    */
+  private[graft] val QMinTok = 20L
+  private[graft] val QMaxDupFrac = 0.65
+  private[graft] val QMaxTopBigram = 0.1
+  private[graft] val QMinQuality = 0.25
+
+  /** The signal CTE both quality oracles build on: x = (doc_id, n_tok,
+    * dup_frac, top_bg_frac, quality).
+    */
+  private lazy val qualitySignalsSqlCte: String =
+    s"""$repStatsSqlCte,
+       |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
+       |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
+       |        CASE WHEN b.n_tok < 2 THEN 0.0
+       |             ELSE round(m.top_c::DOUBLE / (b.n_tok - 1), 6) END AS top_bg_frac,
+       |        ${qualityScoreSql("b.n_tok", "(b.n_stop::DOUBLE / b.n_tok)")} AS quality
+       |      FROM b LEFT JOIN m USING (doc_id))""".stripMargin
+
   /** The keep-verdict subset of i29's oracle, shared by j11's stream
     * variant (doc_id, n_tok, quality of every kept doc).
     */
   private[graft] lazy val qualityKeepSql: String =
-    s"""$repStatsSqlCte,
-       |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
-       |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
-       |        CASE WHEN b.n_tok < 2 THEN 0.0
-       |             ELSE round(m.top_c::DOUBLE / (b.n_tok - 1), 6) END AS top_bg_frac,
-       |        ${qualityScoreSql("b.n_tok", "(b.n_stop::DOUBLE / b.n_tok)")} AS quality
-       |      FROM b LEFT JOIN m USING (doc_id))
+    s"""$qualitySignalsSqlCte
        |SELECT doc_id, n_tok, quality FROM x
-       |WHERE n_tok >= 20 AND dup_frac <= 0.65 AND top_bg_frac <= 0.1
-       |  AND quality >= 0.25
+       |WHERE n_tok >= $QMinTok AND dup_frac <= $QMaxDupFrac
+       |  AND top_bg_frac <= $QMaxTopBigram AND quality >= $QMinQuality
        |ORDER BY doc_id""".stripMargin
 
   val i29_quality_filter = OpQuery(
     (s, d) => qualitySignals(s, d)
-      .withColumn("verdict", qualityVerdict(20L, 0.65, 0.1, 0.25))
+      .withColumn("verdict",
+        qualityVerdict(QMinTok, QMaxDupFrac, QMaxTopBigram, QMinQuality))
       .orderBy("doc_id"),
-    s"""$repStatsSqlCte,
-       |x AS (SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_tok,
-       |        round(1 - b.n_uniq::DOUBLE / b.n_tok, 6) AS dup_frac,
-       |        CASE WHEN b.n_tok < 2 THEN 0.0
-       |             ELSE round(m.top_c::DOUBLE / (b.n_tok - 1), 6) END AS top_bg_frac,
-       |        ${qualityScoreSql("b.n_tok", "(b.n_stop::DOUBLE / b.n_tok)")} AS quality
-       |      FROM b LEFT JOIN m USING (doc_id))
+    s"""$qualitySignalsSqlCte
        |SELECT doc_id, n_tok, dup_frac, top_bg_frac, quality,
-       |  CASE WHEN n_tok < 20 THEN 'too_short'
-       |       WHEN dup_frac > 0.65 OR top_bg_frac > 0.1 THEN 'repetitive'
-       |       WHEN quality < 0.25 THEN 'low_quality'
+       |  CASE WHEN n_tok < $QMinTok THEN 'too_short'
+       |       WHEN dup_frac > $QMaxDupFrac OR top_bg_frac > $QMaxTopBigram THEN 'repetitive'
+       |       WHEN quality < $QMinQuality THEN 'low_quality'
        |       ELSE 'keep' END AS verdict
        |FROM x ORDER BY doc_id""".stripMargin)
 

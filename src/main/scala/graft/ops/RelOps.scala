@@ -356,7 +356,10 @@ object RelOps {
     */
   val d12_join_interval_overlap = OpQuery(
     (s, d) => {
-      val w = 512L
+      // width 32 (vs interval lengths ≤ 50) so overlapping pairs genuinely
+      // share multiple buckets at EVERY SF — the r4 review found a
+      // 512-wide fixture never exercised the pair-distinct at sf0.001
+      val w = 32L
       val a = t(s, d, "orders").filter(col("o_orderkey") % 37 === 0)
         .select(col("o_orderkey").as("a_id"),
           ((col("o_orderkey") * 2654435761L) % 100000L).as("sa"))

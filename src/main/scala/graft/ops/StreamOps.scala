@@ -332,7 +332,8 @@ object StreamOps {
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
       val kept = LlmOps.qualitySignalsOf(src)
-        .withColumn("verdict", LlmOps.qualityVerdict(20L, 0.65, 0.1, 0.25))
+        .withColumn("verdict", LlmOps.qualityVerdict(LlmOps.QMinTok,
+          LlmOps.QMaxDupFrac, LlmOps.QMaxTopBigram, LlmOps.QMinQuality))
         .filter(col("verdict") === "keep")
         .select("doc_id", "n_tok", "quality")
       val q = kept.writeStream.format("memory").queryName("graft_j11")

@@ -37,7 +37,6 @@ class RelOpsSpec extends SparkTestBase {
   }
 
   test("d12 interval-overlap join: equi-bucket plan, exact pair set") {
-    import org.apache.spark.sql.functions._
     val df = RelOps.d12_join_interval_overlap.fn(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
@@ -57,8 +56,16 @@ class RelOpsSpec extends SparkTestBase {
     } yield (ai, bi)).toSet
     assert(out == expect, s"pair set diverges: ${out.size} vs ${expect.size}")
     assert(out.nonEmpty, "fixture produced no overlaps (vacuous)")
-    // the distinct() is load-bearing: some pair must span >1 shared bucket
-    assert(as.exists { case (_, (s, e)) => e / 512 > s / 512 },
-      "no interval crosses a bucket boundary — bucket dedup untested")
+    // the distinct() is load-bearing ONLY if some matching pair's shared
+    // overlap REGION crosses a bucket boundary (then the pair meets in
+    // two buckets and would duplicate without the dedup) — the r4 review
+    // found the earlier interval-straddles-a-boundary form vacuous
+    val multi = for {
+      (ai, (sa, ea)) <- as; (bi, (sb, eb)) <- bs
+      if sa <= eb && sb <= ea &&
+        math.min(ea, eb) / 32 > math.max(sa, sb) / 32
+    } yield (ai, bi)
+    assert(multi.nonEmpty,
+      "no overlapping pair shares >1 bucket — the pair-distinct is untested")
   }
 }
