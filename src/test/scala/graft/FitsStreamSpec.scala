@@ -77,6 +77,26 @@ class FitsStreamSpec extends SparkTestBase {
       expect.exceptAll(got).count() == 0)
   }
 
+  test("fits readStream ingests tile-compressed drops alongside plain ones") {
+    val dir = "/tmp/graft_test/fits_stream_tiled"
+    graft.Util.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    writeNationSlice(dir, "drop_a.fits", 0, 8)
+    // the tiled member: same logical schema (J ints + 25A name), stored
+    // as ZTABLE=T with tileLen 3 so the 8-row slice spans 3 tiles
+    val slice = Tables.t(spark, sfDir, "nation")
+      .filter(col("n_nationkey") >= 8 && col("n_nationkey") < 16)
+    FitsWriter.writeTiledDataFrame(s"$dir/drop_b.fits", slice,
+      tileLen = 3, strLens = Map("n_name" -> 25))
+    runAvailableNow(s"$dir/drop_*", s"$dir/ckpt", s"$dir/out")
+    val got = spark.read.parquet(s"$dir/out")
+    val expect = Tables.t(spark, sfDir, "nation").filter(col("n_nationkey") < 16)
+    assert(got.count() == expect.count(),
+      s"plain+tiled stream ingested ${got.count()} rows")
+    assert(got.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(got).count() == 0)
+  }
+
   test("fits batch load accepts a glob directly") {
     // self-contained fixture — must not depend on the streaming test's dir
     val dir = "/tmp/graft_test/fits_glob_batch"
