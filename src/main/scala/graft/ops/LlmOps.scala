@@ -1104,6 +1104,68 @@ object LlmOps {
       |WHERE i::DOUBLE / len(sb.sh) >= 0.8
       |ORDER BY train_id, bench_id""".stripMargin)
 
+  /** i45: decontamination over a DF-CAPPED shingle index — the remedy for
+    * i24's one adversarial regime (measured on the r4 scale ladder):
+    * when the benchmark side is large, hot stop-word shingles ("of the",
+    * …) that occur in MANY bench docs blow the inverted-index join up
+    * quadratically while carrying no discriminative signal. The standard
+    * cure (CCNet-class decontamination pipelines): drop shingles whose
+    * bench document frequency exceeds a cap (10 here) from the index and
+    * measure containment over each bench doc's RETAINED shingles. This
+    * is not a cross-engine approximation — both engines drop exactly the
+    * same shingles, so the capped metric is exactly oracle-checkable;
+    * bench docs with no retained shingles have no defined containment
+    * and are excluded (deterministically, both engines).
+    *
+    * Shape at scale: per-shingle bench multiplicity is ≤ cap BY
+    * CONSTRUCTION, so the h-join output is ≤ cap · (train shingles) —
+    * linear in the corpus no matter how large the benchmark grows (the
+    * property i24 loses in that regime; ladder-verified in PERF.md).
+    */
+  val i45_decontam_capped = OpQuery(
+    (s, d) => {
+      import graft.functions.HashFunctions.shingleHashSet
+      val cap = 10
+      def sh(df: DataFrame) = withToks(df)
+        .select(col("doc_id"), shingleHashSet(toks).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val docs = t(s, d, "documents")
+      val be = sh(docs.filter(col("source") === "src0"))
+        .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+      // the capped index: shingles in more than `cap` bench docs drop out
+      val hotH = be.groupBy("h")
+        .agg(countDistinct(col("bench_id")).as("dfb"))
+        .filter(col("dfb") > cap).select("h")
+      val beKept = be.join(hotH, Seq("h"), "left_anti")
+      val szCapped = beKept.groupBy("bench_id")
+        .agg(count(lit(1)).as("sz_capped")) // rows are distinct (h-set)
+      val tr = sh(docs.filter(col("source") =!= "src0"))
+        .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
+      tr.join(beKept, "h")
+        .groupBy("train_id", "bench_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(szCapped, "bench_id")
+        .filter(col("inter").cast(DoubleType) / col("sz_capped") >= 0.8)
+        .select(col("train_id"), col("bench_id"),
+          round(col("inter").cast(DoubleType) / col("sz_capped"), 6)
+            .as("containment"))
+        .orderBy("train_id", "bench_id")
+    },
+    s"""${shinglesSqlCteFor("source", minToks = true)},
+      |x AS (SELECT doc_id, source, unnest(sh) AS h FROM s),
+      |bh AS (SELECT doc_id AS bench_id, h FROM x WHERE source = 'src0'),
+      |hot AS (SELECT h FROM bh GROUP BY h HAVING count(DISTINCT bench_id) > 10),
+      |bk AS (SELECT bench_id, h FROM bh WHERE h NOT IN (SELECT h FROM hot)),
+      |sz AS (SELECT bench_id, count(*) AS sz_capped FROM bk GROUP BY 1),
+      |inter AS (SELECT a.doc_id AS train_id, bk.bench_id, count(*) AS i
+      |          FROM x a JOIN bk ON a.h = bk.h AND a.source <> 'src0'
+      |          GROUP BY 1, 2)
+      |SELECT train_id, inter.bench_id,
+      |  round(i::DOUBLE / sz.sz_capped, 6) AS containment
+      |FROM inter JOIN sz ON inter.bench_id = sz.bench_id
+      |WHERE i::DOUBLE / sz.sz_capped >= 0.8
+      |ORDER BY train_id, inter.bench_id""".stripMargin)
+
   /** i25: incremental (batch-vs-corpus) near-dup — the nightly-crawl shape:
     * a new batch (doc_id % 10 = 0 stands in for today's crawl) is deduped
     * against the existing corpus WITHOUT the corpus ever self-joining.
@@ -1304,6 +1366,7 @@ object LlmOps {
     "i39_dedup_components_lsh" -> i39_dedup_components_lsh,
     "i40_dedup_keep_best" -> i40_dedup_keep_best,
     "i24_decontaminate" -> i24_decontaminate,
+    "i45_decontam_capped" -> i45_decontam_capped,
     "i25_dedup_incremental" -> i25_dedup_incremental,
     "i27_repetition_stats" -> i27_repetition_stats,
     "i28_mix_weights" -> i28_mix_weights,
