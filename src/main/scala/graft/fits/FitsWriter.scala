@@ -429,8 +429,11 @@ object FitsWriter {
 
   /** Logical column layout for a tiled (ZTABLE=T) export: FITS code,
     * element bytes, repeat (char width for A), and compression per the
-    * fpack defaults — RICE_1 for integers, GZIP_2 (shuffled gzip) for
-    * floats, GZIP_1 for character fields.
+    * fpack-style defaults — GRAFT_RICE_1 for integers (the PRIVATE
+    * label for this engine's self-designed Rice layout, deliberately
+    * not the standard 'RICE_1' since cfitsio bit-interop is unverified
+    * — see TileCodec), GZIP_2 (shuffled gzip) for floats, GZIP_1 for
+    * character fields.
     */
   private final case class TiledCol(name: String, code: Char, elemBytes: Int,
       repeat: Int, zctyp: String) {
@@ -443,9 +446,9 @@ object FitsWriter {
       f.dataType match {
         // ByteType deliberately widens to I: a 'B' logical column is
         // unsigned in FITS and would read back as ShortType anyway
-        case ByteType | ShortType => TiledCol(f.name, 'I', 2, 1, "RICE_1")
-        case IntegerType => TiledCol(f.name, 'J', 4, 1, "RICE_1")
-        case LongType => TiledCol(f.name, 'K', 8, 1, "RICE_1")
+        case ByteType | ShortType => TiledCol(f.name, 'I', 2, 1, "GRAFT_RICE_1")
+        case IntegerType => TiledCol(f.name, 'J', 4, 1, "GRAFT_RICE_1")
+        case LongType => TiledCol(f.name, 'K', 8, 1, "GRAFT_RICE_1")
         case FloatType => TiledCol(f.name, 'E', 4, 1, "GZIP_2")
         case DoubleType => TiledCol(f.name, 'D', 8, 1, "GZIP_2")
         case StringType =>
@@ -480,6 +483,11 @@ object FitsWriter {
           val s = r.getString(fieldIdx)
           require(s.length <= c.repeat,
             s"string '${s.take(40)}' exceeds ${c.repeat}A in ${c.name}")
+          // getBytes(US_ASCII) silently substitutes '?' for anything
+          // non-ASCII — fail loudly instead, like the NULL path above
+          require(s.forall(_ < 128),
+            s"tiled FITS export: non-ASCII character in ${c.name} value " +
+              s"'${s.take(40)}' cannot round-trip through an A field")
           buf.put(s.padTo(c.repeat, ' ')
             .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       }
@@ -541,7 +549,7 @@ object FitsWriter {
 
   /** Executor-side tile-compressed (ZTABLE=T) BINTABLE export — the fpack
     * table shape: stored rows are tiles of `tileLen` logical rows, one
-    * compressed column-major cell per logical column (RICE_1 integers,
+    * compressed column-major cell per logical column (GRAFT_RICE_1 integers,
     * GZIP_2 floats, GZIP_1 strings). Layout:
     *
     *  1. stats pass — per-partition row counts (the offset-table pattern);
@@ -632,6 +640,12 @@ object FitsWriter {
           }
         } finally raf.close()
         val heapStart = recordsStart + theap
+        // sizes pass result, shipped to the write pass: if a lost cached
+        // partition recomputes upstream with a different row order, the
+        // re-compressed blob sizes diverge from the already-written 1PB
+        // descriptors — require equality so that fails loudly instead of
+        // writing overlapping/truncated heap data
+        val blobSizes: Array[Array[Int]] = sizes.map(_._2)
         aligned.mapPartitions { it =>
           val tiles = compressTiles(it, tileLen, cols)
           if (tiles.hasNext) {
@@ -641,6 +655,12 @@ object FitsWriter {
               tiles.foreach { case (t, blobs) =>
                 var c = 0
                 while (c < cols.length) {
+                  require(blobs(c).length == blobSizes(t.toInt)(c),
+                    s"tiled FITS export: tile $t column $c re-compressed to " +
+                      s"${blobs(c).length} bytes but the sizes pass measured " +
+                      s"${blobSizes(t.toInt)(c)} — cached partition lost and " +
+                      "recomputed with a different row order; aborting before " +
+                      "corrupting the heap")
                   ch.write(ByteBuffer.wrap(blobs(c)),
                     heapStart + heapOff(t.toInt)(c))
                   c += 1

@@ -8,16 +8,21 @@ import java.io.ByteArrayOutputStream
   * per ZCTYPn). SURVEY §1.1/§3 (compressed-inputs gap, r3 verdict item).
   *
   * Algorithms (all public knowledge):
-  *  - RICE_1 — Rice/Golomb adaptive integer coding as adopted by the
-  *    FITS tiled-compression convention: first sample raw, then
+  *  - GRAFT_RICE_1 — Rice/Golomb adaptive integer coding in the style
+  *    of the FITS tiled-compression convention: first sample raw, then
   *    zigzag-mapped first differences in 32-sample blocks, each block
   *    prefixed by a split-level selector (0 = all-zero block, escape =
   *    verbatim block) and coded quotient-unary + fs low bits. The bit
-  *    layout here is self-consistent and round-trip tested at every
-  *    bytepix; byte-exact interop with cfitsio's rcomp cannot be
-  *    validated in this sandbox (no fpack binary, zero egress) and is
-  *    NOT claimed — external RICE files should be verified against a
-  *    reference decoder before relying on this reader.
+  *    layout is self-designed, self-consistent, and round-trip tested
+  *    at every bytepix — but byte-exact interop with cfitsio's rcomp
+  *    cannot be validated in this sandbox (no fpack binary, zero
+  *    egress) and is NOT claimed. The codec therefore carries a
+  *    PRIVATE ZCTYP identifier: the writer emits 'GRAFT_RICE_1' and
+  *    this decoder REJECTS the standard 'RICE_1' label outright (Rice
+  *    streams have no checksum, so a genuine fpack file would silently
+  *    mis-decode rather than fail). Files that legitimately carry
+  *    RICE_1 need a verified cfitsio-compatible decoder, which this
+  *    deliberately is not.
   *  - GZIP_1 — the cell bytes through standard gzip.
   *  - GZIP_2 — byte-shuffle (all MSBs first, then next byte, …) by the
   *    element size, then gzip: floats/doubles share exponent bytes, so
@@ -79,7 +84,7 @@ object TileCodec {
   }
 
   // ------------------------------------------------------------------
-  // RICE_1
+  // GRAFT_RICE_1 (Rice coder)
   // ------------------------------------------------------------------
 
   private def selectorBits(bytepix: Int): Int = if (bytepix == 8) 7 else 5
@@ -255,29 +260,40 @@ object TileCodec {
 
   /** Compress one column-tile. `raw` = the tile's values as contiguous
     * big-endian element bytes (exactly what an uncompressed BINTABLE
-    * column-major cell would hold). For RICE_1 the elements are read as
-    * sign-extended integers of `elemBytes`.
+    * column-major cell would hold). For GRAFT_RICE_1 the elements are
+    * read as sign-extended integers of `elemBytes`.
     */
   def encodeCell(algo: String, raw: Array[Byte], elemBytes: Int): Array[Byte] =
     algo match {
-      case "RICE_1" =>
+      case "GRAFT_RICE_1" =>
         riceEncode(bytesToLongs(raw, elemBytes), elemBytes)
       case "GZIP_1" => gzipEncode(raw)
       case "GZIP_2" => gzipEncode(shuffle(raw, elemBytes))
       case "NOCOMPRESS" => raw
+      case "RICE_1" => throw new IllegalArgumentException(riceInteropMsg)
       case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
     }
+
+  /** Why the standard RICE_1 label is rejected (see object Scaladoc). */
+  private val riceInteropMsg: String =
+    "ZCTYP 'RICE_1' is not supported: this engine's Rice codec is not " +
+      "verified byte-compatible with cfitsio's rcomp, and Rice streams " +
+      "carry no checksum, so a genuine fpack file would silently " +
+      "mis-decode. Files written by this engine use the private label " +
+      "'GRAFT_RICE_1'; for external RICE_1 files use funpack/astropy, " +
+      "or re-export with GZIP_1/GZIP_2."
 
   /** Decompress one column-tile back to raw big-endian element bytes.
     * `nElems` = elements in this tile (rows × repeat).
     */
   def decodeCell(algo: String, blob: Array[Byte], nElems: Int,
       elemBytes: Int): Array[Byte] = algo match {
-    case "RICE_1" =>
+    case "GRAFT_RICE_1" =>
       longsToBytes(riceDecode(blob, nElems, elemBytes), elemBytes)
     case "GZIP_1" => gzipDecode(blob)
     case "GZIP_2" => unshuffle(gzipDecode(blob), elemBytes)
     case "NOCOMPRESS" => blob
+    case "RICE_1" => throw new IllegalArgumentException(riceInteropMsg)
     case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
   }
 

@@ -1130,13 +1130,19 @@ object LlmOps {
         .select(col("doc_id"), shingleHashSet(toks).as("sh"))
         .filter(size(col("sh")) > 0)
       val docs = t(s, d, "documents")
+      // localCheckpoint: `be` feeds the hot-shingle aggregate AND the
+      // anti-join, and `beKept` feeds the size aggregate AND the train
+      // join — without it the tokenize→shingle→explode pipeline executes
+      // once per consumer (the double-execution shape fixed r3/r4 in the
+      // sibling operators). The bench side is KB-sized by construction.
       val be = sh(docs.filter(col("source") === "src0"))
         .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+        .localCheckpoint()
       // the capped index: shingles in more than `cap` bench docs drop out
       val hotH = be.groupBy("h")
         .agg(countDistinct(col("bench_id")).as("dfb"))
         .filter(col("dfb") > cap).select("h")
-      val beKept = be.join(hotH, Seq("h"), "left_anti")
+      val beKept = be.join(hotH, Seq("h"), "left_anti").localCheckpoint()
       val szCapped = beKept.groupBy("bench_id")
         .agg(count(lit(1)).as("sz_capped")) // rows are distinct (h-set)
       val tr = sh(docs.filter(col("source") =!= "src0"))

@@ -238,7 +238,7 @@ object ScanOps {
 
   /** Tile-compressed (ZTABLE=T) FITS round-trip — the fpack table shape
     * and the last compressed-inputs gap after a17's gzip members: supplier
-    * exports through the executor-side tiled writer (RICE_1 integers,
+    * exports through the executor-side tiled writer (GRAFT_RICE_1 integers,
     * GZIP_2 doubles, GZIP_1 strings; stats pass → ONE tile-alignment
     * shuffle → sizes pass → positioned parallel heap writes) and returns
     * through the DSv2, which plans TILE-boundary splits — each tile

@@ -141,7 +141,7 @@ class FitsFuzzSpec extends SparkTestBase {
       "ZNAXIS1" -> widths.sum.toString, "ZNAXIS2" -> nRows.toString) ++
       codes.zipWithIndex.flatMap { case (c, i) =>
         Seq(s"TTYPE${i + 1}" -> s"col_$i", s"TFORM${i + 1}" -> "1PB(64)",
-          s"ZFORM${i + 1}" -> c.toString, s"ZCTYP${i + 1}" -> "RICE_1")
+          s"ZFORM${i + 1}" -> c.toString, s"ZCTYP${i + 1}" -> "GRAFT_RICE_1")
       }
   }
 

@@ -131,7 +131,7 @@ class TiledFitsSpec extends SparkTestBase {
       assert(cards("ZTILELEN").trim.toInt == 128)
       assert(cards("ZNAXIS2").trim.toLong == 1000L)
       assert(cards("NAXIS2").trim.toLong == 8L) // ceil(1000/128) tiles
-      assert(cards("ZFORM1").trim == "K" && cards("ZCTYP1").trim == "RICE_1")
+      assert(cards("ZFORM1").trim == "K" && cards("ZCTYP1").trim == "GRAFT_RICE_1")
       assert(cards("ZFORM4").trim == "D" && cards("ZCTYP4").trim == "GZIP_2")
       assert(cards("ZFORM6").trim == "12A" && cards("ZCTYP6").trim == "GZIP_1")
       // the compressed heap must be smaller than the logical data for this
@@ -199,5 +199,29 @@ class TiledFitsSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("NULL") ||
       Option(ex.getCause).exists(_.getMessage.contains("NULL")))
+    // non-ASCII text would silently round-trip as '?' through the US_ASCII
+    // encoder — must fail loudly instead (r4 ADVICE)
+    val ex2 = intercept[org.apache.spark.SparkException] {
+      FitsWriter.writeTiledDataFrame(Util.scratch("tiled_nonascii.fits"),
+        Seq((1L, "café")).toDF("k", "s"), tileLen = 10,
+        strLens = Map("s" -> 8))
+    }
+    assert(ex2.getMessage.contains("non-ASCII") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("non-ASCII")))
+  }
+
+  test("the standard RICE_1 label is rejected, not silently mis-decoded") {
+    // this engine's Rice layout is private (GRAFT_RICE_1); a genuine fpack
+    // file carrying ZCTYP='RICE_1' must error, since Rice streams have no
+    // checksum and would decode to garbage (r4 ADVICE, medium)
+    val raw = Array.tabulate(64)(_.toByte)
+    val e1 = intercept[IllegalArgumentException] {
+      TileCodec.encodeCell("RICE_1", raw, 4)
+    }
+    assert(e1.getMessage.contains("GRAFT_RICE_1"))
+    val e2 = intercept[IllegalArgumentException] {
+      TileCodec.decodeCell("RICE_1", raw, 16, 4)
+    }
+    assert(e2.getMessage.contains("GRAFT_RICE_1"))
   }
 }
