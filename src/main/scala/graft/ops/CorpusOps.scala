@@ -496,6 +496,167 @@ object CorpusOps {
       |FROM tk LEFT JOIN v ON tk.tok = v.tok
       |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin))
 
+  // -------- i46: subword/BPE tokenizer-encode ------------------------------
+
+  /** BPE merge rounds for i46 — small and fixed so the oracle (K unrolled
+    * CTE rounds) stays tractable; production K (32k–100k merges) changes
+    * only the loop bound, not the shape. Shared with the spec.
+    */
+  private[graft] val BpeK = 8
+
+  /** Vocabulary cap for BPE merge learning: the top-V words by frequency
+    * (ties by word — a total order). Real tokenizer training runs on a
+    * bounded word-frequency table too (SentencePiece/HF train single-node
+    * on a sample); V bounds the sanctioned driver-side collect.
+    */
+  private[graft] val BpeV = 2000
+
+  /** Greedy left-to-right non-overlapping application of one merge — the
+    * standard BPE merge step. On the marker-wrapped string form
+    * ("&lt;h&gt;&lt;e&gt;…"), `replace(s, "<a><b>", "<ab>")` has exactly
+    * these semantics (replace scans left to right and never rescans its
+    * own output), which is what lets BOTH engines' encode be a chain of
+    * plain codegen'd `replace` calls instead of a procedural loop.
+    */
+  private[graft] def applyBpeMerge(syms: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Plain-Scala BPE merge learning over a (word, freq) vocabulary: K
+    * rounds of (count adjacent symbol pairs weighted by word frequency →
+    * argmax by (count DESC, pair ASC) → merge everywhere). Deterministic:
+    * the alphabet is [a-z] so Scala's UTF-16 order and DuckDB's binary
+    * collation agree on every tie-break.
+    */
+  private[graft] def learnBpeMerges(vocab: Seq[(String, Long)],
+      k: Int): Seq[(String, String)] = {
+    var state: Vector[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }.toVector
+    val merges = Vector.newBuilder[(String, String)]
+    var r = 0
+    while (r < k) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      state.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          pc.update(key, pc.getOrElse(key, 0L) + f)
+          i += 1
+        }
+      }
+      require(pc.nonEmpty,
+        s"BPE: no adjacent pairs left after $r merges — corpus too small for $k rounds")
+      val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      state = state.map { case (syms, f) =>
+        (applyBpeMerge(syms, best._1, best._2), f)
+      }
+      r += 1
+    }
+    merges.result()
+  }
+
+  /** i46: subword/BPE tokenizer-encode — the real-tokenizer step i42's
+    * whole-word encode approximates: LEARN a merge table from corpus
+    * character-pair frequencies (K rounds of most-frequent-adjacent-pair,
+    * the byte-pair-encoding algorithm of the standard LLM tokenizers),
+    * then ENCODE every document by applying the merges greedily in rank
+    * order. Words are the [a-z]+ whitespace tokens (drops the
+    * marker-unsafe rest deterministically on both engines); output =
+    * per-doc subword piece count and the piece sequence.
+    *
+    * Shape at scale: learning runs on the WORD-FREQUENCY table — one
+    * token-keyed shuffle over (word, count) pairs (map-side partial agg,
+    * document bodies never move), capped to the top-V rows (BpeV) and
+    * collapsed to the driver: a Heaps-law-bounded collect, the i42/i32
+    * convention, and exactly where SentencePiece/HF tokenizer training
+    * runs too. The K merge rounds then cost K · V · avg_len driver-side —
+    * independent of corpus size. The ENCODE is the distributed half: each
+    * doc's words are marker-wrapped ("&lt;h&gt;&lt;e&gt;&lt;y&gt;") by one
+    * regexp_replace and the K merges apply as a chain of LITERAL
+    * `replace` calls (merge table is known at plan time) — a pure NARROW
+    * map, whole-stage codegen, no UDF, no shuffle, no explode; the
+    * word-wrap markers make `replace`'s left-to-right non-overlapping
+    * scan exactly the BPE merge semantics (see applyBpeMerge) while
+    * preventing any cross-symbol or cross-word false match ([a-z] symbols
+    * can never contain '&lt;'/'&gt;').
+    *
+    * The oracle recomputes the SAME learning loop as K unrolled CTE
+    * rounds (pair counts from the wrapped vocabulary strings → 1-row
+    * argmax CTE → replace) and the same encode chain — both engines
+    * derive the merge table independently from the raw corpus, so a
+    * learning defect on either side hash-mismatches.
+    */
+  val i46_bpe_encode = OpQuery(
+    (s, d) => {
+      val toksDf = t(s, d, "documents")
+        .where(col("text").isNotNull) // the i37/i38 NULL-text guard
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), w -> w rlike '^[a-z]+$')").as("aw"))
+        .localCheckpoint() // read twice: vocab aggregate + encode
+      val vocab = toksDf.select(explode(col("aw")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cf"))
+        .orderBy(col("cf").desc, col("w")).limit(BpeV)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val merges = learnBpeMerges(vocab, BpeK)
+      val wrapped = array_join(
+        expr("transform(aw, w -> regexp_replace(w, '(.)', '<$1>'))"), " ")
+      val encoded = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+        replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+      }
+      toksDf.filter(size(col("aw")) > 0)
+        .select(col("doc_id"), encoded.as("es"))
+        .select(col("doc_id"),
+          (length(col("es")) - length(replace(col("es"), lit("<"), lit(""))))
+            .cast(LongType).as("n_pieces"),
+          translate(replace(col("es"), lit("><"), lit(" ")), "<>", "")
+            .as("pieces"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val rounds = (1 to BpeK).map { r =>
+        val prev = s"w${r - 1}"
+        s"""p$r AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, string_split(trim(s,'<>'),'><') AS l FROM $prev) t,
+           |       LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) u
+           |  GROUP BY 1,2),
+           |b$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+           |w$r AS (SELECT word, freq,
+           |   replace(s, '<'||b$r.a||'><'||b$r.b||'>', '<'||b$r.a||b$r.b||'>') AS s
+           | FROM $prev CROSS JOIN b$r)""".stripMargin
+      }.mkString(",\n")
+      val encExpr = (1 to BpeK).foldLeft("s") { (acc, r) =>
+        s"replace($acc, '<'||b$r.a||'><'||b$r.b||'>', '<'||b$r.a||b$r.b||'>')"
+      }
+      val cross = (1 to BpeK).map(r => s"CROSS JOIN b$r").mkString(" ")
+      s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
+         |         WHERE text IS NOT NULL),
+         |aw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(toks) AS w FROM d)
+         |       WHERE regexp_matches(w, '^[a-z]+$$')),
+         |words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM aw GROUP BY 1),
+         |v AS (SELECT word, freq FROM words ORDER BY freq DESC, word LIMIT $BpeV),
+         |w0 AS (SELECT word, freq, regexp_replace(word, '(.)', '<\\1>', 'g') AS s FROM v),
+         |$rounds,
+         |enc0 AS (SELECT doc_id,
+         |   list_aggregate(list_transform(
+         |     list_filter(toks, w -> regexp_matches(w,'^[a-z]+$$')),
+         |     w -> regexp_replace(w, '(.)', '<\\1>', 'g')), 'string_agg', ' ') AS s
+         | FROM d),
+         |enc AS (SELECT doc_id, $encExpr AS es FROM enc0 $cross WHERE s IS NOT NULL)
+         |SELECT doc_id,
+         |  CAST(length(es) - length(replace(es,'<','')) AS BIGINT) AS n_pieces,
+         |  translate(replace(es, '><', ' '), '<>', '') AS pieces
+         |FROM enc ORDER BY doc_id""".stripMargin
+    })
+
   // -------- i41: substring-level exact dedup -------------------------------
 
   /** The synthetic corpus has no natural long repeats, so (the i30/i37
@@ -856,5 +1017,6 @@ object CorpusOps {
     "i41_dedup_substring" -> i41_dedup_substring,
     "i42_vocab_encode" -> i42_vocab_encode,
     "i43_url_host_stats" -> i43_url_host_stats,
-    "i44_domain_cap" -> i44_domain_cap)
+    "i44_domain_cap" -> i44_domain_cap,
+    "i46_bpe_encode" -> i46_bpe_encode)
 }

@@ -533,4 +533,92 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.exists(_.getBoolean(4)) && out.exists(!_.getBoolean(4)),
       "flag_low threshold degenerated to a constant")
   }
+
+  // ---- i46: independent BPE reference (functional, list-based — written
+  // separately from CorpusOps' imperative learner so a defect in either
+  // cannot cancel out) ----
+
+  private def refBpeMergeWord(syms: List[String], a: String,
+      b: String): List[String] = syms match {
+    case x :: y :: rest if x == a && y == b => (a + b) :: refBpeMergeWord(rest, a, b)
+    case x :: rest => x :: refBpeMergeWord(rest, a, b)
+    case Nil => Nil
+  }
+
+  private def refBpeLearn(wordFreq: Seq[(String, Long)],
+      k: Int): List[(String, String)] = {
+    var state = wordFreq.toList.map { case (w, f) => (w.toList.map(_.toString), f) }
+    (1 to k).toList.map { _ =>
+      val pairCnt = state
+        .flatMap { case (syms, f) => syms.zip(syms.drop(1)).map(p => (p, f)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toList
+      val ((a, b), _) = pairCnt.sortBy { case ((x, y), c) => (-c, x, y) }.head
+      state = state.map { case (syms, f) => (refBpeMergeWord(syms, a, b), f) }
+      (a, b)
+    }
+  }
+
+  test("i46 agrees with an independent BPE reference on a random corpus") {
+    // random words over a small alphabet (so merges fire), plus non-alpha
+    // tokens (digits, uppercase, punctuation) that both sides must drop,
+    // and docs with NO alpha tokens that must vanish from the output
+    val rnd = new scala.util.Random(46)
+    import spark.implicits._
+    val lexicon = Vector.fill(60)(
+      (1 + rnd.nextInt(7)).until(0, -1).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString)
+    val junk = Vector("x9y", "Hello", "a-b", "42", "Z")
+    val docs = (0L until 80L).map { id =>
+      val n = rnd.nextInt(25)
+      val toks = Seq.fill(n)(
+        if (rnd.nextInt(5) == 0) junk(rnd.nextInt(junk.size))
+        else lexicon(rnd.nextInt(lexicon.size)))
+      (id, toks.mkString(" "), "en", s"src${id % 3}", 0L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_i46_rand").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.i46_bpe_encode.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // reference: learn on the full word-frequency table (corpus is far
+    // below the BpeV cap), then encode per doc
+    val alpha = docs.map { case (id, text, _, _, _) =>
+      id -> text.split(" ").toSeq.filter(_.matches("^[a-z]+$"))
+    }.toMap
+    val wf = alpha.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy { case (w, c) => (-c, w) }
+    val merges = refBpeLearn(wf, CorpusOps.BpeK)
+    def encodeWord(w: String): List[String] =
+      merges.foldLeft(w.toList.map(_.toString)) { case (syms, (a, b)) =>
+        refBpeMergeWord(syms, a, b)
+      }
+    var merged = 0
+    docs.foreach { case (id, _, _, _, _) =>
+      val ws = alpha(id)
+      if (ws.isEmpty) assert(!out.contains(id), s"doc $id should be absent")
+      else {
+        val pieces = ws.flatMap(encodeWord)
+        val (np, ps) = out(id)
+        assert(np == pieces.length, s"doc $id piece count")
+        assert(ps == pieces.mkString(" "), s"doc $id piece sequence")
+        if (pieces.length < ws.map(_.length).sum) merged += 1
+      }
+    }
+    assert(merged > 0, "no merge ever fired — the corpus degenerated")
+    assert(docs.exists { case (id, _, _, _, _) => alpha(id).isEmpty },
+      "fixture must exercise the no-alpha-token exclusion")
+  }
+
+  test("i46 encode is a narrow map: learned merges are plan literals") {
+    // after the (Heaps-bounded, driver-collected) vocab aggregate, the
+    // encode itself must be a pure narrow map over the corpus: the merge
+    // table is baked into the plan as literal replace() calls, so no
+    // corpus-keyed exchange and no join machinery may appear
+    val plan = CorpusOps.i46_bpe_encode.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"encode shuffled the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"encode joined instead of inlining the merge table:\n$plan")
+  }
 }
