@@ -657,6 +657,132 @@ object CorpusOps {
          |FROM enc ORDER BY doc_id""".stripMargin
     })
 
+  // -------- i47: trained linear quality classifier -------------------------
+
+  /** i47 hashed-feature dimensionality (bias is feature D). Small so the
+    * oracle's exploded feature join stays light; production D (2^18-ish)
+    * changes only this constant. Shared with the spec.
+    */
+  private[graft] val QcD = 16
+
+  /** i47 batch-perceptron epochs — fixed so both engines run the same
+    * training schedule. */
+  private[graft] val QcE = 4
+
+  /** The engine-portable token hash both i47 sides compute identically:
+    * sum of position·charcode over the token, mod D. (At 100 TB you would
+    * use xxhash64 — the i41 convention; the char-sum form is what the
+    * regex-subset rule is to i30: the portable subset that keeps the
+    * oracle independent.)
+    */
+  private def qcHashedFeatures(D: Int): Column = expr(
+    s"""concat(transform(sequence(0, ${D - 1}),
+       |  j -> CAST(size(filter(hh, x -> x = j)) AS BIGINT)),
+       |array(CAST(1 AS BIGINT)))""".stripMargin)
+
+  /** i47: trained quality classifier — the wiki-vs-crawl linear scorer of
+    * the standard data recipes (the learned counterpart to i29's
+    * hand-set thresholds and i38's LM score): hashed bag-of-tokens
+    * features (D buckets + bias), weak labels from the `source` field
+    * (the corpus-prep idiom: a trusted source list stands in for human
+    * labels — here 4-char sources are the positive class, `src0` is held
+    * out unlabeled), and QcE epochs of BATCH perceptron training on
+    * integer weights. Batch — not stochastic — deliberately: each epoch's
+    * update is sum(y·f) over the misclassified set, an order-independent
+    * aggregate, so training is deterministic under any partitioning (the
+    * i34 integer-grid convention; per-sample SGD would make the model
+    * depend on row order, which no distributed gate could reproduce).
+    *
+    * Shape at scale: feature extraction is a pure NARROW map (token hash
+    * + D bucket counts per doc, whole-stage codegen, no explode/shuffle).
+    * Each epoch is ONE distributed aggregate (map-side partial sums) that
+    * returns D+1 longs to the driver — the bounded scalar-collect
+    * pattern; E·(D+1) longs total cross the driver at ANY corpus size.
+    * Scoring bakes the learned weights into the plan as literals (the
+    * i46 convention) — again a narrow map. Nothing shuffles except the
+    * dump sort.
+    *
+    * The oracle re-trains the SAME model as E unrolled CTE epochs over
+    * the exploded (doc, bucket, count) features — both engines learn
+    * independently from the raw corpus, so a training defect on either
+    * side hash-mismatches.
+    */
+  val i47_quality_classifier = OpQuery(
+    (s, d) => {
+      val D = QcD
+      val docsF = t(s, d, "documents")
+        .where(col("text").isNotNull) // the i37/i38 NULL-text guard
+        .select(col("doc_id"), col("source"),
+          // length>0 guard: sequence(1, 0) counts DOWN in Spark (i3 rule)
+          expr("filter(split(text, ' '), w -> length(w) > 0)").as("toks"))
+        .select(col("doc_id"), col("source"), expr(
+          s"""transform(toks, w -> aggregate(sequence(1, length(w)),
+             |  CAST(0 AS BIGINT),
+             |  (a, i) -> a + i * ascii(substring(w, i, 1))) % $D)""".stripMargin)
+          .as("hh"))
+        .select(col("doc_id"), col("source"), qcHashedFeatures(D).as("fv"))
+        .localCheckpoint() // read E+1 times: E epoch aggregates + scoring
+      val labeled = docsF.filter(col("source") =!= "src0")
+        .withColumn("y", when(length(col("source")) === 4, 1L).otherwise(-1L))
+      def margin(wv: Array[Long]): Column =
+        (0 to D).map(j => element_at(col("fv"), j + 1) * lit(wv(j)))
+          .reduce(_ + _)
+      var w = Array.fill(D + 1)(0L)
+      for (_ <- 1 to QcE) {
+        // y·margin <= 0 includes 0: with w=0 every labeled doc updates in
+        // epoch 1 (the standard perceptron zero-margin rule)
+        val aggs = (0 to D).map(j =>
+          sum(col("y") * element_at(col("fv"), j + 1)).as(s"u$j"))
+        val row = labeled.filter(col("y") * margin(w) <= lit(0L))
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        w = w.zipWithIndex.map { case (wi, j) =>
+          wi + (if (row.isNullAt(j)) 0L else row.getLong(j)) }
+      }
+      docsF.select(col("doc_id"),
+          when(col("source") === "src0", 0L)
+            .when(length(col("source")) === 4, 1L).otherwise(-1L).as("y"),
+          margin(w).as("score"),
+          (margin(w) > 0).as("flag_quality"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val D = QcD
+      val epochs = (1 to QcE).map { e =>
+        s"""m$e AS (SELECT fe.doc_id, max(lab.y) AS y, CAST(sum(fe.c * w.wj) AS BIGINT) AS m
+           |  FROM fe JOIN w${e - 1} w USING (j) JOIN lab USING (doc_id) GROUP BY fe.doc_id),
+           |u$e AS (SELECT fe.j, CAST(sum(m.y * fe.c) AS BIGINT) AS dw
+           |  FROM fe JOIN m$e m USING (doc_id) WHERE m.y * m.m <= 0 GROUP BY fe.j),
+           |w$e AS (SELECT w.j, w.wj + coalesce(u.dw, CAST(0 AS BIGINT)) AS wj
+           |  FROM w${e - 1} w LEFT JOIN u$e u USING (j))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, source,
+         |    list_filter(string_split(text,' '), w -> len(w) > 0) AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |hs AS (SELECT doc_id, source,
+         |    list_transform(toks, w ->
+         |      list_sum(list_transform(range(1, len(w)+1), i -> i * ascii(w[i]))) % $D) AS hh
+         |  FROM d),
+         |f AS (SELECT doc_id, source,
+         |    list_append(list_transform(range(0, $D),
+         |      j -> CAST(len(list_filter(hh, x -> x = j)) AS BIGINT)),
+         |      CAST(1 AS BIGINT)) AS fv
+         |  FROM hs),
+         |fe AS (SELECT doc_id, i AS j, fv[i] AS c
+         |  FROM f, LATERAL (SELECT unnest(range(1, $D+2)) AS i) u),
+         |lab AS (SELECT doc_id,
+         |    CAST(CASE WHEN length(source) = 4 THEN 1 ELSE -1 END AS BIGINT) AS y
+         |  FROM f WHERE source <> 'src0'),
+         |w0 AS (SELECT unnest(range(1, $D+2)) AS j, CAST(0 AS BIGINT) AS wj),
+         |$epochs,
+         |sc AS (SELECT fe.doc_id, CAST(sum(fe.c * w.wj) AS BIGINT) AS score
+         |  FROM fe JOIN w$QcE w USING (j) GROUP BY 1)
+         |SELECT f.doc_id,
+         |  CAST(coalesce(lab.y, 0) AS BIGINT) AS y,
+         |  sc.score, sc.score > 0 AS flag_quality
+         |FROM f JOIN sc ON f.doc_id = sc.doc_id LEFT JOIN lab ON f.doc_id = lab.doc_id
+         |ORDER BY f.doc_id""".stripMargin
+    })
+
   // -------- i41: substring-level exact dedup -------------------------------
 
   /** The synthetic corpus has no natural long repeats, so (the i30/i37
@@ -1018,5 +1144,6 @@ object CorpusOps {
     "i42_vocab_encode" -> i42_vocab_encode,
     "i43_url_host_stats" -> i43_url_host_stats,
     "i44_domain_cap" -> i44_domain_cap,
-    "i46_bpe_encode" -> i46_bpe_encode)
+    "i46_bpe_encode" -> i46_bpe_encode,
+    "i47_quality_classifier" -> i47_quality_classifier)
 }

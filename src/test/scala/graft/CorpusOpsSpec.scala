@@ -621,4 +621,85 @@ class CorpusOpsSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoop"),
       s"encode joined instead of inlining the merge table:\n$plan")
   }
+
+  // ---- i47: independent perceptron reference (functional — written
+  // separately from CorpusOps' epoch loop) ----
+
+  private def refQcHash(w: String, D: Int): Int =
+    w.zipWithIndex.map { case (c, i) => (i + 1) * c.toInt }.sum % D
+
+  private def refQcFeatures(text: String, D: Int): Vector[Long] = {
+    val counts = text.split(" ").toSeq.filter(_.nonEmpty)
+      .groupBy(refQcHash(_, D)).view.mapValues(_.size.toLong).toMap
+    Vector.tabulate(D)(j => counts.getOrElse(j, 0L)) :+ 1L
+  }
+
+  private def refQcTrain(samples: Seq[(Vector[Long], Long)], epochs: Int,
+      D: Int): Vector[Long] =
+    (1 to epochs).foldLeft(Vector.fill(D + 1)(0L)) { (w, _) =>
+      val upd = samples.foldLeft(Vector.fill(D + 1)(0L)) { case (u, (f, y)) =>
+        val m = f.zip(w).map { case (a, b) => a * b }.sum
+        if (y * m <= 0) u.zip(f).map { case (a, c) => a + y * c } else u
+      }
+      w.zip(upd).map { case (a, b) => a + b }
+    }
+
+  test("i47 separates planted classes on held-out docs and matches the reference") {
+    // two disjoint lexicons drive the classes apart; `src0` docs are the
+    // UNLABELED holdout drawn from the same two distributions — the
+    // trained model must flag them by their true class, which is the
+    // separation claim (weak labels train, held-out docs generalize)
+    val rnd = new scala.util.Random(47)
+    import spark.implicits._
+    val lexPos = Vector("aurora", "basalt", "cedar", "delta", "ember", "fjord")
+    val lexNeg = Vector("quartz", "rubble", "sludge", "tundra", "umbra", "vortex")
+    def mk(lex: Vector[String], n: Int) =
+      Seq.fill(n)(lex(rnd.nextInt(lex.size))).mkString(" ")
+    val docs = (0L until 120L).map { id =>
+      val n = 8 + rnd.nextInt(12)
+      val positive = id % 2 == 0
+      val text = mk(if (positive) lexPos else lexNeg, n)
+      // ids 0..23 are the held-out unlabeled split (source 'src0');
+      // the rest carry weak labels via the 4-vs-5-char source rule
+      val source = if (id < 24) "src0" else if (positive) "srcp" else "srcn9"
+      (id, text, "en", source, 0L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_i47_rand").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = CorpusOps.i47_quality_classifier.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // independent reference: same features, same batch-perceptron schedule
+    val D = CorpusOps.QcD
+    val feats = docs.map { case (id, text, _, _, _) =>
+      id -> refQcFeatures(text, D) }.toMap
+    val train = docs.collect { case (id, _, _, src, _) if src != "src0" =>
+      (feats(id), if (src.length == 4) 1L else -1L) }
+    val w = refQcTrain(train, CorpusOps.QcE, D)
+    docs.foreach { case (id, _, _, src, _) =>
+      val score = feats(id).zip(w).map { case (a, b) => a * b }.sum
+      val expY = if (src == "src0") 0L else if (src.length == 4) 1L else -1L
+      val (y, sc, flag) = out(id)
+      assert(y == expY && sc == score && flag == (score > 0),
+        s"doc $id: got ($y, $sc, $flag) want ($expY, $score, ${score > 0})")
+    }
+    // the separation claim, on the UNLABELED holdout only
+    (0L until 24L).foreach { id =>
+      val (_, _, flag) = out(id)
+      assert(flag == (id % 2 == 0),
+        s"held-out doc $id misclassified — planted classes did not separate")
+    }
+  }
+
+  test("i47 plans: feature build and scoring are narrow; epochs aggregate") {
+    val plan = CorpusOps.i47_quality_classifier.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // learned weights are plan literals: no join machinery, no corpus
+    // shuffle — only the dump sort exchanges
+    assert(!plan.contains("hashpartitioning(doc_id"),
+      s"scoring shuffled the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"),
+      s"scoring joined instead of inlining weights:\n$plan")
+  }
 }
