@@ -65,13 +65,18 @@ object Tables {
 
   /** Structured-streaming source over the events parquet, with the same
     * nanos handling as the batch loader.
+    *
+    * The raw schema comes from an actual batch read of the file (with
+    * nanosAsLong set), NOT from assuming ts is nanos: fixture vintages
+    * differ — ns-precision files surface ts as LongType (and get the
+    * DIV-1000 truncation), µs-precision files surface TimestampType
+    * directly (and `nanosTsToMicros` must no-op; forcing a LongType
+    * schema on a µs file would silently divide real microseconds by
+    * 1000, collapsing every watermark/window 1000×).
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = StructType(t(s, dir, "events").schema.map {
-      case f if f.name == "ts" => StructField("ts", LongType, f.nullable)
-      case f => f
-    })
+    val rawSchema = s.read.parquet(s"$dir/events.parquet").schema
     nanosTsToMicros(
       s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")

@@ -170,6 +170,9 @@ object Main {
       .appName("graft-ingest")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      // unannotated timestamp[us] inputs read as TimestampType — see
+      // SparkTestBase
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
       .getOrCreate()
     // run-phase usage errors (empty glob match, dialect/type rejections)

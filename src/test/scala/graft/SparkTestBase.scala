@@ -9,6 +9,11 @@ object SparkTestBase {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
+    // the events fixture stores ts as unannotated timestamp[us]; NTZ
+    // inference would surface it as TIMESTAMP_NTZ, which unix_micros and
+    // streaming watermarks reject — read as TimestampType (µs, UTC
+    // session), the semantics every oracle-gated query was verified under
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
