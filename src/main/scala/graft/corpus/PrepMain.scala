@@ -51,6 +51,10 @@ object PrepMain {
   final case class Opts(in: String, out: String, dedup: String,
       dedupTau: Double = 0.8, decontam: Option[String] = None,
       minContainment: Double = 0.8,
+      // Some(c) = DF-capped shingle index (the i45 core; linear-cost
+      // against a corpus-sized bench dir), None = exact uncapped i24
+      // metric (--decontam-cap none; only safe for KB-sized bench sides)
+      decontamCap: Option[Int] = Some(LlmOps.DecontamCap),
       // defaults ARE the gate constants — one definition (LlmOps)
       minTokens: Long = LlmOps.QMinTok,
       maxDupFrac: Double = LlmOps.QMaxDupFrac,
@@ -59,9 +63,9 @@ object PrepMain {
       scrubSpan: Int = 8, scrubMinDocs: Int = 2)
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
-    "--decontam", "--min-containment", "--min-tokens", "--max-dup-frac",
-    "--max-top-bigram", "--min-quality", "--scrub", "--scrub-span",
-    "--scrub-min-docs")
+    "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
+    "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
+    "--scrub-span", "--scrub-min-docs")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -79,6 +83,8 @@ object PrepMain {
         case "--dedup" => o = o.copy(dedup = v)
         case "--dedup-tau" => o = o.copy(dedupTau = v.toDouble)
         case "--decontam" => o = o.copy(decontam = Some(v))
+        case "--decontam-cap" =>
+          o = o.copy(decontamCap = if (v == "none") None else Some(v.toInt))
         case "--min-containment" => o = o.copy(minContainment = v.toDouble)
         case "--min-tokens" => o = o.copy(minTokens = v.toLong)
         case "--max-dup-frac" => o = o.copy(maxDupFrac = v.toDouble)
@@ -92,7 +98,8 @@ object PrepMain {
     }
     require(o.in.nonEmpty && o.out.nonEmpty,
       "usage: --in <tableDir> --out <dir> [--dedup minhash|keepbest|none] " +
-        "[--dedup-tau t>=0.8] [--decontam <benchDir>] [--min-containment t] " +
+        "[--dedup-tau t>=0.8] [--decontam <benchDir>] " +
+        "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
@@ -109,6 +116,10 @@ object PrepMain {
     // stray tau must not be rejected for a disabled stage
     require(o.dedup == "none" || o.dedupTau >= 0.8,
       s"--dedup-tau must be >= 0.8 (LSH banding recall bound), got ${o.dedupTau}")
+    // cap = 0 would empty the index (every shingle is in >= 1 bench doc
+    // whenever it is in the index at all), silently disabling decontam
+    require(o.decontamCap.forall(_ >= 1),
+      s"--decontam-cap must be >= 1 or 'none', got ${o.decontamCap.get}")
     o
   }
 
@@ -173,9 +184,13 @@ object PrepMain {
       case Some(benchDir) =>
         val bench = Tables.t(spark, benchDir, "documents")
         // broadcastBench = false: this bench dir is arbitrary user input,
-        // not the gated fixture — see containmentFlags
+        // not the gated fixture — see containmentFlags. The DF cap
+        // (default LlmOps.DecontamCap, i45's core) bounds the inverted-
+        // index join output linearly even when the bench dir is itself
+        // corpus-sized — the superlinear i24 regime the r4 ladder
+        // measured; `--decontam-cap none` restores the exact metric.
         LlmOps.containmentFlags(docs, bench, opts.minContainment,
-          broadcastBench = false)
+          broadcastBench = false, cap = opts.decontamCap)
           .select(col("train_id").as("doc_id")).distinct()
       case None => spark.range(0).select(col("id").as("doc_id"))
     }).persist(lvl) // same two-reader shape as dupDrops
@@ -278,6 +293,9 @@ object PrepMain {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // unannotated timestamp[us] fixtures read as TimestampType — see
+      // SparkTestBase
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

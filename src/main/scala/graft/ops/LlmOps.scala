@@ -119,6 +119,23 @@ object LlmOps {
       xxhash64((lit(bd) +: (0 until 4).map(r =>
         element_at(mh, 4 * bd + r + 1))): _*)): _*)
 
+  /** Shared batch/stream lineage for the banded signature index:
+    * (doc_id, hs, bucket) — one row per (doc, band). Pure narrow
+    * codegen'd ops (tokenize → shingle-set → minhash → band buckets →
+    * explode), so the SAME function builds the static corpus index and
+    * the streaming probe side of j12 (the j11 batch/stream-can't-drift
+    * convention), inheriting bandBuckets' 16×4 geometry and its
+    * documented (1−j⁴)¹⁶ miss bound.
+    */
+  private[graft] def bandedShingles(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
+    withToks(docs)
+      .select(col("doc_id"), shingleHashSet(toks).as("hs"))
+      .filter(size(col("hs")) > 0) // see i5: no vacuous buckets
+      .select(col("doc_id"), col("hs"),
+        explode(bandBuckets(minhashSignature(col("hs")))).as("bucket"))
+  }
+
   /** Exact-Jaccard verification of an LSH candidate id-pair set against the
     * hashed-shingle table `sh` (columns doc_id, hs — sorted distinct).
     * Returns (leftKey, rightKey, jaccard) for pairs at ≥ τ, ordered.
@@ -1051,10 +1068,10 @@ object LlmOps {
     * as the only shuffle. Hashed shingles stand in for strings exactly as
     * in i5 (collision odds ~|sh|²/2⁶⁴ vs the string oracle).
     */
-  /** The containment engine behind i24, reusable against an EXTERNAL
-    * benchmark table (PrepMain --decontam): both inputs are document
-    * frames (doc_id, text); output is (train_id, bench_id, containment)
-    * at ≥ τ. Same inverted-index shape as documented on i24.
+  /** The containment engine behind i24 AND i45, reusable against an
+    * EXTERNAL benchmark table (PrepMain --decontam): both inputs are
+    * document frames (doc_id, text); output is (train_id, bench_id,
+    * containment) at ≥ τ. Same inverted-index shape as documented on i24.
     *
     * `broadcastBench`: the gated i24 shape force-broadcasts the bench
     * side (eval suites are KBs against the corpus, and the spec asserts
@@ -1063,23 +1080,69 @@ object LlmOps {
     * shingle frame would hit the broadcast limit / OOM the driver where
     * a plain shuffled hash join (AQE still broadcasts small sides)
     * works.
+    *
+    * `cap`: Some(c) switches to the DF-CAPPED index (i45's shape, the
+    * CCNet-class cure for a corpus-sized bench side): shingles held by
+    * more than c bench documents drop out of the index, and containment
+    * is measured over each bench doc's RETAINED shingles, so per-shingle
+    * bench multiplicity — and with it the h-join output — is bounded by
+    * c·(train shingles), linear in the corpus no matter how large the
+    * benchmark grows. Both engines drop exactly the same shingles, so
+    * the capped metric stays exactly oracle-checkable; bench docs with
+    * no retained shingles have no defined containment and are excluded
+    * (deterministically, in both engines). None keeps the exact
+    * uncapped metric (i24's intended KB-sized-bench regime), with
+    * sz_bench carried inline on the exploded rows so the uncapped path
+    * costs no extra aggregate or join.
     */
+  /** The i45 / PrepMain default bench-DF cap — one definition (the
+    * QMinTok convention) consumed by the i45 gate row, its oracle SQL,
+    * and the CLI's `--decontam-cap` default.
+    */
+  private[graft] val DecontamCap = 10
+
   private[graft] def containmentFlags(train: DataFrame, bench: DataFrame,
-      tau: Double, broadcastBench: Boolean = true): DataFrame = {
+      tau: Double, broadcastBench: Boolean = true,
+      cap: Option[Int] = None): DataFrame = {
     import graft.functions.HashFunctions.shingleHashSet
     def sh(df: DataFrame) = withToks(df)
       .select(col("doc_id"), shingleHashSet(toks).as("sh"))
       .filter(size(col("sh")) > 0) // ⇔ oracle's len(toks) >= 2
-    val be = sh(bench)
-      .select(col("doc_id").as("bench_id"), size(col("sh")).as("sz_bench"),
-        explode(col("sh")).as("h"))
     val tr = sh(train)
       .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
     // sh elements are distinct (sorted-set expression), so the per-pair
-    // match count IS the intersection size.
-    tr.join(if (broadcastBench) broadcast(be) else be, "h")
-      .groupBy("train_id", "bench_id", "sz_bench")
-      .agg(count(lit(1)).as("inter"))
+    // match count IS the intersection size. Each arm yields
+    // (train_id, bench_id, inter, sz_bench) rows.
+    val scored = cap match {
+      case None =>
+        val be = sh(bench)
+          .select(col("doc_id").as("bench_id"), size(col("sh")).as("sz_bench"),
+            explode(col("sh")).as("h"))
+        tr.join(if (broadcastBench) broadcast(be) else be, "h")
+          .groupBy("train_id", "bench_id", "sz_bench")
+          .agg(count(lit(1)).as("inter"))
+      case Some(c) =>
+        // localCheckpoint: `be` feeds the hot-shingle aggregate AND the
+        // anti-join, and `beKept` feeds the size aggregate AND the train
+        // join — without it the tokenize→shingle→explode pipeline
+        // executes once per consumer (the double-execution shape fixed
+        // r3/r4 in the sibling operators).
+        val be = sh(bench)
+          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+          .localCheckpoint()
+        // the capped index: shingles in more than `cap` bench docs drop
+        val hotH = be.groupBy("h")
+          .agg(countDistinct(col("bench_id")).as("dfb"))
+          .filter(col("dfb") > c).select("h")
+        val beKept = be.join(hotH, Seq("h"), "left_anti").localCheckpoint()
+        val szCapped = beKept.groupBy("bench_id")
+          .agg(count(lit(1)).as("sz_bench")) // rows are distinct (h-set)
+        tr.join(if (broadcastBench) broadcast(beKept) else beKept, "h")
+          .groupBy("train_id", "bench_id")
+          .agg(count(lit(1)).as("inter"))
+          .join(szCapped, "bench_id")
+    }
+    scored
       .filter(col("inter").cast(DoubleType) / col("sz_bench") >= tau)
       .select(col("train_id"), col("bench_id"),
         round(col("inter").cast(DoubleType) / col("sz_bench"), 6).as("containment"))
@@ -1124,43 +1187,16 @@ object LlmOps {
     */
   val i45_decontam_capped = OpQuery(
     (s, d) => {
-      import graft.functions.HashFunctions.shingleHashSet
-      val cap = 10
-      def sh(df: DataFrame) = withToks(df)
-        .select(col("doc_id"), shingleHashSet(toks).as("sh"))
-        .filter(size(col("sh")) > 0)
       val docs = t(s, d, "documents")
-      // localCheckpoint: `be` feeds the hot-shingle aggregate AND the
-      // anti-join, and `beKept` feeds the size aggregate AND the train
-      // join — without it the tokenize→shingle→explode pipeline executes
-      // once per consumer (the double-execution shape fixed r3/r4 in the
-      // sibling operators). The bench side is KB-sized by construction.
-      val be = sh(docs.filter(col("source") === "src0"))
-        .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
-        .localCheckpoint()
-      // the capped index: shingles in more than `cap` bench docs drop out
-      val hotH = be.groupBy("h")
-        .agg(countDistinct(col("bench_id")).as("dfb"))
-        .filter(col("dfb") > cap).select("h")
-      val beKept = be.join(hotH, Seq("h"), "left_anti").localCheckpoint()
-      val szCapped = beKept.groupBy("bench_id")
-        .agg(count(lit(1)).as("sz_capped")) // rows are distinct (h-set)
-      val tr = sh(docs.filter(col("source") =!= "src0"))
-        .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
-      tr.join(beKept, "h")
-        .groupBy("train_id", "bench_id")
-        .agg(count(lit(1)).as("inter"))
-        .join(szCapped, "bench_id")
-        .filter(col("inter").cast(DoubleType) / col("sz_capped") >= 0.8)
-        .select(col("train_id"), col("bench_id"),
-          round(col("inter").cast(DoubleType) / col("sz_capped"), 6)
-            .as("containment"))
-        .orderBy("train_id", "bench_id")
+      // ONE core with i24 and the PrepMain CLI (cap = the only delta):
+      // the r4 threshold-single-sourcing lesson applied to decontam.
+      containmentFlags(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), 0.8, cap = Some(DecontamCap))
     },
     s"""${shinglesSqlCteFor("source", minToks = true)},
       |x AS (SELECT doc_id, source, unnest(sh) AS h FROM s),
       |bh AS (SELECT doc_id AS bench_id, h FROM x WHERE source = 'src0'),
-      |hot AS (SELECT h FROM bh GROUP BY h HAVING count(DISTINCT bench_id) > 10),
+      |hot AS (SELECT h FROM bh GROUP BY h HAVING count(DISTINCT bench_id) > $DecontamCap),
       |bk AS (SELECT bench_id, h FROM bh WHERE h NOT IN (SELECT h FROM hot)),
       |sz AS (SELECT bench_id, count(*) AS sz_capped FROM bk GROUP BY 1),
       |inter AS (SELECT a.doc_id AS train_id, bk.bench_id, count(*) AS i

@@ -288,6 +288,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("containmentFlags: a non-binding cap reproduces the uncapped metric exactly") {
+    // the unified core's two arms (inline-sz uncapped vs capped-index)
+    // must compute the SAME containment whenever the cap doesn't bind —
+    // with cap >= the bench doc count no shingle can exceed it, so the
+    // capped index retains everything and the outputs must be row-equal
+    val docs = Tables.t(spark, sfDir, "documents")
+    val bench = docs.filter(col("source") === "src0")
+    val train = docs.filter(col("source") =!= "src0")
+    val nBench = bench.count().toInt
+    val capped = LlmOps.containmentFlags(train, bench, 0.8, cap = Some(nBench))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = LlmOps.containmentFlags(train, bench, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(uncapped.nonEmpty, "fixture plants contaminated pairs")
+    assert(capped == uncapped)
+  }
+
   test("i25 incremental dedup equals the exact batch-vs-corpus join") {
     import graft.functions.VectorFunctions.intersectCount
     import graft.functions.HashFunctions.shingleHashSet
