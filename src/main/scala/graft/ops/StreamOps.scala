@@ -346,7 +346,66 @@ object StreamOps {
     },
     LlmOps.qualityKeepSql)
 
+  /** j12: STREAMING incremental near-dup gate — i25's batch-vs-corpus
+    * LSH probe run inside a micro-batch (the continuous-crawl shape j9
+    * covers only for EXACT fingerprints): arriving documents probe a
+    * static, precomputed corpus signature index and any arrival whose
+    * verified Jaccard against an indexed document clears τ is flagged
+    * before it lands in the lake. Both sides share LITERALLY the same
+    * `bandedShingles` lineage (the j11 convention), so the stream probe
+    * and the batch i25 cannot drift.
+    *
+    * Shape: the corpus index (corpus_id, hs, bucket) is localCheckpointed
+    * — computed once, re-READ per micro-batch, never recomputed (at 100 TB
+    * it is the incrementally-maintained signature index table i25
+    * documents, keyed/bucketed by band bucket so each probe is a
+    * co-located hash-join lookup; the stream side is the small side of
+    * every micro-batch join). The exact verify runs INLINE on the joined
+    * row (intersectCount on the two carried shingle sets — no second
+    * join), so the only stateful streaming operator is the final
+    * per-pair aggregation collapsing multi-band hits; its state is one
+    * row per FLAGGED pair, tracking the dup rate, not the crawl volume.
+    * Oracle: i25's exact-join SQL verbatim — stream and batch answer the
+    * same question, and the gate proves it.
+    */
+  val j12_stream_incremental_dedup = OpQuery(
+    (s, d) => {
+      import graft.functions.VectorFunctions.intersectCount
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j12"))
+      graft.Util.deleteRecursively(ckpt)
+      val docs = t(s, d, "documents")
+      val corpus = LlmOps.bandedShingles(docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"),
+          col("bucket"))
+        .localCheckpoint()
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val probe = LlmOps.bandedShingles(src.filter(col("doc_id") % 10 === 0))
+        .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"),
+          col("bucket"))
+      val flagged = probe.join(corpus, "bucket")
+        .withColumn("inter", intersectCount(col("hs_b"), col("hs_c")))
+        .withColumn("jac", col("inter").cast(DoubleType) /
+          (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
+        .filter(col("jac") >= 0.8)
+        .groupBy("batch_id", "corpus_id")
+        // multi-band hits carry the identical exact jac — min collapses
+        // them without an extra distinct before the aggregation
+        .agg(round(min(col("jac")), 6).as("jaccard"))
+      val q = flagged.writeStream.format("memory").queryName("graft_j12")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j12").orderBy("batch_id", "corpus_id")
+    },
+    // the SAME question as batch i25 — reuse its exact-join oracle
+    LlmOps.i25_dedup_incremental.oracle.get)
+
   val all: Map[String, OpQuery] = Map(
+    "j12_stream_incremental_dedup" -> j12_stream_incremental_dedup,
     "j11_stream_quality_filter" -> j11_stream_quality_filter,
     "j10_transform_with_state" -> j10_transform_with_state,
     "j9_stream_ingest_dedup" -> j9_stream_ingest_dedup,

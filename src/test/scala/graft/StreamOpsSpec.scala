@@ -139,6 +139,19 @@ class StreamOpsSpec extends SparkTestBase {
       s"quality gate vacuous: $kept of $total kept")
   }
 
+  test("j12 streaming incremental dedup equals batch i25 on the same drop") {
+    val fromStream = StreamOps.j12_stream_incremental_dedup.fn(spark, sfDir)
+    val batch = graft.ops.LlmOps.i25_dedup_incremental.fn(spark, sfDir)
+    assertSameRows(fromStream, batch) // ids AND verified jaccard values
+    // real at this SF: the fixture plants batch-vs-corpus duplicates
+    assert(fromStream.count() > 0, "no batch-vs-corpus pairs flagged")
+    // incremental contract survives the stream: probe side only flags
+    fromStream.collect().foreach { r =>
+      assert(r.getLong(0) % 10 == 0 && r.getLong(1) % 10 != 0,
+        s"pair (${r.getLong(0)},${r.getLong(1)}) crosses the wrong split")
+    }
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
