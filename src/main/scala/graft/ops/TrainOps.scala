@@ -134,9 +134,93 @@ object TrainOps {
       |      FROM documents)
       |WHERE rk <= 50 ORDER BY lang, rk""".stripMargin)
 
+  /** i48: mixture resampler — APPLIES the domain weights i28 computes
+    * (i28 stops at the weight table; real pipelines then have to
+    * materialize the resampled corpus). Semantics, all in EXACT integer
+    * arithmetic so both engines agree bit-for-bit (the i34 convention —
+    * no floored double ever decides membership):
+    *
+    *   share   = total DIV n_langs        (the equal-share target)
+    *   over-represented lang (n_docs ≥ share): keep the `share` docs
+    *     with the smallest sampling hash (i26's machinery, an
+    *     independent multiplier), n_copies = 1;
+    *   under-represented: keep ALL docs; base = min(3, share DIV
+    *     n_docs) copies each, and the first share MOD n_docs docs by
+    *     hash rank carry one extra copy, so the lang's effective count
+    *     lands EXACTLY on its target.
+    *
+    * Invariant (the gate-checkable form of "matches the i28 targets"):
+    * every lang contributes exactly least(share, 3·n_docs) effective
+    * docs — which is i28's n_docs·min(3, share/n_docs) target with the
+    * fractional part resolved by integer remainder instead of a float
+    * round. The 3× upsampling cap is i28's weight cap.
+    *
+    * Scale: one lang-keyed aggregate (vocabulary-sized, broadcast
+    * back), one per-stratum window (i26's shape — parallel across
+    * strata), no shuffle of document bodies beyond the window's
+    * lang-keyed exchange. At 100 TB the window degrades gracefully to
+    * the hash-threshold filter documented on i26 (keep skey below a
+    * per-lang cutoff: constant memory, no window, exact-k only in
+    * expectation) — the exact-k window form is the gate semantics.
+    * doc_id · 2147483629 stays < 2⁵² for ids to ~10⁶ (b10's 128-bit
+    * note applies beyond); the multiplier is distinct from i20's and
+    * i26's so mixture membership is independent of both the train
+    * split and the stratified sample.
+    */
+  val i48_mix_apply = OpQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val totals = docs.agg(count(lit(1)).as("total"),
+        countDistinct(col("lang")).as("n_langs"))
+      val tgt = byLang.crossJoin(broadcast(totals))
+        .withColumn("share", expr("total DIV n_langs"))
+        .withColumn("n_keep", least(col("n_docs"), col("share")))
+        .withColumn("base", when(col("n_docs") >= col("share"), lit(1L))
+          .otherwise(least(lit(3L), expr("share DIV n_docs"))))
+        .withColumn("rem", when(col("n_docs") >= col("share"), lit(0L))
+          .when(expr("share DIV n_docs") >= 3, lit(0L))
+          .otherwise(col("share") % col("n_docs")))
+        .select("lang", "n_keep", "base", "rem")
+      val skey = (col("doc_id") * 2147483629L) % 1000000007L
+      docs.select(col("doc_id"), col("lang"), skey.as("skey"))
+        .withColumn("rk", row_number()
+          .over(Window.partitionBy("lang").orderBy("skey", "doc_id"))
+          .cast(LongType))
+        .join(broadcast(tgt), "lang")
+        .filter(col("rk") <= col("n_keep"))
+        .select(col("doc_id"), col("lang"),
+          (col("base") + when(col("rk") <= col("rem"), lit(1L))
+            .otherwise(lit(0L))).as("n_copies"))
+        .orderBy("doc_id")
+    },
+    """WITH byl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |tot AS (SELECT count(*) AS total, count(DISTINCT lang) AS n_langs
+      |        FROM documents),
+      |tgt AS (SELECT lang,
+      |         least(n_docs, total // n_langs) AS n_keep,
+      |         CASE WHEN n_docs >= total // n_langs THEN 1
+      |              WHEN (total // n_langs) // n_docs >= 3 THEN 3
+      |              ELSE (total // n_langs) // n_docs END AS base,
+      |         CASE WHEN n_docs >= total // n_langs THEN 0
+      |              WHEN (total // n_langs) // n_docs >= 3 THEN 0
+      |              ELSE (total // n_langs) % n_docs END AS rem
+      |        FROM byl, tot),
+      |r AS (SELECT doc_id, lang,
+      |       row_number() OVER (PARTITION BY lang
+      |         ORDER BY (doc_id * 2147483629) % 1000000007, doc_id) AS rk
+      |      FROM documents)
+      |SELECT r.doc_id, r.lang,
+      |  CAST(t.base + CASE WHEN r.rk <= t.rem THEN 1 ELSE 0 END AS BIGINT)
+      |    AS n_copies
+      |FROM r JOIN tgt t ON r.lang = t.lang
+      |WHERE r.rk <= t.n_keep
+      |ORDER BY r.doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "i20_train_split" -> i20_train_split,
     "i21_shard_assign" -> i21_shard_assign,
     "i22_seq_pack" -> i22_seq_pack,
-    "i26_sample_stratified" -> i26_sample_stratified)
+    "i26_sample_stratified" -> i26_sample_stratified,
+    "i48_mix_apply" -> i48_mix_apply)
 }

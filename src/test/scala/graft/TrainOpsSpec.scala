@@ -111,4 +111,39 @@ class TrainOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("i48 lands every lang EXACTLY on the i28 mixture target") {
+    val docs = Tables.t(spark, sfDir, "documents")
+    val total = docs.count()
+    val nLangs = docs.select("lang").distinct().count()
+    val share = total / nLangs
+    val byLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = TrainOps.i48_mix_apply.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // the integer-exact form of "matches the i28 targets": per lang,
+    // effective (copy-weighted) count == least(share, 3 * n_docs) — i28's
+    // n_docs * min(3, share/n_docs) with the fractional part resolved by
+    // remainder instead of a float round; and vs the FLOAT i28 weight the
+    // effective count sits within 1 doc (the integer-division slack)
+    val eff = out.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    byLang.foreach { case (lang, n) =>
+      val want = math.min(share, 3 * n)
+      assert(eff.getOrElse(lang, 0L) == want,
+        s"$lang: effective ${eff.getOrElse(lang, 0L)} != target $want")
+      val w = math.min(total.toDouble / nLangs / n, 3.0) // i28's weight
+      assert(math.abs(eff(lang) - n * w) <= 1.0 + 1e-9,
+        s"$lang: effective ${eff(lang)} vs float target ${n * w}")
+    }
+    // over-represented langs downsample (copies = 1), under-represented
+    // upsample with copies in [1, 3]; the fixture must exercise both
+    assert(out.forall(r => r._3 >= 1 && r._3 <= 3))
+    val downsampled = byLang.filter(_._2 > share).keySet
+    assert(out.filter(r => downsampled(r._2)).forall(_._3 == 1L))
+    // membership is hash-determined: re-run is bit-identical
+    val again = TrainOps.i48_mix_apply.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
 }
