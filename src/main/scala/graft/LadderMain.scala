@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reproducible scale-ladder runner behind PERF.md's measured scaling
+  * claims (the r4 text ladder was produced with a scratch harness; this
+  * commits the methodology so any round can re-measure it).
+  *
+  * Replicates one fixture table k× by offsetting its id column — every
+  * original row becomes an exact-dup clique of size k, so pair-forming
+  * operators face ~k² MORE pair work than a plain k× scale-up: a strictly
+  * harder workload than organic growth, which is the point. Times each
+  * family op with Bench's hygiene (warm-up outside the loop, in-JVM reps,
+  * per-op medians, max−min spreads for contention self-diagnosis).
+  *
+  * Usage:  runMain graft.LadderMain text|emb
+  *   SPARK_GRAFT_SF_DIR (default sf0.1)  base fixture
+  *   SPARK_GRAFT_SCALES (default 1,2,4,8), SPARK_GRAFT_REPS (default 3),
+  *   SPARK_GRAFT_CPUS (default 4 — the r4 ladder setting)
+  * Prints one JSON line per scale: {"family":…,"scale":k,"rows":…,
+  * "queries":{op:medianSec,…},"spreads":{…},"reps":…}.
+  */
+object LadderMain {
+
+  /** emb family: the gated embedding ops the PERF.md claims cover, plus
+    * the component-closure-over-i12-edges composition (i39's loop fed by
+    * embedding-cosine pairs instead of text-LSH pairs — not a gated key,
+    * but the shape i23 documents as its low-τ alternative).
+    */
+  private def embOps: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "i12_dedup_embcos" -> ops.LlmOps.i12_dedup_embcos.fn,
+    "i34_kmeans_lloyd" -> ops.CorpusOps.i34_kmeans_lloyd.fn,
+    "i35_semdedup" -> ops.CorpusOps.i35_semdedup.fn,
+    "i39_over_i12" -> { (s: SparkSession, d: String) =>
+      val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
+        .select(col("a_id"), col("b_id"))
+      ops.LlmOps.connectedComponents(s, edges)
+    })
+
+  /** text family: the r4 ladder's op set, re-runnable. */
+  private def textOps: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("b10_dedupe_exact", "i10_dedup_minhash_lsh", "i37_dedup_lines",
+      "i39_dedup_components_lsh", "i41_dedup_substring", "i42_vocab_encode",
+      "i31_tfidf_topterms", "i38_doc_logprob", "i45_decontam_capped")
+      .map(k => k -> SparkEntry.queries(k))
+
+  def main(args: Array[String]): Unit = {
+    val family = args.headOption.getOrElse("emb")
+    val (table, idCol, selected) = family match {
+      case "emb" => ("embeddings", "vec_id", embOps)
+      case "text" => ("documents", "doc_id", textOps)
+      case other => throw new IllegalArgumentException(
+        s"family must be text|emb, got $other")
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,8")
+      .split(",").map(_.trim.toInt)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+
+    val base = Tables.t(spark, sfDir, table)
+    val lines = scales.map { k =>
+      val dir = Util.scratch(s"ladder_${family}_${k}x")
+      // id offset by (maxId+1)·copy keeps ids disjoint and ordering-stable
+      val maxId = base.agg(max(col(idCol))).head().getLong(0) + 1
+      (0 until k).map(i => base.withColumn(idCol, col(idCol) + lit(i * maxId)))
+        .reduce(_ union _)
+        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      val rows = spark.read.parquet(s"$dir/$table.parquet").count()
+      // warm-up: one untimed pass absorbs JIT + codegen + reader init
+      selected.foreach { case (_, fn) =>
+        try fn(spark, dir).count()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+      val samples = (1 to reps).map { _ =>
+        selected.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).count()
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+      }
+      val qs = selected.map { case (name, _) =>
+        f""""$name":${median(samples.map(_(name)))}%.3f"""
+      }.mkString("{", ",", "}")
+      val spreads = selected.map { case (name, _) =>
+        val xs = samples.map(_(name))
+        f""""$name":${xs.max - xs.min}%.3f"""
+      }.mkString("{", ",", "}")
+      s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"}"""
+    }
+    spark.stop()
+    lines.foreach(println)
+  }
+}

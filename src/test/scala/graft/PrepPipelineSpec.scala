@@ -113,6 +113,49 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(residual == 0, s"$residual contaminated docs survived --decontam")
   }
 
+  test("--decontam-cap keeps a corpus-sized bench dir in the bounded-index regime") {
+    // The adversarial regime the r4 scale ladder measured: the benchmark
+    // side IS the corpus itself. The default-capped CLI path must (a)
+    // bound every retained index shingle's bench multiplicity by the cap
+    // — the property that keeps the inverted-index join output linear in
+    // the corpus — with the cap actually BINDING here (not vacuous), and
+    // (b) produce exactly the unified core's capped drop set.
+    val benchDir = Util.scratch("prep_bench_big")
+    val out3 = Util.scratch("prep_out_capped")
+    Tables.t(spark, sfDir, "documents")
+      .write.mode("overwrite").parquet(s"$benchDir/documents.parquet")
+    val cap = 5
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, out3, "none",
+      decontam = Some(benchDir), decontamCap = Some(cap)))
+    // self-containment (every corpus doc contains itself at 1.0 over its
+    // retained shingles) must flag the docs that retain rare shingles
+    assert(m("n_contaminated_corpus") > 0, "no contamination flagged (vacuous)")
+    // (a) the bounded-index property, recomputed on the same lineage
+    import graft.functions.HashFunctions.shingleHashSet
+    val be = spark.read.parquet(s"$benchDir/documents.parquet")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), shingleHashSet(col("toks")).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
+    val dfb = be.groupBy("h").agg(countDistinct("bench_id").as("dfb"))
+    assert(dfb.filter(col("dfb") > cap).count() > 0,
+      "cap never binds against a corpus-sized bench — test is vacuous")
+    val keptIndexMax = be.join(dfb.filter(col("dfb") > cap).select("h"),
+        Seq("h"), "left_anti")
+      .groupBy("h").agg(countDistinct("bench_id").as("mult"))
+      .agg(max("mult")).head().getLong(0)
+    assert(keptIndexMax <= cap,
+      s"retained index shingle with bench multiplicity $keptIndexMax > $cap")
+    // (b) CLI drop count == the unified core's capped flags, same inputs
+    val expect = LlmOps.containmentFlags(
+      Tables.t(spark, sfDir, "documents"),
+      spark.read.parquet(s"$benchDir/documents.parquet"), 0.8,
+      broadcastBench = false, cap = Some(cap))
+      .select("train_id").distinct().count()
+    assert(m("n_contaminated_corpus") == expect,
+      s"CLI dropped ${m("n_contaminated_corpus")}, capped core flags $expect")
+  }
+
   test("--dedup keepbest keeps each cluster's longest member; output still pair-free") {
     val out2 = Util.scratch("prep_out_keepbest")
     val m = PrepMain.run(spark, PrepMain.Opts(sfDir, out2, "keepbest"))
