@@ -152,6 +152,23 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("j12's probe composition plans as a bucket equi-join, never all-pairs") {
+    // the same bandedShingles lineage the stream runs, composed as batch
+    // frames (micro-batch planning goes through the same Catalyst rules):
+    // the candidate join must stay a hash equi-join on the band bucket
+    import graft.ops.LlmOps
+    val docs = Tables.t(spark, sfDir, "documents")
+    val corpus = LlmOps.bandedShingles(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"), col("bucket"))
+    val probe = LlmOps.bandedShingles(docs.filter(col("doc_id") % 10 === 0))
+      .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"), col("bucket"))
+    val plan = probe.join(corpus, "bucket")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"j12 probe degenerated to an all-pairs join:\n$plan")
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
