@@ -132,8 +132,16 @@ object LlmOps {
     withToks(docs)
       .select(col("doc_id"), shingleHashSet(toks).as("hs"))
       .filter(size(col("hs")) > 0) // see i5: no vacuous buckets
+      // mh MUST be materialized as an attribute in its own projection
+      // before bandBuckets references it: bandBuckets(expr) substitutes
+      // its argument into all 64 element_at calls, and a directly-inlined
+      // minhashSignature would be recomputed 64× per row (measured: 48 s
+      // vs 0.4 s for the corpus index at sf0.1). As an attribute, the
+      // duplication is free — and CollapseProject's expensive-expression
+      // guard keeps the optimizer from re-inlining it.
+      .select(col("doc_id"), col("hs"), minhashSignature(col("hs")).as("mh"))
       .select(col("doc_id"), col("hs"),
-        explode(bandBuckets(minhashSignature(col("hs")))).as("bucket"))
+        explode(bandBuckets(col("mh"))).as("bucket"))
   }
 
   /** Exact-Jaccard verification of an LSH candidate id-pair set against the
