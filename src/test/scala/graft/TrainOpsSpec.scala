@@ -112,6 +112,31 @@ class TrainOpsSpec extends SparkTestBase {
     assert(again.toSeq == out.toSeq)
   }
 
+  test("i48 plans with one lang-window Exchange and a broadcast target join") {
+    // the corpus-sized side must shuffle only for the per-lang window;
+    // the vocabulary-sized target table must arrive by broadcast, and
+    // nothing may degenerate to an all-pairs join
+    val plan = TrainOps.i48_mix_apply.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"i48 lost its broadcast target join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"i48 degenerated to an all-pairs join:\n$plan")
+    // exactly one BroadcastNestedLoopJoin is EXPECTED: the sanctioned
+    // 1-row crossJoin(broadcast(totals)) scalar-attach idiom (the i28/j4
+    // shape) — anything more means a real join degenerated
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj == 1 && plan.contains("BuildRight, Cross"),
+      s"expected exactly the 1-row totals scalar-attach BNLJ, got $bnlj:\n$plan")
+    // document-side DATA shuffles are the lang window and the final dump
+    // sort; everything else operates on vocabulary-sized aggregates or
+    // broadcasts (the count includes BroadcastExchange rows and the tiny
+    // byLang/totals aggregate exchanges, hence the loose total bound —
+    // a corpus-keyed join sneaking in would blow past it)
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 8, s"unexpected shuffle count $exchanges:\n$plan")
+  }
+
   test("i48 lands every lang EXACTLY on the i28 mixture target") {
     val docs = Tables.t(spark, sfDir, "documents")
     val total = docs.count()
