@@ -72,7 +72,13 @@ object LadderMain {
     }
 
     val base = Tables.t(spark, sfDir, table)
-    val lines = scales.map { k =>
+    // Each scale's line prints AS IT COMPLETES: a deterministic failure
+    // at a later scale (OOM at 8×, say) must not lose the minutes of
+    // already-measured smaller scales. For the same reason the warm-up
+    // fails LOUDLY with op+scale context instead of swallowing — a
+    // swallowed deterministic failure would just rethrow inside the
+    // timed loop with less information.
+    scales.foreach { k =>
       val dir = Util.scratch(s"ladder_${family}_${k}x")
       // id offset by (maxId+1)·copy keeps ids disjoint and ordering-stable
       val maxId = base.agg(max(col(idCol))).head().getLong(0) + 1
@@ -81,9 +87,12 @@ object LadderMain {
         .write.mode("overwrite").parquet(s"$dir/$table.parquet")
       val rows = spark.read.parquet(s"$dir/$table.parquet").count()
       // warm-up: one untimed pass absorbs JIT + codegen + reader init
-      selected.foreach { case (_, fn) =>
+      selected.foreach { case (name, fn) =>
         try fn(spark, dir).count()
-        catch { case scala.util.control.NonFatal(_) => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new RuntimeException(
+            s"ladder warm-up failed for $name at ${k}x: ${e.getMessage}", e)
+        }
       }
       val samples = (1 to reps).map { _ =>
         selected.map { case (name, fn) =>
@@ -99,9 +108,8 @@ object LadderMain {
         val xs = samples.map(_(name))
         f""""$name":${xs.max - xs.min}%.3f"""
       }.mkString("{", ",", "}")
-      s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"}"""
+      println(s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"}""")
     }
     spark.stop()
-    lines.foreach(println)
   }
 }

@@ -119,30 +119,46 @@ object LlmOps {
       xxhash64((lit(bd) +: (0 until 4).map(r =>
         element_at(mh, 4 * bd + r + 1))): _*)): _*)
 
-  /** Shared batch/stream lineage for the banded signature index:
-    * (doc_id, hs, bucket) — one row per (doc, band). Pure narrow
-    * codegen'd ops (tokenize → shingle-set → minhash → band buckets →
-    * explode), so the SAME function builds the static corpus index and
-    * the streaming probe side of j12 (the j11 batch/stream-can't-drift
-    * convention), inheriting bandBuckets' 16×4 geometry and its
-    * documented (1−j⁴)¹⁶ miss bound.
+  /** The (doc_id, hs) hashed-shingle base every MinHash-LSH consumer
+    * starts from — ONE definition of the tokenize → shingle-set →
+    * non-empty guard lineage, so i10/i25/i39/j12 cannot drift on it.
     */
-  private[graft] def bandedShingles(docs: DataFrame): DataFrame = {
-    import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.shingleHashSet
     withToks(docs)
       .select(col("doc_id"), shingleHashSet(toks).as("hs"))
-      .filter(size(col("hs")) > 0) // see i5: no vacuous buckets
-      // mh MUST be materialized as an attribute in its own projection
-      // before bandBuckets references it: bandBuckets(expr) substitutes
-      // its argument into all 64 element_at calls, and a directly-inlined
-      // minhashSignature would be recomputed 64× per row (measured: 48 s
-      // vs 0.4 s for the corpus index at sf0.1). As an attribute, the
-      // duplication is free — and CollapseProject's expensive-expression
-      // guard keeps the optimizer from re-inlining it.
+      .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
+  }
+
+  /** Band-bucket explode over a (doc_id, hs) frame: (doc_id, hs, bucket),
+    * one row per (doc, band), inheriting bandBuckets' 16×4 geometry and
+    * its documented (1−j⁴)¹⁶ miss bound.
+    *
+    * mh MUST be materialized as an attribute in its own projection
+    * before bandBuckets references it: bandBuckets(expr) substitutes
+    * its argument into all 64 element_at calls, and a directly-inlined
+    * minhashSignature would be recomputed 64× per row (measured: 48 s
+    * vs 0.4 s for the j12 corpus index at sf0.1). As an attribute, the
+    * duplication is free — and CollapseProject's expensive-expression
+    * guard keeps the optimizer from re-inlining it.
+    */
+  private[graft] def withBandBuckets(base: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.minhashSignature
+    base
       .select(col("doc_id"), col("hs"), minhashSignature(col("hs")).as("mh"))
       .select(col("doc_id"), col("hs"),
         explode(bandBuckets(col("mh"))).as("bucket"))
   }
+
+  /** Shared batch/stream lineage for the banded signature index:
+    * shingleSets ∘ withBandBuckets. Pure narrow codegen'd ops, so the
+    * SAME composition builds i10/i25's batch sides, the static corpus
+    * index, and the streaming probe side of j12 (the j11
+    * batch/stream-can't-drift convention — structurally true, not a
+    * comment: all four operators call these two functions).
+    */
+  private[graft] def bandedShingles(docs: DataFrame): DataFrame =
+    withBandBuckets(shingleSets(docs))
 
   /** Exact-Jaccard verification of an LSH candidate id-pair set against the
     * hashed-shingle table `sh` (columns doc_id, hs — sorted distinct).
@@ -404,7 +420,6 @@ object LlmOps {
     // = (1−j⁴)¹⁶ ≤ 2.2e-4 there. Verifying at a LOWER τ would silently
     // lose recall (edges the bands never surface), so refuse it.
     require(tau >= 0.8, s"minhash banding is tuned for tau >= 0.8, got $tau")
-    import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
     val docs = t(s, d, "documents")
     // The full 64-permutation signature is ONE narrow codegen'd expression
     // over the hashed shingle array (graft.functions.MinHashSignature) —
@@ -416,12 +431,8 @@ object LlmOps {
     // the verification branch — localCheckpoint stops the tokenize→
     // shingle→hash pipeline (the expensive map-side work) from running
     // twice. ~n_docs rows of (id, 50 longs): tiny.
-    val base = withToks(docs)
-      .select(col("doc_id"), shingleHashSet(toks).as("hs"))
-      .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
-      .localCheckpoint()
-    val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
-    val banded = sigs.select(col("doc_id"), explode(bandBuckets(col("mh"))).as("bucket"))
+    val base = shingleSets(docs).localCheckpoint()
+    val banded = withBandBuckets(base).select(col("doc_id"), col("bucket"))
     val x = banded.select(col("doc_id").as("a_id"), col("bucket"))
     val y = banded.select(col("doc_id").as("b_id"), col("bucket").as("bucket_b"))
     val cand = x.join(y, col("bucket") === col("bucket_b") && col("a_id") < col("b_id"))
@@ -1198,8 +1209,15 @@ object LlmOps {
       val docs = t(s, d, "documents")
       // ONE core with i24 and the PrepMain CLI (cap = the only delta):
       // the r4 threshold-single-sourcing lesson applied to decontam.
+      // broadcastBench = false, NOT the i24 default: i45's documented
+      // regime is a LARGE bench side (the cap bounds per-shingle
+      // multiplicity, not total index size), so force-broadcasting the
+      // retained index would hit the broadcast limit exactly where this
+      // operator is supposed to shine; the plain h-join lets AQE
+      // broadcast only when the side is genuinely small.
       containmentFlags(docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"), 0.8, cap = Some(DecontamCap))
+        docs.filter(col("source") === "src0"), 0.8,
+        broadcastBench = false, cap = Some(DecontamCap))
     },
     s"""${shinglesSqlCteFor("source", minToks = true)},
       |x AS (SELECT doc_id, source, unnest(sh) AS h FROM s),
@@ -1231,13 +1249,9 @@ object LlmOps {
     */
   val i25_dedup_incremental = OpQuery(
     (s, d) => {
-      import graft.functions.HashFunctions.{minhashSignature, shingleHashSet}
-      val base = withToks(t(s, d, "documents"))
-        .select(col("doc_id"), shingleHashSet(toks).as("hs"))
-        .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
+      val base = shingleSets(t(s, d, "documents"))
         .localCheckpoint() // feeds signatures AND both verify lookups once
-      val sigs = base.select(col("doc_id"), minhashSignature(col("hs")).as("mh"))
-      val banded = sigs.select(col("doc_id"), explode(bandBuckets(col("mh"))).as("bucket"))
+      val banded = withBandBuckets(base).select(col("doc_id"), col("bucket"))
       val batch = banded.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("batch_id"), col("bucket"))
       val corpus = banded.filter(col("doc_id") % 10 =!= 0)
