@@ -16,6 +16,9 @@ import org.apache.spark.sql.types.LongType
   *   benchmark decontamination (i24, optional `--decontam <benchDir>`) →
   *   substring scrub (i41 core, optional `--scrub substring` — rewrites
   *   text: excises tokens covered by cross-document duplicated spans) →
+  *   mixture resampling (i48 core, optional `--mix uniform` — equal-share
+  *   targets over the kept set's lang histogram; drops over-share docs,
+  *   attaches integer n_copies) →
   *   split assignment (i20) → shard + dense position (i21) →
   *   partitioned parquet write + JSON manifest
   *
@@ -60,12 +63,15 @@ object PrepMain {
       maxDupFrac: Double = LlmOps.QMaxDupFrac,
       maxTopBigram: Double = LlmOps.QMaxTopBigram,
       minQuality: Double = LlmOps.QMinQuality, scrub: String = "none",
-      scrubSpan: Int = 8, scrubMinDocs: Int = 2)
+      scrubSpan: Int = 8, scrubMinDocs: Int = 2,
+      // "uniform" applies the i48 equal-share mixture resampler to the
+      // kept set (drops over-share docs, attaches n_copies); "none" skips
+      mix: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
-    "--scrub-span", "--scrub-min-docs")
+    "--scrub-span", "--scrub-min-docs", "--mix")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -93,6 +99,7 @@ object PrepMain {
         case "--scrub" => o = o.copy(scrub = v)
         case "--scrub-span" => o = o.copy(scrubSpan = v.toInt)
         case "--scrub-min-docs" => o = o.copy(scrubMinDocs = v.toInt)
+        case "--mix" => o = o.copy(mix = v)
       }
       i += 2
     }
@@ -101,11 +108,14 @@ object PrepMain {
         "[--dedup-tau t>=0.8] [--decontam <benchDir>] " +
         "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
-        "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2]")
+        "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
+        "[--mix uniform|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("substring", "none")(o.scrub),
       s"--scrub must be substring|none, got ${o.scrub}")
+    require(Set("uniform", "none")(o.mix),
+      s"--mix must be uniform|none, got ${o.mix}")
     // only meaningful when the scrub stage actually runs (the --dedup-tau
     // convention): k = 1 would excise every repeated TOKEN, min-docs = 1
     // every document
@@ -235,20 +245,46 @@ object PrepMain {
       case _ => (kept, Map.empty[String, Long])
     }
 
+    // -- stage 3.7: mixture resampling (i48 core, optional) ----------------
+    // Applies the equal-share mixture to the KEPT set: over-share docs of
+    // over-represented langs drop (hash-rank selection — idempotent and
+    // stable like every other stage), every surviving doc carries its
+    // integer n_copies (1 for downsampled langs, up to 3 for upsampled —
+    // the training loader repeats rather than this stage materializing
+    // copies, so the written corpus stays deduplicated). Shares derive
+    // from the kept set's lang histogram: the mixture targets what the
+    // earlier stages actually kept, not the raw input.
+    val (keptMixed, nAfterMix, mixCounts) = opts.mix match {
+      case "uniform" =>
+        val sel = TrainOps.mixApply(keptFinal.select(col("doc_id"), col("lang")))
+          .select(col("doc_id"), col("n_copies"))
+          .persist(lvl) // read by the join AND the effective-total count
+        extraPersists += sel
+        val mixed = keptFinal.join(sel, "doc_id").persist(lvl)
+        extraPersists += mixed
+        val n = mixed.count()
+        val eff = sel.agg(coalesce(sum(col("n_copies")), lit(0L)))
+          .head().getLong(0) // bounded: one long (the manifest pattern)
+        (mixed, n, Map(
+          "n_mix_dropped" -> (nAfterDecontam - n),
+          "mix_effective_total" -> eff))
+      case _ => (keptFinal, nAfterDecontam, Map.empty[String, Long])
+    }
+
     // -- stage 4: split + shard addresses ----------------------------------
     val split = TrainOps.i20_train_split.fn(spark, opts.in).select("doc_id", "split")
     val shard = TrainOps.i21_shard_assign.fn(spark, opts.in).select("doc_id", "shard")
     // i21's dense per-shard ordinal, recomputed over the KEPT set so output
     // addresses have no gaps (same window shape: parallel across shards)
-    val addressed = keptFinal.join(split, "doc_id").join(shard, "doc_id")
+    val addressed = keptMixed.join(split, "doc_id").join(shard, "doc_id")
       .withColumn("pos", row_number()
         .over(Window.partitionBy("shard").orderBy("doc_id")).cast(LongType))
     // the split/shard inner joins must COVER the kept set — a partial
     // doc_id surface in i20/i21 output would otherwise lose rows silently
     // and the loss would masquerade as a stage drop in the manifest
     val nAddressed = addressed.count()
-    require(nAddressed == nAfterDecontam,
-      s"split/shard coverage gap: $nAfterDecontam kept docs, $nAddressed addressed")
+    require(nAddressed == nAfterMix,
+      s"split/shard coverage gap: $nAfterMix kept docs, $nAddressed addressed")
 
     addressed.write.mode("overwrite").partitionBy("split")
       .parquet(s"${opts.out}/documents.parquet")
@@ -263,8 +299,8 @@ object PrepMain {
     // inferred from end-to-end differences), so the manifest attributes
     // each dropped doc to the stage that actually dropped it
     val nFinal = written.count()
-    require(nFinal == nAfterDecontam,
-      s"write round-trip lost rows: $nAfterDecontam in, $nFinal back")
+    require(nFinal == nAfterMix,
+      s"write round-trip lost rows: $nAfterMix in, $nFinal back")
     val manifest: Map[String, Long] = Map(
       "n_input" -> nInput,
       "n_quality_kept" -> nQualityKept,
@@ -272,7 +308,8 @@ object PrepMain {
       "n_decontam_dropped" -> (nAfterDedup - nAfterDecontam),
       "n_dup_members_corpus" -> dupDrops.count(),
       "n_contaminated_corpus" -> decontamDrops.count(),
-      "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts
+      "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts ++
+      mixCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))

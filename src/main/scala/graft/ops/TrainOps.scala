@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OpQuery, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -167,33 +167,39 @@ object TrainOps {
     * i26's so mixture membership is independent of both the train
     * split and the stratified sample.
     */
+  /** The i48 core over an arbitrary (doc_id, lang, …) frame — shared by
+    * the gated operator and PrepMain's `--mix uniform` stage (the
+    * containmentFlags convention: the CLI composes the same lineage the
+    * gate proves).
+    */
+  private[graft] def mixApply(docs: DataFrame): DataFrame = {
+    val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val totals = docs.agg(count(lit(1)).as("total"),
+      countDistinct(col("lang")).as("n_langs"))
+    val tgt = byLang.crossJoin(broadcast(totals))
+      .withColumn("share", expr("total DIV n_langs"))
+      .withColumn("n_keep", least(col("n_docs"), col("share")))
+      .withColumn("base", when(col("n_docs") >= col("share"), lit(1L))
+        .otherwise(least(lit(3L), expr("share DIV n_docs"))))
+      .withColumn("rem", when(col("n_docs") >= col("share"), lit(0L))
+        .when(expr("share DIV n_docs") >= 3, lit(0L))
+        .otherwise(col("share") % col("n_docs")))
+      .select("lang", "n_keep", "base", "rem")
+    val skey = (col("doc_id") * 2147483629L) % 1000000007L
+    docs.select(col("doc_id"), col("lang"), skey.as("skey"))
+      .withColumn("rk", row_number()
+        .over(Window.partitionBy("lang").orderBy("skey", "doc_id"))
+        .cast(LongType))
+      .join(broadcast(tgt), "lang")
+      .filter(col("rk") <= col("n_keep"))
+      .select(col("doc_id"), col("lang"),
+        (col("base") + when(col("rk") <= col("rem"), lit(1L))
+          .otherwise(lit(0L))).as("n_copies"))
+      .orderBy("doc_id")
+  }
+
   val i48_mix_apply = OpQuery(
-    (s, d) => {
-      val docs = t(s, d, "documents")
-      val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-      val totals = docs.agg(count(lit(1)).as("total"),
-        countDistinct(col("lang")).as("n_langs"))
-      val tgt = byLang.crossJoin(broadcast(totals))
-        .withColumn("share", expr("total DIV n_langs"))
-        .withColumn("n_keep", least(col("n_docs"), col("share")))
-        .withColumn("base", when(col("n_docs") >= col("share"), lit(1L))
-          .otherwise(least(lit(3L), expr("share DIV n_docs"))))
-        .withColumn("rem", when(col("n_docs") >= col("share"), lit(0L))
-          .when(expr("share DIV n_docs") >= 3, lit(0L))
-          .otherwise(col("share") % col("n_docs")))
-        .select("lang", "n_keep", "base", "rem")
-      val skey = (col("doc_id") * 2147483629L) % 1000000007L
-      docs.select(col("doc_id"), col("lang"), skey.as("skey"))
-        .withColumn("rk", row_number()
-          .over(Window.partitionBy("lang").orderBy("skey", "doc_id"))
-          .cast(LongType))
-        .join(broadcast(tgt), "lang")
-        .filter(col("rk") <= col("n_keep"))
-        .select(col("doc_id"), col("lang"),
-          (col("base") + when(col("rk") <= col("rem"), lit(1L))
-            .otherwise(lit(0L))).as("n_copies"))
-        .orderBy("doc_id")
-    },
+    (s, d) => mixApply(t(s, d, "documents")),
     """WITH byl AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
       |tot AS (SELECT count(*) AS total, count(DISTINCT lang) AS n_langs
       |        FROM documents),

@@ -24,9 +24,11 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(manifest("n_input") > 0)
     assert(manifest("n_quality_kept") <= manifest("n_input"))
     assert(manifest("n_final") <= manifest("n_quality_kept"))
-    // the stage counts must reconcile exactly
+    // the stage counts must reconcile exactly (no --mix here, so the
+    // mix term is absent; the --mix test reconciles its own run)
     assert(manifest("n_quality_kept") - manifest("n_dedup_dropped") -
-      manifest("n_decontam_dropped") ==
+      manifest("n_decontam_dropped") -
+      manifest.getOrElse("n_mix_dropped", 0L) ==
       manifest("n_final"), "stage arithmetic doesn't reconcile")
     assert(manifest("n_dedup_dropped") <= manifest("n_dup_members_corpus"),
       "stage can't drop more than the corpus-wide pair-member set")
@@ -154,6 +156,38 @@ class PrepPipelineSpec extends SparkTestBase {
       .select("train_id").distinct().count()
     assert(m("n_contaminated_corpus") == expect,
       s"CLI dropped ${m("n_contaminated_corpus")}, capped core flags $expect")
+  }
+
+  test("--mix uniform lands the kept set exactly on the equal-share mixture") {
+    pipelineRan() // the no-mix output IS this run's stage input (stages
+    // before mix are identical and deterministic), so it supplies the
+    // expected lang histogram without re-deriving the earlier stages
+    val preMix = spark.read.parquet(s"$outDir/documents.parquet")
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = preMix.values.sum
+    val share = total / preMix.size
+    val outM = Util.scratch("prep_out_mix")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outM, "minhash",
+      mix = "uniform"))
+    val written = spark.read.parquet(s"$outM/documents.parquet")
+    assert(written.columns.contains("n_copies"))
+    val byLang = written.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_copies").as("eff"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byLang.keySet == preMix.keySet)
+    preMix.foreach { case (lang, n) =>
+      val (kept, eff) = byLang(lang)
+      assert(kept == math.min(share, n),
+        s"$lang: kept $kept docs, expected ${math.min(share, n)}")
+      assert(eff == math.min(share, 3 * n),
+        s"$lang: effective $eff, expected ${math.min(share, 3 * n)}")
+    }
+    // manifest arithmetic extends through the new stage
+    assert(m("n_mix_dropped") == total - byLang.values.map(_._1).sum)
+    assert(m("mix_effective_total") == byLang.values.map(_._2).sum)
+    assert(m("n_quality_kept") - m("n_dedup_dropped") - m("n_decontam_dropped")
+      - m("n_mix_dropped") == m("n_final"))
   }
 
   test("--dedup keepbest keeps each cluster's longest member; output still pair-free") {
