@@ -1120,48 +1120,55 @@ object LlmOps {
     */
   private[graft] val DecontamCap = 10
 
+  /** The DF-capped bench shingle index behind i45, j13 and the CLI:
+    * (bench_id, h, sz_bench) rows where per-shingle bench multiplicity
+    * is ≤ cap BY CONSTRUCTION and sz_bench is the bench doc's RETAINED
+    * shingle count. Entirely bench-side and localCheckpointed — built
+    * once, after which consumers only join and aggregate on it. Carrying
+    * sz_bench INLINE on the index rows (instead of joining a size table
+    * after the aggregation) is what makes the streaming consumer legal:
+    * Structured Streaming forbids joins after a streaming aggregation,
+    * but a static column in the grouping key costs nothing.
+    *
+    * localCheckpoints: `be` feeds the hot-shingle aggregate AND the
+    * anti-join, `beKept` the size aggregate AND the final join — without
+    * them the tokenize→shingle→explode pipeline executes once per
+    * consumer (the double-execution shape fixed r3/r4 in the sibling
+    * operators); the final checkpoint is what the (possibly repeated —
+    * per-micro-batch in j13) consumer joins actually re-read.
+    */
+  private[graft] def cappedBenchIndex(bench: DataFrame, cap: Int): DataFrame = {
+    val be = shingleSets(bench)
+      .select(col("doc_id").as("bench_id"), explode(col("hs")).as("h"))
+      .localCheckpoint()
+    // the capped index: shingles in more than `cap` bench docs drop
+    val hotH = be.groupBy("h")
+      .agg(countDistinct(col("bench_id")).as("dfb"))
+      .filter(col("dfb") > cap).select("h")
+    val beKept = be.join(hotH, Seq("h"), "left_anti").localCheckpoint()
+    val sz = beKept.groupBy("bench_id")
+      .agg(count(lit(1)).as("sz_bench")) // rows are distinct (hs is a set)
+    beKept.join(sz, "bench_id").localCheckpoint()
+  }
+
   private[graft] def containmentFlags(train: DataFrame, bench: DataFrame,
       tau: Double, broadcastBench: Boolean = true,
       cap: Option[Int] = None): DataFrame = {
-    import graft.functions.HashFunctions.shingleHashSet
-    def sh(df: DataFrame) = withToks(df)
-      .select(col("doc_id"), shingleHashSet(toks).as("sh"))
-      .filter(size(col("sh")) > 0) // ⇔ oracle's len(toks) >= 2
-    val tr = sh(train)
-      .select(col("doc_id").as("train_id"), explode(col("sh")).as("h"))
-    // sh elements are distinct (sorted-set expression), so the per-pair
-    // match count IS the intersection size. Each arm yields
-    // (train_id, bench_id, inter, sz_bench) rows.
-    val scored = cap match {
+    val tr = shingleSets(train)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    // hs elements are distinct (sorted-set expression), so the per-pair
+    // match count IS the intersection size. Each arm yields an index of
+    // (bench_id, h, sz_bench) rows for the same join+aggregate.
+    val index = cap match {
       case None =>
-        val be = sh(bench)
-          .select(col("doc_id").as("bench_id"), size(col("sh")).as("sz_bench"),
-            explode(col("sh")).as("h"))
-        tr.join(if (broadcastBench) broadcast(be) else be, "h")
-          .groupBy("train_id", "bench_id", "sz_bench")
-          .agg(count(lit(1)).as("inter"))
-      case Some(c) =>
-        // localCheckpoint: `be` feeds the hot-shingle aggregate AND the
-        // anti-join, and `beKept` feeds the size aggregate AND the train
-        // join — without it the tokenize→shingle→explode pipeline
-        // executes once per consumer (the double-execution shape fixed
-        // r3/r4 in the sibling operators).
-        val be = sh(bench)
-          .select(col("doc_id").as("bench_id"), explode(col("sh")).as("h"))
-          .localCheckpoint()
-        // the capped index: shingles in more than `cap` bench docs drop
-        val hotH = be.groupBy("h")
-          .agg(countDistinct(col("bench_id")).as("dfb"))
-          .filter(col("dfb") > c).select("h")
-        val beKept = be.join(hotH, Seq("h"), "left_anti").localCheckpoint()
-        val szCapped = beKept.groupBy("bench_id")
-          .agg(count(lit(1)).as("sz_bench")) // rows are distinct (h-set)
-        tr.join(if (broadcastBench) broadcast(beKept) else beKept, "h")
-          .groupBy("train_id", "bench_id")
-          .agg(count(lit(1)).as("inter"))
-          .join(szCapped, "bench_id")
+        shingleSets(bench)
+          .select(col("doc_id").as("bench_id"), size(col("hs")).as("sz_bench"),
+            explode(col("hs")).as("h"))
+      case Some(c) => cappedBenchIndex(bench, c)
     }
-    scored
+    tr.join(if (broadcastBench) broadcast(index) else index, "h")
+      .groupBy("train_id", "bench_id", "sz_bench")
+      .agg(count(lit(1)).as("inter"))
       .filter(col("inter").cast(DoubleType) / col("sz_bench") >= tau)
       .select(col("train_id"), col("bench_id"),
         round(col("inter").cast(DoubleType) / col("sz_bench"), 6).as("containment"))

@@ -404,7 +404,52 @@ object StreamOps {
     // the SAME question as batch i25 — reuse its exact-join oracle
     LlmOps.i25_dedup_incremental.oracle.get)
 
+  /** j13: STREAMING decontamination — the i45 capped-containment gate on
+    * a document stream, completing the streaming prep trio (j11 quality,
+    * j12 near-dup, j13 benchmark overlap): every arriving page is checked
+    * against the eval-benchmark index before it lands in the lake. The
+    * ENTIRE benchmark side — capped shingle index with per-bench retained
+    * sizes inline — is the static `cappedBenchIndex` the batch i45 and
+    * the prep CLI build (one lineage), so the stream needs only a hash
+    * equi-join and ONE aggregation: sz_bench rides in the grouping key,
+    * which is why no post-aggregation join (illegal in streaming) is
+    * ever needed. State is one row per (train, bench) pair that shares
+    * at least one retained shingle — bounded by cap·|bench shingles|,
+    * the same linearity argument the batch op's ladder row measures.
+    * Oracle: i45's SQL verbatim.
+    */
+  val j13_stream_decontaminate = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j13"))
+      graft.Util.deleteRecursively(ckpt)
+      val docs = t(s, d, "documents")
+      val index = LlmOps.cappedBenchIndex(
+        docs.filter(col("source") === "src0"), LlmOps.DecontamCap)
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val tr = LlmOps.shingleSets(src.filter(col("source") =!= "src0"))
+        .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+      val flagged = tr.join(index, "h")
+        .groupBy("train_id", "bench_id", "sz_bench")
+        .agg(count(lit(1)).as("inter"))
+        .filter(col("inter").cast(DoubleType) / col("sz_bench") >= 0.8)
+        .select(col("train_id"), col("bench_id"),
+          round(col("inter").cast(DoubleType) / col("sz_bench"), 6)
+            .as("containment"))
+      val q = flagged.writeStream.format("memory").queryName("graft_j13")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j13").orderBy("train_id", "bench_id")
+    },
+    // the SAME question as batch i45 — reuse its capped-containment oracle
+    LlmOps.i45_decontam_capped.oracle.get)
+
   val all: Map[String, OpQuery] = Map(
+    "j13_stream_decontaminate" -> j13_stream_decontaminate,
     "j12_stream_incremental_dedup" -> j12_stream_incremental_dedup,
     "j11_stream_quality_filter" -> j11_stream_quality_filter,
     "j10_transform_with_state" -> j10_transform_with_state,

@@ -152,6 +152,21 @@ class StreamOpsSpec extends SparkTestBase {
     }
   }
 
+  test("j13 streaming decontamination equals batch i45 on the same flags") {
+    val fromStream = StreamOps.j13_stream_decontaminate.fn(spark, sfDir)
+    val batch = graft.ops.LlmOps.i45_decontam_capped.fn(spark, sfDir)
+    assertSameRows(fromStream, batch) // ids AND capped containment values
+    assert(fromStream.count() > 0, "no contaminated docs flagged (vacuous)")
+    // the stream side must only ever flag train docs against bench docs
+    val bench = Tables.t(spark, sfDir, "documents")
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    fromStream.collect().foreach { r =>
+      assert(!bench(r.getLong(0)) && bench(r.getLong(1)),
+        s"pair (${r.getLong(0)},${r.getLong(1)}) crosses the wrong split")
+    }
+  }
+
   test("j12's probe composition plans as a bucket equi-join, never all-pairs") {
     // the same bandedShingles lineage the stream runs, composed as batch
     // frames (micro-batch planning goes through the same Catalyst rules):
