@@ -1137,7 +1137,8 @@ object LlmOps {
     * operators); the final checkpoint is what the (possibly repeated —
     * per-micro-batch in j13) consumer joins actually re-read.
     */
-  private[graft] def cappedBenchIndex(bench: DataFrame, cap: Int): DataFrame = {
+  private[graft] def cappedBenchIndex(bench: DataFrame, cap: Int,
+      checkpointIndex: Boolean = false): DataFrame = {
     val be = shingleSets(bench)
       .select(col("doc_id").as("bench_id"), explode(col("hs")).as("h"))
       .localCheckpoint()
@@ -1148,8 +1149,32 @@ object LlmOps {
     val beKept = be.join(hotH, Seq("h"), "left_anti").localCheckpoint()
     val sz = beKept.groupBy("bench_id")
       .agg(count(lit(1)).as("sz_bench")) // rows are distinct (hs is a set)
-    beKept.join(sz, "bench_id").localCheckpoint()
+    val index = beKept.join(sz, "bench_id")
+    // checkpointIndex = true only for MULTI-READ consumers (j13 re-reads
+    // the index every micro-batch); the batch callers — i45, the CLI —
+    // consume it exactly once, and for them an eager materialization of
+    // the whole index would be a pure extra write/read cycle that scales
+    // with the retained index in exactly their documented
+    // corpus-sized-bench regime.
+    if (checkpointIndex) index.localCheckpoint() else index
   }
+
+  /** The containment score from a (bench_id, h, sz_bench) index probed by
+    * exploded (train_id, h) rows — the SHARED tail of the batch
+    * containmentFlags and the streaming j13 (every operator here is
+    * streaming-legal in complete mode: equi-join, one aggregation, then
+    * stateless filter/project). No ordering: batch callers sort at the
+    * end, streams sort at the sink read.
+    */
+  private[graft] def containmentFromIndex(tr: DataFrame, index: DataFrame,
+      tau: Double): DataFrame =
+    tr.join(index, "h")
+      .groupBy("train_id", "bench_id", "sz_bench")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter").cast(DoubleType) / col("sz_bench") >= tau)
+      .select(col("train_id"), col("bench_id"),
+        round(col("inter").cast(DoubleType) / col("sz_bench"), 6)
+          .as("containment"))
 
   private[graft] def containmentFlags(train: DataFrame, bench: DataFrame,
       tau: Double, broadcastBench: Boolean = true,
@@ -1158,7 +1183,7 @@ object LlmOps {
       .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
     // hs elements are distinct (sorted-set expression), so the per-pair
     // match count IS the intersection size. Each arm yields an index of
-    // (bench_id, h, sz_bench) rows for the same join+aggregate.
+    // (bench_id, h, sz_bench) rows for the same shared tail.
     val index = cap match {
       case None =>
         shingleSets(bench)
@@ -1166,12 +1191,8 @@ object LlmOps {
             explode(col("hs")).as("h"))
       case Some(c) => cappedBenchIndex(bench, c)
     }
-    tr.join(if (broadcastBench) broadcast(index) else index, "h")
-      .groupBy("train_id", "bench_id", "sz_bench")
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter").cast(DoubleType) / col("sz_bench") >= tau)
-      .select(col("train_id"), col("bench_id"),
-        round(col("inter").cast(DoubleType) / col("sz_bench"), 6).as("containment"))
+    containmentFromIndex(tr,
+      if (broadcastBench) broadcast(index) else index, tau)
       .orderBy("train_id", "bench_id")
   }
 

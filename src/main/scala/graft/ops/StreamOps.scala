@@ -414,8 +414,10 @@ object StreamOps {
     * equi-join and ONE aggregation: sz_bench rides in the grouping key,
     * which is why no post-aggregation join (illegal in streaming) is
     * ever needed. State is one row per (train, bench) pair that shares
-    * at least one retained shingle — bounded by cap·|bench shingles|,
-    * the same linearity argument the batch op's ladder row measures.
+    * at least one retained shingle — the h-join output is ≤ cap · (train
+    * shingle instances), i.e. linear in the ARRIVING volume with a
+    * cap-bounded constant (i45's linearity argument; the bench side
+    * contributes only the cap, never a multiplier).
     * Oracle: i45's SQL verbatim.
     */
   val j13_stream_decontaminate = OpQuery(
@@ -423,20 +425,18 @@ object StreamOps {
       val ckpt = new java.io.File(graft.Util.scratch("ckpt_j13"))
       graft.Util.deleteRecursively(ckpt)
       val docs = t(s, d, "documents")
+      // checkpointIndex: j13 re-reads the index EVERY micro-batch
       val index = LlmOps.cappedBenchIndex(
-        docs.filter(col("source") === "src0"), LlmOps.DecontamCap)
+        docs.filter(col("source") === "src0"), LlmOps.DecontamCap,
+        checkpointIndex = true)
       val src = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
       val tr = LlmOps.shingleSets(src.filter(col("source") =!= "src0"))
         .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
-      val flagged = tr.join(index, "h")
-        .groupBy("train_id", "bench_id", "sz_bench")
-        .agg(count(lit(1)).as("inter"))
-        .filter(col("inter").cast(DoubleType) / col("sz_bench") >= 0.8)
-        .select(col("train_id"), col("bench_id"),
-          round(col("inter").cast(DoubleType) / col("sz_bench"), 6)
-            .as("containment"))
+      // the literal shared tail of batch i45 — join, one aggregation,
+      // stateless filter/project (see containmentFromIndex)
+      val flagged = LlmOps.containmentFromIndex(tr, index, 0.8)
       val q = flagged.writeStream.format("memory").queryName("graft_j13")
         .outputMode("complete")
         .option("checkpointLocation", ckpt.getAbsolutePath)
