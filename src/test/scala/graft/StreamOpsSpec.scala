@@ -184,6 +184,58 @@ class StreamOpsSpec extends SparkTestBase {
       s"j12 probe degenerated to an all-pairs join:\n$plan")
   }
 
+  test("j12 aggregation state accumulates ACROSS micro-batches (two-file probe)") {
+    // The gate runs j12 as one AvailableNow batch; this drives the SAME
+    // lineage (bandedShingles probe → static index join → complete-mode
+    // aggregation) over TWO probe micro-batches and proves the flagged
+    // set accumulates: complete mode re-emits full state per batch, so
+    // the FINAL emission must equal the whole-probe batch answer — which
+    // only holds if batch 2's state still contains batch 1's pairs.
+    import graft.ops.LlmOps
+    import graft.functions.VectorFunctions.intersectCount
+    val docs = Tables.t(spark, sfDir, "documents")
+    val dir = Util.scratch("j12_two_files")
+    val probeDocs = docs.filter(col("doc_id") % 10 === 0)
+    probeDocs.filter(col("doc_id") % 20 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/f0")
+    probeDocs.filter(col("doc_id") % 20 =!= 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/f1")
+    val corpus = LlmOps.bandedShingles(docs.filter(col("doc_id") % 10 =!= 0))
+      .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"), col("bucket"))
+      .localCheckpoint()
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+    val probe = LlmOps.bandedShingles(src)
+      .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"), col("bucket"))
+    val flagged = probe.join(corpus, "bucket")
+      .withColumn("inter", intersectCount(col("hs_b"), col("hs_c")))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .groupBy("batch_id", "corpus_id")
+      .agg(round(min(col("jac")), 6).as("jaccard"))
+    val ckpt = new java.io.File(Util.scratch("ckpt_j12_two"))
+    Util.deleteRecursively(ckpt)
+    val q = flagged.writeStream.format("memory").queryName("p_j12_two")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // complete mode leaves the LAST batch's full re-emission in the sink
+    val fromStream = spark.table("p_j12_two")
+      .select("batch_id", "corpus_id", "jaccard")
+    val batch = graft.ops.LlmOps.i25_dedup_incremental.fn(spark, sfDir)
+    assertSameRows(fromStream, batch)
+    // and both probe files must actually contribute flagged pairs, or
+    // the cross-batch claim is vacuous
+    val sides = fromStream.select((col("batch_id") % 20 === 0).as("s"))
+      .distinct().count()
+    assert(sides == 2, "flagged pairs all came from one micro-batch")
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
