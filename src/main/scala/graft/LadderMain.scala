@@ -45,13 +45,25 @@ object LadderMain {
       "i31_tfidf_topterms", "i38_doc_logprob", "i45_decontam_capped")
       .map(k => k -> SparkEntry.queries(k))
 
+  /** stream family: the streaming prep gates (exact j9, quality j11,
+    * near-dup j12, decontam j13) — real micro-batch harnesses over the
+    * replicated corpus. Their sources glob for the literal file name
+    * `documents.parquet`, so this family's fixtures are written as a
+    * single FILE (the gate-fixture layout), not a part-file directory.
+    */
+  private def streamOps: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("j9_stream_ingest_dedup", "j11_stream_quality_filter",
+      "j12_stream_incremental_dedup", "j13_stream_decontaminate")
+      .map(k => k -> SparkEntry.queries(k))
+
   def main(args: Array[String]): Unit = {
     val family = args.headOption.getOrElse("emb")
     val (table, idCol, selected) = family match {
       case "emb" => ("embeddings", "vec_id", embOps)
       case "text" => ("documents", "doc_id", textOps)
+      case "stream" => ("documents", "doc_id", streamOps)
       case other => throw new IllegalArgumentException(
-        s"family must be text|emb, got $other")
+        s"family must be text|emb|stream, got $other")
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,8")
@@ -82,9 +94,23 @@ object LadderMain {
       val dir = Util.scratch(s"ladder_${family}_${k}x")
       // id offset by (maxId+1)·copy keeps ids disjoint and ordering-stable
       val maxId = base.agg(max(col(idCol))).head().getLong(0) + 1
-      (0 until k).map(i => base.withColumn(idCol, col(idCol) + lit(i * maxId)))
+      val replicated = (0 until k)
+        .map(i => base.withColumn(idCol, col(idCol) + lit(i * maxId)))
         .reduce(_ union _)
-        .write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      if (family == "stream") {
+        // single-FILE fixture (see streamOps): write one part, rename it
+        // to the literal file name the streaming sources glob for
+        val tmp = s"$dir/_tmp_$table"
+        replicated.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(s"$dir/$table.parquet")
+        dst.delete()
+        require(part.renameTo(dst), s"rename ${part} -> $dst failed")
+        Util.deleteRecursively(new java.io.File(tmp))
+      } else {
+        replicated.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      }
       val rows = spark.read.parquet(s"$dir/$table.parquet").count()
       // warm-up: one untimed pass absorbs JIT + codegen + reader init
       selected.foreach { case (name, fn) =>
