@@ -4,24 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // validate the subset filter BEFORE paying session startup + warm-up:
-    // a typo'd key should fail in milliseconds, not after ~15 s of init
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty) // set-but-empty = unset, not "run nothing"
-    only.foreach { keys =>
-      val unknown = keys -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY keys not in SparkEntry.queries: ${unknown.mkString(", ")}")
-    }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // unannotated timestamp[us] fixtures read as TimestampType — see
-      // SparkTestBase
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // validated BEFORE paying session startup + warm-up (Util.onlySubset)
+    val only = Util.onlySubset(SparkEntry.queries)
+    val spark = Util.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warm-up outside the timed loop (standard bench hygiene:
     // otherwise whichever query runs first absorbs ~4s of JIT + first
@@ -58,10 +43,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    def median(xs: Seq[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
+    import Util.median
     // Errored queries are EXCLUDED from value/queries/spreads: a query
     // failing fast would otherwise LOWER the official total and the
     // diagnosis fields would read as a clean faster run — the errors

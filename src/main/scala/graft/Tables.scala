@@ -86,6 +86,43 @@ object Tables {
 
 /** Small shared file utilities. */
 object Util {
+  /** The ONE definition of the session config every main shares (master,
+    * shuffle partitions sized to cores, timestamp-NTZ inference off —
+    * see SparkTestBase for why — UI off). Six hand-copies of the NTZ
+    * flag in one round is exactly how session-config drift happens;
+    * mains chain their extras (timezone, appName) on the returned
+    * builder.
+    */
+  def sessionBuilder(master: String, shufflePartitions: String)
+      : org.apache.spark.sql.SparkSession.Builder =
+    org.apache.spark.sql.SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+
+  /** Parse-and-validate SPARK_GRAFT_ONLY (the shared Bench/Verify subset
+    * convention): set-but-empty means unset, unknown keys fail fast —
+    * BEFORE session startup, in milliseconds.
+    */
+  def onlySubset(queries: Map[String, _]): Option[Set[String]] = {
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { keys =>
+      val unknown = keys -- queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY keys not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
+    only
+  }
+
+  /** Median of a non-empty sample (shared Bench/LadderMain timing math). */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   /** Best-effort recursive delete (null-safe on racing listFiles). */
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

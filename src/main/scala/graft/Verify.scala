@@ -7,31 +7,31 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // SPARK_GRAFT_ONLY=k1,k2 dumps a subset (the Bench convention) for
-    // fast single-operator iteration; the driver never sets it. Validated
-    // BEFORE session startup and exactly as Bench does: a typo'd key (or
+    // SPARK_GRAFT_ONLY=k1,k2 dumps a subset (the shared Bench convention,
+    // Util.onlySubset) for fast single-operator iteration; the driver
+    // never sets it. Validated BEFORE session startup: a typo'd key (or
     // a set-but-empty value) must fail in milliseconds — silently dumping
     // nothing would leave a previous run's stale parquet in outDir and
     // read as a false parity pass.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-      .filter(_.nonEmpty)
-    only.foreach { keys =>
-      val unknown = keys -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY keys not in SparkEntry.queries: ${unknown.mkString(", ")}")
-    }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val only = Util.onlySubset(SparkEntry.queries)
+    val spark = Util.sessionBuilder(s"local[$cpus]", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // unannotated timestamp[us] fixtures must read as TimestampType,
-      // not TIMESTAMP_NTZ — see SparkTestBase
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A subset run must not land in an outDir holding OTHER operators'
+    // dumps: a later whole-dir parity pass would silently mix vintages —
+    // ~148 stale results from an older build reading as current (the
+    // same hazard Bench guards by refusing subset writes to the official
+    // record path). Iterate subsets into a fresh dir.
+    only.foreach { keys =>
+      val stale = Option(new java.io.File(outDir).listFiles())
+        .getOrElse(Array.empty)
+        .map(_.getName).filter(n => n != "oracle_sql.json" && !keys(n))
+      require(stale.isEmpty,
+        s"SPARK_GRAFT_ONLY subset into an outDir with ${stale.length} stale " +
+          s"dumps (${stale.take(3).mkString(", ")}…) — use a fresh outDir")
+    }
     val selected = only.fold(SparkEntry.queries)(ks =>
       SparkEntry.queries.filter { case (k, _) => ks(k) })
     selected.foreach { case (name, fn) =>

@@ -256,7 +256,15 @@ object PrepMain {
     // earlier stages actually kept, not the raw input.
     val (keptMixed, nAfterMix, mixCounts) = opts.mix match {
       case "uniform" =>
-        val sel = TrainOps.mixApply(keptFinal.select(col("doc_id"), col("lang")))
+        // NULL lang becomes its own stratum via a sentinel key BEFORE the
+        // core runs: mixApply groups/windows/joins on lang equality, and
+        // NULL never equi-joins — without the sentinel every NULL-lang
+        // doc would silently vanish from the output (mislabeled as an
+        // over-share drop) and `total` would count rows that n_langs
+        // doesn't, skewing every real lang's share. The gated i48 runs on
+        // the NULL-free fixture; arbitrary CLI input has no such contract.
+        val sel = TrainOps.mixApply(keptFinal.select(col("doc_id"),
+            coalesce(col("lang"), lit(" null_lang")).as("lang")))
           .select(col("doc_id"), col("n_copies"))
           .persist(lvl) // read by the join AND the effective-total count
         extraPersists += sel
@@ -327,14 +335,7 @@ object PrepMain {
   def main(args: Array[String]): Unit = {
     val opts = parse(args)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // unannotated timestamp[us] fixtures read as TimestampType — see
-      // SparkTestBase
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Util.sessionBuilder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       val manifest = run(spark, opts)

@@ -167,8 +167,17 @@ object FitsWriter {
             buf.put(b)
           case StringType =>
             val w = strLens.getOrElse(f.name, 16)
-            val b = r.getString(i).getBytes(StandardCharsets.US_ASCII)
-            buf.put(b.take(w).padTo(w, ' '.toByte))
+            val s = r.getString(i)
+            // same policy as the tiled 'A' path: unrepresentable text
+            // fails loudly — getBytes(US_ASCII) would silently write '?'
+            // and take(w) would silently drop the tail, and neither
+            // corruption is detectable from the bytes afterwards
+            require(s.length <= w,
+              s"string '${s.take(40)}' exceeds declared ${w}A in ${f.name}")
+            require(s.forall(_ < 128),
+              s"FITS export: non-ASCII character in ${f.name} value " +
+                s"'${s.take(40)}' cannot round-trip through an A field")
+            buf.put(s.getBytes(StandardCharsets.US_ASCII).padTo(w, ' '.toByte))
           case dt if complexCode(dt).isDefined =>
             val st = r.getStruct(i)
             require(!st.isNullAt(0) && !st.isNullAt(1),

@@ -166,14 +166,10 @@ object Main {
       try parse(argv.toIndexedSeq)
       catch { case e: IllegalArgumentException =>
         System.err.println(e.getMessage); sys.exit(2) }
-    val spark = SparkSession.builder()
-      .appName("graft-ingest")
-      .config("spark.sql.shuffle.partitions",
+    val spark = graft.Util.sessionBuilder(
+        sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"),
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      // unannotated timestamp[us] inputs read as TimestampType — see
-      // SparkTestBase
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]"))
+      .appName("graft-ingest")
       .getOrCreate()
     // run-phase usage errors (empty glob match, dialect/type rejections)
     // are CLI errors too — message + exit 2, not a raw stack trace

@@ -355,18 +355,22 @@ object StreamOps {
     * `bandedShingles` lineage (the j11 convention), so the stream probe
     * and the batch i25 cannot drift.
     *
-    * Shape: the corpus index (corpus_id, hs, bucket) is localCheckpointed
-    * — computed once, re-READ per micro-batch, never recomputed (at 100 TB
-    * it is the incrementally-maintained signature index table i25
-    * documents, keyed/bucketed by band bucket so each probe is a
-    * co-located hash-join lookup; the stream side is the small side of
-    * every micro-batch join). The exact verify runs INLINE on the joined
-    * row (intersectCount on the two carried shingle sets — no second
-    * join), so the only stateful streaming operator is the final
-    * per-pair aggregation collapsing multi-band hits; its state is one
-    * row per FLAGGED pair, tracking the dup rate, not the crawl volume.
-    * Oracle: i25's exact-join SQL verbatim — stream and batch answer the
-    * same question, and the gate proves it.
+    * Shape: TWO compact localCheckpointed static sides — the bucket
+    * index (corpus_id, bucket) and the shingle base (corpus_id, hs) —
+    * computed once, re-READ per micro-batch, never recomputed (at
+    * 100 TB they are the incrementally-maintained signature index and
+    * document-signature tables i25 documents, the index keyed/bucketed
+    * by band bucket so each probe is a co-located hash-join lookup; the
+    * stream side is the small side of every micro-batch join). Storing
+    * hs on the 16-way-exploded index rows instead would materialize
+    * every shingle array 16× — the two-table shape is batch i25's
+    * verifyJaccard layout. Both verify joins precede the aggregation
+    * (stream-static joins are legal there), so the only stateful
+    * streaming operator is the final per-pair aggregation collapsing
+    * multi-band hits; its state is one row per FLAGGED pair, tracking
+    * the dup rate, not the crawl volume. Oracle: i25's exact-join SQL
+    * verbatim — stream and batch answer the same question, and the gate
+    * proves it.
     */
   val j12_stream_incremental_dedup = OpQuery(
     (s, d) => {
@@ -374,17 +378,29 @@ object StreamOps {
       val ckpt = new java.io.File(graft.Util.scratch("ckpt_j12"))
       graft.Util.deleteRecursively(ckpt)
       val docs = t(s, d, "documents")
-      val corpus = LlmOps.bandedShingles(docs.filter(col("doc_id") % 10 =!= 0))
-        .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"),
-          col("bucket"))
+      // TWO compact static sides, not one wide one: the bucket index
+      // carries only (corpus_id, bucket) — materializing hs on every
+      // band row would store each doc's shingle array 16×. The shingle
+      // sets live once in `corpusBase` and join back by corpus_id AFTER
+      // the bucket match (both joins are stream-static and sit before
+      // the aggregation, so both are legal — the streaming restriction
+      // only bans joins after it). Batch i25 has the same two-table
+      // shape via verifyJaccard.
+      val corpusBase = LlmOps.shingleSets(docs.filter(col("doc_id") % 10 =!= 0))
         .localCheckpoint()
+      val corpusIdx = LlmOps.withBandBuckets(corpusBase)
+        .select(col("doc_id").as("corpus_id"), col("bucket"))
+        .localCheckpoint()
+      val corpusHs = corpusBase
+        .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"))
       val src = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
       val probe = LlmOps.bandedShingles(src.filter(col("doc_id") % 10 === 0))
         .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"),
           col("bucket"))
-      val flagged = probe.join(corpus, "bucket")
+      val flagged = probe.join(corpusIdx, "bucket")
+        .join(corpusHs, "corpus_id")
         .withColumn("inter", intersectCount(col("hs_b"), col("hs_c")))
         .withColumn("jac", col("inter").cast(DoubleType) /
           (size(col("hs_b")) + size(col("hs_c")) - col("inter")))

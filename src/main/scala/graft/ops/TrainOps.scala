@@ -171,6 +171,12 @@ object TrainOps {
     * the gated operator and PrepMain's `--mix uniform` stage (the
     * containmentFlags convention: the CLI composes the same lineage the
     * gate proves).
+    *
+    * CONTRACT: `lang` must be non-null — every step (groupBy, window
+    * partition, equi-join) treats lang as a key, and NULL never
+    * equi-joins, so NULL-lang rows would silently drop while still
+    * inflating `total`. The fixture guarantees it for the gated op;
+    * PrepMain coalesces NULL to a sentinel stratum before calling.
     */
   private[graft] def mixApply(docs: DataFrame): DataFrame = {
     val byLang = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))

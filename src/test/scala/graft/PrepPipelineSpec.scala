@@ -107,12 +107,23 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(m("n_contaminated_corpus") > 0, "no contamination flagged (vacuous)")
     assert(m("n_quality_kept") - m("n_dedup_dropped") - m("n_decontam_dropped")
       == m("n_final"), "stage arithmetic doesn't reconcile with decontam")
-    // prove bench-overlap-freedom by re-running the gated i24 containment
-    // between the PIPELINE OUTPUT and the bench table: zero flags survive
+    // prove bench-overlap-freedom by re-running the containment core
+    // between the PIPELINE OUTPUT and the bench table — with the SAME
+    // cap the pipeline ran under (the default): checking with a
+    // different metric than the stage used would let the two disagree
+    // exactly when the cap binds
     val out = spark.read.parquet(s"$decontamOut/documents.parquet")
     val bench = spark.read.parquet(s"$benchDir/documents.parquet")
-    val residual = LlmOps.containmentFlags(out, bench, 0.8).count()
+    val residual = LlmOps.containmentFlags(out, bench, 0.8,
+      cap = PrepMain.Opts(sfDir, decontamOut, "minhash").decontamCap).count()
     assert(residual == 0, s"$residual contaminated docs survived --decontam")
+    // and on THIS bench (a KB-sized eval suite) the default cap must not
+    // change the exact metric's verdict: the uncapped residual is zero
+    // too, so defaulting to the capped index loses nothing here — the
+    // regime where they diverge is the corpus-sized bench the capped
+    // test below exercises
+    assert(LlmOps.containmentFlags(out, bench, 0.8).count() == 0,
+      "exact-metric contamination survived that the capped default missed")
   }
 
   test("--decontam-cap keeps a corpus-sized bench dir in the bounded-index regime") {

@@ -5,16 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local session for the whole test run (SURVEY §5.2). */
 object SparkTestBase {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
+  // Util.sessionBuilder owns the shared config incl. disabled NTZ
+  // inference: the events fixture stores ts as unannotated timestamp[us];
+  // NTZ inference would surface it as TIMESTAMP_NTZ, which unix_micros
+  // and streaming watermarks reject — read as TimestampType (µs, UTC
+  // session), the semantics every oracle-gated query was verified under
+  lazy val spark: SparkSession = Util.sessionBuilder("local[4]", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    // the events fixture stores ts as unannotated timestamp[us]; NTZ
-    // inference would surface it as TIMESTAMP_NTZ, which unix_micros and
-    // streaming watermarks reject — read as TimestampType (µs, UTC
-    // session), the semantics every oracle-gated query was verified under
-    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"

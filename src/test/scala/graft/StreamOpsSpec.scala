@@ -200,16 +200,20 @@ class StreamOpsSpec extends SparkTestBase {
       .write.mode("overwrite").parquet(s"$dir/f0")
     probeDocs.filter(col("doc_id") % 20 =!= 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/f1")
-    val corpus = LlmOps.bandedShingles(docs.filter(col("doc_id") % 10 =!= 0))
-      .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"), col("bucket"))
+    val corpusBase = LlmOps.shingleSets(docs.filter(col("doc_id") % 10 =!= 0))
       .localCheckpoint()
+    val corpusIdx = LlmOps.withBandBuckets(corpusBase)
+      .select(col("doc_id").as("corpus_id"), col("bucket")).localCheckpoint()
+    val corpusHs = corpusBase
+      .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"))
     val src = spark.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .option("recursiveFileLookup", "true")
       .parquet(dir)
     val probe = LlmOps.bandedShingles(src)
       .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"), col("bucket"))
-    val flagged = probe.join(corpus, "bucket")
+    val flagged = probe.join(corpusIdx, "bucket")
+      .join(corpusHs, "corpus_id")
       .withColumn("inter", intersectCount(col("hs_b"), col("hs_c")))
       .withColumn("jac", col("inter").cast(DoubleType) /
         (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
