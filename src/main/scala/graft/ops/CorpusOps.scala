@@ -396,49 +396,128 @@ object CorpusOps {
     * Every doc bigram exists in the corpus LM by construction, so the
     * inner join is lossless for docs with ≥ 2 tokens.
     */
+  /** The doc-score pipeline shared by i38 (score + flag) and i49 (bucket
+    * + sample policy): (doc_id, n_bigrams, sum_lp_micro, mean_lp_micro)
+    * for every scoreable document (non-null text, ≥ 2 tokens).
+    */
+  private def docScores(s: SparkSession, d: String): DataFrame = {
+    val c = bigramCounts(s, d)
+    val u = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val lp = c.join(broadcast(u), "w1")
+      .select(col("w1"), col("w2"),
+        floor(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
+          * lit(1000000.0d)).as("lp_micro"))
+    val occ = t(s, d, "documents")
+      .where(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 2) // same guard as bigramCounts
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    occ.join(broadcast(lp), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
+        expr("sum_lp_micro DIV n_bigrams").as("mean_lp_micro"))
+  }
+
+  /** The SQL twin of `docScores`: the full WITH-chain ending in a CTE
+    * `sc(doc_id, n_bigrams, sum_lp_micro, mean_lp_micro)` — i38 and i49
+    * append their own final SELECTs.
+    */
+  private val docScoresSqlCte: String = bigramSqlCte.replace(
+    "WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),",
+    """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
+      |d AS (SELECT toks FROM d0),""".stripMargin) + """,
+    |u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
+    |lp AS (SELECT c.w1, c.w2,
+    |         CAST(floor(ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
+    |       FROM c JOIN u ON c.w1 = u.w1),
+    |occ AS (SELECT doc_id,
+    |          unnest(list_transform(range(1, len(toks)),
+    |            i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
+    |        FROM d0 WHERE len(toks) >= 2),
+    |sc AS (SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+    |  CAST(sum(lp.lp_micro) AS BIGINT) AS sum_lp_micro,
+    |  CAST(sum(lp.lp_micro) // count(*) AS BIGINT) AS mean_lp_micro
+    |FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
+    |GROUP BY occ.doc_id)""".stripMargin
+
   val i38_doc_logprob = OpQuery(
+    (s, d) => docScores(s, d)
+      // fixed threshold in the fixture distribution's low-middle (p30–p40
+      // at sf0.01) so both flag classes are populated at every SF
+      .withColumn("flag_low", col("mean_lp_micro") < lit(-3400000L))
+      .orderBy("doc_id"),
+    Some(docScoresSqlCte + """
+      |SELECT doc_id, n_bigrams, sum_lp_micro, mean_lp_micro,
+      |  mean_lp_micro < -3400000 AS flag_low
+      |FROM sc ORDER BY doc_id""".stripMargin))
+
+  // -------- i49: perplexity buckets + sampling policy ----------------------
+
+  /** i49: CCNet-style perplexity bucketing + the sampling policy that
+    * APPLIES it — the step between i38's raw LM score and a training set:
+    * rank every scoreable document by mean bigram log-prob (best first),
+    * cut the ranking into head / middle / tail thirds, then keep the head,
+    * keep a deterministic half of the middle, and drop the tail (the CCNet
+    * recipe: high-quality text trains, mid-quality is downsampled, the
+    * perplexity tail — gibberish and boilerplate — is removed).
+    *
+    * Exactness: scores are i38's integer micro-nats; the global rank is
+    * total-ordered by (mean_lp_micro DESC, doc_id) so ties cannot flip
+    * buckets; cuts are integer thirds (n DIV 3); the middle sample is the
+    * i20 Knuth hash-bucket (engine-portable, per-document stable — adding
+    * documents never flips an existing keep the way rand()/positional
+    * sampling would).
+    *
+    * Shape at scale: ranking uses b8's two-pass shape — repartitionByRange
+    * on the score + per-partition prefix offsets (Convert.addStablePkey) —
+    * so no row crosses a single global-window task; the corpus count
+    * attaches as a 1-row broadcast (the sanctioned scalar bridge). At
+    * 100 TB the thirds would come from a quantile sketch threshold (e14's
+    * machinery) instead of an exact rank — same policy, sketch cut; the
+    * exact-rank form is what an oracle can replay.
+    */
+  val i49_perplexity_buckets = OpQuery(
     (s, d) => {
-      val c = bigramCounts(s, d)
-      val u = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
-      val lp = c.join(broadcast(u), "w1")
-        .select(col("w1"), col("w2"),
-          floor(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
-            * lit(1000000.0d)).as("lp_micro"))
-      val occ = t(s, d, "documents")
-        .where(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .where(size(col("toks")) >= 2) // same guard as bigramCounts
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("p"))
-        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      occ.join(broadcast(lp), Seq("w1", "w2"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
-        .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
-          expr("sum_lp_micro DIV n_bigrams").as("mean_lp_micro"))
-        // fixed threshold in the fixture distribution's low-middle (p30–p40
-        // at sf0.01) so both flag classes are populated at every SF
-        .withColumn("flag_low", col("mean_lp_micro") < lit(-3400000L))
+      val sc = docScores(s, d)
+        .select(col("doc_id"), col("mean_lp_micro"))
+        .localCheckpoint() // read twice: ranking pipeline + corpus count
+      val ranked = graft.ingest.Convert.addStablePkey(
+        sc.repartitionByRange(col("mean_lp_micro").desc, col("doc_id"))
+          .sortWithinPartitions(col("mean_lp_micro").desc, col("doc_id")),
+        "prank")
+      val n = sc.agg(count(lit(1)).as("n_docs"))
+      val headCut = expr("n_docs DIV 3")
+      val midCut = expr("2 * (n_docs DIV 3)")
+      ranked.crossJoin(broadcast(n))
+        .withColumn("bucket",
+          when(col("prank") <= headCut, lit("head"))
+            .when(col("prank") <= midCut, lit("middle"))
+            .otherwise(lit("tail")))
+        .withColumn("keep",
+          when(col("prank") <= headCut, lit(true))
+            .when(col("prank") <= midCut,
+              (col("doc_id") * lit(2654435761L)) % 1000 < 500)
+            .otherwise(lit(false)))
+        .select(col("doc_id"), col("mean_lp_micro"), col("prank"),
+          col("bucket"), col("keep"))
         .orderBy("doc_id")
     },
-    Some(bigramSqlCte.replace(
-      "WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),",
-      """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
-        |d AS (SELECT toks FROM d0),""".stripMargin) + """,
-      |u AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c GROUP BY 1),
-      |lp AS (SELECT c.w1, c.w2,
-      |         CAST(floor(ln(CAST(c.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp_micro
-      |       FROM c JOIN u ON c.w1 = u.w1),
-      |occ AS (SELECT doc_id,
-      |          unnest(list_transform(range(1, len(toks)),
-      |            i -> {'w1': toks[i], 'w2': toks[i+1]}), recursive := true)
-      |        FROM d0 WHERE len(toks) >= 2)
-      |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-      |  CAST(sum(lp.lp_micro) AS BIGINT) AS sum_lp_micro,
-      |  CAST(sum(lp.lp_micro) // count(*) AS BIGINT) AS mean_lp_micro,
-      |  CAST(sum(lp.lp_micro) // count(*) AS BIGINT) < -3400000 AS flag_low
-      |FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
-      |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin))
+    Some(docScoresSqlCte + """,
+      |r AS (SELECT doc_id, mean_lp_micro,
+      |        CAST(row_number() OVER (ORDER BY mean_lp_micro DESC, doc_id) AS BIGINT) AS prank,
+      |        count(*) OVER () AS n_docs
+      |      FROM sc)
+      |SELECT doc_id, mean_lp_micro, prank,
+      |  CASE WHEN prank <= n_docs // 3 THEN 'head'
+      |       WHEN prank <= 2 * (n_docs // 3) THEN 'middle'
+      |       ELSE 'tail' END AS bucket,
+      |  CASE WHEN prank <= n_docs // 3 THEN TRUE
+      |       WHEN prank <= 2 * (n_docs // 3) THEN (doc_id * 2654435761) % 1000 < 500
+      |       ELSE FALSE END AS keep
+      |FROM r ORDER BY doc_id""".stripMargin))
 
   // -------- i42: vocabulary-apply encode -----------------------------------
 
@@ -1140,6 +1219,7 @@ object CorpusOps {
     "i36_collocation_lift" -> i36_collocation_lift,
     "i37_dedup_lines" -> i37_dedup_lines,
     "i38_doc_logprob" -> i38_doc_logprob,
+    "i49_perplexity_buckets" -> i49_perplexity_buckets,
     "i41_dedup_substring" -> i41_dedup_substring,
     "i42_vocab_encode" -> i42_vocab_encode,
     "i43_url_host_stats" -> i43_url_host_stats,

@@ -991,18 +991,15 @@ object LlmOps {
     * sf0.01, ~3 min vs ~35 min at sf0.1. MATERIALIZED pins e to one
     * evaluation under the recursion.
     */
-  val i39_dedup_components_lsh = OpQuery(
-    (s, d) => {
-      val edges = minhashVerifiedPairs(s, d).select(col("a_id"), col("b_id"))
-      val labelDf = connectedComponents(s, edges)
-        .withColumnRenamed("node_id", "doc_id")
-      t(s, d, "documents").select(col("doc_id"))
-        .join(labelDf, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("lbl"), col("doc_id")).as("canonical"))
-        .orderBy("doc_id")
-    },
-    Some(shinglesSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
+  /** The exact-closure CTE chain shared by the i39/i40/i50 oracles:
+    * shingle sets → inverted-index pair intersections (the cheap
+    * re-specification of the exact edge set) → Jaccard ≥ 0.8 edges →
+    * recursive reachability `reach(src, dst)`. Each consumer appends its
+    * own final aggregation — one lineage, so the three gates cannot
+    * drift apart.
+    */
+  private val lshClosureSqlCte: String =
+    shinglesSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + """,
        |x AS (SELECT doc_id, unnest(sh) AS h FROM s),
        |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
        |          FROM x a JOIN x b ON a.h = b.h AND a.doc_id <> b.doc_id
@@ -1015,7 +1012,20 @@ object LlmOps {
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
-       |)
+       |)""".stripMargin
+
+  val i39_dedup_components_lsh = OpQuery(
+    (s, d) => {
+      val edges = minhashVerifiedPairs(s, d).select(col("a_id"), col("b_id"))
+      val labelDf = connectedComponents(s, edges)
+        .withColumnRenamed("node_id", "doc_id")
+      t(s, d, "documents").select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("canonical"))
+        .orderBy("doc_id")
+    },
+    Some(lshClosureSqlCte + """
        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canonical
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin))
 
@@ -1050,20 +1060,7 @@ object LlmOps {
         .select(col("doc_id"), col("component"), col("keep"), col("kept_id"))
         .orderBy("doc_id")
     },
-    Some(shinglesSqlCte.replaceFirst("^WITH ", "WITH RECURSIVE ") + s""",
-       |x AS (SELECT doc_id, unnest(sh) AS h FROM s),
-       |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-       |          FROM x a JOIN x b ON a.h = b.h AND a.doc_id <> b.doc_id
-       |          GROUP BY 1, 2),
-       |e AS MATERIALIZED (
-       |  SELECT ia AS a, ib AS b FROM inter
-       |  JOIN s sa ON sa.doc_id = ia JOIN s sb ON sb.doc_id = ib
-       |  WHERE i::DOUBLE / (len(sa.sh) + len(sb.sh) - i) >= 0.8
-       |), reach(src, dst) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
-       |),
+    Some(lshClosureSqlCte + """,
        |comp AS (SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component
        |         FROM reach GROUP BY src)
        |SELECT c.doc_id, c.component,
@@ -1074,6 +1071,47 @@ object LlmOps {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS kept_id
        |FROM comp c JOIN documents dd ON dd.doc_id = c.doc_id
        |ORDER BY c.doc_id""".stripMargin))
+
+  /** i50: corpus duplication profile — the REPORT a dedup pass starts
+    * from: cluster the near-dup graph (i39's sub-quadratic LSH edge
+    * pipeline + the shared component engine), then histogram component
+    * sizes: how many clusters of each size, how many documents they hold,
+    * and how many are excess copies (exactly what deduplication would
+    * remove). The "how duplicated is this crawl?" number every corpus
+    * card quotes.
+    *
+    * Shape at scale: edges are O(n·bands) LSH candidates; the histogram
+    * is two tiny aggregates — one shuffle keyed by component id (cluster
+    * sizes, map-side partial agg), one keyed by size (≤ max-cluster-size
+    * rows). Nothing but ids moves. Oracle: the exact-closure histogram —
+    * an LSH miss upstream would change a component size and
+    * hash-mismatch, not silently pass.
+    */
+  val i50_dedup_cluster_stats = OpQuery(
+    (s, d) => {
+      val edges = minhashVerifiedPairs(s, d).select(col("a_id"), col("b_id"))
+      val labelDf = connectedComponents(s, edges)
+        .withColumnRenamed("node_id", "doc_id")
+      val comp = t(s, d, "documents").select(col("doc_id"))
+        .join(labelDf, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("canonical"))
+      comp.groupBy("canonical").agg(count(lit(1)).as("comp_size"))
+        .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+        .select(col("comp_size"), col("n_components"),
+          (col("comp_size") * col("n_components")).as("n_docs"),
+          ((col("comp_size") - lit(1L)) * col("n_components")).as("dup_excess"))
+        .orderBy("comp_size")
+    },
+    Some(lshClosureSqlCte + """,
+       |comp AS (SELECT src AS doc_id, min(dst) AS canonical
+       |         FROM reach GROUP BY src),
+       |sz AS (SELECT canonical, CAST(count(*) AS BIGINT) AS comp_size
+       |       FROM comp GROUP BY canonical)
+       |SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components,
+       |  CAST(comp_size * count(*) AS BIGINT) AS n_docs,
+       |  CAST((comp_size - 1) * count(*) AS BIGINT) AS dup_excess
+       |FROM sz GROUP BY comp_size ORDER BY comp_size""".stripMargin))
 
   /** i24: benchmark decontamination — flag training documents that contain
     * an eval-benchmark document (source 'src0' stands in for the eval
@@ -1457,6 +1495,7 @@ object LlmOps {
     "i23_dedup_components" -> i23_dedup_components,
     "i39_dedup_components_lsh" -> i39_dedup_components_lsh,
     "i40_dedup_keep_best" -> i40_dedup_keep_best,
+    "i50_dedup_cluster_stats" -> i50_dedup_cluster_stats,
     "i24_decontaminate" -> i24_decontaminate,
     "i45_decontam_capped" -> i45_decontam_capped,
     "i25_dedup_incremental" -> i25_dedup_incremental,

@@ -232,9 +232,76 @@ object MultimodalOps {
       |          + (k % 4) * (16 + doc_id % 32) // 4) % 256), ',') AS resized
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** m5: image deduplication over DECODED content — the dedup family
+    * (b10/i5/i10/i35…) extended to the multimodal column: fingerprint the
+    * decoded raster (two independent position-weighted pixel sums + the
+    * dimensions — a content hash of the PIXELS, not the container bytes,
+    * so re-encodings of the same image collide as they should), then
+    * hash-group: one row per image with its duplicate-group size and a
+    * keep-min-doc_id verdict. The planted corpus has real duplicate
+    * structure at every SF: images are identical iff doc_id ≡ doc_id'
+    * (mod 256), since width/height/pixel-ramp are all mod-256 periodic.
+    *
+    * Shape at scale: decode + fingerprint is the m1 per-partition codec
+    * pass (narrow, constant memory); the only shuffle carries
+    * (doc_id, w, h, fp1, fp2) — 40 bytes per image, never pixels or PNG
+    * bytes — keyed by fingerprint for the group window (high-cardinality
+    * key, tiny groups: the f2 window shape). Fingerprint arithmetic stays
+    * exact in 64-bit (≤ 2⁴² here; a production perceptual variant — aHash
+    * on the m4 thumbnail — swaps the fingerprint expression, same plan).
+    * Oracle recomputes the fingerprints from the planted closed form, so
+    * a decode defect (wrong samples, wrong dims) hash-mismatches.
+    */
+  val m5_image_dedup = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val fps = pngTable(s, d).mapPartitions { it =>
+        it.map { b =>
+          val (r, w, h) = PngCodec.raster(b.png)
+          var fp1 = 0L
+          var fp2 = 0L
+          var i = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = r.getSample(x, y, 0).toLong
+              fp1 += (p + 1L) * (i + 131L)
+              fp2 += (p + 17L) * (i * i + 13L)
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          (b.doc_id, w.toLong, h.toLong, fp1, fp2)
+        }
+      }.toDF("doc_id", "width", "height", "fp1", "fp2")
+      val grp = Window.partitionBy("width", "height", "fp1", "fp2")
+      fps
+        .withColumn("n_dups", count(lit(1)).over(grp))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(grp))
+        .orderBy("doc_id")
+    },
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(16 + doc_id % 32 AS BIGINT) AS width,
+      |    CAST(8 + doc_id % 16 AS BIGINT) AS height,
+      |    CAST(list_sum(list_transform(range(0, (16 + doc_id % 32) * (8 + doc_id % 16)),
+      |      i -> ((doc_id + i) % 256 + 1) * (i + 131))) AS BIGINT) AS fp1,
+      |    CAST(list_sum(list_transform(range(0, (16 + doc_id % 32) * (8 + doc_id % 16)),
+      |      i -> ((doc_id + i) % 256 + 17) * (i * i + 13))) AS BIGINT) AS fp2
+      |  FROM documents)
+      |SELECT doc_id, width, height, fp1, fp2,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_dups,
+      |  doc_id = min(doc_id) OVER w AS keep
+      |FROM f
+      |WINDOW w AS (PARTITION BY width, height, fp1, fp2)
+      |ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "m1_multimodal_decode" -> m1_multimodal_decode,
     "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
     "m3_multimodal_feature_extract" -> m3_multimodal_feature_extract,
-    "m4_multimodal_resize" -> m4_multimodal_resize)
+    "m4_multimodal_resize" -> m4_multimodal_resize,
+    "m5_image_dedup" -> m5_image_dedup)
 }

@@ -534,6 +534,45 @@ class CorpusOpsSpec extends SparkTestBase {
       "flag_low threshold degenerated to a constant")
   }
 
+  test("i49 rank, buckets and keep match a reference ranking of i38 scores") {
+    // i38's scores are themselves pinned to the plain-Scala LM reference
+    // above, so ranking them here checks i49's two-pass rank (range
+    // partition + prefix offsets) against an independent in-memory sort
+    val scores = CorpusOps.i38_doc_logprob.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val out = CorpusOps.i49_perplexity_buckets.fn(spark, sfDir).collect()
+    assert(out.length == scores.size, "every scoreable doc must be ranked")
+    val order = scores.toSeq.sortBy { case (id, m) => (-m, id) }.map(_._1)
+    val rankOf = order.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val n = order.size.toLong
+    val (headCut, midCut) = (n / 3, 2 * (n / 3))
+    out.foreach { r =>
+      val (id, mean, prank) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (bucket, keep) = (r.getString(3), r.getBoolean(4))
+      assert(mean == scores(id), s"doc $id score disagrees with i38")
+      assert(prank == rankOf(id), s"doc $id rank (two-pass vs reference sort)")
+      val expBucket =
+        if (prank <= headCut) "head"
+        else if (prank <= midCut) "middle"
+        else "tail"
+      assert(bucket == expBucket, s"doc $id bucket")
+      val expKeep = expBucket match {
+        case "head" => true
+        case "middle" => (id * 2654435761L) % 1000 < 500
+        case _ => false
+      }
+      assert(keep == expKeep, s"doc $id keep policy")
+    }
+    // every bucket populated, and the middle genuinely sampled (both keep
+    // verdicts occur there) — the policy can't degenerate silently
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(out.exists(_.getString(3) == b), s"bucket $b empty")
+    }
+    val mid = out.filter(_.getString(3) == "middle")
+    assert(mid.exists(_.getBoolean(4)) && mid.exists(!_.getBoolean(4)),
+      "middle sampling degenerated to a constant")
+  }
+
   // ---- i46: independent BPE reference (functional, list-based — written
   // separately from CorpusOps' imperative learner so a defect in either
   // cannot cancel out) ----

@@ -118,6 +118,39 @@ class LlmOpsSpec extends SparkTestBase {
     assert(meta.width == 16 + 42 % 32 && meta.height == 8 + 42 % 16)
   }
 
+  test("m5 image dedup groups exactly the mod-256 planted duplicates") {
+    val out = MultimodalOps.m5_image_dedup.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0))
+    // fingerprint grouping must equal doc_id ≡ (mod 256) — the planted
+    // identical-image relation (dims and pixel ramp are 256-periodic).
+    // Asserting group size against the residue class checks BOTH ways:
+    // no within-residue split (decode/fingerprint instability) and no
+    // cross-residue collision (fingerprint too weak)
+    val byRes = ids.groupBy(_ % 256)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val members = byRes(id % 256)
+      assert(r.getLong(5) == members.length.toLong, s"doc $id n_dups")
+      assert(r.getBoolean(6) == (id == members.min), s"doc $id keep")
+    }
+    assert(out.exists(_.getLong(5) > 1L), "no duplicate group exercised")
+    assert(out.exists(_.getLong(5) == 1L), "no singleton exercised")
+    // fingerprint equality IS content equality: decode a grouped pair and
+    // compare every pixel
+    val dupId = out.filter(r => r.getLong(5) > 1L && !r.getBoolean(6))
+      .head.getLong(0)
+    val keeper = byRes(dupId % 256).min
+    val (ra, wa, ha) =
+      MultimodalOps.PngCodec.raster(MultimodalOps.PngCodec.synth(dupId))
+    val (rb, wb, hb) =
+      MultimodalOps.PngCodec.raster(MultimodalOps.PngCodec.synth(keeper))
+    assert(wa == wb && ha == hb, "grouped images must share dimensions")
+    for (y <- 0 until ha; x <- 0 until wa)
+      assert(ra.getSample(x, y, 0) == rb.getSample(x, y, 0),
+        s"grouped images differ at ($x,$y)")
+  }
+
   test("PngCodec: every pixel survives encode->decode for random ids") {
     // pixel-exact round-trip (not just dims/sums): PNG gray-8 is lossless,
     // so the decoded raster must equal the planted formula everywhere
@@ -200,6 +233,28 @@ class LlmOpsSpec extends SparkTestBase {
     // otherwise this would be indistinguishable from i39's min-label policy
     assert(out.exists(r => r.getLong(3) != r.getLong(1)),
       "keep-best never diverged from min-id; fixture too weak")
+  }
+
+  test("i50 histogram equals the component-size profile of i39") {
+    // i39 is itself pinned to the brute-force union-find above, so the
+    // profile recomputed from its output is an exact reference here
+    val comps = LlmOps.i39_dedup_components_lsh.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = comps.groupBy(_._2).map(_._2.length.toLong)
+    val hist = sizes.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = LlmOps.i50_dedup_cluster_stats.fn(spark, sfDir).collect()
+    assert(out.length == hist.size, "one row per distinct component size")
+    out.foreach { r =>
+      val (sz, nc, nd, ex) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nc == hist(sz), s"size $sz component count")
+      assert(nd == sz * nc && ex == (sz - 1) * nc, s"size $sz derived columns")
+    }
+    // totals close over the corpus: every document counted exactly once
+    assert(out.map(_.getLong(2)).sum == comps.length.toLong)
+    // non-vacuous: both the singleton regime and a real dup cluster
+    assert(out.exists(_.getLong(0) == 1L) && out.exists(_.getLong(0) > 1L),
+      "fixture must exercise singletons AND multi-doc clusters")
   }
 
   test("blocked kernel output is invariant to block width (multi-block path)") {
