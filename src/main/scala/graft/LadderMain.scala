@@ -38,11 +38,15 @@ object LadderMain {
       ops.LlmOps.connectedComponents(s, edges)
     })
 
-  /** text family: the r4 ladder's op set, re-runnable. */
+  /** text family: the r4 ladder's op set (first nine — rows stay
+    * comparable across rounds), extended in r5 with the perplexity
+    * policy (i49), the duplication profile (i50) and image dedup (m5).
+    */
   private def textOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("b10_dedupe_exact", "i10_dedup_minhash_lsh", "i37_dedup_lines",
       "i39_dedup_components_lsh", "i41_dedup_substring", "i42_vocab_encode",
-      "i31_tfidf_topterms", "i38_doc_logprob", "i45_decontam_capped")
+      "i31_tfidf_topterms", "i38_doc_logprob", "i45_decontam_capped",
+      "i49_perplexity_buckets", "i50_dedup_cluster_stats", "m5_image_dedup")
       .map(k => k -> SparkEntry.queries(k))
 
   /** stream family: the streaming prep gates (exact j9, quality j11,

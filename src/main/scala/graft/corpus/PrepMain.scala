@@ -16,6 +16,8 @@ import org.apache.spark.sql.types.LongType
   *   benchmark decontamination (i24, optional `--decontam <benchDir>`) →
   *   substring scrub (i41 core, optional `--scrub substring` — rewrites
   *   text: excises tokens covered by cross-document duplicated spans) →
+  *   perplexity gate (i49 policy, optional `--ppl ccnet` — LM learned
+  *   from the kept corpus; keep head, hash-half of middle, drop tail) →
   *   mixture resampling (i48 core, optional `--mix uniform` — equal-share
   *   targets over the kept set's lang histogram; drops over-share docs,
   *   attaches integer n_copies) →
@@ -66,12 +68,16 @@ object PrepMain {
       scrubSpan: Int = 8, scrubMinDocs: Int = 2,
       // "uniform" applies the i48 equal-share mixture resampler to the
       // kept set (drops over-share docs, attaches n_copies); "none" skips
-      mix: String = "none")
+      mix: String = "none",
+      // "ccnet" applies the i49 perplexity policy to the kept set (LM
+      // learned from the kept corpus itself; keep head, hash-half of
+      // middle, drop tail); "none" skips
+      ppl: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
-    "--scrub-span", "--scrub-min-docs", "--mix")
+    "--scrub-span", "--scrub-min-docs", "--mix", "--ppl")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -100,6 +106,7 @@ object PrepMain {
         case "--scrub-span" => o = o.copy(scrubSpan = v.toInt)
         case "--scrub-min-docs" => o = o.copy(scrubMinDocs = v.toInt)
         case "--mix" => o = o.copy(mix = v)
+        case "--ppl" => o = o.copy(ppl = v)
       }
       i += 2
     }
@@ -109,9 +116,11 @@ object PrepMain {
         "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
-        "[--mix uniform|none]")
+        "[--mix uniform|none] [--ppl ccnet|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
+    require(Set("ccnet", "none")(o.ppl),
+      s"--ppl must be ccnet|none, got ${o.ppl}")
     require(Set("substring", "none")(o.scrub),
       s"--scrub must be substring|none, got ${o.scrub}")
     require(Set("uniform", "none")(o.mix),
@@ -245,6 +254,33 @@ object PrepMain {
       case _ => (kept, Map.empty[String, Long])
     }
 
+    // -- stage 3.6: perplexity gate (i49 policy, optional) -----------------
+    // The CCNet recipe over the KEPT set: the bigram LM is learned from
+    // what survived the earlier stages (scrubbed text included — the LM
+    // should not learn from boilerplate the scrub just excised), every
+    // scoreable doc is ranked and bucketed head/middle/tail, the tail
+    // and the hash-dropped middle half leave. Unscoreable docs (NULL
+    // text, < 2 tokens) SURVIVE unchanged — the scrub stage's
+    // NULL-survival convention: the gate only applies where a score
+    // exists (the quality stage already polices degenerate docs).
+    val (keptPpl, nAfterPpl, pplCounts) = opts.ppl match {
+      case "ccnet" =>
+        val scores = graft.ops.CorpusOps.docScoresOf(keptFinal)
+          .select(col("doc_id"), col("mean_lp_micro"))
+          .localCheckpoint() // read twice inside perplexityBuckets
+        val verd = graft.ops.CorpusOps.perplexityBuckets(scores).persist(lvl)
+        extraPersists += verd
+        val bucketCounts = verd.groupBy("bucket").count()
+          .collect().map(r => s"ppl_${r.getString(0)}" -> r.getLong(1)).toMap
+        val drops = verd.filter(!col("keep")).select("doc_id")
+        val out = keptFinal.join(broadcast(drops), Seq("doc_id"), "left_anti")
+          .persist(lvl)
+        extraPersists += out
+        val n = out.count()
+        (out, n, bucketCounts + ("n_ppl_dropped" -> (nAfterDecontam - n)))
+      case _ => (keptFinal, nAfterDecontam, Map.empty[String, Long])
+    }
+
     // -- stage 3.7: mixture resampling (i48 core, optional) ----------------
     // Applies the equal-share mixture to the KEPT set: over-share docs of
     // over-represented langs drop (hash-rank selection — idempotent and
@@ -263,20 +299,20 @@ object PrepMain {
         // over-share drop) and `total` would count rows that n_langs
         // doesn't, skewing every real lang's share. The gated i48 runs on
         // the NULL-free fixture; arbitrary CLI input has no such contract.
-        val sel = TrainOps.mixApply(keptFinal.select(col("doc_id"),
+        val sel = TrainOps.mixApply(keptPpl.select(col("doc_id"),
             coalesce(col("lang"), lit(" null_lang")).as("lang")))
           .select(col("doc_id"), col("n_copies"))
           .persist(lvl) // read by the join AND the effective-total count
         extraPersists += sel
-        val mixed = keptFinal.join(sel, "doc_id").persist(lvl)
+        val mixed = keptPpl.join(sel, "doc_id").persist(lvl)
         extraPersists += mixed
         val n = mixed.count()
         val eff = sel.agg(coalesce(sum(col("n_copies")), lit(0L)))
           .head().getLong(0) // bounded: one long (the manifest pattern)
         (mixed, n, Map(
-          "n_mix_dropped" -> (nAfterDecontam - n),
+          "n_mix_dropped" -> (nAfterPpl - n),
           "mix_effective_total" -> eff))
-      case _ => (keptFinal, nAfterDecontam, Map.empty[String, Long])
+      case _ => (keptPpl, nAfterPpl, Map.empty[String, Long])
     }
 
     // -- stage 4: split + shard addresses ----------------------------------
@@ -317,7 +353,7 @@ object PrepMain {
       "n_dup_members_corpus" -> dupDrops.count(),
       "n_contaminated_corpus" -> decontamDrops.count(),
       "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts ++
-      mixCounts
+      pplCounts ++ mixCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))

@@ -194,8 +194,9 @@ object CorpusOps {
     * corpus-sized shuffle either op pays (partial agg); every further
     * aggregate runs over the vocab²-sized bigram table.
     */
-  private def bigramCounts(s: SparkSession, d: String): DataFrame = {
-    val toks = t(s, d, "documents")
+  /** Frame-based core (PrepMain composes it over the kept set). */
+  private[graft] def bigramCountsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
       .where(col("text").isNotNull)
       .select(split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2) // sequence(1,0) would run DESCENDING
@@ -204,6 +205,9 @@ object CorpusOps {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
   }
+
+  private def bigramCounts(s: SparkSession, d: String): DataFrame =
+    bigramCountsOf(t(s, d, "documents"))
 
   /** The matching DuckDB CTE: exposes c(w1, w2, c12). */
   private val bigramSqlCte: String =
@@ -400,14 +404,14 @@ object CorpusOps {
     * + sample policy): (doc_id, n_bigrams, sum_lp_micro, mean_lp_micro)
     * for every scoreable document (non-null text, ≥ 2 tokens).
     */
-  private def docScores(s: SparkSession, d: String): DataFrame = {
-    val c = bigramCounts(s, d)
+  private[graft] def docScoresOf(docs: DataFrame): DataFrame = {
+    val c = bigramCountsOf(docs)
     val u = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val lp = c.join(broadcast(u), "w1")
       .select(col("w1"), col("w2"),
         floor(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
           * lit(1000000.0d)).as("lp_micro"))
-    val occ = t(s, d, "documents")
+    val occ = docs
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .where(size(col("toks")) >= 2) // same guard as bigramCounts
@@ -419,6 +423,38 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_micro")).as("sum_lp_micro"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_lp_micro"),
         expr("sum_lp_micro DIV n_bigrams").as("mean_lp_micro"))
+  }
+
+  private def docScores(s: SparkSession, d: String): DataFrame =
+    docScoresOf(t(s, d, "documents"))
+
+  /** The i49 policy over an arbitrary score frame (doc_id,
+    * mean_lp_micro) — PrepMain's `--ppl ccnet` stage composes it over
+    * the kept set's own scores. Returns (doc_id, mean_lp_micro, prank,
+    * bucket, keep); see i49's Scaladoc for the policy and scale shape.
+    * Callers should pass a materialized frame (it is read twice: rank
+    * pipeline + count).
+    */
+  private[graft] def perplexityBuckets(scores: DataFrame): DataFrame = {
+    val ranked = graft.ingest.Convert.addStablePkey(
+      scores.repartitionByRange(col("mean_lp_micro").desc, col("doc_id"))
+        .sortWithinPartitions(col("mean_lp_micro").desc, col("doc_id")),
+      "prank")
+    val n = scores.agg(count(lit(1)).as("n_docs"))
+    val headCut = expr("n_docs DIV 3")
+    val midCut = expr("2 * (n_docs DIV 3)")
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        when(col("prank") <= headCut, lit("head"))
+          .when(col("prank") <= midCut, lit("middle"))
+          .otherwise(lit("tail")))
+      .withColumn("keep",
+        when(col("prank") <= headCut, lit(true))
+          .when(col("prank") <= midCut,
+            (col("doc_id") * lit(2654435761L)) % 1000 < 500)
+          .otherwise(lit(false)))
+      .select(col("doc_id"), col("mean_lp_micro"), col("prank"),
+        col("bucket"), col("keep"))
   }
 
   /** The SQL twin of `docScores`: the full WITH-chain ending in a CTE
@@ -484,26 +520,7 @@ object CorpusOps {
       val sc = docScores(s, d)
         .select(col("doc_id"), col("mean_lp_micro"))
         .localCheckpoint() // read twice: ranking pipeline + corpus count
-      val ranked = graft.ingest.Convert.addStablePkey(
-        sc.repartitionByRange(col("mean_lp_micro").desc, col("doc_id"))
-          .sortWithinPartitions(col("mean_lp_micro").desc, col("doc_id")),
-        "prank")
-      val n = sc.agg(count(lit(1)).as("n_docs"))
-      val headCut = expr("n_docs DIV 3")
-      val midCut = expr("2 * (n_docs DIV 3)")
-      ranked.crossJoin(broadcast(n))
-        .withColumn("bucket",
-          when(col("prank") <= headCut, lit("head"))
-            .when(col("prank") <= midCut, lit("middle"))
-            .otherwise(lit("tail")))
-        .withColumn("keep",
-          when(col("prank") <= headCut, lit(true))
-            .when(col("prank") <= midCut,
-              (col("doc_id") * lit(2654435761L)) % 1000 < 500)
-            .otherwise(lit(false)))
-        .select(col("doc_id"), col("mean_lp_micro"), col("prank"),
-          col("bucket"), col("keep"))
-        .orderBy("doc_id")
+      perplexityBuckets(sc).orderBy("doc_id")
     },
     Some(docScoresSqlCte + """,
       |r AS (SELECT doc_id, mean_lp_micro,

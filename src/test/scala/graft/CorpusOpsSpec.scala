@@ -573,6 +573,18 @@ class CorpusOpsSpec extends SparkTestBase {
       "middle sampling degenerated to a constant")
   }
 
+  test("i49 plans no global (un-partitioned) window") {
+    // the b8 lesson enforced on the ranking consumer: the rank must come
+    // from the two-pass range-partition shape, not a global row_number
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
+    val out = CorpusOps.i49_perplexity_buckets.fn(spark, sfDir)
+    val globalWindows = out.queryExecution.optimizedPlan.collect {
+      case w: WindowNode if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"un-partitioned window in plan: ${globalWindows.mkString("; ")}")
+  }
+
   // ---- i46: independent BPE reference (functional, list-based — written
   // separately from CorpusOps' imperative learner so a defect in either
   // cannot cancel out) ----

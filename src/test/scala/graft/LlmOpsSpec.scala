@@ -151,6 +151,21 @@ class LlmOpsSpec extends SparkTestBase {
         s"grouped images differ at ($x,$y)")
   }
 
+  test("m5 shuffles only fingerprint rows, never image bytes") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
+    val out = MultimodalOps.m5_image_dedup.fn(spark, sfDir)
+    val wins = out.queryExecution.optimizedPlan.collect { case w: WindowNode => w }
+    assert(wins.nonEmpty, "expected the fingerprint-group window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty, "group window must be partitioned")
+      val childCols = w.child.output.map(_.name).toSet
+      assert(!childCols.exists(_.toLowerCase.contains("png")),
+        s"image bytes reach the window shuffle: $childCols")
+      assert(Set("doc_id", "width", "height", "fp1", "fp2")
+        .subsetOf(childCols), s"fingerprint columns missing: $childCols")
+    }
+  }
+
   test("PngCodec: every pixel survives encode->decode for random ids") {
     // pixel-exact round-trip (not just dims/sums): PNG gray-8 is lossless,
     // so the decoded raster must equal the planted formula everywhere

@@ -201,6 +201,49 @@ class PrepPipelineSpec extends SparkTestBase {
       - m("n_mix_dropped") == m("n_final"))
   }
 
+  test("--ppl ccnet drops exactly the tail and the hash-dropped middle half") {
+    pipelineRan() // the no-ppl output IS this run's stage input (stages
+    // before ppl are identical and deterministic), so recomputing the
+    // policy over it in plain Scala yields the exact expected kept set
+    val base = spark.read.parquet(s"$outDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val toks = base.toSeq.collect { case (id, Some(t)) => id -> t.split(" ").toSeq }
+      .filter(_._2.length >= 2)
+    val occ = toks.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(p => (id, (p(0), p(1)))) }
+    val c12 = occ.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = occ.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val lp = c12.map { case (bg, c) =>
+      bg -> math.floor(math.log(c.toDouble / c1(bg._1).toDouble) * 1e6).toLong }
+    val mean = occ.groupBy(_._1).view.mapValues { os =>
+      os.map(o => lp(o._2)).sum / os.size }.toMap
+    val order = mean.toSeq.sortBy { case (id, m) => (-m, id) }.map(_._1)
+    val n = order.size
+    val drops = order.zipWithIndex.collect {
+      case (id, i) if i + 1 > 2 * (n / 3) => id // tail
+      case (id, i) if i + 1 > n / 3 &&
+        (id * 2654435761L) % 1000 >= 500 => id // hash-dropped middle half
+    }.toSet
+    val expectedKept = base.keySet -- drops
+    val outP = Util.scratch("prep_out_ppl")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outP, "minhash",
+      ppl = "ccnet"))
+    val written = spark.read.parquet(s"$outP/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(written == expectedKept,
+      s"ppl stage kept ${written.size}, reference keeps ${expectedKept.size}; " +
+        s"extra=${(written -- expectedKept).take(3)} missing=${(expectedKept -- written).take(3)}")
+    // manifest arithmetic extends through the new stage, and the bucket
+    // histogram covers exactly the scoreable set
+    assert(m("n_quality_kept") - m("n_dedup_dropped") - m("n_decontam_dropped")
+      - m("n_ppl_dropped") == m("n_final"))
+    assert(m("ppl_head") + m("ppl_middle") + m("ppl_tail") == n.toLong,
+      "bucket histogram must partition the scoreable set")
+    assert(m("n_ppl_dropped") == (base.size - expectedKept.size).toLong)
+    assert(m("n_ppl_dropped") > 0, "fixture must exercise real ppl drops")
+  }
+
   test("--dedup keepbest keeps each cluster's longest member; output still pair-free") {
     val out2 = Util.scratch("prep_out_keepbest")
     val m = PrepMain.run(spark, PrepMain.Opts(sfDir, out2, "keepbest"))
