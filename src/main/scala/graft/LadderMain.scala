@@ -57,7 +57,8 @@ object LadderMain {
     */
   private def streamOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("j9_stream_ingest_dedup", "j11_stream_quality_filter",
-      "j12_stream_incremental_dedup", "j13_stream_decontaminate")
+      "j12_stream_incremental_dedup", "j13_stream_decontaminate",
+      "j14_stream_perplexity_gate")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {

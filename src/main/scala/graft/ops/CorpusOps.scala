@@ -404,13 +404,21 @@ object CorpusOps {
     * + sample policy): (doc_id, n_bigrams, sum_lp_micro, mean_lp_micro)
     * for every scoreable document (non-null text, ≥ 2 tokens).
     */
-  private[graft] def docScoresOf(docs: DataFrame): DataFrame = {
+  /** The integer micro-nat bigram log-prob table (w1, w2, lp_micro) —
+    * the LM side shared by docScoresOf (batch i38/i49) and the j14
+    * streaming gate. See i38's Scaladoc for the quantization argument.
+    */
+  private[graft] def bigramLogProbsOf(docs: DataFrame): DataFrame = {
     val c = bigramCountsOf(docs)
     val u = c.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val lp = c.join(broadcast(u), "w1")
+    c.join(broadcast(u), "w1")
       .select(col("w1"), col("w2"),
         floor(log(col("c12").cast(DoubleType) / col("c1").cast(DoubleType))
           * lit(1000000.0d)).as("lp_micro"))
+  }
+
+  private[graft] def docScoresOf(docs: DataFrame): DataFrame = {
+    val lp = bigramLogProbsOf(docs)
     val occ = docs
       .where(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -461,7 +469,7 @@ object CorpusOps {
     * `sc(doc_id, n_bigrams, sum_lp_micro, mean_lp_micro)` — i38 and i49
     * append their own final SELECTs.
     */
-  private val docScoresSqlCte: String = bigramSqlCte.replace(
+  private[graft] val docScoresSqlCte: String = bigramSqlCte.replace(
     "WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),",
     """WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE text IS NOT NULL),
       |d AS (SELECT toks FROM d0),""".stripMargin) + """,
@@ -479,15 +487,19 @@ object CorpusOps {
     |FROM occ JOIN lp ON occ.w1 = lp.w1 AND occ.w2 = lp.w2
     |GROUP BY occ.doc_id)""".stripMargin
 
+  /** i38/j14's shared flag threshold — fixed in the fixture
+    * distribution's low-middle (p30–p40 at sf0.01) so both flag classes
+    * are populated at every SF.
+    */
+  private[graft] val PplFlagMicro = -3400000L
+
   val i38_doc_logprob = OpQuery(
     (s, d) => docScores(s, d)
-      // fixed threshold in the fixture distribution's low-middle (p30–p40
-      // at sf0.01) so both flag classes are populated at every SF
-      .withColumn("flag_low", col("mean_lp_micro") < lit(-3400000L))
+      .withColumn("flag_low", col("mean_lp_micro") < lit(PplFlagMicro))
       .orderBy("doc_id"),
-    Some(docScoresSqlCte + """
+    Some(docScoresSqlCte + s"""
       |SELECT doc_id, n_bigrams, sum_lp_micro, mean_lp_micro,
-      |  mean_lp_micro < -3400000 AS flag_low
+      |  mean_lp_micro < $PplFlagMicro AS flag_low
       |FROM sc ORDER BY doc_id""".stripMargin))
 
   // -------- i49: perplexity buckets + sampling policy ----------------------

@@ -464,7 +464,83 @@ object StreamOps {
     // the SAME question as batch i45 — reuse its capped-containment oracle
     LlmOps.i45_decontam_capped.oracle.get)
 
+  /** j14: STREAMING perplexity gate — the CCNet LM filter (batch i38's
+    * score, the signal behind i49's policy) applied to a document
+    * stream, completing the streaming prep gate set: exact j9 / quality
+    * j11 / near-dup j12 / decontam j13 / LM-score j14. The corpus
+    * bigram LM is the STATIC side, shipped to every executor ONCE as a
+    * broadcast hash map ("w1 w2" → integer micro-nat log-prob,
+    * vocab²-bounded by Heaps' law — the classic map-side-join shape);
+    * each arriving document is scored ROW-LOCALLY inside mapPartitions
+    * (O(1) hash lookups per bigram, integer sum and truncating
+    * division), so the gate is STATELESS: no per-doc aggregation state,
+    * no watermark, append mode, unbounded-safe at any crawl rate. This
+    * is the deliberate streaming re-shape of batch i38's
+    * explode→join→groupBy: the LM join moves from per-occurrence rows
+    * to one hash probe per bigram inside the row — the same integers
+    * (i38's quantization makes the two formulations EXACTLY equal),
+    * zero stream state. NOT the i42 single-map-row attach: Catalyst map
+    * literals are array-backed, so element_at is a LINEAR scan of the
+    * vocab²-sized map per bigram — ladder-measured 18.8 s at 1× and
+    * superlinear, vs ~1 s for the hash-map form. The driver-side LM
+    * collect is vocab²-bounded (never corpus-scaled); at 100 TB the LM
+    * table is precomputed/incrementally maintained and shipped as
+    * exactly this broadcast artifact. Every stream bigram exists in the
+    * gate's LM by construction (learned from the same corpus); a
+    * production deployment would smooth unseen bigrams to a floor.
+    * Oracle: the keep subset of i38's score CTE — batch and stream
+    * answer the same question.
+    */
+  val j14_stream_perplexity_gate = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j14"))
+      graft.Util.deleteRecursively(ckpt)
+      val docs = t(s, d, "documents")
+      // static LM side: vocab²-bounded collect → ONE broadcast hash map
+      // (re-used by every micro-batch; never re-learned)
+      val lm: Map[String, Long] = CorpusOps.bigramLogProbsOf(docs)
+        .select(concat_ws(" ", col("w1"), col("w2")), col("lp_micro"))
+        .as[(String, Long)].collect().toMap
+      val lmB = s.sparkContext.broadcast(lm)
+      val src = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val scored = src
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .where(size(col("toks")) >= 2) // the docScores scoreability guard
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val table = lmB.value // one handle per partition, rows stream
+          it.map { case (id, toks) =>
+            var sum = 0L
+            var i = 1
+            while (i < toks.length) {
+              sum += table(toks(i - 1) + " " + toks(i))
+              i += 1
+            }
+            val n = (toks.length - 1).toLong
+            (id, n, sum, sum / n) // Java / truncates like DIV
+          }
+        }
+        .toDF("doc_id", "n_bigrams", "sum_lp_micro", "mean_lp_micro")
+        .filter(col("mean_lp_micro") >= lit(CorpusOps.PplFlagMicro))
+      val q = scored.writeStream.format("memory").queryName("graft_j14")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j14").orderBy("doc_id")
+    },
+    Some(CorpusOps.docScoresSqlCte + s"""
+       |SELECT doc_id, n_bigrams, sum_lp_micro, mean_lp_micro
+       |FROM sc WHERE mean_lp_micro >= ${CorpusOps.PplFlagMicro}
+       |ORDER BY doc_id""".stripMargin))
+
   val all: Map[String, OpQuery] = Map(
+    "j14_stream_perplexity_gate" -> j14_stream_perplexity_gate,
     "j13_stream_decontaminate" -> j13_stream_decontaminate,
     "j12_stream_incremental_dedup" -> j12_stream_incremental_dedup,
     "j11_stream_quality_filter" -> j11_stream_quality_filter,

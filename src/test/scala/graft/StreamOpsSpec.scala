@@ -139,6 +139,21 @@ class StreamOpsSpec extends SparkTestBase {
       s"quality gate vacuous: $kept of $total kept")
   }
 
+  test("j14 streaming perplexity gate equals the batch i38 keep subset") {
+    val fromStream = StreamOps.j14_stream_perplexity_gate.fn(spark, sfDir)
+    // the row-local map-lookup score must equal batch i38's
+    // explode->join->groupBy score EXACTLY (integer micro-nats)
+    val batch = graft.ops.CorpusOps.i38_doc_logprob.fn(spark, sfDir)
+      .filter(!col("flag_low"))
+      .select("doc_id", "n_bigrams", "sum_lp_micro", "mean_lp_micro")
+      .orderBy("doc_id")
+    assertSameRows(fromStream, batch)
+    val kept = fromStream.count()
+    val total = Tables.t(spark, sfDir, "documents").count()
+    assert(kept > 0 && kept < total,
+      s"perplexity gate vacuous: $kept of $total kept")
+  }
+
   test("j12 streaming incremental dedup equals batch i25 on the same drop") {
     val fromStream = StreamOps.j12_stream_incremental_dedup.fn(spark, sfDir)
     val batch = graft.ops.LlmOps.i25_dedup_incremental.fn(spark, sfDir)
