@@ -1300,6 +1300,73 @@ object LlmOps {
       |WHERE i::DOUBLE / sz.sz_capped >= 0.8
       |ORDER BY train_id, inter.bench_id""".stripMargin)
 
+  /** i52: contamination report — the REVERSE view of i24, and the artifact
+    * an eval-decontam pipeline actually publishes: per BENCHMARK document,
+    * how compromised is it by the training corpus? One row per bench doc
+    * (zero-match docs included — a report that silently drops the clean
+    * rows can't certify anything): shingle-set size, the number of
+    * training documents containing it at ≥ τ, and the maximum containment
+    * observed at ANY level (so near-misses below τ are visible — the
+    * "0.79 is not clean" audit signal a flags-only view like i24 hides).
+    *
+    * Shape at scale: the same inverted-index equi-join as i24 (cost
+    * O(total shingles), bench side broadcast in the gated KB-sized-bench
+    * regime, the capped core being the large-bench escape hatch), plus
+    * one bench-keyed aggregate (bench-sized, tiny) and one bench-sized
+    * left join to pull the zero-match rows back in. Nothing new shuffles
+    * beyond i24's per-pair match count.
+    */
+  private[graft] def contaminationReport(train: DataFrame, bench: DataFrame,
+      tau: Double): DataFrame = {
+    val tr = shingleSets(train)
+      .select(col("doc_id").as("train_id"), explode(col("hs")).as("h"))
+    val be = shingleSets(bench)
+      .select(col("doc_id").as("bench_id"),
+        size(col("hs")).cast(LongType).as("sz_bench"), col("hs"))
+      .localCheckpoint() // read twice: exploded index + report left side
+    val index = be.select(col("bench_id"), col("sz_bench"),
+      explode(col("hs")).as("h"))
+    val perPair = tr.join(broadcast(index), "h")
+      .groupBy("train_id", "bench_id", "sz_bench")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("bench_id"),
+        (col("inter").cast(DoubleType) / col("sz_bench")).as("ratio"))
+    val perBench = perPair.groupBy("bench_id")
+      .agg(sum(when(col("ratio") >= tau, 1L).otherwise(0L)).as("n_flagged"),
+        round(max(col("ratio")), 6).as("max_containment"))
+    be.select(col("bench_id"), col("sz_bench"))
+      .join(perBench, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("sz_bench"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        coalesce(col("max_containment"), lit(0.0d)).as("max_containment"))
+      .orderBy("bench_id")
+  }
+
+  val i52_contamination_report = OpQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      contaminationReport(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), 0.8)
+    },
+    s"""${shinglesSqlCteFor("source", minToks = true)},
+      |x AS (SELECT doc_id, source, unnest(sh) AS h FROM s),
+      |inter AS (SELECT a.doc_id AS it, b.doc_id AS ibe, count(*) AS i
+      |          FROM x a JOIN x b ON a.h = b.h
+      |            AND a.source <> 'src0' AND b.source = 'src0'
+      |          GROUP BY 1, 2),
+      |agg AS (SELECT inter.ibe AS bench_id,
+      |          CAST(count(*) FILTER (WHERE inter.i::DOUBLE / len(sb.sh) >= 0.8)
+      |            AS BIGINT) AS n_flagged,
+      |          round(max(inter.i::DOUBLE / len(sb.sh)), 6) AS max_containment
+      |        FROM inter JOIN s sb ON sb.doc_id = inter.ibe
+      |        GROUP BY 1)
+      |SELECT s.doc_id AS bench_id, CAST(len(s.sh) AS BIGINT) AS sz_bench,
+      |  coalesce(a.n_flagged, 0) AS n_flagged,
+      |  coalesce(a.max_containment, 0.0) AS max_containment
+      |FROM s LEFT JOIN agg a ON a.bench_id = s.doc_id
+      |WHERE s.source = 'src0'
+      |ORDER BY bench_id""".stripMargin)
+
   /** i25: incremental (batch-vs-corpus) near-dup — the nightly-crawl shape:
     * a new batch (doc_id % 10 = 0 stands in for today's crawl) is deduped
     * against the existing corpus WITHOUT the corpus ever self-joining.
@@ -1498,6 +1565,7 @@ object LlmOps {
     "i50_dedup_cluster_stats" -> i50_dedup_cluster_stats,
     "i24_decontaminate" -> i24_decontaminate,
     "i45_decontam_capped" -> i45_decontam_capped,
+    "i52_contamination_report" -> i52_contamination_report,
     "i25_dedup_incremental" -> i25_dedup_incremental,
     "i27_repetition_stats" -> i27_repetition_stats,
     "i28_mix_weights" -> i28_mix_weights,

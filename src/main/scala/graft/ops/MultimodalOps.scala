@@ -14,6 +14,18 @@ case class ImgDoc(doc_id: Long, png: Array[Byte])
 case class MediaMeta(doc_id: Long, width: Long, height: Long,
                      n_pixels: Long, px_sum: Long)
 
+/** A document with an audio payload: opaque WAV bytes keyed by doc. */
+case class AudioDoc(doc_id: Long, wav: Array[Byte])
+
+/** Typed metadata the audio decoder extracts — all out of the DECODED
+  * container (header geometry + amplitude stats over the PCM samples).
+  */
+case class AudioMeta(doc_id: Long, sample_rate: Long, n_samples: Long,
+                     sum_abs: Long, peak_abs: Long)
+
+/** One 64-sample analysis frame: energy = Σ s² (exact in 64-bit). */
+case class AudioFrame(doc_id: Long, frame_no: Long, energy: Long, peak: Long)
+
 /** Multimodal columns (builder-prompt north star): media as opaque BINARY
   * columns + typed metadata, decoded per partition.
   *
@@ -298,10 +310,200 @@ object MultimodalOps {
       |WINDOW w AS (PARTITION BY width, height, fp1, fp2)
       |ORDER BY doc_id""".stripMargin)
 
+  // -------- audio: the second modality (r5) --------------------------------
+
+  /** WAV/RIFF PCM codec — the audio analog of PngCodec, and REAL in the
+    * same sense: `synth` writes a standard-conformant RIFF/WAVE container
+    * (44-byte canonical header, 16-bit mono little-endian PCM) and
+    * `decode` parses it back by walking the actual chunk structure —
+    * magic tags, fmt geometry, word-aligned chunk skipping — not by
+    * assuming fixed offsets. WAV needs no external library (it is pure
+    * little-endian byte arithmetic), so unlike the image path nothing
+    * here is delegated: every byte is produced and consumed by this code,
+    * and a malformed container fails loudly at the precise require.
+    *
+    * The planted signal is closed-form in doc_id (the oracle's side of
+    * the contract): rate 8000 + (id%8)·1000 Hz, 256 + (id%512) samples,
+    * sample i = (id·31 + i·17) mod 65536 − 32768 — a full-range sawtooth
+    * that exercises every 16-bit amplitude once n ≥ 3856.
+    */
+  object WavCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.US_ASCII
+
+    def sampleRate(id: Long): Int = 8000 + (id % 8).toInt * 1000
+    def nSamples(id: Long): Int = 256 + (id % 512).toInt
+    def sample(id: Long, i: Int): Short =
+      ((id * 31L + i * 17L) % 65536L - 32768L).toShort
+
+    /** Encode the planted clip for one doc (canonical 44-byte header). */
+    def synth(id: Long): Array[Byte] = {
+      val n = nSamples(id)
+      val sr = sampleRate(id)
+      val dataSize = n * 2
+      val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataSize)
+        .put("WAVE".getBytes(US_ASCII))
+      buf.put("fmt ".getBytes(US_ASCII)).putInt(16)
+      buf.putShort(1).putShort(1) // PCM, mono
+        .putInt(sr).putInt(sr * 2) // byte rate = sr · block align
+        .putShort(2).putShort(16) // block align, bits/sample
+      buf.put("data".getBytes(US_ASCII)).putInt(dataSize)
+      var i = 0
+      while (i < n) { buf.putShort(sample(id, i)); i += 1 }
+      buf.array()
+    }
+
+    final case class Pcm(sampleRate: Int, samples: Array[Short])
+
+    /** THE audio decode entry point (the PngCodec.raster convention): a
+      * real chunk walk — fmt before data enforced, unknown chunks skipped
+      * with RIFF's odd-size word padding — so files with extra chunks
+      * (LIST/INFO metadata, fact) decode correctly and truncated or
+      * non-PCM input fails loudly instead of yielding garbage samples.
+      */
+    def decode(wav: Array[Byte]): Pcm = {
+      val buf = ByteBuffer.wrap(wav).order(ByteOrder.LITTLE_ENDIAN)
+      def tag4(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, US_ASCII)
+      }
+      require(wav.length >= 12 && tag4() == "RIFF", "not a RIFF container")
+      val riffSize = buf.getInt
+      require(riffSize == wav.length - 8,
+        s"RIFF size $riffSize != payload ${wav.length - 8}")
+      require(tag4() == "WAVE", "RIFF payload is not WAVE")
+      var sr = -1
+      var samples: Array[Short] = null
+      while (buf.remaining() >= 8 && samples == null) {
+        val id = tag4()
+        val size = buf.getInt
+        require(size >= 0 && size <= buf.remaining(),
+          s"chunk '$id' size $size overruns the container")
+        id match {
+          case "fmt " =>
+            require(size >= 16, s"fmt chunk too short: $size")
+            val fmt = buf.getShort
+            val ch = buf.getShort
+            sr = buf.getInt
+            buf.getInt // byte rate (redundant; geometry checked below)
+            buf.getShort // block align
+            val bits = buf.getShort
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"unsupported WAV geometry: fmt=$fmt ch=$ch bits=$bits " +
+                "(this decoder is 16-bit mono PCM)")
+            buf.position(buf.position() + (size - 16) + (size & 1))
+          case "data" =>
+            require(sr > 0, "data chunk before fmt")
+            require(size % 2 == 0, s"odd PCM data size $size for 16-bit samples")
+            val out = new Array[Short](size / 2)
+            var i = 0
+            while (i < out.length) { out(i) = buf.getShort; i += 1 }
+            samples = out
+          case _ =>
+            buf.position(buf.position() + size + (size & 1)) // word-aligned skip
+        }
+      }
+      require(samples != null, "no data chunk in WAVE container")
+      Pcm(sr, samples)
+    }
+  }
+
+  /** The synthesized audio column all m-queries over audio share (the
+    * pngTable convention: narrow executor-side materialization standing
+    * in for the binary column already in the lake).
+    */
+  private def wavTable(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => AudioDoc(id, WavCodec.synth(id))))
+  }
+
+  /** m6: binary WAV column → per-partition real decode → typed metadata —
+    * m1's contract on the second modality: the oracle recomputes the
+    * planted closed form while Spark reports only what the chunk-walking
+    * decoder actually read (rate from the fmt chunk, count from the data
+    * chunk, amplitude stats from the samples), so any header or sample
+    * defect on either side is a gate hash-mismatch. Per-partition codec,
+    * constant memory, no shuffle before the dump sort.
+    */
+  val m6_audio_decode = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      wavTable(s, d).mapPartitions { it =>
+        it.map { a =>
+          val p = WavCodec.decode(a.wav)
+          var sum = 0L
+          var peak = 0L
+          var i = 0
+          while (i < p.samples.length) {
+            val v = math.abs(p.samples(i).toLong)
+            sum += v
+            if (v > peak) peak = v
+            i += 1
+          }
+          AudioMeta(a.doc_id, p.sampleRate.toLong, p.samples.length.toLong,
+            sum, peak)
+        }
+      }.toDF().orderBy("doc_id")
+    },
+    """WITH v AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, 256 + doc_id % 512),
+      |    i -> (doc_id * 31 + i * 17) % 65536 - 32768)) AS s
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+      |  CAST(count(*) AS BIGINT) AS n_samples,
+      |  CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+      |  CAST(max(abs(s)) AS BIGINT) AS peak_abs
+      |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** m7: audio frame features — m2/m3's shape on the time axis: cut the
+    * decoded PCM into complete 64-sample frames (the ragged tail drops,
+    * deterministically in both engines) and emit per-frame energy
+    * (Σ s², exact: ≤ 2¹⁵·² · 64 < 2³⁷ per frame) and peak amplitude —
+    * the VAD/loudness front-end of every audio-quality pipeline. Rows
+    * multiply by n/64 but each is four scalars; frames never hold sample
+    * arrays, so only fixed-width rows reach the dump sort.
+    */
+  val m7_audio_frame_stats = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      wavTable(s, d).mapPartitions { it =>
+        it.flatMap { a =>
+          val p = WavCodec.decode(a.wav)
+          val nFrames = p.samples.length / 64
+          (0 until nFrames).iterator.map { f =>
+            var e = 0L
+            var pk = 0L
+            var i = f * 64
+            while (i < (f + 1) * 64) {
+              val v = p.samples(i).toLong
+              e += v * v
+              if (math.abs(v) > pk) pk = math.abs(v)
+              i += 1
+            }
+            AudioFrame(a.doc_id, f.toLong, e, pk)
+          }
+        }
+      }.toDF().orderBy("doc_id", "frame_no")
+    },
+    """WITH v AS (
+      |  SELECT doc_id, i // 64 AS frame_no,
+      |    (doc_id * 31 + i * 17) % 65536 - 32768 AS s
+      |  FROM (SELECT doc_id,
+      |          unnest(range(0, ((256 + doc_id % 512) // 64) * 64)) AS i
+      |        FROM documents))
+      |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+      |  CAST(sum(s * s) AS BIGINT) AS energy,
+      |  CAST(max(abs(s)) AS BIGINT) AS peak
+      |FROM v GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "m1_multimodal_decode" -> m1_multimodal_decode,
     "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
     "m3_multimodal_feature_extract" -> m3_multimodal_feature_extract,
     "m4_multimodal_resize" -> m4_multimodal_resize,
-    "m5_image_dedup" -> m5_image_dedup)
+    "m5_image_dedup" -> m5_image_dedup,
+    "m6_audio_decode" -> m6_audio_decode,
+    "m7_audio_frame_stats" -> m7_audio_frame_stats)
 }

@@ -229,10 +229,54 @@ object TrainOps {
       |WHERE r.rk <= t.n_keep
       |ORDER BY r.doc_id""".stripMargin)
 
+  /** i51: deterministic global shuffle — the "shuffle the corpus before
+    * training" step every pretraining run needs: a total training order
+    * that is (a) statistically shuffled — neighbors in doc_id space land
+    * far apart, so a crawl's temporal/source locality doesn't become
+    * batch correlation — and (b) a pure function of doc_id, so re-runs,
+    * retries, and other engines (the oracle) produce the identical order
+    * and a training job can be resumed mid-epoch by position. rand()
+    * would satisfy (a) and silently break (b).
+    *
+    * skey = (doc_id · 741103597) % 1000000007 — a fresh odd multiplier
+    * (independent of the i20 split, i26 sample, and i48 mixture hashes,
+    * so shuffle position never correlates with any of those decisions),
+    * product < 2⁵² for ids to ~6×10⁶ (b10's 128-bit note beyond).
+    * train_pos = rank by (skey, doc_id) — the doc_id tiebreak makes the
+    * order total even on hash collisions.
+    *
+    * Shape at scale: the global rank uses b8's two-pass shape —
+    * repartitionByRange on (skey, doc_id) + per-partition prefix offsets
+    * (Convert.addStablePkey) — so no row ever crosses a single
+    * global-window task; the range exchange partitions the ORDER itself,
+    * which is exactly how the shuffled corpus would be WRITTEN (shard k
+    * = positions [k·n/P, (k+1)·n/P)): the training reader streams shards
+    * in filename order and gets the global shuffle for free. Only
+    * (doc_id, skey) rows move — never document bodies (they join back
+    * by doc_id at write time, one equi-join).
+    */
+  val i51_global_shuffle = OpQuery(
+    (s, d) => {
+      val skey = (col("doc_id") * 741103597L) % 1000000007L
+      val keyed = t(s, d, "documents")
+        .select(col("doc_id"), skey.as("skey"))
+      graft.ingest.Convert.addStablePkey(
+        keyed.repartitionByRange(col("skey"), col("doc_id"))
+          .sortWithinPartitions(col("skey"), col("doc_id")),
+        "train_pos")
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id, (doc_id * 741103597) % 1000000007 AS skey,
+      |  CAST(row_number() OVER (
+      |    ORDER BY (doc_id * 741103597) % 1000000007, doc_id) AS BIGINT)
+      |    AS train_pos
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "i20_train_split" -> i20_train_split,
     "i21_shard_assign" -> i21_shard_assign,
     "i22_seq_pack" -> i22_seq_pack,
     "i26_sample_stratified" -> i26_sample_stratified,
-    "i48_mix_apply" -> i48_mix_apply)
+    "i48_mix_apply" -> i48_mix_apply,
+    "i51_global_shuffle" -> i51_global_shuffle)
 }

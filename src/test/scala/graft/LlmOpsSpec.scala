@@ -185,6 +185,77 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("WavCodec: every sample survives encode->decode; malformed input fails loudly") {
+    import MultimodalOps.WavCodec
+    val rnd = new scala.util.Random(11)
+    (0 until 25).map(_ => math.abs(rnd.nextLong()) % 1000000).foreach { id =>
+      val p = WavCodec.decode(WavCodec.synth(id))
+      assert(p.sampleRate == 8000 + (id % 8) * 1000, s"id $id rate")
+      assert(p.samples.length == 256 + (id % 512), s"id $id count")
+      p.samples.indices.foreach { i =>
+        assert(p.samples(i) == WavCodec.sample(id, i), s"id $id sample $i")
+      }
+    }
+    // the chunk walk is real: an unknown odd-sized chunk between fmt and
+    // data (with RIFF word padding) must be skipped, not break the parse
+    val base = WavCodec.synth(7L)
+    val extra = Array[Byte]('L', 'I', 'S', 'T', 5, 0, 0, 0,
+      'x', 'x', 'x', 'x', 'x', 0) // size 5 + 1 pad byte
+    val patched = java.nio.ByteBuffer
+      .allocate(base.length + extra.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    patched.put(base, 0, 36) // RIFF..WAVE + fmt chunk
+    patched.put(extra)
+    patched.put(base, 36, base.length - 36) // data chunk
+    patched.putInt(4, base.length + extra.length - 8) // fix RIFF size
+    val p7 = WavCodec.decode(patched.array())
+    assert(p7.samples.length == 256 + 7 &&
+      p7.samples(5) == WavCodec.sample(7L, 5), "extra-chunk container mis-decoded")
+    // and malformed input fails loudly, never yields garbage samples
+    intercept[IllegalArgumentException](WavCodec.decode("nonsense".getBytes))
+    intercept[IllegalArgumentException](WavCodec.decode(base.take(30))) // truncated
+    val stereo = base.clone()
+    stereo(22) = 2 // channels field in the fmt chunk
+    intercept[IllegalArgumentException](WavCodec.decode(stereo))
+  }
+
+  test("m6 audio decode recovers planted rate and amplitude stats") {
+    val out = MultimodalOps.m6_audio_decode.fn(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = 256 + (id % 512).toInt
+      val abs = (0 until n).map(i =>
+        math.abs(MultimodalOps.WavCodec.sample(id, i).toLong))
+      assert(r.getLong(1) == 8000 + (id % 8) * 1000, s"doc $id rate")
+      assert(r.getLong(2) == n.toLong, s"doc $id n_samples")
+      assert(r.getLong(3) == abs.sum, s"doc $id sum_abs")
+      assert(r.getLong(4) == abs.max, s"doc $id peak_abs")
+    }
+  }
+
+  test("m7 frame stats match a driver-side recompute; ragged tail dropped") {
+    val got = MultimodalOps.m7_audio_frame_stats.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val ids = got.keys.map(_._1).toSeq.distinct
+    ids.foreach { id =>
+      val n = 256 + (id % 512).toInt
+      val nFrames = n / 64
+      assert(got.keys.count(_._1 == id) == nFrames,
+        s"doc $id must emit exactly the complete frames ($nFrames)")
+      (0 until nFrames).foreach { f =>
+        val s = (f * 64 until (f + 1) * 64)
+          .map(i => MultimodalOps.WavCodec.sample(id, i).toLong)
+        assert(got((id, f.toLong)) == ((s.map(v => v * v).sum, s.map(math.abs).max)),
+          s"doc $id frame $f energy/peak")
+      }
+    }
+    // the fixture exercises the ragged tail (n not a multiple of 64)
+    assert(ids.exists(id => (256 + (id % 512).toInt) % 64 != 0),
+      "no ragged-tail clip in the fixture")
+  }
+
   test("i39 LSH-edge components equal brute-force exact-edge components") {
     val out = LlmOps.i39_dedup_components_lsh.fn(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -356,6 +427,47 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.nonEmpty, "decontamination must flag the planted overlaps")
     assert(got == expected)
+  }
+
+  test("i52 contamination report matches a driver-side string-shingle recompute") {
+    // same independent oracle as i24 (true string 2-gram sets, no hashing)
+    // but aggregated per BENCH doc — including the zero-match rows the
+    // report exists to certify
+    val docs = Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).toSeq.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSet))
+      .filter(_._3.nonEmpty)
+    val bench = docs.filter(_._2 == "src0")
+    val train = docs.filter(_._2 != "src0")
+    val expected = bench.map { case (bid, _, bsh) =>
+      val ratios = train.map { case (_, _, tsh) =>
+        tsh.intersect(bsh).size.toDouble / bsh.size }
+      val nf = ratios.count(_ >= 0.8).toLong
+      val mx = if (ratios.isEmpty) 0.0
+        else BigDecimal(ratios.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      bid -> ((bsh.size.toLong, nf, mx))
+    }.toMap
+    val got = LlmOps.i52_contamination_report.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet,
+      "report must carry one row per shingle-bearing bench doc")
+    got.foreach { case (bid, (sz, nf, mx)) =>
+      val (esz, enf, emx) = expected(bid)
+      assert(sz == esz, s"bench $bid sz_bench")
+      assert(nf == enf, s"bench $bid n_flagged")
+      assert(math.abs(mx - emx) < 1e-9, s"bench $bid max_containment $mx vs $emx")
+    }
+    // the fixture exercises all three report regimes: flagged, clean with
+    // partial overlap visible, and the flag<->max consistency invariant
+    assert(got.values.exists(_._2 > 0), "fixture plants contaminated bench docs")
+    assert(got.values.exists(v => v._2 == 0 && v._3 < 0.8),
+      "fixture must include clean bench docs")
+    got.values.foreach { case (_, nf, mx) =>
+      assert((nf > 0) == (mx >= 0.8), "n_flagged and max_containment disagree")
+    }
   }
 
   test("containmentFlags: a non-binding cap reproduces the uncapped metric exactly") {

@@ -171,4 +171,45 @@ class TrainOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSeq == out.toSeq)
   }
+
+  test("i51 two-pass shuffle order matches a reference sort and is a permutation") {
+    val out = TrainOps.i51_global_shuffle.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = out.length.toLong
+    assert(n > 0)
+    // the two-pass rank (range partition + prefix offsets) against an
+    // independent in-memory sort of the same keys
+    val rankOf = out.map { case (id, _, _) => id -> (id * 741103597L) % 1000000007L }
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    out.foreach { case (id, skey, pos) =>
+      assert(skey == (id * 741103597L) % 1000000007L, s"doc $id skey")
+      assert(pos == rankOf(id), s"doc $id two-pass rank vs reference sort")
+    }
+    // train_pos is a permutation of 1..n — no gap, no collision
+    val positions = out.map(_._3)
+    assert(positions.distinct.length == n.toInt)
+    assert(positions.min == 1L && positions.max == n)
+    // and it genuinely SHUFFLES: consecutive doc_ids land far apart (the
+    // anti-locality property that is the op's whole point)
+    val posById = out.map { case (id, _, p) => id -> p }.toMap
+    val adjacentClose = out.map(_._1).sorted.sliding(2).count {
+      case Array(a, b) => posById.contains(b) && math.abs(posById(a) - posById(b)) < n / 100
+      case _ => false
+    }
+    assert(adjacentClose < n / 10,
+      s"$adjacentClose of $n adjacent doc_id pairs stayed near-neighbors in training order")
+  }
+
+  test("i51 plans no global (un-partitioned) window") {
+    // the b8/i49 lesson enforced here too: the global order must come from
+    // the range-partitioned two-pass shape, not a single-task row_number
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
+    val out = TrainOps.i51_global_shuffle.fn(spark, sfDir)
+    val globalWindows = out.queryExecution.optimizedPlan.collect {
+      case w: WindowNode if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"un-partitioned window in plan: ${globalWindows.mkString("; ")}")
+  }
 }
