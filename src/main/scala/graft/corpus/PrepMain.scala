@@ -22,6 +22,8 @@ import org.apache.spark.sql.types.LongType
   *   targets over the kept set's lang histogram; drops over-share docs,
   *   attaches integer n_copies) →
   *   split assignment (i20) → shard + dense position (i21) →
+  *   global training order (i51 core, optional `--shuffle hash` —
+  *   attaches the deterministic shuffled train_pos) →
   *   partitioned parquet write + JSON manifest
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
@@ -72,12 +74,15 @@ object PrepMain {
       // "ccnet" applies the i49 perplexity policy to the kept set (LM
       // learned from the kept corpus itself; keep head, hash-half of
       // middle, drop tail); "none" skips
-      ppl: String = "none")
+      ppl: String = "none",
+      // "hash" attaches the i51 deterministic global training order
+      // (train_pos column over the kept set); "none" skips
+      shuffle: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
-    "--scrub-span", "--scrub-min-docs", "--mix", "--ppl")
+    "--scrub-span", "--scrub-min-docs", "--mix", "--ppl", "--shuffle")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -107,6 +112,7 @@ object PrepMain {
         case "--scrub-min-docs" => o = o.copy(scrubMinDocs = v.toInt)
         case "--mix" => o = o.copy(mix = v)
         case "--ppl" => o = o.copy(ppl = v)
+        case "--shuffle" => o = o.copy(shuffle = v)
       }
       i += 2
     }
@@ -116,11 +122,13 @@ object PrepMain {
         "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
-        "[--mix uniform|none] [--ppl ccnet|none]")
+        "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("ccnet", "none")(o.ppl),
       s"--ppl must be ccnet|none, got ${o.ppl}")
+    require(Set("hash", "none")(o.shuffle),
+      s"--shuffle must be hash|none, got ${o.shuffle}")
     require(Set("substring", "none")(o.scrub),
       s"--scrub must be substring|none, got ${o.scrub}")
     require(Set("uniform", "none")(o.mix),
@@ -320,9 +328,23 @@ object PrepMain {
     val shard = TrainOps.i21_shard_assign.fn(spark, opts.in).select("doc_id", "shard")
     // i21's dense per-shard ordinal, recomputed over the KEPT set so output
     // addresses have no gaps (same window shape: parallel across shards)
-    val addressed = keptMixed.join(split, "doc_id").join(shard, "doc_id")
+    val addressed0 = keptMixed.join(split, "doc_id").join(shard, "doc_id")
       .withColumn("pos", row_number()
         .over(Window.partitionBy("shard").orderBy("doc_id")).cast(LongType))
+    // -- stage 4.5: global training order (i51 core, optional) -------------
+    // `--shuffle hash` attaches train_pos — the deterministic global
+    // shuffle over the KEPT set (the i51 two-pass rank; dense 1..n_final).
+    // The training loader sorts by train_pos; the write stays partitioned
+    // by split/shard, so shuffle order and storage layout are independent
+    // decisions (exactly how a 100 TB corpus is laid out). Inner join on
+    // the same kept doc_id set — coverage is preserved by construction
+    // and the nAddressed require below still proves it.
+    val addressed = opts.shuffle match {
+      case "hash" => addressed0.join(
+        TrainOps.globalShuffleOrder(keptMixed.select("doc_id"))
+          .select("doc_id", "train_pos"), "doc_id")
+      case _ => addressed0
+    }
     // the split/shard inner joins must COVER the kept set — a partial
     // doc_id surface in i20/i21 output would otherwise lose rows silently
     // and the loss would masquerade as a stage drop in the manifest

@@ -255,17 +255,22 @@ object TrainOps {
     * (doc_id, skey) rows move — never document bodies (they join back
     * by doc_id at write time, one equi-join).
     */
+  /** The i51 core over an arbitrary (doc_id, …) frame — shared by the
+    * gated operator and PrepMain's `--shuffle hash` stage (the
+    * containmentFlags convention: the CLI composes the lineage the gate
+    * proves). Returns (doc_id, skey, train_pos).
+    */
+  private[graft] def globalShuffleOrder(docs: DataFrame): DataFrame = {
+    val skey = (col("doc_id") * 741103597L) % 1000000007L
+    graft.ingest.Convert.addStablePkey(
+      docs.select(col("doc_id"), skey.as("skey"))
+        .repartitionByRange(col("skey"), col("doc_id"))
+        .sortWithinPartitions(col("skey"), col("doc_id")),
+      "train_pos")
+  }
+
   val i51_global_shuffle = OpQuery(
-    (s, d) => {
-      val skey = (col("doc_id") * 741103597L) % 1000000007L
-      val keyed = t(s, d, "documents")
-        .select(col("doc_id"), skey.as("skey"))
-      graft.ingest.Convert.addStablePkey(
-        keyed.repartitionByRange(col("skey"), col("doc_id"))
-          .sortWithinPartitions(col("skey"), col("doc_id")),
-        "train_pos")
-        .orderBy("doc_id")
-    },
+    (s, d) => globalShuffleOrder(t(s, d, "documents")).orderBy("doc_id"),
     """SELECT doc_id, (doc_id * 741103597) % 1000000007 AS skey,
       |  CAST(row_number() OVER (
       |    ORDER BY (doc_id * 741103597) % 1000000007, doc_id) AS BIGINT)

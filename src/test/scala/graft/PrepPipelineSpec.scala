@@ -310,6 +310,33 @@ class PrepPipelineSpec extends SparkTestBase {
       "fixture kept set has no duplicated spans (vacuous scrub test)")
   }
 
+  test("--shuffle hash attaches the i51 training order: a dense shuffled permutation") {
+    pipelineRan()
+    val outS = Util.scratch("prep_out_shuffle")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outS, "minhash",
+      shuffle = "hash"))
+    val written = spark.read.parquet(s"$outS/documents.parquet")
+    assert(written.columns.contains("train_pos"))
+    val rows = written.select("doc_id", "train_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length.toLong == m("n_final"))
+    // dense permutation 1..n_final over the KEPT set
+    val positions = rows.map(_._2)
+    assert(positions.distinct.length == rows.length)
+    assert(positions.min == 1L && positions.max == rows.length.toLong)
+    // and it is exactly the i51 order restricted to the kept set: rank by
+    // (skey, doc_id) with the same multiplier
+    val expected = rows.map { case (id, _) => id -> (id * 741103597L) % 1000000007L }
+      .sortBy { case (id, k) => (k, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    rows.foreach { case (id, pos) =>
+      assert(pos == expected(id), s"doc $id train_pos $pos != i51 order ${expected(id)}")
+    }
+    // the default run stays shuffle-free (no train_pos column)
+    assert(!spark.read.parquet(s"$outDir/documents.parquet")
+      .columns.contains("train_pos"))
+  }
+
   test("argv parsing: flags map to opts, bad input rejected") {
     val o = PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "none"))
     assert(o == PrepMain.Opts("a", "b", "none"))
@@ -341,5 +368,10 @@ class PrepPipelineSpec extends SparkTestBase {
     // span/min-docs values only constrain an ENABLED scrub stage
     assert(PrepMain.parse(Array("--in", "a", "--out", "b",
       "--scrub-span", "1")).scrubSpan == 1)
+    // shuffle flag: valid values map through, others refused
+    assert(PrepMain.parse(Array("--in", "a", "--out", "b",
+      "--shuffle", "hash")).shuffle == "hash")
+    intercept[IllegalArgumentException](
+      PrepMain.parse(Array("--in", "a", "--out", "b", "--shuffle", "rand")))
   }
 }
