@@ -26,6 +26,14 @@ case class AudioMeta(doc_id: Long, sample_rate: Long, n_samples: Long,
 /** One 64-sample analysis frame: energy = Σ s² (exact in 64-bit). */
 case class AudioFrame(doc_id: Long, frame_no: Long, energy: Long, peak: Long)
 
+/** A document with a video payload: opaque GVID clip bytes keyed by doc. */
+case class VideoDoc(doc_id: Long, vid: Array[Byte])
+
+/** One sampled frame: slot = which of the 4 stride samples, frame_no =
+  * the clip frame it landed on, px_sum out of the DECODED frame raster.
+  */
+case class VideoFrameSum(doc_id: Long, slot: Long, frame_no: Long, px_sum: Long)
+
 /** Multimodal columns (builder-prompt north star): media as opaque BINARY
   * columns + typed metadata, decoded per partition.
   *
@@ -498,6 +506,119 @@ object MultimodalOps {
       |  CAST(max(abs(s)) AS BIGINT) AS peak
       |FROM v GROUP BY doc_id, frame_no ORDER BY doc_id, frame_no""".stripMargin)
 
+  // -------- video: the third modality (r5) ---------------------------------
+
+  /** Minimal indexed-clip container — video as "a seekable sequence of
+    * encoded frames": magic 'GVID' + u32 frame count + u32 per-frame byte
+    * lengths + concatenated PNG frames (a PRIVATE format, the TileCodec
+    * GRAFT_RICE_1 convention: self-designed, clearly labeled, never
+    * claiming an external standard). Frame k of clip id is the planted
+    * PngCodec image for id + k·1000003, so every frame's raster stays
+    * closed-form in (doc_id, frame_no) — the oracle's side.
+    *
+    * The point of the index header is LAZY access: `frame(vid, k)` reads
+    * the fixed-size index and slices exactly one frame's bytes — cost is
+    * O(index + that frame), independent of clip length. That is the
+    * access pattern that makes frame sampling affordable on real video at
+    * 100 TB (decode cost ∝ frames SAMPLED, not frames STORED); m8 decodes
+    * nothing but the frames it samples.
+    */
+  object VideoCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import java.nio.charset.StandardCharsets.US_ASCII
+
+    def nFrames(id: Long): Int = 4 + (id % 8).toInt
+    def frameImageId(id: Long, k: Int): Long = id + k.toLong * 1000003L
+
+    def synth(id: Long): Array[Byte] = {
+      val frames = (0 until nFrames(id)).map(k => PngCodec.synth(frameImageId(id, k)))
+      val buf = ByteBuffer
+        .allocate(8 + 4 * frames.length + frames.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      buf.put("GVID".getBytes(US_ASCII)).putInt(frames.length)
+      frames.foreach(f => buf.putInt(f.length))
+      frames.foreach(buf.put)
+      buf.array()
+    }
+
+    private def index(vid: Array[Byte]): (ByteBuffer, Int) = {
+      val buf = ByteBuffer.wrap(vid).order(ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](4)
+      require(vid.length >= 8, "not a GVID container (too short)")
+      buf.get(magic)
+      require(new String(magic, US_ASCII) == "GVID", "not a GVID container")
+      val n = buf.getInt
+      require(n >= 0 && vid.length >= 8 + 4 * n,
+        s"GVID index truncated: $n frames, ${vid.length} bytes")
+      (buf, n)
+    }
+
+    def frameCount(vid: Array[Byte]): Int = index(vid)._2
+
+    /** Slice frame k's bytes — reads ONLY the index plus that frame. */
+    def frame(vid: Array[Byte], k: Int): Array[Byte] = {
+      val (buf, n) = index(vid)
+      require(k >= 0 && k < n, s"frame $k out of range [0, $n)")
+      var off = 8 + 4 * n
+      var i = 0
+      while (i < k) { off += buf.getInt(8 + 4 * i); i += 1 }
+      val len = buf.getInt(8 + 4 * k)
+      require(off + len <= vid.length,
+        s"frame $k extent [$off, ${off + len}) overruns ${vid.length}")
+      java.util.Arrays.copyOfRange(vid, off, off + len)
+    }
+  }
+
+  /** The synthesized video column (the pngTable/wavTable convention). */
+  private def vidTable(s: SparkSession, d: String) = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => VideoDoc(id, VideoCodec.synth(id))))
+  }
+
+  /** m8: video frame sampling with LAZY decode — m2 sampled rows of one
+    * decoded image; this samples FRAMES of a clip and decodes only those:
+    * 4 slots at even stride (frame ⌊j·n/4⌋), each sliced out of the
+    * container via the index and decoded through the shared PngCodec
+    * entry point, emitting the frame's exact pixel sum. Frames 1·…·n−1
+    * that no slot lands on are never even sliced, let alone decoded.
+    * Per-partition codec, fixed 4 scalar rows per clip out; the oracle
+    * recomputes the planted per-frame rasters, so wrong slicing (offset
+    * arithmetic) or wrong decode both hash-mismatch.
+    */
+  val m8_video_frame_sample = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      vidTable(s, d).mapPartitions { it =>
+        it.flatMap { v =>
+          val n = VideoCodec.frameCount(v.vid)
+          (0 until 4).iterator.map { j =>
+            val k = j * n / 4
+            val (r, w, h) = PngCodec.raster(VideoCodec.frame(v.vid, k))
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            VideoFrameSum(v.doc_id, j.toLong, k.toLong, sum)
+          }
+        }
+      }.toDF().orderBy("doc_id", "slot")
+    },
+    """WITH g AS (
+      |  SELECT doc_id, slot, (slot * (4 + doc_id % 8)) // 4 AS frame_no
+      |  FROM (SELECT doc_id, unnest(range(0, 4)) AS slot FROM documents)),
+      |h AS (SELECT doc_id, slot, frame_no,
+      |        doc_id + frame_no * 1000003 AS fid FROM g)
+      |SELECT doc_id, CAST(slot AS BIGINT) AS slot,
+      |  CAST(frame_no AS BIGINT) AS frame_no,
+      |  CAST(list_sum(list_transform(
+      |    range(0, (16 + fid % 32) * (8 + fid % 16)),
+      |    i -> (fid + i) % 256)) AS BIGINT) AS px_sum
+      |FROM h ORDER BY doc_id, slot""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "m1_multimodal_decode" -> m1_multimodal_decode,
     "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
@@ -505,5 +626,6 @@ object MultimodalOps {
     "m4_multimodal_resize" -> m4_multimodal_resize,
     "m5_image_dedup" -> m5_image_dedup,
     "m6_audio_decode" -> m6_audio_decode,
-    "m7_audio_frame_stats" -> m7_audio_frame_stats)
+    "m7_audio_frame_stats" -> m7_audio_frame_stats,
+    "m8_video_frame_sample" -> m8_video_frame_sample)
 }

@@ -256,6 +256,46 @@ class LlmOpsSpec extends SparkTestBase {
       "no ragged-tail clip in the fixture")
   }
 
+  test("VideoCodec: frame slicing is index-exact; malformed containers fail loudly") {
+    import MultimodalOps.{PngCodec, VideoCodec}
+    val rnd = new scala.util.Random(13)
+    (0 until 10).map(_ => math.abs(rnd.nextLong()) % 1000000).foreach { id =>
+      val vid = VideoCodec.synth(id)
+      val n = VideoCodec.frameCount(vid)
+      assert(n == 4 + (id % 8), s"id $id frame count")
+      (0 until n).foreach { k =>
+        // sliced bytes must equal the independently-encoded frame exactly
+        assert(java.util.Arrays.equals(VideoCodec.frame(vid, k),
+          PngCodec.synth(VideoCodec.frameImageId(id, k))),
+          s"id $id frame $k slice")
+      }
+      intercept[IllegalArgumentException](VideoCodec.frame(vid, n)) // past end
+    }
+    intercept[IllegalArgumentException](
+      VideoCodec.frameCount("AVI0garbage".getBytes)) // wrong magic
+    val truncated = VideoCodec.synth(3L).take(9) // index cut mid-lengths
+    intercept[IllegalArgumentException](VideoCodec.frameCount(truncated))
+  }
+
+  test("m8 samples 4 stride frames per clip and decodes them pixel-exactly") {
+    val got = MultimodalOps.m8_video_frame_sample.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val ids = got.keys.map(_._1).toSeq.distinct
+    ids.foreach { id =>
+      assert(got.keys.count(_._1 == id) == 4, s"clip $id must emit 4 slots")
+      (0 until 4).foreach { j =>
+        val n = 4 + (id % 8).toInt
+        val k = j * n / 4
+        val fid = id + k.toLong * 1000003L
+        val (w, h) = (16 + fid % 32, 8 + fid % 16)
+        val expSum = (0L until w * h).map(i => (fid + i) % 256).sum
+        assert(got((id, j.toLong)) == ((k.toLong, expSum)),
+          s"clip $id slot $j frame/sum")
+      }
+    }
+  }
+
   test("i39 LSH-edge components equal brute-force exact-edge components") {
     val out = LlmOps.i39_dedup_components_lsh.fn(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
