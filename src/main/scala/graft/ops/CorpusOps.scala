@@ -1238,8 +1238,57 @@ object CorpusOps {
       |WHERE qdist <= 1150000
       |ORDER BY id_a, id_b""".stripMargin))
 
+  /** i53: token-length histogram — the corpus-card staple: how are
+    * documents distributed over length, and what fraction of the TOKEN
+    * budget does each length band carry (the two curves every dataset
+    * paper publishes; the second drives packing/curriculum decisions
+    * because a few long docs can hold most of the tokens). Fixed-width
+    * 16-token buckets with a top catch-all (bucket 31 = 496+), entirely
+    * integer-exact; production code would make the boundaries config —
+    * the bucketing ARITHMETIC, not the edges, is the operator.
+    *
+    * Shape at scale: one narrow token-count map, one bucket-keyed
+    * aggregate (map-side partial, ≤ 32 groups), then cumulative/share
+    * windows over the 32-ROW AGGREGATE — the i33 precedent: global-frame
+    * windows are fine when the frame is bucket-sized, not corpus-sized.
+    */
+  val i53_token_histogram = OpQuery(
+    (s, d) => {
+      val w = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("bucket", least(expr("n_tok DIV 16"), lit(31L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .withColumn("cum_docs", sum(col("n_docs")).over(w))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("doc_share",
+          round(col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(wAll), 6))
+        .withColumn("token_share",
+          round(col("n_tokens").cast(DoubleType) / sum(col("n_tokens")).over(wAll), 6))
+        .orderBy("bucket")
+    },
+    Some("""WITH tk AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |h AS (SELECT least(n_tok // 16, 31) AS bucket,
+      |        CAST(count(*) AS BIGINT) AS n_docs,
+      |        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |      FROM tk GROUP BY 1)
+      |SELECT bucket, n_docs, n_tokens,
+      |  CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs,
+      |  CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+      |  round(CAST(n_docs AS DOUBLE) / (sum(n_docs) OVER ()), 6) AS doc_share,
+      |  round(CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ()), 6) AS token_share
+      |FROM h ORDER BY bucket""".stripMargin))
+
   val all: Map[String, OpQuery] = Map(
     "i30_pii_redact" -> i30_pii_redact,
+    "i53_token_histogram" -> i53_token_histogram,
     "i31_tfidf_topterms" -> i31_tfidf_topterms,
     "i32_bigram_lm" -> i32_bigram_lm,
     "i33_vocab_df" -> i33_vocab_df,

@@ -742,6 +742,33 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i53 histogram matches a driver-side recompute and its own invariants") {
+    val out = CorpusOps.i53_token_histogram.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.nonEmpty)
+    // independent recompute from the raw text
+    val toks = Tables.t(spark, sfDir, "documents")
+      .select("text").collect().flatMap(r => Option(r.getString(0)))
+      .map(_.split(" ", -1).length.toLong)
+    val ref = toks.groupBy(n => math.min(n / 16, 31L)).view
+      .mapValues(v => (v.length.toLong, v.sum)).toMap
+    assert(out.map(_._1).toSet == ref.keySet)
+    out.foreach { case (b, nd, nt, _, _, _, _) =>
+      assert((nd, nt) == ref(b), s"bucket $b docs/tokens")
+    }
+    // cumulative columns close over the corpus; shares sum to ~1
+    assert(out.last._4 == toks.length.toLong, "cum_docs must close")
+    assert(out.last._5 == toks.sum, "cum_tokens must close")
+    assert(math.abs(out.map(_._6).sum - 1.0) < 1e-4, "doc_share sum")
+    assert(math.abs(out.map(_._7).sum - 1.0) < 1e-4, "token_share sum")
+    // monotone cumulatives (ordering defect would break this silently)
+    out.sliding(2).foreach {
+      case Array(a, c) => assert(a._4 <= c._4 && a._5 <= c._5)
+      case _ =>
+    }
+  }
+
   test("i47 plans: feature build and scoring are narrow; epochs aggregate") {
     val plan = CorpusOps.i47_quality_classifier.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
