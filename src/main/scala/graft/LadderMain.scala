@@ -40,13 +40,26 @@ object LadderMain {
 
   /** text family: the r4 ladder's op set (first nine — rows stay
     * comparable across rounds), extended in r5 with the perplexity
-    * policy (i49), the duplication profile (i50) and image dedup (m5).
+    * policy (i49), the duplication profile (i50), image dedup (m5), the
+    * global shuffle (i51), the contamination report (i52 — the i24-shaped
+    * inverted index, the interesting scale surface) and the token
+    * histogram (i53).
     */
   private def textOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("b10_dedupe_exact", "i10_dedup_minhash_lsh", "i37_dedup_lines",
       "i39_dedup_components_lsh", "i41_dedup_substring", "i42_vocab_encode",
       "i31_tfidf_topterms", "i38_doc_logprob", "i45_decontam_capped",
-      "i49_perplexity_buckets", "i50_dedup_cluster_stats", "m5_image_dedup")
+      "i49_perplexity_buckets", "i50_dedup_cluster_stats", "m5_image_dedup",
+      "i51_global_shuffle", "i52_contamination_report", "i53_token_histogram")
+      .map(k => k -> SparkEntry.queries(k))
+
+  /** media family (r5): the codec-bound ops — audio decode/frames, lazy
+    * video frame sampling. Expected flat per-row cost (narrow maps, no
+    * pair work); the ladder verifies nothing superlinear hides in the
+    * codec plumbing.
+    */
+  private def mediaOps: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("m6_audio_decode", "m7_audio_frame_stats", "m8_video_frame_sample")
       .map(k => k -> SparkEntry.queries(k))
 
   /** stream family: the streaming prep gates (exact j9, quality j11,
@@ -63,12 +76,25 @@ object LadderMain {
 
   def main(args: Array[String]): Unit = {
     val family = args.headOption.getOrElse("emb")
-    val (table, idCol, selected) = family match {
+    val (table, idCol, allOps) = family match {
       case "emb" => ("embeddings", "vec_id", embOps)
       case "text" => ("documents", "doc_id", textOps)
       case "stream" => ("documents", "doc_id", streamOps)
+      case "media" => ("documents", "doc_id", mediaOps)
       case other => throw new IllegalArgumentException(
-        s"family must be text|emb|stream, got $other")
+        s"family must be text|emb|stream|media, got $other")
+    }
+    // SPARK_GRAFT_ONLY=k1,k2 ladders a subset (the Bench/Verify
+    // convention) — validated loudly so a typo'd key cannot silently
+    // ladder nothing
+    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case None => allOps
+      case Some(raw) =>
+        val want = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val have = allOps.map(_._1).toSet
+        require(want.nonEmpty && want.subsetOf(have),
+          s"SPARK_GRAFT_ONLY keys not in the $family family: ${(want -- have).mkString(", ")}")
+        allOps.filter(p => want(p._1))
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,8")

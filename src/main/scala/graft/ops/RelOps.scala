@@ -388,6 +388,94 @@ object RelOps {
       |SELECT a_id, b_id FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
       |ORDER BY a_id, b_id""".stripMargin)
 
+  /** The d13 xmatch core over two (id, ra_m, dec_m) catalogs in integer
+    * milli-degrees — shared by the gated operator and the spec's planted
+    * wrap-pair harness. Grid-cell candidate generation: the sky is tiled
+    * into cell×cell squares; side A explodes to its cell's 3×3 probe
+    * neighborhood (RA index MODULO the ring size, so the 0°/360° seam is
+    * a first-class neighbor, not a blind spot), side B keys by its actual
+    * cell, and candidates meet in a plain equi-join before the EXACT
+    * integer distance filter: dr = min(|Δra|, 360000 − |Δra|) (the
+    * wrapped RA separation), accept iff dr² + Δdec² ≤ r². With r ≤ cell,
+    * two matching points' cells differ by ≤ 1 per axis (dec shifted to
+    * [0, 180000) first, so floor division never truncates toward zero
+    * across a boundary) — the covering is lossless, and each pair meets
+    * in EXACTLY one probe cell (B's own), so no pair-distinct pass is
+    * needed, unlike d12's multi-bucket intervals.
+    */
+  private[graft] def xmatchPairs(a: DataFrame, b: DataFrame,
+      cellMilli: Long, rMilli: Long): DataFrame = {
+    require(rMilli <= cellMilli, "covering needs radius <= cell size")
+    val raCells = 360000L / cellMilli
+    require(360000L % cellMilli == 0, "cell must tile the RA ring exactly")
+    val ax = a
+      .withColumn("ra_c", expr(s"ra_m DIV $cellMilli"))
+      .withColumn("dec_c", expr(s"(dec_m + 90000) DIV $cellMilli"))
+      .withColumn("p", explode(expr(
+        s"transform(sequence(0, 8), i -> struct(" +
+          s"pmod(ra_c + i % 3 - 1, $raCells) AS ra_p, " +
+          s"dec_c + i DIV 3 - 1 AS dec_p))")))
+      .select(col("a_id"), col("ra_m").as("ra_a"), col("dec_m").as("dec_a"),
+        col("p.ra_p"), col("p.dec_p"))
+    val bx = b
+      .select(col("b_id"), col("ra_m").as("ra_b"), col("dec_m").as("dec_b"),
+        expr(s"ra_m DIV $cellMilli").as("ra_p"),
+        expr(s"(dec_m + 90000) DIV $cellMilli").as("dec_p"))
+    ax.join(bx, Seq("ra_p", "dec_p"))
+      .withColumn("dr", least(abs(col("ra_a") - col("ra_b")),
+        lit(360000L) - abs(col("ra_a") - col("ra_b"))))
+      .withColumn("dd", col("dec_a") - col("dec_b"))
+      .where(col("dr") * col("dr") + col("dd") * col("dd") <= lit(rMilli * rMilli))
+      .select(col("a_id"), col("b_id"),
+        (col("dr") * col("dr") + col("dd") * col("dd")).as("dist2"))
+  }
+
+  /** d13: sky crossmatch — THE query of survey astronomy (and of the
+    * upstream catalogs fits2db feeds): find all pairs within an angular
+    * radius across two catalogs. Coordinates are planted closed-form in
+    * the keys (integer MILLI-degrees — every comparison exact; the same
+    * multipliers on both catalogs guarantee planted zero-distance matches
+    * at every SF), radius = 2° on a 2° grid.
+    *
+    * Approximations, stated: flat-sky metric (no cos δ RA compression,
+    * no pole handling) — the gate exercises the BUCKETED-candidate
+    * machinery and the wrap seam; a production xmatch swaps the cell
+    * function for HEALPix/HTM equal-area pixels and the distance for the
+    * haversine, leaving this plan shape (explode-probe equi-join +
+    * exact refine) unchanged.
+    *
+    * Shape at scale: candidates form ONLY via the cell equi-join (9
+    * probes/row regardless of catalog size — plan-asserted no
+    * BNLJ/Cartesian); cells are the partition key, so a 1000-executor
+    * crossmatch is thousands of independent cell joins; the oracle is
+    * the brute-force all-pairs filter, so a covering defect (a missed
+    * seam neighbor) is a hash mismatch, not a silent recall loss.
+    */
+  val d13_join_xmatch = OpQuery(
+    (s, d) => {
+      val a = t(s, d, "customer").select(col("c_custkey").as("a_id"),
+        ((col("c_custkey") * 7919L) % 360000L).as("ra_m"),
+        ((col("c_custkey") * 104729L) % 180000L - 90000L).as("dec_m"))
+      val b = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
+        ((col("s_suppkey") * 7919L) % 360000L).as("ra_m"),
+        ((col("s_suppkey") * 104729L) % 180000L - 90000L).as("dec_m"))
+      xmatchPairs(a, b, cellMilli = 2000L, rMilli = 2000L)
+        .orderBy("a_id", "b_id")
+    },
+    """WITH a AS (SELECT c_custkey AS a_id,
+      |    (c_custkey * 7919) % 360000 AS ra,
+      |    (c_custkey * 104729) % 180000 - 90000 AS dec FROM customer),
+      |b AS (SELECT s_suppkey AS b_id,
+      |    (s_suppkey * 7919) % 360000 AS ra,
+      |    (s_suppkey * 104729) % 180000 - 90000 AS dec FROM supplier),
+      |p AS (SELECT a_id, b_id,
+      |        least(abs(a.ra - b.ra), 360000 - abs(a.ra - b.ra)) AS dr,
+      |        a.dec - b.dec AS dd
+      |      FROM a CROSS JOIN b)
+      |SELECT a_id, b_id, CAST(dr * dr + dd * dd AS BIGINT) AS dist2
+      |FROM p WHERE dr * dr + dd * dd <= 4000000
+      |ORDER BY a_id, b_id""".stripMargin)
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -461,6 +549,7 @@ object RelOps {
     "d10_join_dpp" -> d10_join_dpp,
     "d11_join_range_lookup" -> d11_join_range_lookup,
     "d12_join_interval_overlap" -> d12_join_interval_overlap,
+    "d13_join_xmatch" -> d13_join_xmatch,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,

@@ -68,4 +68,55 @@ class RelOpsSpec extends SparkTestBase {
     assert(multi.nonEmpty,
       "no overlapping pair shares >1 bucket — the pair-distinct is untested")
   }
+
+  test("d13 xmatch: grid candidates + exact refine equal brute force") {
+    import org.apache.spark.sql.functions._
+    val df = RelOps.d13_join_xmatch.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"xmatch fell back to a non-equi plan:\n${plan.take(1000)}")
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // plain-Scala brute force over the same planted coordinates
+    def coords(k: Long) = ((k * 7919L) % 360000L, (k * 104729L) % 180000L - 90000L)
+    val as = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).map(k => k -> coords(k))
+    val bs = Tables.t(spark, sfDir, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0)).map(k => k -> coords(k))
+    val expect = (for {
+      (ai, (raa, deca)) <- as; (bi, (rab, decb)) <- bs
+      dr = math.min(math.abs(raa - rab), 360000L - math.abs(raa - rab))
+      dd = deca - decb
+      if dr * dr + dd * dd <= 4000000L
+    } yield (ai, bi) -> (dr * dr + dd * dd)).toMap
+    assert(out == expect, s"pair set diverges: ${out.size} vs ${expect.size}")
+    assert(out.nonEmpty, "fixture produced no matches (vacuous)")
+    // the planted same-key identity (coords(k) == coords(k)) must appear
+    // as zero-distance matches whenever both catalogs hold key k
+    val shared = as.map(_._1).toSet intersect bs.map(_._1).toSet
+    assert(shared.nonEmpty && shared.forall(k => out.get((k, k)).contains(0L)),
+      "planted zero-distance identities missing")
+  }
+
+  test("d13 xmatch core finds pairs across the 0/360-degree RA seam") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted catalogs: a seam pair (0.1 deg vs 359.9 deg, same dec), a
+    // dec-cell-boundary pair, an exact-radius pair, and a just-outside
+    // near miss — the cases a non-wrapping or truncating-division grid
+    // would get wrong
+    val a = Seq((1L, 100L, 0L), (2L, 50000L, -1999L), (3L, 200000L, 77000L),
+      (4L, 300000L, -50000L))
+      .toDF("a_id", "ra_m", "dec_m")
+    val b = Seq((10L, 359900L, 0L), // seam: wrapped dr = 200
+      (20L, 50000L, 1L), // dec crosses the 0-cell boundary (shifted grid)
+      (30L, 200000L, 75000L), // dd = 2000 exactly = r — inclusive
+      (40L, 300000L, -52001L)) // dd = 2001 — outside
+      .toDF("b_id", "ra_m", "dec_m")
+    val got = RelOps.xmatchPairs(a, b, cellMilli = 2000L, rMilli = 2000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((1L, 10L) -> (200L * 200L),
+      (2L, 20L) -> (2000L * 2000L), (3L, 30L) -> (2000L * 2000L)),
+      s"seam/boundary semantics wrong: $got")
+  }
 }
