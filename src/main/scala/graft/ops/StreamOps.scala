@@ -539,7 +539,50 @@ object StreamOps {
        |FROM sc WHERE mean_lp_micro >= ${CorpusOps.PplFlagMicro}
        |ORDER BY doc_id""".stripMargin))
 
+  /** j15: STREAMING crossmatch — the alert-broker shape (ZTF/LSST-class
+    * surveys publish transient alerts as a stream; every alert is
+    * crossmatched against reference catalogs before science cuts): d13's
+    * grid-cell xmatch with the arriving catalog as the STREAM side and
+    * the reference catalog as the static side. The core is shared
+    * verbatim (`RelOps.xmatchPairs` — the j13 convention: the stream
+    * composes the lineage the batch gate proves): the stream row
+    * explodes to its 9 probe cells (stateless narrow), meets the static
+    * catalog in a stream-static equi-join (streaming-legal, no state, no
+    * watermark), and the exact integer refine is a stateless filter —
+    * append mode, unbounded-safe at any alert rate. At scale the static
+    * side is the broadcast/bucketed reference catalog; per-alert cost is
+    * 9 hash probes regardless of catalog size.
+    * Oracle: batch d13's brute-force oracle verbatim — stream and batch
+    * answer the same question on the same tables.
+    */
+  val j15_stream_xmatch = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j15"))
+      graft.Util.deleteRecursively(ckpt)
+      val cat = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
+        ((col("s_suppkey") * 7919L) % 360000L).as("ra_m"),
+        ((col("s_suppkey") * 104729L) % 180000L - 90000L).as("dec_m"))
+      val custSchema = t(s, d, "customer").schema
+      val src = s.readStream.schema(custSchema)
+        .option("pathGlobFilter", "customer.parquet")
+        .parquet(d)
+      val alerts = src.select(col("c_custkey").as("a_id"),
+        ((col("c_custkey") * 7919L) % 360000L).as("ra_m"),
+        ((col("c_custkey") * 104729L) % 180000L - 90000L).as("dec_m"))
+      val matched = RelOps.xmatchPairs(alerts, cat,
+        cellMilli = 2000L, rMilli = 2000L)
+      val q = matched.writeStream.format("memory").queryName("graft_j15")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j15").orderBy("a_id", "b_id")
+    },
+    RelOps.d13_join_xmatch.oracle.get)
+
   val all: Map[String, OpQuery] = Map(
+    "j15_stream_xmatch" -> j15_stream_xmatch,
     "j14_stream_perplexity_gate" -> j14_stream_perplexity_gate,
     "j13_stream_decontaminate" -> j13_stream_decontaminate,
     "j12_stream_incremental_dedup" -> j12_stream_incremental_dedup,
