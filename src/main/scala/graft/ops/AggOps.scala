@@ -302,7 +302,42 @@ object AggOps {
     """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, true AS rank_ok
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** e15: mergeable-sketch rollup — the operational form of e4: at 100 TB
+    * nobody re-scans history to count distincts; each shard/day/partition
+    * keeps a DataSketches HLL sketch (one pass at write time), and any
+    * later rollup UNIONS the sketches — seconds over kilobytes instead of
+    * a re-scan. This op proves the full path: per-shard `hll_sketch_agg`
+    * (8 shards by key hash) → `hll_union_agg` → estimate, beside the
+    * direct single-pass sketch, both gated by the e4 accuracy convention
+    * (exact count + a 5%-band predicate; lgConfigK = 14 ⇒ rsd ≈ 0.8%, so
+    * the 5% band is ≥ 6σ — deterministic in practice for the gate).
+    * Sketches never exceed ~2·2¹⁴ bytes each; the union side is
+    * shard-count-sized regardless of data volume.
+    */
+  val e15_sketch_union = OpQuery(
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val merged = o
+        .groupBy((col("o_orderkey") % 8).as("shard"))
+        .agg(hll_sketch_agg(col("o_custkey"), 14).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged"))
+      val direct = o.agg(
+        hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), 14)).as("direct"),
+        countDistinct(col("o_custkey")).as("exact_cust"))
+      val band = lit(0.05) * col("exact_cust").cast(DoubleType)
+      direct.crossJoin(broadcast(merged))
+        .select(col("exact_cust"),
+          (abs(col("merged") - col("exact_cust")).cast(DoubleType) <= band)
+            .as("merged_within_5pct"),
+          (abs(col("direct") - col("exact_cust")).cast(DoubleType) <= band)
+            .as("direct_within_5pct"))
+    },
+    Some("""SELECT count(DISTINCT o_custkey) AS exact_cust,
+      |  true AS merged_within_5pct, true AS direct_within_5pct
+      |FROM orders""".stripMargin))
+
   val all: Map[String, OpQuery] = Map(
+    "e15_sketch_union" -> e15_sketch_union,
     "e14_agg_approx_percentile" -> e14_agg_approx_percentile,
     "e13_agg_salted_skew" -> e13_agg_salted_skew,
     "e1_agg_global" -> e1_agg_global,

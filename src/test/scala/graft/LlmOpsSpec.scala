@@ -101,6 +101,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r.getBoolean(1), s"HLL++ estimate outside ±5% of exact=${r.getLong(0)}")
   }
 
+  test("e15 sketch union: merged per-shard estimate stays in the 5% band") {
+    import graft.ops.AggOps
+    val r = AggOps.e15_sketch_union.fn(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) > 0, "exact distinct must be positive")
+    assert(r.head.getBoolean(1), "merged union estimate outside the 5% band")
+    assert(r.head.getBoolean(2), "direct sketch estimate outside the 5% band")
+    // mergeability is the point: the union path and the single-pass path
+    // see the same data, so their estimates must agree closely (both are
+    // lgK=14 sketches over identical values — far tighter than the band)
+    import org.apache.spark.sql.functions._
+    val o = Tables.t(spark, sfDir, "orders")
+    val merged = o.groupBy((col("o_orderkey") % 8).as("shard"))
+      .agg(hll_sketch_agg(col("o_custkey"), 14).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+      .head().getLong(0)
+    val direct = o.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("o_custkey"), 14)).as("d"))
+      .head().getLong(0)
+    val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(merged - direct) <= math.max(1L, exact / 50),
+      s"union ($merged) and direct ($direct) sketches diverged vs exact $exact")
+  }
+
   test("multimodal decode: PNG round-trip recovers planted dims and pixels") {
     val out = MultimodalOps.m1_multimodal_decode.fn(spark, sfDir).collect()
     assert(out.nonEmpty)
