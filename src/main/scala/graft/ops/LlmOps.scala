@@ -1405,6 +1405,45 @@ object LlmOps {
        |WHERE i::DOUBLE / (len(sa.sh) + len(sb.sh) - i) >= 0.8
        |ORDER BY batch_id, corpus_id""".stripMargin)
 
+  /** i54: signature-index maintenance — the OPERATIONAL form of i25:
+    * i25's Scaladoc promises "at scale the corpus side is a precomputed,
+    * incrementally-maintained signature index"; this op RUNS that loop
+    * instead of assuming it. The corpus's banded LSH signatures are
+    * written to parquet (the nightly artifact), the new batch's
+    * signatures are APPENDED — never a rebuild: signatures are per-doc
+    * pure functions, the property that makes incremental maintenance
+    * sound at all — and the batch is then deduped by probing the
+    * PERSISTED index read back from disk. Output and oracle are i25's
+    * verbatim: if the persisted-and-appended index answered differently
+    * from the in-memory pipeline (lost rows, schema drift, stale files),
+    * the exact-join oracle hash-mismatches.
+    *
+    * Shape at scale: maintenance cost is ONE append of O(batch · bands)
+    * rows (the spec proves corpus files are untouched); probe cost is
+    * i25's. At 100 TB the index is additionally bucketed by `bucket` so
+    * the probe join is co-located (a9's layout argument).
+    */
+  val i54_index_maintain = OpQuery(
+    (s, d) => {
+      val dir = graft.Util.scratch("i54_index")
+      val base = shingleSets(t(s, d, "documents"))
+        .localCheckpoint() // feeds signatures AND both verify lookups once
+      val banded = withBandBuckets(base).select(col("doc_id"), col("bucket"))
+      banded.filter(col("doc_id") % 10 =!= 0)
+        .write.mode("overwrite").parquet(dir) // the nightly index artifact
+      banded.filter(col("doc_id") % 10 === 0)
+        .write.mode("append").parquet(dir) // incremental maintenance
+      val idx = s.read.parquet(dir)
+      val batch = idx.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("batch_id"), col("bucket"))
+      val corpus = idx.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("corpus_id"), col("bucket").as("bucket_c"))
+      val cand = corpus.join(broadcast(batch), col("bucket_c") === col("bucket"))
+        .select("batch_id", "corpus_id").distinct()
+      verifyJaccard(cand, base, "batch_id", "corpus_id", 0.8)
+    },
+    i25_dedup_incremental.oracle.get)
+
   /** i27: repetition statistics — the Gopher-class quality filters that
     * catch boilerplate/spam: duplicate-token fraction (1 − distinct/total)
     * and top-bigram fraction (most frequent 2-gram's share of all 2-grams).
@@ -1567,6 +1606,7 @@ object LlmOps {
     "i45_decontam_capped" -> i45_decontam_capped,
     "i52_contamination_report" -> i52_contamination_report,
     "i25_dedup_incremental" -> i25_dedup_incremental,
+    "i54_index_maintain" -> i54_index_maintain,
     "i27_repetition_stats" -> i27_repetition_stats,
     "i28_mix_weights" -> i28_mix_weights,
     "i29_quality_filter" -> i29_quality_filter,

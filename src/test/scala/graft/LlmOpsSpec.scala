@@ -580,6 +580,33 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i54 persisted-index dedup equals i25; the append never rewrites corpus files") {
+    // the maintained-index path and the in-memory pipeline must answer
+    // identically (they share the oracle, but this compares them directly)
+    val viaIndex = LlmOps.i54_index_maintain.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = LlmOps.i25_dedup_incremental.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaIndex.nonEmpty && viaIndex == inMemory)
+    // the operational claim — maintenance cost ∝ batch: re-run the two
+    // writes by hand and prove the append leaves every corpus file intact
+    import org.apache.spark.sql.functions._
+    val dir = Util.scratch("i54_spec_index")
+    val base = LlmOps.shingleSets(Tables.t(spark, sfDir, "documents"))
+      .localCheckpoint()
+    val banded = LlmOps.withBandBuckets(base).select(col("doc_id"), col("bucket"))
+    banded.filter(col("doc_id") % 10 =!= 0).write.mode("overwrite").parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = files()
+    banded.filter(col("doc_id") % 10 === 0).write.mode("append").parquet(dir)
+    val after = files()
+    assert(before.nonEmpty && before.forall { case (n, ts) =>
+      after.get(n).contains(ts) }, "append rewrote existing corpus index files")
+    assert(after.size > before.size, "append added no new files")
+  }
+
   test("i24/i25 candidate generation is an equi-join, never all-pairs") {
     Seq("i24" -> LlmOps.i24_decontaminate, "i25" -> LlmOps.i25_dedup_incremental)
       .foreach { case (name, op) =>
