@@ -386,6 +386,87 @@ object FitsFormat {
     }
   }
 
+  // ------------------------------------------------------------ image HDUs
+
+  /** A 2-d IMAGE HDU (primary array or XTENSION='IMAGE'): the
+    * astronomy-native raster — BITPIX fixes the element type (8/16/32/64
+    * big-endian ints, -32/-64 IEEE floats), BSCALE/BZERO the linear
+    * physical scaling (the TSCAL/TZERO of images), BLANK the integer
+    * missing-pixel sentinel (floats use NaN, FITS 4.0 §5.3). Row y's
+    * pixels occupy bytes [dataOffset + y·w·|bitpix|/8, …) — rows are
+    * independently addressable, which is what makes a single huge frame
+    * scan in parallel (the table reader's row-range-split argument).
+    */
+  final case class ImageSpec(bitpix: Int, width: Long, height: Long,
+      bscale: Double, bzero: Double, blank: Option[Long], dataOffset: Long) {
+    def bytesPerPx: Int = math.abs(bitpix) / 8
+    def rowBytes: Long = width * bytesPerPx
+  }
+
+  def imageSpec(cards: Map[String, String], dataOffset: Long): ImageSpec = {
+    require(cards.getOrElse("NAXIS", "0").toInt == 2,
+      s"not a 2-d image HDU: NAXIS=${cards.getOrElse("NAXIS", "0")}")
+    ImageSpec(cards("BITPIX").toInt,
+      cards("NAXIS1").toLong, cards("NAXIS2").toLong,
+      cards.get("BSCALE").map(_.toDouble).getOrElse(1.0),
+      cards.get("BZERO").map(_.toDouble).getOrElse(0.0),
+      cards.get("BLANK").map(_.trim.toLong), dataOffset)
+  }
+
+  /** Locates the n-th 2-d IMAGE HDU (the primary array counts as image 0
+    * when it carries data; header-only primaries are skipped) — the image
+    * counterpart of `locateTable`, sharing its HDU walk.
+    */
+  def locateImage(in: java.io.DataInput, imgnum: Int): ImageSpec = {
+    var offset = 0L
+    var imagesSeen = 0
+    var hduIndex = 0
+    while (hduIndex < 100) { // defensive bound
+      // end of file during a header read = walked past the last HDU:
+      // report the missing image, not a bare EOF
+      val (cards, headerBytes) =
+        try readHeader(in)
+        catch { case _: java.io.EOFException =>
+          throw new IllegalArgumentException(
+            s"No 2-d image HDU #$imgnum found ($imagesSeen image HDUs in file)")
+        }
+      offset += headerBytes
+      val dataBytes = dataUnitBytes(cards)
+      val padded = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
+      val naxis = cards.getOrElse("NAXIS", "0").toInt
+      val isImage = naxis == 2 &&
+        (hduIndex == 0 || cards.get("XTENSION").exists(_.trim == "IMAGE"))
+      if (isImage) {
+        if (imagesSeen == imgnum) return imageSpec(cards, offset)
+        imagesSeen += 1
+      }
+      var toSkip = padded
+      while (toSkip > 0) {
+        val n = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+        if (n <= 0) throw new java.io.EOFException("Unexpected EOF skipping FITS data")
+        toSkip -= n
+      }
+      offset += padded
+      hduIndex += 1
+    }
+    throw new IllegalArgumentException(s"No 2-d image HDU #$imgnum found")
+  }
+
+  /** The HDU data-unit size rule (FITS 4.0 §4.4.1.1) — shared by the
+    * table and image walks.
+    */
+  private[fits] def dataUnitBytes(cards: Map[String, String]): Long = {
+    val naxis = cards.getOrElse("NAXIS", "0").toInt
+    if (naxis == 0) 0L
+    else {
+      val bitpix = math.abs(cards.getOrElse("BITPIX", "8").toLong)
+      val dims = (1 to naxis).map(i => cards(s"NAXIS$i").toLong)
+      val pcount = cards.getOrElse("PCOUNT", "0").toLong
+      val gcount = cards.getOrElse("GCOUNT", "1").toLong
+      gcount * (pcount + dims.product) * (bitpix / 8)
+    }
+  }
+
   /** Locates the target table extension (BINTABLE or ASCII TABLE):
     * returns (cards, dataStartOffset). Walks HDUs sequentially, skipping
     * each HDU's (2880-padded) data unit. `extnum` counts table extensions
@@ -396,7 +477,14 @@ object FitsFormat {
     var bintablesSeen = 0
     var hduIndex = 0
     while (hduIndex < 100) { // defensive bound
-      val (cards, headerBytes) = readHeader(in)
+      // same EOF→not-found conversion as locateImage: a file with fewer
+      // table HDUs than `extnum` is a user error, not a corrupt stream
+      val (cards, headerBytes) =
+        try readHeader(in)
+        catch { case _: java.io.EOFException =>
+          throw new IllegalArgumentException(
+            s"No table extension #$extnum found ($bintablesSeen table HDUs in file)")
+        }
       offset += headerBytes
       val dataBytes: Long = {
         val naxis = cards.getOrElse("NAXIS", "0").toInt

@@ -831,4 +831,72 @@ object FitsWriter {
       }.count()
     } finally rdd.unpersist(blocking = false)
   }
+
+  // ------------------------------------------------------------ image HDUs
+
+  /** The planted survey frame (the a19 oracle's closed form): raw pixel
+    * (x, y) = (3y + 5x + 7) mod 251. Raw value 250 is the missing-pixel
+    * sentinel — stored as BLANK in the int16 image and as NaN in the
+    * float32 image, exercising both FITS missing conventions on the same
+    * mask. Float pixels store raw/4 (exact in binary32 for raw < 2²³).
+    */
+  def imageRaw(x: Long, y: Long): Long = (3 * y + 5 * x + 7) % 251
+
+  /** Writes a standard FITS file with a header-only primary HDU plus two
+    * 2-d IMAGE extensions over the same planted frame: ext image #0 =
+    * int16 with BSCALE=2/BZERO=100/BLANK=250 (physical = 2·raw + 100),
+    * ext image #1 = float32 (value = raw/4, NaN where masked). Driver-side
+    * by design: this writer synthesizes the FIXTURE (real image files
+    * come from telescopes); the parallel path is the READER's row-range
+    * splits, not the fixture writer.
+    */
+  def writeImageFits(path: String, width: Int, height: Long): Unit = {
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    try {
+      out.write(card("SIMPLE", "T", quote = false))
+      out.write(card("BITPIX", "8", quote = false))
+      out.write(card("NAXIS", "0", quote = false))
+      out.write(endCard); pad(out, ' '.toByte)
+
+      out.write(card("XTENSION", "IMAGE", quote = true))
+      out.write(card("BITPIX", "16", quote = false))
+      out.write(card("NAXIS", "2", quote = false))
+      out.write(card("NAXIS1", width.toString, quote = false))
+      out.write(card("NAXIS2", height.toString, quote = false))
+      out.write(card("PCOUNT", "0", quote = false))
+      out.write(card("GCOUNT", "1", quote = false))
+      out.write(card("BSCALE", "2", quote = false))
+      out.write(card("BZERO", "100", quote = false))
+      out.write(card("BLANK", "250", quote = false))
+      out.write(endCard); pad(out, ' '.toByte)
+      var y = 0L
+      while (y < height) {
+        var x = 0
+        while (x < width) { out.writeShort(imageRaw(x, y).toInt); x += 1 }
+        y += 1
+      }
+      pad(out)
+
+      out.write(card("XTENSION", "IMAGE", quote = true))
+      out.write(card("BITPIX", "-32", quote = false))
+      out.write(card("NAXIS", "2", quote = false))
+      out.write(card("NAXIS1", width.toString, quote = false))
+      out.write(card("NAXIS2", height.toString, quote = false))
+      out.write(card("PCOUNT", "0", quote = false))
+      out.write(card("GCOUNT", "1", quote = false))
+      out.write(endCard); pad(out, ' '.toByte)
+      y = 0L
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val raw = imageRaw(x, y)
+          out.writeFloat(if (raw == 250) Float.NaN else raw / 4.0f)
+          x += 1
+        }
+        y += 1
+      }
+      pad(out)
+    } finally out.close()
+  }
 }

@@ -261,6 +261,104 @@ object ScanOps {
     },
     "SELECT * FROM supplier ORDER BY s_suppkey")
 
+  /** a19: FITS IMAGE HDU source — the astronomy-native raster, completing
+    * the FITS surface beyond tables (SURVEY §1.1 scopes fits2db to table
+    * extensions; images are the other half of every survey's archive).
+    * The fixture file holds a header-only primary plus TWO 2-d IMAGE
+    * extensions over the same planted frame (closed-form in (x, y) — the
+    * oracle's side): int16 with BSCALE/BZERO scaling and a BLANK
+    * missing-pixel sentinel, and float32 with NaN masking — the two FITS
+    * missing conventions on one mask, plus the scaling path (§5.3).
+    * Height scales with the SF (one row per document).
+    *
+    * Read shape: the op scans the image with ROW-RANGE splits — each
+    * partition opens the file, locates both image HDUs from the headers
+    * (the shared locateImage walk), then positioned-reads ONLY its rows'
+    * byte ranges: rows are independently addressable (fixed width·bitpix
+    * stride), so one huge frame parallelizes exactly like the BINTABLE
+    * reader's row splits. Per row it emits exact-integer stats of the
+    * DECODED physical values (floats quantized ×4 — exact, pixels are
+    * quarter-integers), so wrong byte order, scaling, masking, or HDU
+    * addressing all hash-mismatch against the closed-form oracle.
+    */
+  val a19_fits_image_source = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val path = graft.Util.scratch(
+        s"survey_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")
+      val height = t(s, d, "documents").count() // fixture size, not data
+      graft.fits.FitsWriter.writeImageFits(path, 64, height)
+      s.range(0, height, 1, 8).mapPartitions { ys =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val s1 = graft.fits.FitsFormat.locateImage(raf, 0)
+          raf.seek(0)
+          val s2 = graft.fits.FitsFormat.locateImage(raf, 1)
+          val buf1 = new Array[Byte](s1.rowBytes.toInt)
+          val buf2 = new Array[Byte](s2.rowBytes.toInt)
+          // eager: the iterator must not outlive the file handle
+          ys.flatMap { yy =>
+            val y = yy.toLong
+            raf.seek(s1.dataOffset + y * s1.rowBytes)
+            raf.readFully(buf1)
+            val bb1 = java.nio.ByteBuffer.wrap(buf1) // FITS is big-endian
+            var n1 = 0L; var sum1 = 0L
+            var mn1 = Long.MaxValue; var mx1 = Long.MinValue
+            var x = 0
+            while (x < s1.width) {
+              val raw = bb1.getShort(x * 2).toLong
+              if (!s1.blank.contains(raw)) {
+                val q = (s1.bzero + s1.bscale * raw).toLong // exact ints
+                n1 += 1; sum1 += q
+                if (q < mn1) mn1 = q
+                if (q > mx1) mx1 = q
+              }
+              x += 1
+            }
+            raf.seek(s2.dataOffset + y * s2.rowBytes)
+            raf.readFully(buf2)
+            val bb2 = java.nio.ByteBuffer.wrap(buf2)
+            var n2 = 0L; var sum2 = 0L
+            var mn2 = Long.MaxValue; var mx2 = Long.MinValue
+            x = 0
+            while (x < s2.width) {
+              val v = bb2.getFloat(x * 4)
+              if (!v.isNaN) {
+                val q = (v * 4.0f).toLong // quarter-int pixels: exact
+                n2 += 1; sum2 += q
+                if (q < mn2) mn2 = q
+                if (q > mx2) mx2 = q
+              }
+              x += 1
+            }
+            Iterator((1L, y, n1, sum1, mn1, mx1), (2L, y, n2, sum2, mn2, mx2))
+          }.toVector.iterator
+        } finally raf.close()
+      }.toDF("hdu", "y", "n_valid", "sum_q", "min_q", "max_q")
+        .orderBy("hdu", "y")
+    },
+    """WITH ys AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS y),
+      |v AS (SELECT y, unnest(list_transform(range(0, 64),
+      |        x -> (3 * y + 5 * x + 7) % 251)) AS raw FROM ys),
+      |h1 AS (SELECT CAST(1 AS BIGINT) AS hdu, y,
+      |         count(*) FILTER (WHERE raw <> 250) AS n_valid,
+      |         sum(2 * raw + 100) FILTER (WHERE raw <> 250) AS sum_q,
+      |         min(2 * raw + 100) FILTER (WHERE raw <> 250) AS min_q,
+      |         max(2 * raw + 100) FILTER (WHERE raw <> 250) AS max_q
+      |       FROM v GROUP BY y),
+      |h2 AS (SELECT CAST(2 AS BIGINT) AS hdu, y,
+      |         count(*) FILTER (WHERE raw <> 250) AS n_valid,
+      |         sum(raw) FILTER (WHERE raw <> 250) AS sum_q,
+      |         min(raw) FILTER (WHERE raw <> 250) AS min_q,
+      |         max(raw) FILTER (WHERE raw <> 250) AS max_q
+      |       FROM v GROUP BY y)
+      |SELECT hdu, CAST(y AS BIGINT) AS y, CAST(n_valid AS BIGINT) AS n_valid,
+      |  CAST(sum_q AS BIGINT) AS sum_q, CAST(min_q AS BIGINT) AS min_q,
+      |  CAST(max_q AS BIGINT) AS max_q
+      |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+      |ORDER BY hdu, y""".stripMargin)
+
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
     * round-tripped through FitsWriter. A 12-bit mask (packed MSB-first
@@ -452,6 +550,7 @@ object ScanOps {
     "a12_fits_bits_complex_source" -> a12_fits_bits_complex_source,
     "a17_fits_gzip_source" -> a17_fits_gzip_source,
     "a18_fits_tiled_source" -> a18_fits_tiled_source,
+    "a19_fits_image_source" -> a19_fits_image_source,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

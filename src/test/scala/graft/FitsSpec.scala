@@ -614,4 +614,70 @@ class FitsSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("TDIM"))
   }
+
+  test("image HDUs: locateImage finds both extensions with correct geometry") {
+    val path = Util.scratch("img_locate.fits")
+    FitsWriter.writeImageFits(path, 16, 5L)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      raf.seek(0)
+      val s1 = FitsFormat.locateImage(raf, 0)
+      assert(s1.bitpix == 16 && s1.width == 16 && s1.height == 5)
+      assert(s1.bscale == 2.0 && s1.bzero == 100.0 && s1.blank.contains(250L))
+      // data starts block-aligned right after primary (2880) + ext header
+      assert(s1.dataOffset % FitsFormat.BlockSize == 0 && s1.dataOffset >= 2 * 2880)
+      raf.seek(0)
+      val s2 = FitsFormat.locateImage(raf, 1)
+      assert(s2.bitpix == -32 && s2.width == 16 && s2.height == 5)
+      assert(s2.bscale == 1.0 && s2.bzero == 0.0 && s2.blank.isEmpty)
+      assert(s2.dataOffset > s1.dataOffset)
+      raf.seek(0)
+      intercept[IllegalArgumentException](FitsFormat.locateImage(raf, 2))
+    } finally raf.close()
+  }
+
+  test("image HDUs: pixels decode byte-exactly with scaling, BLANK and NaN masks") {
+    val path = Util.scratch("img_decode.fits")
+    FitsWriter.writeImageFits(path, 16, 5L)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      raf.seek(0); val s1 = FitsFormat.locateImage(raf, 0)
+      raf.seek(0); val s2 = FitsFormat.locateImage(raf, 1)
+      for (y <- 0L until 5L) {
+        val b1 = new Array[Byte](s1.rowBytes.toInt)
+        raf.seek(s1.dataOffset + y * s1.rowBytes); raf.readFully(b1)
+        val bb1 = ByteBuffer.wrap(b1)
+        val b2 = new Array[Byte](s2.rowBytes.toInt)
+        raf.seek(s2.dataOffset + y * s2.rowBytes); raf.readFully(b2)
+        val bb2 = ByteBuffer.wrap(b2)
+        for (x <- 0 until 16) {
+          val raw = FitsWriter.imageRaw(x, y)
+          assert(bb1.getShort(x * 2).toLong == raw, s"int16 raw at ($x,$y)")
+          val f = bb2.getFloat(x * 4)
+          if (raw == 250L) assert(f.isNaN, s"float mask at ($x,$y)")
+          else assert(f == raw / 4.0f, s"float value at ($x,$y)")
+        }
+      }
+      // the two missing conventions mask the SAME pixels (BLANK ≡ NaN)
+      // and the sentinel is genuinely present somewhere in a tall frame
+      val tall = Util.scratch("img_tall.fits")
+      FitsWriter.writeImageFits(tall, 64, 300L)
+      var masked = 0
+      for (y <- 0L until 300L; x <- 0 until 64
+           if FitsWriter.imageRaw(x, y) == 250L) masked += 1
+      assert(masked > 0, "fixture never exercises the missing-pixel path")
+    } finally raf.close()
+  }
+
+  test("locateImage skips table HDUs; locateTable skips image HDUs") {
+    // a file holding ONLY images has no table — and vice versa the a7
+    // table files hold no image: the two walks must not confuse HDU kinds
+    val path = Util.scratch("img_only.fits")
+    FitsWriter.writeImageFits(path, 16, 3L)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      raf.seek(0)
+      intercept[IllegalArgumentException](FitsFormat.locateTable(raf, 0))
+    } finally raf.close()
+  }
 }
