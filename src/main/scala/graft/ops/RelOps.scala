@@ -476,6 +476,74 @@ object RelOps {
       |FROM p WHERE dr * dr + dd * dd <= 4000000
       |ORDER BY a_id, b_id""".stripMargin)
 
+  /** d14: blocked record-linkage (fuzzy) join — the entity-resolution
+    * shape: match records across two systems whose keys disagree in a few
+    * characters (typos, OCR, migration damage). Records carry a 9-digit
+    * key string (multiplicative-hash digits of the id — uniform, the
+    * planted-fixture convention); the dirty side perturbs one digit
+    * deterministically; match = HAMMING distance ≤ 2 over the 9
+    * characters. Hamming (not Levenshtein) is the declared metric because
+    * it makes the blocking PROVABLY lossless: split the key into 3 chunks
+    * of 3 — any pair within distance 2 has ≥ 1 untouched chunk (the i11
+    * pigeonhole lifted from simhash bits to record strings), so chunk
+    * equality is a complete candidate generator and the refine loses
+    * nothing. Levenshtein-tolerant linkage would swap the blocking for
+    * q-gram/LSH blocks with a documented recall bound — different
+    * guarantee, same plan shape.
+    *
+    * Shape at scale: 3 candidate keys per record regardless of corpus
+    * size; candidates meet in a plain equi-join on (chunk_no, chunk)
+    * (plan-asserted no BNLJ/Cartesian), refine is a codegen'd per-char
+    * comparison, and a DISTINCT collapses pairs blocked by 2+ chunks
+    * (the d12 requirement). Oracle = brute-force all-pairs hamming, so a
+    * blocking recall defect is a hash mismatch.
+    */
+  val d14_join_fuzzy = OpQuery(
+    (s, d) => {
+      def digits(c: Column) =
+        lpad(((c * 48271L) % 1000000007L % 1000000000L).cast("string"), 9, "0")
+      val a = t(s, d, "customer")
+        .select(col("c_custkey").as("a_id"), digits(col("c_custkey")).as("da"))
+      // the dirty side: every 97th record, one digit at pos (id%9)+1
+      // shifted by +5 mod 10 (never equal to the original digit)
+      val b = t(s, d, "customer").filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("b_id"), digits(col("c_custkey")).as("d0"),
+          (col("c_custkey") % 9 + 1).cast("int").as("p"))
+        .select(col("b_id"), concat(
+          expr("substring(d0, 1, p - 1)"),
+          expr("CAST((CAST(substring(d0, p, 1) AS INT) + 5) % 10 AS STRING)"),
+          expr("substring(d0, p + 1)")).as("db"))
+      val ax = a.withColumn("c", explode(expr(
+        "transform(sequence(0, 2), i -> struct(i AS cn, substring(da, i * 3 + 1, 3) AS ck))")))
+        .select(col("a_id"), col("da"), col("c.cn"), col("c.ck"))
+      val bx = b.withColumn("c", explode(expr(
+        "transform(sequence(0, 2), i -> struct(i AS cn, substring(db, i * 3 + 1, 3) AS ck))")))
+        .select(col("b_id"), col("db"), col("c.cn"), col("c.ck"))
+      ax.join(bx, Seq("cn", "ck"))
+        .select(col("a_id"), col("b_id"), col("da"), col("db")).distinct()
+        .withColumn("hd", expr(
+          "CAST(size(filter(sequence(1, 9), i -> substring(da, i, 1) <> substring(db, i, 1))) AS BIGINT)"))
+        .filter(col("hd") <= 2)
+        .select("a_id", "b_id", "hd")
+        .orderBy("a_id", "b_id")
+    },
+    """WITH a AS (SELECT c_custkey AS a_id,
+      |    lpad(CAST((c_custkey * 48271) % 1000000007 % 1000000000 AS VARCHAR), 9, '0') AS da
+      |  FROM customer),
+      |b0 AS (SELECT c_custkey AS b_id,
+      |    lpad(CAST((c_custkey * 48271) % 1000000007 % 1000000000 AS VARCHAR), 9, '0') AS d0,
+      |    CAST(c_custkey % 9 + 1 AS INTEGER) AS p
+      |  FROM customer WHERE c_custkey % 97 = 0),
+      |b AS (SELECT b_id, substr(d0, 1, p - 1) ||
+      |        CAST((CAST(substr(d0, p, 1) AS INTEGER) + 5) % 10 AS VARCHAR) ||
+      |        substr(d0, p + 1) AS db FROM b0),
+      |p AS (SELECT a_id, b_id,
+      |        CAST(len(list_filter(range(1, 10),
+      |          i -> substr(da, i, 1) <> substr(db, i, 1))) AS BIGINT) AS hd
+      |      FROM a CROSS JOIN b)
+      |SELECT a_id, b_id, hd FROM p WHERE hd <= 2
+      |ORDER BY a_id, b_id""".stripMargin)
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -550,6 +618,7 @@ object RelOps {
     "d11_join_range_lookup" -> d11_join_range_lookup,
     "d12_join_interval_overlap" -> d12_join_interval_overlap,
     "d13_join_xmatch" -> d13_join_xmatch,
+    "d14_join_fuzzy" -> d14_join_fuzzy,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,

@@ -98,6 +98,36 @@ class RelOpsSpec extends SparkTestBase {
       "planted zero-distance identities missing")
   }
 
+  test("d14 fuzzy join: pigeonhole blocking + refine equal brute-force hamming") {
+    import org.apache.spark.sql.functions._
+    val df = RelOps.d14_join_fuzzy.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join fell back to a non-equi plan:\n${plan.take(1000)}")
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // plain-Scala brute force over the same planted keys
+    def d9(k: Long) = f"${k * 48271L % 1000000007L % 1000000000L}%09d"
+    def perturb(k: Long) = {
+      val s = d9(k).toCharArray
+      val p = (k % 9).toInt
+      s(p) = (((s(p) - '0') + 5) % 10 + '0').toChar
+      new String(s)
+    }
+    val ks = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val expect = (for {
+      ka <- ks; kb <- ks if kb % 97 == 0
+      hd = d9(ka).zip(perturb(kb)).count { case (x, y) => x != y }
+      if hd <= 2
+    } yield (ka, kb) -> hd.toLong).toMap
+    assert(out == expect, s"pair set diverges: ${out.size} vs ${expect.size}")
+    // every dirty record links back to its clean self at distance 1
+    val planted = ks.filter(_ % 97 == 0)
+    assert(planted.nonEmpty &&
+      planted.forall(k => out.get((k, k)).contains(1L)),
+      "planted distance-1 self-links missing")
+  }
+
   test("d13 xmatch core finds pairs across the 0/360-degree RA seam") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
