@@ -548,6 +548,58 @@ object CorpusOps {
       |       ELSE FALSE END AS keep
       |FROM r ORDER BY doc_id""".stripMargin))
 
+  // -------- i55: curriculum training order ---------------------------------
+
+  /** i55: curriculum order — the composition the policy ops exist for:
+    * arrange the corpus easy→hard for curriculum training. Difficulty is
+    * i49's bucket (head = most fluent under the corpus LM, tail =
+    * gibberish); WITHIN a bucket the order is an i51-style deterministic
+    * hash shuffle (a fresh multiplier, independent of the i20/i26/i48/i51
+    * hashes), so each difficulty stage still presents its documents in
+    * decorrelated order — curriculum across stages, shuffle within them,
+    * and the whole order a pure function of (corpus, doc_id): resumable,
+    * re-runnable, oracle-replayable (rand() curricula are none of these).
+    *
+    * Shape at scale: one b8 two-pass rank over (bucket_rank, skey,
+    * doc_id) — range partition + prefix offsets, no global window
+    * (plan-asserted like i49/i51); everything upstream is i38/i49's
+    * documented lineage.
+    */
+  val i55_curriculum_order = OpQuery(
+    (s, d) => {
+      val sc = docScores(s, d)
+        .select(col("doc_id"), col("mean_lp_micro"))
+        .localCheckpoint() // read twice inside perplexityBuckets
+      val c = perplexityBuckets(sc)
+        .withColumn("brank",
+          when(col("bucket") === "head", lit(0L))
+            .when(col("bucket") === "middle", lit(1L)).otherwise(lit(2L)))
+        .withColumn("skey", (col("doc_id") * lit(968665207L)) % 1000000007L)
+      graft.ingest.Convert.addStablePkey(
+        c.repartitionByRange(col("brank"), col("skey"), col("doc_id"))
+          .sortWithinPartitions(col("brank"), col("skey"), col("doc_id")),
+        "cur_pos")
+        .select(col("doc_id"), col("bucket"), col("skey"), col("cur_pos"))
+        .orderBy("doc_id")
+    },
+    Some(docScoresSqlCte + """,
+      |r AS (SELECT doc_id,
+      |        row_number() OVER (ORDER BY mean_lp_micro DESC, doc_id) AS prank,
+      |        count(*) OVER () AS n_docs
+      |      FROM sc),
+      |cb AS (SELECT doc_id,
+      |        CASE WHEN prank <= n_docs // 3 THEN 'head'
+      |             WHEN prank <= 2 * (n_docs // 3) THEN 'middle'
+      |             ELSE 'tail' END AS bucket,
+      |        CASE WHEN prank <= n_docs // 3 THEN 0
+      |             WHEN prank <= 2 * (n_docs // 3) THEN 1
+      |             ELSE 2 END AS brank,
+      |        (doc_id * 968665207) % 1000000007 AS skey
+      |      FROM r)
+      |SELECT doc_id, bucket, CAST(skey AS BIGINT) AS skey,
+      |  CAST(row_number() OVER (ORDER BY brank, skey, doc_id) AS BIGINT) AS cur_pos
+      |FROM cb ORDER BY doc_id""".stripMargin))
+
   // -------- i42: vocabulary-apply encode -----------------------------------
 
   /** i42: corpus encode — apply a top-V vocabulary to turn every document
@@ -1298,6 +1350,7 @@ object CorpusOps {
     "i37_dedup_lines" -> i37_dedup_lines,
     "i38_doc_logprob" -> i38_doc_logprob,
     "i49_perplexity_buckets" -> i49_perplexity_buckets,
+    "i55_curriculum_order" -> i55_curriculum_order,
     "i41_dedup_substring" -> i41_dedup_substring,
     "i42_vocab_encode" -> i42_vocab_encode,
     "i43_url_host_stats" -> i43_url_host_stats,

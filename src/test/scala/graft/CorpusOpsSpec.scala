@@ -769,6 +769,44 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i55 curriculum order: buckets stay contiguous, shuffled within, no global window") {
+    val out = CorpusOps.i55_curriculum_order.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val n = out.length.toLong
+    // cur_pos is a permutation of 1..n
+    val pos = out.map(_._4)
+    assert(pos.distinct.length.toLong == n && pos.min == 1L && pos.max == n)
+    // bucket ranges are contiguous and ordered head < middle < tail
+    def range(b: String) = {
+      val ps = out.filter(_._2 == b).map(_._4)
+      assert(ps.nonEmpty, s"bucket $b empty"); (ps.min, ps.max, ps.length)
+    }
+    val (h1, h2, hn) = range("head")
+    val (m1, m2, mn) = range("middle")
+    val (t1, t2, tn) = range("tail")
+    assert(h1 == 1L && h2 == hn.toLong, "head must occupy the first block")
+    assert(m1 == h2 + 1 && m2 == (hn + mn).toLong, "middle must follow head")
+    assert(t1 == m2 + 1 && t2 == n, "tail must close the order")
+    // within each bucket the order is exactly the (skey, doc_id) shuffle
+    Seq("head", "middle", "tail").foreach { b =>
+      val rows = out.filter(_._2 == b).sortBy(_._4)
+      val resorted = rows.sortBy { case (id, _, sk, _) => (sk, id) }
+      assert(rows.map(_._1).toSeq == resorted.map(_._1).toSeq,
+        s"bucket $b not in (skey, doc_id) order")
+      rows.foreach { case (id, _, sk, _) =>
+        assert(sk == (id * 968665207L) % 1000000007L, s"doc $id skey")
+      }
+    }
+    // the b8/i49/i51 rule: no un-partitioned window anywhere in the plan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
+    val globalWindows = CorpusOps.i55_curriculum_order.fn(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: WindowNode if w.partitionSpec.isEmpty => w
+      }
+    assert(globalWindows.isEmpty, s"un-partitioned window: $globalWindows")
+  }
+
   test("i47 plans: feature build and scoring are narrow; epochs aggregate") {
     val plan = CorpusOps.i47_quality_classifier.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
