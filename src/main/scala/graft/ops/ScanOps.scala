@@ -359,6 +359,55 @@ object ScanOps {
       |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
       |ORDER BY hdu, y""".stripMargin)
 
+  /** a20: FITS image cutout — the archive's cutout-service shape (SIA-style
+    * "give me this sky rectangle"): read ONLY a subregion of a19's int16
+    * image — rows y ∈ [h/4, h/2), columns x ∈ [16, 48) — and emit the
+    * decoded pixels. IO minimality is the operator: each partition seeks
+    * to `dataOffset + y·rowBytes + x0·2` and reads 32·2 bytes per
+    * requested row — bytes touched scale with the CUTOUT, not the frame
+    * (the lazy-decode argument from m8, on the byte axis). The planted
+    * closed form means the oracle recomputes every emitted pixel, so an
+    * off-by-one in the offset arithmetic (the classic cutout bug)
+    * hash-mismatches. Pixels dump CSV-joined per row (scalar-only rule).
+    */
+  val a20_fits_image_cutout = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val path = graft.Util.scratch(
+        s"survey_${d.replaceAll("[^a-zA-Z0-9]", "_")}_cut.fits")
+      val height = t(s, d, "documents").count()
+      graft.fits.FitsWriter.writeImageFits(path, 64, height)
+      val (y0, y1, x0, x1) = (height / 4, height / 2, 16, 48)
+      s.range(y0, y1, 1, 4).mapPartitions { ys =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val spec = graft.fits.FitsFormat.locateImage(raf, 0)
+          val buf = new Array[Byte]((x1 - x0) * 2)
+          ys.map { yy =>
+            val y = yy.toLong
+            // seek INSIDE the row: only the cutout's columns are read
+            raf.seek(spec.dataOffset + y * spec.rowBytes + x0.toLong * 2)
+            raf.readFully(buf)
+            val bb = java.nio.ByteBuffer.wrap(buf)
+            val px = (0 until (x1 - x0)).map { i =>
+              val raw = bb.getShort(i * 2).toLong
+              if (spec.blank.contains(raw)) "null"
+              else (spec.bzero + spec.bscale * raw).toLong.toString
+            }
+            (y, px.mkString(","))
+          }.toVector.iterator
+        } finally raf.close()
+      }.toDF("y", "px").orderBy("y")
+    },
+    """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
+      |ys AS (SELECT unnest(range(h // 4, h // 2)) AS y FROM b)
+      |SELECT y, array_to_string(list_transform(range(16, 48),
+      |  x -> CASE WHEN (3 * y + 5 * x + 7) % 251 = 250 THEN 'null'
+      |            ELSE CAST(2 * ((3 * y + 5 * x + 7) % 251) + 100 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM ys ORDER BY y""".stripMargin)
+
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
     * round-tripped through FitsWriter. A 12-bit mask (packed MSB-first
@@ -551,6 +600,7 @@ object ScanOps {
     "a17_fits_gzip_source" -> a17_fits_gzip_source,
     "a18_fits_tiled_source" -> a18_fits_tiled_source,
     "a19_fits_image_source" -> a19_fits_image_source,
+    "a20_fits_image_cutout" -> a20_fits_image_cutout,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,
