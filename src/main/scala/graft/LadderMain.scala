@@ -84,17 +84,12 @@ object LadderMain {
       case other => throw new IllegalArgumentException(
         s"family must be text|emb|stream|media, got $other")
     }
-    // SPARK_GRAFT_ONLY=k1,k2 ladders a subset (the Bench/Verify
-    // convention) — validated loudly so a typo'd key cannot silently
-    // ladder nothing
-    val selected = sys.env.get("SPARK_GRAFT_ONLY") match {
+    // SPARK_GRAFT_ONLY=k1,k2 ladders a subset — Util.onlySubset IS the
+    // Bench/Verify behavior (set-but-empty treated as unset; unknown keys
+    // rejected loudly with the offenders named), not a re-implementation
+    val selected = graft.Util.onlySubset(allOps.toMap) match {
       case None => allOps
-      case Some(raw) =>
-        val want = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
-        val have = allOps.map(_._1).toSet
-        require(want.nonEmpty && want.subsetOf(have),
-          s"SPARK_GRAFT_ONLY keys not in the $family family: ${(want -- have).mkString(", ")}")
-        allOps.filter(p => want(p._1))
+      case Some(want) => allOps.filter(p => want(p._1))
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scales = sys.env.getOrElse("SPARK_GRAFT_SCALES", "1,2,4,8")

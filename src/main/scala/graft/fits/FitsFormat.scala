@@ -423,12 +423,16 @@ object FitsFormat {
     var hduIndex = 0
     while (hduIndex < 100) { // defensive bound
       // end of file during a header read = walked past the last HDU:
-      // report the missing image, not a bare EOF
+      // report the missing image, not a bare EOF. (The cause is attached
+      // and the message covers both readings: FITS files end cleanly at
+      // block boundaries, so EOF here usually means "fewer HDUs than
+      // requested", but a file truncated mid-header lands here too.)
       val (cards, headerBytes) =
         try readHeader(in)
-        catch { case _: java.io.EOFException =>
+        catch { case e: java.io.EOFException =>
           throw new IllegalArgumentException(
-            s"No 2-d image HDU #$imgnum found ($imagesSeen image HDUs in file)")
+            s"No 2-d image HDU #$imgnum found ($imagesSeen image HDUs " +
+              "in file) — or the file is truncated mid-HDU", e)
         }
       offset += headerBytes
       val dataBytes = dataUnitBytes(cards)
@@ -481,22 +485,13 @@ object FitsFormat {
       // table HDUs than `extnum` is a user error, not a corrupt stream
       val (cards, headerBytes) =
         try readHeader(in)
-        catch { case _: java.io.EOFException =>
+        catch { case e: java.io.EOFException =>
           throw new IllegalArgumentException(
-            s"No table extension #$extnum found ($bintablesSeen table HDUs in file)")
+            s"No table extension #$extnum found ($bintablesSeen table HDUs " +
+              "in file) — or the file is truncated mid-HDU", e)
         }
       offset += headerBytes
-      val dataBytes: Long = {
-        val naxis = cards.getOrElse("NAXIS", "0").toInt
-        if (naxis == 0) 0L
-        else {
-          val bitpix = math.abs(cards.getOrElse("BITPIX", "8").toLong)
-          val dims = (1 to naxis).map(i => cards(s"NAXIS$i").toLong)
-          val pcount = cards.getOrElse("PCOUNT", "0").toLong
-          val gcount = cards.getOrElse("GCOUNT", "1").toLong
-          gcount * (pcount + dims.product) * (bitpix / 8)
-        }
-      }
+      val dataBytes = dataUnitBytes(cards)
       val padded = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
       val isTable = cards.get("XTENSION").exists(x =>
         x.startsWith("BINTABLE") || x.trim == "TABLE")

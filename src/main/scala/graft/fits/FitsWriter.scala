@@ -853,39 +853,52 @@ object FitsWriter {
   def writeImageFits(path: String, width: Int, height: Long): Unit = {
     val out = new DataOutputStream(
       new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    // Alignment CANNOT come from DataOutputStream.size() here: that
+    // counter saturates at Int.MaxValue, so a frame past ~2 GiB would
+    // silently mis-pad every later HDU (the table writers are safe — they
+    // pad per in-memory section — but image data units are written
+    // straight through). Track written bytes in a Long instead.
+    var written = 0L
+    def w(b: Array[Byte]): Unit = { out.write(b); written += b.length }
+    def padBlock(fill: Byte): Unit = {
+      val rem = ((FitsFormat.BlockSize - written % FitsFormat.BlockSize)
+        % FitsFormat.BlockSize).toInt
+      out.write(Array.fill(rem)(fill)); written += rem
+    }
     try {
-      out.write(card("SIMPLE", "T", quote = false))
-      out.write(card("BITPIX", "8", quote = false))
-      out.write(card("NAXIS", "0", quote = false))
-      out.write(endCard); pad(out, ' '.toByte)
+      w(card("SIMPLE", "T", quote = false))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "0", quote = false))
+      w(endCard); padBlock(' '.toByte)
 
-      out.write(card("XTENSION", "IMAGE", quote = true))
-      out.write(card("BITPIX", "16", quote = false))
-      out.write(card("NAXIS", "2", quote = false))
-      out.write(card("NAXIS1", width.toString, quote = false))
-      out.write(card("NAXIS2", height.toString, quote = false))
-      out.write(card("PCOUNT", "0", quote = false))
-      out.write(card("GCOUNT", "1", quote = false))
-      out.write(card("BSCALE", "2", quote = false))
-      out.write(card("BZERO", "100", quote = false))
-      out.write(card("BLANK", "250", quote = false))
-      out.write(endCard); pad(out, ' '.toByte)
+      w(card("XTENSION", "IMAGE", quote = true))
+      w(card("BITPIX", "16", quote = false))
+      w(card("NAXIS", "2", quote = false))
+      w(card("NAXIS1", width.toString, quote = false))
+      w(card("NAXIS2", height.toString, quote = false))
+      w(card("PCOUNT", "0", quote = false))
+      w(card("GCOUNT", "1", quote = false))
+      w(card("BSCALE", "2", quote = false))
+      w(card("BZERO", "100", quote = false))
+      w(card("BLANK", "250", quote = false))
+      w(endCard); padBlock(' '.toByte)
       var y = 0L
       while (y < height) {
         var x = 0
         while (x < width) { out.writeShort(imageRaw(x, y).toInt); x += 1 }
+        written += width.toLong * 2
         y += 1
       }
-      pad(out)
+      padBlock(0)
 
-      out.write(card("XTENSION", "IMAGE", quote = true))
-      out.write(card("BITPIX", "-32", quote = false))
-      out.write(card("NAXIS", "2", quote = false))
-      out.write(card("NAXIS1", width.toString, quote = false))
-      out.write(card("NAXIS2", height.toString, quote = false))
-      out.write(card("PCOUNT", "0", quote = false))
-      out.write(card("GCOUNT", "1", quote = false))
-      out.write(endCard); pad(out, ' '.toByte)
+      w(card("XTENSION", "IMAGE", quote = true))
+      w(card("BITPIX", "-32", quote = false))
+      w(card("NAXIS", "2", quote = false))
+      w(card("NAXIS1", width.toString, quote = false))
+      w(card("NAXIS2", height.toString, quote = false))
+      w(card("PCOUNT", "0", quote = false))
+      w(card("GCOUNT", "1", quote = false))
+      w(endCard); padBlock(' '.toByte)
       y = 0L
       while (y < height) {
         var x = 0
@@ -894,9 +907,10 @@ object FitsWriter {
           out.writeFloat(if (raw == 250) Float.NaN else raw / 4.0f)
           x += 1
         }
+        written += width.toLong * 4
         y += 1
       }
-      pad(out)
+      padBlock(0)
     } finally out.close()
   }
 }

@@ -1425,7 +1425,11 @@ object LlmOps {
     */
   val i54_index_maintain = OpQuery(
     (s, d) => {
-      val dir = graft.Util.scratch("i54_index")
+      // per-sfDir index path (the a11/a18/a19 rule): the returned frame
+      // reads this dir LAZILY, so a later i54 run on another dataset in
+      // the same session must not clobber the one a held plan points at
+      val dir = graft.Util.scratch(
+        s"i54_index_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
       val base = shingleSets(t(s, d, "documents"))
         .localCheckpoint() // feeds signatures AND both verify lookups once
       val banded = withBandBuckets(base).select(col("doc_id"), col("bucket"))

@@ -408,6 +408,10 @@ object RelOps {
     require(rMilli <= cellMilli, "covering needs radius <= cell size")
     val raCells = 360000L / cellMilli
     require(360000L % cellMilli == 0, "cell must tile the RA ring exactly")
+    // the no-pair-distinct argument below needs the -1/0/+1 RA probes to
+    // be THREE DISTINCT cells: with < 3 ring cells they collapse mod
+    // raCells and cross-cell matches would emit duplicate rows
+    require(raCells >= 3, s"RA ring needs >= 3 cells, got $raCells")
     val ax = a
       .withColumn("ra_c", expr(s"ra_m DIV $cellMilli"))
       .withColumn("dec_c", expr(s"(dec_m + 90000) DIV $cellMilli"))
