@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.LongType
   *   targets over the kept set's lang histogram; drops over-share docs,
   *   attaches integer n_copies) →
   *   split assignment (i20) → shard + dense position (i21) →
-  *   global training order (i51 core, optional `--shuffle hash` —
-  *   attaches the deterministic shuffled train_pos) →
+  *   global training order (i51/i55 cores, optional `--shuffle
+  *   hash|curriculum` — attaches the deterministic shuffled or
+  *   easy→hard train_pos) →
   *   partitioned parquet write + JSON manifest
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
@@ -75,8 +76,9 @@ object PrepMain {
       // learned from the kept corpus itself; keep head, hash-half of
       // middle, drop tail); "none" skips
       ppl: String = "none",
-      // "hash" attaches the i51 deterministic global training order
-      // (train_pos column over the kept set); "none" skips
+      // "hash" attaches the i51 deterministic global training order;
+      // "curriculum" the i55 easy->hard order (unscoreable docs last);
+      // "none" skips
       shuffle: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
@@ -122,13 +124,13 @@ object PrepMain {
         "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
-        "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|none]")
+        "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("ccnet", "none")(o.ppl),
       s"--ppl must be ccnet|none, got ${o.ppl}")
-    require(Set("hash", "none")(o.shuffle),
-      s"--shuffle must be hash|none, got ${o.shuffle}")
+    require(Set("hash", "curriculum", "none")(o.shuffle),
+      s"--shuffle must be hash|curriculum|none, got ${o.shuffle}")
     require(Set("substring", "none")(o.scrub),
       s"--scrub must be substring|none, got ${o.scrub}")
     require(Set("uniform", "none")(o.mix),
@@ -331,18 +333,36 @@ object PrepMain {
     val addressed0 = keptMixed.join(split, "doc_id").join(shard, "doc_id")
       .withColumn("pos", row_number()
         .over(Window.partitionBy("shard").orderBy("doc_id")).cast(LongType))
-    // -- stage 4.5: global training order (i51 core, optional) -------------
+    // -- stage 4.5: global training order (i51/i55 cores, optional) --------
     // `--shuffle hash` attaches train_pos — the deterministic global
     // shuffle over the KEPT set (the i51 two-pass rank; dense 1..n_final).
-    // The training loader sorts by train_pos; the write stays partitioned
-    // by split/shard, so shuffle order and storage layout are independent
-    // decisions (exactly how a 100 TB corpus is laid out). Inner join on
-    // the same kept doc_id set — coverage is preserved by construction
-    // and the nAddressed require below still proves it.
+    // `--shuffle curriculum` orders easy→hard instead (the i55 core:
+    // LM-difficulty buckets contiguous, hash-shuffled within); docs the
+    // LM cannot score (NULL text, < 2 tokens — the --ppl survival
+    // convention) go LAST, in their own deterministic hash order, so the
+    // position set stays a dense 1..n_final permutation. The training
+    // loader sorts by train_pos; the write stays partitioned by
+    // split/shard, so order and storage layout remain independent
+    // decisions. Coverage is preserved by construction and the
+    // nAddressed require below still proves it.
     val addressed = opts.shuffle match {
       case "hash" => addressed0.join(
         TrainOps.globalShuffleOrder(keptMixed.select("doc_id"))
           .select("doc_id", "train_pos"), "doc_id")
+      case "curriculum" =>
+        val scored = graft.ops.CorpusOps.curriculumOrder(
+            keptMixed.select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("cur_pos"))
+          .persist(lvl) // read by the count AND both joins below
+        extraPersists += scored
+        val nScored = scored.count() // bounded: one long (manifest pattern)
+        val unscored = keptMixed.select("doc_id")
+          .join(broadcast(scored.select("doc_id")), Seq("doc_id"), "left_anti")
+        val tail = TrainOps.globalShuffleOrder(unscored)
+          .select(col("doc_id"), (col("train_pos") + nScored).as("cur_pos"))
+        addressed0.join(
+          scored.unionByName(tail).withColumnRenamed("cur_pos", "train_pos"),
+          "doc_id")
       case _ => addressed0
     }
     // the split/shard inner joins must COVER the kept set — a partial

@@ -565,23 +565,29 @@ object CorpusOps {
     * (plan-asserted like i49/i51); everything upstream is i38/i49's
     * documented lineage.
     */
+  /** The i55 core over an arbitrary (doc_id, text, …) frame — shared by
+    * the gated operator and PrepMain's `--shuffle curriculum` stage (the
+    * containmentFlags convention). Domain: SCOREABLE docs (the i38/i49
+    * guard); returns (doc_id, bucket, skey, cur_pos).
+    */
+  private[graft] def curriculumOrder(docs: DataFrame): DataFrame = {
+    val sc = docScoresOf(docs)
+      .select(col("doc_id"), col("mean_lp_micro"))
+      .localCheckpoint() // read twice inside perplexityBuckets
+    val c = perplexityBuckets(sc)
+      .withColumn("brank",
+        when(col("bucket") === "head", lit(0L))
+          .when(col("bucket") === "middle", lit(1L)).otherwise(lit(2L)))
+      .withColumn("skey", (col("doc_id") * lit(968665207L)) % 1000000007L)
+    graft.ingest.Convert.addStablePkey(
+      c.repartitionByRange(col("brank"), col("skey"), col("doc_id"))
+        .sortWithinPartitions(col("brank"), col("skey"), col("doc_id")),
+      "cur_pos")
+      .select(col("doc_id"), col("bucket"), col("skey"), col("cur_pos"))
+  }
+
   val i55_curriculum_order = OpQuery(
-    (s, d) => {
-      val sc = docScores(s, d)
-        .select(col("doc_id"), col("mean_lp_micro"))
-        .localCheckpoint() // read twice inside perplexityBuckets
-      val c = perplexityBuckets(sc)
-        .withColumn("brank",
-          when(col("bucket") === "head", lit(0L))
-            .when(col("bucket") === "middle", lit(1L)).otherwise(lit(2L)))
-        .withColumn("skey", (col("doc_id") * lit(968665207L)) % 1000000007L)
-      graft.ingest.Convert.addStablePkey(
-        c.repartitionByRange(col("brank"), col("skey"), col("doc_id"))
-          .sortWithinPartitions(col("brank"), col("skey"), col("doc_id")),
-        "cur_pos")
-        .select(col("doc_id"), col("bucket"), col("skey"), col("cur_pos"))
-        .orderBy("doc_id")
-    },
+    (s, d) => curriculumOrder(t(s, d, "documents")).orderBy("doc_id"),
     Some(docScoresSqlCte + """,
       |r AS (SELECT doc_id,
       |        row_number() OVER (ORDER BY mean_lp_micro DESC, doc_id) AS prank,

@@ -280,4 +280,42 @@ class FitsFuzzSpec extends SparkTestBase {
       }
     }, n = 8)
   }
+
+  test("random image geometries round-trip: locate + full pixel decode") {
+    val gen = for {
+      w <- Gen.choose(1, 97)
+      h <- Gen.choose(1L, 41L)
+    } yield (w, h)
+    check(Prop.forAll(gen) { case (w, h) =>
+      val path = Util.scratch(s"fuzz_img_${w}_$h.fits")
+      FitsWriter.writeImageFits(path, w, h)
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try {
+        raf.seek(0); val s1 = FitsFormat.locateImage(raf, 0)
+        raf.seek(0); val s2 = FitsFormat.locateImage(raf, 1)
+        assert(s1.width == w && s1.height == h && s1.bitpix == 16)
+        assert(s2.width == w && s2.height == h && s2.bitpix == -32)
+        // every int16 pixel and every float pixel decodes to the planted
+        // closed form at every geometry, incl. odd widths whose rows are
+        // not block-aligned (the padding-arithmetic edge)
+        val b1 = new Array[Byte](s1.rowBytes.toInt)
+        val b2 = new Array[Byte](s2.rowBytes.toInt)
+        (0L until h).forall { y =>
+          raf.seek(s1.dataOffset + y * s1.rowBytes); raf.readFully(b1)
+          raf.seek(s2.dataOffset + y * s2.rowBytes); raf.readFully(b2)
+          val bb1 = java.nio.ByteBuffer.wrap(b1)
+          val bb2 = java.nio.ByteBuffer.wrap(b2)
+          (0 until w).forall { x =>
+            val raw = FitsWriter.imageRaw(x, y)
+            val f = bb2.getFloat(x * 4)
+            bb1.getShort(x * 2).toLong == raw &&
+              (if (raw == 250L) f.isNaN else f == raw / 4.0f)
+          }
+        } && {
+          // the file ends block-aligned (the Long-counter padding rule)
+          raf.length % FitsFormat.BlockSize == 0
+        }
+      } finally raf.close()
+    }, n = 40)
+  }
 }

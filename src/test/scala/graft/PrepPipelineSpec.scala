@@ -337,6 +337,39 @@ class PrepPipelineSpec extends SparkTestBase {
       .columns.contains("train_pos"))
   }
 
+  test("--shuffle curriculum orders kept docs easy->hard, unscoreable last") {
+    pipelineRan()
+    val outC = Util.scratch("prep_out_curr")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outC, "minhash",
+      shuffle = "curriculum"))
+    val written = spark.read.parquet(s"$outC/documents.parquet")
+    val rows = written.select("doc_id", "train_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length.toLong == m("n_final"))
+    // dense permutation over the kept set
+    val positions = rows.map(_._2)
+    assert(positions.distinct.length == rows.length)
+    assert(positions.min == 1L && positions.max == rows.length.toLong)
+    // the scored prefix is exactly the i55 core's order restricted to the
+    // kept set (the gated op on the same kept frame)
+    val keptIds = rows.map(_._1).toSet
+    val ord = graft.ops.CorpusOps.curriculumOrder(
+        written.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val posById = rows.toMap
+    ord.foreach { case (id, p) =>
+      assert(keptIds(id) && posById(id) == p,
+        s"scored doc $id at ${posById(id)} != curriculum pos $p")
+    }
+    // unscoreable docs occupy the tail block
+    val unscored = rows.filterNot { case (id, _) => ord.contains(id) }
+    if (unscored.nonEmpty) {
+      assert(unscored.map(_._2).min == ord.size.toLong + 1,
+        "unscoreable docs must start right after the scored block")
+    }
+  }
+
   test("argv parsing: flags map to opts, bad input rejected") {
     val o = PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "none"))
     assert(o == PrepMain.Opts("a", "b", "none"))
