@@ -1300,6 +1300,69 @@ object LlmOps {
       |WHERE i::DOUBLE / sz.sz_capped >= 0.8
       |ORDER BY train_id, inter.bench_id""".stripMargin)
 
+  /** i56: contrastive triplet mining — the training-data op for embedding
+    * models: per anchor, a (positive, negative) pair for the contrastive
+    * loss. Positive = the most-similar other vector (hardest positive),
+    * negative = the least-similar (easiest negative) — the deterministic
+    * baseline policy; production swaps the negative for hash-SAMPLED or
+    * hard negatives (i26's machinery / a sim-band filter) without
+    * changing the plan shape. Similarity is an EXACT integer dot over
+    * ×1000-quantized components: float→double is exact, double·1000
+    * floor is bit-identical in any IEEE engine, and integer sums are
+    * order-independent — so the argmax/argmin ordering can never be
+    * flipped by float summation order (the i34/SqDistLong convention;
+    * round-6 doubles would leave a ~1e-8/pair boundary-flip risk that
+    * compounds over millions of pairs).
+    *
+    * Shape at scale: anchors are the broadcast side (a sampled subset);
+    * the corpus scans ONCE; per-anchor windows parallelize across
+    * anchors. At 100 TB the candidate set comes from i13's IVF cells
+    * (prune, then exactly this refine) — the gate form is the exact
+    * full-scan the pruned path is measured against.
+    */
+  val i56_triplet_mine = OpQuery(
+    (s, d) => {
+      val q = t(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, e -> CAST(FLOOR(CAST(e AS DOUBLE) * 1000) AS BIGINT))")
+          .as("qe"))
+      val anchors = q.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("a_id"), col("qe").as("qa"))
+      val sims = q.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("vec_id").as("cand"),
+          expr("aggregate(zip_with(qa, qe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+            .as("simq"))
+      import org.apache.spark.sql.expressions.Window
+      val wp = Window.partitionBy("a_id").orderBy(col("simq").desc, col("cand"))
+      val wn = Window.partitionBy("a_id").orderBy(col("simq").asc, col("cand"))
+      val ranked = sims
+        .withColumn("rp", row_number().over(wp))
+        .withColumn("rn", row_number().over(wn))
+      ranked.filter(col("rp") === 1)
+        .select(col("a_id"), col("cand").as("pos_id"), col("simq").as("pos_simq"))
+        .join(ranked.filter(col("rn") === 1)
+          .select(col("a_id"), col("cand").as("neg_id"), col("simq").as("neg_simq")),
+          "a_id")
+        .orderBy("a_id")
+    },
+    """WITH q AS (SELECT vec_id,
+      |    list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |a AS (SELECT vec_id AS a_id, qe AS qa FROM q WHERE vec_id % 5 = 0),
+      |s AS (SELECT a_id, q.vec_id AS cand,
+      |        CAST(list_sum(list_transform(range(1, len(qa) + 1),
+      |          i -> qa[i] * qe[i])) AS BIGINT) AS simq
+      |      FROM a, q WHERE q.vec_id <> a.a_id),
+      |r AS (SELECT a_id, cand, simq,
+      |        row_number() OVER (PARTITION BY a_id ORDER BY simq DESC, cand) AS rp,
+      |        row_number() OVER (PARTITION BY a_id ORDER BY simq ASC, cand) AS rn
+      |      FROM s)
+      |SELECT p.a_id, p.cand AS pos_id, p.simq AS pos_simq,
+      |  n.cand AS neg_id, n.simq AS neg_simq
+      |FROM (SELECT a_id, cand, simq FROM r WHERE rp = 1) p
+      |JOIN (SELECT a_id, cand, simq FROM r WHERE rn = 1) n USING (a_id)
+      |ORDER BY a_id""".stripMargin)
+
   /** i52: contamination report — the REVERSE view of i24, and the artifact
     * an eval-decontam pipeline actually publishes: per BENCHMARK document,
     * how compromised is it by the training corpus? One row per bench doc
@@ -1609,6 +1672,7 @@ object LlmOps {
     "i24_decontaminate" -> i24_decontaminate,
     "i45_decontam_capped" -> i45_decontam_capped,
     "i52_contamination_report" -> i52_contamination_report,
+    "i56_triplet_mine" -> i56_triplet_mine,
     "i25_dedup_incremental" -> i25_dedup_incremental,
     "i54_index_maintain" -> i54_index_maintain,
     "i27_repetition_stats" -> i27_repetition_stats,

@@ -277,7 +277,57 @@ object TrainOps {
       |    AS train_pos
       |FROM documents ORDER BY doc_id""".stripMargin)
 
+  /** i57: SFT conversation packing — the supervised-fine-tuning data-prep
+    * shape: assemble raw documents into CONVERSATIONS with per-turn roles
+    * and the loss-mask offset table the trainer consumes (assistant turns
+    * contribute loss; user turns are context only). Conversations are
+    * planted deterministically — conv = (source, doc_id DIV 80), turns in
+    * doc_id order, roles alternating user/assistant by turn parity (the
+    * i30/i37 planted-fixture convention) — and each turn row carries its
+    * token extent [tok_start, tok_end) within the packed conversation via
+    * a per-conversation running cumsum (i22's window shape: one window
+    * per conversation key, parallel across conversations, no global
+    * order). This is exactly the mask table an SFT pipeline materializes
+    * next to the packed text.
+    */
+  val i57_sft_pack = OpQuery(
+    (s, d) => {
+      val w = Window.partitionBy("source", "conv_no").orderBy("doc_id")
+      t(s, d, "documents")
+        .where(col("text").isNotNull) // the i37/i38 NULL-text guard
+        .select(col("source"), col("doc_id"),
+          expr("doc_id DIV 80").as("conv_no"),
+          size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("turn_no", row_number().over(w).cast(LongType))
+        .withColumn("tok_start",
+          coalesce(sum(col("n_tok")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("conv_no"), col("doc_id"), col("turn_no"),
+          when(col("turn_no") % 2 === 1, "user").otherwise("assistant").as("role"),
+          col("n_tok"), col("tok_start"),
+          (col("tok_start") + col("n_tok")).as("tok_end"),
+          (col("turn_no") % 2 === 0).as("in_loss"))
+        .orderBy("doc_id")
+    },
+    """WITH t AS (SELECT source, doc_id, doc_id // 80 AS conv_no,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents WHERE text IS NOT NULL),
+      |w AS (SELECT source, conv_no, doc_id, n_tok,
+      |    CAST(row_number() OVER (PARTITION BY source, conv_no
+      |      ORDER BY doc_id) AS BIGINT) AS turn_no,
+      |    coalesce(CAST(sum(n_tok) OVER (PARTITION BY source, conv_no
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      |      AS tok_start
+      |  FROM t)
+      |SELECT source, CAST(conv_no AS BIGINT) AS conv_no, doc_id, turn_no,
+      |  CASE WHEN turn_no % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+      |  n_tok, tok_start, tok_start + n_tok AS tok_end,
+      |  turn_no % 2 = 0 AS in_loss
+      |FROM w ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "i57_sft_pack" -> i57_sft_pack,
     "i20_train_split" -> i20_train_split,
     "i21_shard_assign" -> i21_shard_assign,
     "i22_seq_pack" -> i22_seq_pack,

@@ -493,6 +493,31 @@ class LlmOpsSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("i56 triplets match a driver-side brute force; integer sims are exact") {
+    val got = LlmOps.i56_triplet_mine.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.nonEmpty)
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(e => math.floor(e.toDouble * 1000).toLong).toArray)
+    val byId = vecs.toMap
+    def dot(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val anchors = vecs.map(_._1).filter(_ % 5 == 0)
+    assert(got.keySet == anchors.toSet, "one triplet per anchor")
+    anchors.foreach { aId =>
+      val sims = vecs.filter(_._1 != aId)
+        .map { case (c, q) => c -> dot(byId(aId), q) }
+      val (posId, posS) = sims.minBy { case (c, sq) => (-sq, c) }
+      val (negId, negS) = sims.minBy { case (c, sq) => (sq, c) }
+      assert(got(aId) == ((posId, posS, negId, negS)), s"anchor $aId triplet")
+    }
+    // the contrastive margin is real: every positive beats its negative
+    got.values.foreach { case (_, ps, _, ns) => assert(ps >= ns) }
+  }
+
   test("i52 contamination report matches a driver-side string-shingle recompute") {
     // same independent oracle as i24 (true string 2-gram sets, no hashing)
     // but aggregated per BENCH doc — including the zero-match rows the

@@ -201,6 +201,35 @@ class TrainOpsSpec extends SparkTestBase {
       s"$adjacentClose of $n adjacent doc_id pairs stayed near-neighbors in training order")
   }
 
+  test("i57 SFT packing: extents tile each conversation, loss mask alternates") {
+    val out = TrainOps.i57_sft_pack.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getBoolean(8)))
+    assert(out.nonEmpty)
+    out.groupBy(t => (t._1, t._2)).foreach { case ((src, conv), turns) =>
+      val sorted = turns.sortBy(_._3) // doc_id order = turn order
+      // turn numbers dense 1..n; roles alternate user/assistant; loss on
+      // assistant turns only
+      sorted.zipWithIndex.foreach { case ((_, _, _, turnNo, role, nTok, s0, e0, loss), i) =>
+        assert(turnNo == i + 1L, s"($src,$conv) turn numbering")
+        assert(role == (if ((i + 1) % 2 == 1) "user" else "assistant"))
+        assert(loss == (role == "assistant"), "loss mask must cover assistant turns")
+        assert(e0 == s0 + nTok, s"($src,$conv) turn ${i + 1} extent")
+      }
+      // extents tile the packed conversation: each turn starts where the
+      // previous ended, from offset 0
+      sorted.foldLeft(0L) { case (expected, (_, _, _, _, _, nTok, s0, _, _)) =>
+        assert(s0 == expected, s"($src,$conv) gap/overlap at offset $s0")
+        expected + nTok
+      }
+      // conversations genuinely multi-turn (the fixture must exercise
+      // the mask's both values)
+      ()
+    }
+    assert(out.exists(_._9) && out.exists(!_._9),
+      "fixture must exercise both mask values")
+  }
+
   test("i51 plans no global (un-partitioned) window") {
     // the b8/i49 lesson enforced here too: the global order must come from
     // the range-partitioned two-pass shape, not a single-task row_number
