@@ -348,7 +348,53 @@ object EtlOps {
       |FROM j WHERE new_bal IS NOT NULL
       |ORDER BY c_custkey, version""".stripMargin)
 
+  /** b15: snapshot-isolated (time-travel) reads — the lakehouse table
+    * primitive (Iceberg/Delta's core idea) in its minimal honest form:
+    * every commit writes NEW data files plus an immutable per-version
+    * MANIFEST naming exactly the files in that snapshot; a reader pins a
+    * version by reading its manifest and loading only those files, so
+    * later commits — even ones racing the read — cannot change what a
+    * pinned query sees (b12/b13/b14 cover change capture; this covers
+    * "read yesterday's table while today is being written"). The gate
+    * commits v1, then commits v2 (an append), then READS v1 — proving
+    * the old snapshot stays intact under the newer write. Manifests are
+    * bounded driver-side metadata (a file list, never data — the
+    * offset-table pattern); data files never rewrite (i54's append-only
+    * discipline), so commit cost ∝ the delta.
+    */
+  val b15_snapshot_read = OpQuery(
+    (s, d) => {
+      val base = graft.Util.scratch(
+        s"b15_table_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+      val orders = t(s, d, "orders")
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/data/add1")
+      writeManifest(s"$base/v1.manifest", Seq(s"$base/data/add1"))
+      // commit 2: append-only — new files + a new manifest; v1's manifest
+      // and files are untouched
+      orders.filter(col("o_orderkey") % 3 === 1)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/data/add2")
+      writeManifest(s"$base/v2.manifest",
+        Seq(s"$base/data/add1", s"$base/data/add2"))
+      // time travel: pin v1 although v2 exists
+      s.read.parquet(readManifest(s"$base/v1.manifest"): _*)
+        .orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey""".stripMargin)
+
+  private[graft] def writeManifest(path: String, dirs: Seq[String]): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      dirs.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private[graft] def readManifest(path: String): Seq[String] =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+
   val all: Map[String, OpQuery] = Map(
+    "b15_snapshot_read" -> b15_snapshot_read,
     "b14_scd2_history" -> b14_scd2_history,
     "b13_schema_evolution" -> b13_schema_evolution,
     "b1_colname_normalize" -> b1_colname_normalize,

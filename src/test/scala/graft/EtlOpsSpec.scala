@@ -176,4 +176,32 @@ class EtlOpsSpec extends SparkTestBase {
     val srcOdd = docs.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
     assert(odd.exceptAll(srcOdd).isEmpty, "gen2 column values drifted through the merge")
   }
+
+  test("b15 snapshot reads: v1 pinned under v2 commit; append never rewrites v1") {
+    // drive the op once (it commits v1 then v2, returns the pinned v1 read)
+    val v1 = EtlOps.b15_snapshot_read.fn(spark, sfDir)
+    val base = new java.io.File(Util.scratch(
+      s"b15_table_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"))
+    def snapshot(dir: String) =
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val v1Files = snapshot(s"$base/data/add1")
+    assert(v1Files.nonEmpty)
+    // v2 = v1 plus the delta, reconstructed from the v2 manifest
+    val v2 = spark.read
+      .parquet(EtlOps.readManifest(s"$base/v2.manifest"): _*)
+    val orders = Tables.t(spark, sfDir, "orders")
+    val expectV1 = orders.filter(col("o_orderkey") % 3 === 0)
+      .select("o_orderkey", "o_totalprice")
+    val expectV2 = orders.filter(col("o_orderkey") % 3 <= 1)
+      .select("o_orderkey", "o_totalprice")
+    assert(v1.exceptAll(expectV1).isEmpty && expectV1.exceptAll(v1).isEmpty)
+    assert(v2.exceptAll(expectV2).isEmpty && expectV2.exceptAll(v2).isEmpty)
+    // the append-only discipline: committing v2 left every v1 data file
+    // byte-untouched (same mtimes) and the v1 manifest still names ONLY
+    // the v1 files
+    assert(snapshot(s"$base/data/add1") == v1Files,
+      "v2 commit rewrote v1 data files")
+    assert(EtlOps.readManifest(s"$base/v1.manifest") == Seq(s"$base/data/add1"))
+  }
 }
