@@ -26,6 +26,47 @@ object WeightedGeoMean extends Aggregator[(Double, Double), (Double, Double), Do
   def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
 }
 
+/** Mergeable Misra–Gries heavy-hitters summary (e16): at most K counters;
+  * `reduce` is the classic decrement step, `merge` the Agarwal et al.
+  * mergeable-summaries rule (sum counters, subtract the (K+1)-th largest,
+  * drop ≤ 0). Invariant (any reduce/merge order, any partitioning): every
+  * item with true frequency > N/(K+1) survives in the summary — the
+  * candidate set is a provable SUPERSET of the heavy hitters, which is
+  * what lets e16's exact second pass gate this sketch against an exact
+  * oracle (the e4/e14 convention, but with a hard guarantee instead of a
+  * probability band).
+  */
+object MisraGries extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  /** Counter budget. K = 30 puts the threshold N/(K+1) just under the
+    * fixture's near-uniform 31-token frequencies (~N/31 each), so BOTH
+    * outcome classes are populated at every SF — and not by luck: the sum
+    * constraint makes `all 31 tokens heavy` impossible (Σcnt = N), while
+    * the max token essentially always clears N/31. Production K is
+    * whatever memory affords (the summary is K counters regardless of
+    * stream length); only this constant changes.
+    */
+  val K = 30
+  def zero: Map[String, Long] = Map.empty
+  def reduce(b: Map[String, Long], tok: String): Map[String, Long] = {
+    val b2 = b.updated(tok, b.getOrElse(tok, 0L) + 1L)
+    if (b2.size <= K) b2
+    else b2.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
+  }
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
+    if (sum.size <= K) sum
+    else {
+      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(K)
+      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+    }
+  }
+  def finish(b: Map[String, Long]): Map[String, Long] = b
+  def bufferEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  def outputEncoder =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
 /** SURVEY §2 group E — aggregations.
   *
   * Scale notes: every groupBy here is a hash aggregate with partial (map-side)
@@ -336,7 +377,55 @@ object AggOps {
       |  true AS merged_within_5pct, true AS direct_within_5pct
       |FROM orders""".stripMargin))
 
+  /** e16: heavy hitters by mergeable Misra–Gries + exact confirmation —
+    * the frequent-items complement to e15's distinct-count sketch: find
+    * every token whose corpus frequency exceeds N/(K+1) without a full
+    * groupBy of the token universe. Pass 1 runs the MisraGries Aggregator
+    * (map-side partial summaries of ≤ K counters each, merged by the
+    * mergeable-summaries rule) — the surviving keys are a PROVABLE
+    * superset of the true heavy hitters, at most K strings, collected to
+    * the driver (the i46/i47 bounded-collect convention: K entries at any
+    * corpus size). Pass 2 exact-counts ONLY those candidates (an isin
+    * filter the scan prunes with) and keeps cnt·(K+1) > N — integer
+    * arithmetic, no division. The output is therefore EXACTLY the true
+    * heavy-hitter set: the sketch decides what to count, never what is
+    * true, so a plain exact-count oracle gates it.
+    *
+    * Shape at scale: pass 1 shuffles K-counter maps (one per partition),
+    * pass 2 shuffles only candidate-token rows — nothing token-universe-
+    * sized ever shuffles; both passes are one scan each (the two-pass
+    * trade is the textbook one: a bounded sketch instead of a
+    * vocabulary-sized hash table).
+    */
+  val e16_heavy_hitters = OpQuery(
+    (s, d) => {
+      val K = MisraGries.K
+      val toks = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(explode(expr("filter(split(text, ' '), w -> length(w) > 0)")).as("tok"))
+      val mg = udaf(MisraGries)
+      val pass1 = toks.agg(mg(col("tok")).as("summary"), count(lit(1)).as("n_total"))
+        .localCheckpoint() // one job for sketch+count; read for cand + attach
+      val cand: Seq[String] = pass1
+        .select(explode(map_keys(col("summary"))).as("tok"))
+        .collect().map(_.getString(0)).toSeq // ≤ K rows — bounded by design
+      toks.filter(col("tok").isin(cand: _*))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(pass1.select(col("n_total"))))
+        .filter(col("cnt") * lit(K + 1L) > col("n_total"))
+        .orderBy(col("cnt").desc, col("tok"))
+    },
+    s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+       |              FROM documents WHERE text IS NOT NULL),
+       |tk AS (SELECT tok FROM toks WHERE tok <> ''),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk)
+       |SELECT tok, CAST(count(*) AS BIGINT) AS cnt, n.n_total
+       |FROM tk CROSS JOIN n GROUP BY tok, n.n_total
+       |HAVING count(*) * ${MisraGries.K + 1} > n.n_total
+       |ORDER BY cnt DESC, tok""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "e16_heavy_hitters" -> e16_heavy_hitters,
     "e15_sketch_union" -> e15_sketch_union,
     "e14_agg_approx_percentile" -> e14_agg_approx_percentile,
     "e13_agg_salted_skew" -> e13_agg_salted_skew,

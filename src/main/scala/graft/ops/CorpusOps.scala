@@ -1344,7 +1344,70 @@ object CorpusOps {
       |  round(CAST(n_tokens AS DOUBLE) / (sum(n_tokens) OVER ()), 6) AS token_share
       |FROM h ORDER BY bucket""".stripMargin))
 
+  // -------- i58: overlapping-window chunking (RAG/context prep) ------------
+
+  /** i58 window geometry: W-token chunks every S tokens (W−S overlap) —
+    * the retrieval-corpus chunking defaults in miniature; production
+    * values (512/384 etc.) change only these constants. Shared with the
+    * spec, which derives its coverage/overlap assertions from them.
+    */
+  private[graft] val ChunkW = 32
+  private[graft] val ChunkS = 24
+
+  /** i58: overlapping sliding-window chunking — the retrieval/context
+    * preparation step between cleaning and embedding: split every
+    * document into W-token chunks at stride S, so consecutive chunks
+    * share W−S tokens of context (the overlap that keeps a fact landing
+    * on a chunk boundary retrievable from at least one side). Chunk count
+    * is the exact integer form c = 1 + ⌈(n−W)/S⌉ for n > W else 1, so
+    * every token position is covered and the last chunk is the only
+    * short one. Chunk identity is the PURE FUNCTION (doc_id, chunk_id) —
+    * re-runs, engine changes and corpus appends never renumber an
+    * existing chunk (the i20/i44 stability argument, which is what makes
+    * chunk ids usable as stable vector-store keys).
+    *
+    * Shape at scale: tokenize + window arithmetic + posexplode are all
+    * map-side (one narrow codegen'd stage, no shuffle anywhere but the
+    * dump sort); output rows ≈ n_tokens/S per doc, emitted streaming —
+    * nothing document- or corpus-sized materializes. The oracle replays
+    * the same integer geometry via list slices.
+    */
+  val i58_chunk_overlap = OpQuery(
+    (s, d) => {
+      val (w, st) = (ChunkW, ChunkS)
+      t(s, d, "documents")
+        .where(col("text").isNotNull) // the i37/i38 NULL-text guard
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("nc", expr(
+          s"CASE WHEN size(toks) <= $w THEN 1 ELSE 1 + (size(toks) - $w + ${st - 1}) DIV $st END"))
+        .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"),
+          posexplode(expr(
+            s"transform(sequence(0, nc - 1), i -> slice(toks, i * $st + 1, $w))"))
+            .as(Seq("chunk_id", "ctoks")))
+        .select(col("doc_id"), col("n_tok"),
+          col("chunk_id").cast(LongType).as("chunk_id"),
+          (col("chunk_id") * st + 1).cast(LongType).as("start_tok"),
+          size(col("ctoks")).cast(LongType).as("n_chunk_toks"),
+          array_join(col("ctoks"), " ").as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |         WHERE text IS NOT NULL),
+      |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+      |        CASE WHEN len(toks) <= $ChunkW THEN 1
+      |             ELSE 1 + (len(toks) - $ChunkW + ${ChunkS - 1}) // $ChunkS END AS nc
+      |      FROM d),
+      |ch AS (SELECT doc_id, n AS n_tok, unnest(list_transform(range(0, nc),
+      |        i -> {'chunk_id': i, 'ctoks': toks[i*$ChunkS+1 : i*$ChunkS+$ChunkW]}),
+      |        recursive := true) FROM dd)
+      |SELECT doc_id, n_tok, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  CAST(chunk_id * $ChunkS + 1 AS BIGINT) AS start_tok,
+      |  CAST(len(ctoks) AS BIGINT) AS n_chunk_toks,
+      |  array_to_string(ctoks, ' ') AS chunk_text
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin))
+
   val all: Map[String, OpQuery] = Map(
+    "i58_chunk_overlap" -> i58_chunk_overlap,
     "i30_pii_redact" -> i30_pii_redact,
     "i53_token_histogram" -> i53_token_histogram,
     "i31_tfidf_topterms" -> i31_tfidf_topterms,

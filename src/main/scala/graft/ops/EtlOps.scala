@@ -393,7 +393,79 @@ object EtlOps {
     new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
 
+  /** b16: cascading erasure (the GDPR forget-me shape) — delete a set of
+    * customers and propagate through the foreign-key chain: their orders
+    * go, and those orders' lineitems go. The forget set is planted
+    * deterministically (c_custkey % 97 — the i30 convention, same
+    * construction in the oracle); the output is the per-table erasure
+    * audit (before/deleted/after counts + a key checksum of the SURVIVING
+    * rows, so a wrong-row deletion changes the hash, not just the count).
+    *
+    * Shape at scale: the forget set is broadcast by construction (erasure
+    * requests are human-scale against a 100 TB corpus) — the customer and
+    * orders passes are broadcast anti/left joins, narrow on the fact
+    * side. The orders→lineitem hop uses the DERIVED deleted-orders set,
+    * which scales with the forget set, NOT forced broadcast — it's a
+    * plain equi-join AQE downgrades to broadcast when small (the i41
+    * no-broadcast-assumption rule). One scan per table; the flagged
+    * orders projection is localCheckpoint'ed because both the orders
+    * audit and the lineitem cascade read it (the i37 shared-base
+    * convention).
+    */
+  val b16_cascade_delete = OpQuery(
+    (s, d) => {
+      val cust = t(s, d, "customer")
+      val del = cust.filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey").as("k"))
+      val og = t(s, d, "orders")
+        .join(broadcast(del), col("o_custkey") === col("k"), "left")
+        .select(col("o_orderkey"), col("k").isNotNull.as("gone"))
+        .localCheckpoint()
+      val lg = t(s, d, "lineitem")
+        .join(og.filter(col("gone")).select(col("o_orderkey").as("ok")),
+          col("l_orderkey") === col("ok"), "left")
+        .select(col("l_orderkey"), col("ok").isNotNull.as("gone"))
+      def audit(name: String, flagged: DataFrame): DataFrame = flagged
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("gone"), 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(!col("gone"), col("key"))).as("sum_key_after"))
+        .select(lit(name).as("tbl"), col("n_before"), col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"),
+          col("sum_key_after"))
+      audit("customer", cust.select(col("c_custkey").as("key"),
+          (col("c_custkey") % 97 === 0).as("gone")))
+        .unionAll(audit("orders",
+          og.select(col("o_orderkey").as("key"), col("gone"))))
+        .unionAll(audit("lineitem",
+          lg.select(col("l_orderkey").as("key"), col("gone"))))
+        .orderBy("tbl")
+    },
+    """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+      |og AS (SELECT o_orderkey, o_custkey IN (SELECT k FROM del) AS gone FROM orders),
+      |lg AS (SELECT l_orderkey,
+      |         l_orderkey IN (SELECT o_orderkey FROM og WHERE gone) AS gone
+      |       FROM lineitem),
+      |u AS (
+      |  SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_before,
+      |    CAST(count(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT) AS n_deleted,
+      |    CAST(sum(c_custkey) FILTER (WHERE c_custkey % 97 <> 0) AS BIGINT) AS sum_key_after
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'orders', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE gone) AS BIGINT),
+      |    CAST(sum(o_orderkey) FILTER (WHERE NOT gone) AS BIGINT)
+      |  FROM og
+      |  UNION ALL
+      |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+      |    CAST(count(*) FILTER (WHERE gone) AS BIGINT),
+      |    CAST(sum(l_orderkey) FILTER (WHERE NOT gone) AS BIGINT)
+      |  FROM lg)
+      |SELECT tbl, n_before, n_deleted, n_before - n_deleted AS n_after,
+      |  sum_key_after
+      |FROM u ORDER BY tbl""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "b16_cascade_delete" -> b16_cascade_delete,
     "b15_snapshot_read" -> b15_snapshot_read,
     "b14_scd2_history" -> b14_scd2_history,
     "b13_schema_evolution" -> b13_schema_evolution,

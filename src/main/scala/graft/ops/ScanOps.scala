@@ -588,7 +588,81 @@ object ScanOps {
     """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
+  /** a21: Z-order (Morton) multi-dimensional layout — the data-skipping
+    * write for queries that filter on TWO independent keys, where a16's
+    * single-key sort can prune only one: quantize each dimension to a
+    * 16-bit rank over its min–max span (integer arithmetic, so the oracle
+    * replays it exactly), interleave the bits into one z-value, then
+    * range-partition + sort on that z-value. A contiguous z-range maps to
+    * a bounded rectangle in (orderkey, partkey) space, so every output
+    * file carries a small min/max bounding box in BOTH dims and parquet
+    * row-group stats prune selective scans on EITHER key — the
+    * Delta/Iceberg Z-ORDER idea built from plain Spark primitives.
+    *
+    * Quantizing by span (not raw bits) matters: the two keys' bit widths
+    * differ (orderkey ≫ partkey), and interleaving raw bits would let the
+    * wider key's high bits dominate every range split — the layout would
+    * degenerate to a16's single-key sort. The 16-bit grid gives both dims
+    * equal weight at any key scale; min/max attach as a 1-row broadcast
+    * (the j4 scalar-bridge shape). ZBits covers the grid exactly; 32-bit
+    * z-values never overflow.
+    *
+    * Shape at scale: one agg for the spans + one range-partition shuffle,
+    * paid at write time — identical cost profile to a16. The spec proves
+    * the claim the oracle can't see: per-file bounding boxes under
+    * z-order shrink in BOTH dims vs the 1-D sorted baseline.
+    */
+  private[graft] val ZBits = 16
+
+  /** The interleave ⟦Σⱼ qok_bit(j)≪(2j+1) + qpk_bit(j)≪(2j)⟧ as engine
+    * SQL — generated from one loop so the Spark and DuckDB texts cannot
+    * drift.
+    */
+  private def zvalTerms(shl: (String, Int) => String,
+      shr: (String, Int) => String): String =
+    (0 until ZBits).map { j =>
+      s"${shl(s"(${shr("qok", j)} & 1)", 2 * j + 1)} + " +
+        s"${shl(s"(${shr("qpk", j)} & 1)", 2 * j)}"
+    }.mkString(" + ")
+
+  val a21_zorder_layout = OpQuery(
+    (s, d) => {
+      val out = graft.Util.scratch("a21_zorder")
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val spans = li.agg(
+        min("l_orderkey").as("oklo"), max("l_orderkey").as("okhi"),
+        min("l_partkey").as("pklo"), max("l_partkey").as("pkhi"))
+      val grid = (1 << ZBits) - 1
+      val zsql = zvalTerms(
+        (e, n) => s"shiftleft($e, $n)", (e, n) => s"shiftright($e, $n)")
+      li.crossJoin(broadcast(spans))
+        .withColumn("qok",
+          expr(s"(l_orderkey - oklo) * $grid DIV greatest(okhi - oklo, 1)"))
+        .withColumn("qpk",
+          expr(s"(l_partkey - pklo) * $grid DIV greatest(pkhi - pklo, 1)"))
+        .withColumn("zval", expr(s"CAST($zsql AS BIGINT)"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "zval")
+        .repartitionByRange(8, col("zval"))
+        .sortWithinPartitions("zval", "l_orderkey", "l_linenumber")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("l_orderkey", "l_linenumber")
+    }, {
+      val grid = (1 << ZBits) - 1
+      val zsql = zvalTerms((e, n) => s"($e << $n)", (e, n) => s"($e >> $n)")
+      s"""WITH b AS (SELECT min(l_orderkey) AS oklo, max(l_orderkey) AS okhi,
+         |             min(l_partkey) AS pklo, max(l_partkey) AS pkhi FROM lineitem),
+         |q AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |        (l_orderkey - oklo) * $grid // greatest(okhi - oklo, 1) AS qok,
+         |        (l_partkey - pklo) * $grid // greatest(pkhi - pklo, 1) AS qpk
+         |      FROM lineitem CROSS JOIN b)
+         |SELECT l_orderkey, l_linenumber, l_partkey,
+         |  CAST($zsql AS BIGINT) AS zval
+         |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })
+
   val all: Map[String, OpQuery] = Map(
+    "a21_zorder_layout" -> a21_zorder_layout,
     "a13_jsonl_source" -> a13_jsonl_source,
     "a14_orc_source" -> a14_orc_source,
     "a15_compact_files" -> a15_compact_files,

@@ -807,6 +807,43 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(globalWindows.isEmpty, s"un-partitioned window: $globalWindows")
   }
 
+  test("i58 chunks match a plain-Scala reference; coverage and overlap hold") {
+    val (w, s) = (CorpusOps.ChunkW, CorpusOps.ChunkS)
+    val docs = Tables.t(spark, sfDir, "documents")
+      .where(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val got = CorpusOps.i58_chunk_overlap.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) ->
+        (r.getLong(3), r.getLong(4), r.getString(5))).toMap
+    // independent reference: sliding windows via plain Scala collections
+    val exp = docs.flatMap { case (id, toks) =>
+      val chunks = Iterator.from(0).map(i => i * s)
+        .takeWhile(st => st == 0 || st < toks.length)
+        .map(st => toks.slice(st, st + w)).toSeq
+      val trimmed = // ref formula: 1 + ceil((n-w)/s) chunks, never trailing empties
+        if (toks.length <= w) chunks.take(1)
+        else chunks.take(1 + (toks.length - w + s - 1) / s)
+      trimmed.zipWithIndex.map { case (c, i) =>
+        (id, i.toLong) -> ((i * s + 1).toLong, c.length.toLong, c.mkString(" "))
+      }
+    }
+    assert(got == exp, s"chunk mismatch: got=${got.size} exp=${exp.size}")
+    // properties: every token position covered; full chunks overlap by w-s
+    docs.foreach { case (id, toks) =>
+      val spans = got.collect { case ((i, _), (st, n, _)) if i == id =>
+        (st, st + n - 1) }.toSeq.sorted
+      assert(spans.head._1 == 1 && spans.last._2 == toks.length.max(1),
+        s"doc $id not covered end-to-end: $spans")
+      spans.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(s2 <= e1 + 1, s"doc $id gap between chunks: $spans")
+        case _ =>
+      }
+    }
+    assert(got.keys.exists(_._2 > 0), "no multi-chunk docs — overlap untested")
+  }
+
   test("i47 plans: feature build and scoring are narrow; epochs aggregate") {
     val plan = CorpusOps.i47_quality_classifier.fn(spark, sfDir)
       .queryExecution.executedPlan.toString

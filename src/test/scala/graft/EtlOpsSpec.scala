@@ -204,4 +204,35 @@ class EtlOpsSpec extends SparkTestBase {
       "v2 commit rewrote v1 data files")
     assert(EtlOps.readManifest(s"$base/v1.manifest") == Seq(s"$base/data/add1"))
   }
+
+  test("b16 cascade audit matches a plain-Scala referential walk") {
+    val custKeys = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val ords = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val liKeys = Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey").collect().map(_.getLong(0))
+    val delCust = custKeys.filter(_ % 97 == 0).toSet
+    assert(delCust.nonEmpty, "fixture plants no forget-keys — vacuous cascade")
+    val delOrd = ords.filter(o => delCust(o._2)).map(_._1).toSet
+    assert(delOrd.nonEmpty, "forget-set customers have no orders — cascade untested")
+    val exp = Map(
+      "customer" -> ((custKeys.length.toLong, delCust.size.toLong,
+        custKeys.filterNot(_ % 97 == 0).sum)),
+      "orders" -> ((ords.length.toLong, delOrd.size.toLong,
+        ords.filterNot(o => delCust(o._2)).map(_._1).sum)),
+      "lineitem" -> ((liKeys.length.toLong, liKeys.count(delOrd).toLong,
+        liKeys.filterNot(delOrd).sum)))
+    val got = EtlOps.b16_cascade_delete.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(4))))
+      .toMap
+    assert(got == exp, s"audit mismatch:\n got=$got\n exp=$exp")
+    // the forget set must broadcast; the cascade must never go nested-loop
+    val plan = EtlOps.b16_cascade_delete.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "forget set not broadcast")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"cascade degenerated:\n${plan.take(600)}")
+  }
 }

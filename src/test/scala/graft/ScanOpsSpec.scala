@@ -81,6 +81,40 @@ class ScanOpsSpec extends SparkTestBase {
     }
   }
 
+  test("a21 z-order layout: per-file bounding boxes shrink in BOTH dims") {
+    ScanOps.a21_zorder_layout.fn(spark, sfDir).count() // writes the layout
+    def fileBoxes(dir: String): Seq[(Long, Long)] =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("l_orderkey") - min("l_orderkey")).as("oke"),
+          (max("l_partkey") - min("l_partkey")).as("pke"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // 1-D baseline: the a16 shape (range-partition + sort on orderkey
+    // alone) over the SAME columns — prunes orderkey, but every file
+    // spans ~the full partkey range
+    val base = graft.Util.scratch("a21_baseline_sorted")
+    Tables.t(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey")
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(base)
+    val zb = fileBoxes(graft.Util.scratch("a21_zorder"))
+    val bb = fileBoxes(base)
+    assert(zb.size >= 4 && bb.size >= 4, s"too few files: z=${zb.size} base=${bb.size}")
+    def mean(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val (zOk, zPk) = (mean(zb.map(_._1)), mean(zb.map(_._2)))
+    val (bOk, bPk) = (mean(bb.map(_._1)), mean(bb.map(_._2)))
+    // both dims must prune under z-order: mean per-file partkey extent is
+    // well under the 1-D layout's (which is ~global), and the orderkey
+    // extent still shrinks vs the GLOBAL span (z-order trades a little
+    // single-key locality for pruning on both keys)
+    val okGlobal = Tables.t(spark, sfDir, "lineitem")
+      .agg((max("l_orderkey") - min("l_orderkey")).cast("long")).collect()(0).getLong(0)
+    assert(zPk < 0.75 * bPk, s"partkey boxes did not shrink: z=$zPk base=$bPk")
+    assert(zOk < 0.75 * okGlobal, s"orderkey boxes did not shrink: z=$zOk global=$okGlobal")
+    assert(bOk < zOk, "sanity: 1-D sort should still win on its own key")
+  }
+
   test("a14 ORC round-trip is lossless and the ORC scan pushes filters") {
     ScanOps.a14_orc_source.fn(spark, sfDir).count() // writes the ORC dir
     val orc = spark.read.orc(graft.Util.scratch("a14_lineitem_orc"))
