@@ -604,7 +604,60 @@ object RelOps {
       |   EXCEPT SELECT o_custkey FROM orders)
       |ORDER BY tag, c_custkey""".stripMargin)
 
+  /** d15: Bloom-pruned join — the semi-join reduction for the regime
+    * BETWEEN broadcast and blind shuffle: the build side (filtered
+    * orders) is too big to ship as an exact key set, but its Bloom
+    * filter is kilobytes, so the probe side (lineitem) drops ~95% of its
+    * rows BEFORE the join shuffle. The filter is built distributed
+    * (`stat.bloomFilter` — a treeAggregate of mergeable sketch partials,
+    * only the final KB-sized bitmap reaches the driver, the offset-table
+    * pattern), embedded in the plan as a literal, and evaluated by
+    * Spark's native codegen'd `BloomFilterMightContain` — no UDF in the
+    * hot path. False positives only cost shuffle bytes; the exact
+    * equi-join behind it decides membership, so the RESULT is exactly
+    * the plain join and the oracle sees no bloom at all. (Spark's AQE
+    * injects this same shape automatically past size thresholds; the
+    * explicit form is the operator because at 100 TB you size/pin it
+    * deliberately — and it composes with any sink, not just joins.)
+    *
+    * The op dumps the per-priority revenue of urgent mod-4 orders — an
+    * aggregate over the joined result, so a bloom that dropped a true
+    * match would change the sums, not just a count.
+    */
+  val d15_join_bloom = OpQuery(
+    (s, d) => {
+      val build = t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_orderpriority")
+      // expected-items from a cheap count: sizing the bloom is part of
+      // the operator (a fixed guess either wastes memory or blows fpp)
+      val nBuild = build.count()
+      val bf = build.stat.bloomFilter("o_orderkey", math.max(nBuild, 1L), 0.01)
+      val bloomBytes = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos); bos.toByteArray
+      }
+      val mightContain = org.apache.spark.sql.graftbridge.Bridge.column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          org.apache.spark.sql.graftbridge.Bridge.expression(lit(bloomBytes)),
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("l_orderkey"))))
+      t(s, d, "lineitem")
+        .filter(mightContain) // prune BEFORE the join shuffle
+        .join(build, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          Par.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+       |  ${Par.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 4 = 0
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "d15_join_bloom" -> d15_join_bloom,
     "c1_project_prune" -> c1_project_prune,
     "c2_filter_conj" -> c2_filter_conj,
     "c3_filter_in_between_like" -> c3_filter_in_between_like,

@@ -661,7 +661,56 @@ object ScanOps {
          |FROM q ORDER BY l_orderkey, l_linenumber""".stripMargin
     })
 
+  /** a22: malformed-record quarantine — the ingest-robustness contract a
+    * 100 TB crawl load needs: a few bad lines must neither kill the job
+    * (FAILFAST) nor silently vanish (DROPMALFORMED), but land in a
+    * quarantine column for audit. The fixture CSV is written with
+    * deterministically corrupted rows (n_nationkey % 5 == 0 gets a
+    * non-numeric region field — the i30 planting convention), then read
+    * back PERMISSIVE with `columnNameOfCorruptRecord`: parseable fields
+    * survive, the malformed field nulls out, and the raw line is captured
+    * verbatim. The oracle reconstructs the same outcome from the parquet
+    * source, so a parser that dropped, mangled or mis-attributed a row
+    * hash-mismatches.
+    *
+    * Shape at scale: both the corrupted write and the PERMISSIVE read are
+    * narrow per-partition passes; quarantined rows stay IN the stream
+    * (filter `quarantined` to route them to a dead-letter sink — no
+    * second parse pass, no driver involvement).
+    */
+  val a22_csv_quarantine = OpQuery(
+    (s, d) => {
+      val dir = graft.Util.scratch("a22_dirty_csv")
+      t(s, d, "nation")
+        .select(concat(
+          col("n_nationkey").cast(StringType), lit(","),
+          col("n_name"), lit(","),
+          when(col("n_nationkey") % 5 === 0, lit("xx"))
+            .otherwise(col("n_regionkey").cast(StringType))).as("value"))
+        .write.mode("overwrite").text(dir)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+          col("_corrupt").isNotNull.as("quarantined"),
+          col("_corrupt").as("raw"))
+        .orderBy("n_nationkey")
+    },
+    """SELECT n_nationkey, n_name,
+      |  CASE WHEN n_nationkey % 5 <> 0 THEN n_regionkey END AS n_regionkey,
+      |  n_nationkey % 5 = 0 AS quarantined,
+      |  CASE WHEN n_nationkey % 5 = 0
+      |       THEN n_nationkey || ',' || n_name || ',xx' END AS raw
+      |FROM nation ORDER BY n_nationkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "a22_csv_quarantine" -> a22_csv_quarantine,
     "a21_zorder_layout" -> a21_zorder_layout,
     "a13_jsonl_source" -> a13_jsonl_source,
     "a14_orc_source" -> a14_orc_source,

@@ -149,4 +149,32 @@ class RelOpsSpec extends SparkTestBase {
       (2L, 20L) -> (2000L * 2000L), (3L, 30L) -> (2000L * 2000L)),
       s"seam/boundary semantics wrong: $got")
   }
+
+  test("d15 bloom prunes the probe side hard, loses nothing, and is codegen-native") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.t(spark, sfDir, "lineitem")
+    val build = Tables.t(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 4 === 0)
+      .select("o_orderkey")
+    val nBuild = build.count()
+    val bf = build.stat.bloomFilter("o_orderkey", math.max(nBuild, 1L), 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val mc = org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graftbridge.Bridge.expression(lit(bytes)),
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("l_orderkey"))))
+    val total = li.count()
+    val passed = li.filter(mc).count()
+    val exact = li.join(build, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(passed >= exact, s"bloom dropped true matches: passed=$passed exact=$exact")
+    assert(passed <= exact + (0.01 * 3 + 0.02) * total,
+      s"bloom fpp way off: passed=$passed exact=$exact total=$total")
+    assert(passed < total / 2, s"bloom pruned nothing: passed=$passed of $total")
+    // hot path must be the native expression, not a UDF
+    val plan = RelOps.d15_join_bloom.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no native bloom filter in plan:\n${plan.take(600)}")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"),
+      "bloom probe went through a UDF")
+  }
 }

@@ -115,6 +115,36 @@ class ScanOpsSpec extends SparkTestBase {
     assert(bOk < zOk, "sanity: 1-D sort should still win on its own key")
   }
 
+  test("a22 quarantine captures exactly the planted bad rows; FAILFAST aborts") {
+    val out = ScanOps.a22_csv_quarantine.fn(spark, sfDir).collect()
+    val bad = out.filter(_.getBoolean(3))
+    assert(bad.nonEmpty, "no quarantined rows — parser robustness untested")
+    bad.foreach { r =>
+      assert(r.getInt(0) % 5 == 0, s"good row quarantined: $r")
+      assert(r.isNullAt(2), s"malformed field did not null out: $r")
+      assert(r.getString(4).endsWith(",xx"), s"raw line not captured: $r")
+    }
+    out.filterNot(_.getBoolean(3)).foreach { r =>
+      assert(!r.isNullAt(2) && r.isNullAt(4), s"good row damaged: $r")
+    }
+    // same file, FAILFAST: the load aborts loudly instead of quarantining
+    // (NOTE: DROPMALFORMED in Spark 4 only drops structurally-broken rows,
+    // not type-conversion failures — which is exactly why the quarantine
+    // shape, not DROPMALFORMED, is the audit-safe ingest mode)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    val thrown = intercept[Exception] {
+      // .collect, not .count: CSV count() short-circuits without parsing
+      // any columns, so a bare count never trips the parser in any mode
+      spark.read.schema(schema).option("mode", "FAILFAST")
+        .csv(graft.Util.scratch("a22_dirty_csv")).collect()
+    }
+    assert(thrown.getMessage != null)
+  }
+
   test("a14 ORC round-trip is lossless and the ORC scan pushes filters") {
     ScanOps.a14_orc_source.fn(spark, sfDir).count() // writes the ORC dir
     val orc = spark.read.orc(graft.Util.scratch("a14_lineitem_orc"))
