@@ -369,7 +369,65 @@ object TokenTermFreq {
   }
 }
 
+/** One-pass hashed bag-of-tokens feature vector (i47): D bucket counts +
+  * a trailing bias 1, bucket = (Σᵢ i·code(charᵢ)) % D per token — the
+  * engine-portable position·charcode hash the i47 oracle recomputes in
+  * SQL. Empty tokens are dropped (the `length(w) > 0` guard folded in).
+  * Replaces a transform/aggregate/filter lambda chain that paid boxed
+  * HOF evaluation per CHARACTER; this is one codegen'd loop per doc.
+  */
+case class HashedBagOfTokens(child: Expression, d: Int)
+  extends UnaryExpression {
+
+  override def prettyName: String = "hashed_bag_of_tokens"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string> (tokens), got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedBagOfTokens.compute(input.asInstanceOf[ArrayData], d)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.HashedBagOfTokens.compute($a, $d);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBagOfTokens =
+    copy(child = newChild)
+}
+
+object HashedBagOfTokens {
+  def compute(arr: ArrayData, d: Int): ArrayData = {
+    val counts = new Array[Long](d + 1)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        if (s.length > 0) {
+          var h = 0L
+          var j = 0
+          while (j < s.length) {
+            h += (j + 1).toLong * s.charAt(j).toInt
+            j += 1
+          }
+          counts((h % d).toInt) += 1L
+        }
+      }
+      i += 1
+    }
+    counts(d) = 1L // bias feature
+    new GenericArrayData(counts)
+  }
+}
+
 object HashFunctions {
+  /** D hashed bag-of-tokens bucket counts + bias (i47). */
+  def hashedBagOfTokens(tokens: Column, d: Int): Column =
+    Bridge.column(HashedBagOfTokens(Bridge.expression(tokens), d))
   def minhashSignature(hashedElems: Column): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashedElems)))
   def simhash64(hashedTokens: Column): Column =

@@ -424,7 +424,32 @@ object AggOps {
        |HAVING count(*) * ${MisraGries.K + 1} > n.n_total
        |ORDER BY cnt DESC, tok""".stripMargin)
 
+  /** e17: argmax/argmin aggregation (max_by/min_by) — "the value of X at
+    * the row where Y is extreme", the latest-event-per-user / best-price-
+    * per-part shape that otherwise costs a self-join or a window pass.
+    * One hash aggregate with map-side partials (max_by partials carry
+    * (y, x) pairs — mergeable), keyed user_id: embarrassingly parallel at
+    * any scale, no window, no join. The ordering key is event_id —
+    * UNIQUE per user, so the argmax is total and engine-portable (ties
+    * on a non-unique key would make max_by engine-arbitrary, the e9
+    * collect_list lesson).
+    */
+  val e17_agg_argmax = OpQuery(
+    (s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("event_type"), col("event_id")).as("latest_type"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max(col("event_id")).as("max_event_id"))
+      .orderBy("user_id"),
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  max_by(event_type, event_id) AS latest_type,
+      |  min_by(event_type, event_id) AS first_type,
+      |  CAST(max(event_id) AS BIGINT) AS max_event_id
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "e17_agg_argmax" -> e17_agg_argmax,
     "e16_heavy_hitters" -> e16_heavy_hitters,
     "e15_sketch_union" -> e15_sketch_union,
     "e14_agg_approx_percentile" -> e14_agg_approx_percentile,

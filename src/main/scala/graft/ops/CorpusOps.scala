@@ -835,16 +835,12 @@ object CorpusOps {
     * training schedule. */
   private[graft] val QcE = 4
 
-  /** The engine-portable token hash both i47 sides compute identically:
-    * sum of position·charcode over the token, mod D. (At 100 TB you would
-    * use xxhash64 — the i41 convention; the char-sum form is what the
-    * regex-subset rule is to i30: the portable subset that keeps the
-    * oracle independent.)
-    */
-  private def qcHashedFeatures(D: Int): Column = expr(
-    s"""concat(transform(sequence(0, ${D - 1}),
-       |  j -> CAST(size(filter(hh, x -> x = j)) AS BIGINT)),
-       |array(CAST(1 AS BIGINT)))""".stripMargin)
+  // The engine-portable token hash both i47 sides compute identically —
+  // sum of position·charcode over the token, mod D — lives in the
+  // compiled HashedBagOfTokens expression (graft.functions) since the r5
+  // perf pass. (At 100 TB you would use xxhash64 — the i41 convention;
+  // the char-sum form is what the regex-subset rule is to i30: the
+  // portable subset that keeps the oracle independent.)
 
   /** i47: trained quality classifier — the wiki-vs-crawl linear scorer of
     * the standard data recipes (the learned counterpart to i29's
@@ -879,14 +875,13 @@ object CorpusOps {
       val docsF = t(s, d, "documents")
         .where(col("text").isNotNull) // the i37/i38 NULL-text guard
         .select(col("doc_id"), col("source"),
-          // length>0 guard: sequence(1, 0) counts DOWN in Spark (i3 rule)
-          expr("filter(split(text, ' '), w -> length(w) > 0)").as("toks"))
-        .select(col("doc_id"), col("source"), expr(
-          s"""transform(toks, w -> aggregate(sequence(1, length(w)),
-             |  CAST(0 AS BIGINT),
-             |  (a, i) -> a + i * ascii(substring(w, i, 1))) % $D)""".stripMargin)
-          .as("hh"))
-        .select(col("doc_id"), col("source"), qcHashedFeatures(D).as("fv"))
+          // one compiled pass per doc (empty-token guard folded in) —
+          // replaced the transform/aggregate/filter HOF chain that paid
+          // boxed lambda evaluation per CHARACTER (measured ~4× on the
+          // feature build); same position·charcode % D math the oracle
+          // recomputes in SQL
+          graft.functions.HashFunctions.hashedBagOfTokens(
+            split(col("text"), " "), D).as("fv"))
         .localCheckpoint() // read E+1 times: E epoch aggregates + scoring
       val labeled = docsF.filter(col("source") =!= "src0")
         .withColumn("y", when(length(col("source")) === 4, 1L).otherwise(-1L))

@@ -656,7 +656,46 @@ object RelOps {
        |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 4 = 0
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 
+  /** d16: salted skew join — e13's hot-key remedy applied to a JOIN: when
+    * one join key carries most of the fact rows, a plain shuffle join
+    * pins that key's entire mass on ONE reducer. Salting spreads it: the
+    * fact side gets a deterministic salt in [0, R), the dimension side
+    * replicates each row R times (dim rows are cheap; fact rows never
+    * duplicate), and the join runs on (key, salt) — the hot key's rows
+    * now land on R reducers. The fixture MAKES the skew (70% of lineitem
+    * lands on key 1 — the i30 planting convention) and the join is
+    * hinted shuffle_hash so the technique is actually exercised (at
+    * fixture scale Catalyst would broadcast the dim and no skew would
+    * exist to fix; at 100 TB the hint is what the planner picks anyway
+    * for a non-broadcastable dim). Salting is result-transparent: the
+    * oracle is the plain unsalted join. AQE's skew-join split is the
+    * automatic alternative; explicit salting is the form that also works
+    * for aggregations and when AQE's thresholds don't trigger.
+    */
+  val d16_join_salted_skew = OpQuery(
+    (s, d) => {
+      val R = 8
+      val fact = t(s, d, "lineitem")
+        .withColumn("k",
+          when(col("l_orderkey") % 10 < 7, 1L).otherwise(col("l_orderkey") % 25))
+        .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(R)))
+      val dim = t(s, d, "nation")
+        .select(col("n_nationkey").cast(LongType).as("k"), col("n_name"))
+        .withColumn("salt", explode(expr(s"sequence(0, ${R - 1})")))
+      fact.join(dim.hint("shuffle_hash"), Seq("k", "salt"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"), Par.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("n_name")
+    },
+    s"""SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+       |  ${Par.dsumSql("l_quantity")} AS sum_qty
+       |FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1
+       |             ELSE l_orderkey % 25 END AS k, l_quantity FROM lineitem) f
+       |JOIN nation ON f.k = n_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "d16_join_salted_skew" -> d16_join_salted_skew,
     "d15_join_bloom" -> d15_join_bloom,
     "c1_project_prune" -> c1_project_prune,
     "c2_filter_conj" -> c2_filter_conj,

@@ -150,6 +150,34 @@ class RelOpsSpec extends SparkTestBase {
       s"seam/boundary semantics wrong: $got")
   }
 
+  test("d16 salted join equals the unsalted join and actually shuffles on (k, salt)") {
+    import org.apache.spark.sql.functions._
+    val got = RelOps.d16_join_salted_skew.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // unsalted reference, same skewed key construction
+    val exp = Tables.t(spark, sfDir, "lineitem")
+      .withColumn("k",
+        when(col("l_orderkey") % 10 < 7, 1L).otherwise(col("l_orderkey") % 25))
+      .join(Tables.t(spark, sfDir, "nation"),
+        col("k") === col("n_nationkey").cast("long"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), graft.Par.dsum(col("l_quantity")).as("q"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == exp, s"salting changed the result:\n got=$got\n exp=$exp")
+    // the planted skew is real, and the hot key spreads over all salts
+    val plan = RelOps.d16_join_salted_skew.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"salted join was not a shuffle join:\n${plan.take(600)}")
+    assert(plan.contains("salt"), "salt key absent from the join")
+    val spread = Tables.t(spark, sfDir, "lineitem")
+      .withColumn("k",
+        when(col("l_orderkey") % 10 < 7, 1L).otherwise(col("l_orderkey") % 25))
+      .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(8)))
+      .filter(col("k") === 1).select("salt").distinct().count()
+    assert(spread == 8, s"hot key only spread over $spread salts")
+  }
+
   test("d15 bloom prunes the probe side hard, loses nothing, and is codegen-native") {
     import org.apache.spark.sql.functions._
     val li = Tables.t(spark, sfDir, "lineitem")

@@ -129,6 +129,53 @@ class VectorExpressionsSpec extends SparkTestBase {
       .collect()(0).isNullAt(0))
   }
 
+  test("DotLong edge semantics and random-array agreement with a reference fold") {
+    import spark.implicits._
+    val df = Seq((Seq(2L, 3L, 5L), Seq(7L, 11L))).toDF("a", "b")
+    assert(df.select(graft.functions.VectorFunctions.dotLong(col("a"), col("b")))
+      .collect()(0).getLong(0) == 14L + 33L) // common-prefix truncation
+    val withNullElem = spark.sql(
+      "SELECT array(1L, CAST(NULL AS BIGINT), 3L) AS a, array(10L, 5L, 7L) AS b")
+    assert(withNullElem.select(
+      graft.functions.VectorFunctions.dotLong(col("a"), col("b")))
+      .collect()(0).getLong(0) == 10L + 21L) // null element contributes 0
+    val withNullArr = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    assert(withNullArr.select(
+      graft.functions.VectorFunctions.dotLong(col("a"), col("b")))
+      .collect()(0).isNullAt(0))
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val arrGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L)))
+    val prop = Prop.forAll(arrGen, arrGen) { (a, b) =>
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(graft.functions.VectorFunctions.dotLong(col("a"), col("b")))
+        .collect()(0).getLong(0)
+      got == a.zip(b).map { case (x, y) => x * y }.sum
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("HashedBagOfTokens matches the SQL HOF formulation it replaced") {
+    import spark.implicits._
+    val D = 16
+    val docs = Seq("hello world a", "", "x yz  zz", "sparkly engines hum")
+    val got = docs.toDF("text")
+      .select(graft.functions.HashFunctions.hashedBagOfTokens(
+        split(col("text"), " "), D).as("fv"))
+      .collect().map(_.getSeq[Long](0).toVector)
+    val exp = docs.map { t =>
+      val counts = new Array[Long](D + 1)
+      t.split(" ").filter(_.nonEmpty).foreach { w =>
+        val h = w.zipWithIndex.map { case (c, i) => (i + 1).toLong * c.toInt }.sum % D
+        counts(h.toInt) += 1
+      }
+      counts(D) = 1L
+      counts.toVector
+    }
+    assert(got.toSeq == exp, s"got=${got.toSeq}\nexp=$exp")
+  }
+
   test("SqDistLong matches a reference fold on random arrays") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     import spark.implicits._
