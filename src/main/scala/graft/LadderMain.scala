@@ -32,6 +32,7 @@ object LadderMain {
     "i12_dedup_embcos" -> ops.LlmOps.i12_dedup_embcos.fn,
     "i34_kmeans_lloyd" -> ops.CorpusOps.i34_kmeans_lloyd.fn,
     "i35_semdedup" -> ops.CorpusOps.i35_semdedup.fn,
+    "i56_triplet_mine" -> ops.LlmOps.i56_triplet_mine.fn,
     "i39_over_i12" -> { (s: SparkSession, d: String) =>
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))
@@ -50,7 +51,8 @@ object LadderMain {
       "i39_dedup_components_lsh", "i41_dedup_substring", "i42_vocab_encode",
       "i31_tfidf_topterms", "i38_doc_logprob", "i45_decontam_capped",
       "i49_perplexity_buckets", "i50_dedup_cluster_stats", "m5_image_dedup",
-      "i51_global_shuffle", "i52_contamination_report", "i53_token_histogram")
+      "i51_global_shuffle", "i52_contamination_report", "i53_token_histogram",
+      "i46_bpe_encode", "e16_heavy_hitters", "i58_chunk_overlap")
       .map(k => k -> SparkEntry.queries(k))
 
   /** media family (r5): the codec-bound ops — audio decode/frames, lazy
@@ -74,6 +76,17 @@ object LadderMain {
       "j14_stream_perplexity_gate")
       .map(k => k -> SparkEntry.queries(k))
 
+  /** rel family (r5): the lineitem-fact join/layout ops — the bloom-pruned
+    * join (build side CONSTANT while the probe grows k×: the regime the
+    * bloom exists for), the salted skew join (the planted hot key keeps
+    * its 70% share at every scale), and the z-order write. The fact
+    * replicates; dimension tables copy through unreplicated — fact-grows/
+    * dims-don't is exactly the organic 100 TB shape.
+    */
+  private def relOps: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("d15_join_bloom", "d16_join_salted_skew", "a21_zorder_layout")
+      .map(k => k -> SparkEntry.queries(k))
+
   def main(args: Array[String]): Unit = {
     val family = args.headOption.getOrElse("emb")
     val (table, idCol, allOps) = family match {
@@ -81,8 +94,9 @@ object LadderMain {
       case "text" => ("documents", "doc_id", textOps)
       case "stream" => ("documents", "doc_id", streamOps)
       case "media" => ("documents", "doc_id", mediaOps)
+      case "rel" => ("lineitem", "l_orderkey", relOps)
       case other => throw new IllegalArgumentException(
-        s"family must be text|emb|stream|media, got $other")
+        s"family must be text|emb|stream|media|rel, got $other")
     }
     // SPARK_GRAFT_ONLY=k1,k2 ladders a subset — Util.onlySubset IS the
     // Bench/Verify behavior (set-but-empty treated as unset; unknown keys
@@ -127,6 +141,13 @@ object LadderMain {
         Util.deleteRecursively(new java.io.File(tmp))
       } else {
         replicated.write.mode("overwrite").parquet(s"$dir/$table.parquet")
+      }
+      if (family == "rel") {
+        // dims copy through UNREPLICATED — the fact-grows/dims-don't shape
+        Seq("orders", "nation").foreach { dim =>
+          Tables.t(spark, sfDir, dim)
+            .write.mode("overwrite").parquet(s"$dir/$dim.parquet")
+        }
       }
       val rows = spark.read.parquet(s"$dir/$table.parquet").count()
       // warm-up: one untimed pass absorbs JIT + codegen + reader init

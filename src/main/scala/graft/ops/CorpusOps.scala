@@ -1367,26 +1367,32 @@ object CorpusOps {
     * nothing document- or corpus-sized materializes. The oracle replays
     * the same integer geometry via list slices.
     */
-  val i58_chunk_overlap = OpQuery(
-    (s, d) => {
-      val (w, st) = (ChunkW, ChunkS)
-      t(s, d, "documents")
-        .where(col("text").isNotNull) // the i37/i38 NULL-text guard
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("nc", expr(
-          s"CASE WHEN size(toks) <= $w THEN 1 ELSE 1 + (size(toks) - $w + ${st - 1}) DIV $st END"))
-        .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"),
-          posexplode(expr(
-            s"transform(sequence(0, nc - 1), i -> slice(toks, i * $st + 1, $w))"))
-            .as(Seq("chunk_id", "ctoks")))
-        .select(col("doc_id"), col("n_tok"),
-          col("chunk_id").cast(LongType).as("chunk_id"),
-          (col("chunk_id") * st + 1).cast(LongType).as("start_tok"),
-          size(col("ctoks")).cast(LongType).as("n_chunk_toks"),
-          array_join(col("ctoks"), " ").as("chunk_text"))
-        .orderBy("doc_id", "chunk_id")
-    },
-    Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  /** The i58 core over an arbitrary (doc_id, text, …) frame — one narrow
+    * stage, shared verbatim by the batch gate and j16's streaming form
+    * (the j11 shared-lineage convention: batch and stream chunk
+    * geometry cannot drift).
+    */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+    val (w, st) = (ChunkW, ChunkS)
+    docs
+      .where(col("text").isNotNull) // the i37/i38 NULL-text guard
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("nc", expr(
+        s"CASE WHEN size(toks) <= $w THEN 1 ELSE 1 + (size(toks) - $w + ${st - 1}) DIV $st END"))
+      .select(col("doc_id"), size(col("toks")).cast(LongType).as("n_tok"),
+        posexplode(expr(
+          s"transform(sequence(0, nc - 1), i -> slice(toks, i * $st + 1, $w))"))
+          .as(Seq("chunk_id", "ctoks")))
+      .select(col("doc_id"), col("n_tok"),
+        col("chunk_id").cast(LongType).as("chunk_id"),
+        (col("chunk_id") * st + 1).cast(LongType).as("start_tok"),
+        size(col("ctoks")).cast(LongType).as("n_chunk_toks"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
+  /** i58's oracle — shared verbatim with j16 (same geometry, same dump). */
+  private[graft] val chunkSql: String =
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
       |         WHERE text IS NOT NULL),
       |dd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
       |        CASE WHEN len(toks) <= $ChunkW THEN 1
@@ -1399,7 +1405,11 @@ object CorpusOps {
       |  CAST(chunk_id * $ChunkS + 1 AS BIGINT) AS start_tok,
       |  CAST(len(ctoks) AS BIGINT) AS n_chunk_toks,
       |  array_to_string(ctoks, ' ') AS chunk_text
-      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin))
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+
+  val i58_chunk_overlap = OpQuery(
+    (s, d) => chunksOf(t(s, d, "documents")).orderBy("doc_id", "chunk_id"),
+    Some(chunkSql))
 
   val all: Map[String, OpQuery] = Map(
     "i58_chunk_overlap" -> i58_chunk_overlap,

@@ -581,7 +581,39 @@ object StreamOps {
     },
     RelOps.d13_join_xmatch.oracle.get)
 
+  /** j16: chunking at ingest — i58's sliding-window chunker on the
+    * document stream (the RAG-indexing pipeline's streaming half: a
+    * crawled page is chunked the moment it arrives, chunks flow straight
+    * to the embedder/vector store). LITERALLY the shared `chunksOf`
+    * lineage (the j11 convention — batch and stream geometry cannot
+    * drift), and chunking is a pure narrow map, so the stream form is a
+    * stateless append: no watermark, no state store, per-batch cost ∝
+    * arriving tokens. Chunk ids stay the (doc_id, chunk_id) pure
+    * function, so re-ingesting a crawled page yields byte-identical
+    * chunk keys — idempotent vector-store upserts for free. Oracle =
+    * i58's SQL verbatim.
+    */
+  val j16_stream_chunk = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j16"))
+      graft.Util.deleteRecursively(ckpt)
+      val src = s.readStream
+        .schema(Tables.t(s, d, "documents").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val q = CorpusOps.chunksOf(src)
+        .writeStream.format("memory").queryName("graft_j16")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_j16").orderBy("doc_id", "chunk_id")
+    },
+    CorpusOps.chunkSql)
+
   val all: Map[String, OpQuery] = Map(
+    "j16_stream_chunk" -> j16_stream_chunk,
     "j15_stream_xmatch" -> j15_stream_xmatch,
     "j14_stream_perplexity_gate" -> j14_stream_perplexity_gate,
     "j13_stream_decontaminate" -> j13_stream_decontaminate,

@@ -316,4 +316,14 @@ class StreamOpsSpec extends SparkTestBase {
     // unwatermarked aggregation state had crept into the plan
     assert(stream.count() > 0, "fixture produced no stream matches (vacuous)")
   }
+
+  test("j16 stream chunking equals batch i58 row-for-row") {
+    val stream = StreamOps.j16_stream_chunk.fn(spark, sfDir)
+    val batch = graft.ops.CorpusOps.i58_chunk_overlap.fn(spark, sfDir)
+    assertSameRows(batch, stream)
+    // multi-chunk docs flowed through the stream (overlap exercised), and
+    // append mode rejecting stateful plans at start() proves statelessness
+    assert(stream.filter(org.apache.spark.sql.functions.col("chunk_id") > 0)
+      .count() > 0, "stream saw only single-chunk docs (vacuous)")
+  }
 }
