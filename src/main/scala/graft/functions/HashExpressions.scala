@@ -408,11 +408,20 @@ object HashedBagOfTokens {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i).toString
         if (s.length > 0) {
+          // iterate CODE POINTS, not UTF-16 units: the SQL form this
+          // kernel replaced (`ascii(substring(w, i, 1))` over `length(w)`)
+          // and the DuckDB oracle (`ascii(w[i])` over `len(w)`) both count
+          // per code point, so a supplementary character must be ONE
+          // position with its full code-point value — charAt/length would
+          // silently diverge from the oracle on non-BMP text
           var h = 0L
           var j = 0
+          var pos = 1
           while (j < s.length) {
-            h += (j + 1).toLong * s.charAt(j).toInt
-            j += 1
+            val cp = s.codePointAt(j)
+            h += pos.toLong * cp
+            j += Character.charCount(cp)
+            pos += 1
           }
           counts((h % d).toInt) += 1L
         }

@@ -36,7 +36,9 @@ object WeightedGeoMean extends Aggregator[(Double, Double), (Double, Double), Do
   * oracle (the e4/e14 convention, but with a hard guarantee instead of a
   * probability band).
   */
-object MisraGries extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+object MisraGries
+  extends Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+    Map[String, Long]] {
   /** Counter budget. K = 30 puts the threshold N/(K+1) just under the
     * fixture's near-uniform 31-token frequencies (~N/31 each), so BOTH
     * outcome classes are populated at every SF — and not by luck: the sum
@@ -46,23 +48,35 @@ object MisraGries extends Aggregator[String, Map[String, Long], Map[String, Long
     * stream length); only this constant changes.
     */
   val K = 30
-  def zero: Map[String, Long] = Map.empty
-  def reduce(b: Map[String, Long], tok: String): Map[String, Long] = {
-    val b2 = b.updated(tok, b.getOrElse(tok, 0L) + 1L)
-    if (b2.size <= K) b2
-    else b2.flatMap { case (t, c) => if (c > 1L) Some(t -> (c - 1L)) else None }
-  }
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val sum = b.foldLeft(a) { case (m, (t, c)) => m.updated(t, m.getOrElse(t, 0L) + c) }
-    if (sum.size <= K) sum
-    else {
-      val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(K)
-      sum.flatMap { case (t, c) => if (c > cut) Some(t -> (c - cut)) else None }
+
+  // Buffer is a MUTABLE map updated in place (Aggregator's documented
+  // performance contract; WeightedGeoMean's tuple buffer is the immutable
+  // degenerate case): in the common full-summary regime every untracked
+  // arrival pays the O(K) MG decrement, and an immutable buffer would pay
+  // a full K-entry map rebuild + per-row allocation on top of it.
+  // Decrement/trim use mapValuesInPlace + filterInPlace — no allocation.
+  type Buf = scala.collection.mutable.HashMap[String, Long]
+
+  def zero: Buf = scala.collection.mutable.HashMap.empty
+  def reduce(b: Buf, tok: String): Buf = {
+    b.update(tok, b.getOrElse(tok, 0L) + 1L)
+    if (b.size > K) {
+      b.mapValuesInPlace((_, c) => c - 1L)
+      b.filterInPlace((_, c) => c > 0L)
     }
+    b
   }
-  def finish(b: Map[String, Long]): Map[String, Long] = b
-  def bufferEncoder =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (t, c) => a.update(t, a.getOrElse(t, 0L) + c) }
+    if (a.size > K) {
+      val cut = a.values.toSeq.sorted(Ordering[Long].reverse)(K)
+      a.mapValuesInPlace((_, c) => c - cut)
+      a.filterInPlace((_, c) => c > 0L)
+    }
+    a
+  }
+  def finish(b: Buf): Map[String, Long] = b.toMap
+  def bufferEncoder = org.apache.spark.sql.Encoders.kryo[Buf]
   def outputEncoder =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 }

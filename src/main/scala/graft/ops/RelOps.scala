@@ -624,25 +624,39 @@ object RelOps {
     * aggregate over the joined result, so a bloom that dropped a true
     * match would change the sums, not just a count.
     */
+  /** d15's build-side filter — one definition for the op and its spec. */
+  private[graft] def d15BuildSide(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 4 === 0)
+      .select("o_orderkey", "o_orderpriority")
+
+  /** Distributed-built Bloom of `build.keyCol` wrapped as the native
+    * codegen'd might_contain predicate over `probe` — shared by d15 and
+    * its spec, so the spec's fp-rate / no-false-negative bounds always
+    * test the construction the op ships. Expected-items comes from a
+    * cheap count: sizing the bloom is part of the operator (a fixed
+    * guess either wastes memory or blows the fpp).
+    */
+  private[graft] def bloomMightContain(build: DataFrame, keyCol: String,
+      probe: Column, fpp: Double): Column = {
+    val n = build.count()
+    val bf = build.stat.bloomFilter(keyCol, math.max(n, 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.graftbridge.Bridge.expression(lit(bytes)),
+        org.apache.spark.sql.graftbridge.Bridge.expression(probe)))
+  }
+
   val d15_join_bloom = OpQuery(
     (s, d) => {
-      val build = t(s, d, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 4 === 0)
-        .select("o_orderkey", "o_orderpriority")
-      // expected-items from a cheap count: sizing the bloom is part of
-      // the operator (a fixed guess either wastes memory or blows fpp)
-      val nBuild = build.count()
-      val bf = build.stat.bloomFilter("o_orderkey", math.max(nBuild, 1L), 0.01)
-      val bloomBytes = {
-        val bos = new java.io.ByteArrayOutputStream()
-        bf.writeTo(bos); bos.toByteArray
-      }
-      val mightContain = org.apache.spark.sql.graftbridge.Bridge.column(
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-          org.apache.spark.sql.graftbridge.Bridge.expression(lit(bloomBytes)),
-          org.apache.spark.sql.graftbridge.Bridge.expression(col("l_orderkey"))))
+      val build = d15BuildSide(s, d)
       t(s, d, "lineitem")
-        .filter(mightContain) // prune BEFORE the join shuffle
+        // prune BEFORE the join shuffle
+        .filter(bloomMightContain(build, "o_orderkey", col("l_orderkey"), 0.01))
         .join(build, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_items"),

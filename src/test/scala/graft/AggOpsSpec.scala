@@ -19,7 +19,8 @@ class MisraGriesSpec extends AnyFunSuite {
     // simulates arbitrary reduce trees
     val parts = toks.grouped(math.max(1, toks.size / chunks)).toSeq
     val partials = parts.map(_.foldLeft(MisraGries.zero)(MisraGries.reduce))
-    rnd.shuffle(partials).foldLeft(MisraGries.zero)(MisraGries.merge)
+    MisraGries.finish(
+      rnd.shuffle(partials).foldLeft(MisraGries.zero)(MisraGries.merge))
   }
 
   test("MG summary is a superset of the true heavy hitters under any partitioning") {

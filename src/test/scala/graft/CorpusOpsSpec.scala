@@ -812,7 +812,9 @@ class CorpusOpsSpec extends SparkTestBase {
     val docs = Tables.t(spark, sfDir, "documents")
       .where(col("text").isNotNull)
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+      // limit -1: keep trailing empty tokens, matching Spark SQL split
+      // (the LlmOpsSpec split convention)
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
     val got = CorpusOps.i58_chunk_overlap.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) ->
         (r.getLong(3), r.getLong(4), r.getString(5))).toMap

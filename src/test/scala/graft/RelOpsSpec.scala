@@ -181,16 +181,10 @@ class RelOpsSpec extends SparkTestBase {
   test("d15 bloom prunes the probe side hard, loses nothing, and is codegen-native") {
     import org.apache.spark.sql.functions._
     val li = Tables.t(spark, sfDir, "lineitem")
-    val build = Tables.t(spark, sfDir, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT" && col("o_orderkey") % 4 === 0)
-      .select("o_orderkey")
-    val nBuild = build.count()
-    val bf = build.stat.bloomFilter("o_orderkey", math.max(nBuild, 1L), 0.01)
-    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
-    val mc = org.apache.spark.sql.graftbridge.Bridge.column(
-      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-        org.apache.spark.sql.graftbridge.Bridge.expression(lit(bytes)),
-        org.apache.spark.sql.graftbridge.Bridge.expression(col("l_orderkey"))))
+    // the SHARED construction (RelOps.bloomMightContain + d15BuildSide) —
+    // the bounds below test exactly what the op ships
+    val build = RelOps.d15BuildSide(spark, sfDir)
+    val mc = RelOps.bloomMightContain(build, "o_orderkey", col("l_orderkey"), 0.01)
     val total = li.count()
     val passed = li.filter(mc).count()
     val exact = li.join(build, col("l_orderkey") === col("o_orderkey"), "left_semi").count()

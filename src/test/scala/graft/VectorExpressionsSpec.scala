@@ -159,7 +159,11 @@ class VectorExpressionsSpec extends SparkTestBase {
   test("HashedBagOfTokens matches the SQL HOF formulation it replaced") {
     import spark.implicits._
     val D = 16
-    val docs = Seq("hello world a", "", "x yz  zz", "sparkly engines hum")
+    // the last doc carries a supplementary (non-BMP) character: the hash
+    // must advance per CODE POINT (like the SQL ascii/len formulation and
+    // the DuckDB oracle), not per UTF-16 unit
+    val docs = Seq("hello world a", "", "x yz  zz", "sparkly engines hum",
+      "café 😀a end")
     val got = docs.toDF("text")
       .select(graft.functions.HashFunctions.hashedBagOfTokens(
         split(col("text"), " "), D).as("fv"))
@@ -167,7 +171,8 @@ class VectorExpressionsSpec extends SparkTestBase {
     val exp = docs.map { t =>
       val counts = new Array[Long](D + 1)
       t.split(" ").filter(_.nonEmpty).foreach { w =>
-        val h = w.zipWithIndex.map { case (c, i) => (i + 1).toLong * c.toInt }.sum % D
+        val cps = w.codePoints().toArray
+        val h = cps.zipWithIndex.map { case (c, i) => (i + 1).toLong * c }.sum % D
         counts(h.toInt) += 1
       }
       counts(D) = 1L
