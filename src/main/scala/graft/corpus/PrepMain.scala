@@ -25,7 +25,9 @@ import org.apache.spark.sql.types.LongType
   *   global training order (i51/i55 cores, optional `--shuffle
   *   hash|curriculum` — attaches the deterministic shuffled or
   *   easy→hard train_pos) →
-  *   partitioned parquet write + JSON manifest
+  *   partitioned parquet write + JSON manifest →
+  *   retrieval chunks (i58 core, optional `--chunks write` — emits
+  *   `<out>/chunks.parquet` from the written post-scrub text)
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
   * and containment flags come from the same shared helpers the gated
@@ -79,12 +81,17 @@ object PrepMain {
       // "hash" attaches the i51 deterministic global training order;
       // "curriculum" the i55 easy->hard order (unscoreable docs last);
       // "none" skips
-      shuffle: String = "none")
+      shuffle: String = "none",
+      // "write" additionally emits <out>/chunks.parquet — the i58 core
+      // over the FINAL kept text (post-scrub), the retrieval-corpus
+      // artifact beside the training corpus; "none" skips
+      chunks: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
-    "--scrub-span", "--scrub-min-docs", "--mix", "--ppl", "--shuffle")
+    "--scrub-span", "--scrub-min-docs", "--mix", "--ppl", "--shuffle",
+    "--chunks")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -115,6 +122,7 @@ object PrepMain {
         case "--mix" => o = o.copy(mix = v)
         case "--ppl" => o = o.copy(ppl = v)
         case "--shuffle" => o = o.copy(shuffle = v)
+        case "--chunks" => o = o.copy(chunks = v)
       }
       i += 2
     }
@@ -124,7 +132,8 @@ object PrepMain {
         "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
-        "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none]")
+        "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none] " +
+        "[--chunks write|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("ccnet", "none")(o.ppl),
@@ -135,6 +144,8 @@ object PrepMain {
       s"--scrub must be substring|none, got ${o.scrub}")
     require(Set("uniform", "none")(o.mix),
       s"--mix must be uniform|none, got ${o.mix}")
+    require(Set("write", "none")(o.chunks),
+      s"--chunks must be write|none, got ${o.chunks}")
     // only meaningful when the scrub stage actually runs (the --dedup-tau
     // convention): k = 1 would excise every repeated TOKEN, min-docs = 1
     // every document
@@ -387,6 +398,22 @@ object PrepMain {
     val nFinal = written.count()
     require(nFinal == nAfterMix,
       s"write round-trip lost rows: $nAfterMix in, $nFinal back")
+
+    // -- stage 6: retrieval chunks (i58 core, optional) --------------------
+    // Chunked from the WRITTEN corpus (post-scrub text, the round-trip the
+    // require above just certified), so the chunk artifact can never
+    // diverge from the training corpus beside it; (doc_id, chunk_id) keys
+    // are the i58 pure function — re-running the pipeline upserts
+    // idempotently into a vector store.
+    val chunkCounts: Map[String, Long] = opts.chunks match {
+      case "write" =>
+        graft.ops.CorpusOps.chunksOf(written)
+          .write.mode("overwrite").parquet(s"${opts.out}/chunks.parquet")
+        val ch = spark.read.parquet(s"${opts.out}/chunks.parquet")
+        Map("n_chunks" -> ch.count(),
+          "n_chunked_docs" -> ch.select("doc_id").distinct().count())
+      case _ => Map.empty
+    }
     val manifest: Map[String, Long] = Map(
       "n_input" -> nInput,
       "n_quality_kept" -> nQualityKept,
@@ -395,7 +422,7 @@ object PrepMain {
       "n_dup_members_corpus" -> dupDrops.count(),
       "n_contaminated_corpus" -> decontamDrops.count(),
       "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts ++
-      pplCounts ++ mixCounts
+      pplCounts ++ mixCounts ++ chunkCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))

@@ -406,5 +406,35 @@ class PrepPipelineSpec extends SparkTestBase {
       "--shuffle", "hash")).shuffle == "hash")
     intercept[IllegalArgumentException](
       PrepMain.parse(Array("--in", "a", "--out", "b", "--shuffle", "rand")))
+    assert(PrepMain.parse(Array("--in", "a", "--out", "b",
+      "--chunks", "write")).chunks == "write")
+    intercept[IllegalArgumentException](
+      PrepMain.parse(Array("--in", "a", "--out", "b", "--chunks", "maybe")))
+  }
+
+  test("--chunks write emits a chunk table covering every kept doc end-to-end") {
+    import org.apache.spark.sql.functions._
+    val outC = Util.scratch("prep_out_chunks")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outC, "minhash",
+      chunks = "write"))
+    val kept = spark.read.parquet(s"$outC/documents.parquet")
+    val ch = spark.read.parquet(s"$outC/chunks.parquet")
+    assert(m("n_chunks") == ch.count() && m("n_chunks") > 0)
+    assert(m("n_chunked_docs") ==
+      kept.filter(col("text").isNotNull).count(),
+      "every kept doc with text must be chunked")
+    // geometry audit straight off the written artifact: the last chunk
+    // ends exactly at n_tok, chunk ids are dense from 0, and the chunk
+    // count matches the i58 integer formula
+    val (w, st) = (graft.ops.CorpusOps.ChunkW, graft.ops.CorpusOps.ChunkS)
+    val bad = ch.groupBy("doc_id")
+      .agg(max(col("start_tok") + col("n_chunk_toks") - 1).as("covered"),
+        max(col("n_tok")).as("n_tok"),
+        count(lit(1)).as("nc"), max(col("chunk_id")).as("maxid"))
+      .filter(col("covered") =!= col("n_tok") ||
+        col("nc") =!= col("maxid") + 1 ||
+        col("nc") =!= when(col("n_tok") <= w, lit(1L))
+          .otherwise(expr(s"1 + (n_tok - $w + ${st - 1}) DIV $st")))
+    assert(bad.isEmpty, s"chunk geometry broken for: ${bad.head(3).mkString}")
   }
 }
