@@ -476,6 +476,36 @@ object FitsFormat {
     * each HDU's (2880-padded) data unit. `extnum` counts table extensions
     * of either flavor in file order.
     */
+  /** Walks EVERY HDU in the stream and returns each header's cards in
+    * file order — the archive fits_info / inventory primitive behind a23.
+    * A clean EOF at an HDU boundary ends the walk; EOF inside a data
+    * unit still throws (a truncated file must not read as a shorter valid
+    * one). Same defensive HDU cap as the locate walks.
+    */
+  def listHdus(in: java.io.DataInput): Seq[Map[String, String]] = {
+    val out = Seq.newBuilder[Map[String, String]]
+    var more = true
+    var n = 0
+    while (more && n < 100) {
+      (try Some(readHeader(in)._1)
+       catch { case _: java.io.EOFException => None }) match {
+        case None => more = false
+        case Some(cards) =>
+          out += cards
+          val dataBytes = dataUnitBytes(cards)
+          var toSkip = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
+          while (toSkip > 0) {
+            val k = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+            if (k <= 0)
+              throw new java.io.EOFException("Unexpected EOF skipping FITS data")
+            toSkip -= k
+          }
+          n += 1
+      }
+    }
+    out.result()
+  }
+
   def locateTable(in: java.io.DataInput, extnum: Int): (Map[String, String], Long) = {
     var offset = 0L
     var bintablesSeen = 0

@@ -287,7 +287,45 @@ object ScalarOps {
       |  CAST(bit_count(o_orderkey) AS BIGINT) AS b_cnt
       |FROM orders ORDER BY o_orderkey""".stripMargin)
 
+  /** h13: edit-distance functions — the typo-tolerant matching primitive
+    * (d14 does blocked record linkage under hamming; this is the scalar
+    * surface under real edit distance). A dirty name is planted per
+    * customer (the i30 convention: drop the 3rd char when id % 3 = 0,
+    * duplicate it when id % 3 = 1, identity otherwise — substitutions,
+    * deletions and exact matches all exercised; same construction in the
+    * oracle), then levenshtein (native codegen'd in Spark, native in
+    * DuckDB) scores the pair and a ≤ 2 band flags the match — the fuzzy
+    * dedup verdict shape. Narrow map; levenshtein is O(len²) per pair —
+    * at 100 TB you BLOCK first (d14's pigeonhole) and run this only on
+    * candidates, exactly how the two ops compose.
+    */
+  val h13_edit_distance = OpQuery(
+    (s, d) => t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"))
+      .withColumn("dirty",
+        when(col("c_custkey") % 3 === 0,
+          concat(substring(col("c_name"), 1, 2), substring(col("c_name"), 4, 1000)))
+          .when(col("c_custkey") % 3 === 1,
+            concat(substring(col("c_name"), 1, 3), substring(col("c_name"), 3, 1000)))
+          .otherwise(col("c_name")))
+      .select(col("c_custkey"), col("c_name"), col("dirty"),
+        levenshtein(col("c_name"), col("dirty")).cast(LongType).as("dist"),
+        (levenshtein(col("c_name"), col("dirty")) <= 2).as("is_match"))
+      .orderBy("c_custkey"),
+    """SELECT c_custkey, c_name, dirty,
+      |  CAST(levenshtein(c_name, dirty) AS BIGINT) AS dist,
+      |  levenshtein(c_name, dirty) <= 2 AS is_match
+      |FROM (SELECT c_custkey, c_name,
+      |        CASE WHEN c_custkey % 3 = 0
+      |             THEN substring(c_name, 1, 2) || substring(c_name, 4)
+      |             WHEN c_custkey % 3 = 1
+      |             THEN substring(c_name, 1, 3) || substring(c_name, 3)
+      |             ELSE c_name END AS dirty
+      |      FROM customer)
+      |ORDER BY c_custkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "h13_edit_distance" -> h13_edit_distance,
     "h1_string_core" -> h1_string_core,
     "h12_bit_funcs" -> h12_bit_funcs,
     "h2_string_split_regex" -> h2_string_split_regex,

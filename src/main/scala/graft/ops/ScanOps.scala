@@ -709,7 +709,69 @@ object ScanOps {
       |       THEN n_nationkey || ',' || n_name || ',xx' END AS raw
       |FROM nation ORDER BY n_nationkey""".stripMargin)
 
+  /** a23: FITS header inventory — the archive `fits_info` utility shape
+    * (and fits2db's own first step: walk the HDUs before deciding what
+    * to load): every HDU of every input file listed with its kind and
+    * geometry, WITHOUT reading any data unit (listHdus skips them —
+    * bytes touched ∝ header blocks, the a20 IO-proportionality argument
+    * applied to metadata). The walk runs EXECUTOR-side via mapPartitions
+    * over the file list — at archive scale (millions of files) the
+    * inventory is a parallel scan over a file table, never a driver
+    * loop. Two fixture files exercise both shapes: a BINTABLE export of
+    * nation (a7's writer) and the a19 multi-HDU image file (header-only
+    * primary + int16 + float32 frames). The oracle reconstructs the
+    * inventory from the fixture construction: table rows = count(nation),
+    * frame height = count(documents) — a walk defect (missed HDU, wrong
+    * NAXIS/TFIELDS, broken data-unit skip) is a hash mismatch.
+    */
+  val a23_fits_header_info = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val tblPath = graft.Util.scratch("a23_nation.fits")
+      graft.fits.FitsWriter.writeDataFrame(tblPath,
+        t(s, d, "nation").orderBy("n_nationkey"), strLens = Map("n_name" -> 25))
+      val imgPath = graft.Util.scratch("a23_survey.fits")
+      graft.fits.FitsWriter.writeImageFits(imgPath, 64,
+        t(s, d, "documents").count())
+      s.createDataset(Seq(("nation_fits", tblPath), ("survey_fits", imgPath)))
+        .repartition(2)
+        .mapPartitions { it =>
+          it.flatMap { case (label, path) =>
+            val raf = new java.io.RandomAccessFile(path, "r")
+            val hdus =
+              try graft.fits.FitsFormat.listHdus(raf)
+              finally raf.close()
+            hdus.zipWithIndex.map { case (cards, i) =>
+              def num(k: String): Long =
+                cards.get(k).map(_.trim.toLong).getOrElse(0L)
+              val kind =
+                if (i == 0) "PRIMARY"
+                else cards.get("XTENSION").map(_.trim).getOrElse("UNKNOWN")
+              val nCols =
+                if (kind == "BINTABLE" || kind == "TABLE") num("TFIELDS")
+                else num("NAXIS1")
+              (label, i.toLong, kind, num("NAXIS2"), nCols)
+            }
+          }
+        }
+        .toDF("fname", "hdu", "kind", "n_rows", "n_cols")
+        .orderBy("fname", "hdu")
+    },
+    """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM nation),
+      |dc AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+      |inv AS (
+      |  SELECT 'nation_fits' AS fname, CAST(0 AS BIGINT) AS hdu,
+      |         'PRIMARY' AS kind, CAST(0 AS BIGINT) AS n_rows,
+      |         CAST(0 AS BIGINT) AS n_cols
+      |  UNION ALL SELECT 'nation_fits', 1, 'BINTABLE', n.cnt, 3 FROM n
+      |  UNION ALL SELECT 'survey_fits', 0, 'PRIMARY', 0, 0
+      |  UNION ALL SELECT 'survey_fits', 1, 'IMAGE', dc.cnt, 64 FROM dc
+      |  UNION ALL SELECT 'survey_fits', 2, 'IMAGE', dc.cnt, 64 FROM dc)
+      |SELECT fname, hdu, kind, n_rows, n_cols FROM inv
+      |ORDER BY fname, hdu""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "a23_fits_header_info" -> a23_fits_header_info,
     "a22_csv_quarantine" -> a22_csv_quarantine,
     "a21_zorder_layout" -> a21_zorder_layout,
     "a13_jsonl_source" -> a13_jsonl_source,

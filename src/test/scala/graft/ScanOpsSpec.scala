@@ -145,6 +145,24 @@ class ScanOpsSpec extends SparkTestBase {
     assert(thrown.getMessage != null)
   }
 
+  test("a23 inventory walk: kinds in file order; truncation fails loudly") {
+    ScanOps.a23_fits_header_info.fn(spark, sfDir).count() // writes fixtures
+    val tbl = graft.Util.scratch("a23_nation.fits")
+    val raf = new java.io.RandomAccessFile(tbl, "r")
+    val hdus = try graft.fits.FitsFormat.listHdus(raf) finally raf.close()
+    assert(hdus.size == 2 && !hdus(0).contains("XTENSION") &&
+      hdus(1)("XTENSION").trim == "BINTABLE", s"walk wrong: ${hdus.map(_.keySet)}")
+    // a file truncated INSIDE a data unit must throw, not read as a
+    // shorter valid file (the listHdus contract)
+    val full = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tbl))
+    val cut = java.util.Arrays.copyOf(full, full.length - 1440)
+    val trunc = graft.Util.scratch("a23_truncated.fits")
+    java.nio.file.Files.write(java.nio.file.Paths.get(trunc), cut)
+    val raf2 = new java.io.RandomAccessFile(trunc, "r")
+    try intercept[java.io.EOFException](graft.fits.FitsFormat.listHdus(raf2))
+    finally raf2.close()
+  }
+
   test("a14 ORC round-trip is lossless and the ORC scan pushes filters") {
     ScanOps.a14_orc_source.fn(spark, sfDir).count() // writes the ORC dir
     val orc = spark.read.orc(graft.Util.scratch("a14_lineitem_orc"))
