@@ -1,0 +1,181 @@
+package graft.fits
+
+import java.nio.charset.StandardCharsets
+
+/** The FITS checksum convention (FITS 4.0 §4.4.2.7 and the Seaman
+  * checksum proposal, public documents): DATASUM records the 32-bit
+  * ones-complement sum of the data unit as a decimal string, and CHECKSUM
+  * holds a 16-character ASCII-encoded value chosen so the ones-complement
+  * sum of the ENTIRE HDU (header including the CHECKSUM card + data)
+  * equals 0xFFFFFFFF — "minus zero" — making whole-file integrity a
+  * single streaming sum with no side table.
+  *
+  * The ASCII encoding follows the published algorithm: the complement is
+  * split into 4 bytes, each byte spread over 4 characters offset from
+  * ASCII '0' with pairwise ±1 adjustments stepping out of the 13
+  * excluded punctuation characters (pair sums invariant), the 16 chars
+  * byte-column interleaved and rotated right one place (the rotation
+  * matches the value's fixed column in the card image, which is what
+  * makes the card's own bytes close the sum to -0).
+  *
+  * Interop caveat (the TileCodec/RICE precedent): self-consistency and
+  * the -0 invariant are verified in-spec, but byte-level agreement with
+  * cfitsio cannot be validated in this zero-egress sandbox — verify
+  * against an external tool before relying on foreign files' checksums.
+  */
+object FitsChecksum {
+
+  /** 32-bit ones-complement sum (end-around carry) of big-endian words.
+    * `len` must be a multiple of 4 — always true for FITS units (2880-
+    * block padded).
+    */
+  def ones32(bytes: Array[Byte], from: Int, len: Int, init: Long): Long = {
+    require(len % 4 == 0, s"ones32 needs 4-aligned length, got $len")
+    var sum = init
+    var i = from
+    val end = from + len
+    while (i < end) {
+      sum += ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      i += 4
+    }
+    while ((sum >>> 32) != 0) sum = (sum & 0xffffffffL) + (sum >>> 32)
+    sum
+  }
+
+  private val Excluded: Array[Char] =
+    ":;<=>?@[\\]^_`".toCharArray
+
+  /** ASCII-encode the 32-bit value per the convention (see object doc). */
+  def encode(value: Long): String = {
+    val out = new Array[Char](16)
+    var i = 0
+    while (i < 4) {
+      val b = ((value >>> (8 * (3 - i))) & 0xff).toInt
+      val ch = Array.fill(4)(b / 4 + '0')
+      ch(0) += b % 4
+      var adjusting = true
+      while (adjusting) {
+        adjusting = false
+        var k = 0
+        while (k < Excluded.length) {
+          var j = 0
+          while (j < 4) {
+            if (ch(j) == Excluded(k) || ch(j + 1) == Excluded(k)) {
+              ch(j) += 1; ch(j + 1) -= 1; adjusting = true
+            }
+            j += 2
+          }
+          k += 1
+        }
+      }
+      var j = 0
+      while (j < 4) { out(4 * j + i) = ch(j).toChar; j += 1 }
+      i += 1
+    }
+    // rotate right one place (fixed card-column alignment)
+    (out(15) +: out.take(15)).mkString
+  }
+
+  private def card(key: String, value: String, quote: Boolean): Array[Byte] = {
+    val v = if (quote) s"'$value'" else value
+    s"${key.padTo(8, ' ')}= ${if (quote) v.padTo(20, ' ') else v.reverse.padTo(20, ' ').reverse}"
+      .padTo(80, ' ').getBytes(StandardCharsets.US_ASCII)
+  }
+
+  private final case class Hdu(headerStart: Long, headerBytes: Int,
+    dataBytes: Long, cards: Map[String, String])
+
+  private def walk(bytes: Array[Byte]): Seq[Hdu] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[Hdu]
+    var offset = 0L
+    var more = offset < bytes.length
+    while (more) {
+      (try Some(FitsFormat.readHeader(in))
+       catch { case _: java.io.EOFException => None }) match {
+        case None => more = false
+        case Some((cards, headerBytes)) =>
+          val data = FitsFormat.dataUnitBytes(cards)
+          val padded = ((data + FitsFormat.BlockSize - 1) /
+            FitsFormat.BlockSize) * FitsFormat.BlockSize
+          out += Hdu(offset, headerBytes.toInt, padded, cards)
+          var toSkip = padded
+          while (toSkip > 0) {
+            val k = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+            if (k <= 0) throw new java.io.EOFException("EOF in FITS data unit")
+            toSkip -= k
+          }
+          offset += headerBytes + padded
+          if (offset >= bytes.length) more = false
+      }
+    }
+    out.result()
+  }
+
+  /** Rewrites `path` in place with DATASUM + CHECKSUM cards in every HDU
+    * header (inserted before END; header re-padded). A post-pass by
+    * design here — at scale the sums fold into the write path (they are
+    * one streaming add per word); fixture files are MBs.
+    */
+  def addChecksums(path: String): Unit = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bos = new java.io.ByteArrayOutputStream(bytes.length + 4 * 2880)
+    walk(bytes).foreach { h =>
+      val hdrEnd = h.headerStart.toInt + h.headerBytes
+      // locate the END card inside the original header bytes
+      var endPos = h.headerStart.toInt
+      while (!(bytes(endPos) == 'E' && bytes(endPos + 1) == 'N' &&
+        bytes(endPos + 2) == 'D' && bytes(endPos + 3) == ' ')) {
+        endPos += 80
+        require(endPos < hdrEnd, s"END card not found in HDU at ${h.headerStart}")
+      }
+      val dataFrom = hdrEnd
+      val datasum = ones32(bytes, dataFrom, h.dataBytes.toInt, 0L)
+      // new header: cards before END + DATASUM + CHECKSUM(placeholder) +
+      // END, padded to a block multiple
+      val pre = java.util.Arrays.copyOfRange(bytes, h.headerStart.toInt, endPos)
+      val dsCard = card("DATASUM", datasum.toString, quote = true)
+      val ckPlaceholder = card("CHECKSUM", "0" * 16, quote = true)
+      val endCard = "END".padTo(80, ' ').getBytes(StandardCharsets.US_ASCII)
+      val rawLen = pre.length + dsCard.length + ckPlaceholder.length + endCard.length
+      val paddedLen = ((rawLen + FitsFormat.BlockSize - 1) /
+        FitsFormat.BlockSize) * FitsFormat.BlockSize
+      val header = new Array[Byte](paddedLen)
+      java.util.Arrays.fill(header, ' '.toByte)
+      System.arraycopy(pre, 0, header, 0, pre.length)
+      System.arraycopy(dsCard, 0, header, pre.length, 80)
+      val ckPos = pre.length + 80
+      System.arraycopy(ckPlaceholder, 0, header, ckPos, 80)
+      System.arraycopy(endCard, 0, header, ckPos + 80, 80)
+      // the complement of (header-with-placeholder + data) closes the
+      // HDU sum to 0xFFFFFFFF once encoded into the CHECKSUM value
+      val hduSum = ones32(bytes, dataFrom, h.dataBytes.toInt,
+        ones32(header, 0, paddedLen, 0L))
+      val complement = 0xffffffffL - hduSum
+      val enc = encode(complement).getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(enc, 0, header, ckPos + 11, 16) // inside the quotes
+      bos.write(header)
+      bos.write(bytes, dataFrom, h.dataBytes.toInt)
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bos.toByteArray)
+  }
+
+  /** Per-HDU verification: (hduIndex, hasChecksum, datasumOk, hduOk).
+    * hduOk is the streaming invariant — ones-complement sum of the whole
+    * HDU image equals 0xFFFFFFFF; datasumOk recomputes the data sum
+    * against the recorded decimal.
+    */
+  def verify(path: String): Seq[(Int, Boolean, Boolean, Boolean)] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    walk(bytes).zipWithIndex.map { case (h, i) =>
+      val has = h.cards.contains("CHECKSUM") && h.cards.contains("DATASUM")
+      val dataFrom = h.headerStart.toInt + h.headerBytes
+      val dsOk = has && h.cards("DATASUM").trim ==
+        ones32(bytes, dataFrom, h.dataBytes.toInt, 0L).toString
+      val hduOk = has && ones32(bytes, h.headerStart.toInt,
+        h.headerBytes + h.dataBytes.toInt, 0L) == 0xffffffffL
+      (i, has, dsOk, hduOk)
+    }
+  }
+}

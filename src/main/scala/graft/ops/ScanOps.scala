@@ -770,7 +770,45 @@ object ScanOps {
       |SELECT fname, hdu, kind, n_rows, n_cols FROM inv
       |ORDER BY fname, hdu""".stripMargin)
 
+  /** a24: FITS checksum integrity (DATASUM/CHECKSUM, FITS 4.0 §4.4.2.7)
+    * — the archive fixity convention: DATASUM records the data unit's
+    * 32-bit ones-complement sum, CHECKSUM an ASCII-encoded value chosen
+    * so the WHOLE HDU sums to "minus zero" (0xFFFFFFFF) — integrity
+    * verification becomes one streaming add per 32-bit word, no side
+    * database (what `fverify`/archive fixity audits run on every file).
+    * The op writes nation to FITS, stamps checksums into both HDUs, and
+    * verifies EXECUTOR-side (the a23 mapPartitions shape — an
+    * archive-scale fixity audit is a parallel scan over the file table);
+    * the verified file then round-trips through the DSv2 (the new cards
+    * must not disturb the reader). The oracle pins the verification
+    * verdicts as literals plus the row count — a broken sum, encoding,
+    * or header rewrite flips a boolean and hash-mismatches; the spec
+    * additionally proves a single flipped data byte fails verification.
+    */
+  val a24_fits_checksum = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val path = graft.Util.scratch("a24_nation.fits")
+      graft.fits.FitsWriter.writeDataFrame(path,
+        t(s, d, "nation").orderBy("n_nationkey"), strLens = Map("n_name" -> 25))
+      graft.fits.FitsChecksum.addChecksums(path)
+      val verdicts = s.createDataset(Seq(path)).repartition(1)
+        .mapPartitions(_.flatMap(p => graft.fits.FitsChecksum.verify(p)))
+        .toDF("hdu", "has_checksum", "datasum_ok", "hdu_ok")
+        .select(col("hdu").cast(LongType).as("hdu"),
+          col("has_checksum"), col("datasum_ok"), col("hdu_ok"))
+      val rows = s.read.format("fits").load(path)
+        .agg(count(lit(1)).as("n_rows"))
+      verdicts.crossJoin(broadcast(rows)).orderBy("hdu")
+    },
+    """SELECT hdu, true AS has_checksum, true AS datasum_ok, true AS hdu_ok,
+      |  n.n_rows
+      |FROM (SELECT CAST(0 AS BIGINT) AS hdu UNION ALL SELECT 1) h
+      |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM nation) n
+      |ORDER BY hdu""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "a24_fits_checksum" -> a24_fits_checksum,
     "a23_fits_header_info" -> a23_fits_header_info,
     "a22_csv_quarantine" -> a22_csv_quarantine,
     "a21_zorder_layout" -> a21_zorder_layout,

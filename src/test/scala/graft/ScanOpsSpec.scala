@@ -163,6 +163,36 @@ class ScanOpsSpec extends SparkTestBase {
     finally raf2.close()
   }
 
+  test("a24 checksums: -0 invariant holds, flipped byte fails, reader unaffected") {
+    ScanOps.a24_fits_checksum.fn(spark, sfDir).count() // writes + stamps
+    val path = graft.Util.scratch("a24_nation.fits")
+    val clean = graft.fits.FitsChecksum.verify(path)
+    assert(clean.size == 2 && clean.forall { case (_, h, ds, hs) => h && ds && hs },
+      s"clean file failed verification: $clean")
+    // the checksummed file still reads byte-identically through the DSv2
+    val viaFits = spark.read.format("fits").load(path)
+    val src = Tables.t(spark, sfDir, "nation")
+    assert(viaFits.exceptAll(src).isEmpty && src.exceptAll(viaFits).isEmpty)
+    // a single flipped DATA byte must flip both verdicts of that HDU
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val tampered = graft.Util.scratch("a24_tampered.fits")
+    // find HDU 1's data: after two headers + primary data (primary is
+    // header-only here) — flip a byte deep in the tail instead of
+    // hand-computing offsets: the LAST data block belongs to HDU 1
+    bytes(bytes.length - 2880 / 2) = (bytes(bytes.length - 2880 / 2) ^ 0x55).toByte
+    java.nio.file.Files.write(java.nio.file.Paths.get(tampered), bytes)
+    val bad = graft.fits.FitsChecksum.verify(tampered)
+    assert(bad.exists { case (_, _, ds, hs) => !ds || !hs },
+      s"tampered file verified clean: $bad")
+    // encode spans the full 32-bit range without excluded characters
+    val excluded = ":;<=>?@[\\]^_`".toSet
+    Seq(0L, 1L, 0xffffffffL, 0x12345678L, 0xdeadbeefL, 0x80000000L).foreach { v =>
+      val e = graft.fits.FitsChecksum.encode(v)
+      assert(e.length == 16 && e.forall(c => !excluded(c) && c >= '0'),
+        s"encode($v) = '$e' has excluded chars")
+    }
+  }
+
   test("a14 ORC round-trip is lossless and the ORC scan pushes filters") {
     ScanOps.a14_orc_source.fn(spark, sfDir).count() // writes the ORC dir
     val orc = spark.read.orc(graft.Util.scratch("a14_lineitem_orc"))
