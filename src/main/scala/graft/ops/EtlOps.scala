@@ -317,22 +317,28 @@ object EtlOps {
     * large; the history append is a union, no extra shuffle. Narrow
     * after the join.
     */
+  /** The b14 SCD2 history frame (c_custkey, version, acctbal, valid_from,
+    * valid_to, is_current) — shared by the b14 gate and d17's
+    * point-in-time join (one construction, one planted changeset).
+    */
+  private[graft] def scd2History(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val changes = dim.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
+    val j = dim.join(broadcast(changes), Seq("c_custkey"), "left")
+    val v1 = j.select(col("c_custkey"), lit(1L).as("version"),
+      col("c_acctbal").as("acctbal"), lit(1L).as("valid_from"),
+      when(col("new_bal").isNotNull, lit(2L)).as("valid_to"),
+      col("new_bal").isNull.as("is_current"))
+    val v2 = j.filter(col("new_bal").isNotNull)
+      .select(col("c_custkey"), lit(2L).as("version"),
+        col("new_bal").as("acctbal"), lit(2L).as("valid_from"),
+        lit(null).cast(LongType).as("valid_to"), lit(true).as("is_current"))
+    v1.unionAll(v2)
+  }
+
   val b14_scd2_history = OpQuery(
-    (s, d) => {
-      val dim = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
-      val changes = dim.filter(col("c_custkey") % 10 === 3)
-        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("new_bal"))
-      val j = dim.join(broadcast(changes), Seq("c_custkey"), "left")
-      val v1 = j.select(col("c_custkey"), lit(1L).as("version"),
-        col("c_acctbal").as("acctbal"), lit(1L).as("valid_from"),
-        when(col("new_bal").isNotNull, lit(2L)).as("valid_to"),
-        col("new_bal").isNull.as("is_current"))
-      val v2 = j.filter(col("new_bal").isNotNull)
-        .select(col("c_custkey"), lit(2L).as("version"),
-          col("new_bal").as("acctbal"), lit(2L).as("valid_from"),
-          lit(null).cast(LongType).as("valid_to"), lit(true).as("is_current"))
-      v1.unionAll(v2).orderBy("c_custkey", "version")
-    },
+    (s, d) => scd2History(s, d).orderBy("c_custkey", "version"),
     """WITH ch AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal
       |           FROM customer WHERE c_custkey % 10 = 3),
       |j AS (SELECT c.c_custkey, c.c_acctbal, ch.new_bal
@@ -464,7 +470,81 @@ object EtlOps {
       |  sum_key_after
       |FROM u ORDER BY tbl""".stripMargin)
 
+  /** b17: declarative constraint audit — the load-validation contract
+    * table (the dbt-test / expectations shape, and fits2db's implicit
+    * promise: what landed in the DB is what the file said): NOT NULL,
+    * UNIQUE, FK and RANGE expectations each audited to a violation
+    * count over a staging frame. The fixture corpus is clean, so a
+    * staging copy plants one defect class per expectation (the i30
+    * convention, same construction in the oracle; the %31 NULL takes
+    * precedence over the %37 orphan in BOTH CASE chains): NULL custkeys,
+    * out-of-domain FK orphans, negated prices, and appended duplicate
+    * keys. Violations are counted, never dropped — an audit that
+    * repairs silently is how bad loads go unnoticed; routing/repair is
+    * the caller's policy (a22's quarantine argument at table scope).
+    *
+    * Shape at scale: NOT NULL / RANGE are narrow map-side counts;
+    * UNIQUE is count − countDistinct (one expand-free aggregate, no
+    * per-key groupBy materialization); FK is a left-anti join against
+    * the parent keys (broadcast here, shuffle join when the parent is
+    * big). The staging frame is localCheckpoint'ed — FIVE consumers
+    * (four audits + the total) would otherwise replay the corruption
+    * lineage each (the i37 shared-base convention).
+    */
+  val b17_constraint_audit = OpQuery(
+    (s, d) => {
+      val c0 = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 31 === 0, lit(null).cast(LongType))
+            .when(col("o_orderkey") % 37 === 0, col("o_custkey") + 1000000000L)
+            .otherwise(col("o_custkey")).as("k"),
+          when(col("o_orderkey") % 43 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")).as("p"))
+      val staged = c0.unionAll(c0.filter(col("o_orderkey") % 41 === 0))
+        .localCheckpoint()
+      val parent = t(s, d, "customer").select(col("c_custkey"))
+      def audit(name: String, violations: DataFrame): DataFrame =
+        violations.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("constraint_name"), col("n_violations"))
+      audit("not_null_custkey", staged.filter(col("k").isNull))
+        .unionAll(audit("fk_custkey", staged.filter(col("k").isNotNull)
+          .join(broadcast(parent), col("k") === col("c_custkey"), "left_anti")))
+        .unionAll(audit("range_totalprice", staged.filter(col("p") < 0)))
+        .unionAll(staged.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_violations"))
+          .select(lit("unique_orderkey").as("constraint_name"),
+            col("n_violations")))
+        .crossJoin(broadcast(
+          staged.agg(count(lit(1)).as("n_rows_checked"))))
+        .orderBy("constraint_name")
+    },
+    """WITH c0 AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 31 = 0 THEN NULL
+      |         WHEN o_orderkey % 37 = 0 THEN o_custkey + 1000000000
+      |         ELSE o_custkey END AS k,
+      |    CASE WHEN o_orderkey % 43 = 0 THEN -o_totalprice
+      |         ELSE o_totalprice END AS p
+      |  FROM orders),
+      |staged AS (SELECT * FROM c0
+      |           UNION ALL SELECT * FROM c0 WHERE o_orderkey % 41 = 0),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows_checked FROM staged),
+      |v AS (
+      |  SELECT 'not_null_custkey' AS constraint_name,
+      |    CAST(count(*) AS BIGINT) AS n_violations FROM staged WHERE k IS NULL
+      |  UNION ALL
+      |  SELECT 'fk_custkey', CAST(count(*) AS BIGINT) FROM staged
+      |  WHERE k IS NOT NULL AND k NOT IN (SELECT c_custkey FROM customer)
+      |  UNION ALL
+      |  SELECT 'range_totalprice', CAST(count(*) AS BIGINT) FROM staged WHERE p < 0
+      |  UNION ALL
+      |  SELECT 'unique_orderkey',
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM staged)
+      |SELECT constraint_name, n_violations, tot.n_rows_checked
+      |FROM v CROSS JOIN tot
+      |ORDER BY constraint_name""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "b17_constraint_audit" -> b17_constraint_audit,
     "b16_cascade_delete" -> b16_cascade_delete,
     "b15_snapshot_read" -> b15_snapshot_read,
     "b14_scd2_history" -> b14_scd2_history,

@@ -708,7 +708,63 @@ object RelOps {
        |JOIN nation ON f.k = n_nationkey
        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 
+  /** d17: point-in-time (as-of version) join against SCD2 history — the
+    * warehouse temporal-correctness query b14's history EXISTS for: each
+    * fact row joins the dimension version that was valid AT ITS OWN
+    * point in time, not today's row (joining the current dimension
+    * silently rewrites history — the classic reporting bug). The fact's
+    * as-of version is planted from o_orderkey (the i30 convention, both
+    * engines), the dimension is b14's shared `scd2History` frame
+    * (literally one construction — gate and consumer cannot drift), and
+    * the predicate is the half-open validity interval
+    * [valid_from, valid_to). d7's as-of join is event-TIME nearest; this
+    * is VERSION-interval membership — the two temporal shapes.
+    *
+    * Shape at scale: an equi-join on the dimension key with the interval
+    * as a residual filter — hash/SMJ keyed c_custkey, never a nested
+    * loop (the d6 rule; spec-asserted); history is dimension-sized ⇒
+    * broadcast here, plain shuffle join when it isn't. Each fact matches
+    * EXACTLY one version (SCD2 intervals partition the timeline), so no
+    * dedup is needed — the spec proves the bijection.
+    */
+  val d17_join_pit = OpQuery(
+    (s, d) => {
+      val hist = EtlOps.scd2History(s, d)
+      val facts = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 2 + 1).as("asof_version"))
+      facts.join(broadcast(hist),
+        col("o_custkey") === col("c_custkey") &&
+          col("asof_version") >= col("valid_from") &&
+          (col("valid_to").isNull || col("asof_version") < col("valid_to")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_version").cast(LongType).as("asof_version"),
+          col("version"), col("acctbal"))
+        .orderBy("o_orderkey")
+    },
+    """WITH ch AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+      |           FROM customer WHERE c_custkey % 10 = 3),
+      |j AS (SELECT c.c_custkey, c.c_acctbal, ch.new_bal
+      |      FROM customer c LEFT JOIN ch USING (c_custkey)),
+      |hist AS (
+      |  SELECT c_custkey, CAST(1 AS BIGINT) AS version, c_acctbal AS acctbal,
+      |    1 AS valid_from,
+      |    CASE WHEN new_bal IS NOT NULL THEN 2 END AS valid_to
+      |  FROM j
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(2 AS BIGINT), new_bal, 2, NULL
+      |  FROM j WHERE new_bal IS NOT NULL),
+      |f AS (SELECT o_orderkey, o_custkey, o_orderkey % 2 + 1 AS asof
+      |      FROM orders)
+      |SELECT f.o_orderkey, f.o_custkey, CAST(f.asof AS BIGINT) AS asof_version,
+      |  h.version, h.acctbal
+      |FROM f JOIN hist h ON f.o_custkey = h.c_custkey
+      |  AND f.asof >= h.valid_from
+      |  AND (h.valid_to IS NULL OR f.asof < h.valid_to)
+      |ORDER BY o_orderkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "d17_join_pit" -> d17_join_pit,
     "d16_join_salted_skew" -> d16_join_salted_skew,
     "d15_join_bloom" -> d15_join_bloom,
     "c1_project_prune" -> c1_project_prune,

@@ -205,6 +205,29 @@ class EtlOpsSpec extends SparkTestBase {
     assert(EtlOps.readManifest(s"$base/v1.manifest") == Seq(s"$base/data/add1"))
   }
 
+  test("b17 audit counts exactly the planted defects; no class vacuous") {
+    val okeys = Tables.t(spark, sfDir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val custSet = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    // staged = orders + the %41 duplicates; classes mirror the op exactly
+    val staged = okeys ++ okeys.filter(_ % 41 == 0)
+    val exp = Map(
+      "not_null_custkey" -> staged.count(_ % 31 == 0).toLong,
+      // %37 keys that are NOT %31 get the out-of-domain offset; their
+      // original custkeys were valid, so orphan count = class size
+      "fk_custkey" -> staged.count(k => k % 31 != 0 && k % 37 == 0).toLong,
+      "range_totalprice" -> staged.count(_ % 43 == 0).toLong,
+      "unique_orderkey" -> okeys.count(_ % 41 == 0).toLong)
+    val got = EtlOps.b17_constraint_audit.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"audit mismatch:\n got=$got\n exp=$exp")
+    exp.foreach { case (k, v) =>
+      assert(v > 0, s"constraint $k has no planted violations — vacuous audit")
+    }
+    assert(custSet.nonEmpty) // sanity: FK parent exists
+  }
+
   test("b16 cascade audit matches a plain-Scala referential walk") {
     val custKeys = Tables.t(spark, sfDir, "customer")
       .select("c_custkey").collect().map(_.getLong(0))

@@ -178,6 +178,30 @@ class RelOpsSpec extends SparkTestBase {
     assert(spread == 8, s"hot key only spread over $spread salts")
   }
 
+  test("d17 point-in-time join: exactly one version per fact, correct era, no BNLJ") {
+    import org.apache.spark.sql.functions._
+    val out = RelOps.d17_join_pit.fn(spark, sfDir)
+    val nFacts = Tables.t(spark, sfDir, "orders").count()
+    assert(out.count() == nFacts, "PIT join must be a bijection on facts")
+    assert(out.select("o_orderkey").distinct().count() == nFacts,
+      "a fact matched multiple dimension versions")
+    // era correctness: a changed customer (custkey % 10 == 3) seen as-of
+    // version 1 must show the ORIGINAL balance; as-of 2 the updated one
+    val changed = out.filter(col("o_custkey") % 10 === 3)
+    assert(changed.filter(col("asof_version") === 1 && col("version") =!= 1)
+      .count() == 0, "as-of v1 fact resolved to a later version")
+    assert(changed.filter(col("asof_version") === 2 && col("version") =!= 2)
+      .count() == 0, "as-of v2 fact resolved to the closed version")
+    assert(changed.filter(col("asof_version") === 2).count() > 0,
+      "no changed-customer v2 facts — era logic untested")
+    // unchanged customers always resolve to their single open version 1
+    assert(out.filter(col("o_custkey") % 10 =!= 3 && col("version") =!= 1)
+      .count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"PIT join degenerated:\n${plan.take(600)}")
+  }
+
   test("d15 bloom prunes the probe side hard, loses nothing, and is codegen-native") {
     import org.apache.spark.sql.functions._
     val li = Tables.t(spark, sfDir, "lineitem")
