@@ -77,41 +77,15 @@ object FitsChecksum {
     (out(15) +: out.take(15)).mkString
   }
 
-  private def card(key: String, value: String, quote: Boolean): Array[Byte] = {
-    val v = if (quote) s"'$value'" else value
-    s"${key.padTo(8, ' ')}= ${if (quote) v.padTo(20, ' ') else v.reverse.padTo(20, ' ').reverse}"
-      .padTo(80, ' ').getBytes(StandardCharsets.US_ASCII)
-  }
-
-  private final case class Hdu(headerStart: Long, headerBytes: Int,
-    dataBytes: Long, cards: Map[String, String])
-
-  private def walk(bytes: Array[Byte]): Seq[Hdu] = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val out = Seq.newBuilder[Hdu]
-    var offset = 0L
-    var more = offset < bytes.length
-    while (more) {
-      (try Some(FitsFormat.readHeader(in))
-       catch { case _: java.io.EOFException => None }) match {
-        case None => more = false
-        case Some((cards, headerBytes)) =>
-          val data = FitsFormat.dataUnitBytes(cards)
-          val padded = ((data + FitsFormat.BlockSize - 1) /
-            FitsFormat.BlockSize) * FitsFormat.BlockSize
-          out += Hdu(offset, headerBytes.toInt, padded, cards)
-          var toSkip = padded
-          while (toSkip > 0) {
-            val k = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
-            if (k <= 0) throw new java.io.EOFException("EOF in FITS data unit")
-            toSkip -= k
-          }
-          offset += headerBytes + padded
-          if (offset >= bytes.length) more = false
-      }
-    }
-    out.result()
-  }
+  // ONE walk implementation (FitsFormat.walkHdus — byte-accounted, no
+  // EOF swallow) and ONE card formatter (FitsWriter.card — pads quoted
+  // strings to the FITS 8-char minimum) serve reader, writer, inventory
+  // and this module; a damaged file therefore throws here instead of
+  // being silently truncated by the rewrite below.
+  private def walk(bytes: Array[Byte]): Seq[FitsFormat.HduLoc] =
+    FitsFormat.walkHdus(
+      new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)),
+      bytes.length.toLong)
 
   /** Rewrites `path` in place with DATASUM + CHECKSUM cards in every HDU
     * header (inserted before END; header re-padded). A post-pass by
@@ -122,7 +96,7 @@ object FitsChecksum {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val bos = new java.io.ByteArrayOutputStream(bytes.length + 4 * 2880)
     walk(bytes).foreach { h =>
-      val hdrEnd = h.headerStart.toInt + h.headerBytes
+      val hdrEnd = (h.headerStart + h.headerBytes).toInt
       // locate the END card inside the original header bytes
       var endPos = h.headerStart.toInt
       while (!(bytes(endPos) == 'E' && bytes(endPos + 1) == 'N' &&
@@ -133,10 +107,17 @@ object FitsChecksum {
       val dataFrom = hdrEnd
       val datasum = ones32(bytes, dataFrom, h.dataBytes.toInt, 0L)
       // new header: cards before END + DATASUM + CHECKSUM(placeholder) +
-      // END, padded to a block multiple
-      val pre = java.util.Arrays.copyOfRange(bytes, h.headerStart.toInt, endPos)
-      val dsCard = card("DATASUM", datasum.toString, quote = true)
-      val ckPlaceholder = card("CHECKSUM", "0" * 16, quote = true)
+      // END, padded to a block multiple. Prior DATASUM/CHECKSUM cards are
+      // DROPPED first — re-stamping must replace, not accumulate
+      // (duplicate keywords are malformed FITS and the stale pair would
+      // shadow the fresh one under first-occurrence readers).
+      val pre0 = java.util.Arrays.copyOfRange(bytes, h.headerStart.toInt, endPos)
+      val pre = pre0.grouped(80).filterNot { c =>
+        val key = new String(c.take(8), StandardCharsets.US_ASCII).trim
+        key == "DATASUM" || key == "CHECKSUM"
+      }.flatten.toArray
+      val dsCard = FitsWriter.card("DATASUM", datasum.toString, quote = true)
+      val ckPlaceholder = FitsWriter.card("CHECKSUM", "0" * 16, quote = true)
       val endCard = "END".padTo(80, ' ').getBytes(StandardCharsets.US_ASCII)
       val rawLen = pre.length + dsCard.length + ckPlaceholder.length + endCard.length
       val paddedLen = ((rawLen + FitsFormat.BlockSize - 1) /
@@ -170,11 +151,11 @@ object FitsChecksum {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     walk(bytes).zipWithIndex.map { case (h, i) =>
       val has = h.cards.contains("CHECKSUM") && h.cards.contains("DATASUM")
-      val dataFrom = h.headerStart.toInt + h.headerBytes
+      val dataFrom = (h.headerStart + h.headerBytes).toInt
       val dsOk = has && h.cards("DATASUM").trim ==
         ones32(bytes, dataFrom, h.dataBytes.toInt, 0L).toString
       val hduOk = has && ones32(bytes, h.headerStart.toInt,
-        h.headerBytes + h.dataBytes.toInt, 0L) == 0xffffffffL
+        (h.headerBytes + h.dataBytes).toInt, 0L) == 0xffffffffL
       (i, has, dsOk, hduOk)
     }
   }

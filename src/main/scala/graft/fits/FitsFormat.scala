@@ -476,35 +476,48 @@ object FitsFormat {
     * each HDU's (2880-padded) data unit. `extnum` counts table extensions
     * of either flavor in file order.
     */
-  /** Walks EVERY HDU in the stream and returns each header's cards in
-    * file order — the archive fits_info / inventory primitive behind a23.
-    * A clean EOF at an HDU boundary ends the walk; EOF inside a data
-    * unit still throws (a truncated file must not read as a shorter valid
-    * one). Same defensive HDU cap as the locate walks.
+  /** One walked HDU: header cards plus its exact byte geometry (data
+    * length is block-padded — the on-disk extent, not the logical one).
     */
-  def listHdus(in: java.io.DataInput): Seq[Map[String, String]] = {
-    val out = Seq.newBuilder[Map[String, String]]
-    var more = true
-    var n = 0
-    while (more && n < 100) {
-      (try Some(readHeader(in)._1)
-       catch { case _: java.io.EOFException => None }) match {
-        case None => more = false
-        case Some(cards) =>
-          out += cards
-          val dataBytes = dataUnitBytes(cards)
-          var toSkip = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
-          while (toSkip > 0) {
-            val k = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
-            if (k <= 0)
-              throw new java.io.EOFException("Unexpected EOF skipping FITS data")
-            toSkip -= k
-          }
-          n += 1
+  final case class HduLoc(cards: Map[String, String], headerStart: Long,
+    headerBytes: Long, dataBytes: Long)
+
+  /** Walks EVERY HDU in the stream with BYTE ACCOUNTING against the
+    * known stream length — the archive fits_info / inventory primitive
+    * behind a23/a24. The end-of-walk decision is `consumed ==
+    * totalBytes`, never a swallowed EOF: a file truncated inside a
+    * header OR a data unit throws (readFully / the remaining-bytes
+    * check), so a damaged file can never read as a shorter valid one,
+    * and a complete file of ANY HDU count walks fully (no silent cap —
+    * progress is ≥ one block per iteration, so the loop is bounded by
+    * the stream length itself).
+    */
+  def walkHdus(in: java.io.DataInput, totalBytes: Long): Seq[HduLoc] = {
+    val out = Seq.newBuilder[HduLoc]
+    var consumed = 0L
+    while (consumed < totalBytes) {
+      if (totalBytes - consumed < BlockSize)
+        throw new java.io.EOFException(
+          s"FITS stream has ${totalBytes - consumed} trailing bytes — not a header block")
+      val (cards, headerBytes) = readHeader(in)
+      val dataBytes = dataUnitBytes(cards)
+      val padded = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
+      out += HduLoc(cards, consumed, headerBytes, padded)
+      var toSkip = padded
+      while (toSkip > 0) {
+        val k = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+        if (k <= 0)
+          throw new java.io.EOFException("Unexpected EOF skipping FITS data")
+        toSkip -= k
       }
+      consumed += headerBytes + padded
     }
     out.result()
   }
+
+  /** Cards-only view of `walkHdus` (a23's inventory shape). */
+  def listHdus(in: java.io.DataInput, totalBytes: Long): Seq[Map[String, String]] =
+    walkHdus(in, totalBytes).map(_.cards)
 
   def locateTable(in: java.io.DataInput, extnum: Int): (Map[String, String], Long) = {
     var offset = 0L

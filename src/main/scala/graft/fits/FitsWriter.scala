@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   */
 object FitsWriter {
 
-  private def card(key: String, value: String, quote: Boolean): Array[Byte] = {
+  private[fits] def card(key: String, value: String, quote: Boolean): Array[Byte] = {
     val v = if (quote) s"'${value.padTo(8, ' ')}'" else value
     val text = if (quote) f"${key.padTo(8, ' ')}= $v%-69s" else f"${key.padTo(8, ' ')}= $v%20s"
     text.padTo(FitsFormat.CardSize, ' ').take(FitsFormat.CardSize)

@@ -302,9 +302,15 @@ object ScalarOps {
   val h13_edit_distance = OpQuery(
     (s, d) => t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"))
+      // four planted classes so BOTH band outcomes occur (the b17
+      // non-vacuity rule): deletion (dist 1), duplication (dist 1),
+      // heavy mangling — 3 chars replaced with '#', which never occurs
+      // in names, so dist = 3 > band — and identity (dist 0)
       .withColumn("dirty",
-        when(col("c_custkey") % 3 === 0,
-          concat(substring(col("c_name"), 1, 2), substring(col("c_name"), 4, 1000)))
+        when(col("c_custkey") % 6 === 0,
+          concat(lit("###"), substring(col("c_name"), 4, 1000)))
+          .when(col("c_custkey") % 3 === 0,
+            concat(substring(col("c_name"), 1, 2), substring(col("c_name"), 4, 1000)))
           .when(col("c_custkey") % 3 === 1,
             concat(substring(col("c_name"), 1, 3), substring(col("c_name"), 3, 1000)))
           .otherwise(col("c_name")))
@@ -316,7 +322,9 @@ object ScalarOps {
       |  CAST(levenshtein(c_name, dirty) AS BIGINT) AS dist,
       |  levenshtein(c_name, dirty) <= 2 AS is_match
       |FROM (SELECT c_custkey, c_name,
-      |        CASE WHEN c_custkey % 3 = 0
+      |        CASE WHEN c_custkey % 6 = 0
+      |             THEN '###' || substring(c_name, 4)
+      |             WHEN c_custkey % 3 = 0
       |             THEN substring(c_name, 1, 2) || substring(c_name, 4)
       |             WHEN c_custkey % 3 = 1
       |             THEN substring(c_name, 1, 3) || substring(c_name, 3)

@@ -739,7 +739,7 @@ object ScanOps {
           it.flatMap { case (label, path) =>
             val raf = new java.io.RandomAccessFile(path, "r")
             val hdus =
-              try graft.fits.FitsFormat.listHdus(raf)
+              try graft.fits.FitsFormat.listHdus(raf, raf.length())
               finally raf.close()
             hdus.zipWithIndex.map { case (cards, i) =>
               def num(k: String): Long =

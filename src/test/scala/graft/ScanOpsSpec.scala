@@ -149,7 +149,8 @@ class ScanOpsSpec extends SparkTestBase {
     ScanOps.a23_fits_header_info.fn(spark, sfDir).count() // writes fixtures
     val tbl = graft.Util.scratch("a23_nation.fits")
     val raf = new java.io.RandomAccessFile(tbl, "r")
-    val hdus = try graft.fits.FitsFormat.listHdus(raf) finally raf.close()
+    val hdus =
+      try graft.fits.FitsFormat.listHdus(raf, raf.length()) finally raf.close()
     assert(hdus.size == 2 && !hdus(0).contains("XTENSION") &&
       hdus(1)("XTENSION").trim == "BINTABLE", s"walk wrong: ${hdus.map(_.keySet)}")
     // a file truncated INSIDE a data unit must throw, not read as a
@@ -159,8 +160,33 @@ class ScanOpsSpec extends SparkTestBase {
     val trunc = graft.Util.scratch("a23_truncated.fits")
     java.nio.file.Files.write(java.nio.file.Paths.get(trunc), cut)
     val raf2 = new java.io.RandomAccessFile(trunc, "r")
-    try intercept[java.io.EOFException](graft.fits.FitsFormat.listHdus(raf2))
+    try intercept[java.io.EOFException](
+      graft.fits.FitsFormat.listHdus(raf2, raf2.length()))
     finally raf2.close()
+    // ...and truncation inside a HEADER also throws (the walk must never
+    // swallow a mid-header EOF as a clean end — the r5 review finding)
+    val cutHdr = java.util.Arrays.copyOf(full, 2880 + 160) // partial 2nd header
+    val truncH = graft.Util.scratch("a24_truncated_header.fits")
+    java.nio.file.Files.write(java.nio.file.Paths.get(truncH), cutHdr)
+    val raf3 = new java.io.RandomAccessFile(truncH, "r")
+    try intercept[java.io.EOFException](
+      graft.fits.FitsFormat.listHdus(raf3, raf3.length()))
+    finally raf3.close()
+    // idempotent re-stamp: a second addChecksums must REPLACE the cards,
+    // not accumulate duplicates, and stay verification-green
+    graft.fits.FitsChecksum.addChecksums(tbl)
+    val re = graft.fits.FitsChecksum.verify(tbl)
+    assert(re.forall { case (_, h, ds, hs) => h && ds && hs },
+      s"re-stamped file failed verification: $re")
+    val raf4 = new java.io.RandomAccessFile(tbl, "r")
+    val cards2 =
+      try graft.fits.FitsFormat.walkHdus(raf4, raf4.length()) finally raf4.close()
+    // readHeader's map would hide duplicates — count raw DATASUM cards
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(tbl))
+    val nDatasumCards = raw.grouped(80).count(c =>
+      new String(c.take(8), java.nio.charset.StandardCharsets.US_ASCII).trim == "DATASUM")
+    assert(nDatasumCards == cards2.size,
+      s"re-stamp accumulated duplicate cards: $nDatasumCards for ${cards2.size} HDUs")
   }
 
   test("a24 checksums: -0 invariant holds, flipped byte fails, reader unaffected") {
