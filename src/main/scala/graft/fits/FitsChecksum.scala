@@ -146,17 +146,53 @@ object FitsChecksum {
     * hduOk is the streaming invariant — ones-complement sum of the whole
     * HDU image equals 0xFFFFFFFF; datasumOk recomputes the data sum
     * against the recorded decimal.
+    *
+    * STREAMS: the header walk skips data units and the sums fold over a
+    * bounded window read through a positioned FileChannel, so memory is
+    * O(window) and extents stay Long — this is the archive-scale path
+    * (a FITS file routinely exceeds 2 GB; `addChecksums` above remains
+    * the fixture-scale whole-array rewrite and documents that caveat).
     */
   def verify(path: String): Seq[(Int, Boolean, Boolean, Boolean)] = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    walk(bytes).zipWithIndex.map { case (h, i) =>
-      val has = h.cards.contains("CHECKSUM") && h.cards.contains("DATASUM")
-      val dataFrom = (h.headerStart + h.headerBytes).toInt
-      val dsOk = has && h.cards("DATASUM").trim ==
-        ones32(bytes, dataFrom, h.dataBytes.toInt, 0L).toString
-      val hduOk = has && ones32(bytes, h.headerStart.toInt,
-        (h.headerBytes + h.dataBytes).toInt, 0L) == 0xffffffffL
-      (i, has, dsOk, hduOk)
+    val p = java.nio.file.Paths.get(path)
+    val total = java.nio.file.Files.size(p)
+    val hdus = {
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        java.nio.file.Files.newInputStream(p), 1 << 16))
+      try FitsFormat.walkHdus(in, total) finally in.close()
     }
+    val ch = java.nio.channels.FileChannel.open(
+      p, java.nio.file.StandardOpenOption.READ)
+    try {
+      // 64 blocks (180 KB): multiple of 4 so every chunk is word-aligned
+      val buf = new Array[Byte](FitsFormat.BlockSize * 64)
+      def sumRange(from: Long, len: Long): Long = {
+        require(len % 4 == 0, s"ones-complement sum needs 4-aligned length, got $len")
+        var sum = 0L
+        var off = from
+        var remaining = len
+        while (remaining > 0) {
+          val want = math.min(remaining, buf.length.toLong).toInt
+          val bb = java.nio.ByteBuffer.wrap(buf, 0, want)
+          while (bb.hasRemaining) {
+            val r = ch.read(bb, off + bb.position())
+            require(r > 0, s"unexpected EOF at ${off + bb.position()} in $path")
+          }
+          sum = ones32(buf, 0, want, sum)
+          off += want
+          remaining -= want
+        }
+        sum
+      }
+      hdus.zipWithIndex.map { case (h, i) =>
+        val has = h.cards.contains("CHECKSUM") && h.cards.contains("DATASUM")
+        val dataFrom = h.headerStart + h.headerBytes
+        val dsOk = has && h.cards("DATASUM").trim ==
+          sumRange(dataFrom, h.dataBytes).toString
+        val hduOk = has &&
+          sumRange(h.headerStart, h.headerBytes + h.dataBytes) == 0xffffffffL
+        (i, has, dsOk, hduOk)
+      }
+    } finally ch.close()
   }
 }

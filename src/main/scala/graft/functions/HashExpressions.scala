@@ -423,7 +423,13 @@ object HashedBagOfTokens {
             j += Character.charCount(cp)
             pos += 1
           }
-          counts((h % d).toInt) += 1L
+          // floorMod, not %: h accumulates pos·codePoint unguarded, so a
+          // pathological multi-million-char token can overflow Long into
+          // the negatives; % would then index negative and crash the task
+          // (where the SQL HOF form it replaced merely degraded silently).
+          // In the non-overflow regime floorMod ≡ % on a non-negative h,
+          // so the bucket only differs where the two forms already diverge.
+          counts(java.lang.Math.floorMod(h, d)) += 1L
         }
       }
       i += 1

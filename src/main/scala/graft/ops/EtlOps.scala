@@ -496,7 +496,11 @@ object EtlOps {
       val c0 = t(s, d, "orders")
         .select(col("o_orderkey"),
           when(col("o_orderkey") % 31 === 0, lit(null).cast(LongType))
-            .when(col("o_orderkey") % 37 === 0, col("o_custkey") + 1000000000L)
+            // negate, don't offset: c_custkey is positive at every scale
+            // factor, so -k is out-of-domain by construction — a fixed
+            // +1e9 offset would collide with real keys at large SFs and
+            // silently deflate the orphan class
+            .when(col("o_orderkey") % 37 === 0, -col("o_custkey"))
             .otherwise(col("o_custkey")).as("k"),
           when(col("o_orderkey") % 43 === 0, -col("o_totalprice"))
             .otherwise(col("o_totalprice")).as("p"))
@@ -520,7 +524,7 @@ object EtlOps {
     },
     """WITH c0 AS (SELECT o_orderkey,
       |    CASE WHEN o_orderkey % 31 = 0 THEN NULL
-      |         WHEN o_orderkey % 37 = 0 THEN o_custkey + 1000000000
+      |         WHEN o_orderkey % 37 = 0 THEN -o_custkey
       |         ELSE o_custkey END AS k,
       |    CASE WHEN o_orderkey % 43 = 0 THEN -o_totalprice
       |         ELSE o_totalprice END AS p

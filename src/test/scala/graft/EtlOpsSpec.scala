@@ -214,7 +214,8 @@ class EtlOpsSpec extends SparkTestBase {
     val staged = okeys ++ okeys.filter(_ % 41 == 0)
     val exp = Map(
       "not_null_custkey" -> staged.count(_ % 31 == 0).toLong,
-      // %37 keys that are NOT %31 get the out-of-domain offset; their
+      // %37 keys that are NOT %31 get the negated (out-of-domain at any
+      // scale, since c_custkey is positive) key; their
       // original custkeys were valid, so orphan count = class size
       "fk_custkey" -> staged.count(k => k % 31 != 0 && k % 37 == 0).toLong,
       "range_totalprice" -> staged.count(_ % 43 == 0).toLong,
