@@ -548,6 +548,121 @@ object RelOps {
       |SELECT a_id, b_id, hd FROM p WHERE hd <= 2
       |ORDER BY a_id, b_id""".stripMargin)
 
+  /** d18 blocking geometry: dec zones of height 2000 milli-deg (= the 2°
+    * radius, so matching points sit in adjacent zones), each zone carrying
+    * its own RA cell count scaled by the zone's minimum cos δ — the
+    * equal-area "zones" layout of Gray & Szalay's published zone
+    * cross-match algorithm, kept integer so cell assignment is exact.
+    *
+    * Per zone z (dec ∈ [2000z−90000, 2000z−88000)), the extended range
+    * [−2000, +2000) beyond the zone bounds covers every point within the
+    * 2° radius of a zone member; cosExt = cos of the pole-most extended
+    * |dec| lower-bounds cos δ for BOTH members of any candidate pair.
+    * n_z = max(1, ⌊90·cosExt⌋) RA cells then guarantees cell width
+    * W = 360000/n_z ≥ 4000/cosExt ≥ 3141.6/cosExt ≥ Δλmax =
+    * 2·asin(sin 1°/cosExt)·(180000/π) (using asin x ≤ (π/2)x), so an
+    * r-pair's RA cell indexes differ by ≤ 1 mod n_z — the ±1 probe
+    * neighborhood is a LOSSLESS covering at every latitude, pole caps
+    * degenerating to a single all-RA cell (spec-asserted zone by zone
+    * against true trig, and brute-force-checked on random catalogs).
+    */
+  private[graft] val sphereZoneCells: Array[Long] = Array.tabulate(90) { z =>
+    val d0e = z * 2000L - 92000L
+    val d1e = z * 2000L - 86000L
+    val mx = math.min(90000L, math.max(math.abs(d0e), math.abs(d1e)))
+    val ce = math.max(math.cos(mx * math.Pi / 180000), 0.0)
+    math.max(1L, math.floor(ce * 90.0).toLong)
+  }
+
+  /** The d18 spherical crossmatch core over (id, ra_m, dec_m) catalogs in
+    * integer milli-degrees. Candidates: A explodes to its 3 neighbor
+    * zones × (per that zone's OWN grid) 3 wrapped RA cells —
+    * array_distinct collapses the pole-cap degeneracy, and since B keys
+    * by exactly one (zone, cell), every pair meets at most once (no
+    * pair-distinct pass). Refine: polynomial haversine (SphereSql) with
+    * identical IEEE arithmetic on both engines; accept iff h ≤ sin²(1°).
+    *
+    * Shape at scale: 9 probes/row regardless of catalog size; candidates
+    * meet ONLY in the (pz, pc) equi-join (plan-asserted no
+    * BNLJ/Cartesian), thousands of independent cell joins across
+    * executors. The pole caps are single cells — the known skew keys of
+    * the zones layout; AQE skew-join splits them, and a finer polar zone
+    * height is the layout-level remedy if a survey concentrates there.
+    */
+  private[graft] def sphereXmatchPairs(a: DataFrame, b: DataFrame): DataFrame = {
+    val nArr = array(sphereZoneCells.map(lit(_)): _*)
+    val ax = a
+      // least(…, 89): dec = +90000 exactly (the pole itself) closes into
+      // the top zone instead of indexing past the 90-zone table
+      .withColumn("za", expr("least((dec_a + 90000) DIV 2000, 89)"))
+      .withColumn("pz", explode(expr("array(za - 1, za, za + 1)")))
+      .where(col("pz").between(0, 89))
+      .withColumn("n", element_at(nArr, col("pz").cast("int") + 1))
+      .withColumn("i", expr("(ra_a * n) DIV 360000"))
+      .withColumn("pc", explode(array_distinct(
+        expr("array(pmod(i - 1, n), pmod(i, n), pmod(i + 1, n))"))))
+      .select("a_id", "ra_a", "dec_a", "pz", "pc")
+    val bx = b
+      .withColumn("pz", expr("least((dec_b + 90000) DIV 2000, 89)"))
+      .withColumn("n", element_at(nArr, col("pz").cast("int") + 1))
+      .withColumn("pc", expr("(ra_b * n) DIV 360000"))
+      .select("b_id", "ra_b", "dec_b", "pz", "pc")
+    ax.join(bx, Seq("pz", "pc"))
+      .withColumn("sd", expr(SphereSql.sinHalf("dec_a - dec_b")))
+      .withColumn("sl", expr(SphereSql.sinHalf(
+        "least(abs(ra_a - ra_b), 360000 - abs(ra_a - ra_b))")))
+      .withColumn("ca", expr(SphereSql.cosClamped("dec_a")))
+      .withColumn("cb", expr(SphereSql.cosClamped("dec_b")))
+      .withColumn("h", expr(SphereSql.Combine))
+      .where(expr(s"h <= ${SphereSql.Threshold}"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(floor(h * 1.0E12) AS BIGINT)").as("dist2q"))
+  }
+
+  /** d18: SPHERICAL-correct sky crossmatch — closes d13's documented
+    * flat-sky approximation (no cos δ compression, wrong near poles).
+    * Blocking is the equal-area zones layout (sphereZoneCells); the
+    * refine is the true haversine, computed via SphereSql's generated
+    * polynomial arithmetic so Spark and DuckDB produce bit-identical
+    * doubles (neither engine's libm is consulted — see SphereSql's doc
+    * for the determinism and fidelity argument).
+    *
+    * The fixture plants the two failure surfaces by key class: every
+    * key ≡ 3 (mod 7) sits in the 89–90° polar cap (any RA — flat-sky
+    * would reject these pairs on raw ΔRA), every key ≡ 4 (mod 9) hugs
+    * the RA seam (ra ∈ [358°, 2°) — the wrap surface), the rest uniform.
+    * Oracle = brute-force spherical all-pairs, so a covering defect at
+    * pole or seam is a hash mismatch, not silent recall loss.
+    */
+  val d18_join_xmatch_sphere = OpQuery(
+    (s, d) => {
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      val a = t(s, d, "customer").select(col("c_custkey").as("a_id"),
+        expr(raA).as("ra_a"), expr(decA).as("dec_a"))
+      val b = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
+        expr(raB).as("ra_b"), expr(decB).as("dec_b"))
+      sphereXmatchPairs(a, b).orderBy("a_id", "b_id")
+    },
+    {
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      s"""WITH a AS (SELECT c_custkey AS a_id, $raA AS ra_a, $decA AS dec_a
+         |  FROM customer),
+         |b AS (SELECT s_suppkey AS b_id, $raB AS ra_b, $decB AS dec_b
+         |  FROM supplier),
+         |p AS (SELECT a_id, b_id,
+         |    ${SphereSql.sinHalf("dec_a - dec_b")} AS sd,
+         |    ${SphereSql.sinHalf("least(abs(ra_a - ra_b), 360000 - abs(ra_a - ra_b))")} AS sl,
+         |    ${SphereSql.cosClamped("dec_a")} AS ca,
+         |    ${SphereSql.cosClamped("dec_b")} AS cb
+         |  FROM a CROSS JOIN b),
+         |q AS (SELECT a_id, b_id, ${SphereSql.Combine} AS h FROM p)
+         |SELECT a_id, b_id, CAST(floor(h * 1.0E12) AS BIGINT) AS dist2q
+         |FROM q WHERE h <= ${SphereSql.Threshold}
+         |ORDER BY a_id, b_id""".stripMargin
+    })
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -785,8 +900,128 @@ object RelOps {
     "d12_join_interval_overlap" -> d12_join_interval_overlap,
     "d13_join_xmatch" -> d13_join_xmatch,
     "d14_join_fuzzy" -> d14_join_fuzzy,
+    "d18_join_xmatch_sphere" -> d18_join_xmatch_sphere,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,
     "g4_intersect_except" -> g4_intersect_except)
+}
+
+/** Engine-portable spherical trigonometry as GENERATED SQL text (d18).
+  *
+  * The spherical refine must hash-match a DuckDB oracle, so it cannot
+  * call either engine's libm sin/cos — their last ULPs differ and a
+  * boundary pair would flip between engines. Instead sin and cos are
+  * truncated Maclaurin series in Horner form, emitted as ONE arithmetic
+  * string that both engines parse: every +, *, CAST and literal-parse is
+  * an IEEE-754 correctly-rounded double operation over an identical
+  * expression tree, so the two engines compute BIT-IDENTICAL values and
+  * the accept set cannot differ. That is "exact" in the sense the gate
+  * needs: exactly reproducible. Fidelity to the real sphere is separate
+  * and bounded: over the reduced range |x| ≤ π/2 (every argument below
+  * is a half-angle of a ≤360° difference or a ≤90° declination, so the
+  * range holds by construction) the truncation error is ≤ (π/2)¹⁵/15! <
+  * 7e-10 for sin and ≤ (π/2)¹⁶/16! < 7e-11 for cos — only a pair within
+  * ~1e-9 rad of the exact radius boundary can differ from true
+  * spherical acceptance, and it differs identically in both engines.
+  *
+  * All double literals are emitted in 17-significant-digit exponent
+  * form: exponent literals parse as DOUBLE (not DECIMAL) in BOTH Spark
+  * and DuckDB, and 17 digits round-trip the exact bit pattern.
+  */
+private[graft] object SphereSql {
+
+  private def dlit(v: Double): String =
+    "%.17E".formatLocal(java.util.Locale.ROOT, v)
+
+  /** (-1)^k / (2k+1)! for k = 1..7 — sin tail coefficients. */
+  val SinCoeffs: Seq[Double] = Seq(-1.0 / 6, 1.0 / 120, -1.0 / 5040,
+    1.0 / 362880, -1.0 / 39916800, 1.0 / 6227020800.0,
+    -1.0 / 1307674368000.0)
+
+  /** (-1)^k / (2k)! for k = 1..7 — cos tail coefficients. */
+  val CosCoeffs: Seq[Double] = Seq(-1.0 / 2, 1.0 / 24, -1.0 / 720,
+    1.0 / 40320, -1.0 / 3628800, 1.0 / 479001600, -1.0 / 87178291200.0)
+
+  private def chain(x2: String, cs: Seq[Double]): String =
+    cs.init.foldRight(dlit(cs.last))((c, acc) => s"(${dlit(c)} + $x2 * $acc)")
+
+  /** sin(m · π/360000): half-angle sine of an integer milli-degree
+    * difference m ∈ [−180000, 180000] ⇒ |x| ≤ π/2.
+    */
+  def sinHalf(m: String): String = {
+    val x = s"(CAST(($m) AS DOUBLE) * ${dlit(math.Pi / 360000)})"
+    val x2 = s"($x * $x)"
+    s"($x * (1.0 + $x2 * ${chain(x2, SinCoeffs)}))"
+  }
+
+  /** cos(m · π/180000) clamped at 0 (the poly at ±π/2 is ±7e-11, not
+    * exactly 0), m ∈ [−90000, 90000] ⇒ |x| ≤ π/2. Even polynomial — no
+    * abs needed.
+    */
+  def cosClamped(m: String): String = {
+    val x = s"(CAST(($m) AS DOUBLE) * ${dlit(math.Pi / 180000)})"
+    val x2 = s"($x * $x)"
+    s"greatest((1.0 + $x2 * ${chain(x2, CosCoeffs)}), 0.0)"
+  }
+
+  /** Haversine from the staged sd/sl/ca/cb columns — ONE shared string so
+    * both engines associate identically ((sd·sd) + (((ca·cb)·sl)·sl)).
+    */
+  val Combine: String = "sd * sd + ca * cb * sl * sl"
+
+  /** sin²(1°) — the 2°-radius accept threshold, built from the same
+    * polynomial so a pair at exactly Δdec = 2000, Δra = 0 lands exactly
+    * ON the threshold in both engines.
+    */
+  val Threshold: String = { val st = sinHalf("2000"); s"($st * $st)" }
+
+  /** The shared planted-catalog construction (ra_m, dec_m) from an
+    * integer key column: key ≡ 3 (mod 7) lands in the 89–90° polar cap
+    * at arbitrary RA, key ≡ 4 (mod 9) on the RA seam (ra ∈ [358°, 360°)
+    * ∪ [0°, 2°)) near the equator, everything else hash-uniform over the
+    * coordinate box. Moduli are small so BOTH classes are populated on
+    * the 10-supplier sf0.001 catalog — every SF exercises pole and seam.
+    */
+  def catalog(key: String): (String, String) = (
+    s"CASE WHEN $key % 7 = 3 THEN ($key * 7919) % 360000 " +
+      s"WHEN $key % 9 = 4 THEN (($key * 7919) % 4000 + 358000) % 360000 " +
+      s"ELSE ($key * 7919) % 360000 END",
+    s"CASE WHEN $key % 7 = 3 THEN 89000 + ($key * 53) % 1000 " +
+      s"WHEN $key % 9 = 4 THEN ($key * 104729) % 20000 - 10000 " +
+      s"ELSE ($key * 104729) % 180000 - 90000 END")
+
+  // --- Plain-Scala mirrors: the same IEEE ops in the same order, so
+  // bit-identical to both engines (spec brute force runs on these).
+
+  def sinHalfD(m: Double): Double = {
+    val x = m * (math.Pi / 360000)
+    val x2 = x * x
+    val t = SinCoeffs.init.foldRight(SinCoeffs.last)((c, acc) => c + x2 * acc)
+    x * (1.0 + x2 * t)
+  }
+
+  def cosClampedD(m: Double): Double = {
+    val x = m * (math.Pi / 180000)
+    val x2 = x * x
+    val t = CosCoeffs.init.foldRight(CosCoeffs.last)((c, acc) => c + x2 * acc)
+    math.max(1.0 + x2 * t, 0.0)
+  }
+
+  def haversineD(raA: Long, decA: Long, raB: Long, decB: Long): Double = {
+    val dl = math.min(math.abs(raA - raB), 360000L - math.abs(raA - raB))
+    val sd = sinHalfD((decA - decB).toDouble)
+    val sl = sinHalfD(dl.toDouble)
+    val ca = cosClampedD(decA.toDouble)
+    val cb = cosClampedD(decB.toDouble)
+    sd * sd + ca * cb * sl * sl
+  }
+
+  val ThresholdD: Double = { val st = sinHalfD(2000.0); st * st }
+
+  def catalogD(k: Long): (Long, Long) =
+    if (k % 7 == 3) ((k * 7919) % 360000, 89000 + (k * 53) % 1000)
+    else if (k % 9 == 4)
+      (((k * 7919) % 4000 + 358000) % 360000, (k * 104729) % 20000 - 10000)
+    else ((k * 7919) % 360000, (k * 104729) % 180000 - 90000)
 }

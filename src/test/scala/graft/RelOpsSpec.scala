@@ -98,6 +98,95 @@ class RelOpsSpec extends SparkTestBase {
       "planted zero-distance identities missing")
   }
 
+  test("d18 spherical xmatch: zones + polynomial haversine equal brute force; pole and seam live") {
+    import graft.ops.SphereSql
+    val df = RelOps.d18_join_xmatch_sphere.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"spherical xmatch fell back to a non-equi plan:\n${plan.take(1000)}")
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val as = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => k -> SphereSql.catalogD(k))
+    val bs = Tables.t(spark, sfDir, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0))
+      .map(k => k -> SphereSql.catalogD(k))
+    val expect = (for {
+      (ai, (raa, deca)) <- as; (bi, (rab, decb)) <- bs
+      h = SphereSql.haversineD(raa, deca, rab, decb)
+      if h <= SphereSql.ThresholdD
+    } yield (ai, bi) -> math.floor(h * 1.0e12).toLong).toMap
+    assert(out == expect, s"pair set diverges: ${out.size} vs ${expect.size}")
+    assert(out.nonEmpty, "fixture produced no matches (vacuous)")
+    // the spherical delta: pole-cap pairs whose WRAPPED RA difference
+    // exceeds the radius still match (flat-sky d13 metric rejects them)
+    val coordsA = as.toMap; val coordsB = bs.toMap
+    val poleDelta = out.keys.filter { case (ai, bi) =>
+      val (raa, deca) = coordsA(ai); val (rab, decb) = coordsB(bi)
+      val dr = math.min(math.abs(raa - rab), 360000L - math.abs(raa - rab))
+      deca >= 88000 && decb >= 88000 && dr > 2000
+    }
+    assert(poleDelta.nonEmpty,
+      "no pole pair with wrapped dRA > radius — the cos-dec surface is untested")
+    // the seam: matched pairs whose RAW RA difference exceeds 300 deg
+    val seam = out.keys.filter { case (ai, bi) =>
+      math.abs(coordsA(ai)._1 - coordsB(bi)._1) > 300000 &&
+        coordsA(ai)._2 < 88000
+    }
+    assert(seam.nonEmpty, "no non-polar match across the RA seam — wrap untested")
+  }
+
+  test("d18 zone layout: every zone's cell width dominates the true max RA separation") {
+    val r = 2000L
+    val cells = RelOps.sphereZoneCells
+    assert(cells.length == 90 && cells.forall(_ >= 1))
+    (0 until 90).foreach { z =>
+      val d0e = math.max(-90000L, z * 2000L - 92000L)
+      val d1e = math.min(90000L, z * 2000L - 86000L)
+      val mx = math.max(math.abs(d0e), math.abs(d1e))
+      val ceTrue = math.cos(mx * math.Pi / 180000) // true trig, not the poly
+      val n = cells(z)
+      if (n > 1) {
+        val sinHalfR = math.sin(r * math.Pi / 360000)
+        assert(sinHalfR / ceTrue < 1.0, s"zone $z: bound formula out of asin domain")
+        val dLamMaxMilli = 2 * math.asin(sinHalfR / ceTrue) * 180000 / math.Pi
+        assert(360000.0 / n >= dLamMaxMilli,
+          s"zone $z: cell width ${360000.0 / n} < max dRA $dLamMaxMilli — covering broken")
+      }
+    }
+  }
+
+  test("d18 blocking is lossless on random catalogs spanning poles and seam") {
+    import graft.ops.SphereSql
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    def randCat(n: Int): Seq[(Long, Long, Long)] = (1 to n).map { i =>
+      val ra = rnd.nextLong(360000L)
+      // bias a third of the points poleward so polar zones get traffic
+      val dec = rnd.nextInt(3) match {
+        case 0 => 86000L + rnd.nextLong(4001L) * (if (rnd.nextBoolean()) 1 else -1)
+        case 1 => rnd.nextLong(4001L) - 2000L // equator band near the seam decs
+        case _ => rnd.nextLong(180001L) - 90000L
+      }
+      (i.toLong, ra, dec.max(-90000L).min(90000L))
+    }
+    val aRows = randCat(400)
+    val bRows = randCat(300)
+    val a = aRows.toDF("a_id", "ra_a", "dec_a")
+    val b = bRows.toDF("b_id", "ra_b", "dec_b")
+    val got = RelOps.sphereXmatchPairs(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (ai, raa, deca) <- aRows; (bi, rab, decb) <- bRows
+      if SphereSql.haversineD(raa, deca, rab, decb) <= SphereSql.ThresholdD
+    } yield (ai, bi)).toSet
+    assert(got == expect,
+      s"random covering diverges: got ${got.size}, expect ${expect.size}, " +
+        s"missing ${(expect -- got).take(5)}, extra ${(got -- expect).take(5)}")
+    assert(expect.nonEmpty, "random fixture produced no matches (vacuous)")
+  }
+
   test("d14 fuzzy join: pigeonhole blocking + refine equal brute-force hamming") {
     import org.apache.spark.sql.functions._
     val df = RelOps.d14_join_fuzzy.fn(spark, sfDir)
