@@ -337,6 +337,34 @@ object EtlOps {
     v1.unionAll(v2)
   }
 
+  /** The d19 three-version SCD2 history: a dimension CREATED at version 2
+    * (valid_from of the initial load is 2, not 1 — so facts with an
+    * earlier as-of point genuinely predate the dimension), changed at
+    * version 3 (c_custkey % 10 == 3: +100) and again at version 4
+    * (c_custkey % 5 == 3, which CONTAINS the %10==3 class: +200 on the
+    * then-current balance) — so %10==3 customers carry three versions,
+    * %10==8 two, the rest one. Intervals partition [2, ∞) per key;
+    * nothing covers as-of < 2. Same construction in the d19 oracle.
+    */
+  private[graft] def scd2History3(s: SparkSession, d: String): DataFrame = {
+    val dim = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+    val v2 = dim.select(col("c_custkey"), lit(2L).as("version"),
+      col("c_acctbal").as("acctbal"), lit(2L).as("valid_from"),
+      when(col("c_custkey") % 10 === 3, lit(3L))
+        .when(col("c_custkey") % 5 === 3, lit(4L))
+        .cast(LongType).as("valid_to"))
+    val v3 = dim.filter(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey"), lit(3L).as("version"),
+        (col("c_acctbal") + 100.0).as("acctbal"), lit(3L).as("valid_from"),
+        lit(4L).cast(LongType).as("valid_to"))
+    val v4 = dim.filter(col("c_custkey") % 5 === 3)
+      .select(col("c_custkey"), lit(4L).as("version"),
+        when(col("c_custkey") % 10 === 3, col("c_acctbal") + 300.0)
+          .otherwise(col("c_acctbal") + 200.0).as("acctbal"),
+        lit(4L).as("valid_from"), lit(null).cast(LongType).as("valid_to"))
+    v2.unionAll(v3).unionAll(v4)
+  }
+
   val b14_scd2_history = OpQuery(
     (s, d) => scd2History(s, d).orderBy("c_custkey", "version"),
     """WITH ch AS (SELECT c_custkey, c_acctbal + 100.0 AS new_bal

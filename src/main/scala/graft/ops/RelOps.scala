@@ -878,8 +878,66 @@ object RelOps {
       |  AND (h.valid_to IS NULL OR f.asof < h.valid_to)
       |ORDER BY o_orderkey""".stripMargin)
 
+  /** d19: point-in-time join with OUT-OF-RANGE as-of points — the d17
+    * extension real warehouses need: facts can PREDATE the dimension's
+    * first version (a late-arriving dimension, a fact backfill, a
+    * dimension created mid-stream). d17's history covers every as-of
+    * point by construction, which silently licenses an INNER join; the
+    * classic production bug is keeping that inner join when coverage
+    * stops being total — every pre-creation fact vanishes from the
+    * report. Here the history (EtlOps.scd2History3: three versions,
+    * created at version 2) leaves as-of = 1 uncovered, and the join is
+    * LEFT: uncovered facts survive with NULL version/balance, covered
+    * facts resolve exactly one version (the "exactly one OR zero"
+    * bijection, spec-proven).
+    *
+    * Shape at scale: identical to d17 — equi-join on the dimension key,
+    * interval residual, broadcast-able history; LEFT changes row
+    * survival, not the plan shape (spec-asserted no BNLJ/Cartesian).
+    */
+  val d19_join_pit_outer = OpQuery(
+    (s, d) => {
+      val hist = EtlOps.scd2History3(s, d)
+      val facts = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 4 + 1).as("asof_version"))
+      facts.join(broadcast(hist),
+        col("o_custkey") === col("c_custkey") &&
+          col("asof_version") >= col("valid_from") &&
+          (col("valid_to").isNull || col("asof_version") < col("valid_to")),
+        "left")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("asof_version").cast(LongType).as("asof_version"),
+          col("version"), col("acctbal"))
+        .orderBy("o_orderkey")
+    },
+    """WITH c0 AS (SELECT c_custkey, c_acctbal FROM customer),
+      |hist AS (
+      |  SELECT c_custkey, CAST(2 AS BIGINT) AS version, c_acctbal AS acctbal,
+      |    2 AS valid_from,
+      |    CASE WHEN c_custkey % 10 = 3 THEN 3
+      |         WHEN c_custkey % 5 = 3 THEN 4 END AS valid_to
+      |  FROM c0
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(3 AS BIGINT), c_acctbal + 100.0, 3, 4
+      |  FROM c0 WHERE c_custkey % 10 = 3
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(4 AS BIGINT),
+      |    CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 300.0
+      |         ELSE c_acctbal + 200.0 END, 4, NULL
+      |  FROM c0 WHERE c_custkey % 5 = 3),
+      |f AS (SELECT o_orderkey, o_custkey, o_orderkey % 4 + 1 AS asof
+      |      FROM orders)
+      |SELECT f.o_orderkey, f.o_custkey, CAST(f.asof AS BIGINT) AS asof_version,
+      |  h.version, h.acctbal
+      |FROM f LEFT JOIN hist h ON f.o_custkey = h.c_custkey
+      |  AND f.asof >= h.valid_from
+      |  AND (h.valid_to IS NULL OR f.asof < h.valid_to)
+      |ORDER BY o_orderkey""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "d17_join_pit" -> d17_join_pit,
+    "d19_join_pit_outer" -> d19_join_pit_outer,
     "d16_join_salted_skew" -> d16_join_salted_skew,
     "d15_join_bloom" -> d15_join_bloom,
     "c1_project_prune" -> c1_project_prune,

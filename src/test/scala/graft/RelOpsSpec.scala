@@ -291,6 +291,48 @@ class RelOpsSpec extends SparkTestBase {
       s"PIT join degenerated:\n${plan.take(600)}")
   }
 
+  test("d19 outer PIT join: exactly one OR zero versions, pre-creation facts survive as NULLs") {
+    import org.apache.spark.sql.functions._
+    val out = RelOps.d19_join_pit_outer.fn(spark, sfDir)
+    val nFacts = Tables.t(spark, sfDir, "orders").count()
+    assert(out.count() == nFacts,
+      "outer PIT join must preserve every fact exactly once")
+    assert(out.select("o_orderkey").distinct().count() == nFacts,
+      "a fact matched multiple dimension versions")
+    // the row-loss bug this op exists to catch: as-of 1 predates the
+    // dimension's creation (valid_from of the initial load is 2) — those
+    // facts MUST survive with NULL dimension columns
+    val pre = out.filter(col("asof_version") === 1)
+    assert(pre.count() > 0, "no pre-creation facts planted — vacuous")
+    assert(pre.filter(col("version").isNotNull).count() == 0,
+      "a pre-creation fact resolved a dimension version")
+    assert(out.filter(col("asof_version") >= 2 && col("version").isNull)
+      .count() == 0, "a covered fact lost its dimension row")
+    // era rule recomputed independently: version(ck, asof) = null if
+    // asof < 2; 2 at asof 2; 3 (if %10==3) else 2 at asof 3;
+    // 4 (if %5==3) else 2 at asof 4
+    val rows = out.collect()
+    rows.foreach { r =>
+      val ck = r.getLong(1); val asof = r.getLong(2)
+      val expect: Option[Long] =
+        if (asof < 2) None
+        else if (asof == 2) Some(2L)
+        else if (asof == 3) Some(if (ck % 10 == 3) 3L else 2L)
+        else Some(if (ck % 5 == 3) 4L else 2L)
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got == expect, s"fact ${r.getLong(0)} (ck=$ck asof=$asof): $got != $expect")
+    }
+    // all three version depths are live: some 3-version customer is seen
+    // at each of its eras
+    Seq(2L, 3L, 4L).foreach { v =>
+      assert(rows.exists(r => r.getLong(1) % 10 == 3 && !r.isNullAt(3) &&
+        r.getLong(3) == v), s"no %10==3 fact resolved version $v — era untested")
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"outer PIT join degenerated:\n${plan.take(600)}")
+  }
+
   test("d15 bloom prunes the probe side hard, loses nothing, and is codegen-native") {
     import org.apache.spark.sql.functions._
     val li = Tables.t(spark, sfDir, "lineitem")
