@@ -372,43 +372,61 @@ object StreamOps {
     * verbatim — stream and batch answer the same question, and the gate
     * proves it.
     */
+  /** The j12/j17 shared core: probe (stream or batch) → static corpus
+    * LSH index → verified-Jaccard flagged-pair aggregation.
+    *
+    * TWO compact static sides, not one wide one: the bucket index
+    * carries only (corpus_id, bucket) — materializing hs on every band
+    * row would store each doc's shingle array 16×. The shingle sets live
+    * once in `corpusBase` and join back by corpus_id AFTER the bucket
+    * match (both joins are stream-static and sit before the aggregation,
+    * so both are legal — the streaming restriction only bans joins after
+    * it). Batch i25 has the same two-table shape via verifyJaccard.
+    * Multi-band hits carry the identical exact jac, and every band row
+    * of one probe doc arrives in the SAME micro-batch (the explode is
+    * per-row), so min collapses them without a distinct and each
+    * (batch_id, corpus_id) key is finalized by the one batch that
+    * delivers its probe doc — the write-once property j17's update-mode
+    * sink relies on.
+    */
+  private def incrementalDedupFlagged(docs: DataFrame, probeDocs: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.intersectCount
+    val corpusBase = LlmOps.shingleSets(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint()
+    val corpusIdx = LlmOps.withBandBuckets(corpusBase)
+      .select(col("doc_id").as("corpus_id"), col("bucket"))
+      .localCheckpoint()
+    val corpusHs = corpusBase
+      .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"))
+    val probe = LlmOps.bandedShingles(probeDocs)
+      .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"),
+        col("bucket"))
+    probe.join(corpusIdx, "bucket")
+      .join(corpusHs, "corpus_id")
+      .withColumn("inter", intersectCount(col("hs_b"), col("hs_c")))
+      .withColumn("jac", col("inter").cast(DoubleType) /
+        (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
+      .filter(col("jac") >= 0.8)
+      .groupBy("batch_id", "corpus_id")
+      .agg(round(min(col("jac")), 6).as("jaccard"))
+  }
+
   val j12_stream_incremental_dedup = OpQuery(
     (s, d) => {
-      import graft.functions.VectorFunctions.intersectCount
       val ckpt = new java.io.File(graft.Util.scratch("ckpt_j12"))
       graft.Util.deleteRecursively(ckpt)
       val docs = t(s, d, "documents")
-      // TWO compact static sides, not one wide one: the bucket index
-      // carries only (corpus_id, bucket) — materializing hs on every
-      // band row would store each doc's shingle array 16×. The shingle
-      // sets live once in `corpusBase` and join back by corpus_id AFTER
-      // the bucket match (both joins are stream-static and sit before
-      // the aggregation, so both are legal — the streaming restriction
-      // only bans joins after it). Batch i25 has the same two-table
-      // shape via verifyJaccard.
-      val corpusBase = LlmOps.shingleSets(docs.filter(col("doc_id") % 10 =!= 0))
-        .localCheckpoint()
-      val corpusIdx = LlmOps.withBandBuckets(corpusBase)
-        .select(col("doc_id").as("corpus_id"), col("bucket"))
-        .localCheckpoint()
-      val corpusHs = corpusBase
-        .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"))
       val src = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
-      val probe = LlmOps.bandedShingles(src.filter(col("doc_id") % 10 === 0))
-        .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"),
-          col("bucket"))
-      val flagged = probe.join(corpusIdx, "bucket")
-        .join(corpusHs, "corpus_id")
-        .withColumn("inter", intersectCount(col("hs_b"), col("hs_c")))
-        .withColumn("jac", col("inter").cast(DoubleType) /
-          (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
-        .filter(col("jac") >= 0.8)
-        .groupBy("batch_id", "corpus_id")
-        // multi-band hits carry the identical exact jac — min collapses
-        // them without an extra distinct before the aggregation
-        .agg(round(min(col("jac")), 6).as("jaccard"))
+      val flagged =
+        incrementalDedupFlagged(docs, src.filter(col("doc_id") % 10 === 0))
+      // complete mode re-emits the WHOLE flagged table every micro-batch
+      // — state AND sink traffic grow with the cumulative flag count
+      // over a crawl's lifetime. Kept as the j12 gate (memory-sink
+      // convenience); j17 below is the production form: update mode +
+      // append-only sink, each flagged pair crossing the sink exactly
+      // once.
       val q = flagged.writeStream.format("memory").queryName("graft_j12")
         .outputMode("complete")
         .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -418,6 +436,60 @@ object StreamOps {
       s.table("graft_j12").orderBy("batch_id", "corpus_id")
     },
     // the SAME question as batch i25 — reuse its exact-join oracle
+    LlmOps.i25_dedup_incremental.oracle.get)
+
+  /** j17: the UPDATE-MODE production form of j12 — the streaming dedup
+    * gate with a real (append-only parquet) sink via foreachBatch. The
+    * gated run itself spans TWO micro-batches (two probe files,
+    * maxFilesPerTrigger=1), so the delta semantics are exercised at the
+    * gate, not just in a spec.
+    *
+    * State-lifetime contract, stated: the aggregation state holds one
+    * row per flagged pair in BOTH modes — what update mode fixes is the
+    * SINK: complete mode re-emits the entire cumulative table every
+    * micro-batch (O(total flags) per batch, unbounded over a crawl's
+    * lifetime), update mode emits each pair exactly once, in the batch
+    * that delivered its probe doc (the write-once property proven by
+    * this very gate: a re-emission would duplicate rows in the
+    * append-only sink and hash-mismatch the oracle). State for
+    * long-quiescent pairs still accumulates; a production deployment
+    * bounds it by keying state on an event-time window of the arrival
+    * time and letting the watermark evict closed windows.
+    */
+  val j17_stream_update_dedup = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j17"))
+      graft.Util.deleteRecursively(ckpt)
+      val sink = new java.io.File(graft.Util.scratch("j17_sink"))
+      graft.Util.deleteRecursively(sink)
+      val srcDir = graft.Util.scratch("j17_probe_src")
+      val docs = t(s, d, "documents")
+      val probeDocs = docs.filter(col("doc_id") % 10 === 0)
+      probeDocs.filter(col("doc_id") % 20 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f0")
+      probeDocs.filter(col("doc_id") % 20 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f1")
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      val flagged = incrementalDedupFlagged(docs, src)
+      val q = flagged.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          batch.withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(sink.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink.getAbsolutePath)
+        .select("batch_id", "corpus_id", "jaccard")
+        .orderBy("batch_id", "corpus_id")
+    },
+    // the cumulative union of update-mode deltas answers the SAME
+    // question as j12's final complete-mode emission — i25's oracle
     LlmOps.i25_dedup_incremental.oracle.get)
 
   /** j13: STREAMING decontamination — the i45 capped-containment gate on
@@ -435,6 +507,13 @@ object StreamOps {
     * cap-bounded constant (i45's linearity argument; the bench side
     * contributes only the cap, never a multiplier).
     * Oracle: i45's SQL verbatim.
+    *
+    * Like j12, this gate uses complete mode for memory-sink convenience;
+    * at a real crawl's lifetime the production form is j17's contract —
+    * update mode + append-only sink, each flagged pair emitted once by
+    * the batch that delivers its train doc (the same write-once argument:
+    * sz rides in the grouping key and every (train, bench) contribution
+    * arrives with the train doc's micro-batch).
     */
   val j13_stream_decontaminate = OpQuery(
     (s, d) => {
@@ -613,6 +692,7 @@ object StreamOps {
     CorpusOps.chunkSql)
 
   val all: Map[String, OpQuery] = Map(
+    "j17_stream_update_dedup" -> j17_stream_update_dedup,
     "j16_stream_chunk" -> j16_stream_chunk,
     "j15_stream_xmatch" -> j15_stream_xmatch,
     "j14_stream_perplexity_gate" -> j14_stream_perplexity_gate,

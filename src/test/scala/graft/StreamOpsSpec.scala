@@ -255,6 +255,25 @@ class StreamOpsSpec extends SparkTestBase {
     assert(sides == 2, "flagged pairs all came from one micro-batch")
   }
 
+  test("j17 update-mode deltas accumulate to the complete-mode table, each pair once") {
+    val fromUpdate = StreamOps.j17_stream_update_dedup.fn(spark, sfDir)
+    val fromComplete = StreamOps.j12_stream_incremental_dedup.fn(spark, sfDir)
+    assertSameRows(fromUpdate, fromComplete)
+    // the write-once property: the append-only sink must hold NO
+    // duplicate keys — update mode emitted each flagged pair exactly once
+    val sink = spark.read.parquet(Util.scratch("j17_sink"))
+    assert(sink.count() ==
+      sink.select("batch_id", "corpus_id").distinct().count(),
+      "update mode re-emitted a flagged pair into the append-only sink")
+    // both micro-batches contributed deltas (two epochs, both probe
+    // halves present) — otherwise the cross-batch claim is vacuous
+    assert(sink.select("epoch").distinct().count() >= 2,
+      "sink deltas all landed in one epoch — multi-batch path untested")
+    val sides = sink.select((col("batch_id") % 20 === 0).as("s"))
+      .distinct().count()
+    assert(sides == 2, "flagged pairs all came from one probe micro-batch")
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
