@@ -388,34 +388,42 @@ object FitsFormat {
 
   // ------------------------------------------------------------ image HDUs
 
-  /** A 2-d IMAGE HDU (primary array or XTENSION='IMAGE'): the
+  /** A 2-d or 3-d IMAGE HDU (primary array or XTENSION='IMAGE'): the
     * astronomy-native raster — BITPIX fixes the element type (8/16/32/64
-    * big-endian ints, -32/-64 IEEE floats), BSCALE/BZERO the linear
-    * physical scaling (the TSCAL/TZERO of images), BLANK the integer
-    * missing-pixel sentinel (floats use NaN, FITS 4.0 §5.3). Row y's
-    * pixels occupy bytes [dataOffset + y·w·|bitpix|/8, …) — rows are
-    * independently addressable, which is what makes a single huge frame
+    * big-endian ints, -32/-64 IEEE floats; 8 is UNSIGNED per FITS 4.0),
+    * BSCALE/BZERO the linear physical scaling (the TSCAL/TZERO of
+    * images), BLANK the integer missing-pixel sentinel (floats use NaN,
+    * FITS 4.0 §5.3). NAXIS3 > 1 is the spectral-cube shape archives ship
+    * (plane z = one frequency/velocity slice); `depth` = 1 for plain
+    * frames. Row y of plane z occupies bytes
+    * [dataOffset + (z·height + y)·rowBytes, …) — rows stay independently
+    * addressable across planes, which is what makes a single huge cube
     * scan in parallel (the table reader's row-range-split argument).
     */
   final case class ImageSpec(bitpix: Int, width: Long, height: Long,
-      bscale: Double, bzero: Double, blank: Option[Long], dataOffset: Long) {
+      bscale: Double, bzero: Double, blank: Option[Long], dataOffset: Long,
+      depth: Long = 1L) {
     def bytesPerPx: Int = math.abs(bitpix) / 8
     def rowBytes: Long = width * bytesPerPx
+    /** Byte offset of (plane z, row y) — the one addressing rule. */
+    def rowOffset(z: Long, y: Long): Long = dataOffset + (z * height + y) * rowBytes
   }
 
   def imageSpec(cards: Map[String, String], dataOffset: Long): ImageSpec = {
-    require(cards.getOrElse("NAXIS", "0").toInt == 2,
-      s"not a 2-d image HDU: NAXIS=${cards.getOrElse("NAXIS", "0")}")
+    val naxis = cards.getOrElse("NAXIS", "0").toInt
+    require(naxis == 2 || naxis == 3,
+      s"not a 2-d/3-d image HDU: NAXIS=${cards.getOrElse("NAXIS", "0")}")
     ImageSpec(cards("BITPIX").toInt,
       cards("NAXIS1").toLong, cards("NAXIS2").toLong,
       cards.get("BSCALE").map(_.toDouble).getOrElse(1.0),
       cards.get("BZERO").map(_.toDouble).getOrElse(0.0),
-      cards.get("BLANK").map(_.trim.toLong), dataOffset)
+      cards.get("BLANK").map(_.trim.toLong), dataOffset,
+      if (naxis == 3) cards("NAXIS3").toLong else 1L)
   }
 
-  /** Locates the n-th 2-d IMAGE HDU (the primary array counts as image 0
-    * when it carries data; header-only primaries are skipped) — the image
-    * counterpart of `locateTable`, sharing its HDU walk.
+  /** Locates the n-th 2-d/3-d IMAGE HDU (the primary array counts as
+    * image 0 when it carries data; header-only primaries are skipped) —
+    * the image counterpart of `locateTable`, sharing its HDU walk.
     */
   def locateImage(in: java.io.DataInput, imgnum: Int): ImageSpec = {
     var offset = 0L
@@ -431,14 +439,14 @@ object FitsFormat {
         try readHeader(in)
         catch { case e: java.io.EOFException =>
           throw new IllegalArgumentException(
-            s"No 2-d image HDU #$imgnum found ($imagesSeen image HDUs " +
+            s"No 2-d/3-d image HDU #$imgnum found ($imagesSeen image HDUs " +
               "in file) — or the file is truncated mid-HDU", e)
         }
       offset += headerBytes
       val dataBytes = dataUnitBytes(cards)
       val padded = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
       val naxis = cards.getOrElse("NAXIS", "0").toInt
-      val isImage = naxis == 2 &&
+      val isImage = (naxis == 2 || naxis == 3) &&
         (hduIndex == 0 || cards.get("XTENSION").exists(_.trim == "IMAGE"))
       if (isImage) {
         if (imagesSeen == imgnum) return imageSpec(cards, offset)
@@ -453,7 +461,7 @@ object FitsFormat {
       offset += padded
       hduIndex += 1
     }
-    throw new IllegalArgumentException(s"No 2-d image HDU #$imgnum found")
+    throw new IllegalArgumentException(s"No 2-d/3-d image HDU #$imgnum found")
   }
 
   /** The HDU data-unit size rule (FITS 4.0 §4.4.1.1) — shared by the

@@ -913,4 +913,86 @@ object FitsWriter {
       padBlock(0)
     } finally out.close()
   }
+
+  /** The planted cube voxel (the a25/a26 oracle's closed form): raw pixel
+    * (x, y, z) = (3y + 5x + 11z + 7) mod 251; 250 is the missing-pixel
+    * sentinel. Per (y, z) row, x → raw is injective (5 is invertible mod
+    * 251), so every row keeps ≥ 63 valid pixels — no empty-aggregate rows.
+    */
+  def cubeRaw(x: Long, y: Long, z: Long): Long = (3 * y + 5 * x + 11 * z + 7) % 251
+
+  /** BLANK sentinel of the int64 cube extension: raw 250 stored through
+    * the same ×2654435761 map as real values.
+    */
+  val CubeBlank64: Long = 250L * 2654435761L
+
+  /** Writes a standard FITS file with a header-only primary plus FOUR 3-d
+    * IMAGE extensions (NAXIS3 = depth spectral cube) over the same
+    * planted voxel field — one per BITPIX code a19's 2-d gate does not
+    * cover:
+    *   ext #0: BITPIX 8   (UNSIGNED bytes per FITS 4.0), BSCALE 3,
+    *           BZERO 10, BLANK 250        (physical = 3·raw + 10)
+    *   ext #1: BITPIX 32, BSCALE 2, BZERO -500, BLANK 250
+    *   ext #2: BITPIX 64, stored = raw · 2654435761 (exercises high
+    *           bytes), BLANK = CubeBlank64
+    *   ext #3: BITPIX -64, stored = raw/8.0 (exact in binary64), NaN mask
+    * Driver-side by design, like writeImageFits: the fixture synthesizer;
+    * the parallel path is the reader's (plane, row)-range splits.
+    */
+  def writeCubeFits(path: String, width: Int, height: Long, depth: Long): Unit = {
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    var written = 0L
+    def w(b: Array[Byte]): Unit = { out.write(b); written += b.length }
+    def padBlock(fill: Byte): Unit = {
+      val rem = ((FitsFormat.BlockSize - written % FitsFormat.BlockSize)
+        % FitsFormat.BlockSize).toInt
+      out.write(Array.fill(rem)(fill)); written += rem
+    }
+    def header(bitpix: Int, extra: Seq[(String, String)]): Unit = {
+      w(card("XTENSION", "IMAGE", quote = true))
+      w(card("BITPIX", bitpix.toString, quote = false))
+      w(card("NAXIS", "3", quote = false))
+      w(card("NAXIS1", width.toString, quote = false))
+      w(card("NAXIS2", height.toString, quote = false))
+      w(card("NAXIS3", depth.toString, quote = false))
+      w(card("PCOUNT", "0", quote = false))
+      w(card("GCOUNT", "1", quote = false))
+      extra.foreach { case (k, v) => w(card(k, v, quote = false)) }
+      w(endCard); padBlock(' '.toByte)
+    }
+    def voxels(bytesPerPx: Long)(write: Long => Unit): Unit = {
+      var z = 0L
+      while (z < depth) {
+        var y = 0L
+        while (y < height) {
+          var x = 0
+          while (x < width) { write(cubeRaw(x, y, z)); x += 1 }
+          written += width * bytesPerPx
+          y += 1
+        }
+        z += 1
+      }
+      padBlock(0)
+    }
+    try {
+      w(card("SIMPLE", "T", quote = false))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "0", quote = false))
+      w(endCard); padBlock(' '.toByte)
+
+      header(8, Seq("BSCALE" -> "3", "BZERO" -> "10", "BLANK" -> "250"))
+      voxels(1)(raw => out.writeByte(raw.toInt)) // 0..250: fits unsigned
+
+      header(32, Seq("BSCALE" -> "2", "BZERO" -> "-500", "BLANK" -> "250"))
+      voxels(4)(raw => out.writeInt(raw.toInt))
+
+      header(64, Seq("BLANK" -> CubeBlank64.toString))
+      voxels(8)(raw => out.writeLong(raw * 2654435761L))
+
+      header(-64, Seq.empty)
+      voxels(8)(raw =>
+        out.writeDouble(if (raw == 250) Double.NaN else raw / 8.0))
+    } finally out.close()
+  }
 }

@@ -408,6 +408,162 @@ object ScanOps {
       |       END), ',') AS px
       |FROM ys ORDER BY y""".stripMargin)
 
+  /** a25: FITS spectral-CUBE source — a19's reader depth-extended to the
+    * remaining image shapes archives ship: NAXIS3 cubes (one plane per
+    * spectral/velocity slice) and the four BITPIX codes the 2-d gate
+    * does not cover — 8 (UNSIGNED bytes, FITS 4.0), 32, 64 (all three
+    * with BSCALE/BZERO/BLANK where integer), and -64 doubles with NaN
+    * masking. The fixture (writeCubeFits) is one file with four 3-d
+    * IMAGE extensions over one planted voxel field; depth scales with
+    * the SF.
+    *
+    * Read shape: (plane, row)-range splits through the SAME addressing
+    * rule a19 uses, now via ImageSpec.rowOffset(z, y) — rows stay
+    * independently addressable across planes (fixed stride), so a cube
+    * parallelizes exactly like a frame: the global (hdu, z, y) row space
+    * is range-partitioned and each partition positioned-reads only its
+    * rows. Per row it emits exact-integer stats of the decoded physical
+    * values (doubles quantized ×8 — exact), so wrong plane addressing,
+    * byte width, sign handling (8 is unsigned, 32/64 signed), scaling or
+    * masking all hash-mismatch against the closed-form oracle.
+    */
+  val a25_fits_cube_source = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val path = graft.Util.scratch(
+        s"cube_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")
+      val depth = t(s, d, "documents").count() / 64 + 2 // ≥2 planes at any SF
+      val h = 64L
+      graft.fits.FitsWriter.writeCubeFits(path, 64, h, depth)
+      s.range(0, 4L * depth * h, 1, 8).mapPartitions { rs =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          val specs = (0 until 4).map { i =>
+            raf.seek(0); graft.fits.FitsFormat.locateImage(raf, i)
+          }
+          val bufs = specs.map(sp => new Array[Byte](sp.rowBytes.toInt)).toArray
+          rs.map { r =>
+            val hdu = (r / (depth * h)).toInt
+            val rem = r % (depth * h)
+            val z = rem / h
+            val y = rem % h
+            val sp = specs(hdu)
+            val buf = bufs(hdu)
+            raf.seek(sp.rowOffset(z, y))
+            raf.readFully(buf)
+            val bb = java.nio.ByteBuffer.wrap(buf) // FITS is big-endian
+            var n = 0L; var sum = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var x = 0
+            while (x < sp.width) {
+              var valid = true
+              var q = 0L
+              sp.bitpix match {
+                case 8 =>
+                  val raw = (bb.get(x) & 0xff).toLong // unsigned per FITS 4.0
+                  if (sp.blank.contains(raw)) valid = false
+                  else q = (sp.bzero + sp.bscale * raw).toLong // exact ints
+                case 32 =>
+                  val raw = bb.getInt(x * 4).toLong
+                  if (sp.blank.contains(raw)) valid = false
+                  else q = (sp.bzero + sp.bscale * raw).toLong
+                case 64 =>
+                  val raw = bb.getLong(x * 8)
+                  if (sp.blank.contains(raw)) valid = false else q = raw
+                case -64 =>
+                  val v = bb.getDouble(x * 8)
+                  if (v.isNaN) valid = false
+                  else q = (v * 8.0).toLong // eighth-integer pixels: exact
+              }
+              if (valid) {
+                n += 1; sum += q
+                if (q < mn) mn = q
+                if (q > mx) mx = q
+              }
+              x += 1
+            }
+            (hdu + 1L, z, y, n, sum, mn, mx)
+          }.toVector.iterator
+        } finally raf.close()
+      }.toDF("hdu", "z", "y", "n_valid", "sum_q", "min_q", "max_q")
+        .orderBy("hdu", "z", "y")
+    },
+    """WITH b AS (SELECT ((SELECT count(*) FROM documents) // 64 + 2) AS d),
+      |zy AS (SELECT z, y
+      |       FROM (SELECT unnest(range(0, (SELECT d FROM b))) AS z)
+      |       CROSS JOIN (SELECT unnest(range(0, 64)) AS y)),
+      |v AS (SELECT z, y, unnest(list_transform(range(0, 64),
+      |        x -> (3 * y + 5 * x + 11 * z + 7) % 251)) AS raw FROM zy),
+      |g AS (SELECT h.hdu, z, y,
+      |        count(*) FILTER (WHERE raw <> 250) AS n_valid,
+      |        sum(CASE h.hdu WHEN 1 THEN 3 * raw + 10 WHEN 2 THEN 2 * raw - 500
+      |              WHEN 3 THEN raw * 2654435761 ELSE raw END)
+      |          FILTER (WHERE raw <> 250) AS sum_q,
+      |        min(CASE h.hdu WHEN 1 THEN 3 * raw + 10 WHEN 2 THEN 2 * raw - 500
+      |              WHEN 3 THEN raw * 2654435761 ELSE raw END)
+      |          FILTER (WHERE raw <> 250) AS min_q,
+      |        max(CASE h.hdu WHEN 1 THEN 3 * raw + 10 WHEN 2 THEN 2 * raw - 500
+      |              WHEN 3 THEN raw * 2654435761 ELSE raw END)
+      |          FILTER (WHERE raw <> 250) AS max_q
+      |      FROM v CROSS JOIN (SELECT unnest(range(1, 5)) AS hdu) h
+      |      GROUP BY h.hdu, z, y)
+      |SELECT CAST(hdu AS BIGINT) AS hdu, CAST(z AS BIGINT) AS z,
+      |  CAST(y AS BIGINT) AS y, CAST(n_valid AS BIGINT) AS n_valid,
+      |  CAST(sum_q AS BIGINT) AS sum_q, CAST(min_q AS BIGINT) AS min_q,
+      |  CAST(max_q AS BIGINT) AS max_q
+      |FROM g ORDER BY hdu, z, y""".stripMargin)
+
+  /** a26: plane-indexed cube cutout — a20's cutout-service shape gaining
+    * the third axis: read ONLY the sub-box z ∈ [1, depth), y ∈ [16, 48),
+    * x ∈ [8, 40) of the BITPIX 32 cube extension. Each partition seeks
+    * to rowOffset(z, y) + x0·4 and reads 32·4 bytes per requested row —
+    * bytes touched scale with the CUTOUT box, not the cube (a20's
+    * argument on three axes). Decoded physical pixels (with 'null' at
+    * BLANK) dump CSV-joined per row; the closed form means the oracle
+    * recomputes every emitted pixel, so an off-by-one on ANY axis —
+    * including the new plane stride — hash-mismatches.
+    */
+  val a26_fits_cube_cutout = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val path = graft.Util.scratch(
+        s"cube_${d.replaceAll("[^a-zA-Z0-9]", "_")}_cut.fits")
+      val depth = t(s, d, "documents").count() / 64 + 2
+      val h = 64L
+      graft.fits.FitsWriter.writeCubeFits(path, 64, h, depth)
+      val (y0, y1, x0, x1) = (16L, 48L, 8, 40)
+      s.range(0, (depth - 1) * (y1 - y0), 1, 4).mapPartitions { is =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateImage(raf, 1) // the int32 ext
+          val buf = new Array[Byte]((x1 - x0) * 4)
+          is.map { i =>
+            val z = 1L + i / (y1 - y0)
+            val y = y0 + i % (y1 - y0)
+            // seek INSIDE the plane's row: only the cutout's columns read
+            raf.seek(sp.rowOffset(z, y) + x0.toLong * 4)
+            raf.readFully(buf)
+            val bb = java.nio.ByteBuffer.wrap(buf)
+            val px = (0 until (x1 - x0)).map { j =>
+              val raw = bb.getInt(j * 4).toLong
+              if (sp.blank.contains(raw)) "null"
+              else (sp.bzero + sp.bscale * raw).toLong.toString
+            }
+            (z, y, px.mkString(","))
+          }.toVector.iterator
+        } finally raf.close()
+      }.toDF("z", "y", "px").orderBy("z", "y")
+    },
+    """WITH b AS (SELECT ((SELECT count(*) FROM documents) // 64 + 2) AS d),
+      |zs AS (SELECT unnest(range(1, (SELECT d FROM b))) AS z),
+      |ys AS (SELECT unnest(range(16, 48)) AS y)
+      |SELECT z, y, array_to_string(list_transform(range(8, 40),
+      |  x -> CASE WHEN (3 * y + 5 * x + 11 * z + 7) % 251 = 250 THEN 'null'
+      |       ELSE CAST(2 * ((3 * y + 5 * x + 11 * z + 7) % 251) - 500 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM zs CROSS JOIN ys ORDER BY z, y""".stripMargin)
+
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
     * round-tripped through FitsWriter. A 12-bit mask (packed MSB-first
@@ -808,6 +964,8 @@ object ScanOps {
       |ORDER BY hdu""".stripMargin)
 
   val all: Map[String, OpQuery] = Map(
+    "a25_fits_cube_source" -> a25_fits_cube_source,
+    "a26_fits_cube_cutout" -> a26_fits_cube_cutout,
     "a24_fits_checksum" -> a24_fits_checksum,
     "a23_fits_header_info" -> a23_fits_header_info,
     "a22_csv_quarantine" -> a22_csv_quarantine,

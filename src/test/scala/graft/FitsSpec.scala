@@ -669,6 +669,71 @@ class FitsSpec extends SparkTestBase {
     } finally raf.close()
   }
 
+  test("cube HDUs: locateImage finds all four NAXIS3 extensions with correct geometry") {
+    val path = Util.scratch("cube_locate.fits")
+    FitsWriter.writeCubeFits(path, 16, 5L, 3L)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val expect = Seq(
+        (8, 3.0, 10.0, Some(250L)),
+        (32, 2.0, -500.0, Some(250L)),
+        (64, 1.0, 0.0, Some(FitsWriter.CubeBlank64)),
+        (-64, 1.0, 0.0, None))
+      var prevOff = 0L
+      expect.zipWithIndex.foreach { case ((bp, sc, z0, blank), i) =>
+        raf.seek(0)
+        val sp = FitsFormat.locateImage(raf, i)
+        assert(sp.bitpix == bp && sp.width == 16 && sp.height == 5 &&
+          sp.depth == 3, s"geometry of cube ext #$i")
+        assert(sp.bscale == sc && sp.bzero == z0 && sp.blank == blank,
+          s"scaling/blank of cube ext #$i")
+        assert(sp.dataOffset % FitsFormat.BlockSize == 0 &&
+          sp.dataOffset > prevOff, s"alignment of cube ext #$i")
+        prevOff = sp.dataOffset
+        // the one addressing rule: plane stride = height · rowBytes
+        assert(sp.rowOffset(2, 4) - sp.rowOffset(0, 0) ==
+          (2 * 5 + 4) * sp.rowBytes, s"rowOffset stride of ext #$i")
+      }
+      raf.seek(0)
+      intercept[IllegalArgumentException](FitsFormat.locateImage(raf, 4))
+    } finally raf.close()
+  }
+
+  test("cube HDUs: every BITPIX decodes byte-exactly incl. sign, BLANK and NaN") {
+    val path = Util.scratch("cube_decode.fits")
+    // 64-wide plane: (3y + 5x + 11z + 7) crosses 251, so the sentinel
+    // and the unsigned byte range genuinely occur (16x5 never reaches 250)
+    FitsWriter.writeCubeFits(path, 64, 64L, 2L)
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val specs = (0 until 4).map { i =>
+        raf.seek(0); FitsFormat.locateImage(raf, i)
+      }
+      var masked = 0
+      for (z <- 0L until 2L; y <- 0L until 64L) {
+        val rows = specs.map { sp =>
+          val b = new Array[Byte](sp.rowBytes.toInt)
+          raf.seek(sp.rowOffset(z, y)); raf.readFully(b)
+          ByteBuffer.wrap(b)
+        }
+        for (x <- 0 until 64) {
+          val raw = FitsWriter.cubeRaw(x, y, z)
+          // BITPIX 8 is UNSIGNED: raw 128..250 must survive the byte
+          assert((rows(0).get(x) & 0xff).toLong == raw, s"u8 raw at ($x,$y,$z)")
+          assert(rows(1).getInt(x * 4).toLong == raw, s"i32 raw at ($x,$y,$z)")
+          assert(rows(2).getLong(x * 8) == raw * 2654435761L, s"i64 at ($x,$y,$z)")
+          val v = rows(3).getDouble(x * 8)
+          if (raw == 250L) { assert(v.isNaN, s"f64 mask at ($x,$y,$z)"); masked += 1 }
+          else assert(v == raw / 8.0, s"f64 value at ($x,$y,$z)")
+        }
+      }
+      assert(masked > 0, "fixture never exercises the missing-pixel path")
+      val highByte = (for (z <- 0L until 2L; y <- 0L until 64L; x <- 0 until 64)
+        yield FitsWriter.cubeRaw(x, y, z)).count(_ > 127)
+      assert(highByte > 0, "no raw value above 127 — unsigned decode untested")
+    } finally raf.close()
+  }
+
   test("locateImage skips table HDUs; locateTable skips image HDUs") {
     // a file holding ONLY images has no table — and vice versa the a7
     // table files hold no image: the two walks must not confuse HDU kinds
