@@ -1079,7 +1079,7 @@ object CorpusOps {
   /** The planted URL + extracted host columns shared by i43/i44 (same
     * construction in both oracles).
     */
-  private def withHost(docs: DataFrame): DataFrame = docs
+  private[graft] def withHost(docs: DataFrame): DataFrame = docs
     .withColumn("url", concat(lit("https://host"),
       (col("doc_id") % 20).cast(StringType),
       lit(".example.com/p/"), (col("doc_id") % 7).cast(StringType)))
@@ -1087,7 +1087,7 @@ object CorpusOps {
 
   // single-line ON PURPOSE: interpolated inside stripMargin oracles, where
   // a continuation line starting with '||' would lose its first '|'
-  private val hostSql = "regexp_extract('https://host' || (doc_id % 20) || " +
+  private[graft] val hostSql = "regexp_extract('https://host' || (doc_id % 20) || " +
     "'.example.com/p/' || (doc_id % 7), 'https://([^/]+)/', 1)"
 
   val i43_url_host_stats = OpQuery(

@@ -56,12 +56,13 @@ object LlmOps {
     * metadata column and an optional ≥2-token filter (used where a
     * downstream ratio would divide by an empty set's size).
     */
-  private def shinglesSqlCteFor(carry: String, minToks: Boolean = false): String =
-    s"""WITH d AS (SELECT doc_id, $carry, string_split(text,' ') AS toks FROM documents),
-       |s AS (SELECT doc_id, $carry,
+  private def shinglesSqlCteFor(carry: String, minToks: Boolean = false,
+      prefix: String = ""): String =
+    s"""WITH ${prefix}d AS (SELECT doc_id, $carry, string_split(text,' ') AS toks FROM documents),
+       |${prefix}s AS (SELECT doc_id, $carry,
        |        list_distinct(list_transform(range(1, len(toks)),
        |          i -> toks[i] || ' ' || toks[i+1])) AS sh
-       |      FROM d${if (minToks) " WHERE len(toks) >= 2" else ""})""".stripMargin
+       |      FROM ${prefix}d${if (minToks) " WHERE len(toks) >= 2" else ""})""".stripMargin
 
   private val shinglesSqlCte: String = shinglesSqlCteFor("lang")
 
@@ -1436,6 +1437,133 @@ object LlmOps {
       |WHERE s.source = 'src0'
       |ORDER BY bench_id""".stripMargin)
 
+  /** i59: the CORPUS CARD — the publishable artifact a data team ships
+    * with a training set, as ONE gated operator: a tall
+    * (section, metric, value) report composing five proven lineages
+    * (the i55 composition convention — every section is literally its
+    * source op's frame, so card and gate cannot drift):
+    *   lang_docs / lang_chars      — i2's per-language aggregate
+    *   domain_docs                 — i43's host extraction + count
+    *   dup_components              — i50's component-size histogram
+    *     (i39's LSH edges + the shared component engine)
+    *   token_bucket_docs / _tokens — i53's 16-token bucket histogram
+    *   contamination               — i52's per-bench-doc report reduced
+    *     to the three card numbers (bench docs, contaminated, pairs)
+    * All values are exact integers — the card hash-matches, no rounding
+    * policy needed. (section, metric) is a unique key, so the dump order
+    * is total.
+    *
+    * Shape at scale: each section is its source op's plan (their scale
+    * arguments carry over verbatim); the card adds only ≤ K-row unions
+    * of tiny aggregates. The 1-row contamination summary and the two
+    * double-read aggregates are localCheckpointed (the b17 multi-consumer
+    * convention) so no lineage replays per section.
+    */
+  val i59_corpus_card = OpQuery(
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      def sec(section: String, df: DataFrame, metric: Column,
+          value: Column): DataFrame =
+        df.select(lit(section).as("section"),
+          metric.cast(StringType).as("metric"), value.cast(LongType).as("value"))
+      val lang = docs.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .localCheckpoint()
+      val dom = CorpusOps.withHost(docs).groupBy("host")
+        .agg(count(lit(1)).as("n_docs"))
+      val edges = minhashVerifiedPairs(s, d).select(col("a_id"), col("b_id"))
+      val comp = docs.select(col("doc_id"))
+        .join(connectedComponents(s, edges).withColumnRenamed("node_id", "doc_id"),
+          Seq("doc_id"), "left")
+        .select(coalesce(col("lbl"), col("doc_id")).as("canonical"))
+      val hist = comp.groupBy("canonical").agg(count(lit(1)).as("comp_size"))
+        .groupBy("comp_size").agg(count(lit(1)).as("n_components"))
+      val tok = docs.where(col("text").isNotNull)
+        .select(size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+        .withColumn("bucket", least(expr("n_tok DIV 16"), lit(31L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .localCheckpoint()
+      val contam = contaminationReport(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), 0.8)
+        .agg(count(lit(1)).as("bench_docs"),
+          sum(when(col("n_flagged") > 0, 1L).otherwise(0L)).as("bench_contaminated"),
+          sum(col("n_flagged")).as("flagged_pairs"))
+        .localCheckpoint()
+      sec("lang_docs", lang, col("lang"), col("n_docs"))
+        .unionByName(sec("lang_chars", lang, col("lang"), col("sum_chars")))
+        .unionByName(sec("domain_docs", dom, col("host"), col("n_docs")))
+        .unionByName(sec("dup_components", hist,
+          lpad(col("comp_size").cast(StringType), 4, "0"), col("n_components")))
+        .unionByName(sec("token_bucket_docs", tok,
+          lpad(col("bucket").cast(StringType), 2, "0"), col("n_docs")))
+        .unionByName(sec("token_bucket_tokens", tok,
+          lpad(col("bucket").cast(StringType), 2, "0"), col("n_tokens")))
+        .unionByName(sec("contamination", contam, lit("bench_docs"),
+          col("bench_docs")))
+        .unionByName(sec("contamination", contam, lit("bench_contaminated"),
+          col("bench_contaminated")))
+        .unionByName(sec("contamination", contam, lit("flagged_pairs"),
+          col("flagged_pairs")))
+        .orderBy("section", "metric")
+    },
+    Some(lshClosureSqlCte + s""",
+      |comp AS (SELECT src AS doc_id, min(dst) AS canonical
+      |         FROM reach GROUP BY src),
+      |sz AS (SELECT canonical, CAST(count(*) AS BIGINT) AS comp_size
+      |       FROM comp GROUP BY canonical),
+      |hist AS (SELECT comp_size, CAST(count(*) AS BIGINT) AS n_components
+      |         FROM sz GROUP BY comp_size),
+      |lg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |       FROM documents GROUP BY lang),
+      |domg AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+      |         FROM (SELECT ${CorpusOps.hostSql} AS host FROM documents)
+      |         GROUP BY host),
+      |tk AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |       FROM documents WHERE text IS NOT NULL),
+      |th AS (SELECT least(n_tok // 16, 31) AS bucket,
+      |         CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |       FROM tk GROUP BY 1),
+      |${shinglesSqlCteFor("source", minToks = true, prefix = "c")
+           .replaceFirst("^WITH ", "")},
+      |cx AS (SELECT doc_id, source, unnest(sh) AS h FROM cs),
+      |cinter AS (SELECT a.doc_id AS it, b.doc_id AS ibe, count(*) AS i
+      |           FROM cx a JOIN cx b ON a.h = b.h
+      |             AND a.source <> 'src0' AND b.source = 'src0'
+      |           GROUP BY 1, 2),
+      |cagg AS (SELECT cinter.ibe AS bench_id,
+      |           CAST(count(*) FILTER (WHERE cinter.i::DOUBLE / len(csb.sh) >= 0.8)
+      |             AS BIGINT) AS n_flagged
+      |         FROM cinter JOIN cs csb ON csb.doc_id = cinter.ibe
+      |         GROUP BY 1),
+      |crep AS (SELECT csb.doc_id AS bench_id,
+      |           coalesce(a.n_flagged, 0) AS n_flagged
+      |         FROM cs csb LEFT JOIN cagg a ON a.bench_id = csb.doc_id
+      |         WHERE csb.source = 'src0'),
+      |contam AS (SELECT CAST(count(*) AS BIGINT) AS bench_docs,
+      |             CAST(count(*) FILTER (WHERE n_flagged > 0) AS BIGINT)
+      |               AS bench_contaminated,
+      |             CAST(coalesce(sum(n_flagged), 0) AS BIGINT) AS flagged_pairs
+      |           FROM crep)
+      |SELECT * FROM (
+      |  SELECT 'lang_docs' AS section, lang AS metric, n_docs AS value FROM lg
+      |  UNION ALL SELECT 'lang_chars', lang, sum_chars FROM lg
+      |  UNION ALL SELECT 'domain_docs', host, n_docs FROM domg
+      |  UNION ALL SELECT 'dup_components',
+      |    lpad(CAST(comp_size AS VARCHAR), 4, '0'), n_components FROM hist
+      |  UNION ALL SELECT 'token_bucket_docs',
+      |    lpad(CAST(bucket AS VARCHAR), 2, '0'), n_docs FROM th
+      |  UNION ALL SELECT 'token_bucket_tokens',
+      |    lpad(CAST(bucket AS VARCHAR), 2, '0'), n_tokens FROM th
+      |  UNION ALL SELECT 'contamination', 'bench_docs', bench_docs FROM contam
+      |  UNION ALL SELECT 'contamination', 'bench_contaminated',
+      |    bench_contaminated FROM contam
+      |  UNION ALL SELECT 'contamination', 'flagged_pairs', flagged_pairs
+      |    FROM contam)
+      |ORDER BY section, metric""".stripMargin))
+
   /** i25: incremental (batch-vs-corpus) near-dup — the nightly-crawl shape:
     * a new batch (doc_id % 10 = 0 stands in for today's crawl) is deduped
     * against the existing corpus WITHOUT the corpus ever self-joining.
@@ -1678,6 +1806,7 @@ object LlmOps {
     "i24_decontaminate" -> i24_decontaminate,
     "i45_decontam_capped" -> i45_decontam_capped,
     "i52_contamination_report" -> i52_contamination_report,
+    "i59_corpus_card" -> i59_corpus_card,
     "i56_triplet_mine" -> i56_triplet_mine,
     "i25_dedup_incremental" -> i25_dedup_incremental,
     "i54_index_maintain" -> i54_index_maintain,

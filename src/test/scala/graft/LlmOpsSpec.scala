@@ -730,4 +730,38 @@ class LlmOpsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSeq
     assert(got == full)
   }
+  test("i59 corpus card: every section equals its source operator, nothing else") {
+    import graft.ops.{CorpusOps, LlmOps}
+    val card = LlmOps.i59_corpus_card.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val i2 = LlmOps.i2_text_stats.fn(spark, sfDir).collect()
+    i2.foreach { r =>
+      assert(card(("lang_docs", r.getString(0))) == r.getLong(1), s"lang_docs ${r.getString(0)}")
+      assert(card(("lang_chars", r.getString(0))) == r.getLong(2), s"lang_chars ${r.getString(0)}")
+    }
+    val i43 = CorpusOps.i43_url_host_stats.fn(spark, sfDir).collect()
+    i43.foreach { r =>
+      assert(card(("domain_docs", r.getString(0))) == r.getLong(1), s"domain ${r.getString(0)}")
+    }
+    val i50 = LlmOps.i50_dedup_cluster_stats.fn(spark, sfDir).collect()
+    i50.foreach { r =>
+      assert(card(("dup_components", f"${r.getLong(0)}%04d")) == r.getLong(1),
+        s"dup size ${r.getLong(0)}")
+    }
+    val i53 = CorpusOps.i53_token_histogram.fn(spark, sfDir).collect()
+    i53.foreach { r =>
+      assert(card(("token_bucket_docs", f"${r.getLong(0)}%02d")) == r.getLong(1),
+        s"tok docs ${r.getLong(0)}")
+      assert(card(("token_bucket_tokens", f"${r.getLong(0)}%02d")) == r.getLong(2),
+        s"tok tokens ${r.getLong(0)}")
+    }
+    val rep = LlmOps.i52_contamination_report.fn(spark, sfDir).collect()
+    assert(card(("contamination", "bench_docs")) == rep.length)
+    assert(card(("contamination", "bench_contaminated")) == rep.count(_.getLong(2) > 0))
+    assert(card(("contamination", "flagged_pairs")) == rep.map(_.getLong(2)).sum)
+    // the card holds EXACTLY the composed sections -- nothing extra
+    assert(card.size ==
+      2 * i2.length + i43.length + i50.length + 2 * i53.length + 3,
+      "card cardinality diverges from its sources")
+  }
 }
