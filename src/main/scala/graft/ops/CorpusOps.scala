@@ -699,13 +699,21 @@ object CorpusOps {
   /** Plain-Scala BPE merge learning over a (word, freq) vocabulary: K
     * rounds of (count adjacent symbol pairs weighted by word frequency →
     * argmax by (count DESC, pair ASC) → merge everywhere). Deterministic:
-    * the alphabet is [a-z] so Scala's UTF-16 order and DuckDB's binary
-    * collation agree on every tie-break.
+    * symbol alphabets here are [a-z] (i46) or hex pairs [0-9A-F] (i60) —
+    * pure ASCII, so Scala's UTF-16 order and DuckDB's binary collation
+    * agree on every tie-break.
     */
   private[graft] def learnBpeMerges(vocab: Seq[(String, Long)],
+      k: Int): Seq[(String, String)] =
+    learnBpeMergesSym(
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }, k)
+
+  /** The same learner over PRE-SPLIT symbol sequences (i60's byte symbols
+    * are 2-char hex strings, not single chars).
+    */
+  private[graft] def learnBpeMergesSym(vocab: Seq[(Array[String], Long)],
       k: Int): Seq[(String, String)] = {
-    var state: Vector[(Array[String], Long)] =
-      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }.toVector
+    var state: Vector[(Array[String], Long)] = vocab.toVector
     val merges = Vector.newBuilder[(String, String)]
     var r = 0
     while (r < k) {
@@ -729,6 +737,32 @@ object CorpusOps {
     }
     merges.result()
   }
+
+  /** The K unrolled oracle learning rounds shared by i46 and i60 — each
+    * round counts adjacent-symbol pairs from the wrapped vocabulary
+    * strings, takes the (cnt DESC, a, b) argmax in a 1-row CTE, and
+    * replaces the merge everywhere. Symbol-agnostic: works for single
+    * chars (i46) and hex byte pairs (i60) alike because the wrapped form
+    * '&lt;sym&gt;' delimits symbols of any width.
+    */
+  private def bpeOracleRounds: String = (1 to BpeK).map { r =>
+    val prev = s"w${r - 1}"
+    s"""p$r AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+       |  FROM (SELECT freq, string_split(trim(s,'<>'),'><') AS l FROM $prev) t,
+       |       LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) u
+       |  GROUP BY 1,2),
+       |b$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
+       |w$r AS (SELECT word, freq,
+       |   replace(s, '<'||b$r.a||'><'||b$r.b||'>', '<'||b$r.a||b$r.b||'>') AS s
+       | FROM $prev CROSS JOIN b$r)""".stripMargin
+  }.mkString(",\n")
+
+  private def bpeOracleEncExpr: String = (1 to BpeK).foldLeft("s") { (acc, r) =>
+    s"replace($acc, '<'||b$r.a||'><'||b$r.b||'>', '<'||b$r.a||b$r.b||'>')"
+  }
+
+  private def bpeOracleCross: String =
+    (1 to BpeK).map(r => s"CROSS JOIN b$r").mkString(" ")
 
   /** i46: subword/BPE tokenizer-encode — the real-tokenizer step i42's
     * whole-word encode approximates: LEARN a merge table from corpus
@@ -788,21 +822,9 @@ object CorpusOps {
         .orderBy("doc_id")
     },
     Some {
-      val rounds = (1 to BpeK).map { r =>
-        val prev = s"w${r - 1}"
-        s"""p$r AS (SELECT l[i] AS a, l[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-           |  FROM (SELECT freq, string_split(trim(s,'<>'),'><') AS l FROM $prev) t,
-           |       LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) u
-           |  GROUP BY 1,2),
-           |b$r AS (SELECT a, b FROM p$r ORDER BY cnt DESC, a, b LIMIT 1),
-           |w$r AS (SELECT word, freq,
-           |   replace(s, '<'||b$r.a||'><'||b$r.b||'>', '<'||b$r.a||b$r.b||'>') AS s
-           | FROM $prev CROSS JOIN b$r)""".stripMargin
-      }.mkString(",\n")
-      val encExpr = (1 to BpeK).foldLeft("s") { (acc, r) =>
-        s"replace($acc, '<'||b$r.a||'><'||b$r.b||'>', '<'||b$r.a||b$r.b||'>')"
-      }
-      val cross = (1 to BpeK).map(r => s"CROSS JOIN b$r").mkString(" ")
+      val rounds = bpeOracleRounds
+      val encExpr = bpeOracleEncExpr
+      val cross = bpeOracleCross
       s"""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents
          |         WHERE text IS NOT NULL),
          |aw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(toks) AS w FROM d)
@@ -817,6 +839,91 @@ object CorpusOps {
          |     w -> regexp_replace(w, '(.)', '<\\1>', 'g')), 'string_agg', ' ') AS s
          | FROM d),
          |enc AS (SELECT doc_id, $encExpr AS es FROM enc0 $cross WHERE s IS NOT NULL)
+         |SELECT doc_id,
+         |  CAST(length(es) - length(replace(es,'<','')) AS BIGINT) AS n_pieces,
+         |  translate(replace(es, '><', ' '), '<>', '') AS pieces
+         |FROM enc ORDER BY doc_id""".stripMargin
+    })
+
+  /** The i60 byte-level BPE core over an arbitrary (doc_id, text) frame —
+    * shared by the gate and the randomized-fixture spec. Differences
+    * from i46, and why: symbols are the UTF-8 BYTES of each word spelled
+    * as 2-hex-digit pairs (hex() in both engines — uppercase, UTF-8), so
+    * EVERY token encodes, OOV-free by construction — the GPT-2-class
+    * byte-fallback i46's [a-z]+ filter deterministically dropped. The
+    * hex spelling is what makes arbitrary text marker-safe: a literal
+    * '&lt;' in a document becomes the symbol "3C", so no text byte can
+    * ever collide with the marker convention, and the whole encode stays
+    * the same narrow plan-literal replace chain (no UDF, no shuffle).
+    * Losslessness is a theorem of the construction: concatenating a
+    * word's emitted pieces restores hex(word) exactly (merges only
+    * regroup byte symbols) — the spec asserts this round-trip on random
+    * unicode fixtures.
+    */
+  private[graft] def bpeBytesEncode(docsIn: DataFrame): DataFrame = {
+    val toksDf = docsIn
+      .where(col("text").isNotNull)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("aw"))
+      .localCheckpoint() // read twice: vocab aggregate + encode
+    val vocab = toksDf.select(explode(col("aw")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cf"))
+      .orderBy(col("cf").desc, col("w")).limit(BpeV)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val symVocab = vocab.map { case (w, f) =>
+      (w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .map(b => f"${b & 0xff}%02X"), f)
+    }
+    val merges = learnBpeMergesSym(symVocab, BpeK)
+    val wrapped = array_join(
+      expr("transform(aw, w -> regexp_replace(hex(w), '(..)', '<$1>'))"), " ")
+    val encoded = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+      replace(c, lit(s"<$a><$b>"), lit(s"<$a$b>"))
+    }
+    toksDf.filter(size(col("aw")) > 0)
+      .select(col("doc_id"), encoded.as("es"))
+      .select(col("doc_id"),
+        (length(col("es")) - length(replace(col("es"), lit("<"), lit(""))))
+          .cast(LongType).as("n_pieces"),
+        translate(replace(col("es"), lit("><"), lit(" ")), "<>", "")
+          .as("pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** i60: BYTE-fallback BPE encode — i46 with the production tokenizer's
+    * coverage guarantee (see bpeBytesEncode for the construction). The
+    * gate feeds the corpus with a planted multi-byte suffix (" día_N" —
+    * an accented two-byte UTF-8 character plus punctuation, per doc_id
+    * class) so the multi-byte and non-letter escape paths run AT the
+    * gate, not only in the spec; the oracle re-learns the merge table
+    * independently from the same augmented corpus (the i46 convention —
+    * a learning bug on either side cannot cancel out).
+    */
+  val i60_bpe_bytes = OpQuery(
+    (s, d) => {
+      val aug = t(s, d, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" día_"),
+            (col("doc_id") % 5).cast(StringType)).as("text"))
+      bpeBytesEncode(aug)
+    },
+    Some {
+      s"""WITH d AS (SELECT doc_id,
+         |         string_split(text || ' día_' || CAST(doc_id % 5 AS VARCHAR), ' ') AS toks
+         |       FROM documents WHERE text IS NOT NULL),
+         |aw AS (SELECT doc_id, w FROM (SELECT doc_id, unnest(toks) AS w FROM d)
+         |       WHERE w <> ''),
+         |words AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq FROM aw GROUP BY 1),
+         |v AS (SELECT word, freq FROM words ORDER BY freq DESC, word LIMIT $BpeV),
+         |w0 AS (SELECT word, freq, regexp_replace(hex(word), '(..)', '<\\1>', 'g') AS s FROM v),
+         |$bpeOracleRounds,
+         |enc0 AS (SELECT doc_id,
+         |   list_aggregate(list_transform(list_filter(toks, w -> w <> ''),
+         |     w -> regexp_replace(hex(w), '(..)', '<\\1>', 'g')), 'string_agg', ' ') AS s
+         | FROM d),
+         |enc AS (SELECT doc_id, $bpeOracleEncExpr AS es FROM enc0 $bpeOracleCross
+         |        WHERE s IS NOT NULL)
          |SELECT doc_id,
          |  CAST(length(es) - length(replace(es,'<','')) AS BIGINT) AS n_pieces,
          |  translate(replace(es, '><', ' '), '<>', '') AS pieces
@@ -1430,5 +1537,6 @@ object CorpusOps {
     "i43_url_host_stats" -> i43_url_host_stats,
     "i44_domain_cap" -> i44_domain_cap,
     "i46_bpe_encode" -> i46_bpe_encode,
+    "i60_bpe_bytes" -> i60_bpe_bytes,
     "i47_quality_classifier" -> i47_quality_classifier)
 }

@@ -857,4 +857,49 @@ class CorpusOpsSpec extends SparkTestBase {
       !plan.contains("BroadcastNestedLoop"),
       s"scoring joined instead of inlining weights:\n$plan")
   }
+  test("i60 byte BPE: replace-chain equals array-form reference; lossless on random unicode") {
+    import spark.implicits._
+    import graft.ops.CorpusOps
+    // alphabet spans single-byte ASCII, marker characters themselves,
+    // 2- and 3-byte UTF-8 and a supplementary (4-byte) emoji; kept small
+    // enough that distinct words stay under BpeV, so the top-V cut never
+    // truncates and vocabulary SET equality is exact by construction
+    val alphabet = Seq("a", "b", "z", "\u00df", "\u00e9", "\u4e2d",
+      new String(Character.toChars(0x1F642)), "<", ">", "x", "3", "_", ".")
+    val rnd = new scala.util.Random(60L)
+    def word() = (1 to 1 + rnd.nextInt(4))
+      .map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    val docs = (1 to 120).map { i =>
+      (i.toLong, (1 to 1 + rnd.nextInt(8)).map(_ => word()).mkString(" "))
+    }
+    val out = CorpusOps.bpeBytesEncode(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    def hexOf(w: String): Array[String] =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X")
+    val words = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+    val vocab = words.groupBy(identity).map { case (w, g) => (w, g.size.toLong) }
+      .toSeq.sortBy { case (w, f) => (-f, w) }
+    assert(vocab.size <= CorpusOps.BpeV, "fixture vocabulary exceeds the top-V cut")
+    val merges = CorpusOps.learnBpeMergesSym(
+      vocab.map { case (w, f) => (hexOf(w), f) }, CorpusOps.BpeK)
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      val pieces = ws.map { w =>
+        merges.foldLeft(hexOf(w)) { case (syms, (a, b)) =>
+          CorpusOps.applyBpeMerge(syms, a, b)
+        }
+      }
+      val (nPieces, got) = out(id)
+      assert(got == pieces.map(_.mkString(" ")).mkString(" "),
+        s"doc $id pieces diverge from the array-form reference")
+      assert(nPieces == pieces.map(_.length).sum.toLong, s"doc $id piece count")
+      // OOV-free losslessness: concatenated pieces restore every byte
+      assert(got.replace(" ", "") == ws.flatMap(hexOf).mkString,
+        s"doc $id encode is not lossless")
+    }
+    assert(docs.exists(_._2.exists(_ > 127)), "no multi-byte char in fixture")
+    assert(docs.exists(_._2.contains("<")), "no marker char in fixture")
+    assert(merges.nonEmpty && merges.exists(m => (m._1 + m._2).length > 4),
+      "no multi-byte merge learned -- merges never crossed a byte boundary")
+  }
 }
