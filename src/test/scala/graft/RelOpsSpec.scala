@@ -137,6 +137,53 @@ class RelOpsSpec extends SparkTestBase {
     assert(seam.nonEmpty, "no non-polar match across the RA seam — wrap untested")
   }
 
+  test("d20 best-match: per-source argmin with unique tiebreak; unmatched sources survive as NULLs") {
+    import graft.ops.SphereSql
+    val df = RelOps.d20_xmatch_best.fn(spark, sfDir)
+    val out = df.collect().map { r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some((r.getLong(1), r.getLong(2))))
+    }.toMap
+    val as = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => k -> SphereSql.catalogD(k))
+    val bs = Tables.t(spark, sfDir, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0))
+      .map(k => k -> SphereSql.catalogD(k))
+    val expect = as.map { case (ai, (raa, deca)) =>
+      val inRadius = bs.flatMap { case (bi, (rab, decb)) =>
+        val h = SphereSql.haversineD(raa, deca, rab, decb)
+        if (h <= SphereSql.ThresholdD)
+          Some((math.floor(h * 1.0e12).toLong, bi)) else None
+      }
+      ai -> (if (inRadius.isEmpty) None
+        else { val (d2, bi) = inRadius.min; Some((bi, d2)) })
+    }.toMap
+    assert(out == expect, s"argmin diverges: got ${out.count(_._2.nonEmpty)} " +
+      s"matched vs expect ${expect.count(_._2.nonEmpty)}")
+    assert(out.size == as.size, "LEFT semantics lost rows: every source must appear once")
+    assert(out.values.exists(_.isEmpty), "no unmatched source — LEFT untested (vacuous)")
+    assert(out.values.exists(_.nonEmpty), "no matched source (vacuous)")
+  }
+
+  test("d20 core: contested argmin picks nearest, equal-distance tie breaks on b_id, isolated is NULL") {
+    import spark.implicits._
+    // a=1 has a nearer b (30) plus two farther EQUAL-distance bs (10, 20);
+    // a=2 sees only the equal pair (tiebreak must choose b_id 10);
+    // a=3 is isolated (nearest b is ~90 deg away)
+    val a = Seq((1L, 10000L, 0L), (2L, 200000L, 0L), (3L, 100000L, -80000L))
+      .toDF("a_id", "ra_a", "dec_a")
+    val b = Seq((10L, 9000L, 0L), (20L, 11000L, 0L), (30L, 10500L, 0L),
+      (40L, 199000L, 0L), (50L, 201000L, 0L))
+      .toDF("b_id", "ra_b", "dec_b")
+    val got = RelOps.sphereBestMatch(a, b).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got(1L).contains(30L), s"nearest not chosen: ${got(1L)}")
+    assert(got(2L).contains(40L), s"equal-distance tiebreak not on b_id: ${got(2L)}")
+    assert(got(3L).isEmpty, s"isolated source should be NULL: ${got(3L)}")
+  }
+
   test("d18 zone layout: every zone's cell width dominates the true max RA separation") {
     val r = 2000L
     val cells = RelOps.sphereZoneCells
