@@ -15,7 +15,7 @@ object Bench {
       SparkEntry.queries.get("e2_agg_groupby").foreach(_(spark, sfDir).count())
       // touch checkpoint + broadcast machinery too (used by dedup/ANN ops)
       spark.range(1000).localCheckpoint().count()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Profiling aid: SPARK_GRAFT_ONLY=i5_x,i10_y runs a subset under the
     // same harness/warm-up (official runs leave it unset; validated above).
     val selected = only match {

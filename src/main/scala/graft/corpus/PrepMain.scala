@@ -321,7 +321,7 @@ object PrepMain {
         // doesn't, skewing every real lang's share. The gated i48 runs on
         // the NULL-free fixture; arbitrary CLI input has no such contract.
         val sel = TrainOps.mixApply(keptPpl.select(col("doc_id"),
-            coalesce(col("lang"), lit(" null_lang")).as("lang")))
+            coalesce(col("lang"), lit("\u0000null_lang")).as("lang")))
           .select(col("doc_id"), col("n_copies"))
           .persist(lvl) // read by the join AND the effective-total count
         extraPersists += sel

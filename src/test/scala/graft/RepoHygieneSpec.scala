@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Source-tree hygiene gates that no compiler pass enforces.
+  *
+  * Raw control bytes: a single raw NUL in a source file makes `grep -rI`
+  * classify the whole FILE as binary and silently skip it — which in r6
+  * excluded PrepMain.scala from every text sweep, including the leak and
+  * copy tooling (VERDICT r6, "What's wrong" #4). Control characters that
+  * belong in string literals go in as escapes (\\u0000, \\t), which are
+  * byte-identical at runtime and invisible to binary detection.
+  */
+class RepoHygieneSpec extends AnyFunSuite {
+
+  private def scalaSources(root: String): Seq[Path] = {
+    val base = java.nio.file.Paths.get(root)
+    if (!Files.exists(base)) Seq.empty
+    else Files.walk(base).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") && Files.isRegularFile(p))
+      .toSeq
+  }
+
+  test("no raw control bytes in any src/ scala file (grep/leak/copy tooling must see every file)") {
+    val allowed = Set('\n'.toByte, '\t'.toByte, '\r'.toByte)
+    val offenders = (scalaSources("src/main") ++ scalaSources("src/test"))
+      .flatMap { p =>
+        val bytes = Files.readAllBytes(p)
+        val bad = bytes.zipWithIndex.collect {
+          case (b, i) if b >= 0 && b < 0x20 && !allowed.contains(b) => i
+        }
+        if (bad.isEmpty) None
+        else Some(s"$p: ${bad.length} control byte(s), first at offset ${bad.head}")
+      }
+    assert(offenders.isEmpty,
+      s"raw control bytes found (use \\uXXXX escapes):\n${offenders.mkString("\n")}")
+  }
+}
