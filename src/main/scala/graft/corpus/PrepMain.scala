@@ -27,7 +27,11 @@ import org.apache.spark.sql.types.LongType
   *   easy→hard train_pos) →
   *   partitioned parquet write + JSON manifest →
   *   retrieval chunks (i58 core, optional `--chunks write` — emits
-  *   `<out>/chunks.parquet` from the written post-scrub text)
+  *   `<out>/chunks.parquet` from the written post-scrub text) →
+  *   BPE tokenization (i60 core, optional `--tokenize bpe` — learns a
+  *   byte-fallback BPE vocab + merge table FROM the written corpus and
+  *   emits `<out>/tokens.parquet` (doc_id, n_pieces, pieces); hex-byte
+  *   symbols mean every kept doc encodes, OOV-free)
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
   * and containment flags come from the same shared helpers the gated
@@ -85,13 +89,18 @@ object PrepMain {
       // "write" additionally emits <out>/chunks.parquet — the i58 core
       // over the FINAL kept text (post-scrub), the retrieval-corpus
       // artifact beside the training corpus; "none" skips
-      chunks: String = "none")
+      chunks: String = "none",
+      // "bpe" additionally emits <out>/tokens.parquet — the i60
+      // byte-fallback BPE core over the FINAL kept text: vocab + merge
+      // table learned from the written corpus itself, every token
+      // encodes (OOV-free hex-byte symbols); "none" skips
+      tokenize: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
     "--scrub-span", "--scrub-min-docs", "--mix", "--ppl", "--shuffle",
-    "--chunks")
+    "--chunks", "--tokenize")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -123,6 +132,7 @@ object PrepMain {
         case "--ppl" => o = o.copy(ppl = v)
         case "--shuffle" => o = o.copy(shuffle = v)
         case "--chunks" => o = o.copy(chunks = v)
+        case "--tokenize" => o = o.copy(tokenize = v)
       }
       i += 2
     }
@@ -133,7 +143,7 @@ object PrepMain {
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
         "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none] " +
-        "[--chunks write|none]")
+        "[--chunks write|none] [--tokenize bpe|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("ccnet", "none")(o.ppl),
@@ -146,6 +156,8 @@ object PrepMain {
       s"--mix must be uniform|none, got ${o.mix}")
     require(Set("write", "none")(o.chunks),
       s"--chunks must be write|none, got ${o.chunks}")
+    require(Set("bpe", "none")(o.tokenize),
+      s"--tokenize must be bpe|none, got ${o.tokenize}")
     // only meaningful when the scrub stage actually runs (the --dedup-tau
     // convention): k = 1 would excise every repeated TOKEN, min-docs = 1
     // every document
@@ -414,6 +426,33 @@ object PrepMain {
           "n_chunked_docs" -> ch.select("doc_id").distinct().count())
       case _ => Map.empty
     }
+
+    // -- stage 7: BPE tokenization (i60 core, optional) ---------------------
+    // Tokenized from the WRITTEN corpus like the chunks stage, so the
+    // token artifact is exactly the training corpus's encoding. The vocab
+    // and merge table are learned from the written text itself (the
+    // production convention: the tokenizer is trained on the corpus it
+    // will encode), and the byte-fallback hex symbols guarantee every
+    // token of every kept doc encodes — no OOV row loss between
+    // documents.parquet and tokens.parquet (the coverage require below
+    // holds by construction for docs with at least one token).
+    val tokenCounts: Map[String, Long] = opts.tokenize match {
+      case "bpe" =>
+        graft.ops.CorpusOps.bpeBytesEncode(written)
+          .write.mode("overwrite").parquet(s"${opts.out}/tokens.parquet")
+        val tk = spark.read.parquet(s"${opts.out}/tokens.parquet")
+        val nTok = tk.count()
+        val nNonEmpty = written
+          .filter(col("text").isNotNull &&
+            size(expr("filter(split(text, ' '), w -> w <> '')")) > 0)
+          .count()
+        require(nTok == nNonEmpty,
+          s"tokenizer coverage gap: $nNonEmpty tokenizable docs, $nTok encoded")
+        Map("n_tokenized_docs" -> nTok,
+          "n_pieces_total" -> tk.agg(coalesce(sum(col("n_pieces")), lit(0L)))
+            .head().getLong(0))
+      case _ => Map.empty
+    }
     val manifest: Map[String, Long] = Map(
       "n_input" -> nInput,
       "n_quality_kept" -> nQualityKept,
@@ -422,7 +461,7 @@ object PrepMain {
       "n_dup_members_corpus" -> dupDrops.count(),
       "n_contaminated_corpus" -> decontamDrops.count(),
       "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts ++
-      pplCounts ++ mixCounts ++ chunkCounts
+      pplCounts ++ mixCounts ++ chunkCounts ++ tokenCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))

@@ -440,4 +440,42 @@ class PrepPipelineSpec extends SparkTestBase {
     val nBad = bad.count()
     assert(nBad == 0, s"chunk geometry broken for $nBad docs")
   }
+
+  test("--tokenize bpe emits tokens whose piece-concatenation restores hex of every word") {
+    import org.apache.spark.sql.functions._
+    val outT = Util.scratch("prep_out_tokens")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outT, "none",
+      tokenize = "bpe"))
+    val kept = spark.read.parquet(s"$outT/documents.parquet")
+    val tk = spark.read.parquet(s"$outT/tokens.parquet")
+    assert(m("n_tokenized_docs") == tk.count() && m("n_tokenized_docs") > 0)
+    // losslessness end-to-end on the written artifact: stripping the
+    // piece separators restores the concatenated hex byte spelling of
+    // the doc's tokens exactly — merges regroup byte symbols, they can
+    // never alter or cross them (a cross-word merge would need the
+    // literal '<a><b>' to span the '> <' gap, which it cannot)
+    val joined = kept
+      .filter(col("text").isNotNull &&
+        size(expr("filter(split(text, ' '), w -> w <> '')")) > 0)
+      .select(col("doc_id"),
+        expr("array_join(transform(filter(split(text, ' '), w -> w <> ''), w -> hex(w)), '')")
+          .as("want"))
+      .join(tk, "doc_id")
+    assert(joined.count() == tk.count(),
+      "tokens.parquet keys diverge from the written corpus")
+    val broken = joined
+      .filter(replace(col("pieces"), lit(" "), lit("")) =!= col("want"))
+      .count()
+    assert(broken == 0, s"piece concatenation fails to restore hex for $broken docs")
+    // the learned merge table must actually merge: pieces fewer than raw
+    // byte symbols somewhere, never more anywhere
+    val stats = joined
+      .select(sum(when(col("n_pieces") * 2 > length(col("want")), 1L)
+          .otherwise(0L)).as("over"),
+        sum(when(col("n_pieces") * 2 < length(col("want")), 1L)
+          .otherwise(0L)).as("merged"))
+      .head()
+    assert(stats.getLong(0) == 0, "a doc emitted more pieces than byte symbols")
+    assert(stats.getLong(1) > 0, "no doc compressed — the merge table is dead")
+  }
 }
