@@ -480,6 +480,41 @@ object RelOps {
       |FROM p WHERE dr * dr + dd * dd <= 4000000
       |ORDER BY a_id, b_id""".stripMargin)
 
+  /** The d14 blocked-linkage core over (a_id, da) / (b_id, db) frames of
+    * fixed-length keys: candidates = equality on any of `chunks` equal
+    * key slices, refine = exact per-char hamming ≤ maxHd. The blocking
+    * is PROVABLY lossless iff maxHd < chunks — a pair within distance
+    * maxHd touches ≤ maxHd chunks, leaving ≥ 1 untouched chunk to block
+    * on (the pigeonhole argument; the `require` makes the guarantee a
+    * precondition, and the property-fuzz suite shows both that every
+    * legal config equals brute force and that maxHd = chunks genuinely
+    * loses pairs). DISTINCT collapses pairs blocked by 2+ chunks.
+    */
+  private[graft] def hammingBlockedPairs(a: DataFrame, b: DataFrame,
+      keyLen: Int, chunks: Int, maxHd: Int): DataFrame = {
+    require(chunks > 0 && keyLen % chunks == 0,
+      s"chunks must split the key evenly, got keyLen=$keyLen chunks=$chunks")
+    require(maxHd >= 0 && maxHd < chunks,
+      "pigeonhole blocking needs hamming bound < chunk count " +
+        s"(>= 1 untouched chunk), got maxHd=$maxHd chunks=$chunks")
+    val clen = keyLen / chunks
+    val ax = a.withColumn("c", explode(expr(
+      s"transform(sequence(0, ${chunks - 1}), i -> struct(i AS cn, " +
+        s"substring(da, i * $clen + 1, $clen) AS ck))")))
+      .select(col("a_id"), col("da"), col("c.cn"), col("c.ck"))
+    val bx = b.withColumn("c", explode(expr(
+      s"transform(sequence(0, ${chunks - 1}), i -> struct(i AS cn, " +
+        s"substring(db, i * $clen + 1, $clen) AS ck))")))
+      .select(col("b_id"), col("db"), col("c.cn"), col("c.ck"))
+    ax.join(bx, Seq("cn", "ck"))
+      .select(col("a_id"), col("b_id"), col("da"), col("db")).distinct()
+      .withColumn("hd", expr(
+        s"CAST(size(filter(sequence(1, $keyLen), i -> " +
+          "substring(da, i, 1) <> substring(db, i, 1))) AS BIGINT)"))
+      .filter(col("hd") <= maxHd)
+      .select("a_id", "b_id", "hd")
+  }
+
   /** d14: blocked record-linkage (fuzzy) join — the entity-resolution
     * shape: match records across two systems whose keys disagree in a few
     * characters (typos, OCR, migration damage). Records carry a 9-digit
@@ -517,18 +552,7 @@ object RelOps {
           expr("substring(d0, 1, p - 1)"),
           expr("CAST((CAST(substring(d0, p, 1) AS INT) + 5) % 10 AS STRING)"),
           expr("substring(d0, p + 1)")).as("db"))
-      val ax = a.withColumn("c", explode(expr(
-        "transform(sequence(0, 2), i -> struct(i AS cn, substring(da, i * 3 + 1, 3) AS ck))")))
-        .select(col("a_id"), col("da"), col("c.cn"), col("c.ck"))
-      val bx = b.withColumn("c", explode(expr(
-        "transform(sequence(0, 2), i -> struct(i AS cn, substring(db, i * 3 + 1, 3) AS ck))")))
-        .select(col("b_id"), col("db"), col("c.cn"), col("c.ck"))
-      ax.join(bx, Seq("cn", "ck"))
-        .select(col("a_id"), col("b_id"), col("da"), col("db")).distinct()
-        .withColumn("hd", expr(
-          "CAST(size(filter(sequence(1, 9), i -> substring(da, i, 1) <> substring(db, i, 1))) AS BIGINT)"))
-        .filter(col("hd") <= 2)
-        .select("a_id", "b_id", "hd")
+      hammingBlockedPairs(a, b, keyLen = 9, chunks = 3, maxHd = 2)
         .orderBy("a_id", "b_id")
     },
     """WITH a AS (SELECT c_custkey AS a_id,
@@ -574,6 +598,40 @@ object RelOps {
     math.max(1L, math.floor(ce * 90.0).toLong)
   }
 
+  /** The zones layout for an ARBITRARY (zone height, match separation)
+    * pair — the general form behind the fixed `sphereZoneCells` table
+    * (which keeps its original, more conservative 90·cosExt cell counts
+    * so the gated d18 plan is byte-stable). Per zone, the cell count n
+    * is the largest satisfying the same linear bound the fixed table's
+    * Scaladoc proves: W = 360000/n ≥ 180000·sin(sep/2)/cosExt ≥ Δλmax =
+    * 2·asin(sin(sep/2)/cosExt)·(180000/π), i.e. n ≤ 2·cosExt/sin(sep/2)
+    * (shaved by 1e-9 so double rounding can never tip past the bound);
+    * zones where cosExt ≤ sin(sep/2) collapse to one all-RA cell (the
+    * asin argument leaves its domain — everything there is a pole-cap
+    * neighbor). sep ≤ height keeps the ±1 zone probe a covering. The
+    * property-fuzz suite checks every zone of random (height, sep)
+    * tables against TRUE trig and proves the validator fires on a
+    * corrupted table.
+    */
+  private[graft] def sphereZoneCellTable(heightMilli: Long,
+      sepMilli: Long): Array[Long] = {
+    require(heightMilli > 0 && 180000L % heightMilli == 0,
+      s"zone height must tile the dec range exactly, got $heightMilli")
+    require(sepMilli > 0 && sepMilli <= heightMilli,
+      "±1 zone covering needs 0 < separation <= zone height, " +
+        s"got sep=$sepMilli height=$heightMilli")
+    val zones = (180000L / heightMilli).toInt
+    val s = math.sin(sepMilli * math.Pi / 360000)
+    Array.tabulate(zones) { z =>
+      val d0e = z * heightMilli - 90000L - heightMilli
+      val d1e = (z + 1) * heightMilli - 90000L + heightMilli
+      val mx = math.min(90000L, math.max(math.abs(d0e), math.abs(d1e)))
+      val ce = math.max(math.cos(mx * math.Pi / 180000), 0.0)
+      if (ce <= s) 1L
+      else math.max(1L, math.floor(ce * 2.0 / s * (1 - 1e-9)).toLong)
+    }
+  }
+
   /** The d18 spherical crossmatch core over (id, ra_m, dec_m) catalogs in
     * integer milli-degrees. Candidates: A explodes to its 3 neighbor
     * zones × (per that zone's OWN grid) 3 wrapped RA cells —
@@ -604,18 +662,45 @@ object RelOps {
     * the large-large SMJ regime the join re-shuffles by key anyway and
     * this narrow pre-shuffle is noise.
     */
-  private[graft] def sphereXmatchPairs(a: DataFrame, b: DataFrame): DataFrame = {
-    val nArr = array(sphereZoneCells.map(lit(_)): _*)
+  private[graft] def sphereXmatchPairs(a: DataFrame, b: DataFrame): DataFrame =
+    sphereXmatchCore(a, b, sphereZoneCells, 2000L, SphereSql.Threshold)
+
+  /** General-radius form: zones sized to (heightMilli, sepMilli) via
+    * `sphereZoneCellTable`, refine against sin²(sep/2) computed with the
+    * SAME polynomial arithmetic as the refine column (so the planted
+    * exactly-on-threshold pair is accepted on both sides of the
+    * comparison). The library entry point for crossmatching at a radius
+    * other than the gated 2°; property-fuzzed against brute force on
+    * random pole/seam-biased catalogs.
+    */
+  private[graft] def sphereXmatchPairsAt(a: DataFrame, b: DataFrame,
+      heightMilli: Long, sepMilli: Long): DataFrame = {
+    val st = SphereSql.sinHalfD(sepMilli.toDouble)
+    sphereXmatchCore(a, b, sphereZoneCellTable(heightMilli, sepMilli),
+      heightMilli, SphereSql.dlit(st * st))
+  }
+
+  /** The blocking stage alone — candidate pairs BEFORE the haversine
+    * refine (columns a_id/ra_a/dec_a/ca/b_id/ra_b/dec_b/cb). Split out
+    * so the scale ladder can measure candidate volume directly: the r6
+    * judge's d18 finding was quadratic CANDIDATE growth from an
+    * overdense planted cap class — a defect only visible at this stage.
+    */
+  private[graft] def sphereCandidates(a: DataFrame, b: DataFrame,
+      cells: Array[Long], heightMilli: Long): DataFrame = {
+    val zones = cells.length
+    val nArr = array(cells.map(lit(_)): _*)
     val parallelism =
       a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val ax = a
       .repartition(parallelism)
       .withColumn("ca", expr(SphereSql.cosClamped("dec_a")))
-      // least(…, 89): dec = +90000 exactly (the pole itself) closes into
-      // the top zone instead of indexing past the 90-zone table
-      .withColumn("za", expr("least((dec_a + 90000) DIV 2000, 89)"))
+      // least(…, zones-1): dec = +90000 exactly (the pole itself) closes
+      // into the top zone instead of indexing past the zone table
+      .withColumn("za",
+        expr(s"least((dec_a + 90000) DIV $heightMilli, ${zones - 1})"))
       .withColumn("pz", explode(expr("array(za - 1, za, za + 1)")))
-      .where(col("pz").between(0, 89))
+      .where(col("pz").between(0, zones - 1))
       .withColumn("n", element_at(nArr, col("pz").cast("int") + 1))
       .withColumn("i", expr("(ra_a * n) DIV 360000"))
       .withColumn("pc", explode(array_distinct(
@@ -623,16 +708,22 @@ object RelOps {
       .select("a_id", "ra_a", "dec_a", "ca", "pz", "pc")
     val bx = b
       .withColumn("cb", expr(SphereSql.cosClamped("dec_b")))
-      .withColumn("pz", expr("least((dec_b + 90000) DIV 2000, 89)"))
+      .withColumn("pz",
+        expr(s"least((dec_b + 90000) DIV $heightMilli, ${zones - 1})"))
       .withColumn("n", element_at(nArr, col("pz").cast("int") + 1))
       .withColumn("pc", expr("(ra_b * n) DIV 360000"))
       .select("b_id", "ra_b", "dec_b", "cb", "pz", "pc")
     ax.join(bx, Seq("pz", "pc"))
+  }
+
+  private def sphereXmatchCore(a: DataFrame, b: DataFrame,
+      cells: Array[Long], heightMilli: Long, thresholdSql: String): DataFrame = {
+    sphereCandidates(a, b, cells, heightMilli)
       .withColumn("sd", expr(SphereSql.sinHalf("dec_a - dec_b")))
       .withColumn("sl", expr(SphereSql.sinHalf(
         "least(abs(ra_a - ra_b), 360000 - abs(ra_a - ra_b))")))
       .withColumn("h", expr(SphereSql.Combine))
-      .where(expr(s"h <= ${SphereSql.Threshold}"))
+      .where(expr(s"h <= $thresholdSql"))
       .select(col("a_id"), col("b_id"),
         expr("CAST(floor(h * 1.0E12) AS BIGINT)").as("dist2q"))
   }
@@ -1077,7 +1168,7 @@ object RelOps {
   */
 private[graft] object SphereSql {
 
-  private def dlit(v: Double): String =
+  def dlit(v: Double): String =
     "%.17E".formatLocal(java.util.Locale.ROOT, v)
 
   /** (-1)^k / (2k+1)! for k = 1..7 — sin tail coefficients. */

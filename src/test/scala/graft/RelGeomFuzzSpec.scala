@@ -1,0 +1,266 @@
+package graft
+
+import graft.ops.{RelOps, SphereSql}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-fuzz of the three blocked-join geometry configs (raw
+  * ScalaCheck, the FitsFuzzSpec convention — the scalatest bridge is not
+  * on the offline classpath):
+  *
+  *  - d13 `xmatchPairs(cell, r)`: every legal (cell size, radius) config
+  *    equals brute force on random catalogs; illegal configs are refused
+  *    by the `require`s; and the r ≤ cell guard is LOAD-BEARING — a
+  *    plain-Scala ±1-cell covering demonstrably loses a pair at
+  *    r = cell + 500, so the refusal is a recall guarantee, not pedantry.
+  *  - d14 `hammingBlockedPairs(keyLen, chunks, maxHd)`: every legal
+  *    config equals brute-force hamming; maxHd ≥ chunks is refused; and
+  *    a hamming-2 pair under 2-chunk blocking shows the pigeonhole bound
+  *    genuinely loses pairs when violated.
+  *  - d18 `sphereZoneCellTable(height, sep)`: every zone of every legal
+  *    table satisfies the TRUE-trig covering inequality (cell width ≥
+  *    exact max RA separation of an in-radius pair); the validator fires
+  *    on a corrupted table (so the property has teeth); the production
+  *    `sphereZoneCells` is element-wise at least as conservative as the
+  *    general table; and the general-radius `sphereXmatchPairsAt` equals
+  *    brute force end-to-end on pole/seam-biased random catalogs at
+  *    three (height, sep) configs.
+  */
+class RelGeomFuzzSpec extends SparkTestBase {
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---------------------------------------------------------------- d13
+
+  /** Divisors of 360000 with ≥ 3 RA ring cells (the xmatchPairs domain). */
+  private val d13Cells: Seq[Long] = Seq(1000L, 1500L, 2000L, 2500L, 3000L,
+    4000L, 4500L, 5000L, 6000L, 8000L, 9000L, 10000L, 12000L, 15000L,
+    18000L, 24000L, 30000L, 36000L, 45000L, 60000L, 90000L, 120000L)
+
+  test("d13 fuzz: every legal (cell, radius) config equals brute force") {
+    import spark.implicits._
+    val gen = for {
+      cell <- Gen.oneOf(d13Cells)
+      r <- Gen.choose(1L, cell)
+      seed <- Gen.choose(0L, Long.MaxValue - 1)
+    } yield (cell, r, seed)
+    check(Prop.forAllNoShrink(gen) { case (cell, r, seed) =>
+      val rnd = new scala.util.Random(seed)
+      def pt() = (rnd.nextLong(360000L), rnd.nextLong(180001L) - 90000L)
+      val base = (1 to 60).map { i => val (ra, dec) = pt(); (i.toLong, ra, dec) }
+      // plants: an exact dup (dist 0), an exactly-on-threshold pair
+      // (Δdec = r, Δra = 0), and a seam pair (ra 359.9° vs 0.1°-ish)
+      val (ra0, dec0) = pt()
+      val decT = if (dec0 + r <= 90000L) dec0 + r else dec0 - r
+      val aRows = base ++ Seq((1001L, ra0, dec0), (1002L, 359900L, 0L))
+      val bRows = (1 to 45).map { i => val (ra, dec) = pt(); (i.toLong, ra, dec) } ++
+        Seq((2001L, ra0, dec0), (2002L, ra0, decT), (2003L, 100L, 0L))
+      val a = aRows.toDF("a_id", "ra_m", "dec_m")
+      val b = bRows.toDF("b_id", "ra_m", "dec_m")
+      val got = RelOps.xmatchPairs(a, b, cell, r).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val expect = (for {
+        (ai, raa, deca) <- aRows; (bi, rab, decb) <- bRows
+        dr = math.min(math.abs(raa - rab), 360000L - math.abs(raa - rab))
+        dd = deca - decb
+        if dr * dr + dd * dd <= r * r
+      } yield (ai, bi)).toSet
+      val ok = got == expect && expect.nonEmpty
+      if (!ok) println(s"d13 fuzz FAIL cell=$cell r=$r seed=$seed: " +
+        s"got ${got.size} expect ${expect.size}, " +
+        s"missing ${(expect -- got).take(3)}, extra ${(got -- expect).take(3)}")
+      ok
+    }, n = 6)
+  }
+
+  test("d13 guards refuse illegal configs; r > cell genuinely loses pairs") {
+    import spark.implicits._
+    val tiny = Seq((1L, 0L, 0L)).toDF("a_id", "ra_m", "dec_m")
+    val tinyB = Seq((1L, 0L, 0L)).toDF("b_id", "ra_m", "dec_m")
+    // radius beyond the cell size
+    intercept[IllegalArgumentException](
+      RelOps.xmatchPairs(tiny, tinyB, 2000L, 2500L))
+    // cell that does not tile the ring
+    intercept[IllegalArgumentException](
+      RelOps.xmatchPairs(tiny, tinyB, 7000L, 1000L))
+    // < 3 ring cells (probe neighborhood would self-collide mod ring)
+    intercept[IllegalArgumentException](
+      RelOps.xmatchPairs(tiny, tinyB, 180000L, 1000L))
+
+    // The guard is load-bearing: with r = cell + 500 the ±1 covering
+    // (replayed in plain Scala — the require refuses to run it on Spark)
+    // misses a genuinely in-radius pair whose dec cells differ by 2.
+    val cell = 2000L; val r = 2500L
+    val (decA, decB) = (1999L, 4499L) // Δdec = 2500 = r ⇒ in radius
+    val cellA = (decA + 90000L) / cell
+    val cellB = (decB + 90000L) / cell
+    assert(math.abs(cellA - cellB) == 2, "fixture must straddle 2 cells")
+    val probed = (-1L to 1L).map(cellA + _)
+    assert(!probed.contains(cellB),
+      "±1 probe unexpectedly covered the pair — demo broken")
+    assert((decA - decB) * (decA - decB) <= r * r,
+      "pair must be within radius for the miss to matter")
+  }
+
+  // ---------------------------------------------------------------- d14
+
+  test("d14 fuzz: every legal (keyLen, chunks, maxHd) config equals brute force") {
+    import spark.implicits._
+    val gen = for {
+      chunks <- Gen.choose(2, 4)
+      clen <- Gen.choose(1, 3)
+      maxHd <- Gen.choose(0, chunks - 1)
+      seed <- Gen.choose(0L, Long.MaxValue - 1)
+    } yield (chunks, clen, maxHd, seed)
+    check(Prop.forAllNoShrink(gen) { case (chunks, clen, maxHd, seed) =>
+      val keyLen = chunks * clen
+      val rnd = new scala.util.Random(seed)
+      def key() = Seq.fill(keyLen)(rnd.nextInt(3)).mkString // tiny alphabet
+      val aRows = (1 to 50).map(i => (i.toLong, key()))
+      // plant a pair at EXACTLY hamming maxHd off a-side key 1
+      val planted = {
+        val src = aRows.head._2.toCharArray
+        rnd.shuffle((0 until keyLen).toList).take(maxHd)
+          .foreach(p => src(p) = (((src(p) - '0') + 1) % 3 + '0').toChar)
+        new String(src)
+      }
+      val bRows = (1 to 35).map(i => (i.toLong, key())) :+ (2001L, planted)
+      val a = aRows.toDF("a_id", "da")
+      val b = bRows.toDF("b_id", "db")
+      val got = RelOps.hammingBlockedPairs(a, b, keyLen, chunks, maxHd)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val expect = (for {
+        (ai, ka) <- aRows; (bi, kb) <- bRows
+        hd = ka.zip(kb).count(p => p._1 != p._2).toLong
+        if hd <= maxHd
+      } yield (ai, bi, hd)).toSet
+      val ok = got == expect && expect.contains((1L, 2001L, maxHd.toLong))
+      if (!ok) println(s"d14 fuzz FAIL chunks=$chunks clen=$clen " +
+        s"maxHd=$maxHd seed=$seed: got ${got.size} expect ${expect.size}")
+      ok
+    }, n = 6)
+  }
+
+  test("d14 guard refuses maxHd >= chunks; the pigeonhole bound is load-bearing") {
+    import spark.implicits._
+    val a = Seq((1L, "00")).toDF("a_id", "da")
+    val b = Seq((1L, "11")).toDF("b_id", "db")
+    intercept[IllegalArgumentException](
+      RelOps.hammingBlockedPairs(a, b, 2, 2, 2))
+    intercept[IllegalArgumentException]( // uneven chunking
+      RelOps.hammingBlockedPairs(a, b, 9, 2, 1))
+    // "00" vs "11": hamming 2 would pass a maxHd = 2 refine, but BOTH
+    // 1-char chunks are touched — chunk-equality blocking generates no
+    // candidate. The pair the require exists to protect.
+    val chunksEqual = (0 until 2).exists(i => "00".charAt(i) == "11".charAt(i))
+    assert(!chunksEqual && "00".zip("11").count(p => p._1 != p._2) == 2,
+      "hamming-2 pair with no equal chunk — blocked join would miss it")
+  }
+
+  // ---------------------------------------------------------------- d18
+
+  /** TRUE-trig covering validator (math.asin/cos, NOT the polynomial):
+    * per zone with n > 1 cells, cell width must dominate the exact max
+    * RA separation of an in-radius pair whose pole-most member sits at
+    * the zone's extended dec bound. Returns the violations — empty means
+    * the table is a lossless ±1 covering.
+    */
+  private def zoneViolations(cells: Array[Long], h: Long,
+      sep: Long): Seq[String] = {
+    val zones = (180000L / h).toInt
+    if (cells.length != zones)
+      return Seq(s"table length ${cells.length} != $zones zones")
+    val s = math.sin(sep * math.Pi / 360000)
+    (0 until zones).flatMap { z =>
+      val d0e = math.max(-90000L, z * h - 90000L - h)
+      val d1e = math.min(90000L, (z + 1) * h - 90000L + h)
+      val mx = math.max(math.abs(d0e), math.abs(d1e))
+      val ce = math.cos(mx * math.Pi / 180000)
+      val n = cells(z)
+      if (n < 1) Seq(s"zone $z: n=$n < 1")
+      else if (n == 1) Nil // whole-ring cell covers trivially
+      else if (s / ce >= 1.0)
+        Seq(s"zone $z: asin domain exceeded (needs the whole ring), n=$n")
+      else {
+        val dLamMax = 2 * math.asin(s / ce) * 180000 / math.Pi
+        if (360000.0 / n >= dLamMax) Nil
+        else Seq(s"zone $z: cell width ${360000.0 / n} < max dRA $dLamMax")
+      }
+    }
+  }
+
+  private val d18Heights: Seq[Long] = Seq(500L, 600L, 750L, 900L, 1000L,
+    1200L, 1500L, 1800L, 2000L, 2250L, 2500L, 3000L, 3600L, 4500L, 6000L,
+    9000L, 12000L, 15000L, 18000L, 22500L, 30000L, 45000L)
+
+  test("d18 fuzz: every legal (zone height, separation) table passes true-trig covering") {
+    val gen = for {
+      h <- Gen.oneOf(d18Heights)
+      sep <- Gen.choose(1L, h)
+    } yield (h, sep)
+    check(Prop.forAllNoShrink(gen) { case (h, sep) =>
+      val v = zoneViolations(RelOps.sphereZoneCellTable(h, sep), h, sep)
+      if (v.nonEmpty) println(s"d18 fuzz FAIL h=$h sep=$sep: ${v.take(3)}")
+      v.isEmpty
+    }, n = 200)
+  }
+
+  test("d18 validator fires on a corrupted table; guards refuse illegal configs") {
+    val good = RelOps.sphereZoneCellTable(2000L, 2000L)
+    assert(zoneViolations(good, 2000L, 2000L).isEmpty)
+    val bad = good.clone()
+    bad(45) = bad(45) * 4 // equator zone: cells 4× too narrow
+    assert(zoneViolations(bad, 2000L, 2000L).nonEmpty,
+      "validator must flag a 4×-overdense equator zone")
+    intercept[IllegalArgumentException]( // sep > height breaks ±1 zones
+      RelOps.sphereZoneCellTable(2000L, 2500L))
+    intercept[IllegalArgumentException]( // height must tile the dec range
+      RelOps.sphereZoneCellTable(7000L, 1000L))
+  }
+
+  test("d18 production table is element-wise at least as conservative as the general one") {
+    val general = RelOps.sphereZoneCellTable(2000L, 2000L)
+    val prod = RelOps.sphereZoneCells
+    assert(prod.length == general.length)
+    prod.indices.foreach { z =>
+      assert(prod(z) <= general(z),
+        s"zone $z: production n=${prod(z)} > general bound ${general(z)}")
+    }
+  }
+
+  test("d18 general-radius crossmatch equals brute force at three (height, sep) configs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    def randCat(n: Int, tag: Long): Seq[(Long, Long, Long)] = (1 to n).map { i =>
+      val ra = if (i % 5 == 0) (358000L + rnd.nextLong(4000L)) % 360000L
+        else rnd.nextLong(360000L)
+      val dec = rnd.nextInt(3) match {
+        case 0 => 86000L + rnd.nextLong(4001L) * (if (rnd.nextBoolean()) 1 else -1)
+        case _ => rnd.nextLong(180001L) - 90000L
+      }
+      (tag + i, ra, dec.max(-90000L).min(90000L))
+    }
+    Seq((2000L, 1000L), (4500L, 4500L), (1000L, 800L)).foreach {
+      case (h, sep) =>
+        val thr = { val st = SphereSql.sinHalfD(sep.toDouble); st * st }
+        val aRows = randCat(250, 0L)
+        val bRows = randCat(180, 10000L) ++ aRows.take(10)
+          .map { case (id, ra, dec) => (id + 20000L, ra, dec) } // planted dups
+        val a = aRows.toDF("a_id", "ra_a", "dec_a")
+        val b = bRows.toDF("b_id", "ra_b", "dec_b")
+        val got = RelOps.sphereXmatchPairsAt(a, b, h, sep).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expect = (for {
+          (ai, raa, deca) <- aRows; (bi, rab, decb) <- bRows
+          if SphereSql.haversineD(raa, deca, rab, decb) <= thr
+        } yield (ai, bi)).toSet
+        assert(got == expect, s"h=$h sep=$sep: got ${got.size}, " +
+          s"expect ${expect.size}, missing ${(expect -- got).take(3)}, " +
+          s"extra ${(got -- expect).take(3)}")
+        assert(expect.nonEmpty, s"h=$h sep=$sep: vacuous fixture")
+    }
+  }
+}
