@@ -1,7 +1,7 @@
 package graft
 
-import graft.functions.{DotProduct, IntersectCountSorted, LshBucket64,
-  MinHashSignature, ShingleHashSet, SimHash64, SqDistLong,
+import graft.functions.{DotProduct, HaversineMilli, IntersectCountSorted,
+  LshBucket64, MinHashSignature, ShingleHashSet, SimHash64, SqDistLong,
   TokenRepetitionStats, TokenTermFreq}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -37,7 +37,9 @@ object GraftExtensions {
     "simhash64" -> ((c: Seq[Expression]) => SimHash64(c(0))),
     "shingle_hash_set" -> ((c: Seq[Expression]) => ShingleHashSet(c(0))),
     "token_repetition_stats" -> ((c: Seq[Expression]) => TokenRepetitionStats(c(0))),
-    "token_term_freq" -> ((c: Seq[Expression]) => TokenTermFreq(c(0))))
+    "token_term_freq" -> ((c: Seq[Expression]) => TokenTermFreq(c(0))),
+    "sphere_haversine" -> ((c: Seq[Expression]) =>
+      HaversineMilli(c(0), c(1), c(2), c(3))))
 
   /** Same registrations on an already-running session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * family op with Bench's hygiene (warm-up outside the loop, in-JVM reps,
   * per-op medians, max−min spreads for contention self-diagnosis).
   *
-  * Usage:  runMain graft.LadderMain text|emb|stream|media|rel|sky|fits
+  * Usage:  runMain graft.LadderMain text|emb|stream|media|rel|sky|skyp|fits|cube
   *   SPARK_GRAFT_SF_DIR (default sf0.1)  base fixture
   *   SPARK_GRAFT_SCALES (default 1,2,4,8), SPARK_GRAFT_REPS (default 3),
   *   SPARK_GRAFT_CPUS (default 4 — the r4 ladder setting)
@@ -133,6 +133,19 @@ object LadderMain {
       "a23_fits_header_info", "a24_fits_checksum")
       .map(k => k -> SparkEntry.queries(k))
 
+  /** cube family (r7): the FITS raster ops — image HDUs (a19), sky-box
+    * cutout (a20), spectral cube (a25), cube sub-box cutout (a26). All
+    * four size their planted frames from documents.count(), so
+    * replicating documents grows the raster; the cutout ops' cost must
+    * stay ~flat (bytes ∝ the requested box, not the frame — the
+    * IO-proportionality claim under measurement) while the full scans
+    * grow ~linearly.
+    */
+  private def cubeOps: Seq[(String, (SparkSession, String) => DataFrame)] =
+    Seq("a19_fits_image_source", "a20_fits_image_cutout",
+      "a25_fits_cube_source", "a26_fits_cube_cutout")
+      .map(k => k -> SparkEntry.queries(k))
+
   def main(args: Array[String]): Unit = {
     val family = args.headOption.getOrElse("emb")
     val (table, idCol, allOps) = family match {
@@ -142,9 +155,11 @@ object LadderMain {
       case "media" => ("documents", "doc_id", mediaOps)
       case "rel" => ("lineitem", "l_orderkey", relOps)
       case "sky" => ("customer", "c_custkey", skyOps)
+      case "skyp" => ("customer", "c_custkey", skyOps)
       case "fits" => ("nation", "n_nationkey", fitsOps)
+      case "cube" => ("documents", "doc_id", cubeOps)
       case other => throw new IllegalArgumentException(
-        s"family must be text|emb|stream|media|rel|sky|fits, got $other")
+        s"family must be text|emb|stream|media|rel|sky|skyp|fits|cube, got $other")
     }
     // SPARK_GRAFT_ONLY=k1,k2 ladders a subset — Util.onlySubset IS the
     // Bench/Verify behavior (set-but-empty treated as unset; unknown keys
@@ -203,9 +218,20 @@ object LadderMain {
         }
       }
       if (family == "sky" || family == "fits") {
-        // sky: BOTH catalogs grow (the |A|·|B| candidate regime);
+        // sky: BOTH catalogs grow (the |A|·|B| candidate regime — same
+        // sky, k× the density on EACH side, so the true result itself
+        // grows ~k²; the blocking's health metric there is the flat
+        // candidates/matches ratio, not linearity);
         // fits: a18's tiled round-trip rides supplier
         replicate(Tables.t(spark, sfDir, "supplier"), "s_suppkey", k)
+          .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      }
+      if (family == "skyp") {
+        // probe regime: the reference catalog stays FIXED while tonight's
+        // new catalog grows — the archive's organic shape, where the 9
+        // bounded probes/row claim must show as near-LINEAR candidate
+        // and match growth
+        Tables.t(spark, sfDir, "supplier")
           .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
       }
       if (family == "fits") {
@@ -239,7 +265,7 @@ object LadderMain {
       }.mkString("{", ",", "}")
       // sky: exact candidate/match COUNTS per rung — superlinear blocking
       // growth must be visible as data, not inferred from timings
-      val extra = if (family == "sky") {
+      val extra = if (family.startsWith("sky")) {
         val (aa, bb) = skyCatalogs(spark, dir)
         val cand = ops.RelOps
           .sphereCandidates(aa, bb, ops.RelOps.sphereZoneCells, 2000L).count()

@@ -648,19 +648,18 @@ object RelOps {
     * height is the layout-level remedy if a survey concentrates there.
     *
     * Refine-cost discipline (the r6 judge's d18 diagnosis, fixed here):
-    * (1) cos δ is a PER-SIDE quantity, so ca/cb are staged onto each
-    * input BEFORE the probe explode — one polynomial eval per catalog
-    * row instead of one per candidate (and two fewer Maclaurin trees
-    * inlined into the join condition); (2) the probe side is
-    * round-robin repartitioned to the session's shuffle parallelism
-    * before the explode — when the build side broadcasts (the common
-    * small-reference case), the BHJ output inherits the probe side's
-    * partitioning, and a single-split parquet probe would otherwise run
-    * the entire per-candidate haversine refine on ONE task. Round-robin
-    * (not hash-by-(pz,pc)) because a broadcast probe needs no
-    * co-location and round-robin is immune to the pole-cap key skew; in
-    * the large-large SMJ regime the join re-shuffles by key anyway and
-    * this narrow pre-shuffle is noise.
+    * (1) h is the compiled HaversineMilli expression — see the
+    * sphereXmatchCore comment for why spelling the polynomial as SQL
+    * made the pushed-down refine predicate a codegen bomb; (2) the
+    * probe side is round-robin repartitioned to the session's shuffle
+    * parallelism before the explode — when the build side broadcasts
+    * (the common small-reference case), the BHJ output inherits the
+    * probe side's partitioning, and a single-split parquet probe would
+    * otherwise run the entire per-candidate haversine refine on ONE
+    * task. Round-robin (not hash-by-(pz,pc)) because a broadcast probe
+    * needs no co-location and round-robin is immune to the pole-cap key
+    * skew; in the large-large SMJ regime the join re-shuffles by key
+    * anyway and this narrow pre-shuffle is noise.
     */
   private[graft] def sphereXmatchPairs(a: DataFrame, b: DataFrame): DataFrame =
     sphereXmatchCore(a, b, sphereZoneCells, 2000L, SphereSql.Threshold)
@@ -681,7 +680,7 @@ object RelOps {
   }
 
   /** The blocking stage alone — candidate pairs BEFORE the haversine
-    * refine (columns a_id/ra_a/dec_a/ca/b_id/ra_b/dec_b/cb). Split out
+    * refine (columns pz/pc/a_id/ra_a/dec_a/b_id/ra_b/dec_b). Split out
     * so the scale ladder can measure candidate volume directly: the r6
     * judge's d18 finding was quadratic CANDIDATE growth from an
     * overdense planted cap class — a defect only visible at this stage.
@@ -694,7 +693,6 @@ object RelOps {
       a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
     val ax = a
       .repartition(parallelism)
-      .withColumn("ca", expr(SphereSql.cosClamped("dec_a")))
       // least(…, zones-1): dec = +90000 exactly (the pole itself) closes
       // into the top zone instead of indexing past the zone table
       .withColumn("za",
@@ -705,24 +703,30 @@ object RelOps {
       .withColumn("i", expr("(ra_a * n) DIV 360000"))
       .withColumn("pc", explode(array_distinct(
         expr("array(pmod(i - 1, n), pmod(i, n), pmod(i + 1, n))"))))
-      .select("a_id", "ra_a", "dec_a", "ca", "pz", "pc")
+      .select("a_id", "ra_a", "dec_a", "pz", "pc")
     val bx = b
-      .withColumn("cb", expr(SphereSql.cosClamped("dec_b")))
       .withColumn("pz",
         expr(s"least((dec_b + 90000) DIV $heightMilli, ${zones - 1})"))
       .withColumn("n", element_at(nArr, col("pz").cast("int") + 1))
       .withColumn("pc", expr("(ra_b * n) DIV 360000"))
-      .select("b_id", "ra_b", "dec_b", "cb", "pz", "pc")
+      .select("b_id", "ra_b", "dec_b", "pz", "pc")
     ax.join(bx, Seq("pz", "pc"))
   }
 
   private def sphereXmatchCore(a: DataFrame, b: DataFrame,
       cells: Array[Long], heightMilli: Long, thresholdSql: String): DataFrame = {
+    // h is the COMPILED HaversineMilli expression, not the rendered SQL
+    // polynomial: the h ≤ threshold refine is (correctly) pushed into
+    // the candidate join as its residual condition, and as raw SQL the
+    // optimizer inlined the Maclaurin trees repeatedly into a condition
+    // past the codegen method-size limit — the whole joined stage fell
+    // back to interpreted eval at ~µs/candidate (measured 41 s on a
+    // 7.3M-candidate ladder rung; ~1 s compiled). Bit-parity with the
+    // DuckDB-side polynomial is by construction: SphereMath.haversine
+    // runs the same IEEE ops in the same order the SQL renderer emits.
     sphereCandidates(a, b, cells, heightMilli)
-      .withColumn("sd", expr(SphereSql.sinHalf("dec_a - dec_b")))
-      .withColumn("sl", expr(SphereSql.sinHalf(
-        "least(abs(ra_a - ra_b), 360000 - abs(ra_a - ra_b))")))
-      .withColumn("h", expr(SphereSql.Combine))
+      .withColumn("h", graft.functions.SphereFunctions.haversine(
+        col("ra_a"), col("dec_a"), col("ra_b"), col("dec_b")))
       .where(expr(s"h <= $thresholdSql"))
       .select(col("a_id"), col("b_id"),
         expr("CAST(floor(h * 1.0E12) AS BIGINT)").as("dist2q"))
@@ -1171,14 +1175,13 @@ private[graft] object SphereSql {
   def dlit(v: Double): String =
     "%.17E".formatLocal(java.util.Locale.ROOT, v)
 
-  /** (-1)^k / (2k+1)! for k = 1..7 — sin tail coefficients. */
-  val SinCoeffs: Seq[Double] = Seq(-1.0 / 6, 1.0 / 120, -1.0 / 5040,
-    1.0 / 362880, -1.0 / 39916800, 1.0 / 6227020800.0,
-    -1.0 / 1307674368000.0)
-
-  /** (-1)^k / (2k)! for k = 1..7 — cos tail coefficients. */
-  val CosCoeffs: Seq[Double] = Seq(-1.0 / 2, 1.0 / 24, -1.0 / 720,
-    1.0 / 40320, -1.0 / 3628800, 1.0 / 479001600, -1.0 / 87178291200.0)
+  /** Coefficient lists live in graft.functions.SphereMath — the ONE
+    * definition shared with the compiled HaversineMilli expression; the
+    * SQL renderers below and the plain-Scala mirrors must agree with it
+    * bit for bit, so they are all derived from the same values.
+    */
+  val SinCoeffs: Seq[Double] = graft.functions.SphereMath.SinCoeffs
+  val CosCoeffs: Seq[Double] = graft.functions.SphereMath.CosCoeffs
 
   private def chain(x2: String, cs: Seq[Double]): String =
     cs.init.foldRight(dlit(cs.last))((c, acc) => s"(${dlit(c)} + $x2 * $acc)")
@@ -1202,8 +1205,10 @@ private[graft] object SphereSql {
     s"greatest((1.0 + $x2 * ${chain(x2, CosCoeffs)}), 0.0)"
   }
 
-  /** Haversine from the staged sd/sl/ca/cb columns — ONE shared string so
-    * both engines associate identically ((sd·sd) + (((ca·cb)·sl)·sl)).
+  /** Haversine from staged sd/sl/ca/cb columns — the ORACLE-side
+    * combine (the Spark side runs the compiled HaversineMilli); one
+    * shared string so both engines associate identically
+    * ((sd·sd) + (((ca·cb)·sl)·sl)), which SphereMath.haversine mirrors.
     */
   val Combine: String = "sd * sd + ca * cb * sl * sl"
 
@@ -1241,28 +1246,13 @@ private[graft] object SphereSql {
   // --- Plain-Scala mirrors: the same IEEE ops in the same order, so
   // bit-identical to both engines (spec brute force runs on these).
 
-  def sinHalfD(m: Double): Double = {
-    val x = m * (math.Pi / 360000)
-    val x2 = x * x
-    val t = SinCoeffs.init.foldRight(SinCoeffs.last)((c, acc) => c + x2 * acc)
-    x * (1.0 + x2 * t)
-  }
+  def sinHalfD(m: Double): Double = graft.functions.SphereMath.sinHalf(m)
 
-  def cosClampedD(m: Double): Double = {
-    val x = m * (math.Pi / 180000)
-    val x2 = x * x
-    val t = CosCoeffs.init.foldRight(CosCoeffs.last)((c, acc) => c + x2 * acc)
-    math.max(1.0 + x2 * t, 0.0)
-  }
+  def cosClampedD(m: Double): Double =
+    graft.functions.SphereMath.cosClamped(m)
 
-  def haversineD(raA: Long, decA: Long, raB: Long, decB: Long): Double = {
-    val dl = math.min(math.abs(raA - raB), 360000L - math.abs(raA - raB))
-    val sd = sinHalfD((decA - decB).toDouble)
-    val sl = sinHalfD(dl.toDouble)
-    val ca = cosClampedD(decA.toDouble)
-    val cb = cosClampedD(decB.toDouble)
-    sd * sd + ca * cb * sl * sl
-  }
+  def haversineD(raA: Long, decA: Long, raB: Long, decB: Long): Double =
+    graft.functions.SphereMath.haversine(raA, decA, raB, decB)
 
   val ThresholdD: Double = { val st = sinHalfD(2000.0); st * st }
 
