@@ -111,9 +111,18 @@ object LadderMain {
     * growth is visible as data, not inferred from noise-prone timings.
     */
   private def skyOps: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("d18_join_xmatch_sphere", "d20_xmatch_best")
-      .map(k => k -> SparkEntry.queries(k)) :+
-      ("d18_candidates" -> { (s: SparkSession, d: String) =>
+    Seq("d18_join_xmatch_sphere" -> SparkEntry.queries("d18_join_xmatch_sphere"),
+      // the harness times .count(), and count-over-d20 lets Catalyst
+      // ELIMINATE the left join entirely (the aggregated right side is
+      // unique on the key, no right column survives a count) — measured:
+      // the "d20 rung" was a bare customer scan. Referencing best_b
+      // forces the real pipeline; labeled _forced so the rung is not
+      // mistaken for the gate query's own (join-eliminated) count cost.
+      "d20_best_forced" -> { (s: SparkSession, d: String) =>
+        SparkEntry.queries("d20_xmatch_best")(s, d)
+          .where(col("best_b").isNotNull)
+      },
+      "d18_candidates" -> { (s: SparkSession, d: String) =>
         val (a, b) = skyCatalogs(s, d)
         ops.RelOps.sphereCandidates(a, b, ops.RelOps.sphereZoneCells, 2000L)
       })

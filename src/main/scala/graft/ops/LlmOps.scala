@@ -1447,8 +1447,10 @@ object LlmOps {
     *   dup_components              — i50's component-size histogram
     *     (i39's LSH edges + the shared component engine)
     *   token_bucket_docs / _tokens — i53's 16-token bucket histogram
-    *   contamination               — i52's per-bench-doc report reduced
-    *     to the three card numbers (bench docs, contaminated, pairs)
+    *   contamination               — the CAPPED containment engine
+    *     (i45's scale form — see the in-body comment for the measured
+    *     reason it replaced i52's uncapped report in r7) reduced to the
+    *     three card numbers (bench docs screened, contaminated, pairs)
     * All values are exact integers — the card hash-matches, no rounding
     * policy needed. (section, metric) is a unique key, so the dump order
     * is total.
@@ -1484,11 +1486,21 @@ object LlmOps {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .localCheckpoint()
-      val contam = contaminationReport(docs.filter(col("source") =!= "src0"),
-        docs.filter(col("source") === "src0"), 0.8)
-        .agg(count(lit(1)).as("bench_docs"),
-          sum(when(col("n_flagged") > 0, 1L).otherwise(0L)).as("bench_contaminated"),
-          sum(col("n_flagged")).as("flagged_pairs"))
+      // the CAPPED containment engine (i45's scale path), not i52's
+      // uncapped report: the card is the artifact a 100 TB run ships, and
+      // the uncapped inverted index is the one section whose pair mass is
+      // unbounded in the dup-clique regime (ladder-measured: 93 s at the
+      // 8× rung uncapped vs ~2 s capped; the cap bounds every shingle's
+      // bench postings at DecontamCap, so flag mass is linear in arriving
+      // shingle instances — i45's linearity argument, now the card's too)
+      val flags = containmentFlags(docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), 0.8,
+        broadcastBench = false, cap = Some(DecontamCap))
+      val contam = flags
+        .agg(count(lit(1)).as("flagged_pairs"),
+          countDistinct(col("bench_id")).as("bench_contaminated"))
+        .crossJoin(docs.filter(col("source") === "src0")
+          .agg(count(lit(1)).as("bench_docs")))
         .localCheckpoint()
       sec("lang_docs", lang, col("lang"), col("n_docs"))
         .unionByName(sec("lang_chars", lang, col("lang"), col("sum_chars")))
@@ -1529,24 +1541,25 @@ object LlmOps {
       |${shinglesSqlCteFor("source", minToks = true, prefix = "c")
            .replaceFirst("^WITH ", "")},
       |cx AS (SELECT doc_id, source, unnest(sh) AS h FROM cs),
-      |cinter AS (SELECT a.doc_id AS it, b.doc_id AS ibe, count(*) AS i
-      |           FROM cx a JOIN cx b ON a.h = b.h
-      |             AND a.source <> 'src0' AND b.source = 'src0'
+      |cbh AS (SELECT doc_id AS bench_id, h FROM cx WHERE source = 'src0'),
+      |chot AS (SELECT h FROM cbh GROUP BY h
+      |         HAVING count(DISTINCT bench_id) > $DecontamCap),
+      |cbk AS (SELECT bench_id, h FROM cbh
+      |        WHERE h NOT IN (SELECT h FROM chot)),
+      |csz AS (SELECT bench_id, count(*) AS sz_capped FROM cbk GROUP BY 1),
+      |cinter AS (SELECT a.doc_id AS train_id, cbk.bench_id, count(*) AS i
+      |           FROM cx a JOIN cbk ON a.h = cbk.h AND a.source <> 'src0'
       |           GROUP BY 1, 2),
-      |cagg AS (SELECT cinter.ibe AS bench_id,
-      |           CAST(count(*) FILTER (WHERE cinter.i::DOUBLE / len(csb.sh) >= 0.8)
-      |             AS BIGINT) AS n_flagged
-      |         FROM cinter JOIN cs csb ON csb.doc_id = cinter.ibe
-      |         GROUP BY 1),
-      |crep AS (SELECT csb.doc_id AS bench_id,
-      |           coalesce(a.n_flagged, 0) AS n_flagged
-      |         FROM cs csb LEFT JOIN cagg a ON a.bench_id = csb.doc_id
-      |         WHERE csb.source = 'src0'),
-      |contam AS (SELECT CAST(count(*) AS BIGINT) AS bench_docs,
-      |             CAST(count(*) FILTER (WHERE n_flagged > 0) AS BIGINT)
+      |cflag AS (SELECT train_id, cinter.bench_id
+      |          FROM cinter JOIN csz ON cinter.bench_id = csz.bench_id
+      |          WHERE cinter.i::DOUBLE / csz.sz_capped >= 0.8),
+      |contam AS (SELECT
+      |             (SELECT CAST(count(*) AS BIGINT) FROM documents
+      |              WHERE source = 'src0') AS bench_docs,
+      |             CAST(count(DISTINCT bench_id) AS BIGINT)
       |               AS bench_contaminated,
-      |             CAST(coalesce(sum(n_flagged), 0) AS BIGINT) AS flagged_pairs
-      |           FROM crep)
+      |             CAST(count(*) AS BIGINT) AS flagged_pairs
+      |           FROM cflag)
       |SELECT * FROM (
       |  SELECT 'lang_docs' AS section, lang AS metric, n_docs AS value FROM lg
       |  UNION ALL SELECT 'lang_chars', lang, sum_chars FROM lg

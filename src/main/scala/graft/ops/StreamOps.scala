@@ -691,7 +691,67 @@ object StreamOps {
     },
     CorpusOps.chunkSql)
 
+  /** j18: streaming BEST-match crossmatch — the alert-broker production
+    * query (j15's pair stream collapsed to d20's "nearest counterpart or
+    * none"): every alert arriving on the stream resolves to its single
+    * nearest reference-catalog source within the radius, or to NULLs.
+    *
+    * Why this needs NO streaming aggregation state: the argmin's group
+    * is one alert's candidate set, an alert arrives exactly once, and
+    * the static reference side is complete in every batch — so the
+    * group is batch-local by construction and the foreachBatch body can
+    * run the full d20 core (sphereBestMatch) per micro-batch and append
+    * (j17's append-only-sink contract: write-once-per-alert, proven BY
+    * the gate — a re-emission would duplicate a_id rows and
+    * hash-mismatch the unique-keyed oracle). No watermark, no state
+    * store; the only cross-batch artifact is the sink. Two real
+    * micro-batches at the gate (maxFilesPerTrigger=1 over a two-file
+    * alert fixture). At scale each batch costs O(batch · 9 probes)
+    * against the broadcast/bucketed reference — per-batch work ∝
+    * arriving alerts, the j13 linearity argument on the sky.
+    *
+    * Oracle = d20's SQL verbatim: the union of per-batch best-matches
+    * over any partition of the alert set IS the whole-set best-match.
+    */
+  val j18_stream_xmatch_best = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j18"))
+      graft.Util.deleteRecursively(ckpt)
+      val sink = new java.io.File(graft.Util.scratch("j18_sink"))
+      graft.Util.deleteRecursively(sink)
+      val srcDir = graft.Util.scratch("j18_alert_src")
+      val cust = t(s, d, "customer")
+      cust.filter(col("c_custkey") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f0")
+      cust.filter(col("c_custkey") % 2 =!= 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f1")
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      val catB = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
+        expr(raB).as("ra_b"), expr(decB).as("dec_b"))
+      val src = s.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      val alerts = src.select(col("c_custkey").as("a_id"),
+        expr(raA).as("ra_a"), expr(decA).as("dec_a"))
+      val q = alerts.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          RelOps.sphereBestMatch(batch, catB)
+            .write.mode("append").parquet(sink.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink.getAbsolutePath)
+        .select("a_id", "best_b", "dist2q").orderBy("a_id")
+    },
+    RelOps.d20_xmatch_best.oracle.get)
+
   val all: Map[String, OpQuery] = Map(
+    "j18_stream_xmatch_best" -> j18_stream_xmatch_best,
     "j17_stream_update_dedup" -> j17_stream_update_dedup,
     "j16_stream_chunk" -> j16_stream_chunk,
     "j15_stream_xmatch" -> j15_stream_xmatch,

@@ -274,6 +274,24 @@ class StreamOpsSpec extends SparkTestBase {
     assert(sides == 2, "flagged pairs all came from one probe micro-batch")
   }
 
+  test("j18 per-batch best-match unions to the batch d20 result; each alert resolved once") {
+    import graft.ops.RelOps
+    val fromStream = StreamOps.j18_stream_xmatch_best.fn(spark, sfDir)
+    val batch = RelOps.d20_xmatch_best.fn(spark, sfDir)
+    assertSameRows(fromStream, batch)
+    // write-once: every alert appears exactly once in the append sink
+    val sink = spark.read.parquet(Util.scratch("j18_sink"))
+    assert(sink.count() == sink.select("a_id").distinct().count(),
+      "an alert was best-matched in more than one micro-batch")
+    // both alert files contributed (even and odd keys present), and
+    // both match outcomes are live — matched and NULL-counterpart
+    val sides = sink.select((col("a_id") % 2 === 0).as("s")).distinct().count()
+    assert(sides == 2, "alerts all came from one micro-batch")
+    assert(sink.filter(col("best_b").isNull).count() > 0 &&
+      sink.filter(col("best_b").isNotNull).count() > 0,
+      "fixture must exercise both matched and unmatched alerts")
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
