@@ -163,8 +163,7 @@ object LadderMain {
       case "stream" => ("documents", "doc_id", streamOps)
       case "media" => ("documents", "doc_id", mediaOps)
       case "rel" => ("lineitem", "l_orderkey", relOps)
-      case "sky" => ("customer", "c_custkey", skyOps)
-      case "skyp" => ("customer", "c_custkey", skyOps)
+      case "sky" | "skyp" => ("customer", "c_custkey", skyOps)
       case "fits" => ("nation", "n_nationkey", fitsOps)
       case "cube" => ("documents", "doc_id", cubeOps)
       case other => throw new IllegalArgumentException(
@@ -258,10 +257,14 @@ object LadderMain {
             s"ladder warm-up failed for $name at ${k}x: ${e.getMessage}", e)
         }
       }
+      // result-row counts captured from the timed actions themselves —
+      // the sky families' candidate/match metrics must not re-execute
+      // the two heaviest pipelines a second time per rung
+      val lastCount = scala.collection.mutable.Map.empty[String, Long]
       val samples = (1 to reps).map { _ =>
         selected.map { case (name, fn) =>
           val t0 = System.nanoTime()
-          fn(spark, dir).count()
+          lastCount(name) = fn(spark, dir).count()
           name -> (System.nanoTime() - t0) / 1e9
         }.toMap
       }
@@ -273,13 +276,14 @@ object LadderMain {
         f""""$name":${xs.max - xs.min}%.3f"""
       }.mkString("{", ",", "}")
       // sky: exact candidate/match COUNTS per rung — superlinear blocking
-      // growth must be visible as data, not inferred from timings
+      // growth must be visible as data, not inferred from timings. The
+      // counts come from the timed runs above (d18's output rows ARE the
+      // matches; d18_candidates' rows ARE the candidates) — no re-run.
       val extra = if (family.startsWith("sky")) {
-        val (aa, bb) = skyCatalogs(spark, dir)
-        val cand = ops.RelOps
-          .sphereCandidates(aa, bb, ops.RelOps.sphereZoneCells, 2000L).count()
-        val matches = ops.RelOps.sphereXmatchPairs(aa, bb).count()
-        s""","candidates":$cand,"matches":$matches"""
+        (lastCount.get("d18_candidates"), lastCount.get("d18_join_xmatch_sphere")) match {
+          case (Some(cand), Some(m)) => s""","candidates":$cand,"matches":$m"""
+          case _ => "" // SPARK_GRAFT_ONLY subset dropped one of the two
+        }
       } else ""
       println(s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"$extra}""")
     }
