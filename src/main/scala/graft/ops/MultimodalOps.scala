@@ -619,7 +619,136 @@ object MultimodalOps {
       |    i -> (fid + i) % 256)) AS BIGINT) AS px_sum
       |FROM h ORDER BY doc_id, slot""".stripMargin)
 
+  /** Perceptual-hash machinery for m9: an integer-exact average hash.
+    *
+    * The planted image family is BLOCK-structured (32×16 gray, an 8×8
+    * grid of 4×2-pixel blocks): every pixel of block b carries
+    * v = (g·(b+3)·97) mod 240, where g = doc_id DIV 7 is the scene
+    * group — docs in one group share the scene, and each non-canonical
+    * doc (doc_id % 7 ≠ 0) perturbs ONE block (+8 gray levels at block
+    * (doc_id·13) mod 64): the "same photo, small edit" near-dup class.
+    * The group term g·(b+3) is deliberately NONLINEAR in b — a g-only
+    * additive shift would move every block sum AND the total equally,
+    * leaving the hash bits (comparisons of 64·S_b vs T) identical for
+    * every group and degenerating the fixture into one giant clique.
+    *
+    * The hash is integer-exact by construction: bit b = [64·S_b > T]
+    * over block SUMS (no float mean), packed MSB-first into 16 hex
+    * nibbles — so the DuckDB oracle recomputes every hash closed-form
+    * from the plant and the two engines compare identical strings.
+    */
+  object PHash {
+    val W = 32; val H = 16
+
+    def blockValue(id: Long, b: Int): Int = {
+      val g = id / 7
+      val p = if (id % 7 == 0) -1L else (id * 13) % 64
+      ((g * (b + 3) * 97) % 240 + (if (b == p) 8 else 0)).toInt
+    }
+
+    /** Encode the planted block-structured PNG for one doc. */
+    def synth(id: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(W, H,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < H) {
+        var x = 0
+        while (x < W) {
+          raster.setSample(x, y, 0, blockValue(id, (y / 2) * 8 + (x / 4)))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Average-hash of a DECODED raster (any 8|w, 8|h geometry): 64
+      * block sums, bit = [64·S_b > total], 16 lowercase hex chars.
+      */
+    def hashHex(png: Array[Byte]): String = {
+      val (r, w, h) = PngCodec.raster(png)
+      require(w % 8 == 0 && h % 8 == 0, s"phash needs 8|w and 8|h, got ${w}x$h")
+      val bw = w / 8; val bh = h / 8
+      val sums = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sums((y / bh) * 8 + (x / bw)) += r.getSample(x, y, 0)
+          x += 1
+        }
+        y += 1
+      }
+      val t = sums.sum
+      val bits = sums.map(s => if (64 * s > t) 1 else 0)
+      val sb = new StringBuilder(16)
+      var j = 0
+      while (j < 16) {
+        val nib = bits(4 * j) * 8 + bits(4 * j + 1) * 4 +
+          bits(4 * j + 2) * 2 + bits(4 * j + 3)
+        sb.append("0123456789abcdef".charAt(nib))
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** m9: perceptual image NEAR-dup — m5 catches byte-identical images;
+    * m9 catches the re-encoded / slightly-edited copy (the dominant
+    * image-dup class in crawled multimodal corpora): decode each image,
+    * compute the integer-exact 64-bit average hash (PHash above), and
+    * pair images within nibble-hamming ≤ 3 of each other. The pairing
+    * IS `RelOps.hammingBlockedPairs` — the d14 pigeonhole core over 4
+    * hex chunks of 4 chars, property-fuzzed in RelGeomFuzzSpec: a pair
+    * within bit-hamming ≤ 3 differs in ≤ 3 nibbles, so ≥ 1 of the 4
+    * chunks is untouched and the blocking is lossless for the declared
+    * nibble metric.
+    *
+    * Shape at scale: decode + hash is a narrow per-partition map (the
+    * m5 argument — 16-char hashes shuffle, pixels never do); candidates
+    * meet only in the (chunk_no, chunk) equi-join — 4 probes per image
+    * regardless of corpus size; the refine is a 16-char comparison.
+    * Oracle = brute-force hamming over closed-form recomputed hashes,
+    * so a decode defect, a hash defect, or a blocking recall defect all
+    * hash-mismatch.
+    */
+  val m9_image_near_dup = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val hashes = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, PHash.hashHex(PHash.synth(id)))))
+        .toDF("doc_id", "hh")
+      val a = hashes.select(col("doc_id").as("a_id"), col("hh").as("da"))
+      val b = hashes.select(col("doc_id").as("b_id"), col("hh").as("db"))
+      RelOps.hammingBlockedPairs(a, b, keyLen = 16, chunks = 4, maxHd = 3)
+        .where(col("a_id") < col("b_id"))
+        .orderBy("a_id", "b_id")
+    },
+    """WITH f AS (SELECT doc_id, doc_id // 7 AS g,
+      |    CASE WHEN doc_id % 7 = 0 THEN -1 ELSE (doc_id * 13) % 64 END AS p
+      |  FROM documents),
+      |s AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    8 * ((g * (b + 3) * 97) % 240 + CASE WHEN b = p THEN 8 ELSE 0 END))
+      |    AS sums FROM f),
+      |hb AS (SELECT doc_id, sums, CAST(list_sum(sums) AS BIGINT) AS t FROM s),
+      |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    CASE WHEN 64 * sums[b + 1] > t THEN 1 ELSE 0 END) AS bv FROM hb),
+      |hx AS (SELECT doc_id, list_aggregate(list_transform(range(0, 16), j ->
+      |    substr('0123456789abcdef',
+      |      8 * bv[4*j+1] + 4 * bv[4*j+2] + 2 * bv[4*j+3] + bv[4*j+4] + 1, 1)),
+      |    'string_agg', '') AS hh FROM bits),
+      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_filter(range(1, 17), i ->
+      |      substr(a.hh, i, 1) <> substr(b.hh, i, 1))) AS BIGINT) AS hd
+      |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, hd FROM pr WHERE hd <= 3
+      |ORDER BY a_id, b_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "m9_image_near_dup" -> m9_image_near_dup,
     "m1_multimodal_decode" -> m1_multimodal_decode,
     "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
     "m3_multimodal_feature_extract" -> m3_multimodal_feature_extract,

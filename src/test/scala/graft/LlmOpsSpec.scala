@@ -175,6 +175,39 @@ class LlmOpsSpec extends SparkTestBase {
         s"grouped images differ at ($x,$y)")
   }
 
+  test("m9 near-dup pairs equal brute-force hamming over real decoded hashes") {
+    val out = MultimodalOps.m9_image_near_dup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // plain-Scala reference: hash every doc through the REAL synth→PNG
+    // decode→hash path, then brute-force all pairs
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val hh = ids.map(id =>
+      id -> MultimodalOps.PHash.hashHex(MultimodalOps.PHash.synth(id))).toMap
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      hd = hh(a).zip(hh(b)).count(p => p._1 != p._2).toLong
+      if hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(out.toSet == expect,
+      s"blocked pairs diverge: got ${out.length}, expect ${expect.size}")
+    assert(expect.nonEmpty, "fixture produced no near-dup pairs (vacuous)")
+    // the planted relation: same-scene docs (same doc_id DIV 7) differ
+    // by one perturbed block — every same-group pair must flag
+    val sameGroup = (for {
+      a <- ids; b <- ids if a < b && a / 7 == b / 7
+    } yield (a, b)).toSet
+    assert(sameGroup.nonEmpty &&
+      sameGroup.forall(p => expect.exists(e => (e._1, e._2) == p)),
+      "a same-scene near-dup pair escaped the hash radius")
+    // cross-scene pairs must not degenerate into one clique (the
+    // nonlinear g·(b+3) term exists exactly for this)
+    assert(expect.size < ids.length.toLong * (ids.length - 1) / 4,
+      "hash degenerated — most cross-scene pairs within radius")
+    // decode is real: corrupt container bytes must fail loudly
+    intercept[Exception](MultimodalOps.PHash.hashHex(Array[Byte](1, 2, 3)))
+  }
+
   test("m5 shuffles only fingerprint rows, never image bytes") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
     val out = MultimodalOps.m5_image_dedup.fn(spark, sfDir)
