@@ -623,14 +623,16 @@ object MultimodalOps {
     *
     * The planted image family is BLOCK-structured (32×16 gray, an 8×8
     * grid of 4×2-pixel blocks): every pixel of block b carries
-    * v = (g·(b+3)·97) mod 240, where g = doc_id DIV 7 is the scene
-    * group — docs in one group share the scene, and each non-canonical
-    * doc (doc_id % 7 ≠ 0) perturbs ONE block (+8 gray levels at block
-    * (doc_id·13) mod 64): the "same photo, small edit" near-dup class.
-    * The group term g·(b+3) is deliberately NONLINEAR in b — a g-only
-    * additive shift would move every block sum AND the total equally,
-    * leaving the hash bits (comparisons of 64·S_b vs T) identical for
-    * every group and degenerating the fixture into one giant clique.
+    * v = ((g+1)·(b+3)·2654435761 mod 1000000007) mod 240, where
+    * g = doc_id DIV 7 is the scene group — docs in one group share the
+    * scene, and each non-canonical doc (doc_id % 7 ≠ 0) perturbs ONE
+    * block (+8 gray levels at block (doc_id·13) mod 64): the "same
+    * photo, small edit" near-dup class. The g and b terms must MIX
+    * (hence the large-prime reduction): a g-only additive shift would
+    * move every block sum AND the total equally, leaving the hash bits
+    * (comparisons of 64·S_b vs T) identical for every group — one giant
+    * clique; and a small-modulus g factor collapses distinct groups
+    * onto repeated scenes (blockValue's comment has the measured cost).
     *
     * The hash is integer-exact by construction: bit b = [64·S_b > T]
     * over block SUMS (no float mean), packed MSB-first into 16 hex
@@ -643,7 +645,12 @@ object MultimodalOps {
     def blockValue(id: Long, b: Int): Int = {
       val g = id / 7
       val p = if (id % 7 == 0) -1L else (id * 13) % 64
-      ((g * (b + 3) * 97) % 240 + (if (b == p) 8 else 0)).toInt
+      // mixed through a large prime: (g·k mod 240)·(b+3) would collapse
+      // the ~714 sf0.1 groups onto ≤ 240 distinct scenes (cross-group
+      // exact dups tripling the pair mass — measured 55k pairs and a
+      // 3.5 s blocked join before the fix; ~15k and sub-second after)
+      ((g + 1) * (b + 3) * 2654435761L % 1000000007L % 240 +
+        (if (b == p) 8 else 0)).toInt
     }
 
     /** Encode the planted block-structured PNG for one doc. */
@@ -718,9 +725,15 @@ object MultimodalOps {
   val m9_image_near_dup = OpQuery(
     (s, d) => {
       import s.implicits._
+      // localCheckpoint (the b17 multi-consumer convention): the hash
+      // frame feeds BOTH self-join sides, and without the barrier each
+      // side re-runs the PNG encode+decode of the whole corpus — the
+      // expensive stage of this op (measured ~2× on the sf0.1 bench).
+      // 24 bytes/doc materialize; pixels never do.
       val hashes = t(s, d, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, PHash.hashHex(PHash.synth(id)))))
         .toDF("doc_id", "hh")
+        .localCheckpoint()
       val a = hashes.select(col("doc_id").as("a_id"), col("hh").as("da"))
       val b = hashes.select(col("doc_id").as("b_id"), col("hh").as("db"))
       RelOps.hammingBlockedPairs(a, b, keyLen = 16, chunks = 4, maxHd = 3)
@@ -731,7 +744,8 @@ object MultimodalOps {
       |    CASE WHEN doc_id % 7 = 0 THEN -1 ELSE (doc_id * 13) % 64 END AS p
       |  FROM documents),
       |s AS (SELECT doc_id, list_transform(range(0, 64), b ->
-      |    8 * ((g * (b + 3) * 97) % 240 + CASE WHEN b = p THEN 8 ELSE 0 END))
+      |    8 * ((g + 1) * (b + 3) * 2654435761 % 1000000007 % 240
+      |         + CASE WHEN b = p THEN 8 ELSE 0 END))
       |    AS sums FROM f),
       |hb AS (SELECT doc_id, sums, CAST(list_sum(sums) AS BIGINT) AS t FROM s),
       |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
