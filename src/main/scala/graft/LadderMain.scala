@@ -62,7 +62,8 @@ object LadderMain {
     * codec plumbing.
     */
   private def mediaOps: Seq[(String, (SparkSession, String) => DataFrame)] =
-    Seq("m6_audio_decode", "m7_audio_frame_stats", "m8_video_frame_sample")
+    Seq("m6_audio_decode", "m7_audio_frame_stats", "m8_video_frame_sample",
+      "m9_image_near_dup")
       .map(k => k -> SparkEntry.queries(k))
 
   /** stream family: the streaming prep gates (exact j9, quality j11,
@@ -112,6 +113,9 @@ object LadderMain {
     */
   private def skyOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("d18_join_xmatch_sphere" -> SparkEntry.queries("d18_join_xmatch_sphere"),
+      // j18 rides the sky tables (alert stream = customer, reference =
+      // supplier), so its two-micro-batch harness ladders here
+      "j18_stream_xmatch_best" -> SparkEntry.queries("j18_stream_xmatch_best"),
       // the harness times .count(), and count-over-d20 lets Catalyst
       // ELIMINATE the left join entirely (the aggregated right side is
       // unique on the key, no right column survives a count) — measured:
