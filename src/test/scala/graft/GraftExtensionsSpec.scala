@@ -40,6 +40,30 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(r.getSeq[Long](3) == Seq(2L, 2L) && viaCol.getSeq[Long](2) == Seq(2L, 2L))
   }
 
+  test("sphere_haversine registers as a SQL function and matches the Scala mirror") {
+    GraftExtensions.register(spark)
+    val cases = Seq((0L, 0L, 0L, 2000L), (359900L, 0L, 100L, 0L),
+      (123456L, 89500L, 300000L, 89700L), (5L, -90000L, 180000L, 90000L))
+    val sql = cases.map { case (ra, da, rb, db) =>
+      s"sphere_haversine(${ra}L, ${da}L, ${rb}L, ${db}L)"
+    }.mkString("SELECT ", ", ", "")
+    val row = spark.sql(sql).collect()(0)
+    cases.zipWithIndex.foreach { case ((ra, da, rb, db), i) =>
+      val expect = graft.functions.SphereMath.haversine(ra, da, rb, db)
+      assert(java.lang.Double.doubleToRawLongBits(row.getDouble(i)) ==
+        java.lang.Double.doubleToRawLongBits(expect),
+        s"case $i: SQL ${row.getDouble(i)} != mirror $expect (bit-exact)")
+    }
+    // null propagates (typed null — an untyped NULL literal is void and
+    // is correctly refused at analysis), wrong arity is an analysis
+    // error not an NPE
+    assert(spark.sql(
+      "SELECT sphere_haversine(CAST(NULL AS BIGINT), 0L, 0L, 0L)")
+      .collect()(0).isNullAt(0))
+    intercept[Exception](
+      spark.sql("SELECT sphere_haversine(1L, 2L)").collect())
+  }
+
   test("token_term_freq: counts per distinct token, sorted, skips empty/null") {
     GraftExtensions.register(spark)
     val rows = spark.sql(
