@@ -63,7 +63,7 @@ object LadderMain {
     */
   private def mediaOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("m6_audio_decode", "m7_audio_frame_stats", "m8_video_frame_sample",
-      "m9_image_near_dup")
+      "m9_image_near_dup", "m10_audio_near_dup")
       .map(k => k -> SparkEntry.queries(k))
 
   /** stream family: the streaming prep gates (exact j9, quality j11,

@@ -344,11 +344,13 @@ object MultimodalOps {
     def sample(id: Long, i: Int): Short =
       ((id * 31L + i * 17L) % 65536L - 32768L).toShort
 
-    /** Encode the planted clip for one doc (canonical 44-byte header). */
-    def synth(id: Long): Array[Byte] = {
-      val n = nSamples(id)
-      val sr = sampleRate(id)
-      val dataSize = n * 2
+    /** Encode arbitrary 16-bit mono PCM into the canonical 44-byte-header
+      * RIFF/WAVE container — the general encoder both planted corpora
+      * (m6's sawtooth, m10's scene family) go through, so every audio op
+      * exercises the same byte path the decoder walks back.
+      */
+    def encodePcm(sr: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
       val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
       buf.put("RIFF".getBytes(US_ASCII)).putInt(36 + dataSize)
         .put("WAVE".getBytes(US_ASCII))
@@ -358,9 +360,13 @@ object MultimodalOps {
         .putShort(2).putShort(16) // block align, bits/sample
       buf.put("data".getBytes(US_ASCII)).putInt(dataSize)
       var i = 0
-      while (i < n) { buf.putShort(sample(id, i)); i += 1 }
+      while (i < samples.length) { buf.putShort(samples(i)); i += 1 }
       buf.array()
     }
+
+    /** Encode the planted clip for one doc (canonical 44-byte header). */
+    def synth(id: Long): Array[Byte] =
+      encodePcm(sampleRate(id), Array.tabulate(nSamples(id))(sample(id, _)))
 
     final case class Pcm(sampleRate: Int, samples: Array[Short])
 
@@ -761,8 +767,138 @@ object MultimodalOps {
       |SELECT a_id, b_id, hd FROM pr WHERE hd <= 3
       |ORDER BY a_id, b_id""".stripMargin)
 
+  /** Acoustic-fingerprint machinery for m10: energy-delta sign bits.
+    *
+    * The planted audio family is SCENE-structured (the PHash convention
+    * on the time axis): 1024 samples = 64 analysis frames of 16, and
+    * sample i of doc carries (g+1)·(i+7)·2654435761 mod 1000000007
+    * mod 4096, where g = doc_id DIV 7 is the scene group — docs in one
+    * group share the recording, and each non-canonical doc
+    * (doc_id % 7 ≠ 0) bumps ONE frame (+512 per sample at frame
+    * (doc_id·13) mod 64): the "same recording, one edited beat" near-dup
+    * class. g and i mix through the large-prime reduction for the m9
+    * reason (an additive or small-modulus g term would collapse distinct
+    * scenes onto repeated or rank-correlated energy profiles — one giant
+    * clique).
+    *
+    * The fingerprint is the audio-idiomatic delta-sign hash (the bit
+    * core of published acoustic fingerprints à la Haitsma–Kalker): bit
+    * f = [E_{f+1} > E_f] over the 63 adjacent frame-energy pairs (pad
+    * bit 63 = 0), packed MSB-first into 16 hex nibbles. Deltas rather
+    * than a global mean because that is what survives re-encoding in
+    * real pipelines (uniform gain rescales every E_f but no comparison
+    * flips); here it is also exactly analyzable: a one-frame bump at p
+    * touches only bits {p−1, p}, so a same-scene pair differs in ≤ 4
+    * bits — ≤ 4 nibbles — and the 8×2 pigeonhole below is lossless for
+    * the declared nibble-hamming ≤ 4 metric.
+    */
+  object AudioFp {
+    val Frames = 64; val FrameLen = 16
+
+    def perturbedFrame(id: Long): Int =
+      if (id % 7 == 0) -1 else ((id * 13) % 64).toInt
+
+    def sample(id: Long, i: Int): Short = {
+      val g = id / 7
+      val base = (g + 1) * (i + 7) * 2654435761L % 1000000007L % 4096L
+      (base + (if (i / FrameLen == perturbedFrame(id)) 512 else 0)).toShort
+    }
+
+    /** Encode the planted scene-family clip for one doc. */
+    def synth(id: Long): Array[Byte] =
+      WavCodec.encodePcm(8000, Array.tabulate(Frames * FrameLen)(sample(id, _)))
+
+    /** Delta-sign fingerprint of a DECODED container (any 16·64-sample
+      * 16-bit mono WAV): 64 frame energies, bit f = [E_{f+1} > E_f],
+      * 16 lowercase hex chars.
+      */
+    def fingerprint(wav: Array[Byte]): String = {
+      val pcm = WavCodec.decode(wav)
+      require(pcm.samples.length == Frames * FrameLen,
+        s"fingerprint needs ${Frames * FrameLen} samples, got ${pcm.samples.length}")
+      val en = new Array[Long](Frames)
+      var i = 0
+      while (i < pcm.samples.length) {
+        en(i / FrameLen) += pcm.samples(i)
+        i += 1
+      }
+      val sb = new StringBuilder(16)
+      var j = 0
+      while (j < 16) {
+        var nib = 0
+        var k = 0
+        while (k < 4) {
+          val f = 4 * j + k
+          val bit = if (f < Frames - 1 && en(f + 1) > en(f)) 1 else 0
+          nib = nib * 2 + bit
+          k += 1
+        }
+        sb.append("0123456789abcdef".charAt(nib))
+        j += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** m10: acoustic NEAR-dup — the audio completion of the near-dup
+    * family (text i10/i11, image m5 exact / m9 perceptual): decode each
+    * clip, compute the integer-exact delta-sign fingerprint (AudioFp
+    * above), and pair clips within nibble-hamming ≤ 4. The pairing IS
+    * `RelOps.hammingBlockedPairs` — the property-fuzzed d14/m9
+    * pigeonhole core, here over 8 chunks of 2 hex chars: a pair within
+    * ≤ 4 differing nibbles leaves ≥ 4 of the 8 chunks untouched, so the
+    * blocking is lossless for the declared metric (and the planted
+    * same-scene class sits at ≤ 4 by construction, so no true pair can
+    * escape — spec-asserted).
+    *
+    * Shape at scale: decode + fingerprint is a narrow per-partition
+    * codec pass (the m5/m9 argument — 16-char fingerprints shuffle, PCM
+    * never does); candidates meet only in the (chunk_no, chunk)
+    * equi-join — 8 probes per clip regardless of corpus size; the
+    * refine is a 16-char comparison. Oracle = brute-force hamming over
+    * closed-form recomputed fingerprints, so a decode defect, an energy
+    * defect, or a blocking recall defect all hash-mismatch.
+    */
+  val m10_audio_near_dup = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      // localCheckpoint (the m9 convention): the fingerprint frame feeds
+      // BOTH self-join sides; the barrier keeps the WAV encode+decode of
+      // the corpus from running twice. 24 bytes/doc materialize.
+      val fps = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, AudioFp.fingerprint(AudioFp.synth(id)))))
+        .toDF("doc_id", "fp")
+        .localCheckpoint()
+      val a = fps.select(col("doc_id").as("a_id"), col("fp").as("da"))
+      val b = fps.select(col("doc_id").as("b_id"), col("fp").as("db"))
+      RelOps.hammingBlockedPairs(a, b, keyLen = 16, chunks = 8, maxHd = 4)
+        .where(col("a_id") < col("b_id"))
+        .orderBy("a_id", "b_id")
+    },
+    """WITH f AS (SELECT doc_id, doc_id // 7 AS g,
+      |    CASE WHEN doc_id % 7 = 0 THEN -1 ELSE (doc_id * 13) % 64 END AS p
+      |  FROM documents),
+      |e AS (SELECT doc_id, list_transform(range(0, 64), fr ->
+      |    list_sum(list_transform(range(0, 16), j ->
+      |      (g + 1) * (16 * fr + j + 7) * 2654435761 % 1000000007 % 4096))
+      |    + CASE WHEN fr = p THEN 8192 ELSE 0 END) AS en FROM f),
+      |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    CASE WHEN b < 63 AND en[b + 2] > en[b + 1] THEN 1 ELSE 0 END) AS bv
+      |  FROM e),
+      |hx AS (SELECT doc_id, list_aggregate(list_transform(range(0, 16), j ->
+      |    substr('0123456789abcdef',
+      |      8 * bv[4*j+1] + 4 * bv[4*j+2] + 2 * bv[4*j+3] + bv[4*j+4] + 1, 1)),
+      |    'string_agg', '') AS fp FROM bits),
+      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_filter(range(1, 17), i ->
+      |      substr(a.fp, i, 1) <> substr(b.fp, i, 1))) AS BIGINT) AS hd
+      |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, hd FROM pr WHERE hd <= 4
+      |ORDER BY a_id, b_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "m9_image_near_dup" -> m9_image_near_dup,
+    "m10_audio_near_dup" -> m10_audio_near_dup,
     "m1_multimodal_decode" -> m1_multimodal_decode,
     "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
     "m3_multimodal_feature_extract" -> m3_multimodal_feature_extract,

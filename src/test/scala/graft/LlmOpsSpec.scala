@@ -208,6 +208,52 @@ class LlmOpsSpec extends SparkTestBase {
     intercept[Exception](MultimodalOps.PHash.hashHex(Array[Byte](1, 2, 3)))
   }
 
+  test("m10 near-dup pairs equal brute-force hamming over real decoded fingerprints") {
+    val out = MultimodalOps.m10_audio_near_dup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // plain-Scala reference: fingerprint every doc through the REAL
+    // synth→WAV decode→fingerprint path, then brute-force all pairs
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val fp = ids.map(id =>
+      id -> MultimodalOps.AudioFp.fingerprint(MultimodalOps.AudioFp.synth(id)))
+      .toMap
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      hd = fp(a).zip(fp(b)).count(p => p._1 != p._2).toLong
+      if hd <= 4
+    } yield (a, b, hd)).toSet
+    assert(out.toSet == expect,
+      s"blocked pairs diverge: got ${out.length}, expect ${expect.size}")
+    assert(expect.nonEmpty, "fixture produced no near-dup pairs (vacuous)")
+    // the planted relation: same-scene docs differ by one bumped frame →
+    // ≤ 4 fingerprint bits → ≤ 4 nibbles; every same-scene pair must flag
+    val sameScene = (for {
+      a <- ids; b <- ids if a < b && a / 7 == b / 7
+    } yield (a, b)).toSet
+    assert(sameScene.nonEmpty &&
+      sameScene.forall(p => expect.exists(e => (e._1, e._2) == p)),
+      "a same-scene near-dup pair escaped the fingerprint radius")
+    // cross-scene pairs must not degenerate into one clique (the
+    // large-prime g·i mixing exists exactly for this)
+    assert(expect.size < ids.length.toLong * (ids.length - 1) / 4,
+      "fingerprint degenerated — most cross-scene pairs within radius")
+    // the delta-sign hash is gain-invariant by design: doubling every
+    // sample flips no energy comparison (the property that survives
+    // re-encoding in real pipelines)
+    ids.take(20).foreach { id =>
+      val doubled = MultimodalOps.WavCodec.encodePcm(8000,
+        Array.tabulate(MultimodalOps.AudioFp.Frames *
+          MultimodalOps.AudioFp.FrameLen)(i =>
+          (MultimodalOps.AudioFp.sample(id, i) * 2).toShort))
+      assert(MultimodalOps.AudioFp.fingerprint(doubled) == fp(id),
+        s"doc $id: uniform gain changed the fingerprint")
+    }
+    // decode is real: corrupt container bytes must fail loudly
+    intercept[Exception](
+      MultimodalOps.AudioFp.fingerprint(Array[Byte](1, 2, 3)))
+  }
+
   test("m5 shuffles only fingerprint rows, never image bytes") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
     val out = MultimodalOps.m5_image_dedup.fn(spark, sfDir)
