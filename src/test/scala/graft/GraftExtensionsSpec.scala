@@ -55,13 +55,49 @@ class GraftExtensionsSpec extends SparkTestBase {
         s"case $i: SQL ${row.getDouble(i)} != mirror $expect (bit-exact)")
     }
     // null propagates (typed null — an untyped NULL literal is void and
-    // is correctly refused at analysis), wrong arity is an analysis
-    // error not an NPE
+    // is correctly refused at analysis); wrong arity must surface the
+    // expected signature (the r7 advisor nit: the bare builder indexed
+    // c(3) and died with IndexOutOfBoundsException instead)
     assert(spark.sql(
       "SELECT sphere_haversine(CAST(NULL AS BIGINT), 0L, 0L, 0L)")
       .collect()(0).isNullAt(0))
-    intercept[Exception](
+    val e = intercept[Exception](
       spark.sql("SELECT sphere_haversine(1L, 2L)").collect())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains(
+      "sphere_haversine(ra_a, dec_a, ra_b, dec_b)")),
+      s"arity error must name the signature, got: ${messages(e).mkString(" | ")}")
+  }
+
+  test("hamming_ascii matches the SQL HOF refine it replaced, bit for bit") {
+    GraftExtensions.register(spark)
+    // random equal-length hex keys + the HOF form hammingBlockedPairs
+    // used before r8 — the compiled expression must agree on every pair
+    val rnd = new scala.util.Random(8L)
+    def key(n: Int) = Seq.fill(n)("0123456789abcdef"(rnd.nextInt(16))).mkString
+    Seq(9, 16, 32).foreach { n =>
+      (1 to 20).foreach { _ =>
+        val (a, b) = (key(n), key(n))
+        val row = spark.sql(
+          s"""SELECT hamming_ascii('$a', '$b') AS fast,
+             |  CAST(size(filter(sequence(1, $n), i ->
+             |    substring('$a', i, 1) <> substring('$b', i, 1))) AS BIGINT)
+             |    AS hof""".stripMargin).collect()(0)
+        assert(row.getLong(0) == row.getLong(1),
+          s"hamming_ascii('$a','$b') = ${row.getLong(0)} != HOF ${row.getLong(1)}")
+      }
+    }
+    assert(spark.sql("SELECT hamming_ascii('abc', 'abd')")
+      .collect()(0).getLong(0) == 1L)
+    // unequal lengths throw (the declared contract), never guess
+    val el = intercept[Exception](
+      spark.sql("SELECT hamming_ascii('abc', 'ab')").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(el).exists(_.contains("equal-length")), msgs(el).mkString(" | "))
   }
 
   test("token_term_freq: counts per distinct token, sorted, skips empty/null") {
