@@ -1450,7 +1450,11 @@ object LlmOps {
     *   contamination               — the CAPPED containment engine
     *     (i45's scale form — see the in-body comment for the measured
     *     reason it replaced i52's uncapped report in r7) reduced to the
-    *     three card numbers (bench docs screened, contaminated, pairs)
+    *     three card numbers: bench_docs = TOTAL source='src0' docs (the
+    *     benchmark's full size, including docs the minToks shingle
+    *     filter never screens — the r7 advisor caught the old label
+    *     "screened" misdescribing this), bench_contaminated, and
+    *     flagged_pairs
     * All values are exact integers — the card hash-matches, no rounding
     * policy needed. (section, metric) is a unique key, so the dump order
     * is total.

@@ -192,14 +192,43 @@ class LlmOpsSpec extends SparkTestBase {
     assert(out.toSet == expect,
       s"blocked pairs diverge: got ${out.length}, expect ${expect.size}")
     assert(expect.nonEmpty, "fixture produced no near-dup pairs (vacuous)")
-    // the planted relation: same-scene docs (same doc_id DIV 7) differ
-    // by one perturbed block — every same-group pair must flag
+    // the planted relation, asserted STRUCTURALLY (r7 advisor nit: the
+    // old "every same-scene pair flags" was fixture luck — the +8 plant
+    // shifts a doc's global total T by 64, so any unperturbed block
+    // whose 512·v_b lands in (T0, T0+64] flips its bit vs the canonical
+    // doc, and enough such "fragile" blocks can push a canonical↔
+    // perturbed pair past the 3-nibble radius). Derive the fragile set
+    // closed-form from the plant and assert exactly what the structure
+    // guarantees:
+    //  - perturbed↔perturbed pairs share the shifted total, differ only
+    //    at their two perturbed blocks → ≤ 2 nibbles: ALWAYS flag;
+    //  - canonical↔perturbed pairs differ within {p} ∪ fragile(g):
+    //    must flag whenever those blocks span ≤ 3 nibbles.
+    def vb(g: Long, b: Int): Long = (g + 1) * (b + 3) * 2654435761L %
+      1000000007L % 240
+    def fragile(g: Long): Set[Int] = {
+      val t0 = 8L * (0 until 64).map(vb(g, _)).sum
+      (0 until 64).filter(b =>
+        512L * vb(g, b) > t0 && 512L * vb(g, b) <= t0 + 64L).toSet
+    }
     val sameGroup = (for {
       a <- ids; b <- ids if a < b && a / 7 == b / 7
     } yield (a, b)).toSet
-    assert(sameGroup.nonEmpty &&
-      sameGroup.forall(p => expect.exists(e => (e._1, e._2) == p)),
-      "a same-scene near-dup pair escaped the hash radius")
+    assert(sameGroup.nonEmpty, "fixture carries no same-scene pair")
+    val mustFlag = sameGroup.filter { case (a, b) =>
+      if (a % 7 != 0 && b % 7 != 0) true // perturbed↔perturbed
+      else {
+        val q = if (a % 7 == 0) b else a // canonical↔perturbed
+        val blocks = fragile(q / 7) + ((q * 13) % 64).toInt
+        blocks.map(_ / 4).size <= 3
+      }
+    }
+    assert(mustFlag.forall(p => expect.exists(e => (e._1, e._2) == p)),
+      "a structurally-guaranteed same-scene pair escaped the hash radius")
+    // the guarantee must not be vacuous — the overwhelming majority of
+    // same-scene pairs are in the guaranteed class at any corpus size
+    assert(mustFlag.size * 10 >= sameGroup.size * 9,
+      s"fragility excludes too much: ${mustFlag.size}/${sameGroup.size}")
     // cross-scene pairs must not degenerate into one clique (the
     // nonlinear g·(b+3) term exists exactly for this)
     assert(expect.size < ids.length.toLong * (ids.length - 1) / 4,

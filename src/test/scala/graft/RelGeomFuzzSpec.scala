@@ -266,7 +266,11 @@ class RelGeomFuzzSpec extends SparkTestBase {
       val ra = if (i % 5 == 0) (358000L + rnd.nextLong(4000L)) % 360000L
         else rnd.nextLong(360000L)
       val dec = rnd.nextInt(3) match {
-        case 0 => 86000L + rnd.nextLong(4001L) * (if (rnd.nextBoolean()) 1 else -1)
+        // pole bias with the sign applied to the WHOLE dec (r7 advisor
+        // nit: the old form signed only the delta, so the south cap's
+        // zone-0 clipping path was never deterministically stressed)
+        case 0 => (86000L + rnd.nextLong(4001L)) *
+          (if (rnd.nextBoolean()) 1 else -1)
         case _ => rnd.nextLong(180001L) - 90000L
       }
       (tag + i, ra, dec.max(-90000L).min(90000L))
