@@ -37,7 +37,7 @@ object LadderMain {
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))
       ops.LlmOps.connectedComponents(s, edges)
-    })
+    }) :+ forcedRow("i34_kmeans_lloyd")
 
   /** text family: the r4 ladder's op set (first nine — rows stay
     * comparable across rounds), extended in r5 with the perplexity
@@ -46,6 +46,19 @@ object LadderMain {
     * inverted index, the interesting scale surface) and the token
     * histogram (i53).
     */
+  /** A `_forced` row for a count-pruned key (PlanAudit.Flagged): the
+    * xxhash64-over-all-columns wrapper references every output column,
+    * so the counted plan keeps the stages a bare .count() prunes — the
+    * honest timing for report-shaped ops (the r7 d20/i52 lesson, now
+    * audit-exhaustive).
+    */
+  private def forcedRow(key: String): (String, (SparkSession, String) => DataFrame) = {
+    require(PlanAudit.Flagged.contains(key), s"$key is not count-pruned")
+    s"${key}_forced" -> { (s: SparkSession, d: String) =>
+      PlanAudit.force(SparkEntry.queries(key)(s, d))
+    }
+  }
+
   private def textOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("b10_dedupe_exact", "i10_dedup_minhash_lsh", "i37_dedup_lines",
       "i39_dedup_components_lsh", "i41_dedup_substring", "i42_vocab_encode",
@@ -54,7 +67,12 @@ object LadderMain {
       "i51_global_shuffle", "i52_contamination_report", "i53_token_histogram",
       "i46_bpe_encode", "e16_heavy_hitters", "i58_chunk_overlap",
       "i59_corpus_card", "i60_bpe_bytes")
-      .map(k => k -> SparkEntry.queries(k))
+      .map(k => k -> SparkEntry.queries(k)) ++
+      // audit-flagged members get honest forced rows BESIDE the plain
+      // ones (plain rows stay comparable with the r4–r7 tables)
+      Seq("i37_dedup_lines", "i41_dedup_substring", "i49_perplexity_buckets",
+        "i51_global_shuffle", "i52_contamination_report",
+        "i53_token_histogram", "m5_image_dedup").map(forcedRow)
 
   /** media family (r5): the codec-bound ops — audio decode/frames, lazy
     * video frame sampling. Expected flat per-row cost (narrow maps, no
@@ -129,6 +147,16 @@ object LadderMain {
       "d18_candidates" -> { (s: SparkSession, d: String) =>
         val (a, b) = skyCatalogs(s, d)
         ops.RelOps.sphereCandidates(a, b, ops.RelOps.sphereZoneCells, 2000L)
+      },
+      // the r8 equal-area layout beside the zones layout: same radius,
+      // same refine — the rung compares the two blockings' timings, and
+      // the extra section below compares their per-(pz,pc) cell mass
+      // (the skew metric the layout exists for)
+      "d22_xmatch_eqarea" -> SparkEntry.queries("d22_xmatch_eqarea"),
+      "d22_candidates" -> { (s: SparkSession, d: String) =>
+        val (a, b) = skyCatalogs(s, d)
+        val (cells, probes) = ops.RelOps.sphereEqAreaTables(2000L, 2000L)
+        ops.RelOps.sphereCandidatesMulti(a, b, cells, probes, 2000L)
       })
 
   /** fits family (r7, the r5 judge's #8 carried over): the FITS read
@@ -170,8 +198,16 @@ object LadderMain {
       case "sky" | "skyp" => ("customer", "c_custkey", skyOps)
       case "fits" => ("nation", "n_nationkey", fitsOps)
       case "cube" => ("documents", "doc_id", cubeOps)
+      // every audit-flagged key as a forced row — the honest per-op
+      // timing for EVERY count-pruned bench row (PlanAudit's contract).
+      // Most are scan-dominated sub-second ops: run at
+      // SPARK_GRAFT_SCALES=1 for the per-key table, deeper only when a
+      // specific key's scaling is in question. Rides documents so every
+      // key's own fixture tables stay at gate scale.
+      case "forced" => ("documents", "doc_id",
+        PlanAudit.Flagged.toSeq.sorted.map(forcedRow))
       case other => throw new IllegalArgumentException(
-        s"family must be text|emb|stream|media|rel|sky|skyp|fits|cube, got $other")
+        s"family must be text|emb|stream|media|rel|sky|skyp|fits|cube|forced, got $other")
     }
     // SPARK_GRAFT_ONLY=k1,k2 ladders a subset — Util.onlySubset IS the
     // Bench/Verify behavior (set-but-empty treated as unset; unknown keys
@@ -252,6 +288,15 @@ object LadderMain {
         Tables.t(spark, sfDir, "documents")
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       }
+      if (family == "forced") {
+        // the flagged keys span the whole corpus — copy every other
+        // table through unreplicated (documents replicates above;
+        // events' ns→µs vintage is handled by Tables.t on both sides)
+        Tables.names.filterNot(_ == "documents").foreach { tb =>
+          Tables.t(spark, sfDir, tb)
+            .write.mode("overwrite").parquet(s"$dir/$tb.parquet")
+        }
+      }
       val rows = spark.read.parquet(s"$dir/$table.parquet").count()
       // warm-up: one untimed pass absorbs JIT + codegen + reader init
       selected.foreach { case (name, fn) =>
@@ -284,10 +329,49 @@ object LadderMain {
       // counts come from the timed runs above (d18's output rows ARE the
       // matches; d18_candidates' rows ARE the candidates) — no re-run.
       val extra = if (family.startsWith("sky")) {
-        (lastCount.get("d18_candidates"), lastCount.get("d18_join_xmatch_sphere")) match {
-          case (Some(cand), Some(m)) => s""","candidates":$cand,"matches":$m"""
-          case _ => "" // SPARK_GRAFT_ONLY subset dropped one of the two
-        }
+        val counts =
+          (lastCount.get("d18_candidates"), lastCount.get("d18_join_xmatch_sphere")) match {
+            case (Some(cand), Some(m)) =>
+              val eq = lastCount.get("d22_candidates")
+                .map(c => s""","candidates_eqarea":$c""").getOrElse("")
+              s""","candidates":$cand,"matches":$m$eq"""
+            case _ => "" // SPARK_GRAFT_ONLY subset dropped one of the two
+          }
+        // per-(pz,pc) MAX candidate mass, zones vs equal-area — the skew
+        // receipt for the r8 layout: the planted cap concentrates in the
+        // zones table's single polar cell, the eq-area table spreads it
+        // across >= minCells keys. Untimed probes (one extra pass each).
+        val (aCat, bCat) = skyCatalogs(spark, dir)
+        val zonesMax = ops.RelOps
+          .sphereCandidates(aCat, bCat, ops.RelOps.sphereZoneCells, 2000L)
+          .groupBy("pz", "pc").count().agg(max("count")).head().getLong(0)
+        val (cells, probes) = ops.RelOps.sphereEqAreaTables(2000L, 2000L)
+        val eqMax = ops.RelOps
+          .sphereCandidatesMulti(aCat, bCat, cells, probes, 2000L)
+          .groupBy("pz", "pc").count().agg(max("count")).head().getLong(0)
+        s"""$counts,"maxcell_zones":$zonesMax,"maxcell_eqarea":$eqMax"""
+      } else if (family == "media") {
+        // blocked-join candidate volume for the near-dup pair (the r7
+        // judge's #5: the measurement that would have exposed m10's
+        // saturated 256-value alphabet at 1× — candidate growth must
+        // track the true-pair mass, not n²). Untimed probes.
+        val h9 = ops.MultimodalOps.m9HashFrame(spark, dir)
+        val c9 = ops.RelOps.hammingBlockedCandidates(
+          h9.select(col("doc_id").as("a_id"), col("hh").as("da")),
+          h9.select(col("doc_id").as("b_id"), col("hh").as("db")),
+          keyLen = 16, chunks = 4).count()
+        val f10 = ops.MultimodalOps.m10FpFrame(spark, dir)
+        val c10 = ops.RelOps.hammingBlockedCandidates(
+          f10.select(col("doc_id").as("a_id"), col("fp").as("da")),
+          f10.select(col("doc_id").as("b_id"), col("fp").as("db")),
+          keyLen = 32, chunks = 8).count()
+        // output pairs (from the timed runs) beside candidate instances:
+        // candidates are filtered MAP-SIDE post-join since the r8
+        // refine-before-distinct, so the shuffled mass is the output
+        val outs = Seq("m9_image_near_dup", "m10_audio_near_dup")
+          .flatMap(k => lastCount.get(k).map(v => s""","${k}_pairs":$v"""))
+          .mkString
+        s""","m9_candidates":$c9,"m10_candidates":$c10$outs"""
       } else ""
       println(s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"$extra}""")
     }

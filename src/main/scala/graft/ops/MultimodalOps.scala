@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{OpQuery, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -736,18 +736,25 @@ object MultimodalOps {
     * noise. Read 0.3% as this fixture's truth density, not the hash's
     * collision rate.
     */
+  /** The m9 hash frame (doc_id, hh), checkpointed — split out so the
+    * scale ladder can probe the blocked join's candidate volume on
+    * exactly the gate's frame. localCheckpoint (the b17 multi-consumer
+    * convention): the frame feeds BOTH self-join sides, and without the
+    * barrier each side re-runs the PNG encode+decode of the whole
+    * corpus — the expensive stage of this op (measured ~2× on the
+    * sf0.1 bench). 24 bytes/doc materialize; pixels never do.
+    */
+  private[graft] def m9HashFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, PHash.hashHex(PHash.synth(id)))))
+      .toDF("doc_id", "hh")
+      .localCheckpoint()
+  }
+
   val m9_image_near_dup = OpQuery(
     (s, d) => {
-      import s.implicits._
-      // localCheckpoint (the b17 multi-consumer convention): the hash
-      // frame feeds BOTH self-join sides, and without the barrier each
-      // side re-runs the PNG encode+decode of the whole corpus — the
-      // expensive stage of this op (measured ~2× on the sf0.1 bench).
-      // 24 bytes/doc materialize; pixels never do.
-      val hashes = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, PHash.hashHex(PHash.synth(id)))))
-        .toDF("doc_id", "hh")
-        .localCheckpoint()
+      val hashes = m9HashFrame(s, d)
       val n = hashes.count() // cheap on the checkpointed frame; arms the guard
       val a = hashes.select(col("doc_id").as("a_id"), col("hh").as("da"))
       val b = hashes.select(col("doc_id").as("b_id"), col("hh").as("db"))
@@ -882,16 +889,22 @@ object MultimodalOps {
     * closed-form recomputed fingerprints, so a decode defect, an energy
     * defect, or a blocking recall defect all hash-mismatch.
     */
+  /** The m10 fingerprint frame (doc_id, fp), checkpointed — the m9
+    * split, for the same ladder-probe reason. The barrier keeps the WAV
+    * encode+decode of the corpus from running twice (both self-join
+    * sides); 40 bytes/doc materialize.
+    */
+  private[graft] def m10FpFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, AudioFp.fingerprint(AudioFp.synth(id)))))
+      .toDF("doc_id", "fp")
+      .localCheckpoint()
+  }
+
   val m10_audio_near_dup = OpQuery(
     (s, d) => {
-      import s.implicits._
-      // localCheckpoint (the m9 convention): the fingerprint frame feeds
-      // BOTH self-join sides; the barrier keeps the WAV encode+decode of
-      // the corpus from running twice. 24 bytes/doc materialize.
-      val fps = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, AudioFp.fingerprint(AudioFp.synth(id)))))
-        .toDF("doc_id", "fp")
-        .localCheckpoint()
+      val fps = m10FpFrame(s, d)
       val n = fps.count() // cheap on the checkpointed frame; arms the guard
       val a = fps.select(col("doc_id").as("a_id"), col("fp").as("da"))
       val b = fps.select(col("doc_id").as("b_id"), col("fp").as("db"))

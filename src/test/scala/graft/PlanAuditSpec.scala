@@ -1,0 +1,46 @@
+package graft
+
+/** Regression gate for the count-pruned bench-row audit (PlanAudit): the
+  * committed `Flagged` set must equal what the audit derives at HEAD, in
+  * BOTH directions — a newly-prunable key must be added (its bench row
+  * just stopped timing the operator), and a key that stopped being
+  * prunable must be removed (its `_forced` ladder row is now redundant).
+  *
+  * Streaming (j*) keys are exempt: their work executes inside the
+  * micro-batch harness when the frame is built, so a count over the
+  * result prunes nothing that was timed — and building all 18 harnesses
+  * here would dominate the suite for no audit signal.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  test("committed count-pruned flag list matches the audit at HEAD") {
+    val audited = SparkEntry.queries.toSeq
+      .filterNot(_._1.startsWith("j"))
+      .sortBy(_._1)
+    val derived = audited.flatMap { case (key, fn) =>
+      val drops = PlanAudit.drops(fn(spark, sfDir))
+      if (drops.nonEmpty) Some(key -> drops.mkString(", ")) else None
+    }.toMap
+    val extra = derived.keySet -- PlanAudit.Flagged
+    val stale = PlanAudit.Flagged -- derived.keySet
+    assert(extra.isEmpty,
+      s"keys newly pruned under .count() — add to PlanAudit.Flagged and " +
+        s"give them forced ladder rows: ${extra.toSeq.sorted.map(k =>
+          s"$k (${derived(k)})").mkString("; ")}")
+    assert(stale.isEmpty,
+      s"keys no longer pruned — remove from PlanAudit.Flagged: " +
+        s"${stale.toSeq.sorted.mkString(", ")}")
+    // the two r7-known cases stay the canary pair
+    assert(PlanAudit.Flagged.contains("d20_xmatch_best") &&
+      PlanAudit.Flagged.contains("i52_contamination_report"))
+  }
+
+  test("force() restores the dropped stages to the counted plan") {
+    PlanAudit.Flagged.toSeq.sorted.take(5).foreach { key =>
+      val df = SparkEntry.queries(key)(spark, sfDir)
+      assert(PlanAudit.drops(df).nonEmpty, s"$key: fixture not prunable?")
+      assert(PlanAudit.drops(PlanAudit.force(df)).isEmpty,
+        s"$key: forcing left stages prunable")
+    }
+  }
+}

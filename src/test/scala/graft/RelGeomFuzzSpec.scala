@@ -295,4 +295,75 @@ class RelGeomFuzzSpec extends SparkTestBase {
         assert(expect.nonEmpty, s"h=$h sep=$sep: vacuous fixture")
     }
   }
+
+  test("d22 equal-area layout equals brute force across (height, sep, minCells) configs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    def randCat(n: Int, tag: Long): Seq[(Long, Long, Long)] = (1 to n).map { i =>
+      val ra = if (i % 5 == 0) (358000L + rnd.nextLong(4000L)) % 360000L
+        else rnd.nextLong(360000L)
+      val dec = rnd.nextInt(3) match {
+        // both caps deterministically (the r8 convention)
+        case 0 => (86000L + rnd.nextLong(4001L)) *
+          (if (rnd.nextBoolean()) 1 else -1)
+        case _ => rnd.nextLong(180001L) - 90000L
+      }
+      (tag + i, ra, dec.max(-90000L).min(90000L))
+    }
+    Seq((2000L, 2000L, 8L), (2000L, 1000L, 1L), (4500L, 4500L, 16L),
+      (1000L, 800L, 4L)).foreach { case (h, sep, mc) =>
+      val thr = { val st = SphereSql.sinHalfD(sep.toDouble); st * st }
+      val aRows = randCat(250, 0L)
+      val bRows = randCat(180, 10000L) ++ aRows.take(10)
+        .map { case (id, ra, dec) => (id + 20000L, ra, dec) } // planted dups
+      val a = aRows.toDF("a_id", "ra_a", "dec_a")
+      val b = bRows.toDF("b_id", "ra_b", "dec_b")
+      val got = RelOps.sphereXmatchPairsEqAreaAt(a, b, h, sep, mc).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (ai, raa, deca) <- aRows; (bi, rab, decb) <- bRows
+        if SphereSql.haversineD(raa, deca, rab, decb) <= thr
+      } yield (ai, bi)).toSet
+      assert(got == expect, s"h=$h sep=$sep mc=$mc: got ${got.size}, " +
+        s"expect ${expect.size}, missing ${(expect -- got).take(3)}, " +
+        s"extra ${(got -- expect).take(3)}")
+      assert(expect.nonEmpty, s"h=$h sep=$sep mc=$mc: vacuous fixture")
+    }
+  }
+
+  test("d22 equal-area tables: minCells floor holds, probes cover each ring, areas balance") {
+    Seq((2000L, 2000L, 8L), (1000L, 500L, 8L), (4500L, 4500L, 4L)).foreach {
+      case (h, sep, mc) =>
+        val (cells, probes) = RelOps.sphereEqAreaTables(h, sep, mc)
+        val zones = (180000L / h).toInt
+        assert(cells.length == zones && probes.length == zones)
+        // every ring keeps >= minCells join keys — the skew remedy the
+        // zones table cannot provide at the caps (its polar n = 1)
+        assert(cells.forall(_ >= mc), s"h=$h: ring under minCells floor")
+        assert(cells.head == mc && cells.last == mc,
+          s"h=$h: polar rings should sit AT the floor (tiny area)")
+        // whole-ring coverage wherever the Δλ bound leaves its domain
+        val s = math.sin(sep * math.Pi / 360000)
+        cells.indices.foreach { z =>
+          val d0e = z.toLong * h - 90000L - h
+          val d1e = (z + 1).toLong * h - 90000L + h
+          val mx = math.min(90000L, math.max(math.abs(d0e), math.abs(d1e)))
+          val ce = math.max(math.cos(mx * math.Pi / 180000), 0.0)
+          if (ce <= s) assert(probes(z) >= cells(z) / 2 + 1,
+            s"h=$h zone $z: cap ring must be whole-ring probed")
+          assert(probes(z) >= 1 && probes(z) <= cells(z) / 2 + 1)
+        }
+        // equal-area within rounding: cell areas differ < 3x across
+        // non-floor rings (the floor deliberately over-subdivides caps)
+        val areas = cells.indices.map { z =>
+          val a = math.sin(((z + 1).toLong * h - 90000L) * math.Pi / 180000) -
+            math.sin((z.toLong * h - 90000L) * math.Pi / 180000)
+          a / cells(z)
+        }
+        val nonFloor = cells.indices.filter(cells(_) > mc).map(areas)
+        if (nonFloor.nonEmpty)
+          assert(nonFloor.max / nonFloor.min < 3.0,
+            s"h=$h: non-floor cell areas spread ${nonFloor.max / nonFloor.min}")
+    }
+  }
 }

@@ -137,6 +137,36 @@ class RelOpsSpec extends SparkTestBase {
     assert(seam.nonEmpty, "no non-polar match across the RA seam — wrap untested")
   }
 
+  test("d21 general-radius xmatch: 0.5-deg matches equal brute force and subset d18") {
+    import graft.ops.SphereSql
+    val df = RelOps.d21_xmatch_radius.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"general-radius xmatch fell back to a non-equi plan:\n${plan.take(1000)}")
+    val out = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val as = Tables.t(spark, sfDir, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+      .map(k => k -> SphereSql.catalogD(k))
+    val bs = Tables.t(spark, sfDir, "supplier")
+      .select("s_suppkey").collect().map(_.getLong(0))
+      .map(k => k -> SphereSql.catalogD(k))
+    val thr = { val st = SphereSql.sinHalfD(500.0); st * st }
+    val expect = (for {
+      (ai, (raa, deca)) <- as; (bi, (rab, decb)) <- bs
+      h = SphereSql.haversineD(raa, deca, rab, decb)
+      if h <= thr
+    } yield (ai, bi) -> math.floor(h * 1.0e12).toLong).toMap
+    assert(out == expect, s"pair set diverges: ${out.size} vs ${expect.size}")
+    assert(out.nonEmpty, "fixture produced no matches (vacuous)")
+    // the halved radius must be a STRICT subset of the 2-deg gate — the
+    // covering adapts to (height, sep) rather than riding d18's slack
+    val d18 = RelOps.d18_join_xmatch_sphere.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.keySet.subsetOf(d18), "0.5-deg result not within the 2-deg result")
+    assert(out.size < d18.size, "halving the radius dropped nothing — vacuous")
+  }
+
   test("d20 best-match: per-source argmin with unique tiebreak; unmatched sources survive as NULLs") {
     import graft.ops.SphereSql
     val df = RelOps.d20_xmatch_best.fn(spark, sfDir)
