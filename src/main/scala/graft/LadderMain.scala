@@ -81,7 +81,7 @@ object LadderMain {
     */
   private def mediaOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("m6_audio_decode", "m7_audio_frame_stats", "m8_video_frame_sample",
-      "m9_image_near_dup", "m10_audio_near_dup")
+      "m9_image_near_dup", "m10_audio_near_dup", "m11_video_near_dup")
       .map(k => k -> SparkEntry.queries(k))
 
   /** stream family: the streaming prep gates (exact j9, quality j11,
@@ -365,13 +365,21 @@ object LadderMain {
           f10.select(col("doc_id").as("a_id"), col("fp").as("da")),
           f10.select(col("doc_id").as("b_id"), col("fp").as("db")),
           keyLen = 32, chunks = 8).count()
+        // m11's blocking class is the inverted keyframe index, not the
+        // hamming pigeonhole — its candidate mass is the hash-equi-join
+        // row count before the Jaccard refine (posting-list pair mass)
+        val h11 = ops.MultimodalOps.m11FrameHashes(spark, dir)
+        val c11 = h11.select(col("doc_id").as("a_id"), col("hh"))
+          .join(h11.select(col("doc_id").as("b_id"), col("hh")), "hh")
+          .where(col("a_id") < col("b_id")).count()
         // output pairs (from the timed runs) beside candidate instances:
         // candidates are filtered MAP-SIDE post-join since the r8
         // refine-before-distinct, so the shuffled mass is the output
-        val outs = Seq("m9_image_near_dup", "m10_audio_near_dup")
+        val outs = Seq("m9_image_near_dup", "m10_audio_near_dup",
+          "m11_video_near_dup")
           .flatMap(k => lastCount.get(k).map(v => s""","${k}_pairs":$v"""))
           .mkString
-        s""","m9_candidates":$c9,"m10_candidates":$c10$outs"""
+        s""","m9_candidates":$c9,"m10_candidates":$c10,"m11_candidates":$c11$outs"""
       } else ""
       println(s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"$extra}""")
     }

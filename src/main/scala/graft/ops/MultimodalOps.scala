@@ -536,8 +536,10 @@ object MultimodalOps {
     def nFrames(id: Long): Int = 4 + (id % 8).toInt
     def frameImageId(id: Long, k: Int): Long = id + k.toLong * 1000003L
 
-    def synth(id: Long): Array[Byte] = {
-      val frames = (0 until nFrames(id)).map(k => PngCodec.synth(frameImageId(id, k)))
+    /** Pack already-encoded frames into a GVID container (shared by the
+      * m8 plant and the m11 scene-family plant).
+      */
+    def pack(frames: Seq[Array[Byte]]): Array[Byte] = {
       val buf = ByteBuffer
         .allocate(8 + 4 * frames.length + frames.map(_.length).sum)
         .order(ByteOrder.LITTLE_ENDIAN)
@@ -546,6 +548,9 @@ object MultimodalOps {
       frames.foreach(buf.put)
       buf.array()
     }
+
+    def synth(id: Long): Array[Byte] =
+      pack((0 until nFrames(id)).map(k => PngCodec.synth(frameImageId(id, k))))
 
     private def index(vid: Array[Byte]): (ByteBuffer, Int) = {
       val buf = ByteBuffer.wrap(vid).order(ByteOrder.LITTLE_ENDIAN)
@@ -934,9 +939,129 @@ object MultimodalOps {
       |SELECT a_id, b_id, hd FROM pr WHERE hd <= 4
       |ORDER BY a_id, b_id""".stripMargin)
 
+  /** Scene-family video plant for m11: keyframe-set near-dup.
+    *
+    * The planted video family is SCENE-structured on the shot axis:
+    * clip id carries F = 4 frames, frame k is the PHash-planted PNG for
+    * shot id `shotId(id, k)`. Docs in scene g = id DIV 5 share the shot
+    * list sid(g, k) = (g+1)·(k+3)·2654435761 mod 1000000007 mod 100000
+    * (the m9/m10 large-prime mixing — an additive or small-modulus g
+    * term would collapse distinct scenes onto repeated shot lists, one
+    * giant clique); each non-canonical doc (id % 5 ≠ 0) REPLACES one
+    * frame (position (id·13) mod 4 = (id+g) mod 4, distinct across a
+    * scene's four members) with a doc-unique shot 100000 + id — the
+    * "same video, one re-cut/inserted shot" near-dup class. Unique
+    * shots live in [100000, 100000+n), scene shots in [0, 100000):
+    * disjoint by construction, so the planted overlap is exact:
+    * canonical↔member pairs share 3 of their 4 keyframes, member↔member
+    * pairs share 2, cross-scene pairs share only birthday collisions of
+    * the mod-100000 shot draw (≤ 1 with overwhelming margin).
+    */
+  object VideoFp {
+    val F = 4
+
+    def perturbedPos(id: Long): Int =
+      if (id % 5 == 0) -1 else ((id * 13) % F).toInt
+
+    def shotId(id: Long, k: Int): Long =
+      if (k == perturbedPos(id)) 100000L + id
+      else (id / 5 + 1) * (k + 3) * 2654435761L % 1000000007L % 100000L
+
+    /** Encode the planted scene-family clip for one doc. */
+    def synth(id: Long): Array[Byte] =
+      VideoCodec.pack((0 until F).map(k => PHash.synth(shotId(id, k))))
+  }
+
+  /** The m11 keyframe-hash frame (doc_id, hh) — one row per DISTINCT
+    * per-clip keyframe hash, checkpointed (the m9/m10 split, for the
+    * same ladder-probe and single-codec-pass reasons). The per-doc
+    * `.distinct` is LOCAL (≤ 4 frames in one iterator) — no shuffle
+    * buys set semantics; ~96 bytes/doc materialize, pixels never do.
+    */
+  private[graft] def m11FrameHashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val vid = VideoFp.synth(id)
+        val n = VideoCodec.frameCount(vid)
+        (0 until n).map(k => PHash.hashHex(VideoCodec.frame(vid, k)))
+          .distinct.iterator.map(h => (id, h))
+      })
+      .toDF("doc_id", "hh")
+      .localCheckpoint()
+  }
+
+  /** m11: video NEAR-dup by keyframe containment — the video completion
+    * of the near-dup family (text i10 MinHash-LSH, image m9 perceptual,
+    * audio m10 acoustic), and a THIRD blocking class beside LSH bands
+    * and the hamming pigeonhole: the inverted keyframe index. Decode
+    * each clip's frames through the lazy GVID index, hash each with the
+    * integer-exact m9 average hash, and pair clips whose keyframe-hash
+    * SETS overlap at Jaccard ≥ 0.3 (integer gate: 10·shared ≥
+    * 3·(na + nb − shared) — no floats anywhere). This is the "same
+    * video, re-cut / trimmed / one scene swapped" dup class that
+    * whole-file hashing (m5) and single-raster hashing (m9) both miss.
+    *
+    * Shape at scale: decode + hash is a narrow per-partition codec pass
+    * (16-char hashes shuffle, frames never do); candidates meet only in
+    * the hash equi-join — a clip meets exactly the clips sharing a
+    * keyframe, so candidate mass tracks true-shot sharing (scene size ×
+    * F per clip here, judge-measurable via the media ladder), not n².
+    * A real-corpus hot frame (intros, black frames) fattens one posting
+    * list; the lever is the i24/i45 convention — cap or drop posting
+    * lists over a bound before the self-join (i44's domain-cap is the
+    * same op-shape) — documented, not planted, since the gate fixture
+    * has no hot shot. Oracle = brute-force set-overlap over closed-form
+    * recomputed hashes, so a container defect, a decode defect, a hash
+    * defect, or a lost posting all hash-mismatch.
+    */
+  val m11_video_near_dup = OpQuery(
+    (s, d) => {
+      val fh = m11FrameHashes(s, d)
+      val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val shared = fh.select(col("doc_id").as("a_id"), col("hh"))
+        .join(fh.select(col("doc_id").as("b_id"), col("hh")), "hh")
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select(col("doc_id").as("a_id"), col("nf").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("nf").as("nb")), "b_id")
+        .where(lit(10) * col("shared") >= lit(3) * (col("na") + col("nb") - col("shared")))
+        .select("a_id", "b_id", "shared", "na", "nb")
+        .orderBy("a_id", "b_id")
+    },
+    """WITH v AS (SELECT doc_id, unnest(range(0, 4)) AS k FROM documents),
+      |sh AS (SELECT doc_id, CASE WHEN doc_id % 5 <> 0 AND k = (doc_id * 13) % 4
+      |    THEN 100000 + doc_id
+      |    ELSE (doc_id // 5 + 1) * (k + 3) * 2654435761 % 1000000007 % 100000
+      |    END AS sid FROM v),
+      |f AS (SELECT doc_id, sid, sid // 7 AS g,
+      |    CASE WHEN sid % 7 = 0 THEN -1 ELSE (sid * 13) % 64 END AS p FROM sh),
+      |s AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    8 * ((g + 1) * (b + 3) * 2654435761 % 1000000007 % 240
+      |         + CASE WHEN b = p THEN 8 ELSE 0 END)) AS sums FROM f),
+      |hb AS (SELECT doc_id, sums, CAST(list_sum(sums) AS BIGINT) AS t FROM s),
+      |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    CASE WHEN 64 * sums[b + 1] > t THEN 1 ELSE 0 END) AS bv FROM hb),
+      |hx AS (SELECT DISTINCT doc_id,
+      |    list_aggregate(list_transform(range(0, 16), j ->
+      |    substr('0123456789abcdef',
+      |      8 * bv[4*j+1] + 4 * bv[4*j+2] + 2 * bv[4*j+3] + bv[4*j+4] + 1, 1)),
+      |    'string_agg', '') AS hh FROM bits),
+      |sz AS (SELECT doc_id, count(*) AS nf FROM hx GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      |  FROM hx a JOIN hx b USING (hh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |j AS (SELECT a_id, b_id, shared, sa.nf AS na, sb.nf AS nb FROM pr
+      |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id)
+      |SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,
+      |  CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb
+      |FROM j WHERE 10 * shared >= 3 * (na + nb - shared)
+      |ORDER BY a_id, b_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
     "m9_image_near_dup" -> m9_image_near_dup,
     "m10_audio_near_dup" -> m10_audio_near_dup,
+    "m11_video_near_dup" -> m11_video_near_dup,
     "m1_multimodal_decode" -> m1_multimodal_decode,
     "m2_multimodal_frame_sample" -> m2_multimodal_frame_sample,
     "m3_multimodal_feature_extract" -> m3_multimodal_feature_extract,

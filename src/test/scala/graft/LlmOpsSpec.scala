@@ -283,6 +283,52 @@ class LlmOpsSpec extends SparkTestBase {
       MultimodalOps.AudioFp.fingerprint(Array[Byte](1, 2, 3)))
   }
 
+  test("m11 near-dup pairs equal brute-force keyframe-set overlap") {
+    val out = MultimodalOps.m11_video_near_dup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // plain-Scala reference: hash every clip's frames through the REAL
+    // synth→GVID slice→PNG decode→hash path, then brute-force all pairs
+    // on keyframe-hash SET overlap at the integer Jaccard ≥ 0.3 gate
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val hs: Map[Long, Set[String]] = ids.map { id =>
+      val vid = MultimodalOps.VideoFp.synth(id)
+      val n = MultimodalOps.VideoCodec.frameCount(vid)
+      id -> (0 until n).map(k => MultimodalOps.PHash.hashHex(
+        MultimodalOps.VideoCodec.frame(vid, k))).toSet
+    }.toMap
+    val expect = (for {
+      a <- ids; b <- ids if a < b
+      shared = (hs(a) & hs(b)).size.toLong if shared > 0
+      (na, nb) = (hs(a).size.toLong, hs(b).size.toLong)
+      if 10 * shared >= 3 * (na + nb - shared)
+    } yield (a, b, shared, na, nb)).toSet
+    assert(out.toSet == expect,
+      s"inverted-index pairs diverge: got ${out.length}, expect ${expect.size}")
+    assert(expect.nonEmpty, "fixture produced no near-dup pairs (vacuous)")
+    // the planted relation: scene members share the shot list minus each
+    // perturbed position, and perturbed positions are distinct across a
+    // scene's four members ((id·13) mod 4 = (id+g) mod 4 walks all four
+    // residues), so canonical↔member shares 3 keyframes and member↔member
+    // shares 2 — both above the Jaccard gate UNLESS a mod-100000 shot
+    // collision degenerated the fixture (none at any shipped sf)
+    val sameScene = (for {
+      a <- ids; b <- ids if a < b && a / 5 == b / 5
+    } yield (a, b)).toSet
+    assert(sameScene.nonEmpty, "fixture carries no same-scene pair")
+    assert(sameScene.forall(p => expect.exists(e => (e._1, e._2) == p)),
+      "a same-scene near-dup pair escaped the keyframe-overlap gate")
+    // cross-scene pairs ride only on birthday collisions of the shot
+    // draw — they must never reach the gate's pair mass (no clique)
+    val crossScene = expect.count(e => e._1 / 5 != e._2 / 5)
+    assert(crossScene * 10 <= expect.size,
+      s"cross-scene pairs dominate: $crossScene of ${expect.size}")
+    // container slicing is real: corrupt bytes must fail loudly
+    intercept[Exception](
+      MultimodalOps.VideoCodec.frame(Array[Byte](1, 2, 3, 4), 0))
+  }
+
   test("m5 shuffles only fingerprint rows, never image bytes") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => WindowNode}
     val out = MultimodalOps.m5_image_dedup.fn(spark, sfDir)
