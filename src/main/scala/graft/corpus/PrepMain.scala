@@ -13,6 +13,9 @@ import org.apache.spark.sql.types.LongType
   *
   *   quality filter (i29) → near-dup drop (i10 pair semantics, or
   *   i39+i40 keep-longest component semantics via `--dedup keepbest`) →
+  *   media dedup (m5 exact + m9 perceptual image semantics, optional
+  *   `--media dedup` — drops non-canonical exact image copies and the
+  *   b-side of every perceptual near-dup pair) →
   *   benchmark decontamination (i24, optional `--decontam <benchDir>`) →
   *   substring scrub (i41 core, optional `--scrub substring` — rewrites
   *   text: excises tokens covered by cross-document duplicated spans) →
@@ -75,6 +78,10 @@ object PrepMain {
       maxTopBigram: Double = LlmOps.QMaxTopBigram,
       minQuality: Double = LlmOps.QMinQuality, scrub: String = "none",
       scrubSpan: Int = 8, scrubMinDocs: Int = 2,
+      // "dedup" drops non-canonical image copies: every m5 keep=false doc
+      // (exact decoded-raster fingerprint groups) plus the b-side of
+      // every m9 perceptual pair (the i10 pair convention); "none" skips
+      media: String = "none",
       // "uniform" applies the i48 equal-share mixture resampler to the
       // kept set (drops over-share docs, attaches n_copies); "none" skips
       mix: String = "none",
@@ -99,8 +106,8 @@ object PrepMain {
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
-    "--scrub-span", "--scrub-min-docs", "--mix", "--ppl", "--shuffle",
-    "--chunks", "--tokenize")
+    "--scrub-span", "--scrub-min-docs", "--media", "--mix", "--ppl",
+    "--shuffle", "--chunks", "--tokenize")
 
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
@@ -128,6 +135,7 @@ object PrepMain {
         case "--scrub" => o = o.copy(scrub = v)
         case "--scrub-span" => o = o.copy(scrubSpan = v.toInt)
         case "--scrub-min-docs" => o = o.copy(scrubMinDocs = v.toInt)
+        case "--media" => o = o.copy(media = v)
         case "--mix" => o = o.copy(mix = v)
         case "--ppl" => o = o.copy(ppl = v)
         case "--shuffle" => o = o.copy(shuffle = v)
@@ -142,6 +150,7 @@ object PrepMain {
         "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
+        "[--media dedup|none] " +
         "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none] " +
         "[--chunks write|none] [--tokenize bpe|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
@@ -154,6 +163,8 @@ object PrepMain {
       s"--scrub must be substring|none, got ${o.scrub}")
     require(Set("uniform", "none")(o.mix),
       s"--mix must be uniform|none, got ${o.mix}")
+    require(Set("dedup", "none")(o.media),
+      s"--media must be dedup|none, got ${o.media}")
     require(Set("write", "none")(o.chunks),
       s"--chunks must be write|none, got ${o.chunks}")
     require(Set("bpe", "none")(o.tokenize),
@@ -204,6 +215,8 @@ object PrepMain {
     //           components and drop everything but each cluster's LONGEST
     //           member (the policy real pipelines ship: truncated copies
     //           are the ones to lose). Both are corpus-keyed (idempotent).
+    // optional stages persist-and-register here; unpersisted at the end
+    val extraPersists = scala.collection.mutable.Buffer.empty[DataFrame]
     val dupDrops0: DataFrame = opts.dedup match {
       case "minhash" => LlmOps.minhashVerifiedPairs(spark, opts.in, opts.dedupTau)
         .select(col("b_id").as("doc_id")).distinct()
@@ -231,6 +244,40 @@ object PrepMain {
       .persist(lvl)
     val nAfterDedup = keptDedup.count()
 
+    // -- stage 2.7: media dedup (m5 + m9 semantics, optional) --------------
+    // The multimodal analog of stage 2, composing the GATED image ops
+    // verbatim so the stage inherits their oracles: m5's exact
+    // decoded-raster fingerprint groups drop every non-canonical member
+    // (keep = false), and m9's perceptual near-dup pairs drop the b-side
+    // of every pair (the i10 pair convention: any surviving pair (a, b)
+    // would have dropped b, so the kept set is pair-free under BOTH
+    // hashes — PrepPipelineSpec re-runs both ops on the output to prove
+    // it). Corpus-keyed on the full input like every drop stage
+    // (idempotent, order-independent); only doc_id + 16-char hashes
+    // shuffle, pixels stay inside the codec maps.
+    val mediaDrops = (opts.media match {
+      case "dedup" =>
+        val exact = graft.ops.MultimodalOps.m5_image_dedup.fn(spark, opts.in)
+          .filter(!col("keep")).select("doc_id")
+        val near = graft.ops.MultimodalOps.m9_image_near_dup.fn(spark, opts.in)
+          .select(col("b_id").as("doc_id"))
+        exact.unionByName(near).distinct()
+      case _ => spark.range(0).select(col("id").as("doc_id"))
+    }).persist(lvl) // read by the anti-join AND the manifest count
+    val keptMedia = opts.media match {
+      case "none" => keptDedup
+      case _ =>
+        val k = keptDedup.join(broadcast(mediaDrops), Seq("doc_id"), "left_anti")
+          .persist(lvl)
+        extraPersists += k
+        k
+    }
+    val nAfterMedia = if (opts.media == "none") nAfterDedup else keptMedia.count()
+    val mediaCounts: Map[String, Long] =
+      if (opts.media == "none") Map.empty
+      else Map("n_media_dropped" -> (nAfterDedup - nAfterMedia),
+        "n_media_members_corpus" -> mediaDrops.count())
+
     // -- stage 3: benchmark decontamination (i24 containment, optional) ----
     val decontamDrops: DataFrame = (opts.decontam match {
       case Some(benchDir) =>
@@ -246,7 +293,7 @@ object PrepMain {
           .select(col("train_id").as("doc_id")).distinct()
       case None => spark.range(0).select(col("id").as("doc_id"))
     }).persist(lvl) // same two-reader shape as dupDrops
-    val kept = keptDedup.join(broadcast(decontamDrops), Seq("doc_id"), "left_anti")
+    val kept = keptMedia.join(broadcast(decontamDrops), Seq("doc_id"), "left_anti")
       .persist(lvl)
     val nAfterDecontam = kept.count()
 
@@ -258,7 +305,6 @@ object PrepMain {
     // doc-level drop stages above stay corpus-keyed and idempotent; a doc
     // scrubbed to empty text remains a (empty) document — quality is not
     // re-run. n_chars is recomputed from the rewritten text.
-    val extraPersists = scala.collection.mutable.Buffer.empty[DataFrame]
     val (keptFinal, scrubCounts) = opts.scrub match {
       case "substring" =>
         val sc = graft.ops.CorpusOps.substringScrub(
@@ -457,11 +503,11 @@ object PrepMain {
       "n_input" -> nInput,
       "n_quality_kept" -> nQualityKept,
       "n_dedup_dropped" -> (nQualityKept - nAfterDedup),
-      "n_decontam_dropped" -> (nAfterDedup - nAfterDecontam),
+      "n_decontam_dropped" -> (nAfterMedia - nAfterDecontam),
       "n_dup_members_corpus" -> dupDrops.count(),
       "n_contaminated_corpus" -> decontamDrops.count(),
       "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts ++
-      pplCounts ++ mixCounts ++ chunkCounts ++ tokenCounts
+      mediaCounts ++ pplCounts ++ mixCounts ++ chunkCounts ++ tokenCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))
@@ -471,6 +517,7 @@ object PrepMain {
     keptDedup.unpersist(blocking = false)
     kept.unpersist(blocking = false)
     dupDrops.unpersist(blocking = false)
+    mediaDrops.unpersist(blocking = false)
     decontamDrops.unpersist(blocking = false)
     extraPersists.foreach(_.unpersist(blocking = false))
     manifest

@@ -370,6 +370,27 @@ class PrepPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("--media dedup leaves the kept set pair-free under both image hashes") {
+    val outV = Util.scratch("prep_media")
+    val m = PrepMain.run(spark,
+      PrepMain.Opts(sfDir, outV, "minhash", media = "dedup"))
+    assert(m("n_media_dropped") > 0, "fixture must exercise the media stage")
+    assert(m("n_media_dropped") <= m("n_media_members_corpus"),
+      "stage can't drop more than the corpus-wide member set")
+    // stage arithmetic including the media term
+    assert(m("n_quality_kept") - m("n_dedup_dropped") - m("n_media_dropped") -
+      m("n_decontam_dropped") == m("n_final"),
+      "stage arithmetic doesn't reconcile with the media stage")
+    // re-run BOTH gated image ops ON the output (the i10 pair-free
+    // convention): every exact fingerprint group must be a singleton and
+    // no perceptual pair may survive — under the ops' own oracles
+    val exact = graft.ops.MultimodalOps.m5_image_dedup.fn(spark, outV)
+      .filter(!col("keep")).count()
+    assert(exact == 0, s"$exact exact image dups survived the media stage")
+    val near = graft.ops.MultimodalOps.m9_image_near_dup.fn(spark, outV).count()
+    assert(near == 0, s"$near perceptual near-dup pairs survived")
+  }
+
   test("argv parsing: flags map to opts, bad input rejected") {
     val o = PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "none"))
     assert(o == PrepMain.Opts("a", "b", "none"))
@@ -410,6 +431,11 @@ class PrepPipelineSpec extends SparkTestBase {
       "--chunks", "write")).chunks == "write")
     intercept[IllegalArgumentException](
       PrepMain.parse(Array("--in", "a", "--out", "b", "--chunks", "maybe")))
+    // media flag: valid values map through, others refused
+    assert(PrepMain.parse(Array("--in", "a", "--out", "b",
+      "--media", "dedup")).media == "dedup")
+    intercept[IllegalArgumentException](
+      PrepMain.parse(Array("--in", "a", "--out", "b", "--media", "m5")))
   }
 
   test("--chunks write emits a chunk table covering every kept doc end-to-end") {
