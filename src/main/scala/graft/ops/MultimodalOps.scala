@@ -749,13 +749,20 @@ object MultimodalOps {
     * corpus — the expensive stage of this op (measured ~2× on the
     * sf0.1 bench). 24 bytes/doc materialize; pixels never do.
     */
-  private[graft] def m9HashFrame(s: SparkSession, d: String): DataFrame = {
+  /** Hash an arbitrary (doc_id) frame through the real synth→PNG
+    * decode→hash path — the m9 codec pass over any id subset (j19 runs
+    * it per micro-batch on the arriving ids and once on its catalog).
+    */
+  private[graft] def phashFrameOf(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    t(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.select(col("doc_id")).as[Long]
       .mapPartitions(_.map(id => (id, PHash.hashHex(PHash.synth(id)))))
       .toDF("doc_id", "hh")
-      .localCheckpoint()
   }
+
+  private[graft] def m9HashFrame(s: SparkSession, d: String): DataFrame =
+    phashFrameOf(t(s, d, "documents")).localCheckpoint()
 
   val m9_image_near_dup = OpQuery(
     (s, d) => {

@@ -750,7 +750,92 @@ object StreamOps {
     },
     RelOps.d20_xmatch_best.oracle.get)
 
+  /** j19: streaming perceptual image dedup — the multimodal completion
+    * of the streaming prep family (text j9/j12, sky j15/j18): every
+    * image arriving on the stream is decoded, hashed with the
+    * integer-exact m9 average hash, and matched against a STATIC
+    * reference catalog of known-image hashes within nibble-hamming ≤ 3
+    * (the crawl-time "have we seen this picture before?" gate — the
+    * production shape is a frozen dedup index from yesterday's corpus
+    * with today's crawl streaming against it).
+    *
+    * Why this needs NO streaming state (the j18 argument): the pairing
+    * is stream-doc × static-catalog, a stream doc arrives exactly once,
+    * and the catalog side is complete in every batch — so each doc's
+    * match set is batch-local by construction and foreachBatch runs the
+    * full m9 core (codec pass + pigeonhole blocked join) per
+    * micro-batch into an append-only sink. No watermark, no state
+    * store; write-once proven BY the unique-keyed gate. Two real
+    * micro-batches (maxFilesPerTrigger=1 over a two-file fixture). At
+    * scale each batch costs O(batch · 4 probes) against the
+    * checkpointed catalog hash frame — per-batch work ∝ arriving
+    * images; the catalog's 24 bytes/doc hash frame is the only
+    * long-lived artifact, pixels never persist.
+    *
+    * Oracle = the m9 hash chain with the pair predicate swapped from
+    * a < b to stream-side × catalog-side: the union of per-batch
+    * matches over any partition of the stream set IS the whole-set
+    * match relation.
+    */
+  val j19_stream_image_dedup = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j19"))
+      graft.Util.deleteRecursively(ckpt)
+      val sink = new java.io.File(graft.Util.scratch("j19_sink"))
+      graft.Util.deleteRecursively(sink)
+      val srcDir = graft.Util.scratch("j19_img_src")
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 4 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f0")
+      docs.filter(col("doc_id") % 4 === 2).coalesce(1)
+        .write.mode("overwrite").parquet(s"$srcDir/f1")
+      val cat = MultimodalOps.phashFrameOf(
+          docs.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id").as("b_id"), col("hh").as("db"))
+        .localCheckpoint() // hashed ONCE; every batch joins this frame
+      val catN = cat.count() // cheap on the checkpoint; arms the guard
+      val src = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      val q = src.select("doc_id").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ah = MultimodalOps.phashFrameOf(batch)
+            .select(col("doc_id").as("a_id"), col("hh").as("da"))
+          RelOps.hammingBlockedPairs(ah, cat, keyLen = 16, chunks = 4,
+            maxHd = 3, alphabet = 16, minSideRows = catN)
+            .write.mode("append").parquet(sink.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink.getAbsolutePath).orderBy("a_id", "b_id")
+    },
+    """WITH f AS (SELECT doc_id, doc_id // 7 AS g,
+      |    CASE WHEN doc_id % 7 = 0 THEN -1 ELSE (doc_id * 13) % 64 END AS p
+      |  FROM documents),
+      |s AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    8 * ((g + 1) * (b + 3) * 2654435761 % 1000000007 % 240
+      |         + CASE WHEN b = p THEN 8 ELSE 0 END))
+      |    AS sums FROM f),
+      |hb AS (SELECT doc_id, sums, CAST(list_sum(sums) AS BIGINT) AS t FROM s),
+      |bits AS (SELECT doc_id, list_transform(range(0, 64), b ->
+      |    CASE WHEN 64 * sums[b + 1] > t THEN 1 ELSE 0 END) AS bv FROM hb),
+      |hx AS (SELECT doc_id, list_aggregate(list_transform(range(0, 16), j ->
+      |    substr('0123456789abcdef',
+      |      8 * bv[4*j+1] + 4 * bv[4*j+2] + 2 * bv[4*j+3] + bv[4*j+4] + 1, 1)),
+      |    'string_agg', '') AS hh FROM bits),
+      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(len(list_filter(range(1, 17), i ->
+      |      substr(a.hh, i, 1) <> substr(b.hh, i, 1))) AS BIGINT) AS hd
+      |  FROM hx a JOIN hx b ON a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      |SELECT a_id, b_id, hd FROM pr WHERE hd <= 3
+      |ORDER BY a_id, b_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j19_stream_image_dedup" -> j19_stream_image_dedup,
     "j18_stream_xmatch_best" -> j18_stream_xmatch_best,
     "j17_stream_update_dedup" -> j17_stream_update_dedup,
     "j16_stream_chunk" -> j16_stream_chunk,

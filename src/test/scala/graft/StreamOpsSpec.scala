@@ -292,6 +292,35 @@ class StreamOpsSpec extends SparkTestBase {
       "fixture must exercise both matched and unmatched alerts")
   }
 
+  test("j19 per-batch image matches union to the brute-force stream x catalog relation") {
+    import graft.ops.MultimodalOps
+    val fromStream = StreamOps.j19_stream_image_dedup.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // brute-force reference through the REAL synth→decode→hash path:
+    // every even (stream) doc against every odd (catalog) doc
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val hh = ids.map(id =>
+      id -> MultimodalOps.PHash.hashHex(MultimodalOps.PHash.synth(id))).toMap
+    val expect = (for {
+      a <- ids if a % 2 == 0
+      b <- ids if b % 2 == 1
+      hd = hh(a).zip(hh(b)).count(p => p._1 != p._2).toLong
+      if hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(fromStream.toSet == expect,
+      s"stream matches diverge: got ${fromStream.length}, expect ${expect.size}")
+    assert(expect.nonEmpty, "fixture produced no stream-catalog match (vacuous)")
+    // write-once across batches: (a_id, b_id) unique in the append sink
+    val sink = spark.read.parquet(Util.scratch("j19_sink"))
+    assert(sink.count() ==
+      sink.select("a_id", "b_id").distinct().count(),
+      "a pair was emitted in more than one micro-batch")
+    // both stream files contributed a matched doc (two real batches)
+    val sides = sink.select((col("a_id") % 4 === 0).as("s")).distinct().count()
+    assert(sides == 2, "matches all came from one micro-batch")
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
