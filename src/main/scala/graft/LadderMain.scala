@@ -367,10 +367,18 @@ object LadderMain {
           keyLen = 32, chunks = 8).count()
         // m11's blocking class is the inverted keyframe index, not the
         // hamming pigeonhole — its candidate mass is the hash-equi-join
-        // row count before the Jaccard refine (posting-list pair mass)
+        // row count before the Jaccard refine, over the SAME FrameCap'd
+        // posting lists the engine joins (uncapped mass is the r8 receipt
+        // for why the cap exists: 63k → 781k over 1×–8×, quadratic on the
+        // hot alternating-threshold hash)
         val h11 = ops.MultimodalOps.m11FrameHashes(spark, dir)
-        val c11 = h11.select(col("doc_id").as("a_id"), col("hh"))
-          .join(h11.select(col("doc_id").as("b_id"), col("hh")), "hh")
+        val cap11 = h11.withColumn("rk",
+            org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("hh").orderBy("doc_id")))
+          .filter(col("rk") <= ops.MultimodalOps.FrameCap).drop("rk")
+        val c11 = cap11.select(col("doc_id").as("a_id"), col("hh"))
+          .join(cap11.select(col("doc_id").as("b_id"), col("hh")), "hh")
           .where(col("a_id") < col("b_id")).count()
         // output pairs (from the timed runs) beside candidate instances:
         // candidates are filtered MAP-SIDE post-join since the r8

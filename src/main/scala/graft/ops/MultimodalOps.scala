@@ -951,18 +951,24 @@ object MultimodalOps {
     * The planted video family is SCENE-structured on the shot axis:
     * clip id carries F = 4 frames, frame k is the PHash-planted PNG for
     * shot id `shotId(id, k)`. Docs in scene g = id DIV 5 share the shot
-    * list sid(g, k) = (g+1)·(k+3)·2654435761 mod 1000000007 mod 100000
+    * list sid(g, k) = (g+1)·(k+3)·2654435761 mod 1000000007 mod 10⁸
     * (the m9/m10 large-prime mixing — an additive or small-modulus g
     * term would collapse distinct scenes onto repeated shot lists, one
     * giant clique); each non-canonical doc (id % 5 ≠ 0) REPLACES one
     * frame (position (id·13) mod 4 = (id+g) mod 4, distinct across a
-    * scene's four members) with a doc-unique shot 100000 + id — the
+    * scene's four members) with a doc-unique shot 10⁸ + id — the
     * "same video, one re-cut/inserted shot" near-dup class. Unique
-    * shots live in [100000, 100000+n), scene shots in [0, 100000):
-    * disjoint by construction, so the planted overlap is exact:
-    * canonical↔member pairs share 3 of their 4 keyframes, member↔member
-    * pairs share 2, cross-scene pairs share only birthday collisions of
-    * the mod-100000 shot draw (≤ 1 with overwhelming margin).
+    * shots live in [10⁸, 10⁸+n), scene shots in [0, 10⁸): disjoint by
+    * construction, so the planted overlap is exact: canonical↔member
+    * pairs share 3 of their 4 keyframes, member↔member pairs share 2,
+    * cross-scene pairs share only birthday collisions of the mod-10⁸
+    * shot draw. The draw space is the m10 alphabet lesson applied to
+    * FIXTURE design: a first cut drew mod 10⁵ and the media ladder
+    * measured candidate mass at 2.3–2.8× per doc doubling (32k shots
+    * at the 8× rung saturating 10⁵ values); mod 10⁸ keeps collision
+    * pairs ≈ shots²/2·10⁻⁸ — sub-1% of candidate mass out past 100×
+    * docs — while sid/7 ≤ ~1.43·10⁷ keeps the PHash block chain
+    * (g′+1)·67·2654435761 < 2.6·10¹⁸, inside Long AND DuckDB int64.
     */
   object VideoFp {
     val F = 4
@@ -971,8 +977,8 @@ object MultimodalOps {
       if (id % 5 == 0) -1 else ((id * 13) % F).toInt
 
     def shotId(id: Long, k: Int): Long =
-      if (k == perturbedPos(id)) 100000L + id
-      else (id / 5 + 1) * (k + 3) * 2654435761L % 1000000007L % 100000L
+      if (k == perturbedPos(id)) 100000000L + id
+      else (id / 5 + 1) * (k + 3) * 2654435761L % 1000000007L % 100000000L
 
     /** Encode the planted scene-family clip for one doc. */
     def synth(id: Long): Array[Byte] =
@@ -1014,20 +1020,41 @@ object MultimodalOps {
     * the hash equi-join — a clip meets exactly the clips sharing a
     * keyframe, so candidate mass tracks true-shot sharing (scene size ×
     * F per clip here, judge-measurable via the media ladder), not n².
-    * A real-corpus hot frame (intros, black frames) fattens one posting
-    * list; the lever is the i24/i45 convention — cap or drop posting
-    * lists over a bound before the self-join (i44's domain-cap is the
-    * same op-shape) — documented, not planted, since the gate fixture
-    * has no hot shot. Oracle = brute-force set-overlap over closed-form
-    * recomputed hashes, so a container defect, a decode defect, a hash
-    * defect, or a lost posting all hash-mismatch.
+    * HOT frames are capped, and the cap is gate-exercised, not prose:
+    * real corpora concentrate mass on degenerate frames (black frames,
+    * intros) — and this fixture measures the same physics: the
+    * alternating-threshold hash 5555… holds ~0.4% of all shots at
+    * every rung (the image analog of m10's hot delta-sign chunks), so
+    * an uncapped engine's candidates grew ~quadratically
+    * (ladder-measured 63k → 781k over 1×–8× docs; C(687,2) ≈ 235k
+    * pairs from that ONE hash at the 8× rung). The i24/i45
+    * capped-engine convention applied to the inverted keyframe index:
+    * each posting list keeps its `FrameCap` = 64 doc_id-smallest
+    * members (deterministic, order-stable, mirrored closed-form in the
+    * oracle), bounding per-hash join fan-out at C(64, 2) — candidate
+    * mass ≤ 2016·#hashes, linear — while set SIZES (the Jaccard
+    * denominator) stay uncapped. Recall loss touches only docs ranked
+    * past 64 on a hot frame — boilerplate sharing, the pairs dedup
+    * pipelines deliberately ignore (i24's DF-cap argument verbatim).
+    * Oracle = the same capped engine over closed-form recomputed
+    * hashes, so a container defect, a decode defect, a hash defect, a
+    * lost posting, or a cap drift all hash-mismatch.
     */
+  private[graft] val FrameCap = 64
+
   val m11_video_near_dup = OpQuery(
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       val fh = m11FrameHashes(s, d)
       val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      val shared = fh.select(col("doc_id").as("a_id"), col("hh"))
-        .join(fh.select(col("doc_id").as("b_id"), col("hh")), "hh")
+      // the posting cap rides the SAME hh-keyed shuffle the self-join
+      // needs (window and join co-partition); every downstream pair
+      // count is bounded by C(FrameCap, 2) per hash value
+      val capped = fh.withColumn("rk", row_number()
+          .over(Window.partitionBy("hh").orderBy("doc_id")))
+        .filter(col("rk") <= FrameCap).drop("rk")
+      val shared = capped.select(col("doc_id").as("a_id"), col("hh"))
+        .join(capped.select(col("doc_id").as("b_id"), col("hh")), "hh")
         .where(col("a_id") < col("b_id"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
       shared
@@ -1039,8 +1066,8 @@ object MultimodalOps {
     },
     """WITH v AS (SELECT doc_id, unnest(range(0, 4)) AS k FROM documents),
       |sh AS (SELECT doc_id, CASE WHEN doc_id % 5 <> 0 AND k = (doc_id * 13) % 4
-      |    THEN 100000 + doc_id
-      |    ELSE (doc_id // 5 + 1) * (k + 3) * 2654435761 % 1000000007 % 100000
+      |    THEN 100000000 + doc_id
+      |    ELSE (doc_id // 5 + 1) * (k + 3) * 2654435761 % 1000000007 % 100000000
       |    END AS sid FROM v),
       |f AS (SELECT doc_id, sid, sid // 7 AS g,
       |    CASE WHEN sid % 7 = 0 THEN -1 ELSE (sid * 13) % 64 END AS p FROM sh),
@@ -1056,8 +1083,11 @@ object MultimodalOps {
       |      8 * bv[4*j+1] + 4 * bv[4*j+2] + 2 * bv[4*j+3] + bv[4*j+4] + 1, 1)),
       |    'string_agg', '') AS hh FROM bits),
       |sz AS (SELECT doc_id, count(*) AS nf FROM hx GROUP BY doc_id),
+      |cap AS (SELECT doc_id, hh FROM (SELECT doc_id, hh,
+      |    row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS rk
+      |  FROM hx) WHERE rk <= 64),
       |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
-      |  FROM hx a JOIN hx b USING (hh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+      |  FROM cap a JOIN cap b USING (hh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
       |j AS (SELECT a_id, b_id, shared, sa.nf AS na, sb.nf AS nb FROM pr
       |  JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id)
       |SELECT a_id, b_id, CAST(shared AS BIGINT) AS shared,

@@ -289,7 +289,10 @@ class LlmOpsSpec extends SparkTestBase {
         r.getLong(4)))
     // plain-Scala reference: hash every clip's frames through the REAL
     // synth→GVID slice→PNG decode→hash path, then brute-force all pairs
-    // on keyframe-hash SET overlap at the integer Jaccard ≥ 0.3 gate
+    // on keyframe-hash SET overlap at the integer Jaccard ≥ 0.3 gate —
+    // with the op's FrameCap posting-list semantics: shared counts only
+    // hashes where BOTH docs rank within the cap's doc_id-smallest
+    // members, while set sizes stay uncapped
     val ids = Tables.t(spark, sfDir, "documents")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     val hs: Map[Long, Set[String]] = ids.map { id =>
@@ -298,9 +301,17 @@ class LlmOpsSpec extends SparkTestBase {
       id -> (0 until n).map(k => MultimodalOps.PHash.hashHex(
         MultimodalOps.VideoCodec.frame(vid, k))).toSet
     }.toMap
+    val inCap: Set[(Long, String)] = hs.toSeq
+      .flatMap { case (id, set) => set.map(h => (h, id)) }
+      .groupBy(_._1)
+      .toSeq // Map.flatMap over tuples would rebuild a Map, collapsing ids
+      .flatMap { case (h, post) =>
+        post.map(_._2).sorted.take(MultimodalOps.FrameCap).map(id => (id, h))
+      }.toSet
     val expect = (for {
       a <- ids; b <- ids if a < b
-      shared = (hs(a) & hs(b)).size.toLong if shared > 0
+      shared = (hs(a) & hs(b)).count(h =>
+        inCap((a, h)) && inCap((b, h))).toLong if shared > 0
       (na, nb) = (hs(a).size.toLong, hs(b).size.toLong)
       if 10 * shared >= 3 * (na + nb - shared)
     } yield (a, b, shared, na, nb)).toSet
@@ -311,7 +322,7 @@ class LlmOpsSpec extends SparkTestBase {
     // perturbed position, and perturbed positions are distinct across a
     // scene's four members ((id·13) mod 4 = (id+g) mod 4 walks all four
     // residues), so canonical↔member shares 3 keyframes and member↔member
-    // shares 2 — both above the Jaccard gate UNLESS a mod-100000 shot
+    // shares 2 — both above the Jaccard gate UNLESS a mod-10^8 shot
     // collision degenerated the fixture (none at any shipped sf)
     val sameScene = (for {
       a <- ids; b <- ids if a < b && a / 5 == b / 5
