@@ -770,7 +770,12 @@ object StreamOps {
     * scale each batch costs O(batch · 4 probes) against the
     * checkpointed catalog hash frame — per-batch work ∝ arriving
     * images; the catalog's 24 bytes/doc hash frame is the only
-    * long-lived artifact, pixels never persist.
+    * long-lived artifact, pixels never persist. The declared catalog
+    * count arms the core's saturation guard, so a catalog that
+    * outgrows this hash width (~262k rows at 4 chunks of 4 nibbles)
+    * refuses loudly at startup instead of going quietly quadratic —
+    * the documented lever is the m10 fix's: more hash bits, wider
+    * chunks.
     *
     * Oracle = the m9 hash chain with the pair predicate swapped from
     * a < b to stream-side × catalog-side: the union of per-batch
