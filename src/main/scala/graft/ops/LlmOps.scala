@@ -462,12 +462,20 @@ object LlmOps {
        |WHERE i::DOUBLE / (len(sa.sh) + len(sb.sh) - i) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin)
 
-  /** i11: SimHash near-dup. 64-bit signature from token-hash bit votes;
-    * candidate pairs via pigeonhole blocking (4 × 16-bit chunks: hamming ≤ 3
-    * ⇒ at least one chunk identical ⇒ equi-join, no false negatives), then
-    * exact hamming ≤ 3 verification. No oracle: the signature depends on
-    * Spark's xxhash64 bit pattern, which no other engine reproduces —
-    * gated by LlmOpsSpec (planted duplicates ⇒ hamming 0) instead.
+  /** i11: SimHash near-dup. 64-bit signature from token-hash bit votes
+    * (bit k set iff Σ_tokens ±1 > 0, strict); candidate pairs via pigeonhole
+    * blocking (4 × 16-bit chunks: hamming ≤ 3 ⇒ at least one chunk
+    * identical ⇒ equi-join, no false negatives), then exact hamming ≤ 3
+    * verification — computed BEFORE the pair-distinct so the shuffle
+    * carries result mass, not candidate mass (the m10/r8 lesson).
+    *
+    * Oracle-gated since r8: the token hash is the first 16 hex chars of
+    * md5 (an engine-neutral bit pattern — DuckDB's md5 is bit-identical),
+    * so the oracle rebuilds the signature independently and, because the
+    * pigeonhole blocking is provably lossless at hamming ≤ 3, verifies
+    * against brute-force all-pairs. Through r7 this was the one declared
+    * rows-only key (the hash was Spark's xxhash64, which no other engine
+    * reproduces); tools/ROWS_ONLY.md records the history.
     */
   val i11_dedup_simhash = OpQuery(
     (s, d) => {
@@ -475,9 +483,15 @@ object LlmOps {
       val docs = t(s, d, "documents")
       // Whole signature in one narrow codegen'd pass over the hashed tokens
       // (with multiplicity) — see MinHashSignature for why not explode+agg.
+      // The inner transform materializes md5 once per token; the outer
+      // lambda assembles the 64-bit pattern from two 32-bit hex halves
+      // (conv of all 16 chars would exceed a signed long).
+      val h64 = transform(
+        transform(toks, tk => substring(md5(tk), 1, 16)),
+        m => shiftleft(conv(substring(m, 1, 8), 16, 10).cast(LongType), 32)
+          .bitwiseOR(conv(substring(m, 9, 8), 16, 10).cast(LongType)))
       val sig = withToks(docs)
-        .select(col("doc_id"),
-          simhash64(transform(toks, tk => xxhash64(lit(7), tk))).as("simhash"))
+        .select(col("doc_id"), simhash64(h64).as("simhash"))
       val chunks = sig.withColumn("chunk", explode(sequence(lit(0), lit(3))))
         .withColumn("cval", expr("shiftrightunsigned(simhash, CAST(chunk * 16 AS INT)) & 65535L"))
       val x = chunks.select(col("doc_id").as("a_id"), col("simhash").as("sig_a"),
@@ -486,13 +500,29 @@ object LlmOps {
         col("chunk").as("chunk_b"), col("cval").as("cval_b"))
       x.join(y, col("chunk") === col("chunk_b") && col("cval") === col("cval_b") &&
           col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "sig_a", "sig_b").dropDuplicates("a_id", "b_id")
         .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast(LongType))
         .filter(col("hamming") <= 3)
-        .select("a_id", "b_id", "hamming")
+        .select("a_id", "b_id", "hamming").distinct()
         .orderBy("a_id", "b_id")
     },
-    None)
+    Some("""WITH d AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       |tk AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+       |h AS (SELECT doc_id,
+       |        ('0x' || substr(md5(tok),1,16))::UBIGINT AS h64
+       |      FROM tk),
+       |v AS (SELECT doc_id, g.bit AS bit,
+       |        sum(CASE WHEN ((h64 >> g.bit) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+       |      FROM h CROSS JOIN generate_series(0,63) AS g(bit)
+       |      GROUP BY doc_id, g.bit),
+       |sig AS (SELECT doc_id,
+       |        sum(CASE WHEN vote > 0 THEN (1::HUGEINT << bit)
+       |                 ELSE 0::HUGEINT END)::UBIGINT AS sig
+       |        FROM v GROUP BY doc_id)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin))
 
   /** Spark round(x, 6) semantics (BigDecimal HALF_UP) for kernel-side
     * rounding — local ordering/thresholding must use the exact value the
