@@ -88,7 +88,11 @@ object PlanAudit {
     "i40_dedup_keep_best", "i41_dedup_substring", "i44_domain_cap",
     "i49_perplexity_buckets", "i51_global_shuffle",
     "i52_contamination_report", "i53_token_histogram",
-    "i55_curriculum_order", "i57_sft_pack", "m5_image_dedup")
+    "i55_curriculum_order", "i57_sft_pack", "m5_image_dedup",
+    // b18 (r8): the profile Aggregate feeds explode(array(<4 structs>)),
+    // whose cardinality is value-independent — a bare count prunes the
+    // aggregates entirely; the _forced ladder row times the real profile
+    "b18_table_profile")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

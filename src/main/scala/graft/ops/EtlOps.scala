@@ -575,7 +575,52 @@ object EtlOps {
       |FROM v CROSS JOIN tot
       |ORDER BY constraint_name""".stripMargin)
 
+  /** b18: one-pass table profile — the ANALYZE/data-quality step a load
+    * pipeline runs after every ingest: row count, per-column null count,
+    * EXACT distinct count, min/max (stringified so mixed-type columns
+    * share one schema), unpivoted to a row per column. ONE scan of the
+    * table: all per-column aggregates ride the same Aggregate (the
+    * multi-distinct rewrites to a single Expand — rows×columns map-side,
+    * one shuffle total, no per-column re-scan). At 100 TB exact distinct
+    * is the knob to watch: the Expand multiplies shuffle rows by the
+    * profiled-column count, so a wide profile swaps count(DISTINCT) for
+    * approx_count_distinct (e4's accuracy-gated sketch) — the shape here
+    * is the exact form a nightly audit wants on load-sized deltas.
+    */
+  val b18_table_profile = {
+    val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    OpQuery(
+      (s, d) => {
+        val aggs = profCols.flatMap { c => Seq(
+          count(col(c)).as(s"${c}__nn"),
+          countDistinct(col(c)).as(s"${c}__nd"),
+          min(col(c)).cast(StringType).as(s"${c}__min"),
+          max(col(c)).cast(StringType).as(s"${c}__max")) }
+        t(s, d, "orders")
+          .agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .select(col("n_rows"), explode(array(profCols.map(c => struct(
+            lit(c).as("column_name"),
+            col(s"${c}__nn").as("nn"),
+            col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__min").as("min_str"),
+            col(s"${c}__max").as("max_str"))): _*)).as("p"))
+          .select(col("p.column_name"), col("n_rows"),
+            (col("n_rows") - col("p.nn")).as("n_null"),
+            col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
+          .orderBy("column_name")
+      },
+      profCols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+  }
+
   val all: Map[String, OpQuery] = Map(
+    "b18_table_profile" -> b18_table_profile,
     "b17_constraint_audit" -> b17_constraint_audit,
     "b16_cascade_delete" -> b16_cascade_delete,
     "b15_snapshot_read" -> b15_snapshot_read,

@@ -808,6 +808,115 @@ object LlmOps {
        |WHERE bit_count(xor(b.bucket, q.qbucket)) <= 1 AND b.vec_id <> 7
        |ORDER BY sim DESC, vec_id LIMIT 5""".stripMargin)
 
+  /** Per-vector int8 symmetric-quantization building blocks shared by
+    * i61/i62: `maxabs` = max |component| (double), code k =
+    * floor(e_k·127/maxabs + 0.5) — round-half-up spelled with only *, /,
+    * floor, so every step is an exactly-rounded IEEE double op and the
+    * codes are bit-reproducible in any engine (the i19 hyperplane
+    * argument; an engine disagreement would need a quotient landing
+    * EXACTLY on .5). The max component itself quantizes to exactly ±127:
+    * (e·127)/e is exact when e·127 is (float·small-int always is).
+    */
+  private val sqMaxAbs: Column =
+    array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
+  private val sqCodes: Column = transform(col("embedding"),
+    x => floor(x.cast(DoubleType) * lit(127.0) / col("maxabs") + lit(0.5))
+      .cast(LongType))
+
+  /** i61: int8 symmetric quantization of the embedding column — the ANN
+    * index storage lever: 64×float32 (256 B) becomes 64×int8 + one scale
+    * (72 B), a 3.5× shrink that decides whether a 100 TB corpus's vector
+    * index fits in cluster memory. Pure narrow map (no shuffle at any
+    * scale); the gate row carries per-vector code stats + the exact
+    * reconstruction error rather than the code array itself (the driver
+    * comparator cannot hash list cells). n_sat counts saturated codes
+    * (|q|=127) — the metric a pipeline alerts on when a scale outlier
+    * crushes the rest of the vector to zero.
+    */
+  val i61_embed_quantize = OpQuery(
+    (s, d) => {
+      val withQ = t(s, d, "embeddings")
+        .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+        .withColumn("qarr", sqCodes)
+      // recon = Σ (e_k − q_k·maxabs/127)², spelled d·d (pow() is not
+      // exactly rounded and may differ across engines in the last ulp)
+      def diff(ev: Column, qv: Column): Column =
+        ev.cast(DoubleType) - qv * col("maxabs") / lit(127.0)
+      val err = zip_with(col("embedding"), col("qarr"),
+        (ev, qv) => diff(ev, qv) * diff(ev, qv))
+      withQ.select(
+        col("vec_id"), col("label"),
+        array_min(col("qarr")).as("q_min"),
+        array_max(col("qarr")).as("q_max"),
+        aggregate(col("qarr"), lit(0L), (a, x) => a + x).as("q_sum"),
+        size(filter(col("qarr"), x => abs(x) === 127)).cast(LongType).as("n_sat"),
+        round(aggregate(err, lit(0.0), (a, x) => a + x), 6).as("recon_err"))
+        .orderBy("vec_id")
+    },
+    """WITH m AS (
+      |  SELECT vec_id, label, embedding,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, label, embedding, maxabs,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+      |  FROM m WHERE maxabs > 0)
+      |SELECT vec_id, label,
+      |  list_min(qarr) AS q_min, list_max(qarr) AS q_max,
+      |  CAST(list_sum(qarr) AS BIGINT) AS q_sum,
+      |  CAST(len(list_filter(qarr, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+      |  round(list_sum(list_transform(range(1,65),
+      |    k -> (embedding[k]::DOUBLE - qarr[k] * maxabs / 127.0) *
+      |         (embedding[k]::DOUBLE - qarr[k] * maxabs / 127.0))), 6) AS recon_err
+      |FROM q ORDER BY vec_id""".stripMargin)
+
+  /** i62: scalar-quantized (SQ8) ANN — query the COMPRESSED index, refine
+    * exact. approx_sim = (maxabs/127)·Σ q_k·query_k touches only the int8
+    * codes and one scale per vector (the i61 artifact), so the scan reads
+    * ~3.5× fewer bytes than the float index and the inner loop is
+    * int×double; only the top-50 approx candidates fetch full vectors for
+    * the exact re-rank (the asymmetric-distance two-stage every
+    * production ANN uses). Candidate cut is deterministic cross-engine:
+    * approx_sim is bit-identical (see sqCodes), ties broken by vec_id.
+    * At scale: codes scan = narrow map over the compact table, query
+    * broadcast, top-50 = TakeOrdered partial per partition.
+    */
+  val i62_sim_ann_sq8 = OpQuery(
+    (s, d) => {
+      val coded = t(s, d, "embeddings")
+        .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+        .withColumn("qarr", sqCodes)
+      val qv = coded.filter(col("vec_id") === 7).select(col("embedding").as("qvec"))
+      coded.filter(col("vec_id") =!= 7).crossJoin(broadcast(qv))
+        .withColumn("approx_sim", col("maxabs") / lit(127.0) *
+          aggregate(zip_with(col("qarr"), col("qvec"),
+            (q, v) => q * v.cast(DoubleType)), lit(0.0), (a, x) => a + x))
+        .orderBy(desc("approx_sim"), asc("vec_id")).limit(50)
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .select("vec_id", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, embedding, maxabs,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m WHERE maxabs > 0),
+       |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+       |a AS (
+       |  SELECT c.vec_id, c.embedding, q.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * q.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c, q WHERE c.vec_id <> 7
+       |  ORDER BY approx_sim DESC, vec_id LIMIT 50)
+       |SELECT vec_id, round(${dotSql("a.embedding", "a.qvec")}, 6) AS sim
+       |FROM a ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
     */
@@ -1874,6 +1983,8 @@ object LlmOps {
     "i11_dedup_simhash" -> i11_dedup_simhash,
     "i12_dedup_embcos" -> i12_dedup_embcos,
     "i13_sim_ann_ivf" -> i13_sim_ann_ivf,
+    "i61_embed_quantize" -> i61_embed_quantize,
+    "i62_sim_ann_sq8" -> i62_sim_ann_sq8,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

@@ -259,4 +259,29 @@ class EtlOpsSpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
       s"cascade degenerated:\n${plan.take(600)}")
   }
+
+  test("b18 profile rows match per-column ground truth in one scan") {
+    val orders = Tables.t(spark, sfDir, "orders")
+    val n = orders.count()
+    val got = EtlOps.b18_table_profile.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    got.foreach { case (c, r) =>
+      val truth = orders.agg(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("nulls"),
+        countDistinct(col(c)).as("nd"),
+        min(col(c)).cast("string"), max(col(c)).cast("string")).head()
+      assert(r.getLong(1) == n, s"$c n_rows")
+      assert(r.getLong(2) == truth.getLong(0), s"$c n_null")
+      assert(r.getLong(3) == truth.getLong(1), s"$c n_distinct")
+      assert(r.getString(4) == truth.getString(2), s"$c min_str")
+      assert(r.getString(5) == truth.getString(3), s"$c max_str")
+    }
+    // one scan: the profile plan reads `orders` exactly once
+    val df = EtlOps.b18_table_profile.fn(spark, sfDir)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.contains("orders"))
+    assert(scans == 1, s"profile must be a single pass over the table, saw $scans scans")
+  }
 }

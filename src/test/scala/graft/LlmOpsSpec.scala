@@ -95,6 +95,48 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i61 int8 quantization: codes saturate at ±127 and recon error is bounded") {
+    val rows = LlmOps.i61_embed_quantize.fn(spark, sfDir).collect()
+    val maxabs = Tables.t(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, qMin, qMax, nSat, err) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(5), r.getDouble(6))
+      assert(qMin >= -127 && qMax <= 127, s"vec $id codes out of int8 range")
+      // the max-|component| element divides exactly to ±127 (see sqCodes
+      // Scaladoc), so every vector has at least one saturated code
+      assert(nSat >= 1 && math.max(math.abs(qMin), qMax) == 127L,
+        s"vec $id: max component did not saturate (qMin=$qMin qMax=$qMax)")
+      // per-component error ≤ half a step = maxabs/254 ⇒ Σ over 64 dims
+      val bound = 64.0 * math.pow(maxabs(id) / 254.0, 2) + 1e-9
+      assert(err >= 0 && err <= bound, s"vec $id recon_err $err > bound $bound")
+    }
+  }
+
+  test("i62 SQ8 ANN: exact re-rank scores agree with brute force, bounded regret") {
+    val e = Tables.t(spark, sfDir, "embeddings")
+    import graft.functions.VectorFunctions.dot
+    val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qv"))
+    val exact = e.crossJoin(q).filter(col("vec_id") =!= 7)
+      .select(col("vec_id"), round(dot(col("embedding"), col("qv")), 6).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = LlmOps.i62_sim_ann_sq8.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 10, s"expected top-10, got ${got.length}")
+    got.foreach { case (id, sim) =>
+      assert(exact.get(id).contains(sim),
+        s"SQ8 refined sim for vec $id ($sim) disagrees with brute force (${exact.get(id)})")
+    }
+    // approx error per pair ≤ (maxabs/254)·Σ|query_k| ≲ 0.02 on this
+    // fixture, so the candidate cut can cost at most that much sim
+    val bestExact = exact.values.max
+    assert(got.head._2 >= bestExact - 0.02,
+      s"SQ8 top-1 ${got.head._2} regresses > 0.02 from exact best $bestExact")
+  }
+
   test("e4 approx_count_distinct is within 5% of exact") {
     val r = AggOps.e4_agg_approx_distinct.fn(spark, sfDir).collect()(0)
     assert(r.getLong(0) > 0, "exact distinct count must be positive")
