@@ -30,8 +30,23 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
       .max(1)
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
-    val samples = (1 to reps).map { _ =>
-      selected.map { case (name, fn) =>
+    // CONSECUTIVE per-query reps (JMH-style) with an ADJACENT untimed
+    // warm-up run, not whole-suite sweeps. Two measured r8 lessons:
+    // (a) with sweeps a query's 3 samples were minutes apart, so slow
+    // JVM/box drift (GC state, page-cache turnover across ~200 intervening
+    // queries) landed in every per-query max−min — sweep-mode spread_s was
+    // 38–51 on a load<1.5 box while back-to-back reps of any single query
+    // agree within ~50 ms; (b) a suite-wide warm-up pass did NOT remove the
+    // first-rep codegen-compile term, because Spark's whole-stage-codegen
+    // class cache holds ~100 entries and 200 intervening queries evict it —
+    // the warm-up must run immediately before the reps it warms. The
+    // per-query MEDIAN is unchanged in expectation (every rep sees the same
+    // warm state); spread_s now measures only genuine same-state noise.
+    // Warm-up failures stay silent — the timed loop reports them loudly.
+    val samples = selected.map { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
+      name -> (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case scala.util.control.NonFatal(e) =>
@@ -40,7 +55,7 @@ object Bench {
           errors += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
       }
     }
     import Util.median
@@ -50,14 +65,14 @@ object Bench {
     // array is the flag, the timings must not reward the failure.
     val okKeys = selected.keys.filterNot(errors.contains).toSeq
     val results = okKeys.map { name =>
-      name -> median(samples.map(_(name)))
+      name -> median(samples(name))
     }
     // Per-query rep SPREAD (max − min across the in-JVM reps) makes the
     // record self-diagnosing: co-tenant contention shows up as a large
     // spread_s without needing an independent judge re-run (r1–r3 all had
     // contention-inflated official totals that only a re-run could explain).
     val spreads = okKeys.map { name =>
-      val xs = samples.map(_(name))
+      val xs = samples(name)
       name -> (xs.max - xs.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
