@@ -284,4 +284,26 @@ class EtlOpsSpec extends SparkTestBase {
       .count(_.toString.contains("orders"))
     assert(scans == 1, s"profile must be a single pass over the table, saw $scans scans")
   }
+
+  test("b18 null counting is non-vacuous: planted nulls surface per column") {
+    // the gate fixture (orders) has zero nulls in every profiled column,
+    // so without this the n_null path would be green-by-vacuity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_b18").toString
+    Tables.t(spark, sfDir, "orders")
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_custkey")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 0, lit(null)).otherwise(col("o_orderstatus")))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val planted = Tables.t(spark, tmp, "orders")
+    val expCust = planted.filter(col("o_custkey").isNull).count()
+    val expStat = planted.filter(col("o_orderstatus").isNull).count()
+    assert(expCust > 0 && expStat > 0, "fixture must actually plant nulls")
+    val got = EtlOps.b18_table_profile.fn(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("o_custkey") == expCust, s"o_custkey n_null ${got("o_custkey")} != $expCust")
+    assert(got("o_orderstatus") == expStat, s"o_orderstatus n_null ${got("o_orderstatus")} != $expStat")
+    assert(got("o_orderkey") == 0L && got("o_orderpriority") == 0L,
+      "untouched columns must report zero nulls")
+  }
 }

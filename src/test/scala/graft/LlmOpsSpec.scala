@@ -116,6 +116,35 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("i61 quantizer contract holds on random vectors (negatives, tiny magnitudes)") {
+    // the gate fixture is L2-normalized; random scales + sign mixes prove
+    // the contract isn't a fixture artifact. Per component:
+    // q ∈ [-127, 127] and |e − q·maxabs/127| ≤ maxabs/254 (half a step).
+    val rnd = new scala.util.Random(61)
+    val vecs = (0 until 50).map { i =>
+      val scale = math.pow(10, rnd.nextInt(7) - 5) // 1e-5 .. 1e1
+      (i.toLong, Array.fill(64)((rnd.nextFloat() * 2 - 1) * scale.toFloat), 0)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_i61").toString
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = LlmOps.i61_embed_quantize.fn(spark, tmp).collect()
+    assert(got.length == 50)
+    val byId = vecs.map(v => v._1 -> v._2).toMap
+    got.foreach { r =>
+      val (id, qMin, qMax, err) =
+        (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(6))
+      assert(qMin >= -127 && qMax <= 127, s"vec $id out of int8 range")
+      val e = byId(id)
+      val maxabs = e.map(x => math.abs(x.toDouble)).max
+      // recon_err is the SUM of per-component squared errors, each
+      // bounded by (maxabs/254)² — plus round6 slack on tiny magnitudes
+      assert(err <= 64.0 * math.pow(maxabs / 254.0, 2) + 1e-6,
+        s"vec $id recon_err $err exceeds the half-step bound (maxabs=$maxabs)")
+    }
+  }
+
   test("i62 SQ8 ANN: exact re-rank scores agree with brute force, bounded regret") {
     val e = Tables.t(spark, sfDir, "embeddings")
     import graft.functions.VectorFunctions.dot
