@@ -33,6 +33,10 @@ object LadderMain {
     "i34_kmeans_lloyd" -> ops.CorpusOps.i34_kmeans_lloyd.fn,
     "i35_semdedup" -> ops.CorpusOps.i35_semdedup.fn,
     "i56_triplet_mine" -> ops.LlmOps.i56_triplet_mine.fn,
+    // r8: the SQ8 pair — quantize is a narrow map (must ladder flat per
+    // row), the code-search ANN is scan + top-k (must ladder linear)
+    "i61_embed_quantize" -> ops.LlmOps.i61_embed_quantize.fn,
+    "i62_sim_ann_sq8" -> ops.LlmOps.i62_sim_ann_sq8.fn,
     "i39_over_i12" -> { (s: SparkSession, d: String) =>
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))
