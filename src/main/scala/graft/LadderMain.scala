@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * family op with Bench's hygiene (warm-up outside the loop, in-JVM reps,
   * per-op medians, max−min spreads for contention self-diagnosis).
   *
-  * Usage:  runMain graft.LadderMain text|emb|stream|media|rel|sky|skyp|fits|cube
+  * Usage:  runMain graft.LadderMain text|emb|stream|media|rel|sky|skyp|fits|cube|forced
   *   SPARK_GRAFT_SF_DIR (default sf0.1)  base fixture
   *   SPARK_GRAFT_SCALES (default 1,2,4,8), SPARK_GRAFT_REPS (default 3),
   *   SPARK_GRAFT_CPUS (default 4 — the r4 ladder setting)
@@ -375,15 +375,8 @@ object LadderMain {
         // posting lists the engine joins (uncapped mass is the r8 receipt
         // for why the cap exists: 63k → 781k over 1×–8×, quadratic on the
         // hot alternating-threshold hash)
-        val h11 = ops.MultimodalOps.m11FrameHashes(spark, dir)
-        val cap11 = h11.withColumn("rk",
-            org.apache.spark.sql.functions.row_number().over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy("hh").orderBy("doc_id")))
-          .filter(col("rk") <= ops.MultimodalOps.FrameCap).drop("rk")
-        val c11 = cap11.select(col("doc_id").as("a_id"), col("hh"))
-          .join(cap11.select(col("doc_id").as("b_id"), col("hh")), "hh")
-          .where(col("a_id") < col("b_id")).count()
+        val c11 = ops.MultimodalOps.m11CappedCandidates(
+          ops.MultimodalOps.m11FrameHashes(spark, dir)).count()
         // output pairs (from the timed runs) beside candidate instances:
         // candidates are filtered MAP-SIDE post-join since the r8
         // refine-before-distinct, so the shuffled mass is the output

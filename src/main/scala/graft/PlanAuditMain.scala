@@ -47,10 +47,19 @@ object PlanAudit {
     * bench row. The counted side's Aggregate tally excludes the count's
     * own top-level Aggregate.
     */
-  def drops(df: DataFrame): Seq[String] = {
-    val (j0, a0, w0, g0) = shape(df.queryExecution.optimizedPlan)
-    val (j1, a1, w1, g1) =
-      shape(df.groupBy().count().queryExecution.optimizedPlan)
+  def drops(df: DataFrame): Seq[String] =
+    dropsFromShapes(shape(df.queryExecution.optimizedPlan),
+      shape(df.groupBy().count().queryExecution.optimizedPlan))
+
+  /** The drop derivation from two precomputed shapes — for callers that
+    * already optimized both plans (PlanAuditMain prints the raw tallies
+    * too, and re-optimizing the counted plan per key is the expensive
+    * part on the multi-join keys this audit exists for).
+    */
+  def dropsFromShapes(plain: (Int, Int, Int, Int),
+      counted: (Int, Int, Int, Int)): Seq[String] = {
+    val (j0, a0, w0, g0) = plain
+    val (j1, a1, w1, g1) = counted
     Seq(
       if (j1 < j0) Some(s"joins $j0->$j1") else None,
       if (a1 - 1 < a0) Some(s"aggs $a0->${a1 - 1}") else None,
@@ -119,7 +128,13 @@ object PlanAuditMain {
         val (j0, a0, w0, g0) = PlanAudit.shape(df.queryExecution.optimizedPlan)
         val (j1, a1, w1, g1) =
           PlanAudit.shape(df.groupBy().count().queryExecution.optimizedPlan)
-        val drops = PlanAudit.drops(df)
+        // derive drops from the two shapes already computed — calling
+        // PlanAudit.drops(df) here would rebuild and re-optimize the
+        // counted plan a second time (a fresh groupBy().count() is a new
+        // Dataset, so QueryExecution caching does not help), which is
+        // measurable on exactly the heavy multi-join keys the audit is for
+        val drops =
+          PlanAudit.dropsFromShapes((j0, a0, w0, g0), (j1, a1, w1, g1))
         if (drops.nonEmpty) flagged ::= key
         println(s"""{"key":"$key","flag":${drops.nonEmpty},""" +
           s""""drops":"${drops.mkString(", ")}","joins":[$j0,$j1],""" +

@@ -1042,20 +1042,32 @@ object MultimodalOps {
     */
   private[graft] val FrameCap = 64
 
+  /** The m11 candidate stage — FrameCap'd posting lists self-joined on
+    * the frame hash, one row per shared-capped-frame instance (a < b,
+    * pre-aggregation). Shared by the op (which groups to per-pair
+    * counts) and the media ladder's candidate-mass probe, so the
+    * published candidate receipts can never diverge from what the
+    * engine actually joins (the m9/m10 `hammingBlockedCandidates`
+    * convention).
+    */
+  private[graft] def m11CappedCandidates(fh: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the posting cap rides the SAME hh-keyed shuffle the self-join
+    // needs (window and join co-partition); every downstream pair
+    // count is bounded by C(FrameCap, 2) per hash value
+    val capped = fh.withColumn("rk", row_number()
+        .over(Window.partitionBy("hh").orderBy("doc_id")))
+      .filter(col("rk") <= FrameCap).drop("rk")
+    capped.select(col("doc_id").as("a_id"), col("hh"))
+      .join(capped.select(col("doc_id").as("b_id"), col("hh")), "hh")
+      .where(col("a_id") < col("b_id"))
+  }
+
   val m11_video_near_dup = OpQuery(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val fh = m11FrameHashes(s, d)
       val sizes = fh.groupBy("doc_id").agg(count(lit(1)).as("nf"))
-      // the posting cap rides the SAME hh-keyed shuffle the self-join
-      // needs (window and join co-partition); every downstream pair
-      // count is bounded by C(FrameCap, 2) per hash value
-      val capped = fh.withColumn("rk", row_number()
-          .over(Window.partitionBy("hh").orderBy("doc_id")))
-        .filter(col("rk") <= FrameCap).drop("rk")
-      val shared = capped.select(col("doc_id").as("a_id"), col("hh"))
-        .join(capped.select(col("doc_id").as("b_id"), col("hh")), "hh")
-        .where(col("a_id") < col("b_id"))
+      val shared = m11CappedCandidates(fh)
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
       shared
         .join(sizes.select(col("doc_id").as("a_id"), col("nf").as("na")), "a_id")

@@ -602,9 +602,15 @@ object RelOps {
           expr("substring(d0, p + 1)")).as("db"))
       // decimal-digit keys (alphabet 10); the dirty side is the smaller
       // one — declaring its count arms the saturation guard (3 chunks ·
-      // n_b over a 1000-value space: healthy while n_b ≲ 10k)
-      hammingBlockedPairs(a, b, keyLen = 9, chunks = 3, maxHd = 2,
-        alphabet = 10, minSideRows = b.count())
+      // n_b over a 1000-value space: healthy while n_b ≲ 10k).
+      // localCheckpoint first (the m9/m10 convention): the guard's eager
+      // count() would otherwise re-run the filter+perturb scan as its
+      // own job at plan-construction time and the join would recompute
+      // it again — the checkpointed frame pays the tiny (~n/97 rows)
+      // materialization once and serves both.
+      val bCk = b.localCheckpoint()
+      hammingBlockedPairs(a, bCk, keyLen = 9, chunks = 3, maxHd = 2,
+        alphabet = 10, minSideRows = bCk.count())
         .orderBy("a_id", "b_id")
     },
     """WITH a AS (SELECT c_custkey AS a_id,

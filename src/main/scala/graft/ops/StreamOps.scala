@@ -772,7 +772,8 @@ object StreamOps {
     * images; the catalog's 24 bytes/doc hash frame is the only
     * long-lived artifact, pixels never persist. The declared catalog
     * count arms the core's saturation guard, so a catalog that
-    * outgrows this hash width (~262k rows at 4 chunks of 4 nibbles)
+    * outgrows this hash width (524,288 rows at 4 chunks of 4 nibbles:
+    * 4·n ≤ 32·16⁴ — m10's tighter ~262k bound is its 8-chunk layout)
     * refuses loudly at startup instead of going quietly quadratic —
     * the documented lever is the m10 fix's: more hash bits, wider
     * chunks.
