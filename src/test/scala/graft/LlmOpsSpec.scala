@@ -166,6 +166,30 @@ class LlmOpsSpec extends SparkTestBase {
       s"SQ8 top-1 ${got.head._2} regresses > 0.02 from exact best $bestExact")
   }
 
+  test("i62 output order is deterministic under exact approx-sim ties") {
+    // duplicate vectors tie EXACTLY in both the approx stage and the
+    // exact re-rank (bit-identical arithmetic), so only the vec_id
+    // tiebreak orders them — plant 3 copies of one vector and assert
+    // the copies appear contiguously in id order and two runs agree
+    val base = Tables.t(spark, sfDir, "embeddings")
+    val dup = base.filter(col("vec_id") === 3)
+    val planted = base
+      .unionByName(dup.withColumn("vec_id", lit(900001L)))
+      .unionByName(dup.withColumn("vec_id", lit(900002L)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_i62t").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    def run() = LlmOps.i62_sim_ann_sq8.fn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val a = run()
+    assert(a == run(), "two identical runs must return identical top-10")
+    val dupRows = a.filter { case (id, _) => Set(3L, 900001L, 900002L)(id) }
+    assert(dupRows.map(_._2).distinct.size <= 1,
+      s"copies of one vector must score identically: $dupRows")
+    if (dupRows.size > 1)
+      assert(dupRows.map(_._1) == dupRows.map(_._1).sorted,
+        s"tied copies must appear in vec_id order: $dupRows")
+  }
+
   test("e4 approx_count_distinct is within 5% of exact") {
     val r = AggOps.e4_agg_approx_distinct.fn(spark, sfDir).collect()(0)
     assert(r.getLong(0) > 0, "exact distinct count must be positive")
