@@ -115,10 +115,13 @@ object FitsTable {
       s"FITS source: no files match ${patterns.mkString(", ")} " +
         "(at least one must exist to define the schema)"))
   // DSv2 calls inferSchema and then getTable, each needing the header —
-  // memoize per (path, extnum) so the HDU walk happens once per session
-  // (FITS headers are immutable for a given file version).
-  private val specCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), FitsSpecWithOffset]()
+  // memoize per (path, extnum, size, mtime) so the HDU walk happens once
+  // per FILE VERSION: keying on path alone served a stale spec after an
+  // in-place overwrite in the same session (splits planned from the old
+  // nRows/dataStart ⇒ wrong offsets or a mid-scan EOF). size+mtime is the
+  // same freshness fingerprint Spark's file sources use for their caches.
+  private val specCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Long, Long), FitsSpecWithOffset]()
 
   /** Gzipped members are read through a decompressing stream; offsets in
     * the spec are positions in the DECOMPRESSED byte stream (locateTable
@@ -127,10 +130,12 @@ object FitsTable {
   def isGzip(path: String): Boolean = path.endsWith(".gz")
 
   /** Driver-side header read: spec + absolute data offset. */
-  def readSpec(path: String, extnum: Int): FitsSpecWithOffset =
-    specCache.computeIfAbsent((path, extnum), { _ =>
-      val p = new Path(path)
-      val fs = p.getFileSystem(driverHadoopConf())
+  def readSpec(path: String, extnum: Int): FitsSpecWithOffset = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(driverHadoopConf())
+    val st = fs.getFileStatus(p)
+    specCache.computeIfAbsent(
+      (path, extnum, st.getLen, st.getModificationTime), { _ =>
       val raw = fs.open(p)
       try {
         // header walk is strictly sequential (readFully + skipBytes), so a
@@ -143,6 +148,7 @@ object FitsTable {
         FitsSpecWithOffset(FitsFormat.anySpec(cards), dataStart)
       } finally raw.close()
     })
+  }
 
   /** The session's Hadoop conf (spark.hadoop.*, core-site) — a bare
     * `new Configuration()` would miss credentials/filesystem settings.
@@ -604,7 +610,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
         while (i < inTile) {
           val s = new String(raw, i * c.repeat, c.repeat,
             java.nio.charset.StandardCharsets.US_ASCII)
-          out(i) = UTF8String.fromString(s.replaceAll("\\s+$", ""))
+          out(i) = UTF8String.fromString(FitsFormat.trimTrailing(s))
           i += 1
         }
       } else {
@@ -651,9 +657,14 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       values(k) = if (c.varDesc.isDefined) readVarCell(c, base) else c.code match {
         case 'A' =>
           val s = new String(rowBuf, base, c.repeat, java.nio.charset.StandardCharsets.US_ASCII)
-          UTF8String.fromString(s.replaceAll("\\s+$", "")) // trailing-blank trim
+          UTF8String.fromString(FitsFormat.trimTrailing(s)) // trailing-blank trim
         case 'X' =>
           java.util.Arrays.copyOfRange(rowBuf, base, base + c.byteWidth)
+        // zero-repeat numeric columns ('0E' — legal per FITS 4.0 §7.3.1)
+        // occupy no record bytes: the scalar branch below would read the
+        // NEXT column's bytes at the shared offset and return them
+        // reinterpreted — the cell has no data, so the value is NULL
+        case _ if c.repeat == 0 => null
         case _ if c.repeat > 1 =>
           val arr = new Array[Any](c.repeat)
           var i = 0
@@ -698,8 +709,13 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     val nBytesL =
       if (c.code == 'X') (cnt + 7) / 8 // var-length bit array: cnt BITS
       else cnt * c.elemBytes
-    require(cnt >= 0 && nBytesL <= Int.MaxValue - 8,
-      s"variable-length cell too large: $cnt elements (${nBytesL}B) in ${c.name}")
+    // off >= 0 matches the tiled reader's descriptor guard: a corrupt or
+    // truncated file with a negative heap offset would otherwise
+    // positioned-read header/record bytes as cell data — silently wrong
+    // values instead of a loud descriptor error
+    require(cnt >= 0 && off >= 0 && nBytesL <= Int.MaxValue - 8,
+      s"variable-length cell descriptor out of range in ${c.name}: " +
+        s"($cnt elements, offset $off, ${nBytesL}B)")
     val nBytes = nBytesL.toInt
     val cell = new Array[Byte](nBytes)
     if (nBytes > 0) src.readAt(heapStart + off, cell, 0, nBytes)
@@ -707,7 +723,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
     val hb = ByteBuffer.wrap(cell)
     if (c.code == 'A') {
       val s = new String(cell, java.nio.charset.StandardCharsets.US_ASCII)
-      UTF8String.fromString(s.replaceAll("\\s+$", ""))
+      UTF8String.fromString(FitsFormat.trimTrailing(s))
     } else {
       val arr = new Array[Any](cnt.toInt)
       var i = 0

@@ -18,6 +18,19 @@ object FitsFormat {
   val BlockSize = 2880
   val CardSize = 80
 
+  /** Trailing-whitespace trim for character cells (FITS 4.0: trailing
+    * blanks are insignificant, leading spaces are data). An index scan,
+    * not `replaceAll("\\s+$", "")`: that ran Pattern.compile + a Matcher
+    * allocation once per string CELL in the row-decode hot path —
+    * hundreds of millions of redundant compiles on an archive scan.
+    * Same accepted class as the regex (`\s` ⇔ isWhitespace for ASCII).
+    */
+  @inline private[fits] def trimTrailing(s: String): String = {
+    var end = s.length
+    while (end > 0 && Character.isWhitespace(s.charAt(end - 1))) end -= 1
+    if (end == s.length) s else s.substring(0, end)
+  }
+
   /** One column as declared by the header.
     * `varDesc`: Some('P')/Some('Q') for variable-length array columns —
     * the record then holds a (count, heap-offset) descriptor (2×int32 for
@@ -376,7 +389,7 @@ object FitsFormat {
     else c.code match {
       // character fields: only TRAILING blanks are insignificant (FITS
       // 4.0); leading spaces are data and must survive
-      case 'A' => raw.replaceAll("\\s+$", "")
+      case 'A' => trimTrailing(raw)
       case 'I' =>
         val v = s.toLong
         if (c.hasScaling) v * c.scale.getOrElse(1.0) + c.zero.getOrElse(0.0) else v
@@ -428,8 +441,10 @@ object FitsFormat {
   def locateImage(in: java.io.DataInput, imgnum: Int): ImageSpec = {
     var offset = 0L
     var imagesSeen = 0
-    var hduIndex = 0
-    while (hduIndex < 100) { // defensive bound
+    var hduIndex = 0 // only for the primary-HDU-counts-as-image-0 rule
+    // no HDU cap — the locateTable argument: ≥ one block consumed per
+    // iteration, EOF (converted below) bounds the walk
+    while (true) {
       // end of file during a header read = walked past the last HDU:
       // report the missing image, not a bare EOF. (The cause is attached
       // and the message covers both readings: FITS files end cleanly at
@@ -461,7 +476,7 @@ object FitsFormat {
       offset += padded
       hduIndex += 1
     }
-    throw new IllegalArgumentException(s"No 2-d/3-d image HDU #$imgnum found")
+    throw new IllegalStateException("unreachable: the walk exits via return or EOF")
   }
 
   /** The HDU data-unit size rule (FITS 4.0 §4.4.1.1) — shared by the
@@ -530,8 +545,11 @@ object FitsFormat {
   def locateTable(in: java.io.DataInput, extnum: Int): (Map[String, String], Long) = {
     var offset = 0L
     var bintablesSeen = 0
-    var hduIndex = 0
-    while (hduIndex < 100) { // defensive bound
+    // no HDU cap (the walkHdus argument): every iteration consumes at
+    // least one 2880-byte block or throws EOF, so the stream length
+    // bounds the walk — the former `< 100` "defensive bound" made
+    // extensions past HDU 100 (large mosaic cameras) unreachable
+    while (true) {
       // same EOF→not-found conversion as locateImage: a file with fewer
       // table HDUs than `extnum` is a user error, not a corrupt stream
       val (cards, headerBytes) =
@@ -558,9 +576,8 @@ object FitsFormat {
         toSkip -= n
       }
       offset += padded
-      hduIndex += 1
     }
-    throw new IllegalArgumentException(s"No table extension #$extnum found")
+    throw new IllegalStateException("unreachable: the walk exits via return or EOF")
   }
 
   /** Back-compat alias (pre-ASCII-TABLE name). */

@@ -35,7 +35,19 @@ import org.apache.spark.sql.types._
 object FitsWriter {
 
   private[fits] def card(key: String, value: String, quote: Boolean): Array[Byte] = {
-    val v = if (quote) s"'${value.padTo(8, ' ')}'" else value
+    // §4.2.1: single quotes inside a string value are represented by two
+    // successive quotes, and the whole card is 80 bytes — a value whose
+    // escaped form cannot fit (68 chars between the quotes) must fail
+    // LOUDLY here, because silently truncating drops the closing quote
+    // and emits an unterminated string card that external readers reject
+    val v =
+      if (quote) {
+        val escaped = value.replace("'", "''")
+        require(escaped.length <= 68,
+          s"FITS string value for $key exceeds the 68-char card capacity " +
+            s"after quote escaping (${escaped.length}): '$value'")
+        s"'${escaped.padTo(8, ' ')}'"
+      } else value
     val text = if (quote) f"${key.padTo(8, ' ')}= $v%-69s" else f"${key.padTo(8, ' ')}= $v%20s"
     text.padTo(FitsFormat.CardSize, ' ').take(FitsFormat.CardSize)
       .getBytes(StandardCharsets.US_ASCII)
@@ -722,7 +734,7 @@ object FitsWriter {
             // trailing-space values distinctly (reader: blank→NULL,
             // trailing blanks insignificant) — reject what can't
             // round-trip rather than silently corrupt
-            require(s.trim.nonEmpty && s == s.replaceAll("\\s+$", ""),
+            require(s.trim.nonEmpty && (s eq FitsFormat.trimTrailing(s)),
               s"'$s' in ${f.name} would not round-trip through a blank-padded A field " +
                 "(empty/all-blank/trailing-whitespace); use NULL or trim first")
             s.padTo(w, ' ')
@@ -731,10 +743,18 @@ object FitsWriter {
             require(s.length <= w, s"$s exceeds I$w in ${f.name}")
             (" " * (w - s.length)) + s
           case _ =>
+            val d = r.getAs[Number](i).doubleValue
+            // an Fw.d field has no representation for NaN/±Inf —
+            // String.format would happily emit literal 'NaN'/'Infinity'
+            // text (it fits the width check), a non-conforming numeric
+            // field external readers reject; fail loudly like every
+            // other unrepresentable-value path in this writer
+            require(!d.isNaN && !d.isInfinite,
+              s"$d in ${f.name} has no Fw.d representation; map to NULL first (b4)")
             // Locale.ROOT: a comma-decimal default locale (de_DE…) would
             // write '2,5' — invalid FITS and unparseable on read-back
             val s = String.format(java.util.Locale.ROOT,
-              s"%$dw.${dd}f", r.getAs[Number](i).doubleValue).trim
+              s"%$dw.${dd}f", d).trim
             require(s.length <= w, s"$s exceeds F$dw.$dd in ${f.name}")
             (" " * (w - s.length)) + s
         }

@@ -745,4 +745,137 @@ class FitsSpec extends SparkTestBase {
       intercept[IllegalArgumentException](FitsFormat.locateTable(raf, 0))
     } finally raf.close()
   }
+
+  // ---- r8 FITS-review regression gates --------------------------------
+
+  test("card escapes embedded quotes (round-trip) and rejects over-capacity values") {
+    val p = "/tmp/graft_test/quote_col.fits"
+    val sch = StructType(Seq(StructField("O'Brien", IntegerType)))
+    FitsWriter.write(p, sch, Seq(Row(7), Row(8)))
+    val back = spark.read.format("fits").load(p)
+    // pre-fix the writer emitted TTYPE1 = 'O'Brien ' (unterminated per
+    // §4.2.1) and the reader parsed the name back as just "O"
+    assert(back.schema.fields.map(_.name).toSeq == Seq("O'Brien"))
+    assert(back.collect().map(_.getInt(0)).sorted.toSeq == Seq(7, 8))
+    val longName = StructType(Seq(StructField("x" * 69, IntegerType)))
+    val e = intercept[IllegalArgumentException](FitsWriter.write(
+      "/tmp/graft_test/longname.fits", longName, Seq(Row(1))))
+    assert(e.getMessage.contains("68-char card capacity"),
+      s"over-long value must fail loudly, not truncate: ${e.getMessage}")
+  }
+
+  test("writeAscii rejects NaN/Infinity doubles (no Fw.d representation)") {
+    val sch = StructType(Seq(StructField("x", DoubleType)))
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity).foreach { v =>
+      val e = intercept[IllegalArgumentException](FitsWriter.writeAscii(
+        "/tmp/graft_test/nan_ascii.fits", sch, Seq(Row(v))))
+      assert(e.getMessage.contains("no Fw.d representation"), s"for $v")
+    }
+  }
+
+  test("zero-repeat numeric column decodes as NULL, not the neighbor's bytes") {
+    // TFORM '0E' is legal (FITS 4.0 §7.3.1) and occupies no record bytes;
+    // pre-fix the scalar decode read column 2's int32 as a float
+    val p = "/tmp/graft_test/zerorep.fits"
+    val out = new DataOutputStream(new FileOutputStream(p))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(' '.toByte)
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", "4", quote = false))
+    out.write(card("NAXIS2", "2", quote = false))
+    out.write(card("PCOUNT", "0", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "2", quote = false))
+    out.write(card("TTYPE1", "empty", quote = true))
+    out.write(card("TFORM1", "0E", quote = true))
+    out.write(card("TTYPE2", "v", quote = true))
+    out.write(card("TFORM2", "J", quote = true))
+    out.write(endCard); pad(' '.toByte)
+    val buf = ByteBuffer.allocate(8)
+    buf.putInt(11); buf.putInt(22)
+    out.write(buf.array()); pad(0.toByte)
+    out.close()
+    val rows = spark.read.format("fits").load(p).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(0)), "zero-repeat cell must be NULL")
+    assert(rows.map(_.getInt(1)).toSeq == Seq(11, 22),
+      "neighbor column must decode its own bytes")
+  }
+
+  test("spec cache refreshes when a file is overwritten in place") {
+    val p = "/tmp/graft_test/stale_spec.fits"
+    val sch = StructType(Seq(StructField("v", IntegerType)))
+    FitsWriter.write(p, sch, Seq(Row(1), Row(2)))
+    assert(spark.read.format("fits").load(p).count() == 2)
+    // pre-fix the (path, extnum)-keyed cache served the 2-row spec here
+    FitsWriter.write(p, sch, (1 to 5).map(Row(_)))
+    assert(spark.read.format("fits").load(p).count() == 5,
+      "overwritten file must be re-planned from its new header")
+  }
+
+  test("locateTable reaches a table past 100 prior HDUs (no silent cap)") {
+    val base = "/tmp/graft_test/manyhdu_base.fits"
+    val sch = StructType(Seq(StructField("v", IntegerType)))
+    FitsWriter.write(base, sch, Seq(Row(5)))
+    val bytes = Files.readAllBytes(Paths.get(base))
+    val hdus = FitsFormat.walkHdus(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)), bytes.length.toLong)
+    val extStart = hdus(1).headerStart.toInt
+    val p = "/tmp/graft_test/manyhdu.fits"
+    val out = new DataOutputStream(new FileOutputStream(p))
+    out.write(bytes, 0, extStart) // primary HDU verbatim
+    (0 until 120).foreach { _ => // 120 header-only IMAGE extensions
+      out.write(card("XTENSION", "IMAGE", quote = true))
+      out.write(card("BITPIX", "8", quote = false))
+      out.write(card("NAXIS", "0", quote = false))
+      out.write(card("PCOUNT", "0", quote = false))
+      out.write(card("GCOUNT", "1", quote = false))
+      out.write(endCard)
+      out.write(Array.fill(2880 - 6 * 80)(' '.toByte))
+    }
+    out.write(bytes, extStart, bytes.length - extStart) // the real table
+    out.close()
+    // pre-fix: 'No table extension #0 found' after the 100-HDU bound
+    val got = spark.read.format("fits").load(p).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(5))
+  }
+
+  test("negative heap offset in a P descriptor fails loudly, not silently misreads") {
+    val p = "/tmp/graft_test/badheap.fits"
+    val out = new DataOutputStream(new FileOutputStream(p))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    out.write(card("SIMPLE", "T", quote = false))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "0", quote = false))
+    out.write(endCard); pad(' '.toByte)
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", "8", quote = false))
+    out.write(card("NAXIS2", "1", quote = false))
+    out.write(card("PCOUNT", "12", quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "1", quote = false))
+    out.write(card("TTYPE1", "varr", quote = true))
+    out.write(card("TFORM1", "PJ(3)", quote = true))
+    out.write(endCard); pad(' '.toByte)
+    val buf = ByteBuffer.allocate(8 + 12)
+    buf.putInt(3); buf.putInt(-16) // corrupt: negative heap offset
+    buf.putInt(1); buf.putInt(2); buf.putInt(3)
+    out.write(buf.array()); pad(0.toByte)
+    out.close()
+    val e = intercept[org.apache.spark.SparkException](
+      spark.read.format("fits").load(p).collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("descriptor out of range")),
+      s"expected the descriptor guard, got: ${chain(e).mkString(" | ")}")
+  }
 }
