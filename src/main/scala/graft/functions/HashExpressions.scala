@@ -24,6 +24,12 @@ abstract class SignatureExpression extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(
       s"${prettyName} expects array<bigint> (pre-hashed elements), got $t")
   }
+  // Null elements (and, where noted, empty inputs) have no well-defined
+  // signature — the LshBucket64 standard: return NULL rather than silently
+  // folding null to hash 0 (an engine-specific bias a SQL oracle rebuilding
+  // the signature would NULL-poison instead). The repo's own callers feed
+  // non-null hash arrays; this is for the SQL-registered surface.
+  override def nullable: Boolean = true
 }
 
 /** 64 minhashes of a hashed-element set: mh_j = min_e pmod(pmod(e, M)·A_j +
@@ -36,13 +42,19 @@ case class MinHashSignature(child: Expression) extends SignatureExpression {
   override def prettyName: String = "minhash_signature"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // An empty set has no minimum (all-MaxValue would make every empty doc
+  // band-identical — an O(k²) spurious LSH clique); null elements fold to
+  // no defined hash. Both return NULL (nullable in the base class).
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (n == 0) return null
+    var i = 0
+    while (i < n) { if (arr.isNullAt(i)) return null; i += 1 }
     val out = new Array[Long](NumHashes)
     var j = 0
     while (j < NumHashes) { out(j) = Long.MaxValue; j += 1 }
-    var i = 0
+    i = 0
     while (i < n) {
       val hm = java.lang.Math.floorMod(arr.getLong(i), M)
       j = 0
@@ -61,19 +73,30 @@ case class MinHashSignature(child: Expression) extends SignatureExpression {
       val n = ctx.freshName("n"); val out = ctx.freshName("out")
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val hm = ctx.freshName("hm"); val v = ctx.freshName("v")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = $a.numElements();
-         |long[] $out = new long[$NumHashes];
-         |java.util.Arrays.fill($out, Long.MAX_VALUE);
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $hm = java.lang.Math.floorMod($a.getLong($i), ${M}L);
-         |  for (int $j = 0; $j < $NumHashes; $j++) {
-         |    long $v = java.lang.Math.floorMod(
-         |      $hm * (${ABase}L + ${AStep}L * $j) + ${BStep}L * $j + ${B0}L, ${P}L);
-         |    if ($v < $out[$j]) $out[$j] = $v;
+         |boolean $bad = ($n == 0);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i)) { $bad = true; break; }
          |  }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $out = new long[$NumHashes];
+         |  java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $hm = java.lang.Math.floorMod($a.getLong($i), ${M}L);
+         |    for (int $j = 0; $j < $NumHashes; $j++) {
+         |      long $v = java.lang.Math.floorMod(
+         |        $hm * (${ABase}L + ${AStep}L * $j) + ${BStep}L * $j + ${B0}L, ${P}L);
+         |      if ($v < $out[$j]) $out[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
        """.stripMargin
     })
 
@@ -97,12 +120,17 @@ case class SimHash64(child: Expression) extends SignatureExpression {
   override def prettyName: String = "simhash64"
   override def dataType: DataType = LongType
 
+  // Null elements → NULL (base-class standard); a null would otherwise
+  // vote −1 on all 64 bits (hash 0), silently biasing the signature where
+  // a SQL oracle NULL-poisons. Empty input keeps its defined value
+  // (all votes −1 ⇒ signature 0, same as the summation oracle form).
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val h = arr.getLong(i)
       var k = 0
       while (k < 64) {
@@ -122,20 +150,29 @@ case class SimHash64(child: Expression) extends SignatureExpression {
       val n = ctx.freshName("n"); val votes = ctx.freshName("votes")
       val i = ctx.freshName("i"); val k = ctx.freshName("k")
       val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      val bad = ctx.freshName("bad")
       s"""
          |int $n = $a.numElements();
-         |int[] $votes = new int[64];
+         |boolean $bad = false;
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $a.getLong($i);
-         |  for (int $k = 0; $k < 64; $k++) {
-         |    if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $votes = new int[64];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $a.getLong($i);
+         |    for (int $k = 0; $k < 64; $k++) {
+         |      if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
+         |    }
          |  }
+         |  long $sig = 0L;
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if ($votes[$k] > 0) $sig |= (1L << $k);
+         |  }
+         |  ${ev.value} = $sig;
          |}
-         |long $sig = 0L;
-         |for (int $k = 0; $k < 64; $k++) {
-         |  if ($votes[$k] > 0) $sig |= (1L << $k);
-         |}
-         |${ev.value} = $sig;
        """.stripMargin
     })
 
@@ -179,6 +216,27 @@ case class ShingleHashSet(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The ONE definition of the token-hash/bigram-mix kernel that
+  * ShingleHashSet and TokenRepetitionStats both document as "the same
+  * hashed representation" — a shared helper so the must-stay-bit-identical
+  * pieces (xxhash64 seed, null→0 convention, order-sensitive pair mix)
+  * cannot drift between the two compute loops.
+  */
+private[functions] object TokenHashKernel {
+  final val Seed = 1L
+  /** Per-token hash of the UTF-8 bytes; null tokens hash to 0L. */
+  def hashToken(arr: ArrayData, i: Int): Long =
+    if (arr.isNullAt(i)) 0L
+    else {
+      val s = arr.getUTF8String(i)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), Seed)
+    }
+  /** Order-sensitive bigram mix (second hash as the seed). */
+  def mixBigram(a: Long, b: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(a, b)
+}
+
 object ShingleHashSet {
   /** Static entry point shared by eval and generated code. */
   def compute(arr: ArrayData): ArrayData = {
@@ -188,21 +246,14 @@ object ShingleHashSet {
     val th = new Array[Long](n)
     var i = 0
     while (i < n) {
-      th(i) =
-        if (arr.isNullAt(i)) 0L
-        else {
-          val s = arr.getUTF8String(i)
-          org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
-        }
+      th(i) = TokenHashKernel.hashToken(arr, i)
       i += 1
     }
     // pair mix: xxhash64-style avalanche over (h_i, h_{i+1})
     val out = new Array[Long](n - 1)
     i = 0
     while (i < n - 1) {
-      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(
-        th(i), th(i + 1)) // second hash as the seed: order-sensitive mix
+      out(i) = TokenHashKernel.mixBigram(th(i), th(i + 1))
       i += 1
     }
     java.util.Arrays.sort(out)
@@ -263,14 +314,8 @@ object TokenRepetitionStats {
     var nonNull = 0
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) th(i) = 0L
-      else {
-        val s = arr.getUTF8String(i)
-        th(i) = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 1L)
-        nn(nonNull) = th(i)
-        nonNull += 1
-      }
+      th(i) = TokenHashKernel.hashToken(arr, i)
+      if (!arr.isNullAt(i)) { nn(nonNull) = th(i); nonNull += 1 }
       i += 1
     }
     // bigram hashes BEFORE the count paths sort anything (pair mix is
@@ -279,7 +324,7 @@ object TokenRepetitionStats {
       val b = new Array[Long](n - 1)
       i = 0
       while (i < n - 1) {
-        b(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(i), th(i + 1))
+        b(i) = TokenHashKernel.mixBigram(th(i), th(i + 1))
         i += 1
       }
       b
@@ -348,12 +393,20 @@ object TokenTermFreq {
     */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    val counts = new java.util.TreeMap[org.apache.spark.unsafe.types.UTF8String, Long]()
+    val counts = new java.util.TreeMap[
+      org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        if (s.numBytes() > 0) counts.merge(s.clone(), 1L, (a, b) => a + b)
+        if (s.numBytes() > 0) {
+          // clone only FIRST-SEEN keys: Map.put keeps the existing (cloned)
+          // key on hit, so repeat occurrences need no byte-array copy —
+          // merge(s.clone(), …) cloned per OCCURRENCE in the per-row loop
+          val prev = counts.get(s)
+          if (prev == null) counts.put(s.clone(), java.lang.Long.valueOf(1L))
+          else counts.put(s, java.lang.Long.valueOf(prev.longValue + 1L))
+        }
       }
       i += 1
     }
@@ -362,7 +415,7 @@ object TokenTermFreq {
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out(w) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      out(w) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue.longValue)
       w += 1
     }
     new GenericArrayData(out)
@@ -378,6 +431,10 @@ object TokenTermFreq {
   */
 case class HashedBagOfTokens(child: Expression, d: Int)
   extends UnaryExpression {
+
+  // plan-time, not task-time: d <= 0 would otherwise surface as a
+  // floorMod-by-zero ArithmeticException deep inside an executor task
+  require(d >= 1, s"hashed_bag_of_tokens needs d >= 1 buckets, got $d")
 
   override def prettyName: String = "hashed_bag_of_tokens"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -406,8 +463,11 @@ object HashedBagOfTokens {
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i).toString
-        if (s.length > 0) {
+        val u = arr.getUTF8String(i)
+        // numBytes gate BEFORE toString: empty tokens (the common split()
+        // artifact) skip the per-token UTF-8 decode + String allocation
+        if (u.numBytes() > 0) {
+          val s = u.toString
           // iterate CODE POINTS, not UTF-16 units: the SQL form this
           // kernel replaced (`ascii(substring(w, i, 1))` over `length(w)`)
           // and the DuckDB oracle (`ascii(w[i])` over `len(w)`) both count

@@ -69,6 +69,36 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(out(2).isNullAt(1))
   }
 
+  test("signature expressions return NULL for null-bearing/empty inputs (LshBucket64 standard)") {
+    import spark.implicits._
+    import graft.functions.HashFunctions.{minhashSignature, simhash64}
+    val df = Seq(
+      (1L, Some(Seq[Option[Long]](Some(11L), Some(22L), Some(33L)))), // well-formed
+      (2L, Some(Seq[Option[Long]](Some(11L), None, Some(33L)))), // null element
+      (3L, Some(Seq.empty[Option[Long]])), // empty set
+      (4L, None) // null array
+    ).toDF("id", "hs")
+    val out = df.select(col("id"),
+        minhashSignature(col("hs")).as("mh"), simhash64(col("hs")).as("sh"))
+      .orderBy("id").collect()
+    assert(!out(0).isNullAt(1) && !out(0).isNullAt(2))
+    // pre-fix a null element folded to hash 0 (voting -1 on all simhash
+    // bits; entering the minhash min) instead of NULL-poisoning
+    assert(out(1).isNullAt(1), "minhash of a null-bearing set must be NULL")
+    assert(out(1).isNullAt(2), "simhash of a null-bearing set must be NULL")
+    // pre-fix the empty-set minhash was 64 x Long.MaxValue — making every
+    // empty doc band-identical in LSH; simhash keeps its defined 0
+    assert(out(2).isNullAt(1), "minhash of an empty set must be NULL")
+    assert(!out(2).isNullAt(2) && out(2).getLong(2) == 0L)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+  }
+
+  test("HashedBagOfTokens rejects a non-positive bucket count at construction") {
+    intercept[IllegalArgumentException](
+      graft.functions.HashedBagOfTokens(
+        org.apache.spark.sql.catalyst.expressions.Literal(null), 0))
+  }
+
   test("ShingleHashSet matches the composed string-shingle pipeline's set sizes") {
     // collision-free on the corpus: |distinct pair hashes| must equal
     // |distinct string shingles| for every document, and the two-pointer
