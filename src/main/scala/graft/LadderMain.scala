@@ -37,6 +37,7 @@ object LadderMain {
     // row), the code-search ANN is scan + top-k (must ladder linear)
     "i61_embed_quantize" -> ops.LlmOps.i61_embed_quantize.fn,
     "i62_sim_ann_sq8" -> ops.LlmOps.i62_sim_ann_sq8.fn,
+    "i63_sim_ann_sq8_index" -> ops.LlmOps.i63_sim_ann_sq8_index.fn,
     "i39_over_i12" -> { (s: SparkSession, d: String) =>
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))
@@ -365,10 +366,17 @@ object LadderMain {
           h9.select(col("doc_id").as("b_id"), col("hh").as("db")),
           keyLen = 16, chunks = 4).count()
         val f10 = ops.MultimodalOps.m10FpFrame(spark, dir)
+        val f10a = f10.select(col("doc_id").as("a_id"), col("fp").as("da"))
+        val f10b = f10.select(col("doc_id").as("b_id"), col("fp").as("db"))
+        // uncapped mass is the receipt for why the r9 cap exists (the
+        // superlinear hot-chunk instance curve the r8 verdict flagged);
+        // capped mass is what the engine actually joins since r9 —
+        // bounded at 8·n·64, must stay linear across rungs
         val c10 = ops.RelOps.hammingBlockedCandidates(
-          f10.select(col("doc_id").as("a_id"), col("fp").as("da")),
-          f10.select(col("doc_id").as("b_id"), col("fp").as("db")),
-          keyLen = 32, chunks = 8).count()
+          f10a, f10b, keyLen = 32, chunks = 8).count()
+        val c10c = ops.RelOps.hammingBlockedCandidates(
+          f10a, f10b, keyLen = 32, chunks = 8,
+          postingCap = ops.MultimodalOps.NibblePostingCap).count()
         // m11's blocking class is the inverted keyframe index, not the
         // hamming pigeonhole — its candidate mass is the hash-equi-join
         // row count before the Jaccard refine, over the SAME FrameCap'd
@@ -384,7 +392,8 @@ object LadderMain {
           "m11_video_near_dup")
           .flatMap(k => lastCount.get(k).map(v => s""","${k}_pairs":$v"""))
           .mkString
-        s""","m9_candidates":$c9,"m10_candidates":$c10,"m11_candidates":$c11$outs"""
+        s""","m9_candidates":$c9,"m10_candidates":$c10,""" +
+          s""""m10_candidates_capped":$c10c,"m11_candidates":$c11$outs"""
       } else ""
       println(s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"$extra}""")
     }

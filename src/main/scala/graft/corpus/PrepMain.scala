@@ -13,9 +13,11 @@ import org.apache.spark.sql.types.LongType
   *
   *   quality filter (i29) → near-dup drop (i10 pair semantics, or
   *   i39+i40 keep-longest component semantics via `--dedup keepbest`) →
-  *   media dedup (m5 exact + m9 perceptual image semantics, optional
-  *   `--media dedup` — drops non-canonical exact image copies and the
-  *   b-side of every perceptual near-dup pair) →
+  *   media dedup (optional `--media dedup[=image,audio,video]` — per
+  *   selected modality: image = m5 exact + m9 perceptual (drops
+  *   non-canonical exact copies and perceptual pair b-sides), audio =
+  *   m10 acoustic pair b-sides, video = m11 keyframe-containment pair
+  *   b-sides; per-modality drop counts in the manifest) →
   *   benchmark decontamination (i24, optional `--decontam <benchDir>`) →
   *   substring scrub (i41 core, optional `--scrub substring` — rewrites
   *   text: excises tokens covered by cross-document duplicated spans) →
@@ -109,6 +111,19 @@ object PrepMain {
     "--scrub-span", "--scrub-min-docs", "--media", "--mix", "--ppl",
     "--shuffle", "--chunks", "--tokenize")
 
+  /** `--media dedup` = all three modalities; `--media dedup=image,audio`
+    * selects a subset. Empty for anything malformed — the parse require
+    * turns that into the usage error.
+    */
+  private[graft] def mediaModalities(v: String): Set[String] = {
+    val all = Set("image", "audio", "video")
+    if (v == "dedup") all
+    else if (v.startsWith("dedup=")) {
+      val mods = v.stripPrefix("dedup=").split(",").filter(_.nonEmpty).toSet
+      if (mods.nonEmpty && mods.subsetOf(all)) mods else Set.empty
+    } else Set.empty
+  }
+
   def parse(args: Array[String]): Opts = {
     var o = Opts(in = "", out = "", dedup = "minhash")
     var i = 0
@@ -150,7 +165,7 @@ object PrepMain {
         "[--decontam-cap n>=1|none] [--min-containment t] " +
         "[--min-tokens n] [--max-dup-frac f] [--max-top-bigram f] [--min-quality q] " +
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
-        "[--media dedup|none] " +
+        "[--media dedup[=image,audio,video]|none] " +
         "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none] " +
         "[--chunks write|none] [--tokenize bpe|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
@@ -163,8 +178,8 @@ object PrepMain {
       s"--scrub must be substring|none, got ${o.scrub}")
     require(Set("uniform", "none")(o.mix),
       s"--mix must be uniform|none, got ${o.mix}")
-    require(Set("dedup", "none")(o.media),
-      s"--media must be dedup|none, got ${o.media}")
+    require(o.media == "none" || mediaModalities(o.media).nonEmpty,
+      s"--media must be dedup[=image,audio,video subset]|none, got ${o.media}")
     require(Set("write", "none")(o.chunks),
       s"--chunks must be write|none, got ${o.chunks}")
     require(Set("bpe", "none")(o.tokenize),
@@ -244,39 +259,74 @@ object PrepMain {
       .persist(lvl)
     val nAfterDedup = keptDedup.count()
 
-    // -- stage 2.7: media dedup (m5 + m9 semantics, optional) --------------
-    // The multimodal analog of stage 2, composing the GATED image ops
-    // verbatim so the stage inherits their oracles: m5's exact
-    // decoded-raster fingerprint groups drop every non-canonical member
-    // (keep = false), and m9's perceptual near-dup pairs drop the b-side
-    // of every pair (the i10 pair convention: any surviving pair (a, b)
-    // would have dropped b, so the kept set is pair-free under BOTH
-    // hashes — PrepPipelineSpec re-runs both ops on the output to prove
-    // it). Corpus-keyed on the full input like every drop stage
-    // (idempotent, order-independent); only doc_id + 16-char hashes
-    // shuffle, pixels stay inside the codec maps.
-    val mediaDrops = (opts.media match {
-      case "dedup" =>
-        val exact = graft.ops.MultimodalOps.m5_image_dedup.fn(spark, opts.in)
-          .filter(!col("keep")).select("doc_id")
-        val near = graft.ops.MultimodalOps.m9_image_near_dup.fn(spark, opts.in)
-          .select(col("b_id").as("doc_id"))
-        exact.unionByName(near).distinct()
-      case _ => spark.range(0).select(col("id").as("doc_id"))
+    // -- stage 2.7: media dedup (m5/m9/m10/m11 semantics, optional) --------
+    // The multimodal analog of stage 2, composing the GATED ops verbatim
+    // so the stage inherits their oracles, one drop set per modality:
+    //   image — m5's exact decoded-raster fingerprint groups drop every
+    //     non-canonical member (keep = false) and m9's perceptual pairs
+    //     drop the b-side;
+    //   audio — m10's acoustic near-dup pairs drop the b-side;
+    //   video — m11's keyframe-containment pairs drop the b-side.
+    // The i10 pair convention throughout: any surviving pair (a, b) would
+    // have dropped b, so the kept set is pair-free under every selected
+    // hash — PrepPipelineSpec re-runs all four ops on the output to prove
+    // it. Corpus-keyed on the full input like every drop stage
+    // (idempotent, order-independent); only doc_id + fingerprints
+    // shuffle, pixels/PCM/frames stay inside the codec maps.
+    val mediaMods: Set[String] =
+      if (opts.media == "none") Set.empty else mediaModalities(opts.media)
+    def pairBs(pairs: DataFrame): DataFrame =
+      pairs.select(col("b_id").as("doc_id")).distinct()
+    val M = graft.ops.MultimodalOps
+    val (imageDrops, imgClustersLost): (Option[DataFrame], Long) =
+      if (!mediaMods("image")) (None, 0L)
+      else {
+        val m5out = M.m5_image_dedup.fn(spark, opts.in).persist(lvl)
+        val near = pairBs(M.m9_image_near_dup.fn(spark, opts.in)).persist(lvl)
+        extraPersists += m5out; extraPersists += near
+        // ADVICE r8: when m5's kept canonical is itself an m9 b-side,
+        // every member of its exact cluster drops — the content survives
+        // only as its perceptual a-side twin. Deliberate (the twin IS the
+        // near-duplicate representative), but counted in the manifest so
+        // a pipeline can alert on unexpected total-loss mass.
+        val lost = m5out.filter(col("keep") && col("n_dups") >= 2)
+          .join(near, Seq("doc_id"), "left_semi").count()
+        val exact = m5out.filter(!col("keep")).select("doc_id")
+        (Some(exact.unionByName(near).distinct()), lost)
+      }
+    val audioDrops: Option[DataFrame] =
+      if (mediaMods("audio")) Some(pairBs(M.m10_audio_near_dup.fn(spark, opts.in)))
+      else None
+    val videoDrops: Option[DataFrame] =
+      if (mediaMods("video"))
+        Some(pairBs(M.m11_video_near_dup.fn(spark, opts.in).select("a_id", "b_id")))
+      else None
+    val modDrops: Seq[(String, DataFrame)] =
+      (imageDrops.map("image" -> _) ++ audioDrops.map("audio" -> _) ++
+        videoDrops.map("video" -> _)).toSeq
+        .map { case (m, df) => m -> df.persist(lvl) }
+    modDrops.foreach { case (_, df) => extraPersists += df }
+    val mediaDrops = (modDrops.map(_._2) match {
+      case Nil => spark.range(0).select(col("id").as("doc_id"))
+      case dfs => dfs.reduce(_ unionByName _).distinct()
     }).persist(lvl) // read by the anti-join AND the manifest count
-    val keptMedia = opts.media match {
-      case "none" => keptDedup
-      case _ =>
+    val keptMedia =
+      if (mediaMods.isEmpty) keptDedup
+      else {
         val k = keptDedup.join(broadcast(mediaDrops), Seq("doc_id"), "left_anti")
           .persist(lvl)
         extraPersists += k
         k
-    }
-    val nAfterMedia = if (opts.media == "none") nAfterDedup else keptMedia.count()
+      }
+    val nAfterMedia = if (mediaMods.isEmpty) nAfterDedup else keptMedia.count()
     val mediaCounts: Map[String, Long] =
-      if (opts.media == "none") Map.empty
+      if (mediaMods.isEmpty) Map.empty
       else Map("n_media_dropped" -> (nAfterDedup - nAfterMedia),
-        "n_media_members_corpus" -> mediaDrops.count())
+        "n_media_members_corpus" -> mediaDrops.count()) ++
+        modDrops.map { case (m, df) => s"n_media_members_$m" -> df.count() } ++
+        (if (mediaMods("image"))
+          Map("n_media_img_clusters_lost" -> imgClustersLost)
+        else Map.empty)
 
     // -- stage 3: benchmark decontamination (i24 containment, optional) ----
     val decontamDrops: DataFrame = (opts.decontam match {

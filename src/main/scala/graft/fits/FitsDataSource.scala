@@ -115,13 +115,16 @@ object FitsTable {
       s"FITS source: no files match ${patterns.mkString(", ")} " +
         "(at least one must exist to define the schema)"))
   // DSv2 calls inferSchema and then getTable, each needing the header —
-  // memoize per (path, extnum, size, mtime) so the HDU walk happens once
-  // per FILE VERSION: keying on path alone served a stale spec after an
+  // memoize ONE entry per (path, extnum), validated by a (size, mtime)
+  // fingerprint: keying on path alone served a stale spec after an
   // in-place overwrite in the same session (splits planned from the old
-  // nRows/dataStart ⇒ wrong offsets or a mid-scan EOF). size+mtime is the
-  // same freshness fingerprint Spark's file sources use for their caches.
+  // nRows/dataStart ⇒ wrong offsets or a mid-scan EOF), while keying on
+  // (path, …, size, mtime) accumulated every historical version in a
+  // long-lived driver. size+mtime is the same freshness fingerprint
+  // Spark's file sources use; a same-size rewrite inside one mtime tick
+  // is below its resolution for them and for us.
   private val specCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Long, Long), FitsSpecWithOffset]()
+    (String, Int), ((Long, Long), FitsSpecWithOffset)]()
 
   /** Gzipped members are read through a decompressing stream; offsets in
     * the spec are positions in the DECOMPRESSED byte stream (locateTable
@@ -134,20 +137,23 @@ object FitsTable {
     val p = new Path(path)
     val fs = p.getFileSystem(driverHadoopConf())
     val st = fs.getFileStatus(p)
-    specCache.computeIfAbsent(
-      (path, extnum, st.getLen, st.getModificationTime), { _ =>
-      val raw = fs.open(p)
-      try {
-        // header walk is strictly sequential (readFully + skipBytes), so a
-        // gzip stream serves it as-is — no random access until row decode
-        val in: java.io.DataInput =
-          if (isGzip(path))
-            new java.io.DataInputStream(new java.util.zip.GZIPInputStream(raw))
-          else raw
-        val (cards, dataStart) = FitsFormat.locateTable(in, extnum)
-        FitsSpecWithOffset(FitsFormat.anySpec(cards), dataStart)
-      } finally raw.close()
-    })
+    val fp = (st.getLen, st.getModificationTime)
+    specCache.compute((path, extnum), { (_, old) =>
+      if (old != null && old._1 == fp) old
+      else {
+        val raw = fs.open(p)
+        try {
+          // header walk is strictly sequential (readFully + skipBytes), so a
+          // gzip stream serves it as-is — no random access until row decode
+          val in: java.io.DataInput =
+            if (isGzip(path))
+              new java.io.DataInputStream(new java.util.zip.GZIPInputStream(raw))
+            else raw
+          val (cards, dataStart) = FitsFormat.locateTable(in, extnum)
+          (fp, FitsSpecWithOffset(FitsFormat.anySpec(cards), dataStart))
+        } finally raw.close()
+      }
+    })._2
   }
 
   /** The session's Hadoop conf (spark.hadoop.*, core-site) — a bare
@@ -597,6 +603,15 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       val off = buf.getInt(ci * 8 + 4)
       require(nbytes >= 0 && off >= 0,
         s"tiled cell descriptor out of range in ${c.name}: ($nbytes, $off)")
+      val out = new Array[Any](inTile)
+      if (c.repeat == 0) {
+        // zero-repeat ('0E') column: the cell stores no data; the value is
+        // NULL per row — same rule as decodeBin's repeat==0 branch, which
+        // would otherwise diverge between plain and tiled bintables. Skip
+        // the codec too: there is nothing to decompress.
+        tileVals(k) = out
+        k += 1
+      } else {
       val blob = new Array[Byte](nbytes)
       if (nbytes > 0) src.readAt(heapStart + off, blob, 0, nbytes)
       val raw = TileCodec.decodeCell(ts.zctyp(ci), blob,
@@ -604,7 +619,6 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       require(raw.length == inTile * c.repeat * c.elemBytes,
         s"tile $tile column ${c.name}: decompressed to ${raw.length} bytes, " +
           s"expected ${inTile * c.repeat * c.elemBytes}")
-      val out = new Array[Any](inTile)
       if (c.code == 'A') {
         var i = 0
         while (i < inTile) {
@@ -624,6 +638,7 @@ class FitsPartitionReader(path: String, swo: FitsSpecWithOffset,
       }
       tileVals(k) = out
       k += 1
+      }
     }
   }
 

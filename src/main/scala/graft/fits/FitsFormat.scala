@@ -344,9 +344,11 @@ object FitsFormat {
       val (code, repeat, varDesc) = parseTform(req(s"ZFORM$i"))
       require(varDesc.isEmpty, s"ZFORM$i: variable-length logical columns " +
         "cannot be tile-compressed")
-      require(code == 'A' || repeat == 1,
+      require(code == 'A' || repeat <= 1,
         s"ZFORM$i=${req(s"ZFORM$i")}: only scalar numeric or wA logical " +
           "columns are supported in tiled tables")
+      // repeat == 0 ('0E') is legal and decodes as an all-NULL column,
+      // matching decodeBin's zero-repeat rule for plain bintables
       val rawName = cards.getOrElse(s"TTYPE$i", s"col$i")
       var name = rawName
       var k = 2

@@ -895,11 +895,16 @@ object MultimodalOps {
     * equi-join — 8 probes per clip regardless of corpus size, each into
     * a 65,536-value chunk space (the r7 16-nibble/2-char-chunk layout
     * saturated its 256-value space at 7% of all pairs — see AudioFp);
-    * the declared `minSideRows` arms the core's saturation guard so
-    * that regression class is now a hard error, not a bench smell. The
-    * refine is a 32-char comparison. Oracle = brute-force hamming over
-    * closed-form recomputed fingerprints, so a decode defect, an energy
-    * defect, or a blocking recall defect all hash-mismatch.
+    * since r9 each posting list is CAPPED at its NibblePostingCap
+    * doc_id-smallest members (m11's FrameCap convention), so candidate
+    * mass is bounded at 8·n·64 structurally — the r8 occupancy guard's
+    * ~262k-row refusal boundary becomes a linear regime with a
+    * documented recall statement (only rows ranked past 64 on every
+    * shared chunk — hot boilerplate values — can lose pairs). The
+    * refine is a 32-char comparison. Oracle = the SAME capped blocking
+    * over closed-form recomputed fingerprints + exact hamming refine,
+    * so a decode defect, an energy defect, a blocking recall defect, or
+    * cap drift all hash-mismatch.
     */
   /** The m10 fingerprint frame (doc_id, fp), checkpointed — the m9
     * split, for the same ladder-probe reason. The barrier keeps the WAV
@@ -914,14 +919,25 @@ object MultimodalOps {
       .localCheckpoint()
   }
 
+  /** Posting cap for m10's pigeonhole blocking — m11's FrameCap
+    * convention applied to the (chunk_no, chunk_value) index (the r8
+    * verdict #2): each posting list keeps its 64 doc_id-smallest members,
+    * bounding candidate mass at 8·n·64 (linear) instead of the occupancy
+    * guard's hard refusal past ~262k rows at this width. Recall loss
+    * touches only pairs whose EVERY shared chunk is hot past rank 64 —
+    * the 5555/aaaa delta-sign boilerplate chunks, exactly the class the
+    * i24/m11 cap argument drops by design. Mirrored closed-form in the
+    * oracle so cap drift is a hash mismatch.
+    */
+  private[graft] val NibblePostingCap = 64
+
   val m10_audio_near_dup = OpQuery(
     (s, d) => {
       val fps = m10FpFrame(s, d)
-      val n = fps.count() // cheap on the checkpointed frame; arms the guard
       val a = fps.select(col("doc_id").as("a_id"), col("fp").as("da"))
       val b = fps.select(col("doc_id").as("b_id"), col("fp").as("db"))
       RelOps.hammingBlockedPairs(a, b, keyLen = 32, chunks = 8, maxHd = 4,
-        alphabet = 16, minSideRows = n)
+        alphabet = 16, postingCap = NibblePostingCap)
         .where(col("a_id") < col("b_id"))
         .orderBy("a_id", "b_id")
     },
@@ -939,11 +955,22 @@ object MultimodalOps {
       |    substr('0123456789abcdef',
       |      8 * bv[4*j+1] + 4 * bv[4*j+2] + 2 * bv[4*j+3] + bv[4*j+4] + 1, 1)),
       |    'string_agg', '') AS fp FROM bits),
-      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |ch AS (SELECT doc_id, fp, unnest(range(0, 8)) AS cn FROM hx),
+      |ckv AS (SELECT doc_id, fp, cn,
+      |    substr(fp, CAST(cn * 4 + 1 AS INT), 4) AS ck FROM ch),
+      |cap AS (SELECT doc_id, fp, cn, ck FROM (
+      |    SELECT doc_id, fp, cn, ck,
+      |      row_number() OVER (PARTITION BY cn, ck ORDER BY doc_id) AS rk
+      |    FROM ckv) WHERE rk <= 64),
+      |pr AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.fp AS afp, b.fp AS bfp
+      |  FROM cap a JOIN cap b
+      |    ON a.cn = b.cn AND a.ck = b.ck AND a.doc_id < b.doc_id),
+      |hd AS (SELECT a_id, b_id,
       |    CAST(len(list_filter(range(1, 33), i ->
-      |      substr(a.fp, i, 1) <> substr(b.fp, i, 1))) AS BIGINT) AS hd
-      |  FROM hx a JOIN hx b ON a.doc_id < b.doc_id)
-      |SELECT a_id, b_id, hd FROM pr WHERE hd <= 4
+      |      substr(afp, i, 1) <> substr(bfp, i, 1))) AS BIGINT) AS hd
+      |  FROM pr)
+      |SELECT a_id, b_id, hd FROM hd WHERE hd <= 4
       |ORDER BY a_id, b_id""".stripMargin)
 
   /** Scene-family video plant for m11: keyframe-set near-dup.

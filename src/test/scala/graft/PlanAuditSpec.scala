@@ -43,4 +43,23 @@ class PlanAuditSpec extends SparkTestBase {
         s"$key: forcing left stages prunable")
     }
   }
+
+  test("i63 stage 1 probes the persisted SQ8 index codes-only") {
+    import graft.ops.LlmOps
+    val dir = LlmOps.sq8WriteIndex(spark, sfDir)
+    // the artifact's on-disk schema has no float column at all
+    val codes = spark.read.parquet(dir)
+    assert(codes.schema.fieldNames.sorted.toSeq ==
+      Seq("maxabs", "qarr", "vec_id"))
+    val stage1 = LlmOps.sq8CodesTop50(codes,
+      LlmOps.sq8QueryVec(spark, sfDir, 7L))
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("i63_sq8"),
+      "stage 1 must scan the persisted index dir")
+    // "embedding" matches both the float column and the embeddings table
+    // path — neither may appear anywhere under the approx top-50
+    assert(!plan.contains("embedding"),
+      s"stage-1 plan touches the float side:\n${plan.take(1200)}")
+    assert(stage1.count() == 50)
+  }
 }

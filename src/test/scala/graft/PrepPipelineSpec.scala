@@ -391,6 +391,50 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(near == 0, s"$near perceptual near-dup pairs survived")
   }
 
+  test("--media dedup=image,audio,video leaves the kept set pair-free " +
+      "under all four media hashes") {
+    val outV = Util.scratch("prep_media_all")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outV, "minhash",
+      media = "dedup=image,audio,video"))
+    // per-modality manifest fields present and each bounded by the union
+    Seq("image", "audio", "video").foreach { mod =>
+      assert(m.contains(s"n_media_members_$mod"), s"missing $mod count")
+      assert(m(s"n_media_members_$mod") <= m("n_media_members_corpus"),
+        s"$mod members exceed the union")
+    }
+    assert(m("n_media_members_audio") > 0 && m("n_media_members_video") > 0,
+      "fixture must exercise the audio and video drop sets")
+    // the ADVICE-r8 total-loss counter exists whenever image is selected
+    assert(m.contains("n_media_img_clusters_lost"))
+    assert(m("n_quality_kept") - m("n_dedup_dropped") - m("n_media_dropped") -
+      m("n_decontam_dropped") == m("n_final"),
+      "stage arithmetic doesn't reconcile with the media stage")
+    // re-run every composed gated op ON the output (the i10 pair-free
+    // convention, under the ops' own oracles)
+    val M = graft.ops.MultimodalOps
+    assert(M.m5_image_dedup.fn(spark, outV).filter(!col("keep")).count() == 0,
+      "exact image dups survived")
+    assert(M.m9_image_near_dup.fn(spark, outV).count() == 0,
+      "perceptual image pairs survived")
+    assert(M.m10_audio_near_dup.fn(spark, outV).count() == 0,
+      "acoustic near-dup pairs survived")
+    assert(M.m11_video_near_dup.fn(spark, outV).count() == 0,
+      "video keyframe near-dup pairs survived")
+  }
+
+  test("--media dedup=audio drops only the acoustic b-sides") {
+    val outV = Util.scratch("prep_media_audio")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outV, "none",
+      media = "dedup=audio"))
+    assert(m.contains("n_media_members_audio"))
+    assert(!m.contains("n_media_members_image") &&
+      !m.contains("n_media_members_video") &&
+      !m.contains("n_media_img_clusters_lost"),
+      "unselected modalities must not appear in the manifest")
+    assert(graft.ops.MultimodalOps.m10_audio_near_dup.fn(spark, outV)
+      .count() == 0, "acoustic near-dup pairs survived")
+  }
+
   test("argv parsing: flags map to opts, bad input rejected") {
     val o = PrepMain.parse(Array("--in", "a", "--out", "b", "--dedup", "none"))
     assert(o == PrepMain.Opts("a", "b", "none"))
@@ -434,8 +478,17 @@ class PrepPipelineSpec extends SparkTestBase {
     // media flag: valid values map through, others refused
     assert(PrepMain.parse(Array("--in", "a", "--out", "b",
       "--media", "dedup")).media == "dedup")
+    assert(PrepMain.parse(Array("--in", "a", "--out", "b",
+      "--media", "dedup=audio,video")).media == "dedup=audio,video")
+    assert(PrepMain.mediaModalities("dedup") ==
+      Set("image", "audio", "video"))
+    assert(PrepMain.mediaModalities("dedup=video") == Set("video"))
     intercept[IllegalArgumentException](
       PrepMain.parse(Array("--in", "a", "--out", "b", "--media", "m5")))
+    intercept[IllegalArgumentException]( // unknown modality
+      PrepMain.parse(Array("--in", "a", "--out", "b", "--media", "dedup=pdf")))
+    intercept[IllegalArgumentException]( // empty subset
+      PrepMain.parse(Array("--in", "a", "--out", "b", "--media", "dedup=")))
   }
 
   test("--chunks write emits a chunk table covering every kept doc end-to-end") {

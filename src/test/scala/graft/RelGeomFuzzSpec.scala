@@ -188,6 +188,53 @@ class RelGeomFuzzSpec extends SparkTestBase {
       .collect()
   }
 
+  test("d14 posting cap: non-binding cap equals brute force (property)") {
+    import spark.implicits._
+    // with cap >= the longest posting list nothing is dropped, so the
+    // capped engine must equal the uncapped one (which the fuzz above
+    // proves equals brute force) on every legal config
+    val gen = for {
+      chunks <- Gen.choose(2, 4)
+      clen <- Gen.choose(1, 2)
+      maxHd <- Gen.choose(0, chunks - 1)
+      seed <- Gen.choose(0L, Long.MaxValue - 1)
+    } yield (chunks, clen, maxHd, seed)
+    check(Prop.forAllNoShrink(gen) { case (chunks, clen, maxHd, seed) =>
+      val keyLen = chunks * clen
+      val rnd = new scala.util.Random(seed)
+      def key() = Seq.fill(keyLen)(rnd.nextInt(3)).mkString
+      val a = (1 to 40).map(i => (i.toLong, key())).toDF("a_id", "da")
+      val b = (1 to 30).map(i => (i.toLong, key())).toDF("b_id", "db")
+      def run(cap: Int) = RelOps.hammingBlockedPairs(a, b, keyLen, chunks,
+        maxHd, postingCap = cap).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      run(1000) == run(-1)
+    }, n = 6)
+  }
+
+  test("d14 posting cap relaxes the occupancy refusal and keeps determinism") {
+    import spark.implicits._
+    // r7's saturated config (8 chunks of 2 hex chars, 5000 declared rows)
+    // is REFUSED uncapped (pinned above) but accepted under a cap: the
+    // candidate bound is structural, not occupancy-based
+    val a = Seq((1L, "0" * 16), (2L, "0" * 15 + "1")).toDF("a_id", "da")
+    val b = Seq((3L, "0" * 16)).toDF("b_id", "db")
+    val got = RelOps.hammingBlockedPairs(a, b, keyLen = 16, chunks = 8,
+      maxHd = 4, alphabet = 16, minSideRows = 5000L, postingCap = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 3L, 0L), (2L, 3L, 1L)))
+    // a BINDING cap keeps the id-smallest posting members: with cap 2 on
+    // one shared chunk value, probe ids 1..4 against one b-row keep only
+    // ids 1 and 2 (rank by a_id), deterministically
+    val a4 = (1L to 4L).map(i => (i, "00")).toDF("a_id", "da")
+    val b1 = Seq((9L, "00")).toDF("b_id", "db")
+    val capped = RelOps.hammingBlockedPairs(a4, b1, keyLen = 2, chunks = 2,
+      maxHd = 1, postingCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 9L), (2L, 9L)),
+      s"cap must keep the id-smallest members, got $capped")
+  }
+
   // ---------------------------------------------------------------- d18
 
   /** TRUE-trig covering validator (math.asin/cos, NOT the polynomial):

@@ -162,6 +162,46 @@ class TiledFitsSpec extends SparkTestBase {
     }
   }
 
+  test("zero-repeat ('0E') column in a tiled table decodes as NULL") {
+    // decodeBin yields NULL for a legal repeat==0 column (FITS 4.0
+    // §7.3.1); the tiled path must agree instead of feeding a zero-length
+    // decoded buffer to decodeElem. Hand-crafted: one tile, two logical
+    // rows, col1 ZFORM '0E' (no heap bytes), col2 'J' NOCOMPRESS.
+    import java.io.{DataOutputStream, FileOutputStream}
+    import java.nio.charset.StandardCharsets
+    def card(key: String, v: String): Array[Byte] =
+      (key.padTo(8, ' ') + "= " + v.reverse.padTo(20, ' ').reverse)
+        .padTo(80, ' ').getBytes(StandardCharsets.US_ASCII)
+    val endCard = "END".padTo(80, ' ').getBytes(StandardCharsets.US_ASCII)
+    val p = Util.scratch("tiled_zerorep.fits")
+    val out = new DataOutputStream(new FileOutputStream(p))
+    def pad(fill: Byte): Unit =
+      out.write(Array.fill((2880 - out.size() % 2880) % 2880)(fill))
+    Seq("SIMPLE" -> "T", "BITPIX" -> "8", "NAXIS" -> "0")
+      .foreach { case (k, v) => out.write(card(k, v)) }
+    out.write(endCard); pad(' '.toByte)
+    Seq("XTENSION" -> "'BINTABLE'", "BITPIX" -> "8", "NAXIS" -> "2",
+      "NAXIS1" -> "16", "NAXIS2" -> "1", "PCOUNT" -> "8", "GCOUNT" -> "1",
+      "TFIELDS" -> "2", "ZTABLE" -> "T", "ZTILELEN" -> "2",
+      "ZNAXIS1" -> "4", "ZNAXIS2" -> "2",
+      "TTYPE1" -> "'empty'", "TFORM1" -> "'1PB(0)'", "ZFORM1" -> "'0E'",
+      "TTYPE2" -> "'v'", "TFORM2" -> "'1PB(8)'", "ZFORM2" -> "'J'",
+      "ZCTYP2" -> "'NOCOMPRESS'"
+    ).foreach { case (k, v) => out.write(card(k, v)) }
+    out.write(endCard); pad(' '.toByte)
+    val rec = java.nio.ByteBuffer.allocate(24)
+    rec.putInt(0); rec.putInt(0)  // col1 descriptor: 0 bytes at offset 0
+    rec.putInt(8); rec.putInt(0)  // col2 descriptor: 8 bytes at offset 0
+    rec.putInt(11); rec.putInt(22) // heap (THEAP default = 16): two int32
+    out.write(rec.array()); pad(0.toByte)
+    out.close()
+    val rows = spark.read.format("fits").load(p).orderBy("v").collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.isNullAt(0)), "tiled zero-repeat cell must be NULL")
+    assert(rows.map(_.getInt(1)).toSeq == Seq(11, 22),
+      "neighbor column must decode its own heap bytes")
+  }
+
   test("tiled round-trip survives randomized contents (property)") {
     import spark.implicits._
     val gen = for {
