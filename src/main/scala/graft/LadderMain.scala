@@ -162,7 +162,11 @@ object LadderMain {
         val (a, b) = skyCatalogs(s, d)
         val (cells, probes) = ops.RelOps.sphereEqAreaTables(2000L, 2000L)
         ops.RelOps.sphereCandidatesMulti(a, b, cells, probes, 2000L)
-      })
+      },
+      // r9: the auto pick beside its two branches — its rung carries the
+      // decision pass's two per-zone aggregates ON TOP of whichever
+      // blocking it picks, so the overhead of self-serve is measured
+      "d23_xmatch_auto" -> SparkEntry.queries("d23_xmatch_auto"))
 
   /** fits family (r7, the r5 judge's #8 carried over): the FITS read
     * paths — plain BINTABLE (a7), gzip member (a17), tile-compressed
@@ -189,7 +193,11 @@ object LadderMain {
     */
   private def cubeOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("a19_fits_image_source", "a20_fits_image_cutout",
-      "a25_fits_cube_source", "a26_fits_cube_cutout")
+      "a25_fits_cube_source", "a26_fits_cube_cutout",
+      // r9: the tile-compressed IMAGE reader beside the plain one — its
+      // cost must track a19's (same planted frame, same stats emit) plus
+      // the tile decode; tiles split independently so growth stays linear
+      "a27_fits_image_tiled")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {

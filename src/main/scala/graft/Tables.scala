@@ -154,6 +154,27 @@ object Util {
     f.getAbsolutePath
   }
 
+  private val builtFixtures =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once SCAFFOLDING fixture (r8 verdict #7): `build` runs the
+    * first time `name` is requested in this JVM; later calls — the bench
+    * harness's adjacent warm-up plus its timed reps — reuse the artifact,
+    * so reps time the OPERATOR, not re-synthesizing its input. Sound
+    * because the scratch root is per-PID and wiped at JVM start (no
+    * cross-run staleness is possible) and every memoized fixture is a
+    * deterministic function of (name ⊇ sfDir, code) — a rebuild within
+    * one JVM would be bit-identical. computeIfAbsent so a concurrent
+    * second caller blocks until the build completes rather than reading
+    * a torn artifact. ONLY for scaffolding: keys whose adjudicated cost
+    * IS the write/encode (a4/a6/a8/a9/a15/a16/a18/a21 sinks, m8's PNG
+    * encode) must keep paying it every rep — the per-key decisions are
+    * recorded in PERF.md.
+    */
+  def fixtureOnce(name: String)(build: String => Unit): String =
+    builtFixtures.computeIfAbsent(name,
+      _ => { val p = scratch(name); build(p); p })
+
   /** Streams `src` through gzip into `dst` (bounded buffer, no whole-file
     * materialization) — the one definition behind every .fits.gz fixture.
     */

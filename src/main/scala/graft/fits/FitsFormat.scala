@@ -481,6 +481,91 @@ object FitsFormat {
     throw new IllegalStateException("unreachable: the walk exits via return or EOF")
   }
 
+  /** Tile-compressed IMAGE (the fpack DEFAULT shape, ZIMAGE=T — a18's
+    * ZTABLE=T covers compressed TABLES; this is the compressed-raster
+    * convention an archive serves first): the image is stored as a
+    * BINTABLE whose rows are row-band tiles — one 1PB COMPRESSED_DATA
+    * cell per tile holding `tileRows` full image rows compressed per
+    * ZCMPTYPE (GRAFT_RICE_1 for integers, GZIP_2 shuffled floats). The
+    * logical raster geometry lives in ZBITPIX/ZNAXISn/ZTILEn; BSCALE/
+    * BZERO scale the DECOMPRESSED values and ZBLANK is the integer
+    * missing-pixel sentinel (the BLANK of a compressed image, per the
+    * public tiled-image convention). Tiles are the split unit: each
+    * decompresses independently, so one huge compressed frame scans in
+    * parallel exactly like a19's row-range splits — the property whole-
+    * file gzip (a17) cannot give.
+    */
+  final case class TiledImageSpec(zbitpix: Int, width: Long, height: Long,
+      tileRows: Int, cmpType: String, bscale: Double, bzero: Double,
+      blank: Option[Long], dataOffset: Long, nTiles: Long, theap: Long) {
+    def bytesPerPx: Int = math.abs(zbitpix) / 8
+    /** Byte offset of tile t's (length, heapOffset) 1PB descriptor. */
+    def descOffset(t: Long): Long = dataOffset + t * 8
+    def heapStart: Long = dataOffset + theap
+    /** Image rows in tile t (the last band may be short). */
+    def rowsInTile(t: Long): Int =
+      math.min(tileRows.toLong, height - t * tileRows).toInt
+  }
+
+  def tiledImageSpec(cards: Map[String, String], dataOffset: Long): TiledImageSpec = {
+    require(cards.get("ZIMAGE").exists(_.trim == "T"),
+      s"not a tile-compressed image HDU: ZIMAGE=${cards.get("ZIMAGE")}")
+    require(cards.getOrElse("ZNAXIS", "0").trim.toInt == 2,
+      s"tiled image reader covers 2-d frames; ZNAXIS=${cards.get("ZNAXIS")}")
+    val width = cards("ZNAXIS1").toLong
+    val height = cards("ZNAXIS2").toLong
+    val tile1 = cards.get("ZTILE1").map(_.toLong).getOrElse(width)
+    require(tile1 == width,
+      s"tiled image reader requires row-band tiles (ZTILE1=NAXIS1); got ZTILE1=$tile1 for width $width")
+    val tileRows = cards.get("ZTILE2").map(_.toInt).getOrElse(1)
+    val nTiles = cards("NAXIS2").toLong
+    require(nTiles == (height + tileRows - 1) / tileRows,
+      s"tile accounting: NAXIS2=$nTiles stored tiles for height $height at ZTILE2=$tileRows")
+    val theap = cards.get("THEAP").map(_.toLong)
+      .getOrElse(cards("NAXIS1").toLong * nTiles)
+    TiledImageSpec(cards("ZBITPIX").toInt, width, height, tileRows,
+      cards("ZCMPTYPE").trim,
+      cards.get("BSCALE").map(_.toDouble).getOrElse(1.0),
+      cards.get("BZERO").map(_.toDouble).getOrElse(0.0),
+      cards.get("ZBLANK").map(_.trim.toLong), dataOffset, nTiles, theap)
+  }
+
+  /** Locates the n-th tile-compressed IMAGE HDU (a BINTABLE extension
+    * carrying ZIMAGE=T) — `locateImage`'s walk with the compressed-image
+    * predicate; plain IMAGE HDUs and ordinary/ZTABLE bintables are
+    * walked over, so mixed archives address each shape independently.
+    */
+  def locateTiledImage(in: java.io.DataInput, imgnum: Int): TiledImageSpec = {
+    var offset = 0L
+    var seen = 0
+    while (true) {
+      val (cards, headerBytes) =
+        try readHeader(in)
+        catch { case e: java.io.EOFException =>
+          throw new IllegalArgumentException(
+            s"No tile-compressed image HDU #$imgnum found ($seen in file) " +
+              "— or the file is truncated mid-HDU", e)
+        }
+      offset += headerBytes
+      val dataBytes = dataUnitBytes(cards)
+      val padded = ((dataBytes + BlockSize - 1) / BlockSize) * BlockSize
+      val isTiledImage = cards.get("XTENSION").exists(_.startsWith("BINTABLE")) &&
+        cards.get("ZIMAGE").exists(_.trim == "T")
+      if (isTiledImage) {
+        if (seen == imgnum) return tiledImageSpec(cards, offset)
+        seen += 1
+      }
+      var toSkip = padded
+      while (toSkip > 0) {
+        val n = in.skipBytes(math.min(toSkip, Int.MaxValue.toLong).toInt)
+        if (n <= 0) throw new java.io.EOFException("Unexpected EOF skipping FITS data")
+        toSkip -= n
+      }
+      offset += padded
+    }
+    throw new IllegalStateException("unreachable: the walk exits via return or EOF")
+  }
+
   /** The HDU data-unit size rule (FITS 4.0 §4.4.1.1) — shared by the
     * table and image walks.
     */

@@ -934,6 +934,110 @@ object FitsWriter {
     } finally out.close()
   }
 
+  /** Tile-compressed IMAGE export (ZIMAGE=T — fpack's DEFAULT shape,
+    * completing the compressed surface after a17's gzip members and
+    * a18's ZTABLE tables): writes a header-only primary plus TWO
+    * compressed-image BINTABLE extensions over writeImageFits's planted
+    * frame — ext #0 the int16 raster (BSCALE=2/BZERO=100, ZBLANK=250)
+    * rice-coded per row-band tile, ext #1 the float32 raster (raw/4,
+    * NaN mask) through GZIP_2 (byte-shuffle + gzip, the public
+    * convention's float default; RICE is integer-only). Each stored row
+    * is one tile's 1PB COMPRESSED_DATA descriptor; the heap holds the
+    * blobs tile-major. Driver-side by design, like writeImageFits: the
+    * FIXTURE synthesizer — the parallel path is the reader's
+    * tile-boundary splits (a27).
+    */
+  def writeTiledImageFits(path: String, width: Int, height: Long,
+      tileRows: Int): Unit = {
+    require(tileRows > 0, s"tileRows must be positive, got $tileRows")
+    val nTiles = ((height + tileRows - 1) / tileRows).toInt
+    // compress all tiles up front: PCOUNT and 1PB(max) live in the header
+    def intTile(t: Int): Array[Byte] = {
+      val y0 = t.toLong * tileRows
+      val rows = math.min(tileRows.toLong, height - y0).toInt
+      val raw = new Array[Byte](rows * width * 2)
+      val bb = ByteBuffer.wrap(raw)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < width) { bb.putShort(imageRaw(x, y0 + y).toShort); x += 1 }
+        y += 1
+      }
+      TileCodec.encodeCell("GRAFT_RICE_1", raw, 2)
+    }
+    def floatTile(t: Int): Array[Byte] = {
+      val y0 = t.toLong * tileRows
+      val rows = math.min(tileRows.toLong, height - y0).toInt
+      val raw = new Array[Byte](rows * width * 4)
+      val bb = ByteBuffer.wrap(raw)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < width) {
+          val r = imageRaw(x, y0 + y)
+          bb.putFloat(if (r == 250) Float.NaN else r / 4.0f)
+          x += 1
+        }
+        y += 1
+      }
+      TileCodec.encodeCell("GZIP_2", raw, 4)
+    }
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    var written = 0L
+    def w(b: Array[Byte]): Unit = { out.write(b); written += b.length }
+    def padBlock(fill: Byte): Unit = {
+      val rem = ((FitsFormat.BlockSize - written % FitsFormat.BlockSize)
+        % FitsFormat.BlockSize).toInt
+      out.write(Array.fill(rem)(fill)); written += rem
+    }
+    def writeExt(zbitpix: Int, cmpType: String, blobs: Array[Array[Byte]],
+        scaling: Seq[(String, String)]): Unit = {
+      val pcount = blobs.foldLeft(0L)(_ + _.length)
+      require(pcount <= Int.MaxValue.toLong,
+        s"tiled image heap of $pcount bytes exceeds 32-bit P descriptors; raise tileRows")
+      val varMax = blobs.foldLeft(0)((m, b) => math.max(m, b.length))
+      w(card("XTENSION", "BINTABLE", quote = true))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "2", quote = false))
+      w(card("NAXIS1", "8", quote = false))
+      w(card("NAXIS2", nTiles.toString, quote = false))
+      w(card("PCOUNT", pcount.toString, quote = false))
+      w(card("GCOUNT", "1", quote = false))
+      w(card("TFIELDS", "1", quote = false))
+      w(card("TTYPE1", "COMPRESSED_DATA", quote = true))
+      w(card("TFORM1", s"1PB($varMax)", quote = true))
+      w(card("ZIMAGE", "T", quote = false))
+      w(card("ZCMPTYPE", cmpType, quote = true))
+      w(card("ZBITPIX", zbitpix.toString, quote = false))
+      w(card("ZNAXIS", "2", quote = false))
+      w(card("ZNAXIS1", width.toString, quote = false))
+      w(card("ZNAXIS2", height.toString, quote = false))
+      w(card("ZTILE1", width.toString, quote = false))
+      w(card("ZTILE2", tileRows.toString, quote = false))
+      scaling.foreach { case (k, v) => w(card(k, v, quote = false)) }
+      w(endCard); padBlock(' '.toByte)
+      // descriptor records: (blobBytes, heapOffset), heap tile-major
+      var off = 0L
+      val rec = ByteBuffer.allocate(8)
+      blobs.foreach { b =>
+        rec.clear(); rec.putInt(b.length); rec.putInt(off.toInt)
+        w(rec.array().clone()); off += b.length
+      }
+      blobs.foreach(w)
+      padBlock(0)
+    }
+    try {
+      w(card("SIMPLE", "T", quote = false))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "0", quote = false))
+      w(endCard); padBlock(' '.toByte)
+      writeExt(16, "GRAFT_RICE_1", Array.tabulate(nTiles)(intTile),
+        Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250"))
+      writeExt(-32, "GZIP_2", Array.tabulate(nTiles)(floatTile), Seq.empty)
+    } finally out.close()
+  }
+
   /** The planted cube voxel (the a25/a26 oracle's closed form): raw pixel
     * (x, y, z) = (3y + 5x + 11z + 7) mod 251; 250 is the missing-pixel
     * sentinel. Per (y, z) row, x → raw is injective (5 is invertible mod

@@ -1152,6 +1152,92 @@ object RelOps {
     },
     d18_join_xmatch_sphere.oracle.get)
 
+  /** Layout decision for the sky crossmatch — the r8 verdict's #6: d18
+    * (zones) and d22 (equal-area rings) are hash-identical, so WHICH to
+    * run is purely a skew call, and until r9 it was the caller's. This
+    * makes the remedy self-serve with ONE cheap pass (the b18 profile
+    * pattern): both catalogs aggregate per-zone row counts (≤ 180000/h
+    * keys — a bounded broadcast-size aggregate, collected like the
+    * writer's offset tables), and the driver compares the hottest
+    * SINGLE-CELL zone's candidate product against the mean per-task
+    * share. Zones where cosExt ≤ sin(sep/2) collapse to one all-RA join
+    * key (the documented polar straggler); if the largest such key's
+    * nA·nB product exceeds `skewFactor` × (total estimated candidates /
+    * parallelism), one task would outweigh the average by that factor
+    * and the equal-area layout is picked — otherwise the simpler zones
+    * layout (±1 fixed probes, no ring tables) wins. Returns
+    * (layout, hottestShare) so specs and operators can assert the pick.
+    * The decision shapes only WHICH lossless blocking runs; membership
+    * is always the same refine, so results are pick-invariant by the
+    * d21/d22 gates.
+    */
+  private[graft] def sphereLayoutPick(a: DataFrame, b: DataFrame,
+      heightMilli: Long, sepMilli: Long,
+      skewFactor: Double = 4.0): (String, Double) = {
+    val cells = sphereZoneCellTable(heightMilli, sepMilli)
+    val zones = cells.length
+    def zoneCounts(df: DataFrame, dec: String): Map[Int, Long] =
+      df.groupBy(expr(s"least(($dec + 90000) DIV $heightMilli, ${zones - 1})")
+          .cast("int").as("z"))
+        .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val na = zoneCounts(a, "dec_a")
+    val nb = zoneCounts(b, "dec_b")
+    // estimated candidate mass: B keys one cell; A probes z-1/z/z+1, so a
+    // B zone's product pools A's neighbor zones over that zone's cell count
+    def aPool(z: Int): Long =
+      (z - 1 to z + 1).map(i => na.getOrElse(i, 0L)).sum
+    val est = (0 until zones).map(z =>
+      aPool(z).toDouble * nb.getOrElse(z, 0L) / cells(z))
+    val total = est.sum
+    val hottestSingle = (0 until zones).collect {
+      case z if cells(z) == 1L => est(z)
+    }.foldLeft(0.0)(math.max)
+    val parallelism = math.max(1,
+      a.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val meanShare = math.max(total / parallelism, 1.0)
+    // share saturates at `parallelism` (all mass on one key), so the
+    // trigger must sit strictly below it or a fully-concentrated catalog
+    // on a small cluster could never fire; parallelism/2 = "one task
+    // carries more than half the balanced plan's whole runtime"
+    val share = hottestSingle / meanShare
+    val factor = math.min(skewFactor, parallelism / 2.0)
+    (if (share > factor) "eqarea" else "zones", share)
+  }
+
+  /** Auto-layout crossmatch: `sphereLayoutPick` then the chosen lossless
+    * blocking; identical results either way (the point of the gate).
+    */
+  private[graft] def sphereXmatchAuto(a: DataFrame, b: DataFrame,
+      heightMilli: Long = 2000L, sepMilli: Long = 2000L,
+      minCells: Long = 8L): DataFrame =
+    sphereLayoutPick(a, b, heightMilli, sepMilli)._1 match {
+      case "eqarea" => sphereXmatchPairsEqAreaAt(a, b, heightMilli, sepMilli, minCells)
+      case _ => sphereXmatchPairsAt(a, b, heightMilli, sepMilli)
+    }
+
+  /** d23: the sky crossmatch with the layout picked FROM THE DATA — the
+    * self-serve form of the d18/d22 pair (r8 verdict #6). One cheap
+    * per-zone count pass decides zones vs equal-area (sphereLayoutPick's
+    * hottest-single-cell-share heuristic); the oracle is d18's SQL
+    * VERBATIM, so the gate proves the decision layer cannot change a
+    * result — only move where the candidate mass lands. On the gate
+    * fixture (~1% polar cap) the pick is measurable either way; the
+    * RelGeomFuzzSpec pins both branches: a cap-concentrated catalog
+    * picks eqarea, a uniform one picks zones, and both branches'
+    * results equal brute force.
+    */
+  val d23_xmatch_auto = OpQuery(
+    (s, d) => {
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      val a = t(s, d, "customer").select(col("c_custkey").as("a_id"),
+        expr(raA).as("ra_a"), expr(decA).as("dec_a"))
+      val b = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
+        expr(raB).as("ra_b"), expr(decB).as("dec_b"))
+      sphereXmatchAuto(a, b).orderBy("a_id", "b_id")
+    },
+    d18_join_xmatch_sphere.oracle.get)
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -1451,6 +1537,7 @@ object RelOps {
     "d20_xmatch_best" -> d20_xmatch_best,
     "d21_xmatch_radius" -> d21_xmatch_radius,
     "d22_xmatch_eqarea" -> d22_xmatch_eqarea,
+    "d23_xmatch_auto" -> d23_xmatch_auto,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,

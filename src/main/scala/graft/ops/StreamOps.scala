@@ -462,13 +462,17 @@ object StreamOps {
       graft.Util.deleteRecursively(ckpt)
       val sink = new java.io.File(graft.Util.scratch("j17_sink"))
       graft.Util.deleteRecursively(sink)
-      val srcDir = graft.Util.scratch("j17_probe_src")
       val docs = t(s, d, "documents")
-      val probeDocs = docs.filter(col("doc_id") % 10 === 0)
-      probeDocs.filter(col("doc_id") % 20 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f0")
-      probeDocs.filter(col("doc_id") % 20 =!= 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f1")
+      // build-once scaffolding, keyed per sfDir (r8 #7): the op under
+      // test is the stream, not re-synthesizing its source files
+      val srcDir = graft.Util.fixtureOnce(
+        s"j17_probe_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+        val probeDocs = docs.filter(col("doc_id") % 10 === 0)
+        probeDocs.filter(col("doc_id") % 20 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f0")
+        probeDocs.filter(col("doc_id") % 20 =!= 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f1")
+      }
       val src = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
@@ -719,12 +723,15 @@ object StreamOps {
       graft.Util.deleteRecursively(ckpt)
       val sink = new java.io.File(graft.Util.scratch("j18_sink"))
       graft.Util.deleteRecursively(sink)
-      val srcDir = graft.Util.scratch("j18_alert_src")
       val cust = t(s, d, "customer")
-      cust.filter(col("c_custkey") % 2 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f0")
-      cust.filter(col("c_custkey") % 2 =!= 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f1")
+      // build-once scaffolding, keyed per sfDir (r8 #7)
+      val srcDir = graft.Util.fixtureOnce(
+        s"j18_alert_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+        cust.filter(col("c_custkey") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f0")
+        cust.filter(col("c_custkey") % 2 =!= 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f1")
+      }
       val (raA, decA) = SphereSql.catalog("c_custkey")
       val (raB, decB) = SphereSql.catalog("s_suppkey")
       val catB = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
@@ -789,12 +796,15 @@ object StreamOps {
       graft.Util.deleteRecursively(ckpt)
       val sink = new java.io.File(graft.Util.scratch("j19_sink"))
       graft.Util.deleteRecursively(sink)
-      val srcDir = graft.Util.scratch("j19_img_src")
       val docs = t(s, d, "documents")
-      docs.filter(col("doc_id") % 4 === 0).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f0")
-      docs.filter(col("doc_id") % 4 === 2).coalesce(1)
-        .write.mode("overwrite").parquet(s"$srcDir/f1")
+      // build-once scaffolding, keyed per sfDir (r8 #7)
+      val srcDir = graft.Util.fixtureOnce(
+        s"j19_img_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+        docs.filter(col("doc_id") % 4 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f0")
+        docs.filter(col("doc_id") % 4 === 2).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f1")
+      }
       val cat = MultimodalOps.phashFrameOf(
           docs.filter(col("doc_id") % 2 === 1))
         .select(col("doc_id").as("b_id"), col("hh").as("db"))

@@ -378,6 +378,52 @@ class RelGeomFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("d23 auto pick: cap-concentrated picks eqarea, uniform picks zones, results pick-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260820L)
+    // cap-concentrated: every source in the 89-90° polar cap — the zones
+    // layout's one-all-RA-cell straggler class by construction
+    val capA = (1 to 300).map(i =>
+      (i.toLong, rnd.nextLong(360000L), 89000L + rnd.nextLong(1001L)))
+    val capB = (1 to 200).map(i =>
+      (10000L + i, rnd.nextLong(360000L), 89000L + rnd.nextLong(1001L)))
+    // uniform: same sizes spread over the whole sky
+    val uniA = (1 to 300).map(i =>
+      (i.toLong, rnd.nextLong(360000L), rnd.nextLong(180001L) - 90000L))
+    val uniB = (1 to 200).map(i =>
+      (10000L + i, rnd.nextLong(360000L), rnd.nextLong(180001L) - 90000L))
+    def df(rows: Seq[(Long, Long, Long)], side: Char) =
+      rows.toDF(s"${side}_id", s"ra_$side", s"dec_$side")
+    val (pickCap, shareCap) = RelOps.sphereLayoutPick(
+      df(capA, 'a'), df(capB, 'b'), 2000L, 2000L)
+    val (pickUni, shareUni) = RelOps.sphereLayoutPick(
+      df(uniA, 'a'), df(uniB, 'b'), 2000L, 2000L)
+    assert(pickCap == "eqarea", s"cap fixture picked $pickCap (share $shareCap)")
+    assert(pickUni == "zones", s"uniform fixture picked $pickUni (share $shareUni)")
+    assert(shareCap > shareUni,
+      s"skew metric not ordered: cap $shareCap <= uniform $shareUni")
+    // pick-invariance: BOTH branches run on BOTH fixtures and everything
+    // equals brute force — the decision layer cannot change a result
+    val thr = { val st = SphereSql.sinHalfD(2000.0); st * st }
+    for ((aRows, bRows) <- Seq((capA, capB), (uniA, uniB))) {
+      val a = df(aRows, 'a'); val b = df(bRows, 'b')
+      val auto = RelOps.sphereXmatchAuto(a, b).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val zonesR = RelOps.sphereXmatchPairsAt(a, b, 2000L, 2000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val eqR = RelOps.sphereXmatchPairsEqArea(a, b).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        (ai, raa, deca) <- aRows; (bi, rab, decb) <- bRows
+        if SphereSql.haversineD(raa, deca, rab, decb) <= thr
+      } yield (ai, bi)).toSet
+      assert(auto == expect && zonesR == expect && eqR == expect,
+        s"pick-invariance broken: auto ${auto.size} zones ${zonesR.size} " +
+          s"eqarea ${eqR.size} brute ${expect.size}")
+      assert(expect.nonEmpty, "vacuous d23 fixture")
+    }
+  }
+
   test("d22 equal-area tables: minCells floor holds, probes cover each ring, areas balance") {
     Seq((2000L, 2000L, 8L), (1000L, 500L, 8L), (4500L, 4500L, 4L)).foreach {
       case (h, sep, mc) =>

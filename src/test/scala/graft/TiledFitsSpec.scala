@@ -250,6 +250,74 @@ class TiledFitsSpec extends SparkTestBase {
       Option(ex2.getCause).exists(_.getMessage.contains("non-ASCII")))
   }
 
+  // ------------------------------------------ tile-compressed IMAGE (a27)
+
+  test("a27: compressed image decodes to the SAME rows as a19's plain raster") {
+    // the layout-independence gate in miniature: both ops emit identical
+    // per-row stats over the one planted frame, so collected results must
+    // match row-for-row (the sf0.01 hash gate proves it against DuckDB)
+    val plain = ops.ScanOps.a19_fits_image_source.fn(spark, sfDir).collect()
+    val tiled = ops.ScanOps.a27_fits_image_tiled.fn(spark, sfDir).collect()
+    assert(tiled.length == plain.length && tiled.length > 0)
+    assert(tiled.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("a27: compressed-image headers carry the ZIMAGE convention and compress") {
+    val p = Util.scratch("ztiled_hdr.fits")
+    FitsWriter.writeTiledImageFits(p, 64, 300L, tileRows = 64)
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      raf.seek(0)
+      val s1 = FitsFormat.locateTiledImage(raf, 0)
+      raf.seek(0)
+      val s2 = FitsFormat.locateTiledImage(raf, 1)
+      assert(s1.zbitpix == 16 && s1.cmpType == "GRAFT_RICE_1" &&
+        s1.blank.contains(250L) && s1.bscale == 2.0 && s1.bzero == 100.0)
+      assert(s2.zbitpix == -32 && s2.cmpType == "GZIP_2" && s2.blank.isEmpty)
+      assert(s1.nTiles == 5 && s1.rowsInTile(4) == 44) // short last band
+      // a plain IMAGE walk must NOT see the compressed bintables
+      raf.seek(0)
+      intercept[IllegalArgumentException](FitsFormat.locateImage(raf, 0))
+    } finally raf.close()
+    val plainP = Util.scratch("ztiled_hdr_plain.fits")
+    FitsWriter.writeImageFits(plainP, 64, 300L)
+    val cSize = new java.io.File(p).length
+    val pSize = new java.io.File(plainP).length
+    assert(cSize < pSize, s"compressed $cSize >= plain $pSize")
+  }
+
+  test("a27: tile geometry round-trips at adversarial heights (property)") {
+    val genCase = for {
+      height <- Gen.choose(1, 400)
+      tileRows <- Gen.oneOf(1, 3, 17, 64, 500) // incl. one-band and 1-row tiles
+    } yield (height, tileRows)
+    check(Prop.forAll(genCase) { case (height, tileRows) =>
+      val p = Util.scratch(s"ztiled_prop_${height}_$tileRows.fits")
+      FitsWriter.writeTiledImageFits(p, 16, height.toLong, tileRows)
+      val raf = new java.io.RandomAccessFile(p, "r")
+      try {
+        raf.seek(0)
+        val sp = FitsFormat.locateTiledImage(raf, 0)
+        // decode EVERY tile and compare every pixel to the closed form
+        val ok = (0L until sp.nTiles).forall { t =>
+          val desc = new Array[Byte](8)
+          raf.seek(sp.descOffset(t)); raf.readFully(desc)
+          val db = java.nio.ByteBuffer.wrap(desc)
+          val blob = new Array[Byte](db.getInt(0))
+          raf.seek(sp.heapStart + db.getInt(4)); raf.readFully(blob)
+          val rows = sp.rowsInTile(t)
+          val raw = TileCodec.decodeCell(sp.cmpType, blob, rows * 16, 2)
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          (0 until rows * 16).forall { i =>
+            val y = t * sp.tileRows + i / 16
+            bb.getShort(i * 2).toLong == FitsWriter.imageRaw(i % 16, y)
+          }
+        }
+        ok && sp.height == height.toLong
+      } finally raf.close()
+    }, n = 40)
+  }
+
   test("the standard RICE_1 label is rejected, not silently mis-decoded") {
     // this engine's Rice layout is private (GRAFT_RICE_1); a genuine fpack
     // file carrying ZCTYP='RICE_1' must error, since Rice streams have no
