@@ -38,6 +38,9 @@ object LadderMain {
     "i61_embed_quantize" -> ops.LlmOps.i61_embed_quantize.fn,
     "i62_sim_ann_sq8" -> ops.LlmOps.i62_sim_ann_sq8.fn,
     "i63_sim_ann_sq8_index" -> ops.LlmOps.i63_sim_ann_sq8_index.fn,
+    // r9: IVF directory pruning ON TOP of the SQ8 codes — rung must stay
+    // ~flat per replicated cell count (only the probed cells scan)
+    "i64_sim_ann_ivf_sq8" -> ops.LlmOps.i64_sim_ann_ivf_sq8.fn,
     "i39_over_i12" -> { (s: SparkSession, d: String) =>
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))
@@ -166,7 +169,10 @@ object LadderMain {
       // r9: the auto pick beside its two branches — its rung carries the
       // decision pass's two per-zone aggregates ON TOP of whichever
       // blocking it picks, so the overhead of self-serve is measured
-      "d23_xmatch_auto" -> SparkEntry.queries("d23_xmatch_auto"))
+      "d23_xmatch_auto" -> SparkEntry.queries("d23_xmatch_auto"),
+      // r9: epoch propagation — a narrow map fused into A's scan, so its
+      // rung must track d18's within the propagation's noise
+      "d24_xmatch_epoch" -> SparkEntry.queries("d24_xmatch_epoch"))
 
   /** fits family (r7, the r5 judge's #8 carried over): the FITS read
     * paths — plain BINTABLE (a7), gzip member (a17), tile-compressed

@@ -101,7 +101,11 @@ object PlanAudit {
     // b18 (r8): the profile Aggregate feeds explode(array(<4 structs>)),
     // whose cardinality is value-independent — a bare count prunes the
     // aggregates entirely; the _forced ladder row times the real profile
-    "b18_table_profile")
+    "b18_table_profile",
+    // b19 (r9): b18's shape with the sketch pass — same value-independent
+    // explode, so a bare count drops one of the two aggregates; the
+    // _forced row times the real sketch+anchor profile
+    "b19_profile_sketch")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

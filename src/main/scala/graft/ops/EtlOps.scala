@@ -619,7 +619,72 @@ object EtlOps {
       }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
   }
 
+  /** The b19 sketch pass alone: ONE Aggregate with NO Expand — approx
+    * sketches need no distinct rewrite, so the shuffle carries one sketch
+    * per column instead of rows×columns Expand output. Split out so the
+    * spec can assert THIS subplan (the 100 TB plan) is Expand-free; the
+    * gated op joins it to an exact-distinct anchor that a production
+    * profile drops.
+    */
+  private[graft] def profileSketchAgg(df: org.apache.spark.sql.DataFrame,
+      profCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = profCols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}__nn"),
+      approx_count_distinct(col(c), rsd = 0.01).as(s"${c}__ad"),
+      min(col(c)).cast(StringType).as(s"${c}__min"),
+      max(col(c)).cast(StringType).as(s"${c}__max")) }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** b19: the table profile AT 100 TB — b18's own Scaladoc names the
+    * swap ("a wide profile swaps count(DISTINCT) for
+    * approx_count_distinct"); this key makes the swap a gated plan
+    * instead of prose. The SKETCH pass is one Aggregate with NO Expand
+    * (plan-asserted): per column it carries a non-null count, an HLL++
+    * sketch (rsd 0.01), and stringified min/max — so the one shuffle
+    * moves sketches, not rows×columns. The estimate itself is
+    * engine-specific, so the gate follows e4's convention: a SECOND
+    * exact-distinct aggregate (the anchor a production profile drops)
+    * cross-joins in and the gated column is the ±5% accuracy predicate —
+    * both engines attest it (DuckDB asserts `true` having no sketch to
+    * test), and a sketch drifting outside its envelope fails the HASH
+    * gate, not just a unit test. rsd 0.01 against a 5% gate = 5 standard
+    * deviations (e4's argument).
+    */
+  val b19_profile_sketch = {
+    val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    OpQuery(
+      (s, d) => {
+        val sketch = profileSketchAgg(t(s, d, "orders"), profCols)
+        val exactAggs = profCols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+        val exact = t(s, d, "orders").agg(exactAggs.head, exactAggs.tail: _*)
+        sketch.crossJoin(exact)
+          .select(col("n_rows"), explode(array(profCols.map(c => struct(
+            lit(c).as("column_name"),
+            col(s"${c}__nn").as("nn"),
+            col(s"${c}__nd").as("n_distinct"),
+            (abs(col(s"${c}__ad") - col(s"${c}__nd")).cast(DoubleType) <=
+              lit(0.05) * col(s"${c}__nd").cast(DoubleType)).as("within_5pct"),
+            col(s"${c}__min").as("min_str"),
+            col(s"${c}__max").as("max_str"))): _*)).as("p"))
+          .select(col("p.column_name"), col("n_rows"),
+            (col("n_rows") - col("p.nn")).as("n_null"),
+            col("p.n_distinct"), col("p.within_5pct"),
+            col("p.min_str"), col("p.max_str"))
+          .orderBy("column_name")
+      },
+      profCols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct, true AS within_5pct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"))
+  }
+
   val all: Map[String, OpQuery] = Map(
+    "b19_profile_sketch" -> b19_profile_sketch,
     "b18_table_profile" -> b18_table_profile,
     "b17_constraint_audit" -> b17_constraint_audit,
     "b16_cascade_delete" -> b16_cascade_delete,

@@ -991,6 +991,85 @@ object LlmOps {
     },
     i62_sim_ann_sq8.oracle.get) // same logical two-stage, same cut
 
+  /** Build and persist the SQ8 artifact PARTITIONED BY the IVF cell
+    * (i13's label cells): same codes-only schema as `sq8WriteIndex`,
+    * laid out so probing cells = partition pruning on the scan.
+    */
+  def sq8WriteIndexIvf(s: SparkSession, d: String): String = {
+    val dir = graft.Util.scratch(
+      s"i64_sq8ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
+    t(s, d, "embeddings")
+      .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+      .withColumn("qarr", sqCodes)
+      .select("vec_id", "label", "maxabs", "qarr")
+      .write.mode("overwrite").partitionBy("label").parquet(dir)
+    dir
+  }
+
+  /** i64: IVF × SQ8 — the composition PERF.md promised ("compose with
+    * i13's partition pruning and a 100 TB ANN index becomes nprobe ×
+    * (cell bytes / 3.5) scanned per query"), made a real plan instead
+    * of prose. The persisted code table is PARTITIONED BY the coarse
+    * cell (label — i13's IVF convention); the query ranks cells on
+    * rounded centroid similarity (i13's deterministic cut, centroids an
+    * index-build-time artifact of the float table), collects the top-2
+    * cell ids (a 2-row bounded build, the d2/i7 convention), and probes
+    * the codes scan with `label IN (...)` — a LITERAL partition filter,
+    * so the scan plans PartitionFilters and reads nprobe directories of
+    * int8 codes: BOTH pruning levers at once, directory-level (IVF) and
+    * byte-level (SQ8). Stage 2 re-ranks the 50 survivors against the
+    * float table via a broadcast fetch. PlanAuditSpec asserts the
+    * stage-1 plan carries the partition filter and touches no float
+    * column or float-table path. Oracle: i13's centroid CTE (top-2
+    * cells) composed with i62's quantized cut and exact re-rank.
+    */
+  val i64_sim_ann_ivf_sq8 = OpQuery(
+    (s, d) => {
+      val codes = s.read.parquet(sq8WriteIndexIvf(s, d))
+      val e = t(s, d, "embeddings")
+      val ex = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast(DoubleType))
+      val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      val qex = e.filter(col("vec_id") === 7)
+        .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
+        .withColumn("qv", col("qv").cast(DoubleType))
+      // rounded cell ranking (the i13 determinism rule), then the 2 cell
+      // ids collect into a LITERAL IN — static partition pruning, not DPP
+      val top2 = cent.join(broadcast(qex), Seq("pos"))
+        .groupBy("label").agg(round(sum(col("c") * col("qv")), 6).as("csim"))
+        .orderBy(desc("csim"), asc("label")).limit(2)
+        .select("label").collect().map(_.getInt(0)).toSeq
+      val qvec = sq8QueryVec(s, d, 7L)
+      val top = sq8CodesTop50(codes.filter(col("label").isin(top2: _*)), qvec)
+      e.join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), qvec), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH ex AS (SELECT vec_id, label, r.i AS pos, embedding[r.i]::DOUBLE AS v
+       |            FROM embeddings, range(1,65) r(i)),
+       |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+       |qex AS (SELECT pos, v AS qv FROM ex WHERE vec_id = 7),
+       |csim AS (SELECT label, round(sum(c * qv), 6) AS s
+       |         FROM cent JOIN qex USING (pos) GROUP BY label),
+       |top2 AS (SELECT label FROM csim ORDER BY s DESC, label LIMIT 2),
+       |m AS (SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |c AS (SELECT vec_id, label, embedding, maxabs,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m WHERE maxabs > 0),
+       |q AS (SELECT embedding AS qvec FROM c WHERE vec_id = 7),
+       |a AS (SELECT c.vec_id, c.label, c.embedding, q.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * q.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c, q WHERE c.vec_id <> 7 AND c.label IN (SELECT label FROM top2)
+       |  ORDER BY approx_sim DESC, vec_id LIMIT 50)
+       |SELECT vec_id, label, round(${dotSql("a.embedding", "a.qvec")}, 6) AS sim
+       |FROM a ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
     */
@@ -2060,6 +2139,7 @@ object LlmOps {
     "i61_embed_quantize" -> i61_embed_quantize,
     "i62_sim_ann_sq8" -> i62_sim_ann_sq8,
     "i63_sim_ann_sq8_index" -> i63_sim_ann_sq8_index,
+    "i64_sim_ann_ivf_sq8" -> i64_sim_ann_ivf_sq8,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

@@ -1238,6 +1238,61 @@ object RelOps {
     },
     d18_join_xmatch_sphere.oracle.get)
 
+  /** d24: epoch-propagated crossmatch — the archive query d18 cannot
+    * answer alone: catalog A was observed `dt` epochs ago and its
+    * sources MOVE (proper motion), so matching raw positions against
+    * today's catalog B misses every high-pm source that crossed the
+    * radius since. Each A source propagates linearly before blocking:
+    * ra' = (ra + pm_ra·dt) mod 360000 (wraps the seam), dec' = dec +
+    * pm_dec·dt clamped to the poles (greatest/least — a source cannot
+    * leave the sphere). Proper motions are planted closed-form from the
+    * key (pm ∈ [−10, 10] milli-deg/epoch, dt = 2) and the arithmetic is
+    * ALL integer, so both engines derive bit-identical propagated
+    * positions and the downstream chain is exactly d18's: same zones
+    * blocking, same compiled haversine refine, same threshold. Scale
+    * shape: the propagation is a narrow map fused into A's scan — the
+    * crossmatch cost is d18's unchanged. Oracle = d18's brute force
+    * over the SAME propagation CTE, so a wrap/clamp/sign defect in
+    * either engine's propagation is a hash mismatch.
+    */
+  val d24_xmatch_epoch = OpQuery(
+    (s, d) => {
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      val a = t(s, d, "customer")
+        .select(col("c_custkey").as("a_id"),
+          expr(raA).as("ra0"), expr(decA).as("dec0"))
+        .select(col("a_id"),
+          expr("pmod(ra0 + (a_id * 17 % 21 - 10) * 2, 360000)").as("ra_a"),
+          expr("greatest(-90000, least(90000, dec0 + (a_id * 23 % 21 - 10) * 2))")
+            .as("dec_a"))
+      val b = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
+        expr(raB).as("ra_b"), expr(decB).as("dec_b"))
+      sphereXmatchPairs(a, b).orderBy("a_id", "b_id")
+    },
+    {
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      s"""WITH a0 AS (SELECT c_custkey AS a_id, $raA AS ra0, $decA AS dec0
+         |  FROM customer),
+         |a AS (SELECT a_id,
+         |    ((ra0 + (a_id * 17 % 21 - 10) * 2) % 360000 + 360000) % 360000 AS ra_a,
+         |    greatest(-90000, least(90000, dec0 + (a_id * 23 % 21 - 10) * 2)) AS dec_a
+         |  FROM a0),
+         |b AS (SELECT s_suppkey AS b_id, $raB AS ra_b, $decB AS dec_b
+         |  FROM supplier),
+         |p AS (SELECT a_id, b_id,
+         |    ${SphereSql.sinHalf("dec_a - dec_b")} AS sd,
+         |    ${SphereSql.sinHalf("least(abs(ra_a - ra_b), 360000 - abs(ra_a - ra_b))")} AS sl,
+         |    ${SphereSql.cosClamped("dec_a")} AS ca,
+         |    ${SphereSql.cosClamped("dec_b")} AS cb
+         |  FROM a CROSS JOIN b),
+         |q AS (SELECT a_id, b_id, ${SphereSql.Combine} AS h FROM p)
+         |SELECT a_id, b_id, CAST(floor(h * 1.0E12) AS BIGINT) AS dist2q
+         |FROM q WHERE h <= ${SphereSql.Threshold}
+         |ORDER BY a_id, b_id""".stripMargin
+    })
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -1538,6 +1593,7 @@ object RelOps {
     "d21_xmatch_radius" -> d21_xmatch_radius,
     "d22_xmatch_eqarea" -> d22_xmatch_eqarea,
     "d23_xmatch_auto" -> d23_xmatch_auto,
+    "d24_xmatch_epoch" -> d24_xmatch_epoch,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,

@@ -285,6 +285,34 @@ class EtlOpsSpec extends SparkTestBase {
     assert(scans == 1, s"profile must be a single pass over the table, saw $scans scans")
   }
 
+  test("b19 sketch pass plans with NO Expand; gated predicate holds; values match b18") {
+    val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    // the 100 TB subplan: one Aggregate, one scan, NO Expand — the
+    // whole point of swapping exact distinct for the sketch
+    val sketch = EtlOps.profileSketchAgg(
+      Tables.t(spark, sfDir, "orders"), profCols)
+    sketch.collect()
+    val plan = sketch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"sketch profile must not Expand:\n${plan.take(800)}")
+    val scans = sketch.queryExecution.executedPlan.collectLeaves()
+      .count(_.toString.contains("orders"))
+    assert(scans == 1, s"sketch pass must be one scan, saw $scans")
+    // the gated key: every within_5pct true, non-sketch columns = b18's
+    val got = EtlOps.b19_profile_sketch.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b18 = EtlOps.b18_table_profile.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == profCols.toSet)
+    got.foreach { case (c, r) =>
+      assert(r.getBoolean(4), s"$c sketch outside the 5% envelope")
+      val e = b18(c)
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2) &&
+        r.getLong(3) == e.getLong(3) && r.getString(5) == e.getString(4) &&
+        r.getString(6) == e.getString(5), s"$c diverges from b18's profile")
+    }
+  }
+
   test("b18 null counting is non-vacuous: planted nulls surface per column") {
     // the gate fixture (orders) has zero nulls in every profiled column,
     // so without this the n_null path would be green-by-vacuity

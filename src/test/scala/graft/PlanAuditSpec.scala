@@ -62,4 +62,30 @@ class PlanAuditSpec extends SparkTestBase {
       s"stage-1 plan touches the float side:\n${plan.take(1200)}")
     assert(stage1.count() == 50)
   }
+
+  test("i64 stage 1 is BOTH partition-pruned (IVF) and codes-only (SQ8)") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.functions.col
+    val dir = LlmOps.sq8WriteIndexIvf(spark, sfDir)
+    val codes = spark.read.parquet(dir)
+    // codes-only on disk; label rides the directory layout, not the rows
+    assert(codes.schema.fieldNames.sorted.toSeq ==
+      Seq("label", "maxabs", "qarr", "vec_id"))
+    val stage1 = LlmOps.sq8CodesTop50(
+      codes.filter(col("label").isin(0, 1)),
+      LlmOps.sq8QueryVec(spark, sfDir, 7L))
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("i64_sq8ivf"),
+      "stage 1 must scan the persisted IVF-partitioned index dir")
+    assert(!plan.contains("embedding"),
+      s"stage-1 plan touches the float side:\n${plan.take(1200)}")
+    // the cell probe must reach the scan as a PARTITION filter — the
+    // directory-pruning lever the layout exists for (a literal IN over
+    // the partition column, not a post-scan Filter)
+    assert(plan.contains("PartitionFilters") && {
+      val pf = plan.substring(plan.indexOf("PartitionFilters"))
+        .takeWhile(_ != ']')
+      pf.contains("label")
+    }, s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
+  }
 }

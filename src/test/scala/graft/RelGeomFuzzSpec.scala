@@ -424,6 +424,62 @@ class RelGeomFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("d24 epoch propagation: wrap/clamp exact, match set differs from d18 non-vacuously") {
+    import spark.implicits._
+    // closed-form propagation replicated here: seam-wrapping and pole
+    // clamping must agree with BOTH the Spark op and the oracle CTE
+    def prop(id: Long, ra: Long, dec: Long): (Long, Long) = {
+      val ra2 = (((ra + (id * 17 % 21 - 10) * 2) % 360000) + 360000) % 360000
+      val dec2 = math.max(-90000L, math.min(90000L, dec + (id * 23 % 21 - 10) * 2))
+      (ra2, dec2)
+    }
+    // seam + pole adversarial catalog: sources AT ra≈0/359.99° and dec≈±90°
+    val rnd = new scala.util.Random(20260821L)
+    val aRows = (1 to 200).map { i =>
+      val ra = if (i % 3 == 0) rnd.nextLong(25L)
+        else if (i % 3 == 1) 359980L + rnd.nextLong(20L)
+        else rnd.nextLong(360000L)
+      val dec = if (i % 5 == 0) 89990L + rnd.nextLong(11L)
+        else if (i % 5 == 1) -90000L + rnd.nextLong(11L)
+        else rnd.nextLong(180001L) - 90000L
+      (i.toLong, ra, dec)
+    }
+    val bRows = aRows.take(120).map { case (id, ra, dec) =>
+      // B at today's epoch = where a zero-pm A source would sit
+      (10000L + id, ra, dec)
+    }
+    val a = aRows.toDF("a_id", "ra0", "dec0")
+      .selectExpr("a_id",
+        "pmod(ra0 + (a_id * 17 % 21 - 10) * 2, 360000) AS ra_a",
+        "greatest(-90000, least(90000, dec0 + (a_id * 23 % 21 - 10) * 2)) AS dec_a")
+    val b = bRows.toDF("b_id", "ra_b", "dec_b")
+    val thr = { val st = SphereSql.sinHalfD(2000.0); st * st }
+    val got = RelOps.sphereXmatchPairs(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      (ai, ra0, dec0) <- aRows
+      (raa, deca) = prop(ai, ra0, dec0)
+      (bi, rab, decb) <- bRows
+      if SphereSql.haversineD(raa, deca, rab, decb) <= thr
+    } yield (ai, bi)).toSet
+    assert(got == expect, s"propagated match: got ${got.size}, expect " +
+      s"${expect.size}, missing ${(expect -- got).take(3)}, extra ${(got -- expect).take(3)}")
+    // non-vacuous: propagation must CHANGE the match set vs raw positions
+    val raw = (for {
+      (ai, raa, deca) <- aRows; (bi, rab, decb) <- bRows
+      if SphereSql.haversineD(raa, deca, rab, decb) <= thr
+    } yield (ai, bi)).toSet
+    assert(expect != raw && expect.nonEmpty,
+      s"vacuous d24 fixture: propagated ${expect.size} == raw ${raw.size}")
+    // the planted closed form must exercise both edges on this fixture
+    assert(aRows.exists { case (id, ra, _) =>
+      val p = (ra + (id * 17 % 21 - 10) * 2)
+      p < 0 || p >= 360000 }, "no seam wrap exercised")
+    assert(aRows.exists { case (id, _, dec) =>
+      val p = dec + (id * 23 % 21 - 10) * 2
+      p < -90000 || p > 90000 }, "no pole clamp exercised")
+  }
+
   test("d22 equal-area tables: minCells floor holds, probes cover each ring, areas balance") {
     Seq((2000L, 2000L, 8L), (1000L, 500L, 8L), (4500L, 4500L, 4L)).foreach {
       case (h, sep, mc) =>
