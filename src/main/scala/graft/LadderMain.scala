@@ -101,7 +101,11 @@ object LadderMain {
   private def streamOps: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("j9_stream_ingest_dedup", "j11_stream_quality_filter",
       "j12_stream_incremental_dedup", "j13_stream_decontaminate",
-      "j14_stream_perplexity_gate", "j17_stream_update_dedup")
+      "j14_stream_perplexity_gate", "j17_stream_update_dedup",
+      // r9: ANN serving — per-batch cost |batch| × probed index bytes;
+      // replicating documents grows neither, so the rung must stay flat
+      // (the stream family rides documents; j20's index rides embeddings)
+      "j20_stream_ann")
       .map(k => k -> SparkEntry.queries(k))
 
   /** rel family (r5): the lineitem-fact join/layout ops — the bloom-pruned

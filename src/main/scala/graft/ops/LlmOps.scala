@@ -183,7 +183,7 @@ object LlmOps {
     * double arithmetic — matches DotProduct up to O(1e-14) summation order,
     * absorbed by round-6).
     */
-  private def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), k -> $a[k]::DOUBLE * $b[k]::DOUBLE))"
 
   // -------- text analysis --------------------------------------------------

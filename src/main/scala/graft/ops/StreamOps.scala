@@ -850,7 +850,112 @@ object StreamOps {
       |SELECT a_id, b_id, hd FROM pr WHERE hd <= 3
       |ORDER BY a_id, b_id""".stripMargin)
 
+  /** j20: streaming ANN serving — the online half of the SQ8 index
+    * family (i61 builds, i63/i64 probe once; THIS is the query stream a
+    * deployed index actually faces): query vectors arrive in
+    * micro-batches and each runs the two-stage SQ8 search against the
+    * PERSISTED codes-only index — approx top-50 per query over the code
+    * scan (int×double inner loop, window-ranked per q_id), exact
+    * re-rank of the survivors against the float table, top-3 emitted
+    * per query. Stateless by the j18/j19 argument: a query arrives
+    * exactly once and the index side is complete in every batch, so
+    * each query's result is batch-local and foreachBatch appends —
+    * no watermark, no state store; write-once proven by the
+    * unique-keyed gate. Two real micro-batches (maxFilesPerTrigger=1).
+    * At scale the per-batch cost is |batch| × the probed index bytes:
+    * here the full code scan (the honest gate shape); a deployment
+    * composes i64's cell layout so each query prunes to its nprobe
+    * partitions — the batch side of that plan is identical. The query
+    * set shares the maxabs>0 guard with the index (the r8 ADVICE rule:
+    * one guard, both engines). Oracle: i62's two-stage chain PER QUERY
+    * (window-ranked), queries = vec_id ≡ 3 (mod 101).
+    */
+  val j20_stream_ann = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j20"))
+      graft.Util.deleteRecursively(ckpt)
+      val sink = new java.io.File(graft.Util.scratch("j20_sink"))
+      graft.Util.deleteRecursively(sink)
+      val e = t(s, d, "embeddings")
+      // build-once scaffolding, keyed per sfDir (r8 #7): the arriving
+      // queries — two files so AvailableNow runs two real batches
+      val srcDir = graft.Util.fixtureOnce(
+        s"j20_query_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+        val q = e.filter(col("vec_id") % 101 === 3)
+        q.filter(col("vec_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f0")
+        q.filter(col("vec_id") % 2 === 1).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f1")
+      }
+      // the persisted codes-only index (i63's artifact) + the float side
+      val codes = s.read.parquet(graft.ops.LlmOps.sq8WriteIndex(s, d))
+        .localCheckpoint()
+      val src = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      val q = src.select("vec_id", "embedding").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the index-side guard applied to the query stream too
+          val qb = batch
+            .withColumn("maxq", array_max(transform(col("embedding"),
+              x => abs(x.cast("double")))))
+            .filter(col("maxq") > 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+          val approx = codes.join(broadcast(qb), col("vec_id") =!= col("q_id"))
+            .withColumn("approx_sim", col("maxabs") / lit(127.0) *
+              aggregate(zip_with(col("qarr"), col("qvec"),
+                (qc, v) => qc * v.cast("double")), lit(0.0), (a, x) => a + x))
+            .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+              .orderBy(desc("approx_sim"), asc("vec_id"))))
+            .filter(col("rk") <= 50)
+            .select("q_id", "vec_id", "qvec")
+          approx.join(t(s, d, "embeddings"), "vec_id")
+            .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+              col("embedding"), col("qvec")), 6))
+            .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+              .orderBy(desc("sim"), asc("vec_id"))))
+            .filter(col("rk") <= 3)
+            .select("q_id", "vec_id", "sim")
+            .write.mode("append").parquet(sink.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink.getAbsolutePath).orderBy("q_id", "vec_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, embedding, maxabs,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m WHERE maxabs > 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS qvec FROM c
+       |      WHERE vec_id % 101 = 3),
+       |a AS (
+       |  SELECT q.q_id, c.vec_id, c.embedding, q.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * q.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c, q WHERE c.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM a),
+       |s AS (SELECT q_id, vec_id,
+       |    round(${graft.ops.LlmOps.dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM r WHERE rk <= 50),
+       |t AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rk FROM s)
+       |SELECT q_id, vec_id, sim FROM t WHERE rk <= 3
+       |ORDER BY q_id, vec_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j20_stream_ann" -> j20_stream_ann,
     "j19_stream_image_dedup" -> j19_stream_image_dedup,
     "j18_stream_xmatch_best" -> j18_stream_xmatch_best,
     "j17_stream_update_dedup" -> j17_stream_update_dedup,

@@ -321,6 +321,42 @@ class StreamOpsSpec extends SparkTestBase {
     assert(sides == 2, "matches all came from one micro-batch")
   }
 
+  test("j20 streamed ANN answers equal the batch two-stage per query; each query served once") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.expressions.Window
+    val fromStream = StreamOps.j20_stream_ann.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch reference: the SAME two-stage chain run all-queries-at-once
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val codes = spark.read.parquet(LlmOps.sq8WriteIndex(spark, sfDir))
+    val qs = codes.join(e, "vec_id").filter(col("vec_id") % 101 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val expect = codes.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .withColumn("approx_sim", col("maxabs") / lit(127.0) *
+        aggregate(zip_with(col("qarr"), col("qvec"),
+          (qc, v) => qc * v.cast("double")), lit(0.0), (a, x) => a + x))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("approx_sim"), asc("vec_id"))))
+      .filter(col("rk") <= 50).select("q_id", "vec_id", "qvec")
+      .join(e, "vec_id")
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fromStream.toSet == expect.toSet,
+      s"stream ANN diverges: got ${fromStream.length}, expect ${expect.length}")
+    assert(expect.nonEmpty, "vacuous j20 fixture: no queries matched")
+    // every arriving query produced exactly 3 answers, exactly once
+    val perQ = fromStream.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQ.values.forall(_ == 3), s"per-query answer counts: $perQ")
+    // both stream files contributed queries (two real batches)
+    val sides = fromStream.map(_._1 % 2).distinct
+    assert(sides.length == 2, "queries all came from one micro-batch")
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
