@@ -207,7 +207,11 @@ object LadderMain {
       // r9: the tile-compressed IMAGE reader beside the plain one — its
       // cost must track a19's (same planted frame, same stats emit) plus
       // the tile decode; tiles split independently so growth stays linear
-      "a27_fits_image_tiled")
+      "a27_fits_image_tiled",
+      // r9: the parallel compressed-image EXPORT (write is the op):
+      // two full passes over the frame (sizes + write) — must stay
+      // linear in height with the shuffle carrying rows exactly once
+      "a28_fits_image_tiled_sink")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {

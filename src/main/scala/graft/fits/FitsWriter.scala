@@ -994,29 +994,9 @@ object FitsWriter {
     def writeExt(zbitpix: Int, cmpType: String, blobs: Array[Array[Byte]],
         scaling: Seq[(String, String)]): Unit = {
       val pcount = blobs.foldLeft(0L)(_ + _.length)
-      require(pcount <= Int.MaxValue.toLong,
-        s"tiled image heap of $pcount bytes exceeds 32-bit P descriptors; raise tileRows")
       val varMax = blobs.foldLeft(0)((m, b) => math.max(m, b.length))
-      w(card("XTENSION", "BINTABLE", quote = true))
-      w(card("BITPIX", "8", quote = false))
-      w(card("NAXIS", "2", quote = false))
-      w(card("NAXIS1", "8", quote = false))
-      w(card("NAXIS2", nTiles.toString, quote = false))
-      w(card("PCOUNT", pcount.toString, quote = false))
-      w(card("GCOUNT", "1", quote = false))
-      w(card("TFIELDS", "1", quote = false))
-      w(card("TTYPE1", "COMPRESSED_DATA", quote = true))
-      w(card("TFORM1", s"1PB($varMax)", quote = true))
-      w(card("ZIMAGE", "T", quote = false))
-      w(card("ZCMPTYPE", cmpType, quote = true))
-      w(card("ZBITPIX", zbitpix.toString, quote = false))
-      w(card("ZNAXIS", "2", quote = false))
-      w(card("ZNAXIS1", width.toString, quote = false))
-      w(card("ZNAXIS2", height.toString, quote = false))
-      w(card("ZTILE1", width.toString, quote = false))
-      w(card("ZTILE2", tileRows.toString, quote = false))
-      scaling.foreach { case (k, v) => w(card(k, v, quote = false)) }
-      w(endCard); padBlock(' '.toByte)
+      w(tiledImageExtHeader(width, height, tileRows, nTiles, zbitpix,
+        cmpType, pcount, varMax, scaling))
       // descriptor records: (blobBytes, heapOffset), heap tile-major
       var off = 0L
       val rec = ByteBuffer.allocate(8)
@@ -1036,6 +1016,185 @@ object FitsWriter {
         Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250"))
       writeExt(-32, "GZIP_2", Array.tabulate(nTiles)(floatTile), Seq.empty)
     } finally out.close()
+  }
+
+  /** One block-padded compressed-image (ZIMAGE=T) BINTABLE extension
+    * header — shared by the driver-side fixture writer and the
+    * executor-side export.
+    */
+  private def tiledImageExtHeader(width: Int, height: Long, tileRows: Int,
+      nTiles: Long, zbitpix: Int, cmpType: String, pcount: Long,
+      varMax: Int, scaling: Seq[(String, String)]): Array[Byte] = {
+    require(pcount <= Int.MaxValue.toLong,
+      s"tiled image heap of $pcount bytes exceeds 32-bit P descriptors; raise tileRows")
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.write(card("XTENSION", "BINTABLE", quote = true))
+    out.write(card("BITPIX", "8", quote = false))
+    out.write(card("NAXIS", "2", quote = false))
+    out.write(card("NAXIS1", "8", quote = false))
+    out.write(card("NAXIS2", nTiles.toString, quote = false))
+    out.write(card("PCOUNT", pcount.toString, quote = false))
+    out.write(card("GCOUNT", "1", quote = false))
+    out.write(card("TFIELDS", "1", quote = false))
+    out.write(card("TTYPE1", "COMPRESSED_DATA", quote = true))
+    out.write(card("TFORM1", s"1PB($varMax)", quote = true))
+    out.write(card("ZIMAGE", "T", quote = false))
+    out.write(card("ZCMPTYPE", cmpType, quote = true))
+    out.write(card("ZBITPIX", zbitpix.toString, quote = false))
+    out.write(card("ZNAXIS", "2", quote = false))
+    out.write(card("ZNAXIS1", width.toString, quote = false))
+    out.write(card("ZNAXIS2", height.toString, quote = false))
+    out.write(card("ZTILE1", width.toString, quote = false))
+    out.write(card("ZTILE2", tileRows.toString, quote = false))
+    scaling.foreach { case (k, v) => out.write(card(k, v, quote = false)) }
+    out.write(endCard); pad(out, ' '.toByte)
+    bos.toByteArray
+  }
+
+  /** Executor-side parallel tile-compressed IMAGE export — the write
+    * half of the a27 read path (an archive EXPORTS compressed rasters,
+    * not just serves them), following `writeTiledDataFrame`'s proven
+    * pass structure on the image axis:
+    *
+    *  1. row count + contiguity check (cheap aggregates);
+    *  2. ONE alignment shuffle — rows keyed by y and range-partitioned
+    *     so every task owns whole consecutive row-band tiles (a tile is
+    *     one compression unit and may not straddle tasks);
+    *  3. sizes pass — each task rice-compresses its tiles and reports
+    *     only blob SIZES (deterministic codec, so pass 3 and pass 5
+    *     agree byte-for-byte);
+    *  4. the driver lays out the heap, writes the primary + ext header
+    *     and ALL 1PB descriptors (metadata, nTiles × 8 bytes — the
+    *     sanctioned bounded collect), pre-sizes the file;
+    *  5. write pass — each task re-compresses and writes its blobs at
+    *     their assigned heap positions via positioned channel writes.
+    *
+    * No pixel ever moves through the driver. Input df: one row per
+    * image row — (y: long, px: array<long> of `width` raw int16-range
+    * values); y must cover [0, height) exactly once. The export reads
+    * back through `locateTiledImage` + TileCodec (the a27 reader), and
+    * a28's gate hash-proves the round-trip against the closed-form
+    * oracle.
+    */
+  def writeTiledImageDataFrame(path: String, df: DataFrame, width: Int,
+      tileRows: Int, scaling: Seq[(String, String)] = Seq.empty): Unit = {
+    require(tileRows > 0, s"tileRows must be positive, got $tileRows")
+    require(width > 0, s"width must be positive, got $width")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    import org.apache.spark.rdd.RDD.rddToPairRDDFunctions
+    val rdd0 = df.select(df.col("y").cast(org.apache.spark.sql.types.LongType),
+        df.col("px"))
+      .rdd.map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .persist(lvl)
+    try {
+      val (height, maxY, minY) = {
+        val (n, mx, mn) = rdd0.map { case (y, _) => (1L, y, y) }
+          .fold((0L, Long.MinValue, Long.MaxValue)) { case ((n1, x1, m1), (n2, x2, m2)) =>
+            (n1 + n2, math.max(x1, x2), math.min(m1, m2)) }
+        (n, mx, mn)
+      }
+      require(height > 0, "tiled image export of an empty frame")
+      // contiguity: exactly the rows [0, height) — a gap or duplicate
+      // would silently shear every later tile's pixels
+      require(minY == 0L && maxY == height - 1,
+        s"image rows must cover [0, $height) exactly; saw y in [$minY, $maxY]")
+      val nTiles = (height + tileRows - 1) / tileRows
+      val tasks = math.max(1, rdd0.getNumPartitions)
+      val tilesPerTask = math.max(1L, (nTiles + tasks - 1) / tasks)
+      val partitioner = new org.apache.spark.Partitioner {
+        def numPartitions: Int = tasks
+        def getPartition(key: Any): Int =
+          ((key.asInstanceOf[Long] / tileRows) / tilesPerTask).toInt
+      }
+      val aligned = rdd0.repartitionAndSortWithinPartitions(partitioner)
+        .persist(lvl)
+      try {
+        // consecutive sorted ys group into whole tiles; deterministic, so
+        // the sizes pass and the write pass agree
+        def compress(it: Iterator[(Long, Array[Long])]): Iterator[(Long, Array[Byte])] =
+          new Iterator[(Long, Array[Byte])] {
+            private val bi = it.buffered
+            def hasNext: Boolean = bi.hasNext
+            def next(): (Long, Array[Byte]) = {
+              val tileId = bi.head._1 / tileRows
+              val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+              while (bi.hasNext && bi.head._1 / tileRows == tileId)
+                rows += bi.next()
+              val raw = new Array[Byte](rows.length * width * 2)
+              val bb = ByteBuffer.wrap(raw)
+              rows.foreach { case (y, px) =>
+                require(px.length == width,
+                  s"row $y has ${px.length} pixels, frame width is $width")
+                var x = 0
+                while (x < width) {
+                  val v = px(x)
+                  require(v >= Short.MinValue && v <= Short.MaxValue,
+                    s"pixel ($x, $y) = $v exceeds int16; scale first (BSCALE/BZERO)")
+                  bb.putShort(v.toShort); x += 1
+                }
+              }
+              (tileId, TileCodec.encodeCell("GRAFT_RICE_1", raw, 2))
+            }
+          }
+        val sizes = aligned.mapPartitions(it =>
+          compress(it).map { case (t, b) => (t, b.length) }).collect().sortBy(_._1)
+        require(sizes.length == nTiles,
+          s"tile accounting: ${sizes.length} compressed tiles for $nTiles planned")
+        val heapOff = new Array[Long](sizes.length)
+        var off = 0L
+        sizes.zipWithIndex.foreach { case ((_, len), i) =>
+          heapOff(i) = off; off += len
+        }
+        val pcount = off
+        val varMax = sizes.foldLeft(0)((m, s) => math.max(m, s._2))
+        val primary = {
+          val bos = new ByteArrayOutputStream()
+          val o = new DataOutputStream(bos)
+          o.write(card("SIMPLE", "T", quote = false))
+          o.write(card("BITPIX", "8", quote = false))
+          o.write(card("NAXIS", "0", quote = false))
+          o.write(endCard); pad(o, ' '.toByte)
+          bos.toByteArray
+        }
+        val ext = tiledImageExtHeader(width, height, tileRows, nTiles, 16,
+          "GRAFT_RICE_1", pcount, varMax, scaling)
+        val recordsStart = primary.length.toLong + ext.length
+        val theap = 8L * nTiles
+        val dataEnd = recordsStart + theap + pcount
+        val raf = new RandomAccessFile(path, "rw")
+        try {
+          raf.setLength(0)
+          raf.setLength(dataEnd + blockPad(dataEnd - recordsStart))
+          raf.seek(0); raf.write(primary); raf.write(ext)
+          val rec = ByteBuffer.allocate(8)
+          sizes.zipWithIndex.foreach { case ((_, len), i) =>
+            rec.clear(); rec.putInt(len); rec.putInt(heapOff(i).toInt)
+            raf.write(rec.array())
+          }
+        } finally raf.close()
+        val heapStart = recordsStart + theap
+        val blobSizes: Array[Int] = sizes.map(_._2)
+        aligned.mapPartitions { it =>
+          val tiles = compress(it)
+          if (tiles.hasNext) {
+            val f = new RandomAccessFile(path, "rw")
+            try {
+              val ch = f.getChannel
+              tiles.foreach { case (t, blob) =>
+                require(blob.length == blobSizes(t.toInt),
+                  s"tiled image export: tile $t re-compressed to ${blob.length} " +
+                    s"bytes but the sizes pass measured ${blobSizes(t.toInt)} — " +
+                    "cached partition lost and recomputed differently; aborting " +
+                    "before corrupting the heap")
+                ch.write(ByteBuffer.wrap(blob), heapStart + heapOff(t.toInt))
+              }
+            } finally f.close()
+          }
+          Iterator.single(0)
+        }.count()
+      } finally aligned.unpersist(blocking = false)
+    } finally rdd0.unpersist(blocking = false)
   }
 
   /** The planted cube voxel (the a25/a26 oracle's closed form): raw pixel

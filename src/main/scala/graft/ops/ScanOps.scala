@@ -568,6 +568,72 @@ object ScanOps {
       |       END), ',') AS px
       |FROM zs CROSS JOIN ys ORDER BY z, y""".stripMargin)
 
+  /** The a27/a28 read core: scan `nHdus` compressed-image extensions
+    * with TILE-boundary splits — each partition locates the HDUs, then
+    * positioned-reads ONLY its tiles' 1PB descriptors and heap blobs,
+    * decodes each tile independently (TileCodec), applies BSCALE/BZERO/
+    * ZBLANK (int) or NaN masking (float) and emits a19's per-row stats.
+    */
+  private def tiledImageStats(s: SparkSession, path: String, nHdus: Int,
+      nTiles: Long): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.range(0, nHdus.toLong * nTiles, 1, 8).mapPartitions { rs =>
+      val raf = new java.io.RandomAccessFile(path, "r")
+      try {
+        val specs = (0 until nHdus).map { i =>
+          raf.seek(0); graft.fits.FitsFormat.locateTiledImage(raf, i)
+        }
+        val desc = new Array[Byte](8)
+        rs.flatMap { r =>
+          val hdu = (r / nTiles).toInt
+          val tIdx = r % nTiles
+          val sp = specs(hdu)
+          raf.seek(sp.descOffset(tIdx))
+          raf.readFully(desc)
+          val db = java.nio.ByteBuffer.wrap(desc)
+          val blobLen = db.getInt(0)
+          val heapOff = db.getInt(4).toLong
+          val blob = new Array[Byte](blobLen)
+          raf.seek(sp.heapStart + heapOff)
+          raf.readFully(blob)
+          val rows = sp.rowsInTile(tIdx)
+          val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+            rows * sp.width.toInt, sp.bytesPerPx)
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          val w = sp.width.toInt
+          (0 until rows).map { ry =>
+            val y = tIdx * sp.tileRows + ry
+            var n = 0L; var sum = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var x = 0
+            while (x < w) {
+              if (sp.zbitpix == 16) {
+                val v = bb.getShort((ry * w + x) * 2).toLong
+                if (!sp.blank.contains(v)) {
+                  val q = (sp.bzero + sp.bscale * v).toLong // exact ints
+                  n += 1; sum += q
+                  if (q < mn) mn = q
+                  if (q > mx) mx = q
+                }
+              } else {
+                val v = bb.getFloat((ry * w + x) * 4)
+                if (!v.isNaN) {
+                  val q = (v * 4.0f).toLong // quarter-int pixels: exact
+                  n += 1; sum += q
+                  if (q < mn) mn = q
+                  if (q > mx) mx = q
+                }
+              }
+              x += 1
+            }
+            (hdu + 1L, y, n, sum, mn, mx)
+          }
+        }.toVector.iterator
+      } finally raf.close()
+    }.toDF("hdu", "y", "n_valid", "sum_q", "min_q", "max_q")
+      .orderBy("hdu", "y")
+  }
+
   /** a27: tile-compressed FITS IMAGE source (ZIMAGE=T — fpack's DEFAULT
     * output, the shape a real archive serves FIRST; r8 verdict gap #4):
     * a19's planted frame goes out through writeTiledImageFits as two
@@ -596,62 +662,7 @@ object ScanOps {
         s"survey_ztiled_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
         graft.fits.FitsWriter.writeTiledImageFits(p, 64, height, tileRows))
       val nTiles = (height + tileRows - 1) / tileRows
-      s.range(0, 2L * nTiles, 1, 8).mapPartitions { rs =>
-        val raf = new java.io.RandomAccessFile(path, "r")
-        try {
-          raf.seek(0)
-          val s1 = graft.fits.FitsFormat.locateTiledImage(raf, 0)
-          raf.seek(0)
-          val s2 = graft.fits.FitsFormat.locateTiledImage(raf, 1)
-          val desc = new Array[Byte](8)
-          rs.flatMap { r =>
-            val hdu = r / nTiles
-            val tIdx = r % nTiles
-            val sp = if (hdu == 0L) s1 else s2
-            raf.seek(sp.descOffset(tIdx))
-            raf.readFully(desc)
-            val db = java.nio.ByteBuffer.wrap(desc)
-            val blobLen = db.getInt(0)
-            val heapOff = db.getInt(4).toLong
-            val blob = new Array[Byte](blobLen)
-            raf.seek(sp.heapStart + heapOff)
-            raf.readFully(blob)
-            val rows = sp.rowsInTile(tIdx)
-            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-              rows * sp.width.toInt, sp.bytesPerPx)
-            val bb = java.nio.ByteBuffer.wrap(raw)
-            val w = sp.width.toInt
-            (0 until rows).map { ry =>
-              val y = tIdx * sp.tileRows + ry
-              var n = 0L; var sum = 0L
-              var mn = Long.MaxValue; var mx = Long.MinValue
-              var x = 0
-              while (x < w) {
-                if (sp.zbitpix == 16) {
-                  val v = bb.getShort((ry * w + x) * 2).toLong
-                  if (!sp.blank.contains(v)) {
-                    val q = (sp.bzero + sp.bscale * v).toLong // exact ints
-                    n += 1; sum += q
-                    if (q < mn) mn = q
-                    if (q > mx) mx = q
-                  }
-                } else {
-                  val v = bb.getFloat((ry * w + x) * 4)
-                  if (!v.isNaN) {
-                    val q = (v * 4.0f).toLong // quarter-int pixels: exact
-                    n += 1; sum += q
-                    if (q < mn) mn = q
-                    if (q > mx) mx = q
-                  }
-                }
-                x += 1
-              }
-              (hdu + 1, y, n, sum, mn, mx)
-            }
-          }.toVector.iterator
-        } finally raf.close()
-      }.toDF("hdu", "y", "n_valid", "sum_q", "min_q", "max_q")
-        .orderBy("hdu", "y")
+      tiledImageStats(s, path, nHdus = 2, nTiles)
     },
     // a19's oracle VERBATIM: the hash gate proves the compressed layout
     // decodes to the identical raster (the d22 layout-independence trick)
@@ -675,6 +686,48 @@ object ScanOps {
       |  CAST(max_q AS BIGINT) AS max_q
       |FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
       |ORDER BY hdu, y""".stripMargin)
+
+  /** a28: tile-compressed FITS IMAGE SINK — the write half a27 left
+    * open (an archive EXPORTS compressed rasters, not just serves
+    * them): the planted frame is built DISTRIBUTEDLY (one row per
+    * image row from a range scan — no pixel exists driver-side) and
+    * exported through `writeTiledImageDataFrame`, the executor-side
+    * five-pass tiled writer (count/contiguity → ONE tile-alignment
+    * shuffle → sizes pass → driver header+descriptors → positioned
+    * parallel heap writes — `writeTiledDataFrame`'s proven structure
+    * on the image axis). The file then reads back through the SAME
+    * a27 tile-split reader, and the oracle is a19's int-HDU stats
+    * closed-form — so a defect in EITHER direction of the compressed
+    * round-trip (tile alignment, rice streams, descriptor layout,
+    * scaling cards) is a hash mismatch. The write is the adjudicated
+    * cost (the a4/a9/m8 sink convention): no fixtureOnce.
+    */
+  val a28_fits_image_tiled_sink = OpQuery(
+    (s, d) => {
+      val height = t(s, d, "documents").count() // frame size, not data
+      val tileRows = 64
+      val path = graft.Util.scratch(
+        s"survey_ztsink_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")
+      val rows = s.range(0, height, 1, 8)
+        .select(col("id").as("y"),
+          expr("transform(sequence(0, 63), x -> (3 * y + 5 * x + 7) % 251)")
+            .as("px"))
+      graft.fits.FitsWriter.writeTiledImageDataFrame(path, rows, 64, tileRows,
+        Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250"))
+      val nTiles = (height + tileRows - 1) / tileRows
+      tiledImageStats(s, path, nHdus = 1, nTiles)
+    },
+    // a19's int-HDU closed form (h1 only: this export writes the int16
+    // extension; hdu = 1 is the emitted label for the first tiled HDU)
+    """WITH ys AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS y),
+      |v AS (SELECT y, unnest(list_transform(range(0, 64),
+      |        x -> (3 * y + 5 * x + 7) % 251)) AS raw FROM ys)
+      |SELECT CAST(1 AS BIGINT) AS hdu, CAST(y AS BIGINT) AS y,
+      |  CAST(count(*) FILTER (WHERE raw <> 250) AS BIGINT) AS n_valid,
+      |  CAST(sum(2 * raw + 100) FILTER (WHERE raw <> 250) AS BIGINT) AS sum_q,
+      |  CAST(min(2 * raw + 100) FILTER (WHERE raw <> 250) AS BIGINT) AS min_q,
+      |  CAST(max(2 * raw + 100) FILTER (WHERE raw <> 250) AS BIGINT) AS max_q
+      |FROM v GROUP BY y ORDER BY hdu, y""".stripMargin)
 
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
@@ -1095,6 +1148,7 @@ object ScanOps {
     "a19_fits_image_source" -> a19_fits_image_source,
     "a20_fits_image_cutout" -> a20_fits_image_cutout,
     "a27_fits_image_tiled" -> a27_fits_image_tiled,
+    "a28_fits_image_tiled_sink" -> a28_fits_image_tiled_sink,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

@@ -318,6 +318,57 @@ class TiledFitsSpec extends SparkTestBase {
     }, n = 40)
   }
 
+  test("a28: executor-side tiled-image export round-trips; writer refuses bad frames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    // distributed build -> parallel export -> locate -> decode == closed form
+    val h = 150L
+    val p = Util.scratch("ztsink_rt.fits")
+    val rows = spark.range(0, h, 1, 5).select(col("id").as("y"),
+      expr("transform(sequence(0, 15), x -> (3 * y + 5 * x + 7) % 251)").as("px"))
+    FitsWriter.writeTiledImageDataFrame(p, rows, 16, 32,
+      Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250"))
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      raf.seek(0)
+      val sp = FitsFormat.locateTiledImage(raf, 0)
+      assert(sp.height == h && sp.nTiles == 5 && sp.rowsInTile(4) == 22)
+      assert(sp.bscale == 2.0 && sp.blank.contains(250L))
+      val ok = (0L until sp.nTiles).forall { t =>
+        val desc = new Array[Byte](8)
+        raf.seek(sp.descOffset(t)); raf.readFully(desc)
+        val db = java.nio.ByteBuffer.wrap(desc)
+        val blob = new Array[Byte](db.getInt(0))
+        raf.seek(sp.heapStart + db.getInt(4)); raf.readFully(blob)
+        val n = sp.rowsInTile(t)
+        val raw = TileCodec.decodeCell(sp.cmpType, blob, n * 16, 2)
+        val bb = java.nio.ByteBuffer.wrap(raw)
+        (0 until n * 16).forall { i =>
+          bb.getShort(i * 2).toLong ==
+            FitsWriter.imageRaw(i % 16, t * sp.tileRows + i / 16)
+        }
+      }
+      assert(ok, "distributed export diverges from the closed form")
+    } finally raf.close()
+    // refusals: a y gap, a wrong-width row, an out-of-range pixel — each
+    // must fail LOUDLY (silent acceptance would shear or corrupt tiles)
+    def fails(df: org.apache.spark.sql.DataFrame): Boolean =
+      intercept[Exception] {
+        FitsWriter.writeTiledImageDataFrame(
+          Util.scratch("ztsink_bad.fits"), df, 16, 32)
+      } != null
+    val gap = spark.range(0, 10).filter(col("id") =!= 3)
+      .select(col("id").as("y"),
+        expr("transform(sequence(0, 15), x -> CAST(1 AS BIGINT))").as("px"))
+    assert(fails(gap))
+    val narrow = spark.range(0, 10).select(col("id").as("y"),
+      expr("transform(sequence(0, 7), x -> CAST(1 AS BIGINT))").as("px"))
+    assert(fails(narrow))
+    val wide = spark.range(0, 10).select(col("id").as("y"),
+      expr("transform(sequence(0, 15), x -> CAST(99999 AS BIGINT))").as("px"))
+    assert(fails(wide))
+  }
+
   test("the standard RICE_1 label is rejected, not silently mis-decoded") {
     // this engine's Rice layout is private (GRAFT_RICE_1); a genuine fpack
     // file carrying ZCTYP='RICE_1' must error, since Rice streams have no
