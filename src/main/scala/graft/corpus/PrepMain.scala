@@ -36,7 +36,10 @@ import org.apache.spark.sql.types.LongType
   *   BPE tokenization (i60 core, optional `--tokenize bpe` — learns a
   *   byte-fallback BPE vocab + merge table FROM the written corpus and
   *   emits `<out>/tokens.parquet` (doc_id, n_pieces, pieces); hex-byte
-  *   symbols mean every kept doc encodes, OOV-free)
+  *   symbols mean every kept doc encodes, OOV-free) →
+  *   post-write profile (b19 core, optional `--profile write` — emits
+  *   `<out>/profile.parquet` and FAILS the run if any column's sketch
+  *   leaves its ±5% envelope: the corpus-certification gate)
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
   * and containment flags come from the same shared helpers the gated
@@ -103,13 +106,18 @@ object PrepMain {
       // byte-fallback BPE core over the FINAL kept text: vocab + merge
       // table learned from the written corpus itself, every token
       // encodes (OOV-free hex-byte symbols); "none" skips
-      tokenize: String = "none")
+      tokenize: String = "none",
+      // "write" additionally emits <out>/profile.parquet — the b19
+      // sketch profile of the WRITTEN corpus (per-column nulls,
+      // distincts, min/max, sketch-health predicate); the run FAILS if
+      // any column's sketch leaves its ±5% envelope; "none" skips
+      profile: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
     "--scrub-span", "--scrub-min-docs", "--media", "--mix", "--ppl",
-    "--shuffle", "--chunks", "--tokenize")
+    "--shuffle", "--chunks", "--tokenize", "--profile")
 
   /** `--media dedup` = all three modalities; `--media dedup=image,audio`
     * selects a subset. Empty for anything malformed — the parse require
@@ -156,6 +164,7 @@ object PrepMain {
         case "--shuffle" => o = o.copy(shuffle = v)
         case "--chunks" => o = o.copy(chunks = v)
         case "--tokenize" => o = o.copy(tokenize = v)
+        case "--profile" => o = o.copy(profile = v)
       }
       i += 2
     }
@@ -184,6 +193,8 @@ object PrepMain {
       s"--chunks must be write|none, got ${o.chunks}")
     require(Set("bpe", "none")(o.tokenize),
       s"--tokenize must be bpe|none, got ${o.tokenize}")
+    require(Set("write", "none")(o.profile),
+      s"--profile must be write|none, got ${o.profile}")
     // only meaningful when the scrub stage actually runs (the --dedup-tau
     // convention): k = 1 would excise every repeated TOKEN, min-docs = 1
     // every document
@@ -549,6 +560,24 @@ object PrepMain {
             .head().getLong(0))
       case _ => Map.empty
     }
+    // -- stage 8: post-write profile (b19 core, optional) ------------------
+    // The nightly-audit step: profile the WRITTEN corpus with the sketch
+    // pass (one Expand-free scan at scale) and FAIL the run if any
+    // column's sketch leaves its accuracy envelope — a drifting sketch in
+    // the artifact a downstream mixer reads is a silent-corruption risk.
+    val profileCounts: Map[String, Long] = opts.profile match {
+      case "write" =>
+        val profCols = Seq("doc_id", "lang", "source", "n_chars")
+        graft.ops.EtlOps.profileSketchFrame(written, profCols)
+          .write.mode("overwrite").parquet(s"${opts.out}/profile.parquet")
+        val pr = spark.read.parquet(s"${opts.out}/profile.parquet")
+        val healthy = pr.filter(col("within_5pct")).count()
+        require(healthy == profCols.length,
+          s"profile sketch-health: $healthy of ${profCols.length} columns " +
+            "inside the 5% envelope — refusing to certify the corpus")
+        Map("n_profile_cols" -> healthy)
+      case _ => Map.empty
+    }
     val manifest: Map[String, Long] = Map(
       "n_input" -> nInput,
       "n_quality_kept" -> nQualityKept,
@@ -557,7 +586,8 @@ object PrepMain {
       "n_dup_members_corpus" -> dupDrops.count(),
       "n_contaminated_corpus" -> decontamDrops.count(),
       "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts ++
-      mediaCounts ++ pplCounts ++ mixCounts ++ chunkCounts ++ tokenCounts
+      mediaCounts ++ pplCounts ++ mixCounts ++ chunkCounts ++ tokenCounts ++
+      profileCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))

@@ -651,28 +651,35 @@ object EtlOps {
     * gate, not just a unit test. rsd 0.01 against a 5% gate = 5 standard
     * deviations (e4's argument).
     */
+  /** The full b19 frame over any table: sketch pass + exact-distinct
+    * anchor + ±5% predicate, unpivoted to a row per column. Shared by
+    * the gated key and PrepMain's `--profile` stage.
+    */
+  private[graft] def profileSketchFrame(df: org.apache.spark.sql.DataFrame,
+      profCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val sketch = profileSketchAgg(df, profCols)
+    val exactAggs = profCols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
+    val exact = df.agg(exactAggs.head, exactAggs.tail: _*)
+    sketch.crossJoin(exact)
+      .select(col("n_rows"), explode(array(profCols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"${c}__nn").as("nn"),
+        col(s"${c}__nd").as("n_distinct"),
+        (abs(col(s"${c}__ad") - col(s"${c}__nd")).cast(DoubleType) <=
+          lit(0.05) * col(s"${c}__nd").cast(DoubleType)).as("within_5pct"),
+        col(s"${c}__min").as("min_str"),
+        col(s"${c}__max").as("max_str"))): _*)).as("p"))
+      .select(col("p.column_name"), col("n_rows"),
+        (col("n_rows") - col("p.nn")).as("n_null"),
+        col("p.n_distinct"), col("p.within_5pct"),
+        col("p.min_str"), col("p.max_str"))
+      .orderBy("column_name")
+  }
+
   val b19_profile_sketch = {
     val profCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
     OpQuery(
-      (s, d) => {
-        val sketch = profileSketchAgg(t(s, d, "orders"), profCols)
-        val exactAggs = profCols.map(c => countDistinct(col(c)).as(s"${c}__nd"))
-        val exact = t(s, d, "orders").agg(exactAggs.head, exactAggs.tail: _*)
-        sketch.crossJoin(exact)
-          .select(col("n_rows"), explode(array(profCols.map(c => struct(
-            lit(c).as("column_name"),
-            col(s"${c}__nn").as("nn"),
-            col(s"${c}__nd").as("n_distinct"),
-            (abs(col(s"${c}__ad") - col(s"${c}__nd")).cast(DoubleType) <=
-              lit(0.05) * col(s"${c}__nd").cast(DoubleType)).as("within_5pct"),
-            col(s"${c}__min").as("min_str"),
-            col(s"${c}__max").as("max_str"))): _*)).as("p"))
-          .select(col("p.column_name"), col("n_rows"),
-            (col("n_rows") - col("p.nn")).as("n_null"),
-            col("p.n_distinct"), col("p.within_5pct"),
-            col("p.min_str"), col("p.max_str"))
-          .orderBy("column_name")
-      },
+      (s, d) => profileSketchFrame(t(s, d, "orders"), profCols),
       profCols.map { c =>
         s"""SELECT '$c' AS column_name, count(*) AS n_rows,
            |  count(*) - count($c) AS n_null,

@@ -310,6 +310,28 @@ class PrepPipelineSpec extends SparkTestBase {
       "fixture kept set has no duplicated spans (vacuous scrub test)")
   }
 
+  test("--profile write certifies the written corpus with the b19 sketch core") {
+    val outP = Util.scratch("prep_out_profile")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outP, "minhash",
+      profile = "write"))
+    assert(m("n_profile_cols") == 4L)
+    val pr = spark.read.parquet(s"$outP/profile.parquet")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(pr.keySet == Set("doc_id", "lang", "source", "n_chars"))
+    // every row profiles the WRITTEN corpus and is sketch-healthy
+    val written = spark.read.parquet(s"$outP/documents.parquet")
+    val n = written.count()
+    pr.foreach { case (c, r) =>
+      assert(r.getLong(1) == n, s"$c n_rows != written corpus size")
+      assert(r.getBoolean(4), s"$c sketch outside the 5% envelope")
+      val truth = written.agg(
+        org.apache.spark.sql.functions.countDistinct(col(c))).head().getLong(0)
+      assert(r.getLong(3) == truth, s"$c exact anchor diverges")
+    }
+    // doc_id is the kept set's key: distinct == rows, nulls == 0
+    assert(pr("doc_id").getLong(3) == n && pr("doc_id").getLong(2) == 0L)
+  }
+
   test("--shuffle hash attaches the i51 training order: a dense shuffled permutation") {
     pipelineRan()
     val outS = Util.scratch("prep_out_shuffle")
