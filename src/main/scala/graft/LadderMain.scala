@@ -285,6 +285,14 @@ object LadderMain {
       } else {
         replicated.write.mode("overwrite").parquet(s"$dir/$table.parquet")
       }
+      if (family == "stream") {
+        // j20's index + query stream ride embeddings — copy through
+        // UNREPLICATED (the family's scale axis is the documents stream;
+        // j20's rung measures the harness at a FIXED index, so it must
+        // stay flat like the other fixed-fixture rows)
+        Tables.t(spark, sfDir, "embeddings")
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      }
       if (family == "rel") {
         // dims copy through UNREPLICATED — the fact-grows/dims-don't shape
         Seq("orders", "nation").foreach { dim =>
