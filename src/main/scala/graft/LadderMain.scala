@@ -176,7 +176,9 @@ object LadderMain {
       "d23_xmatch_auto" -> SparkEntry.queries("d23_xmatch_auto"),
       // r9: epoch propagation — a narrow map fused into A's scan, so its
       // rung must track d18's within the propagation's noise
-      "d24_xmatch_epoch" -> SparkEntry.queries("d24_xmatch_epoch"))
+      "d24_xmatch_epoch" -> SparkEntry.queries("d24_xmatch_epoch"),
+      // r9: per-source radius — d18's candidates, a CASE-literal refine
+      "d25_xmatch_varradius" -> SparkEntry.queries("d25_xmatch_varradius"))
 
   /** fits family (r7, the r5 judge's #8 carried over): the FITS read
     * paths — plain BINTABLE (a7), gzip member (a17), tile-compressed
@@ -211,7 +213,10 @@ object LadderMain {
       // r9: the parallel compressed-image EXPORT (write is the op):
       // two full passes over the frame (sizes + write) — must stay
       // linear in height with the shuffle carrying rows exactly once
-      "a28_fits_image_tiled_sink")
+      "a28_fits_image_tiled_sink",
+      // r9: the lossy-quantized float reader — a27's cost shape plus
+      // the per-tile ZSCALE/ZZERO record reads; must track a27
+      "a29_fits_image_qfloat")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {

@@ -497,10 +497,14 @@ object FitsFormat {
     */
   final case class TiledImageSpec(zbitpix: Int, width: Long, height: Long,
       tileRows: Int, cmpType: String, bscale: Double, bzero: Double,
-      blank: Option[Long], dataOffset: Long, nTiles: Long, theap: Long) {
+      blank: Option[Long], dataOffset: Long, nTiles: Long, theap: Long,
+      recordBytes: Int = 8, quant: Boolean = false) {
     def bytesPerPx: Int = math.abs(zbitpix) / 8
-    /** Byte offset of tile t's (length, heapOffset) 1PB descriptor. */
-    def descOffset(t: Long): Long = dataOffset + t * 8
+    /** Byte offset of tile t's stored record — the (length, heapOffset)
+      * 1PB descriptor, followed in the QUANTIZED layout by that tile's
+      * ZSCALE and ZZERO doubles (record = 8 + 16 bytes).
+      */
+    def descOffset(t: Long): Long = dataOffset + t * recordBytes
     def heapStart: Long = dataOffset + theap
     /** Image rows in tile t (the last band may be short). */
     def rowsInTile(t: Long): Int =
@@ -523,11 +527,20 @@ object FitsFormat {
       s"tile accounting: NAXIS2=$nTiles stored tiles for height $height at ZTILE2=$tileRows")
     val theap = cards.get("THEAP").map(_.toLong)
       .getOrElse(cards("NAXIS1").toLong * nTiles)
+    val recordBytes = cards("NAXIS1").toInt
+    // the lossy-quantized float layout (fpack's float default): the
+    // stored row carries per-tile ZSCALE/ZZERO doubles beside the data
+    // descriptor, and ZQUANTIZ names the (dither-free) quantizer
+    val quant = cards.get("ZQUANTIZ").exists(_.trim.nonEmpty)
+    require(recordBytes == (if (quant) 24 else 8),
+      s"tiled image record: NAXIS1=$recordBytes for quant=$quant " +
+        "(supported layouts: [1PB] and [1PB, ZSCALE 1D, ZZERO 1D])")
     TiledImageSpec(cards("ZBITPIX").toInt, width, height, tileRows,
       cards("ZCMPTYPE").trim,
       cards.get("BSCALE").map(_.toDouble).getOrElse(1.0),
       cards.get("BZERO").map(_.toDouble).getOrElse(0.0),
-      cards.get("ZBLANK").map(_.trim.toLong), dataOffset, nTiles, theap)
+      cards.get("ZBLANK").map(_.trim.toLong), dataOffset, nTiles, theap,
+      recordBytes, quant)
   }
 
   /** Locates the n-th tile-compressed IMAGE HDU (a BINTABLE extension

@@ -1018,6 +1018,113 @@ object FitsWriter {
     } finally out.close()
   }
 
+  /** Lossy-QUANTIZED float compressed image — fpack's float DEFAULT
+    * (RICE needs integers, so floats quantize per tile first): tile t
+    * stores q = floor((v − ZZERO_t)/ZSCALE_t + 0.5) rice-coded, with
+    * that tile's ZSCALE/ZZERO as per-row table columns beside the 1PB
+    * descriptor and ZBLANK = −1 marking NaN pixels (q ≥ 0 for every
+    * real pixel, so −1 is outside the code range). The quantizer here
+    * is dither-free with CLOSED-FORM tile parameters — ZZERO = tile
+    * min, ZSCALE = (max − min)/16383 (16,384 levels, |err| ≤ ZSCALE/2)
+    * — every step an exactly-rounded IEEE op on exact quarter-integer
+    * inputs, so writer, reader and the DuckDB oracle derive
+    * bit-identical decoded values (the i61 determinism argument on the
+    * storage axis). Driver-side fixture synthesizer, like
+    * writeImageFits; the parallel path is the a29 reader's tile splits.
+    */
+  def writeQuantizedImageFits(path: String, width: Int, height: Long,
+      tileRows: Int): Unit = {
+    require(tileRows > 0, s"tileRows must be positive, got $tileRows")
+    val nTiles = ((height + tileRows - 1) / tileRows).toInt
+    def tile(t: Int): (Array[Byte], Double, Double) = {
+      val y0 = t.toLong * tileRows
+      val rows = math.min(tileRows.toLong, height - y0).toInt
+      val v = new Array[Double](rows * width)
+      val valid = new Array[Boolean](rows * width)
+      var vmin = Double.MaxValue; var vmax = -Double.MaxValue
+      var i = 0
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < width) {
+          val raw = imageRaw(x, y0 + y)
+          if (raw != 250) {
+            val d = (raw / 4.0f).toDouble // exact quarter-integer
+            v(i) = d; valid(i) = true
+            if (d < vmin) vmin = d
+            if (d > vmax) vmax = d
+          }
+          x += 1; i += 1
+        }
+        y += 1
+      }
+      require(vmin <= vmax, s"tile $t has no valid pixel (all-NaN tile unsupported)")
+      val zscale = if (vmax == vmin) 1.0 else (vmax - vmin) / 16383.0
+      val q = new Array[Long](rows * width)
+      i = 0
+      while (i < q.length) {
+        q(i) = if (valid(i)) math.floor((v(i) - vmin) / zscale + 0.5).toLong
+          else -1L
+        i += 1
+      }
+      (TileCodec.encodeCell("GRAFT_RICE_1", TileCodec.longsToBytes(q, 2), 2),
+        zscale, vmin)
+    }
+    val tiles = Array.tabulate(nTiles)(tile)
+    val pcount = tiles.foldLeft(0L)(_ + _._1.length)
+    val varMax = tiles.foldLeft(0)((m, t) => math.max(m, t._1.length))
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    var written = 0L
+    def w(b: Array[Byte]): Unit = { out.write(b); written += b.length }
+    def padBlock(fill: Byte): Unit = {
+      val rem = ((FitsFormat.BlockSize - written % FitsFormat.BlockSize)
+        % FitsFormat.BlockSize).toInt
+      out.write(Array.fill(rem)(fill)); written += rem
+    }
+    try {
+      w(card("SIMPLE", "T", quote = false))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "0", quote = false))
+      w(endCard); padBlock(' '.toByte)
+      w(card("XTENSION", "BINTABLE", quote = true))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "2", quote = false))
+      w(card("NAXIS1", "24", quote = false))
+      w(card("NAXIS2", nTiles.toString, quote = false))
+      w(card("PCOUNT", pcount.toString, quote = false))
+      w(card("GCOUNT", "1", quote = false))
+      w(card("TFIELDS", "3", quote = false))
+      w(card("TTYPE1", "COMPRESSED_DATA", quote = true))
+      w(card("TFORM1", s"1PB($varMax)", quote = true))
+      w(card("TTYPE2", "ZSCALE", quote = true))
+      w(card("TFORM2", "1D", quote = true))
+      w(card("TTYPE3", "ZZERO", quote = true))
+      w(card("TFORM3", "1D", quote = true))
+      w(card("ZIMAGE", "T", quote = false))
+      w(card("ZCMPTYPE", "GRAFT_RICE_1", quote = true))
+      w(card("ZBITPIX", "-32", quote = false))
+      w(card("ZNAXIS", "2", quote = false))
+      w(card("ZNAXIS1", width.toString, quote = false))
+      w(card("ZNAXIS2", height.toString, quote = false))
+      w(card("ZTILE1", width.toString, quote = false))
+      w(card("ZTILE2", tileRows.toString, quote = false))
+      w(card("ZQUANTIZ", "NO_DITHER", quote = true))
+      w(card("ZBLANK", "-1", quote = false))
+      w(endCard); padBlock(' '.toByte)
+      var off = 0L
+      val rec = ByteBuffer.allocate(24)
+      tiles.foreach { case (blob, zscale, zzero) =>
+        rec.clear()
+        rec.putInt(blob.length); rec.putInt(off.toInt)
+        rec.putDouble(zscale); rec.putDouble(zzero)
+        w(rec.array().clone()); off += blob.length
+      }
+      tiles.foreach(t => w(t._1))
+      padBlock(0)
+    } finally out.close()
+  }
+
   /** One block-padded compressed-image (ZIMAGE=T) BINTABLE extension
     * header — shared by the driver-side fixture writer and the
     * executor-side export.

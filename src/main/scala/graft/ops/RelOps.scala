@@ -1293,6 +1293,65 @@ object RelOps {
          |ORDER BY a_id, b_id""".stripMargin
     })
 
+  /** Variable-radius pair core: blocking at the MAX radius (the 2°
+    * production table — a lossless covering for every per-source radius
+    * ≤ 2°), refine against the PER-SOURCE threshold. The thresholds are
+    * compile-time literals of the shared polynomial (SphereSql
+    * .varThreshold), so no per-row trig runs in either engine and the
+    * accept decision is bit-deterministic.
+    */
+  private[graft] def sphereXmatchPairsVarRadius(a: DataFrame,
+      b: DataFrame): DataFrame =
+    sphereCandidates(a, b, sphereZoneCells, 2000L)
+      .withColumn("h", graft.functions.SphereFunctions.haversine(
+        col("ra_a"), col("dec_a"), col("ra_b"), col("dec_b")))
+      .where(expr(s"h <= ${SphereSql.varThreshold("a_id")}"))
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(floor(h * 1.0E12) AS BIGINT)").as("dist2q"))
+
+  /** d25: VARIABLE-radius crossmatch — real catalogs carry per-source
+    * positional errors, so the archive query is "match within EACH
+    * source's own error circle", not one global radius (d18/d21 both
+    * fix sep per call). Per-source radius class = a_id mod 3 →
+    * {0.5°, 1°, 2°}; blocking stays the 2° zones covering (lossless
+    * for every smaller radius — candidates are a superset, the refine
+    * decides membership), and the refine compares the compiled
+    * haversine against a three-literal CASE, so the per-row cost is
+    * d18's plus one branch. Scale shape identical to d18: same
+    * candidate volume, same equi-join. Oracle = brute force with the
+    * same CASE thresholds; the fuzz spec proves the result sits
+    * strictly between the all-0.5° and all-2° match sets (non-vacuous
+    * per class) and equals brute force on random pole/seam catalogs.
+    */
+  val d25_xmatch_varradius = OpQuery(
+    (s, d) => {
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      val a = t(s, d, "customer").select(col("c_custkey").as("a_id"),
+        expr(raA).as("ra_a"), expr(decA).as("dec_a"))
+      val b = t(s, d, "supplier").select(col("s_suppkey").as("b_id"),
+        expr(raB).as("ra_b"), expr(decB).as("dec_b"))
+      sphereXmatchPairsVarRadius(a, b).orderBy("a_id", "b_id")
+    },
+    {
+      val (raA, decA) = SphereSql.catalog("c_custkey")
+      val (raB, decB) = SphereSql.catalog("s_suppkey")
+      s"""WITH a AS (SELECT c_custkey AS a_id, $raA AS ra_a, $decA AS dec_a
+         |  FROM customer),
+         |b AS (SELECT s_suppkey AS b_id, $raB AS ra_b, $decB AS dec_b
+         |  FROM supplier),
+         |p AS (SELECT a_id, b_id,
+         |    ${SphereSql.sinHalf("dec_a - dec_b")} AS sd,
+         |    ${SphereSql.sinHalf("least(abs(ra_a - ra_b), 360000 - abs(ra_a - ra_b))")} AS sl,
+         |    ${SphereSql.cosClamped("dec_a")} AS ca,
+         |    ${SphereSql.cosClamped("dec_b")} AS cb
+         |  FROM a CROSS JOIN b),
+         |q AS (SELECT a_id, b_id, ${SphereSql.Combine} AS h FROM p)
+         |SELECT a_id, b_id, CAST(floor(h * 1.0E12) AS BIGINT) AS dist2q
+         |FROM q WHERE h <= ${SphereSql.varThreshold("a_id")}
+         |ORDER BY a_id, b_id""".stripMargin
+    })
+
   // ---------------------------------------------------------------- G group
 
   /** Multi-key sort with an explicit nulls-first column (nulls fabricated
@@ -1594,6 +1653,7 @@ object RelOps {
     "d22_xmatch_eqarea" -> d22_xmatch_eqarea,
     "d23_xmatch_auto" -> d23_xmatch_auto,
     "d24_xmatch_epoch" -> d24_xmatch_epoch,
+    "d25_xmatch_varradius" -> d25_xmatch_varradius,
     "g1_sort_multi" -> g1_sort_multi,
     "g2_limit_topk" -> g2_limit_topk,
     "g3_union_all" -> g3_union_all,
@@ -1669,6 +1729,24 @@ private[graft] object SphereSql {
     * ON the threshold in both engines.
     */
   val Threshold: String = { val st = sinHalf("2000"); s"($st * $st)" }
+
+  /** Per-source accept threshold for the variable-radius crossmatch
+    * (d25): radius class = key mod 3 → sep ∈ {500, 1000, 2000} mdeg,
+    * each rendered as the SAME %.17E literal both engines parse to the
+    * identical double (the thresholds are compile-time constants of the
+    * shared polynomial — no per-row trig in either engine).
+    */
+  def varThreshold(key: String): String = {
+    def t(m: Double): String = { val st = sinHalfD(m); dlit(st * st) }
+    s"(CASE WHEN ($key) % 3 = 0 THEN ${t(500.0)} " +
+      s"WHEN ($key) % 3 = 1 THEN ${t(1000.0)} ELSE ${t(2000.0)} END)"
+  }
+
+  /** Plain-Scala mirror of `varThreshold` (spec brute force). */
+  def varThresholdD(k: Long): Double = {
+    val m = (k % 3) match { case 0 => 500.0; case 1 => 1000.0; case _ => 2000.0 }
+    val st = sinHalfD(m); st * st
+  }
 
   /** The shared planted-catalog construction (ra_m, dec_m) from an
     * integer key column: key ≡ 3 (mod 97) lands in the 89–90° polar cap

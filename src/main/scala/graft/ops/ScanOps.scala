@@ -729,6 +729,101 @@ object ScanOps {
       |  CAST(max(2 * raw + 100) FILTER (WHERE raw <> 250) AS BIGINT) AS max_q
       |FROM v GROUP BY y ORDER BY hdu, y""".stripMargin)
 
+  /** a29: lossy-QUANTIZED float compressed image (fpack's float
+    * DEFAULT — RICE is integer-only, so real archives quantize floats
+    * per tile and rice-code the ints): tile t stores
+    * q = floor((v − ZZERO_t)/ZSCALE_t + 0.5) with its ZSCALE/ZZERO as
+    * table columns beside the 1PB descriptor (the public convention's
+    * layout) and ZBLANK = −1 marking NaN pixels. Lossy — yet still
+    * HASH-GATED: the quantizer's tile parameters are closed-form
+    * (ZZERO = tile min, ZSCALE = range/16383) and every step is an
+    * exactly-rounded IEEE op on exact quarter-integer inputs, so the
+    * oracle recomputes the identical quantize→decode chain and the
+    * emitted floor(v·10⁶) stats match bit-for-bit — a wrong ZSCALE
+    * column read, sign-extension bug, or NaN-sentinel mix-up is a hash
+    * mismatch, not silent quality loss. Tile-boundary splits exactly
+    * like a27; per-tile records are 24 bytes (desc + 2 doubles).
+    */
+  val a29_fits_image_qfloat = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val height = t(s, d, "documents").count() // fixture size, not data
+      val tileRows = 64
+      // build-once scaffolding (r8 #7): the op under test is the READER
+      val path = graft.Util.fixtureOnce(
+        s"survey_qfloat_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeQuantizedImageFits(p, 64, height, tileRows))
+      val nTiles = (height + tileRows - 1) / tileRows
+      s.range(0, nTiles, 1, 8).mapPartitions { ts =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
+          require(sp.quant, "a29 expects the quantized record layout")
+          val rec = new Array[Byte](sp.recordBytes)
+          ts.flatMap { tIdx =>
+            raf.seek(sp.descOffset(tIdx))
+            raf.readFully(rec)
+            val rb = java.nio.ByteBuffer.wrap(rec)
+            val blobLen = rb.getInt(0)
+            val heapOff = rb.getInt(4).toLong
+            val zscale = rb.getDouble(8)
+            val zzero = rb.getDouble(16)
+            val blob = new Array[Byte](blobLen)
+            raf.seek(sp.heapStart + heapOff)
+            raf.readFully(blob)
+            val rows = sp.rowsInTile(tIdx)
+            val w = sp.width.toInt
+            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+              rows * w, 2) // quantized codes are int16
+            val bb = java.nio.ByteBuffer.wrap(raw)
+            (0 until rows).map { ry =>
+              val y = tIdx * sp.tileRows + ry
+              var n = 0L; var sum = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var x = 0
+              while (x < w) {
+                val q = bb.getShort((ry * w + x) * 2).toLong
+                if (!sp.blank.contains(q)) {
+                  val v = zzero + q.toDouble * zscale // the decode rule
+                  val q6 = math.floor(v * 1.0e6).toLong // exact-IEEE gate
+                  n += 1; sum += q6
+                  if (q6 < mn) mn = q6
+                  if (q6 > mx) mx = q6
+                }
+                x += 1
+              }
+              (y, n, sum, mn, mx)
+            }
+          }.toVector.iterator
+        } finally raf.close()
+      }.toDF("y", "n_valid", "sum_q6", "min_q6", "max_q6")
+        .orderBy("y")
+    },
+    """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
+      |ys AS (SELECT unnest(range(0, (SELECT h FROM b))) AS y),
+      |xs AS (SELECT unnest(range(0, 64)) AS x),
+      |px AS (SELECT y, x, (3 * y + 5 * x + 7) % 251 AS raw
+      |       FROM ys CROSS JOIN xs),
+      |tp AS (SELECT y // 64 AS t,
+      |         min(raw / 4.0) FILTER (WHERE raw <> 250) AS zzero,
+      |         max(raw / 4.0) FILTER (WHERE raw <> 250) AS vmax
+      |       FROM px GROUP BY 1),
+      |ts AS (SELECT t, zzero,
+      |         CASE WHEN vmax = zzero THEN 1.0
+      |              ELSE (vmax - zzero) / 16383.0 END AS zscale FROM tp),
+      |qd AS (SELECT y,
+      |         CASE WHEN raw = 250 THEN NULL
+      |              ELSE zzero + floor((raw / 4.0 - zzero) / zscale + 0.5)
+      |                   * zscale END AS v
+      |       FROM px JOIN ts ON ts.t = y // 64)
+      |SELECT CAST(y AS BIGINT) AS y,
+      |  CAST(count(v) AS BIGINT) AS n_valid,
+      |  CAST(sum(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_q6,
+      |  CAST(min(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS min_q6,
+      |  CAST(max(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS max_q6
+      |FROM qd GROUP BY y ORDER BY y""".stripMargin)
+
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
     * round-tripped through FitsWriter. A 12-bit mask (packed MSB-first
@@ -1149,6 +1244,7 @@ object ScanOps {
     "a20_fits_image_cutout" -> a20_fits_image_cutout,
     "a27_fits_image_tiled" -> a27_fits_image_tiled,
     "a28_fits_image_tiled_sink" -> a28_fits_image_tiled_sink,
+    "a29_fits_image_qfloat" -> a29_fits_image_qfloat,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

@@ -480,6 +480,47 @@ class RelGeomFuzzSpec extends SparkTestBase {
       p < -90000 || p > 90000 }, "no pole clamp exercised")
   }
 
+  test("d25 variable radius: equals brute force; strictly between all-0.5° and all-2° sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260822L)
+    def randCat(n: Int, tag: Long): Seq[(Long, Long, Long)] = (1 to n).map { i =>
+      val ra = if (i % 5 == 0) (358000L + rnd.nextLong(4000L)) % 360000L
+        else rnd.nextLong(360000L)
+      val dec = rnd.nextInt(3) match {
+        case 0 => (86000L + rnd.nextLong(4001L)) *
+          (if (rnd.nextBoolean()) 1 else -1)
+        case _ => rnd.nextLong(180001L) - 90000L
+      }
+      (tag + i, ra, dec.max(-90000L).min(90000L))
+    }
+    val aRows = randCat(250, 0L)
+    val bRows = randCat(180, 10000L) ++ aRows.take(10)
+      .map { case (id, ra, dec) => (id + 20000L, ra, dec) }
+    val a = aRows.toDF("a_id", "ra_a", "dec_a")
+    val b = bRows.toDF("b_id", "ra_b", "dec_b")
+    val got = RelOps.sphereXmatchPairsVarRadius(a, b).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def brute(thr: Long => Double) = (for {
+      (ai, raa, deca) <- aRows; (bi, rab, decb) <- bRows
+      if SphereSql.haversineD(raa, deca, rab, decb) <= thr(ai)
+    } yield (ai, bi)).toSet
+    val expect = brute(SphereSql.varThresholdD)
+    assert(got == expect, s"var-radius: got ${got.size}, expect ${expect.size}, " +
+      s"missing ${(expect -- got).take(3)}, extra ${(got -- expect).take(3)}")
+    // sandwich: tighter than the global 2° set, looser than the global
+    // 0.5° set, and STRICTLY so (each radius class is non-vacuous)
+    val t05 = { val st = SphereSql.sinHalfD(500.0); st * st }
+    val all2 = brute(_ => SphereSql.ThresholdD)
+    val all05 = brute(_ => t05)
+    assert(all05.subsetOf(expect) && expect.subsetOf(all2))
+    assert(expect != all05 && expect != all2,
+      s"vacuous d25 fixture: var ${expect.size}, 0.5° ${all05.size}, 2° ${all2.size}")
+    // every radius class contributes at least one accepted pair
+    (0L to 2L).foreach { c =>
+      assert(expect.exists(_._1 % 3 == c), s"radius class $c matched nothing")
+    }
+  }
+
   test("d22 equal-area tables: minCells floor holds, probes cover each ring, areas balance") {
     Seq((2000L, 2000L, 8L), (1000L, 500L, 8L), (4500L, 4500L, 4L)).foreach {
       case (h, sep, mc) =>

@@ -369,6 +369,56 @@ class TiledFitsSpec extends SparkTestBase {
     assert(fails(wide))
   }
 
+  test("a29: quantized floats decode within ZSCALE/2 of truth; layout self-describes") {
+    val p = Util.scratch("qfloat_rt.fits")
+    FitsWriter.writeQuantizedImageFits(p, 32, 200L, tileRows = 64)
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      raf.seek(0)
+      val sp = FitsFormat.locateTiledImage(raf, 0)
+      assert(sp.quant && sp.recordBytes == 24 && sp.zbitpix == -32 &&
+        sp.blank.contains(-1L) && sp.cmpType == "GRAFT_RICE_1")
+      var worst = 0.0
+      (0L until sp.nTiles).foreach { t =>
+        val rec = new Array[Byte](24)
+        raf.seek(sp.descOffset(t)); raf.readFully(rec)
+        val rb = java.nio.ByteBuffer.wrap(rec)
+        val blob = new Array[Byte](rb.getInt(0))
+        val zscale = rb.getDouble(8); val zzero = rb.getDouble(16)
+        raf.seek(sp.heapStart + rb.getInt(4)); raf.readFully(blob)
+        val n = sp.rowsInTile(t)
+        val raw = TileCodec.decodeCell(sp.cmpType, blob, n * 32, 2)
+        val bb = java.nio.ByteBuffer.wrap(raw)
+        (0 until n * 32).foreach { i =>
+          val y = t * sp.tileRows + i / 32
+          val truth = FitsWriter.imageRaw(i % 32, y)
+          val q = bb.getShort(i * 2).toLong
+          if (truth == 250) assert(q == -1L, s"NaN pixel not ZBLANK at ($i, $y)")
+          else {
+            // the LOSSY guarantee: |decoded − v| ≤ ZSCALE/2, and codes
+            // stay inside the 14-bit level range
+            assert(q >= 0 && q <= 16383, s"code $q outside the level range")
+            val v = (truth / 4.0f).toDouble
+            val dec = zzero + q.toDouble * zscale
+            val err = math.abs(dec - v)
+            assert(err <= zscale / 2 + 1e-12, s"err $err > zscale/2 ${zscale / 2}")
+            if (err > worst) worst = err
+          }
+        }
+      }
+      assert(worst > 0.0, "vacuous: quantizer introduced zero error everywhere")
+    } finally raf.close()
+    // the plain (non-quant) layout still locates beside it
+    val plainP = Util.scratch("qfloat_plain.fits")
+    FitsWriter.writeTiledImageFits(plainP, 32, 100L, 64)
+    val raf2 = new java.io.RandomAccessFile(plainP, "r")
+    try {
+      raf2.seek(0)
+      val sp2 = FitsFormat.locateTiledImage(raf2, 0)
+      assert(!sp2.quant && sp2.recordBytes == 8)
+    } finally raf2.close()
+  }
+
   test("the standard RICE_1 label is rejected, not silently mis-decoded") {
     // this engine's Rice layout is private (GRAFT_RICE_1); a genuine fpack
     // file carrying ZCTYP='RICE_1' must error, since Rice streams have no
