@@ -216,7 +216,10 @@ object LadderMain {
       "a28_fits_image_tiled_sink",
       // r9: the lossy-quantized float reader — a27's cost shape plus
       // the per-tile ZSCALE/ZZERO record reads; must track a27
-      "a29_fits_image_qfloat")
+      "a29_fits_image_qfloat",
+      // r9: the compressed cutout — bytes ∝ covering tiles, so the rung
+      // must stay ~flat like a20/a26 while the frame grows
+      "a30_fits_image_tiled_cutout")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {

@@ -729,6 +729,75 @@ object ScanOps {
       |  CAST(max(2 * raw + 100) FILTER (WHERE raw <> 250) AS BIGINT) AS max_q
       |FROM v GROUP BY y ORDER BY hdu, y""".stripMargin)
 
+  /** a30: cutout over the TILE-COMPRESSED image — the a20 cutout
+    * service running against the archive's compressed file (the form a
+    * real cutout service actually serves: fpack'd frames, decode on
+    * demand): rows y ∈ [h/4, h/2), columns x ∈ [16, 48) of a27's int16
+    * extension, but each partition decodes ONLY the row-band tiles
+    * that overlap the requested rows — bytes touched scale with the
+    * COVERING TILES, not the frame (a20's IO-minimality argument at
+    * tile granularity, the best a compressed layout can do: a tile is
+    * one compression unit). The oracle is a20's SQL VERBATIM, so the
+    * hash gate proves compressed and plain cutouts render the
+    * identical pixels — the d22 layout-independence trick completing
+    * the compressed-raster family (a27 read, a28 write, a29 lossy,
+    * a30 cutout).
+    */
+  val a30_fits_image_tiled_cutout = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val height = t(s, d, "documents").count()
+      val tileRows = 64
+      // shares a27's fixture (same planted file — build-once, r8 #7)
+      val path = graft.Util.fixtureOnce(
+        s"survey_ztiled_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeTiledImageFits(p, 64, height, tileRows))
+      val (y0, y1, x0, x1) = (height / 4, height / 2, 16, 48)
+      val t0 = y0 / tileRows
+      val t1 = (y1 - 1) / tileRows // inclusive: tiles covering [y0, y1)
+      s.range(t0, t1 + 1, 1, 4).mapPartitions { ts =>
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0) // int16 ext
+          val desc = new Array[Byte](8)
+          ts.flatMap { tIdx =>
+            raf.seek(sp.descOffset(tIdx))
+            raf.readFully(desc)
+            val db = java.nio.ByteBuffer.wrap(desc)
+            val blob = new Array[Byte](db.getInt(0))
+            raf.seek(sp.heapStart + db.getInt(4).toLong)
+            raf.readFully(blob)
+            val rows = sp.rowsInTile(tIdx)
+            val w = sp.width.toInt
+            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+              rows * w, sp.bytesPerPx)
+            val bb = java.nio.ByteBuffer.wrap(raw)
+            val yLo = math.max(y0, tIdx * sp.tileRows)
+            val yHi = math.min(y1, tIdx * sp.tileRows + rows)
+            (yLo until yHi).map { y =>
+              val ry = (y - tIdx * sp.tileRows).toInt
+              val px = (x0 until x1).map { x =>
+                val v = bb.getShort((ry * w + x) * 2).toLong
+                if (sp.blank.contains(v)) "null"
+                else (sp.bzero + sp.bscale * v).toLong.toString
+              }
+              (y, px.mkString(","))
+            }
+          }.toVector.iterator
+        } finally raf.close()
+      }.toDF("y", "px").orderBy("y")
+    },
+    // a20's oracle VERBATIM: compressed and plain cutouts must render
+    // the identical pixels
+    """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
+      |ys AS (SELECT unnest(range(h // 4, h // 2)) AS y FROM b)
+      |SELECT y, array_to_string(list_transform(range(16, 48),
+      |  x -> CASE WHEN (3 * y + 5 * x + 7) % 251 = 250 THEN 'null'
+      |            ELSE CAST(2 * ((3 * y + 5 * x + 7) % 251) + 100 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM ys ORDER BY y""".stripMargin)
+
   /** a29: lossy-QUANTIZED float compressed image (fpack's float
     * DEFAULT — RICE is integer-only, so real archives quantize floats
     * per tile and rice-code the ints): tile t stores
@@ -1245,6 +1314,7 @@ object ScanOps {
     "a27_fits_image_tiled" -> a27_fits_image_tiled,
     "a28_fits_image_tiled_sink" -> a28_fits_image_tiled_sink,
     "a29_fits_image_qfloat" -> a29_fits_image_qfloat,
+    "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

@@ -318,6 +318,15 @@ class TiledFitsSpec extends SparkTestBase {
     }, n = 40)
   }
 
+  test("a30: compressed cutout renders the SAME pixels as a20's plain cutout") {
+    // layout-independence on the cutout axis: both ops emit the same
+    // (y, px) dump, so collected results must match row-for-row
+    val plain = ops.ScanOps.a20_fits_image_cutout.fn(spark, sfDir).collect()
+    val tiled = ops.ScanOps.a30_fits_image_tiled_cutout.fn(spark, sfDir).collect()
+    assert(tiled.length == plain.length && tiled.length > 0)
+    assert(tiled.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
   test("a28: executor-side tiled-image export round-trips; writer refuses bad frames") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
