@@ -428,6 +428,111 @@ class TiledFitsSpec extends SparkTestBase {
     } finally raf2.close()
   }
 
+  test("locate walks skip each other's shapes in a MIXED archive file") {
+    // one file: header-only primary + plain IMAGE + tiled-image BINTABLE
+    // + quantized-image BINTABLE — the mixed-extension archive shape.
+    // Each locate function must find ITS extensions and walk over the
+    // others' (the ZIMAGE/XTENSION predicates, exercised side by side).
+    val p1 = Util.scratch("mix_plain.fits")
+    val p2 = Util.scratch("mix_tiled.fits")
+    val p3 = Util.scratch("mix_quant.fits")
+    FitsWriter.writeImageFits(p1, 16, 40L)       // primary + 2 plain IMAGE
+    FitsWriter.writeTiledImageFits(p2, 16, 40L, 8) // primary + 2 tiled
+    FitsWriter.writeQuantizedImageFits(p3, 16, 40L, 8) // primary + 1 quant
+    def bytes(p: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // strip the header-only primary (2880 B) when concatenating
+    val mixed = Util.scratch("mix_all.fits")
+    val out = java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(mixed))
+    try {
+      out.write(bytes(p1)) // primary + plain ext #0, #1
+      out.write(bytes(p2).drop(2880)) // tiled ext #0, #1
+      out.write(bytes(p3).drop(2880)) // quant ext (a tiled-image too)
+    } finally out.close()
+    val raf = new java.io.RandomAccessFile(mixed, "r")
+    try {
+      raf.seek(0)
+      val plain0 = FitsFormat.locateImage(raf, 0)
+      assert(plain0.bitpix == 16 && plain0.height == 40L)
+      raf.seek(0)
+      val plain1 = FitsFormat.locateImage(raf, 1)
+      assert(plain1.bitpix == -32)
+      raf.seek(0)
+      intercept[IllegalArgumentException](FitsFormat.locateImage(raf, 2))
+      // tiled walk: finds the two ZTABLE-free ZIMAGE bintables from p2,
+      // then p3's quantized one as tiled image #2
+      raf.seek(0)
+      val t0 = FitsFormat.locateTiledImage(raf, 0)
+      assert(t0.zbitpix == 16 && !t0.quant && t0.cmpType == "GRAFT_RICE_1")
+      raf.seek(0)
+      val t1 = FitsFormat.locateTiledImage(raf, 1)
+      assert(t1.zbitpix == -32 && !t1.quant && t1.cmpType == "GZIP_2")
+      raf.seek(0)
+      val t2 = FitsFormat.locateTiledImage(raf, 2)
+      assert(t2.quant && t2.recordBytes == 24 && t2.blank.contains(-1L))
+      raf.seek(0)
+      intercept[IllegalArgumentException](FitsFormat.locateTiledImage(raf, 3))
+      // and a tile from the DEEPEST extension decodes to the closed form
+      val rec = new Array[Byte](24)
+      raf.seek(t2.descOffset(1)); raf.readFully(rec)
+      val rb = java.nio.ByteBuffer.wrap(rec)
+      val blob = new Array[Byte](rb.getInt(0))
+      val zscale = rb.getDouble(8); val zzero = rb.getDouble(16)
+      raf.seek(t2.heapStart + rb.getInt(4)); raf.readFully(blob)
+      val n = t2.rowsInTile(1)
+      val raw = TileCodec.decodeCell(t2.cmpType, blob, n * 16, 2)
+      val bb = java.nio.ByteBuffer.wrap(raw)
+      (0 until n * 16).foreach { i =>
+        val truth = FitsWriter.imageRaw(i % 16, 1L * t2.tileRows + i / 16)
+        val q = bb.getShort(i * 2).toLong
+        if (truth == 250) assert(q == -1L)
+        else {
+          val dec = zzero + q.toDouble * zscale
+          assert(math.abs(dec - truth / 4.0) <= zscale / 2 + 1e-12)
+        }
+      }
+    } finally raf.close()
+  }
+
+  test("a29: quantizer round-trips at adversarial geometries (property)") {
+    val genCase = for {
+      height <- Gen.choose(1, 300)
+      tileRows <- Gen.oneOf(1, 5, 64, 400)
+      // width ≥ 2: at width 1 a 1-row tile CAN be all-sentinel (y ≡ 81
+      // mod 251 makes its only pixel NaN) and the writer rejects all-NaN
+      // tiles by design; with ≥ 2 pixels per row, x → raw is injective
+      // so a tile always keeps a valid pixel
+      width <- Gen.oneOf(2, 7, 16)
+    } yield (height, tileRows, width)
+    check(Prop.forAll(genCase) { case (height, tileRows, width) =>
+      val p = Util.scratch(s"qfloat_prop_${height}_${tileRows}_$width.fits")
+      FitsWriter.writeQuantizedImageFits(p, width, height.toLong, tileRows)
+      val raf = new java.io.RandomAccessFile(p, "r")
+      try {
+        raf.seek(0)
+        val sp = FitsFormat.locateTiledImage(raf, 0)
+        sp.quant && sp.height == height.toLong && (0L until sp.nTiles).forall { t =>
+          val rec = new Array[Byte](24)
+          raf.seek(sp.descOffset(t)); raf.readFully(rec)
+          val rb = java.nio.ByteBuffer.wrap(rec)
+          val blob = new Array[Byte](rb.getInt(0))
+          val zscale = rb.getDouble(8); val zzero = rb.getDouble(16)
+          raf.seek(sp.heapStart + rb.getInt(4)); raf.readFully(blob)
+          val n = sp.rowsInTile(t)
+          val raw = TileCodec.decodeCell(sp.cmpType, blob, n * width, 2)
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          (0 until n * width).forall { i =>
+            val truth = FitsWriter.imageRaw(i % width, t * sp.tileRows + i / width)
+            val q = bb.getShort(i * 2).toLong
+            if (truth == 250) q == -1L
+            else q >= 0 && q <= 16383 &&
+              math.abs(zzero + q.toDouble * zscale - truth / 4.0) <= zscale / 2 + 1e-12
+          }
+        }
+      } finally raf.close()
+    }, n = 30)
+  }
+
   test("the standard RICE_1 label is rejected, not silently mis-decoded") {
     // this engine's Rice layout is private (GRAFT_RICE_1); a genuine fpack
     // file carrying ZCTYP='RICE_1' must error, since Rice streams have no
