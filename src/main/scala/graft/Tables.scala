@@ -154,8 +154,8 @@ object Util {
     f.getAbsolutePath
   }
 
-  private val builtFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtFixtures = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[String]]()
 
   /** Build-once SCAFFOLDING fixture (r8 verdict #7): `build` runs the
     * first time `name` is requested in this JVM; later calls — the bench
@@ -164,16 +164,31 @@ object Util {
     * because the scratch root is per-PID and wiped at JVM start (no
     * cross-run staleness is possible) and every memoized fixture is a
     * deterministic function of (name ⊇ sfDir, code) — a rebuild within
-    * one JVM would be bit-identical. computeIfAbsent so a concurrent
-    * second caller blocks until the build completes rather than reading
-    * a torn artifact. ONLY for scaffolding: keys whose adjudicated cost
-    * IS the write/encode (a4/a6/a8/a9/a15/a16/a18/a21 sinks, m8's PNG
-    * encode) must keep paying it every rep — the per-key decisions are
-    * recorded in PERF.md.
+    * one JVM would be bit-identical. The build runs OUTSIDE the map's
+    * bin lock (r9 ADVICE): a future is claimed with putIfAbsent and the
+    * arbitrarily-long build — often a Spark job — completes it, so
+    * concurrent builds of different keys never serialize on a shared
+    * hash bin and a build that recursively requests another fixture
+    * cannot deadlock; a concurrent second caller of the SAME key blocks
+    * on the future rather than reading a torn artifact. A failed build
+    * retracts its claim so the error is not cached. ONLY for
+    * scaffolding: keys whose adjudicated cost IS the write/encode
+    * (a4/a6/a8/a9/a15/a16/a18/a21 sinks, m8's PNG encode) must keep
+    * paying it every rep — the per-key decisions are recorded in PERF.md.
     */
-  def fixtureOnce(name: String)(build: String => Unit): String =
-    builtFixtures.computeIfAbsent(name,
-      _ => { val p = scratch(name); build(p); p })
+  def fixtureOnce(name: String)(build: String => Unit): String = {
+    val claim = new java.util.concurrent.CompletableFuture[String]()
+    val prior = builtFixtures.putIfAbsent(name, claim)
+    if (prior != null) prior.join()
+    else {
+      try { val p = scratch(name); build(p); claim.complete(p); p }
+      catch { case e: Throwable =>
+        claim.completeExceptionally(e)
+        builtFixtures.remove(name, claim)
+        throw e
+      }
+    }
+  }
 
   /** Streams `src` through gzip into `dst` (bounded buffer, no whole-file
     * materialization) — the one definition behind every .fits.gz fixture.

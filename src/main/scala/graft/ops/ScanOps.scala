@@ -568,18 +568,57 @@ object ScanOps {
       |       END), ',') AS px
       |FROM zs CROSS JOIN ys ORDER BY z, y""".stripMargin)
 
+  /** Split count for a tile-compressed scan, derived from the DATA
+    * (r9 verdict #3 / next-round #5 — the a19 row-range convention on
+    * the tile axis): one task per ~1 MiB of decoded raster. The
+    * fixture's 64-px-wide tiles decode to 8-16 KiB, so small frames
+    * floor at min(totalTiles, 8) tasks (keep local[32] busy) while the
+    * grown ladder frames cross the byte target and split wider;
+    * production row-band tiles of survey frames run 0.5-4 MiB decoded,
+    * so the same rule lands at a few tiles per task there. The 4096
+    * cap bounds the LOCAL task count; a cluster deployment raises the
+    * per-task byte target (64-128 MiB) instead of leaning on the cap.
+    */
+  private[ops] def tileSplits(totalTiles: Long, tileBytes: Long): Int = {
+    val targetTaskBytes = 1L << 20
+    val byBytes = (totalTiles * math.max(1L, tileBytes) +
+      targetTaskBytes - 1) / targetTaskBytes
+    math.max(math.min(totalTiles, 8L), math.min(byBytes, 4096L)).toInt
+  }
+
   /** The a27/a28 read core: scan `nHdus` compressed-image extensions
     * with TILE-boundary splits — each partition locates the HDUs, then
     * positioned-reads ONLY its tiles' 1PB descriptors and heap blobs,
     * decodes each tile independently (TileCodec), applies BSCALE/BZERO/
     * ZBLANK (int) or NaN masking (float) and emits a19's per-row stats.
+    * Split count derives from tile count × decoded tile bytes (one
+    * driver-side header walk — `tileSplits`), and rows STREAM out per
+    * tile: the task owns the file handle via a completion listener (the
+    * FitsDataSource pattern), so no partition buffers its whole output
+    * (r9 verdict #3 retired the hard-coded 8 splits + `.toVector`).
     */
   private def tiledImageStats(s: SparkSession, path: String, nHdus: Int,
       nTiles: Long): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    s.range(0, nHdus.toLong * nTiles, 1, 8).mapPartitions { rs =>
+    val maxTileBytes = {
       val raf = new java.io.RandomAccessFile(path, "r")
-      try {
+      try (0 until nHdus).map { i =>
+        raf.seek(0)
+        val sp = graft.fits.FitsFormat.locateTiledImage(raf, i)
+        sp.tileRows.toLong * sp.width * sp.bytesPerPx
+      }.max finally raf.close()
+    }
+    val splits = tileSplits(nHdus.toLong * nTiles, maxTileBytes)
+    s.range(0, nHdus.toLong * nTiles, 1, splits).mapPartitions { rs =>
+      if (!rs.hasNext) Iterator.empty
+      else {
+        // opened lazily per non-empty split; mapPartitions always runs
+        // inside a task, so the completion listener closes the handle
+        // after the LAST row drains (or on task failure) — the iterator
+        // below can therefore stream instead of buffering
+        val raf = new java.io.RandomAccessFile(path, "r")
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => raf.close()))
         val specs = (0 until nHdus).map { i =>
           raf.seek(0); graft.fits.FitsFormat.locateTiledImage(raf, i)
         }
@@ -601,7 +640,7 @@ object ScanOps {
             rows * sp.width.toInt, sp.bytesPerPx)
           val bb = java.nio.ByteBuffer.wrap(raw)
           val w = sp.width.toInt
-          (0 until rows).map { ry =>
+          (0 until rows).iterator.map { ry =>
             val y = tIdx * sp.tileRows + ry
             var n = 0L; var sum = 0L
             var mn = Long.MaxValue; var mx = Long.MinValue
@@ -628,8 +667,8 @@ object ScanOps {
             }
             (hdu + 1L, y, n, sum, mn, mx)
           }
-        }.toVector.iterator
-      } finally raf.close()
+        }
+      }
     }.toDF("hdu", "y", "n_valid", "sum_q", "min_q", "max_q")
       .orderBy("hdu", "y")
   }
@@ -755,9 +794,15 @@ object ScanOps {
       val (y0, y1, x0, x1) = (height / 4, height / 2, 16, 48)
       val t0 = y0 / tileRows
       val t1 = (y1 - 1) / tileRows // inclusive: tiles covering [y0, y1)
-      s.range(t0, t1 + 1, 1, 4).mapPartitions { ts =>
-        val raf = new java.io.RandomAccessFile(path, "r")
-        try {
+      // splits from COVERING-tile count × decoded bytes, rows streamed
+      // per tile — the tiledImageStats convention (r9 #5)
+      val splits = tileSplits(t1 - t0 + 1, 64L * tileRows * 2)
+      s.range(t0, t1 + 1, 1, splits).mapPartitions { ts =>
+        if (!ts.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
           raf.seek(0)
           val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0) // int16 ext
           val desc = new Array[Byte](8)
@@ -775,7 +820,7 @@ object ScanOps {
             val bb = java.nio.ByteBuffer.wrap(raw)
             val yLo = math.max(y0, tIdx * sp.tileRows)
             val yHi = math.min(y1, tIdx * sp.tileRows + rows)
-            (yLo until yHi).map { y =>
+            (yLo until yHi).iterator.map { y =>
               val ry = (y - tIdx * sp.tileRows).toInt
               val px = (x0 until x1).map { x =>
                 val v = bb.getShort((ry * w + x) * 2).toLong
@@ -784,8 +829,8 @@ object ScanOps {
               }
               (y, px.mkString(","))
             }
-          }.toVector.iterator
-        } finally raf.close()
+          }
+        }
       }.toDF("y", "px").orderBy("y")
     },
     // a20's oracle VERBATIM: compressed and plain cutouts must render
@@ -823,9 +868,15 @@ object ScanOps {
         s"survey_qfloat_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
         graft.fits.FitsWriter.writeQuantizedImageFits(p, 64, height, tileRows))
       val nTiles = (height + tileRows - 1) / tileRows
-      s.range(0, nTiles, 1, 8).mapPartitions { ts =>
-        val raf = new java.io.RandomAccessFile(path, "r")
-        try {
+      // splits from tile count × decoded bytes (int16 codes), rows
+      // streamed per tile — the tiledImageStats convention (r9 #5)
+      val splits = tileSplits(nTiles, 64L * tileRows * 2)
+      s.range(0, nTiles, 1, splits).mapPartitions { ts =>
+        if (!ts.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
           raf.seek(0)
           val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
           require(sp.quant, "a29 expects the quantized record layout")
@@ -846,7 +897,7 @@ object ScanOps {
             val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
               rows * w, 2) // quantized codes are int16
             val bb = java.nio.ByteBuffer.wrap(raw)
-            (0 until rows).map { ry =>
+            (0 until rows).iterator.map { ry =>
               val y = tIdx * sp.tileRows + ry
               var n = 0L; var sum = 0L
               var mn = Long.MaxValue; var mx = Long.MinValue
@@ -864,8 +915,8 @@ object ScanOps {
               }
               (y, n, sum, mn, mx)
             }
-          }.toVector.iterator
-        } finally raf.close()
+          }
+        }
       }.toDF("y", "n_valid", "sum_q6", "min_q6", "max_q6")
         .orderBy("y")
     },
