@@ -921,17 +921,22 @@ object LlmOps {
     * (vec_id, maxabs, qarr) — CODES ONLY, the float `embedding` column is
     * deliberately absent so a reader of this table cannot scan it. Per-sfDir
     * path (the a11/a18/i54 rule): returned frames read the dir lazily.
+    * Build-once scaffolding (r8 #7, extended to the index family in r10):
+    * the gated ops (i63/i64/j20/j21) are QUERIES against the persisted
+    * artifact — a production query never rebuilds its index — so the
+    * build runs once per (JVM, sfDir) and the timed reps measure the
+    * probe. The artifact's schema/layout claims stay plan-asserted in
+    * PlanAuditSpec, not just built.
     */
-  def sq8WriteIndex(s: SparkSession, d: String): String = {
-    val dir = graft.Util.scratch(
-      s"i63_sq8_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    t(s, d, "embeddings")
-      .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
-      .withColumn("qarr", sqCodes)
-      .select("vec_id", "maxabs", "qarr")
-      .write.mode("overwrite").parquet(dir)
-    dir
-  }
+  def sq8WriteIndex(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"i63_sq8_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      t(s, d, "embeddings")
+        .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+        .withColumn("qarr", sqCodes)
+        .select("vec_id", "maxabs", "qarr")
+        .write.mode("overwrite").parquet(dir)
+    }
 
   /** The float query vector as a literal column — in production the query
     * arrives from OUTSIDE the index (user input), so the approx stage's
@@ -994,16 +999,49 @@ object LlmOps {
   /** Build and persist the SQ8 artifact PARTITIONED BY the IVF cell
     * (i13's label cells): same codes-only schema as `sq8WriteIndex`,
     * laid out so probing cells = partition pruning on the scan.
+    * ALSO writes the k×64 per-cell centroid table beside the codes
+    * (`<dir>_cent`: label, pos, c) — computed ONCE, at index-build
+    * time, from the float corpus (r9 verdict #1 / ADVICE: the centroid
+    * is an index artifact, not a query-time derivation, so the query
+    * path never scans the float table). Build-once scaffolding like
+    * `sq8WriteIndex` — the gated ops are the queries.
     */
-  def sq8WriteIndexIvf(s: SparkSession, d: String): String = {
-    val dir = graft.Util.scratch(
-      s"i64_sq8ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}")
-    t(s, d, "embeddings")
-      .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
-      .withColumn("qarr", sqCodes)
-      .select("vec_id", "label", "maxabs", "qarr")
-      .write.mode("overwrite").partitionBy("label").parquet(dir)
-    dir
+  def sq8WriteIndexIvf(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"i64_sq8ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      val e = t(s, d, "embeddings")
+      e.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+        .withColumn("qarr", sqCodes)
+        .select("vec_id", "label", "maxabs", "qarr")
+        .write.mode("overwrite").partitionBy("label").parquet(dir)
+      // the coarse-quantizer centroids (i13's element-wise avg), the
+      // one pass over the float corpus this family ever makes — at
+      // 100 TB this is the index build's map-reduce, paid once per
+      // index, and the artifact it leaves is k×64 rows
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("v", col("v").cast(DoubleType))
+        .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+        .write.mode("overwrite").parquet(sq8IvfCentDir(dir))
+    }
+
+  /** The centroid table written beside an IVF index dir. */
+  def sq8IvfCentDir(idxDir: String): String = idxDir + "_cent"
+
+  /** Cell ranking against the PERSISTED centroid artifact — stage 0 of
+    * the IVF probe (i64/j21): the 64-row query expansion (from a query
+    * LITERAL — no table scan) broadcast-joins the k×64 centroid table
+    * and the rounded csim ranks cells (i13's determinism rule). The
+    * plan scans ONLY `<idx>_cent`; PlanAuditSpec asserts no float-table
+    * path or `embedding` attribute appears anywhere in it.
+    */
+  def ivfCellRank(s: SparkSession, idxDir: String, qvec: Column): DataFrame = {
+    val qex = s.range(1).select(posexplode(qvec).as(Seq("pos", "qv")))
+      .withColumn("qv", col("qv").cast(DoubleType))
+    s.read.parquet(sq8IvfCentDir(idxDir))
+      .join(broadcast(qex), Seq("pos"))
+      .groupBy("label").agg(round(sum(col("c") * col("qv")), 6).as("csim"))
+      .orderBy(desc("csim"), asc("label")).limit(2)
+      .select("label")
   }
 
   /** i64: IVF × SQ8 — the composition PERF.md promised ("compose with
@@ -1011,37 +1049,36 @@ object LlmOps {
     * (cell bytes / 3.5) scanned per query"), made a real plan instead
     * of prose. The persisted code table is PARTITIONED BY the coarse
     * cell (label — i13's IVF convention); the query ranks cells on
-    * rounded centroid similarity (i13's deterministic cut, centroids an
-    * index-build-time artifact of the float table), collects the top-2
-    * cell ids (a 2-row bounded build, the d2/i7 convention), and probes
-    * the codes scan with `label IN (...)` — a LITERAL partition filter,
-    * so the scan plans PartitionFilters and reads nprobe directories of
-    * int8 codes: BOTH pruning levers at once, directory-level (IVF) and
-    * byte-level (SQ8). Stage 2 re-ranks the 50 survivors against the
-    * float table via a broadcast fetch. PlanAuditSpec asserts the
-    * stage-1 plan carries the partition filter and touches no float
-    * column or float-table path. Oracle: i13's centroid CTE (top-2
-    * cells) composed with i62's quantized cut and exact re-rank.
+    * rounded centroid similarity against the PERSISTED k×64 centroid
+    * table written beside the index at build time (r9 verdict #1: the
+    * r9 form posexploded the ENTIRE float corpus per query to derive
+    * the centroids — a full scan + shuffle in front of the very pruning
+    * the op demonstrates; now the ranking plan reads k×64 rows and the
+    * float corpus appears NOWHERE above the 50-row re-rank), collects
+    * the top-2 cell ids (a 2-row bounded build, the d2/i7 convention),
+    * and probes the codes scan with `label IN (...)` — a LITERAL
+    * partition filter, so the scan plans PartitionFilters and reads
+    * nprobe directories of int8 codes: BOTH pruning levers at once,
+    * directory-level (IVF) and byte-level (SQ8). Stage 2 re-ranks the
+    * 50 survivors against the float table via a broadcast fetch.
+    * PlanAuditSpec asserts the ranking plan scans only the centroid
+    * artifact and the stage-1 plan carries the partition filter with no
+    * float column or float-table path. Oracle: i13's centroid CTE
+    * (top-2 cells) composed with i62's quantized cut and exact re-rank
+    * — the centroid math is unchanged, only WHEN it runs moved.
     */
   val i64_sim_ann_ivf_sq8 = OpQuery(
     (s, d) => {
-      val codes = s.read.parquet(sq8WriteIndexIvf(s, d))
-      val e = t(s, d, "embeddings")
-      val ex = e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("v", col("v").cast(DoubleType))
-      val cent = ex.groupBy("label", "pos").agg(avg(col("v")).as("c"))
-      val qex = e.filter(col("vec_id") === 7)
-        .select(posexplode(col("embedding")).as(Seq("pos", "qv")))
-        .withColumn("qv", col("qv").cast(DoubleType))
-      // rounded cell ranking (the i13 determinism rule), then the 2 cell
-      // ids collect into a LITERAL IN — static partition pruning, not DPP
-      val top2 = cent.join(broadcast(qex), Seq("pos"))
-        .groupBy("label").agg(round(sum(col("c") * col("qv")), 6).as("csim"))
-        .orderBy(desc("csim"), asc("label")).limit(2)
-        .select("label").collect().map(_.getInt(0)).toSeq
+      val idx = sq8WriteIndexIvf(s, d)
+      val codes = s.read.parquet(idx)
       val qvec = sq8QueryVec(s, d, 7L)
+      // rounded cell ranking (the i13 determinism rule) over the
+      // persisted centroids, then the 2 cell ids collect into a
+      // LITERAL IN — static partition pruning, not DPP
+      val top2 = ivfCellRank(s, idx, qvec)
+        .collect().map(_.getInt(0)).toSeq
       val top = sq8CodesTop50(codes.filter(col("label").isin(top2: _*)), qvec)
-      e.join(broadcast(top), "vec_id")
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
         .withColumn("sim", round(dot(col("embedding"), qvec), 6))
         .select("vec_id", "label", "sim")
         .orderBy(desc("sim"), asc("vec_id"))

@@ -88,4 +88,26 @@ class PlanAuditSpec extends SparkTestBase {
       pf.contains("label")
     }, s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
   }
+
+  test("i64 cell ranking reads the PERSISTED centroid artifact, not the corpus") {
+    import graft.ops.LlmOps
+    val dir = LlmOps.sq8WriteIndexIvf(spark, sfDir)
+    // the k×64 centroid table is an index-BUILD-time artifact (r9 #1)
+    val cent = spark.read.parquet(LlmOps.sq8IvfCentDir(dir))
+    assert(cent.schema.fieldNames.sorted.toSeq == Seq("c", "label", "pos"))
+    val k = cent.select("label").distinct().count()
+    assert(cent.count() == k * 64, s"expected ${k}×64 centroid rows")
+    val rank = LlmOps.ivfCellRank(spark, dir,
+      LlmOps.sq8QueryVec(spark, sfDir, 7L))
+    val plan = rank.queryExecution.executedPlan.toString
+    assert(plan.contains("_cent"),
+      "cell ranking must scan the persisted centroid dir")
+    // "embedding" matches both the float column and the embeddings table
+    // path — the r9 'weak' finding was exactly this scan appearing here;
+    // the ranking plan must touch NOTHING but the k×64 artifact and the
+    // 64-row query literal
+    assert(!plan.contains("embedding"),
+      s"cell-ranking plan scans the float corpus:\n${plan.take(1200)}")
+    assert(rank.count() == 2)
+  }
 }
