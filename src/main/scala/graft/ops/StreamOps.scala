@@ -954,7 +954,155 @@ object StreamOps {
        |SELECT q_id, vec_id, sim FROM t WHERE rk <= 3
        |ORDER BY q_id, vec_id""".stripMargin)
 
+  /** Per-batch stage 1 of the IVF-pruned streaming ANN (j21) — the
+    * composition the j20 Scaladoc promised ("a deployment composes
+    * i64's cell layout so each query prunes to its nprobe partitions"),
+    * made a real per-batch plan (r9 verdict #2):
+    *
+    *  1. rank cells PER QUERY against the PERSISTED k×64 centroid
+    *     artifact (i64's `sq8IvfCentDir` — read per batch, k×64 rows;
+    *     never the float corpus), rounded csim + (q_id) window rank ≤ 2
+    *     — i13's deterministic cut per query;
+    *  2. the batch's cell UNION collects into a literal `IN` (bounded
+    *     by k cells total, the d2/i7 convention) so the codes scan
+    *     plans PartitionFilters — per-batch bytes track the probed
+    *     cells, not the index (StreamOpsSpec plan-asserts this);
+    *  3. each query approx-scores ONLY its own top-2 cells' codes
+    *     (the qcells broadcast join re-restricts the union per query),
+    *     window rank ≤ 50 per q_id.
+    *
+    * Returns (q_id, vec_id, qvec) — the survivors stage 2 re-ranks
+    * exactly. qcells is localCheckpointed: it feeds both the bounded
+    * cell collect and the broadcast join, and the checkpoint keeps the
+    * returned plan's broadcast side a local scan (no recompute).
+    */
+  def ivfBatchStage1(s: SparkSession, idxDir: String, qb: DataFrame): DataFrame = {
+    val qx = qb.select(col("q_id"), posexplode(col("qvec")).as(Seq("pos", "qv")))
+      .withColumn("qv", col("qv").cast("double"))
+    val cent = s.read.parquet(graft.ops.LlmOps.sq8IvfCentDir(idxDir))
+    val qcells = cent.join(broadcast(qx), Seq("pos"))
+      .groupBy("q_id", "label")
+      .agg(round(sum(col("c") * col("qv")), 6).as("csim"))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("csim"), asc("label"))))
+      .filter(col("rk") <= 2).select("q_id", "label")
+      .localCheckpoint()
+    val cells = qcells.select("label").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    s.read.parquet(idxDir).filter(col("label").isin(cells: _*))
+      .join(broadcast(qcells.join(qb, "q_id")), Seq("label"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_sim", col("maxabs") / lit(127.0) *
+        aggregate(zip_with(col("qarr"), col("qvec"),
+          (qc, v) => qc * v.cast("double")), lit(0.0), (a, x) => a + x))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("approx_sim"), asc("vec_id"))))
+      .filter(col("rk") <= 50)
+      .select("q_id", "vec_id", "qvec")
+  }
+
+  /** j21: IVF-pruned streaming ANN serving — j20 composed with i64's
+    * cell layout, closing the r9 verdict's #2: where j20 honestly scans
+    * the FULL codes table per micro-batch (the flat serving mode), here
+    * each batch ranks its queries' cells against the persisted centroid
+    * artifact and probes ONLY the union of their top-2 cells — a
+    * literal partition filter per batch, so per-batch index bytes are
+    * nprobe cells × (bytes/3.5), not the index (the stream ladder pins
+    * it). Stateless by j20's batch-local argument; the index and its
+    * centroids are i64's build-once artifacts. Oracle: j20's two-stage
+    * chain per query with the SAME per-query cell cut mirrored in SQL
+    * (rounded csim, row_number ≤ 2) — recall loss vs the flat scan is
+    * the documented IVF trade, and the gate hashes the PRUNED truth.
+    */
+  val j21_stream_ann_ivf = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j21"))
+      graft.Util.deleteRecursively(ckpt)
+      val sink = new java.io.File(graft.Util.scratch("j21_sink"))
+      graft.Util.deleteRecursively(sink)
+      val e = t(s, d, "embeddings")
+      // build-once scaffolding, keyed per sfDir (r8 #7): the arriving
+      // queries — two files so AvailableNow runs two real batches
+      val srcDir = graft.Util.fixtureOnce(
+        s"j21_query_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+        val q = e.filter(col("vec_id") % 101 === 3)
+        q.filter(col("vec_id") % 2 === 0).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f0")
+        q.filter(col("vec_id") % 2 === 1).coalesce(1)
+          .write.mode("overwrite").parquet(s"$p/f1")
+      }
+      val idx = graft.ops.LlmOps.sq8WriteIndexIvf(s, d)
+      val src = s.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(srcDir)
+      val q = src.select("vec_id", "embedding").writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // the index-side guard applied to the query stream too
+          val qb = batch
+            .withColumn("maxq", array_max(transform(col("embedding"),
+              x => abs(x.cast("double")))))
+            .filter(col("maxq") > 0)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+            .localCheckpoint() // read by the cell rank AND the probe join
+          val approx = ivfBatchStage1(s, idx, qb)
+          approx.join(t(s, d, "embeddings"), "vec_id")
+            .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+              col("embedding"), col("qvec")), 6))
+            .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+              .orderBy(desc("sim"), asc("vec_id"))))
+            .filter(col("rk") <= 3)
+            .select("q_id", "vec_id", "sim")
+            .write.mode("append").parquet(sink.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink.getAbsolutePath).orderBy("q_id", "vec_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, label, embedding, maxabs,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m WHERE maxabs > 0),
+       |ex AS (SELECT label, r.i AS pos, embedding[r.i]::DOUBLE AS v
+       |       FROM embeddings, range(1,65) r(i)),
+       |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS q_id, embedding AS qvec FROM c
+       |      WHERE vec_id % 101 = 3),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM q, range(1,65) r(i)),
+       |csim AS (SELECT q_id, cent.label, round(sum(c * qv), 6) AS s
+       |         FROM cent JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |a AS (
+       |  SELECT q.q_id, c.vec_id, c.embedding, q.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * q.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c JOIN qc ON c.label = qc.label
+       |         JOIN q ON q.q_id = qc.q_id
+       |  WHERE c.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM a),
+       |s AS (SELECT q_id, vec_id,
+       |    round(${graft.ops.LlmOps.dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM r WHERE rk <= 50),
+       |t AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rk FROM s)
+       |SELECT q_id, vec_id, sim FROM t WHERE rk <= 3
+       |ORDER BY q_id, vec_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j21_stream_ann_ivf" -> j21_stream_ann_ivf,
     "j20_stream_ann" -> j20_stream_ann,
     "j19_stream_image_dedup" -> j19_stream_image_dedup,
     "j18_stream_xmatch_best" -> j18_stream_xmatch_best,

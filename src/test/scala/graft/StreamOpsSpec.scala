@@ -357,6 +357,62 @@ class StreamOpsSpec extends SparkTestBase {
     assert(sides.length == 2, "queries all came from one micro-batch")
   }
 
+  test("j21 IVF-pruned stream ANN equals the batch cell-pruned two-stage per query") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.expressions.Window
+    val fromStream = StreamOps.j21_stream_ann_ivf.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch reference: ivfBatchStage1 run all-queries-at-once (the helper
+    // IS the per-batch plan, so this pins batch/stream parity of the
+    // pruned chain) + the exact re-rank
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val idx = LlmOps.sq8WriteIndexIvf(spark, sfDir)
+    val qs = spark.read.parquet(idx).join(e, "vec_id")
+      .filter(col("vec_id") % 101 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val expect = StreamOps.ivfBatchStage1(spark, idx, qs)
+      .join(e, "vec_id")
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(expect.nonEmpty, "vacuous j21 fixture: no queries matched")
+    assert(fromStream.toSet == expect.toSet,
+      s"stream IVF ANN diverges: got ${fromStream.length}, expect ${expect.length}")
+    val perQ = fromStream.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQ.values.forall(_ == 3), s"per-query answer counts: $perQ")
+    val sides = fromStream.map(_._1 % 2).distinct
+    assert(sides.length == 2, "queries all came from one micro-batch")
+  }
+
+  test("j21 per-batch probe plans a PARTITION filter over the cell union, centroids from the artifact") {
+    import graft.ops.LlmOps
+    import spark.implicits._
+    val idx = LlmOps.sq8WriteIndexIvf(spark, sfDir)
+    // a literal one-query batch (LocalTableScan): the arriving stream
+    // carries its own vectors, so NO float-table path may appear in the
+    // stage-1 plan — the r9 #2 'done' condition
+    val qrow = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 7).select("vec_id", "embedding")
+      .collect().head
+    val qb = Seq((qrow.getLong(0), qrow.getSeq[Float](1)))
+      .toDF("q_id", "qvec")
+    val stage1 = StreamOps.ivfBatchStage1(spark, idx, qb)
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && {
+      val pf = plan.substring(plan.indexOf("PartitionFilters"))
+        .takeWhile(_ != ']')
+      pf.contains("label")
+    }, s"batch cell probe did not plan as a partition filter:\n${plan.take(1500)}")
+    assert(!plan.contains("embeddings.parquet"),
+      s"stage-1 batch plan scans the float corpus:\n${plan.take(1500)}")
+    assert(stage1.count() > 0)
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
