@@ -498,7 +498,7 @@ object FitsFormat {
   final case class TiledImageSpec(zbitpix: Int, width: Long, height: Long,
       tileRows: Int, cmpType: String, bscale: Double, bzero: Double,
       blank: Option[Long], dataOffset: Long, nTiles: Long, theap: Long,
-      recordBytes: Int = 8, quant: Boolean = false) {
+      recordBytes: Int = 8, quant: Boolean = false, depth: Long = 1L) {
     def bytesPerPx: Int = math.abs(zbitpix) / 8
     /** Byte offset of tile t's stored record — the (length, heapOffset)
       * 1PB descriptor, followed in the QUANTIZED layout by that tile's
@@ -506,25 +506,48 @@ object FitsFormat {
       */
     def descOffset(t: Long): Long = dataOffset + t * recordBytes
     def heapStart: Long = dataOffset + theap
-    /** Image rows in tile t (the last band may be short). */
-    def rowsInTile(t: Long): Int =
-      math.min(tileRows.toLong, height - t * tileRows).toInt
+    /** Row-band tiles per plane; a 2-d frame is the depth=1 case, so
+      * every 2-d accessor below reduces to the pre-cube form there.
+      */
+    def tilesPerPlane: Long = (height + tileRows - 1) / tileRows
+    /** The plane tile t's rows belong to (always 0 for 2-d frames):
+      * tiles are stored plane-major, ZTILE3 = 1 — one plane per tile,
+      * the fpack cube convention this reader supports.
+      */
+    def planeOf(t: Long): Long = t / tilesPerPlane
+    /** Image rows in tile t (the last band of each plane may be short). */
+    def rowsInTile(t: Long): Int = {
+      val band = t % tilesPerPlane
+      math.min(tileRows.toLong, height - band * tileRows).toInt
+    }
+    /** First image row (within its plane) of tile t. */
+    def firstRowInPlane(t: Long): Long = (t % tilesPerPlane) * tileRows
   }
 
   def tiledImageSpec(cards: Map[String, String], dataOffset: Long): TiledImageSpec = {
     require(cards.get("ZIMAGE").exists(_.trim == "T"),
       s"not a tile-compressed image HDU: ZIMAGE=${cards.get("ZIMAGE")}")
-    require(cards.getOrElse("ZNAXIS", "0").trim.toInt == 2,
-      s"tiled image reader covers 2-d frames; ZNAXIS=${cards.get("ZNAXIS")}")
+    val znaxis = cards.getOrElse("ZNAXIS", "0").trim.toInt
+    require(znaxis == 2 || znaxis == 3,
+      s"tiled image reader covers 2-d frames and 3-d cubes; ZNAXIS=${cards.get("ZNAXIS")}")
     val width = cards("ZNAXIS1").toLong
     val height = cards("ZNAXIS2").toLong
+    val depth = if (znaxis == 3) cards("ZNAXIS3").toLong else 1L
     val tile1 = cards.get("ZTILE1").map(_.toLong).getOrElse(width)
     require(tile1 == width,
       s"tiled image reader requires row-band tiles (ZTILE1=NAXIS1); got ZTILE1=$tile1 for width $width")
     val tileRows = cards.get("ZTILE2").map(_.toInt).getOrElse(1)
+    // cubes tile per plane (ZTILE3 = 1, the fpack cube convention): a
+    // tile never straddles planes, so every tile decodes independently
+    // with the 2-d addressing below — the property the splits rely on
+    val tile3 = cards.get("ZTILE3").map(_.toLong).getOrElse(1L)
+    require(znaxis == 2 || tile3 == 1L,
+      s"tiled cube reader requires per-plane tiles (ZTILE3=1); got ZTILE3=$tile3")
+    val tilesPerPlane = (height + tileRows - 1) / tileRows
     val nTiles = cards("NAXIS2").toLong
-    require(nTiles == (height + tileRows - 1) / tileRows,
-      s"tile accounting: NAXIS2=$nTiles stored tiles for height $height at ZTILE2=$tileRows")
+    require(nTiles == depth * tilesPerPlane,
+      s"tile accounting: NAXIS2=$nTiles stored tiles for height $height × " +
+        s"depth $depth at ZTILE2=$tileRows")
     val theap = cards.get("THEAP").map(_.toLong)
       .getOrElse(cards("NAXIS1").toLong * nTiles)
     val recordBytes = cards("NAXIS1").toInt
@@ -540,7 +563,7 @@ object FitsFormat {
       cards.get("BSCALE").map(_.toDouble).getOrElse(1.0),
       cards.get("BZERO").map(_.toDouble).getOrElse(0.0),
       cards.get("ZBLANK").map(_.trim.toLong), dataOffset, nTiles, theap,
-      recordBytes, quant)
+      recordBytes, quant, depth)
   }
 
   /** Locates the n-th tile-compressed IMAGE HDU (a BINTABLE extension

@@ -1136,7 +1136,8 @@ object FitsWriter {
     */
   private def tiledImageExtHeader(width: Int, height: Long, tileRows: Int,
       nTiles: Long, zbitpix: Int, cmpType: String, pcount: Long,
-      varMax: Int, scaling: Seq[(String, String)]): Array[Byte] = {
+      varMax: Int, scaling: Seq[(String, String)],
+      depth: Long = 1L): Array[Byte] = {
     require(pcount <= Int.MaxValue.toLong,
       s"tiled image heap of $pcount bytes exceeds 32-bit P descriptors; raise tileRows")
     val bos = new ByteArrayOutputStream()
@@ -1154,14 +1155,116 @@ object FitsWriter {
     out.write(card("ZIMAGE", "T", quote = false))
     out.write(card("ZCMPTYPE", cmpType, quote = true))
     out.write(card("ZBITPIX", zbitpix.toString, quote = false))
-    out.write(card("ZNAXIS", "2", quote = false))
+    out.write(card("ZNAXIS", if (depth > 1L) "3" else "2", quote = false))
     out.write(card("ZNAXIS1", width.toString, quote = false))
     out.write(card("ZNAXIS2", height.toString, quote = false))
+    if (depth > 1L) out.write(card("ZNAXIS3", depth.toString, quote = false))
     out.write(card("ZTILE1", width.toString, quote = false))
     out.write(card("ZTILE2", tileRows.toString, quote = false))
+    if (depth > 1L) out.write(card("ZTILE3", "1", quote = false))
     scaling.foreach { case (k, v) => out.write(card(k, v, quote = false)) }
     out.write(endCard); pad(out, ' '.toByte)
     bos.toByteArray
+  }
+
+  /** Tile-compressed spectral CUBE fixture (fpack on a NAXIS=3 image —
+    * the r9 verdict's remaining-gap #3: "an archive user with survey
+    * datacubes hits it right after compressed frames"): writeCubeFits's
+    * four planted extensions re-expressed as ZIMAGE=T BINTABLEs with
+    * PER-PLANE row-band tiles (ZTILE1 = width, ZTILE2 = tileRows,
+    * ZTILE3 = 1 — a tile never straddles planes, so every tile decodes
+    * independently and the cube splits exactly like a frame):
+    *   ext #0: ZBITPIX 8   rice, BSCALE 3/BZERO 10/ZBLANK 250
+    *   ext #1: ZBITPIX 32  rice, BSCALE 2/BZERO -500/ZBLANK 250
+    *   ext #2: ZBITPIX 64  rice, stored = raw·2654435761,
+    *           ZBLANK = CubeBlank64
+    *   ext #3: ZBITPIX -64 GZIP_2 (shuffle+gzip), stored = raw/8.0,
+    *           NaN mask
+    * — the same four stored value maps as the PLAIN cube, so a31's
+    * oracle is a25's SQL VERBATIM (the a27 layout-independence trick on
+    * the cube axis). Tiles stored plane-major: t = z·tilesPerPlane +
+    * band. Driver-side fixture synthesizer like writeTiledImageFits;
+    * the parallel path is the reader's tile splits.
+    */
+  def writeTiledCubeFits(path: String, width: Int, height: Long,
+      depth: Long, tileRows: Int): Unit = {
+    require(tileRows > 0, s"tileRows must be positive, got $tileRows")
+    val tilesPerPlane = ((height + tileRows - 1) / tileRows).toInt
+    val nTiles = depth.toInt * tilesPerPlane
+    // one tile's logical values in row-major (y, x) order for plane z
+    def tileVals(t: Int, store: Long => Long): Array[Long] = {
+      val z = t / tilesPerPlane
+      val y0 = (t % tilesPerPlane).toLong * tileRows
+      val rows = math.min(tileRows.toLong, height - y0).toInt
+      val out = new Array[Long](rows * width)
+      var i = 0
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < width) { out(i) = store(cubeRaw(x, y0 + y, z)); x += 1; i += 1 }
+        y += 1
+      }
+      out
+    }
+    def riceTile(bytepix: Int, store: Long => Long)(t: Int): Array[Byte] =
+      TileCodec.encodeCell("GRAFT_RICE_1",
+        TileCodec.longsToBytes(tileVals(t, store), bytepix), bytepix)
+    def floatTile(t: Int): Array[Byte] = {
+      val z = t / tilesPerPlane
+      val y0 = (t % tilesPerPlane).toLong * tileRows
+      val rows = math.min(tileRows.toLong, height - y0).toInt
+      val raw = new Array[Byte](rows * width * 8)
+      val bb = ByteBuffer.wrap(raw)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < width) {
+          val r = cubeRaw(x, y0 + y, z)
+          bb.putDouble(if (r == 250) Double.NaN else r / 8.0)
+          x += 1
+        }
+        y += 1
+      }
+      TileCodec.encodeCell("GZIP_2", raw, 8)
+    }
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    var written = 0L
+    def w(b: Array[Byte]): Unit = { out.write(b); written += b.length }
+    def padBlock(fill: Byte): Unit = {
+      val rem = ((FitsFormat.BlockSize - written % FitsFormat.BlockSize)
+        % FitsFormat.BlockSize).toInt
+      out.write(Array.fill(rem)(fill)); written += rem
+    }
+    def writeExt(zbitpix: Int, cmpType: String, blobs: Array[Array[Byte]],
+        scaling: Seq[(String, String)]): Unit = {
+      val pcount = blobs.foldLeft(0L)(_ + _.length)
+      val varMax = blobs.foldLeft(0)((m, b) => math.max(m, b.length))
+      w(tiledImageExtHeader(width, height, tileRows, nTiles, zbitpix,
+        cmpType, pcount, varMax, scaling, depth))
+      var off = 0L
+      val rec = ByteBuffer.allocate(8)
+      blobs.foreach { b =>
+        rec.clear(); rec.putInt(b.length); rec.putInt(off.toInt)
+        w(rec.array().clone()); off += b.length
+      }
+      blobs.foreach(w)
+      padBlock(0)
+    }
+    try {
+      w(card("SIMPLE", "T", quote = false))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "0", quote = false))
+      w(endCard); padBlock(' '.toByte)
+      writeExt(8, "GRAFT_RICE_1", Array.tabulate(nTiles)(riceTile(1, identity)),
+        Seq("BSCALE" -> "3", "BZERO" -> "10", "ZBLANK" -> "250"))
+      writeExt(32, "GRAFT_RICE_1", Array.tabulate(nTiles)(riceTile(4, identity)),
+        Seq("BSCALE" -> "2", "BZERO" -> "-500", "ZBLANK" -> "250"))
+      writeExt(64, "GRAFT_RICE_1",
+        Array.tabulate(nTiles)(riceTile(8, _ * 2654435761L)),
+        Seq("ZBLANK" -> CubeBlank64.toString))
+      writeExt(-64, "GZIP_2", Array.tabulate(nTiles)(floatTile), Seq.empty)
+    } finally out.close()
   }
 
   /** Executor-side parallel tile-compressed IMAGE export — the write

@@ -843,6 +843,109 @@ object ScanOps {
       |       END), ',') AS px
       |FROM ys ORDER BY y""".stripMargin)
 
+  /** a31: tile-compressed spectral CUBE source (fpack on a NAXIS=3
+    * image — the r9 verdict's remaining-gap #3: a25 reads plain cubes
+    * and a27 reads compressed FRAMES, but "an archive user with survey
+    * datacubes hits [the compressed cube] right after compressed
+    * frames"): writeCubeFits's four planted extensions go out through
+    * writeTiledCubeFits as ZIMAGE=T BINTABLEs with PER-PLANE row-band
+    * tiles (ZTILE3 = 1 — a tile never straddles planes, so every tile
+    * decodes independently) and come back via (hdu, tile)-range splits
+    * through the SAME locateTiledImage walk and TileCodec decode a27
+    * uses, now addressing tiles plane-major (planeOf/firstRowInPlane —
+    * the a25 (plane, row) addressing at tile granularity). All four
+    * ZBITPIX codes of the plain cube ride through: 8 (unsigned +
+    * scaling), 32 (scaling), 64 (high-byte stress via ×2654435761,
+    * 64-bit ZBLANK), -64 (GZIP_2 doubles, NaN mask). The oracle is
+    * a25's SQL VERBATIM — the a27 layout-independence trick on the
+    * cube axis: the hash gate proves compressed and plain CUBES decode
+    * identically, so wrong plane-major addressing, per-plane band
+    * geometry, rice width, or sentinel handling all hash-mismatch.
+    * Splits derive from tile count × decoded bytes and rows stream per
+    * tile (the r10 tiledImageStats convention).
+    */
+  val a31_fits_cube_tiled = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val depth = t(s, d, "documents").count() / 64 + 2 // ≥2 planes, a25's rule
+      val h = 64L
+      val tileRows = 16 // 4 bands per plane: real per-plane tile geometry
+      // build-once scaffolding (r8 #7): the op under test is the READER
+      val path = graft.Util.fixtureOnce(
+        s"cube_ztiled_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeTiledCubeFits(p, 64, h, depth, tileRows))
+      val tilesPerPlane = (h + tileRows - 1) / tileRows
+      val nTiles = depth * tilesPerPlane
+      val splits = tileSplits(4L * nTiles, tileRows.toLong * 64 * 8)
+      s.range(0, 4L * nTiles, 1, splits).mapPartitions { rs =>
+        if (!rs.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
+          val specs = (0 until 4).map { i =>
+            raf.seek(0); graft.fits.FitsFormat.locateTiledImage(raf, i)
+          }
+          val desc = new Array[Byte](8)
+          rs.flatMap { r =>
+            val hdu = (r / nTiles).toInt
+            val tIdx = r % nTiles
+            val sp = specs(hdu)
+            raf.seek(sp.descOffset(tIdx))
+            raf.readFully(desc)
+            val db = java.nio.ByteBuffer.wrap(desc)
+            val blob = new Array[Byte](db.getInt(0))
+            raf.seek(sp.heapStart + db.getInt(4).toLong)
+            raf.readFully(blob)
+            val rows = sp.rowsInTile(tIdx)
+            val w = sp.width.toInt
+            val z = sp.planeOf(tIdx)
+            val y0 = sp.firstRowInPlane(tIdx)
+            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+              rows * w, sp.bytesPerPx)
+            val bb = java.nio.ByteBuffer.wrap(raw)
+            (0 until rows).iterator.map { ry =>
+              var n = 0L; var sum = 0L
+              var mn = Long.MaxValue; var mx = Long.MinValue
+              var x = 0
+              while (x < w) {
+                var valid = true
+                var q = 0L
+                sp.zbitpix match {
+                  case 8 =>
+                    val v = (raw(ry * w + x) & 0xff).toLong // unsigned, FITS 4.0
+                    if (sp.blank.contains(v)) valid = false
+                    else q = (sp.bzero + sp.bscale * v).toLong // exact ints
+                  case 32 =>
+                    val v = bb.getInt((ry * w + x) * 4).toLong
+                    if (sp.blank.contains(v)) valid = false
+                    else q = (sp.bzero + sp.bscale * v).toLong
+                  case 64 =>
+                    val v = bb.getLong((ry * w + x) * 8)
+                    if (sp.blank.contains(v)) valid = false else q = v
+                  case -64 =>
+                    val v = bb.getDouble((ry * w + x) * 8)
+                    if (v.isNaN) valid = false
+                    else q = (v * 8.0).toLong // eighth-integer pixels: exact
+                }
+                if (valid) {
+                  n += 1; sum += q
+                  if (q < mn) mn = q
+                  if (q > mx) mx = q
+                }
+                x += 1
+              }
+              (hdu + 1L, z, y0 + ry, n, sum, mn, mx)
+            }
+          }
+        }
+      }.toDF("hdu", "z", "y", "n_valid", "sum_q", "min_q", "max_q")
+        .orderBy("hdu", "z", "y")
+    },
+    // a25's oracle VERBATIM: compressed and plain cubes must decode to
+    // the identical voxel field (the a27 trick on the cube axis)
+    a25_fits_cube_source.oracle.get)
+
   /** a29: lossy-QUANTIZED float compressed image (fpack's float
     * DEFAULT — RICE is integer-only, so real archives quantize floats
     * per tile and rice-code the ints): tile t stores
@@ -1366,6 +1469,7 @@ object ScanOps {
     "a28_fits_image_tiled_sink" -> a28_fits_image_tiled_sink,
     "a29_fits_image_qfloat" -> a29_fits_image_qfloat,
     "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
+    "a31_fits_cube_tiled" -> a31_fits_cube_tiled,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

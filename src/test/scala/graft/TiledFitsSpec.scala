@@ -327,6 +327,63 @@ class TiledFitsSpec extends SparkTestBase {
     assert(tiled.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
   }
 
+  test("a31: compressed cube decodes to the SAME rows as a25's plain cube") {
+    // layout-independence on the CUBE axis: both ops emit the same
+    // (hdu, z, y, stats) dump, so collected results must match
+    val plain = ops.ScanOps.a25_fits_cube_source.fn(spark, sfDir).collect()
+    val tiled = ops.ScanOps.a31_fits_cube_tiled.fn(spark, sfDir).collect()
+    assert(tiled.length == plain.length && tiled.length > 0)
+    assert(tiled.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq)
+  }
+
+  test("a31: cube tile geometry round-trips at adversarial shapes (property)") {
+    val genCase = for {
+      width <- Gen.choose(1, 24)
+      height <- Gen.choose(1, 40)
+      depth <- Gen.choose(1, 5)
+      tileRows <- Gen.oneOf(1, 3, 7, 64) // incl. one-band and 1-row tiles
+    } yield (width, height, depth, tileRows)
+    check(Prop.forAll(genCase) { case (width, height, depth, tileRows) =>
+      val p = Util.scratch(s"ztcube_prop_${width}_${height}_${depth}_$tileRows.fits")
+      FitsWriter.writeTiledCubeFits(p, width, height.toLong, depth.toLong, tileRows)
+      val raf = new java.io.RandomAccessFile(p, "r")
+      try {
+        // every extension, every tile, every voxel against the closed form
+        (0 until 4).forall { ext =>
+          raf.seek(0)
+          val sp = FitsFormat.locateTiledImage(raf, ext)
+          val geomOk = sp.depth == depth.toLong &&
+            sp.nTiles == depth * sp.tilesPerPlane && sp.height == height.toLong
+          geomOk && (0L until sp.nTiles).forall { t =>
+            val desc = new Array[Byte](8)
+            raf.seek(sp.descOffset(t)); raf.readFully(desc)
+            val db = java.nio.ByteBuffer.wrap(desc)
+            val blob = new Array[Byte](db.getInt(0))
+            raf.seek(sp.heapStart + db.getInt(4)); raf.readFully(blob)
+            val rows = sp.rowsInTile(t)
+            val raw = TileCodec.decodeCell(sp.cmpType, blob,
+              rows * width, sp.bytesPerPx)
+            val bb = java.nio.ByteBuffer.wrap(raw)
+            val z = sp.planeOf(t)
+            val y0 = sp.firstRowInPlane(t)
+            (0 until rows * width).forall { i =>
+              val y = y0 + i / width
+              val r = FitsWriter.cubeRaw(i % width, y, z)
+              sp.zbitpix match {
+                case 8 => (raw(i) & 0xff).toLong == r
+                case 32 => bb.getInt(i * 4).toLong == r
+                case 64 => bb.getLong(i * 8) == r * 2654435761L
+                case -64 =>
+                  val v = bb.getDouble(i * 8)
+                  if (r == 250) v.isNaN else v == r / 8.0
+              }
+            }
+          }
+        }
+      } finally raf.close()
+    }, n = 30)
+  }
+
   test("a28: executor-side tiled-image export round-trips; writer refuses bad frames") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, expr}
