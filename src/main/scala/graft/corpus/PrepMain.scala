@@ -39,7 +39,13 @@ import org.apache.spark.sql.types.LongType
   *   symbols mean every kept doc encodes, OOV-free) →
   *   post-write profile (b19 core, optional `--profile write` — emits
   *   `<out>/profile.parquet` and FAILS the run if any column's sketch
-  *   leaves its ±5% envelope: the corpus-certification gate)
+  *   leaves its ±5% envelope: the corpus-certification gate) →
+  *   ANN index artifact (i61/i64 cores, optional `--ann write` — emits
+  *   `<out>/ann_index.parquet`, the label-partitioned codes-only SQ8
+  *   table over the KEPT corpus's embeddings, plus
+  *   `<out>/ann_centroids.parquet`, the k×64 cell-ranking artifact;
+  *   vector/cell/saturation/maxabs stats in the manifest — the RAG
+  *   handoff beside the training corpus)
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
   * and containment flags come from the same shared helpers the gated
@@ -111,13 +117,19 @@ object PrepMain {
       // sketch profile of the WRITTEN corpus (per-column nulls,
       // distincts, min/max, sketch-health predicate); the run FAILS if
       // any column's sketch leaves its ±5% envelope; "none" skips
-      profile: String = "none")
+      profile: String = "none",
+      // "write" additionally emits <out>/ann_index.parquet (the i64
+      // label-partitioned codes-only SQ8 table) + ann_centroids.parquet
+      // (the k×64 cell-ranking artifact) over the KEPT corpus's
+      // embeddings — the RAG handoff beside the training corpus, with
+      // vector/cell/saturation/maxabs stats in the manifest; "none" skips
+      ann: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
     "--scrub-span", "--scrub-min-docs", "--media", "--mix", "--ppl",
-    "--shuffle", "--chunks", "--tokenize", "--profile")
+    "--shuffle", "--chunks", "--tokenize", "--profile", "--ann")
 
   /** `--media dedup` = all three modalities; `--media dedup=image,audio`
     * selects a subset. Empty for anything malformed — the parse require
@@ -165,6 +177,7 @@ object PrepMain {
         case "--chunks" => o = o.copy(chunks = v)
         case "--tokenize" => o = o.copy(tokenize = v)
         case "--profile" => o = o.copy(profile = v)
+        case "--ann" => o = o.copy(ann = v)
       }
       i += 2
     }
@@ -176,7 +189,7 @@ object PrepMain {
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
         "[--media dedup[=image,audio,video]|none] " +
         "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none] " +
-        "[--chunks write|none] [--tokenize bpe|none]")
+        "[--chunks write|none] [--tokenize bpe|none] [--ann write|none]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("ccnet", "none")(o.ppl),
@@ -195,6 +208,8 @@ object PrepMain {
       s"--tokenize must be bpe|none, got ${o.tokenize}")
     require(Set("write", "none")(o.profile),
       s"--profile must be write|none, got ${o.profile}")
+    require(Set("write", "none")(o.ann),
+      s"--ann must be write|none, got ${o.ann}")
     // only meaningful when the scrub stage actually runs (the --dedup-tau
     // convention): k = 1 would excise every repeated TOKEN, min-docs = 1
     // every document
@@ -578,6 +593,24 @@ object PrepMain {
         Map("n_profile_cols" -> healthy)
       case _ => Map.empty
     }
+    // -- stage 9: ANN index artifact (i61/i64 cores, optional) --------------
+    // The RAG handoff (r9 verdict #3): the KEPT corpus's embeddings —
+    // vec_id joins doc_id 1:1, so the index covers exactly the written
+    // documents — quantize through the shared SQ8 core and persist in
+    // i64's layout (label-partitioned codes-only table + the k×64
+    // centroid artifact), the index j21 serves per batch and i63/i64
+    // probe. Stats are measured from the WRITTEN artifact and land in
+    // the manifest so a loader can sanity-check before serving
+    // (saturated codes = the i61 scale-outlier alert).
+    val annCounts: Map[String, Long] = opts.ann match {
+      case "write" =>
+        val emb = Tables.t(spark, opts.in, "embeddings")
+          .join(written.select(col("doc_id").as("vec_id")), "vec_id")
+        LlmOps.annWriteArtifact(emb,
+          s"${opts.out}/ann_index.parquet",
+          s"${opts.out}/ann_centroids.parquet")
+      case _ => Map.empty
+    }
     val manifest: Map[String, Long] = Map(
       "n_input" -> nInput,
       "n_quality_kept" -> nQualityKept,
@@ -587,7 +620,7 @@ object PrepMain {
       "n_contaminated_corpus" -> decontamDrops.count(),
       "n_final" -> nFinal) ++ verdictCounts ++ splitCounts ++ scrubCounts ++
       mediaCounts ++ pplCounts ++ mixCounts ++ chunkCounts ++ tokenCounts ++
-      profileCounts
+      profileCounts ++ annCounts
     val json = manifest.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }.mkString("{\n", ",\n", "\n}\n")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(opts.out))

@@ -817,11 +817,50 @@ object LlmOps {
     * EXACTLY on .5). The max component itself quantizes to exactly ±127:
     * (e·127)/e is exact when e·127 is (float·small-int always is).
     */
-  private val sqMaxAbs: Column =
+  private[graft] val sqMaxAbs: Column =
     array_max(transform(col("embedding"), x => abs(x.cast(DoubleType))))
-  private val sqCodes: Column = transform(col("embedding"),
+  private[graft] val sqCodes: Column = transform(col("embedding"),
     x => floor(x.cast(DoubleType) * lit(127.0) / col("maxabs") + lit(0.5))
       .cast(LongType))
+
+  /** Write the IVF×SQ8 index ARTIFACT for an arbitrary embedding frame
+    * (vec_id, label, embedding) — the PrepMain `--ann` stage's core
+    * (r9 verdict #3: the RAG handoff "chunks → embeddings → persisted
+    * index" as a pipeline artifact, not just gate keys): the
+    * label-partitioned codes-only table goes to `codesDir` and the k×64
+    * centroid table to `centDir` (the sq8WriteIndexIvf layout, over the
+    * KEPT corpus instead of the fixture), returning the manifest stats
+    * a downstream loader sanity-checks — vector/cell counts, saturated
+    * codes (the i61 alert metric), and the maxabs envelope in micro
+    * units. Stats are measured from the WRITTEN codes table, so they
+    * certify the artifact on disk, not the plan that produced it.
+    */
+  def annWriteArtifact(emb: DataFrame, codesDir: String,
+      centDir: String): Map[String, Long] = {
+    emb.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+      .withColumn("qarr", sqCodes)
+      .select("vec_id", "label", "maxabs", "qarr")
+      .write.mode("overwrite").partitionBy("label").parquet(codesDir)
+    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast(DoubleType))
+      .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+      .write.mode("overwrite").parquet(centDir)
+    val codes = emb.sparkSession.read.parquet(codesDir)
+    val row = codes.agg(
+      count(lit(1)),
+      coalesce(sum(size(filter(col("qarr"), x => abs(x) === 127))
+        .cast(LongType)), lit(0L)),
+      min(col("maxabs")), max(col("maxabs"))).head()
+    val n = row.getLong(0)
+    Map(
+      "n_ann_vectors" -> n,
+      "n_ann_cells" -> codes.select("label").distinct().count(),
+      "n_ann_saturated_codes" -> row.getLong(1),
+      "ann_maxabs_min_micro" ->
+        (if (n == 0) 0L else math.floor(row.getDouble(2) * 1e6).toLong),
+      "ann_maxabs_max_micro" ->
+        (if (n == 0) 0L else math.floor(row.getDouble(3) * 1e6).toLong))
+  }
 
   /** i61: int8 symmetric quantization of the embedding column — the ANN
     * index storage lever: 64×float32 (256 B) becomes 64×int8 + one scale

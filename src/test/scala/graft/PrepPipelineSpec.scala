@@ -332,6 +332,66 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(pr("doc_id").getLong(3) == n && pr("doc_id").getLong(2) == 0L)
   }
 
+  test("--ann write persists the servable IVF/SQ8 index over exactly the kept corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val outA = Util.scratch("prep_out_ann")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outA, "minhash",
+      ann = "write"))
+    val written = spark.read.parquet(s"$outA/documents.parquet")
+    val codes = spark.read.parquet(s"$outA/ann_index.parquet")
+    val cent = spark.read.parquet(s"$outA/ann_centroids.parquet")
+    // the index covers EXACTLY the kept corpus (vec_id = doc_id 1:1),
+    // codes-only on disk (no float column), centroid table is k×64
+    assert(codes.schema.fieldNames.sorted.toSeq ==
+      Seq("label", "maxabs", "qarr", "vec_id"))
+    val keptIds = written.select("doc_id").collect().map(_.getLong(0)).toSet
+    val idxIds = codes.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds.subsetOf(keptIds), "index contains a dropped doc")
+    assert(m("n_ann_vectors") == idxIds.size.toLong)
+    assert(m("n_ann_cells") == codes.select("label").distinct().count())
+    assert(cent.count() == m("n_ann_cells") * 64)
+    assert(m("ann_maxabs_max_micro") >= m("ann_maxabs_min_micro") &&
+      m("ann_maxabs_min_micro") > 0L)
+    // probe the WRITTEN index with i63's two-stage chain against a
+    // planted query (the smallest indexed vector) and compare to the
+    // same chain computed inline from the kept float vectors — the
+    // persisted round-trip must be lossless (i63's oracle trick)
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .join(written.select(col("doc_id").as("vec_id")), "vec_id")
+    val qid = idxIds.min
+    val qvecRow = e.filter(col("vec_id") === qid).select("embedding")
+      .collect().head.getSeq[Float](0)
+    val qvec = typedLit(qvecRow)
+    def twoStage(cds: org.apache.spark.sql.DataFrame) = cds
+      .filter(col("vec_id") =!= qid)
+      .withColumn("approx_sim", col("maxabs") / lit(127.0) *
+        aggregate(zip_with(col("qarr"), qvec,
+          (q, v) => q * v.cast("double")), lit(0.0), (a, x) => a + x))
+      .orderBy(desc("approx_sim"), asc("vec_id")).limit(50)
+      .select("vec_id")
+      .join(e, "vec_id")
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), qvec), 6))
+      .select("vec_id", "sim")
+      .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fromArtifact = twoStage(codes)
+    val inline = twoStage(e
+      .withColumn("maxabs", LlmOps.sqMaxAbs).filter(col("maxabs") > 0)
+      .withColumn("qarr", LlmOps.sqCodes)
+      .select("vec_id", "maxabs", "qarr"))
+    assert(fromArtifact.nonEmpty && fromArtifact == inline,
+      s"persisted probe diverges from inline: $fromArtifact vs $inline")
+    // the centroid artifact equals the kept corpus's per-cell averages
+    val truth = e.select(col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .groupBy("label", "pos").agg(avg(col("v")).as("c2"))
+    val maxDiff = cent.join(truth, Seq("label", "pos"))
+      .agg(max(abs(col("c") - col("c2")))).head().getDouble(0)
+    assert(maxDiff < 1e-12, s"centroid artifact drifts: $maxDiff")
+  }
+
   test("--shuffle hash attaches the i51 training order: a dense shuffled permutation") {
     pipelineRan()
     val outS = Util.scratch("prep_out_shuffle")
