@@ -105,7 +105,11 @@ object LadderMain {
       // r9: ANN serving — per-batch cost |batch| × probed index bytes;
       // replicating documents grows neither, so the rung must stay flat
       // (the stream family rides documents; j20's index rides embeddings)
-      "j20_stream_ann")
+      "j20_stream_ann",
+      // r10: the IVF-pruned serving mode beside j20's flat scan — same
+      // fixed index, so the rung must stay flat AND sit at or below
+      // j20's rung (per-batch bytes are nprobe cells, not the index)
+      "j21_stream_ann_ivf")
       .map(k => k -> SparkEntry.queries(k))
 
   /** rel family (r5): the lineitem-fact join/layout ops — the bloom-pruned
@@ -219,7 +223,11 @@ object LadderMain {
       "a29_fits_image_qfloat",
       // r9: the compressed cutout — bytes ∝ covering tiles, so the rung
       // must stay ~flat like a20/a26 while the frame grows
-      "a30_fits_image_tiled_cutout")
+      "a30_fits_image_tiled_cutout",
+      // r10: the tile-compressed CUBE reader — a25's cost shape through
+      // the tile codec; per-plane tiles split independently so growth
+      // stays linear, and splits derive from tile bytes (tileSplits)
+      "a31_fits_cube_tiled")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {
@@ -398,31 +406,44 @@ object LadderMain {
         // judge's #5: the measurement that would have exposed m10's
         // saturated 256-value alphabet at 1× — candidate growth must
         // track the true-pair mass, not n²). Untimed probes.
-        val h9 = ops.MultimodalOps.m9HashFrame(spark, dir)
-        val c9 = ops.RelOps.hammingBlockedCandidates(
-          h9.select(col("doc_id").as("a_id"), col("hh").as("da")),
-          h9.select(col("doc_id").as("b_id"), col("hh").as("db")),
-          keyLen = 16, chunks = 4).count()
-        val f10 = ops.MultimodalOps.m10FpFrame(spark, dir)
-        val f10a = f10.select(col("doc_id").as("a_id"), col("fp").as("da"))
-        val f10b = f10.select(col("doc_id").as("b_id"), col("fp").as("db"))
+        // each modality's probe runs only when its op is selected
+        // (SPARK_GRAFT_ONLY=m10_audio_near_dup ladders the deep 16x/32x
+        // rungs without paying the other two modalities' fixtures)
+        val sel = selected.map(_._1).toSet
+        val c9 = if (!sel("m9_image_near_dup")) "" else {
+          val h9 = ops.MultimodalOps.m9HashFrame(spark, dir)
+          val c = ops.RelOps.hammingBlockedCandidates(
+            h9.select(col("doc_id").as("a_id"), col("hh").as("da")),
+            h9.select(col("doc_id").as("b_id"), col("hh").as("db")),
+            keyLen = 16, chunks = 4).count()
+          s""","m9_candidates":$c"""
+        }
         // uncapped mass is the receipt for why the r9 cap exists (the
         // superlinear hot-chunk instance curve the r8 verdict flagged);
         // capped mass is what the engine actually joins since r9 —
         // bounded at 8·n·64, must stay linear across rungs
-        val c10 = ops.RelOps.hammingBlockedCandidates(
-          f10a, f10b, keyLen = 32, chunks = 8).count()
-        val c10c = ops.RelOps.hammingBlockedCandidates(
-          f10a, f10b, keyLen = 32, chunks = 8,
-          postingCap = ops.MultimodalOps.NibblePostingCap).count()
+        val c10 = if (!sel("m10_audio_near_dup")) "" else {
+          val f10 = ops.MultimodalOps.m10FpFrame(spark, dir)
+          val f10a = f10.select(col("doc_id").as("a_id"), col("fp").as("da"))
+          val f10b = f10.select(col("doc_id").as("b_id"), col("fp").as("db"))
+          val cu = ops.RelOps.hammingBlockedCandidates(
+            f10a, f10b, keyLen = 32, chunks = 8).count()
+          val cc = ops.RelOps.hammingBlockedCandidates(
+            f10a, f10b, keyLen = 32, chunks = 8,
+            postingCap = ops.MultimodalOps.NibblePostingCap).count()
+          s""","m10_candidates":$cu,"m10_candidates_capped":$cc"""
+        }
         // m11's blocking class is the inverted keyframe index, not the
         // hamming pigeonhole — its candidate mass is the hash-equi-join
         // row count before the Jaccard refine, over the SAME FrameCap'd
         // posting lists the engine joins (uncapped mass is the r8 receipt
         // for why the cap exists: 63k → 781k over 1×–8×, quadratic on the
         // hot alternating-threshold hash)
-        val c11 = ops.MultimodalOps.m11CappedCandidates(
-          ops.MultimodalOps.m11FrameHashes(spark, dir)).count()
+        val c11 = if (!sel("m11_video_near_dup")) "" else {
+          val c = ops.MultimodalOps.m11CappedCandidates(
+            ops.MultimodalOps.m11FrameHashes(spark, dir)).count()
+          s""","m11_candidates":$c"""
+        }
         // output pairs (from the timed runs) beside candidate instances:
         // candidates are filtered MAP-SIDE post-join since the r8
         // refine-before-distinct, so the shuffled mass is the output
@@ -430,8 +451,7 @@ object LadderMain {
           "m11_video_near_dup")
           .flatMap(k => lastCount.get(k).map(v => s""","${k}_pairs":$v"""))
           .mkString
-        s""","m9_candidates":$c9,"m10_candidates":$c10,""" +
-          s""""m10_candidates_capped":$c10c,"m11_candidates":$c11$outs"""
+        s"$c9$c10$c11$outs"
       } else ""
       println(s"""{"family":"$family","scale":$k,"rows":$rows,"queries":$qs,"spreads":$spreads,"reps":$reps,"base":"$sfDir"$extra}""")
     }

@@ -579,11 +579,15 @@ object ScanOps {
     * cap bounds the LOCAL task count; a cluster deployment raises the
     * per-task byte target (64-128 MiB) instead of leaning on the cap.
     */
-  private[ops] def tileSplits(totalTiles: Long, tileBytes: Long): Int = {
+  private[graft] def tileSplits(totalTiles: Long, tileBytes: Long): Int = {
     val targetTaskBytes = 1L << 20
     val byBytes = (totalTiles * math.max(1L, tileBytes) +
       targetTaskBytes - 1) / targetTaskBytes
-    math.max(math.min(totalTiles, 8L), math.min(byBytes, 4096L)).toInt
+    // never more splits than tiles (a tile is the indivisible unit, so
+    // extra partitions would just be empty tasks), never more than the
+    // local cap, and never fewer than the small-fixture floor
+    math.max(math.min(totalTiles, 8L),
+      math.min(math.min(byBytes, totalTiles), 4096L)).toInt
   }
 
   /** The a27/a28 read core: scan `nHdus` compressed-image extensions

@@ -234,4 +234,22 @@ class ScanOpsSpec extends SparkTestBase {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
     assert(orc.exceptAll(src).isEmpty && src.exceptAll(orc).isEmpty)
   }
+
+  test("tileSplits derives parallelism from the data: floor 8 small, grows with bytes") {
+    import graft.ops.ScanOps.tileSplits
+    // fixture geometry (64-px frames, 8-16 KiB decoded tiles): small
+    // frames floor at min(totalTiles, 8); tiny files never over-split
+    assert(tileSplits(3, 8192) == 3)
+    assert(tileSplits(20, 8192) == 8)
+    // the 64x-frame receipt (r9 #5's 'done' condition): sf0.1's 5,000-row
+    // frame at 64x = 5,000 int16 + 5,000 float tiles -> splits derive
+    // from decoded bytes and land well past the old hard-coded 8
+    assert(tileSplits(10000, 16384) > 8)
+    assert(tileSplits(10000, 16384) == (10000L * 16384 + (1 << 20) - 1) / (1 << 20))
+    // production tiles (>= the 1 MiB target): one tile per task, and
+    // never MORE splits than tiles — a tile is the indivisible unit
+    assert(tileSplits(1000, 2L << 20) == 1000)
+    // the local cap bounds task count
+    assert(tileSplits(100000000L, 4L << 20) == 4096)
+  }
 }
