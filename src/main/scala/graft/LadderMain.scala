@@ -45,7 +45,16 @@ object LadderMain {
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))
       ops.LlmOps.connectedComponents(s, edges)
-    }) :+ forcedRow("i34_kmeans_lloyd")
+    },
+    // r10: the two ANN SERVING modes on the GROWING-index axis (the
+    // stream family pins the fixed-index regime; here both the index
+    // and the query set replicate k×, so per-batch work is |batch| ×
+    // probed bytes on BOTH axes): j20's flat scan must grow ~k² while
+    // j21's 2-of-k-cells probe grows ~k²/5 — the rung where directory
+    // pruning must visibly beat the flat scan
+    "j20_stream_ann" -> ops.StreamOps.j20_stream_ann.fn,
+    "j21_stream_ann_ivf" -> ops.StreamOps.j21_stream_ann_ivf.fn) :+
+    forcedRow("i34_kmeans_lloyd")
 
   /** text family: the r4 ladder's op set (first nine — rows stay
     * comparable across rounds), extended in r5 with the perplexity
@@ -107,8 +116,11 @@ object LadderMain {
       // (the stream family rides documents; j20's index rides embeddings)
       "j20_stream_ann",
       // r10: the IVF-pruned serving mode beside j20's flat scan — same
-      // fixed index, so the rung must stay flat AND sit at or below
-      // j20's rung (per-batch bytes are nprobe cells, not the index)
+      // fixed index, so the rung must stay FLAT; at fixture-scale index
+      // sizes the pruning's fixed per-batch overhead (cell rank +
+      // bounded collect) exceeds the bytes it saves, so this rung sits
+      // ABOVE j20's — the pruning WIN is the emb family's growing-index
+      // rung, where both modes' work scales and 2-of-k cells beats flat
       "j21_stream_ann_ivf")
       .map(k => k -> SparkEntry.queries(k))
 
