@@ -1018,6 +1018,74 @@ object FitsWriter {
     } finally out.close()
   }
 
+  /** The planted MASK pixel (the a32 oracle's closed form): label 2 on
+    * a ~2.8% scatter (the a19 field mod 41), else an 8×8 checkerboard
+    * of 1/0 — long constant runs with occasional breakers, the exact
+    * workload run-length mask compression exists for. All-integer, so
+    * the oracle recomputes it exactly.
+    */
+  def maskRaw(x: Long, y: Long): Long = {
+    val f = (3 * y + 5 * x + 7) % 251
+    if (f % 41 == 0) 2L
+    else if (((x / 8) + (y / 8)) % 2 == 0) 1L
+    else 0L
+  }
+
+  /** Tile-compressed MASK image (fpack's PLIO_1 class — segmentation
+    * maps and bad-pixel masks; the r9 verdict's missing-#4 codec
+    * family, PLIO half): the planted mask goes out as ONE ZIMAGE=T
+    * BINTABLE, ZBITPIX 16, row-band tiles run-length coded per tile
+    * (GRAFT_PLIO_1 — the private-label honesty rule, see TileCodec).
+    * Driver-side fixture synthesizer like writeTiledImageFits; the
+    * parallel path is the a32 reader's tile splits.
+    */
+  def writeMaskImageFits(path: String, width: Int, height: Long,
+      tileRows: Int): Unit = {
+    require(tileRows > 0, s"tileRows must be positive, got $tileRows")
+    val nTiles = ((height + tileRows - 1) / tileRows).toInt
+    def tile(t: Int): Array[Byte] = {
+      val y0 = t.toLong * tileRows
+      val rows = math.min(tileRows.toLong, height - y0).toInt
+      val vals = new Array[Long](rows * width)
+      var i = 0
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < width) { vals(i) = maskRaw(x, y0 + y); x += 1; i += 1 }
+        y += 1
+      }
+      TileCodec.encodeCell("GRAFT_PLIO_1", TileCodec.longsToBytes(vals, 2), 2)
+    }
+    val blobs = Array.tabulate(nTiles)(tile)
+    val pcount = blobs.foldLeft(0L)(_ + _.length)
+    val varMax = blobs.foldLeft(0)((m, b) => math.max(m, b.length))
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+    var written = 0L
+    def w(b: Array[Byte]): Unit = { out.write(b); written += b.length }
+    def padBlock(fill: Byte): Unit = {
+      val rem = ((FitsFormat.BlockSize - written % FitsFormat.BlockSize)
+        % FitsFormat.BlockSize).toInt
+      out.write(Array.fill(rem)(fill)); written += rem
+    }
+    try {
+      w(card("SIMPLE", "T", quote = false))
+      w(card("BITPIX", "8", quote = false))
+      w(card("NAXIS", "0", quote = false))
+      w(endCard); padBlock(' '.toByte)
+      w(tiledImageExtHeader(width, height, tileRows, nTiles, 16,
+        "GRAFT_PLIO_1", pcount, varMax, Seq.empty))
+      var off = 0L
+      val rec = ByteBuffer.allocate(8)
+      blobs.foreach { b =>
+        rec.clear(); rec.putInt(b.length); rec.putInt(off.toInt)
+        w(rec.array().clone()); off += b.length
+      }
+      blobs.foreach(w)
+      padBlock(0)
+    } finally out.close()
+  }
+
   /** Lossy-QUANTIZED float compressed image — fpack's float DEFAULT
     * (RICE needs integers, so floats quantize per tile first): tile t
     * stores q = floor((v − ZZERO_t)/ZSCALE_t + 0.5) rice-coded, with

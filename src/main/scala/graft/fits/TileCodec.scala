@@ -201,6 +201,70 @@ object TileCodec {
   }
 
   // ------------------------------------------------------------------
+  // GRAFT_PLIO_1 (run-length mask coder)
+  // ------------------------------------------------------------------
+
+  /** Run-length coding for MASK images — the workload fpack's PLIO_1
+    * (IRAF pixel-list compression) exists for: images whose pixels are
+    * small labels (0/1 bad-pixel masks, object-id segmentation maps)
+    * with long constant runs. Layout: a sequence of (value, runLength)
+    * pairs, value as zigzag LEB128 varint, runLength as plain LEB128
+    * varint. Self-designed and self-consistent like GRAFT_RICE_1 —
+    * byte-level interop with IRAF's line-list format is NOT claimed, so
+    * the writer emits the private 'GRAFT_PLIO_1' label and the decoder
+    * rejects the standard 'PLIO_1' outright (same honesty rule as
+    * RICE_1: no checksum means a genuine IRAF file would silently
+    * mis-decode rather than fail).
+    */
+  def rleEncode(vals: Array[Long]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def putVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    var i = 0
+    while (i < vals.length) {
+      val v = vals(i)
+      var j = i + 1
+      while (j < vals.length && vals(j) == v) j += 1
+      putVarint(zigzag(v))
+      putVarint((j - i).toLong)
+      i = j
+    }
+    out.toByteArray
+  }
+
+  def rleDecode(bytes: Array[Byte], n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    var pos = 0
+    def getVarint(): Long = {
+      var v = 0L
+      var shift = 0
+      var b = 0x80
+      while ((b & 0x80) != 0) {
+        if (pos >= bytes.length)
+          throw new java.io.EOFException("PLIO stream truncated")
+        b = bytes(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      }
+      v
+    }
+    var i = 0
+    while (i < n) {
+      val v = unzigzag(getVarint())
+      val run = getVarint()
+      require(run > 0 && i + run <= n,
+        s"PLIO run of $run at $i overflows tile of $n")
+      var k = 0
+      while (k < run) { out(i + k) = v; k += 1 }
+      i += run.toInt
+    }
+    require(pos == bytes.length, "PLIO stream has trailing bytes")
+    out
+  }
+
+  // ------------------------------------------------------------------
   // GZIP_1 / GZIP_2
   // ------------------------------------------------------------------
 
@@ -267,12 +331,24 @@ object TileCodec {
     algo match {
       case "GRAFT_RICE_1" =>
         riceEncode(bytesToLongs(raw, elemBytes), elemBytes)
+      case "GRAFT_PLIO_1" =>
+        rleEncode(bytesToLongs(raw, elemBytes))
       case "GZIP_1" => gzipEncode(raw)
       case "GZIP_2" => gzipEncode(shuffle(raw, elemBytes))
       case "NOCOMPRESS" => raw
       case "RICE_1" => throw new IllegalArgumentException(riceInteropMsg)
+      case "PLIO_1" => throw new IllegalArgumentException(plioInteropMsg)
       case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
     }
+
+  /** Why the standard PLIO_1 label is rejected (the RICE_1 rule). */
+  private val plioInteropMsg: String =
+    "ZCTYP 'PLIO_1' is not supported: this engine's run-length mask " +
+      "coder is not verified byte-compatible with IRAF's line-list " +
+      "format, and the stream carries no checksum, so a genuine fpack " +
+      "PLIO file would silently mis-decode. Files written by this " +
+      "engine use the private label 'GRAFT_PLIO_1'; for external " +
+      "PLIO_1 files use funpack/astropy, or re-export with GZIP_1."
 
   /** Why the standard RICE_1 label is rejected (see object Scaladoc). */
   private val riceInteropMsg: String =
@@ -290,10 +366,13 @@ object TileCodec {
       elemBytes: Int): Array[Byte] = algo match {
     case "GRAFT_RICE_1" =>
       longsToBytes(riceDecode(blob, nElems, elemBytes), elemBytes)
+    case "GRAFT_PLIO_1" =>
+      longsToBytes(rleDecode(blob, nElems), elemBytes)
     case "GZIP_1" => gzipDecode(blob)
     case "GZIP_2" => unshuffle(gzipDecode(blob), elemBytes)
     case "NOCOMPRESS" => blob
     case "RICE_1" => throw new IllegalArgumentException(riceInteropMsg)
+    case "PLIO_1" => throw new IllegalArgumentException(plioInteropMsg)
     case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
   }
 

@@ -1051,6 +1051,81 @@ object ScanOps {
       |  CAST(max(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS max_q6
       |FROM qd GROUP BY y ORDER BY y""".stripMargin)
 
+  /** a32: tile-compressed MASK image source (fpack's PLIO_1 class —
+    * the r9 verdict's missing-#4 codec family, PLIO half: bad-pixel
+    * masks and object-id segmentation maps, pixels = small labels with
+    * long constant runs; RICE's diff coding is the wrong tool and
+    * archives run PLIO there): the planted 8×8-checkerboard-plus-
+    * scatter mask goes out run-length coded per row-band tile
+    * (GRAFT_PLIO_1, the private-label honesty rule) and comes back via
+    * the a27 tile-split read shape — tileSplits-derived parallelism,
+    * streamed rows, per-row label histogram (n0/n1/n2) plus the
+    * position-weighted checksum Σ m·(x+1), so a run landing one pixel
+    * off — the exact failure mode of a run-length coder — is a hash
+    * mismatch even when the histogram survives. Oracle recomputes the
+    * all-integer mask closed-form.
+    */
+  val a32_fits_image_mask = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val height = t(s, d, "documents").count() // fixture size, not data
+      val tileRows = 64
+      // build-once scaffolding (r8 #7): the op under test is the READER
+      val path = graft.Util.fixtureOnce(
+        s"survey_mask_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeMaskImageFits(p, 64, height, tileRows))
+      val nTiles = (height + tileRows - 1) / tileRows
+      val splits = tileSplits(nTiles, 64L * tileRows * 2)
+      s.range(0, nTiles, 1, splits).mapPartitions { ts =>
+        if (!ts.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
+          val desc = new Array[Byte](8)
+          ts.flatMap { tIdx =>
+            raf.seek(sp.descOffset(tIdx))
+            raf.readFully(desc)
+            val db = java.nio.ByteBuffer.wrap(desc)
+            val blob = new Array[Byte](db.getInt(0))
+            raf.seek(sp.heapStart + db.getInt(4).toLong)
+            raf.readFully(blob)
+            val rows = sp.rowsInTile(tIdx)
+            val w = sp.width.toInt
+            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+              rows * w, sp.bytesPerPx)
+            val bb = java.nio.ByteBuffer.wrap(raw)
+            (0 until rows).iterator.map { ry =>
+              val y = tIdx * sp.tileRows + ry
+              var n0 = 0L; var n1 = 0L; var n2 = 0L; var wsum = 0L
+              var x = 0
+              while (x < w) {
+                val m = bb.getShort((ry * w + x) * 2).toLong
+                if (m == 0) n0 += 1 else if (m == 1) n1 += 1 else n2 += 1
+                wsum += m * (x + 1)
+                x += 1
+              }
+              (y, n0, n1, n2, wsum)
+            }
+          }
+        }
+      }.toDF("y", "n0", "n1", "n2", "wsum").orderBy("y")
+    },
+    """WITH ys AS (SELECT unnest(range(0, (SELECT count(*) FROM documents))) AS y),
+      |px AS (SELECT y, x,
+      |         CASE WHEN (3 * y + 5 * x + 7) % 251 % 41 = 0 THEN 2
+      |              WHEN ((x // 8) + (y // 8)) % 2 = 0 THEN 1
+      |              ELSE 0 END AS m
+      |       FROM ys CROSS JOIN (SELECT unnest(range(0, 64)) AS x) xs)
+      |SELECT CAST(y AS BIGINT) AS y,
+      |  CAST(count(*) FILTER (WHERE m = 0) AS BIGINT) AS n0,
+      |  CAST(count(*) FILTER (WHERE m = 1) AS BIGINT) AS n1,
+      |  CAST(count(*) FILTER (WHERE m = 2) AS BIGINT) AS n2,
+      |  CAST(sum(m * (x + 1)) AS BIGINT) AS wsum
+      |FROM px GROUP BY y ORDER BY y""".stripMargin)
+
   /** X (bit-array) + C/M (complex) TFORM round-trip: the remaining §1.2
     * type rows that read-path unit tests covered but no gate row
     * round-tripped through FitsWriter. A 12-bit mask (packed MSB-first
@@ -1474,6 +1549,7 @@ object ScanOps {
     "a29_fits_image_qfloat" -> a29_fits_image_qfloat,
     "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
     "a31_fits_cube_tiled" -> a31_fits_cube_tiled,
+    "a32_fits_image_mask" -> a32_fits_image_mask,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

@@ -590,6 +590,40 @@ class TiledFitsSpec extends SparkTestBase {
     }, n = 30)
   }
 
+  test("PLIO-class RLE round-trips arbitrary label arrays (property)") {
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.choose(0L, 3L),                      // mask labels (runs)
+      Gen.choose(Long.MinValue, Long.MaxValue) // full-range breakers
+    )).map(_.toArray)
+    check(Prop.forAll(gen) { vals =>
+      TileCodec.rleDecode(TileCodec.rleEncode(vals), vals.length)
+        .sameElements(vals)
+    })
+  }
+
+  test("a32: PLIO-class coder actually compresses the planted mask; label honesty holds") {
+    // one 64-row band of the planted mask: 8K raw int16 bytes
+    val vals = Array.tabulate(64 * 64)(i =>
+      FitsWriter.maskRaw(i % 64, i / 64))
+    val raw = TileCodec.longsToBytes(vals, 2)
+    val blob = TileCodec.encodeCell("GRAFT_PLIO_1", raw, 2)
+    assert(blob.length * 4 < raw.length,
+      s"mask RLE should win >=4x on the planted mask: ${blob.length} vs ${raw.length}")
+    assert(TileCodec.decodeCell("GRAFT_PLIO_1", blob, vals.length, 2)
+      .sameElements(raw))
+    // the standard PLIO_1 label is rejected, not silently mis-decoded
+    // (the RICE_1 interop-honesty rule)
+    val e1 = intercept[IllegalArgumentException](
+      TileCodec.encodeCell("PLIO_1", raw, 2))
+    val e2 = intercept[IllegalArgumentException](
+      TileCodec.decodeCell("PLIO_1", blob, vals.length, 2))
+    assert(e1.getMessage.contains("GRAFT_PLIO_1") &&
+      e2.getMessage.contains("funpack"))
+    // a truncated or trailing-garbage stream fails loudly
+    intercept[Exception](TileCodec.rleDecode(blob.dropRight(1), vals.length))
+    intercept[Exception](TileCodec.rleDecode(blob :+ 0.toByte, vals.length))
+  }
+
   test("the standard RICE_1 label is rejected, not silently mis-decoded") {
     // this engine's Rice layout is private (GRAFT_RICE_1); a genuine fpack
     // file carrying ZCTYP='RICE_1' must error, since Rice streams have no
