@@ -1101,7 +1101,7 @@ object FitsWriter {
     * writeImageFits; the parallel path is the a29 reader's tile splits.
     */
   def writeQuantizedImageFits(path: String, width: Int, height: Long,
-      tileRows: Int): Unit = {
+      tileRows: Int, cmpType: String = "GRAFT_RICE_1"): Unit = {
     require(tileRows > 0, s"tileRows must be positive, got $tileRows")
     val nTiles = ((height + tileRows - 1) / tileRows).toInt
     def tile(t: Int): (Array[Byte], Double, Double) = {
@@ -1135,8 +1135,14 @@ object FitsWriter {
           else -1L
         i += 1
       }
-      (TileCodec.encodeCell("GRAFT_RICE_1", TileCodec.longsToBytes(q, 2), 2),
-        zscale, vmin)
+      // GRAFT_HCOMP_1 (fpack's HCOMPRESS_1 class, a33): the 2-D
+      // H-transform needs the tile GEOMETRY, so it has its own entry
+      // point; every byte-run codec goes through encodeCell
+      val blob = cmpType match {
+        case "GRAFT_HCOMP_1" => TileCodec.hcompEncode(q, width, rows)
+        case c => TileCodec.encodeCell(c, TileCodec.longsToBytes(q, 2), 2)
+      }
+      (blob, zscale, vmin)
     }
     val tiles = Array.tabulate(nTiles)(tile)
     val pcount = tiles.foldLeft(0L)(_ + _._1.length)
@@ -1175,7 +1181,7 @@ object FitsWriter {
       w(card("TTYPE3", "ZZERO", quote = true))
       w(card("TFORM3", "1D", quote = true))
       w(card("ZIMAGE", "T", quote = false))
-      w(card("ZCMPTYPE", "GRAFT_RICE_1", quote = true))
+      w(card("ZCMPTYPE", cmpType, quote = true))
       w(card("ZBITPIX", "-32", quote = false))
       w(card("ZNAXIS", "2", quote = false))
       w(card("ZNAXIS1", width.toString, quote = false))

@@ -265,6 +265,159 @@ object TileCodec {
   }
 
   // ------------------------------------------------------------------
+  // GRAFT_HCOMP_1 (2-D integer H-transform + Rice)
+  // ------------------------------------------------------------------
+
+  /** Exact separable 2-D integer Haar/H-transform, Mallat ordering —
+    * the transform class behind fpack's HCOMPRESS_1 (White 1992:
+    * hierarchical 2-D differencing decorrelates smooth rasters in BOTH
+    * axes, where Rice's row-wise diffs see only one). Per level: an
+    * x-pass turns each row of the current LL region into [sums |
+    * diffs] (s = a+b, d = a−b; an odd trailing element passes
+    * through), then a y-pass does the same on its columns; the new LL
+    * is the top-left ceil-half quadrant and the level recurses on it.
+    * Pure +/− — no division, so the transform is EXACT on Longs and
+    * the inverse ((s+d)/2 and (s−d)/2 are exact: s+d = 2a by
+    * construction) loses nothing at any size, odd dims included.
+    * Coefficients grow ≤ ×4 per level (bounded by region sum).
+    *
+    * The coded blob is self-describing: varint w, varint h, then the
+    * coefficient array Rice-coded at bytepix 8 (coefficients exceed
+    * the input width after summation levels). Like GRAFT_RICE_1 /
+    * GRAFT_PLIO_1, the layout is private and self-consistent — bit
+    * interop with cfitsio's hcompress is NOT claimed, the writer emits
+    * 'GRAFT_HCOMP_1', and the standard 'HCOMPRESS_1' label is rejected
+    * outright (no checksum ⇒ a genuine fpack file would silently
+    * mis-decode rather than fail).
+    */
+  def htrans(a: Array[Long], w: Int, h: Int): Unit = {
+    require(a.length == w * h, s"htrans: ${a.length} values for ${w}x$h")
+    val tmp = new Array[Long](math.max(w, h))
+    var cw = w; var ch = h
+    while (cw > 1 || ch > 1) {
+      if (cw > 1) {
+        val nw = (cw + 1) / 2
+        var y = 0
+        while (y < ch) {
+          val base = y * w
+          var x = 0
+          while (x < cw / 2) {
+            tmp(x) = a(base + 2 * x) + a(base + 2 * x + 1)
+            tmp(nw + x) = a(base + 2 * x) - a(base + 2 * x + 1)
+            x += 1
+          }
+          if (cw % 2 == 1) tmp(nw - 1) = a(base + cw - 1)
+          System.arraycopy(tmp, 0, a, base, cw)
+          y += 1
+        }
+      }
+      if (ch > 1) {
+        val nh = (ch + 1) / 2
+        var x = 0
+        while (x < cw) {
+          var y = 0
+          while (y < ch / 2) {
+            tmp(y) = a(2 * y * w + x) + a((2 * y + 1) * w + x)
+            tmp(nh + y) = a(2 * y * w + x) - a((2 * y + 1) * w + x)
+            y += 1
+          }
+          if (ch % 2 == 1) tmp(nh - 1) = a((ch - 1) * w + x)
+          y = 0
+          while (y < ch) { a(y * w + x) = tmp(y); y += 1 }
+          x += 1
+        }
+      }
+      cw = (cw + 1) / 2
+      ch = (ch + 1) / 2
+    }
+  }
+
+  def hinv(a: Array[Long], w: Int, h: Int): Unit = {
+    require(a.length == w * h, s"hinv: ${a.length} values for ${w}x$h")
+    // replay the forward level sizes, then invert them in reverse
+    var sizes = List.empty[(Int, Int)]
+    var cw = w; var ch = h
+    while (cw > 1 || ch > 1) {
+      sizes = (cw, ch) :: sizes
+      cw = (cw + 1) / 2; ch = (ch + 1) / 2
+    }
+    val tmp = new Array[Long](math.max(w, h))
+    sizes.foreach { case (lw, lh) =>
+      if (lh > 1) {
+        val nh = (lh + 1) / 2
+        var x = 0
+        while (x < lw) {
+          var y = 0
+          while (y < lh / 2) {
+            val s = a(y * w + x); val d = a((nh + y) * w + x)
+            tmp(2 * y) = (s + d) / 2
+            tmp(2 * y + 1) = (s - d) / 2
+            y += 1
+          }
+          if (lh % 2 == 1) tmp(lh - 1) = a((nh - 1) * w + x)
+          y = 0
+          while (y < lh) { a(y * w + x) = tmp(y); y += 1 }
+          x += 1
+        }
+      }
+      if (lw > 1) {
+        val nw = (lw + 1) / 2
+        var y = 0
+        while (y < lh) {
+          val base = y * w
+          var x = 0
+          while (x < lw / 2) {
+            val s = a(base + x); val d = a(base + nw + x)
+            tmp(2 * x) = (s + d) / 2
+            tmp(2 * x + 1) = (s - d) / 2
+            x += 1
+          }
+          if (lw % 2 == 1) tmp(lw - 1) = a(base + nw - 1)
+          System.arraycopy(tmp, 0, a, base, lw)
+          y += 1
+        }
+      }
+    }
+  }
+
+  /** GRAFT_HCOMP_1 cell: varint w, varint h, rice(htrans(vals), 8). */
+  def hcompEncode(vals: Array[Long], w: Int, h: Int): Array[Byte] = {
+    val coef = vals.clone()
+    htrans(coef, w, h)
+    val out = new ByteArrayOutputStream()
+    def putVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    putVarint(w.toLong); putVarint(h.toLong)
+    out.write(riceEncode(coef, 8))
+    out.toByteArray
+  }
+
+  def hcompDecode(blob: Array[Byte], nElems: Int): Array[Long] = {
+    var pos = 0
+    def getVarint(): Long = {
+      var v = 0L; var shift = 0; var b = 0x80
+      while ((b & 0x80) != 0) {
+        if (pos >= blob.length)
+          throw new java.io.EOFException("HCOMP stream truncated")
+        b = blob(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      }
+      v
+    }
+    val w = getVarint().toInt
+    val h = getVarint().toInt
+    require(w > 0 && h > 0 && w.toLong * h == nElems,
+      s"HCOMP geometry ${w}x$h does not match tile of $nElems values")
+    val coef = riceDecode(java.util.Arrays.copyOfRange(blob, pos, blob.length),
+      nElems, 8)
+    hinv(coef, w, h)
+    coef
+  }
+
+  // ------------------------------------------------------------------
   // GZIP_1 / GZIP_2
   // ------------------------------------------------------------------
 
@@ -336,10 +489,23 @@ object TileCodec {
       case "GZIP_1" => gzipEncode(raw)
       case "GZIP_2" => gzipEncode(shuffle(raw, elemBytes))
       case "NOCOMPRESS" => raw
+      // GRAFT_HCOMP_1 encoding needs tile GEOMETRY, not just a byte run
+      // — writers call hcompEncode(vals, w, h) directly; decode is
+      // generic because the blob self-describes its dims
       case "RICE_1" => throw new IllegalArgumentException(riceInteropMsg)
       case "PLIO_1" => throw new IllegalArgumentException(plioInteropMsg)
+      case "HCOMPRESS_1" => throw new IllegalArgumentException(hcompInteropMsg)
       case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
     }
+
+  /** Why the standard HCOMPRESS_1 label is rejected (the RICE_1 rule). */
+  private val hcompInteropMsg: String =
+    "ZCTYP 'HCOMPRESS_1' is not supported: this engine's H-transform " +
+      "coder is not verified bit-compatible with cfitsio's hcompress, " +
+      "and the stream carries no checksum, so a genuine fpack file " +
+      "would silently mis-decode. Files written by this engine use the " +
+      "private label 'GRAFT_HCOMP_1'; for external HCOMPRESS_1 files " +
+      "use funpack/astropy, or re-export with GZIP_1/GZIP_2."
 
   /** Why the standard PLIO_1 label is rejected (the RICE_1 rule). */
   private val plioInteropMsg: String =
@@ -368,11 +534,14 @@ object TileCodec {
       longsToBytes(riceDecode(blob, nElems, elemBytes), elemBytes)
     case "GRAFT_PLIO_1" =>
       longsToBytes(rleDecode(blob, nElems), elemBytes)
+    case "GRAFT_HCOMP_1" =>
+      longsToBytes(hcompDecode(blob, nElems), elemBytes)
     case "GZIP_1" => gzipDecode(blob)
     case "GZIP_2" => unshuffle(gzipDecode(blob), elemBytes)
     case "NOCOMPRESS" => blob
     case "RICE_1" => throw new IllegalArgumentException(riceInteropMsg)
     case "PLIO_1" => throw new IllegalArgumentException(plioInteropMsg)
+    case "HCOMPRESS_1" => throw new IllegalArgumentException(hcompInteropMsg)
     case a => throw new IllegalArgumentException(s"unsupported ZCTYP '$a'")
   }
 

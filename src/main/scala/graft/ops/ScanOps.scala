@@ -950,6 +950,68 @@ object ScanOps {
     // the identical voxel field (the a27 trick on the cube axis)
     a25_fits_cube_source.oracle.get)
 
+  /** The a29/a33 read core: scan ONE lossy-quantized compressed-image
+    * extension (the 24-byte [1PB, ZSCALE, ZZERO] record layout) with
+    * tile-boundary splits — decode each tile per its ZCMPTYPE (rice for
+    * a29, H-transform for a33 — the spec's card dispatches, so the SAME
+    * reader serves both codecs), apply the per-tile dequantization and
+    * ZBLANK masking, and emit the exact floor(v·10⁶) per-row stats.
+    * tileSplits parallelism + streamed rows (the r10 convention).
+    */
+  private def quantizedImageStats(s: SparkSession, path: String,
+      nTiles: Long, tileRows: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val splits = tileSplits(nTiles, 64L * tileRows * 2)
+    s.range(0, nTiles, 1, splits).mapPartitions { ts =>
+      if (!ts.hasNext) Iterator.empty
+      else {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => raf.close()))
+        raf.seek(0)
+        val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
+        require(sp.quant, "expected the quantized record layout")
+        val rec = new Array[Byte](sp.recordBytes)
+        ts.flatMap { tIdx =>
+          raf.seek(sp.descOffset(tIdx))
+          raf.readFully(rec)
+          val rb = java.nio.ByteBuffer.wrap(rec)
+          val blobLen = rb.getInt(0)
+          val heapOff = rb.getInt(4).toLong
+          val zscale = rb.getDouble(8)
+          val zzero = rb.getDouble(16)
+          val blob = new Array[Byte](blobLen)
+          raf.seek(sp.heapStart + heapOff)
+          raf.readFully(blob)
+          val rows = sp.rowsInTile(tIdx)
+          val w = sp.width.toInt
+          val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+            rows * w, 2) // quantized codes are int16
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          (0 until rows).iterator.map { ry =>
+            val y = tIdx * sp.tileRows + ry
+            var n = 0L; var sum = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var x = 0
+            while (x < w) {
+              val q = bb.getShort((ry * w + x) * 2).toLong
+              if (!sp.blank.contains(q)) {
+                val v = zzero + q.toDouble * zscale // the decode rule
+                val q6 = math.floor(v * 1.0e6).toLong // exact-IEEE gate
+                n += 1; sum += q6
+                if (q6 < mn) mn = q6
+                if (q6 > mx) mx = q6
+              }
+              x += 1
+            }
+            (y, n, sum, mn, mx)
+          }
+        }
+      }
+    }.toDF("y", "n_valid", "sum_q6", "min_q6", "max_q6")
+      .orderBy("y")
+  }
+
   /** a29: lossy-QUANTIZED float compressed image (fpack's float
     * DEFAULT — RICE is integer-only, so real archives quantize floats
     * per tile and rice-code the ints): tile t stores
@@ -974,58 +1036,7 @@ object ScanOps {
       val path = graft.Util.fixtureOnce(
         s"survey_qfloat_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
         graft.fits.FitsWriter.writeQuantizedImageFits(p, 64, height, tileRows))
-      val nTiles = (height + tileRows - 1) / tileRows
-      // splits from tile count × decoded bytes (int16 codes), rows
-      // streamed per tile — the tiledImageStats convention (r9 #5)
-      val splits = tileSplits(nTiles, 64L * tileRows * 2)
-      s.range(0, nTiles, 1, splits).mapPartitions { ts =>
-        if (!ts.hasNext) Iterator.empty
-        else {
-          val raf = new java.io.RandomAccessFile(path, "r")
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => raf.close()))
-          raf.seek(0)
-          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
-          require(sp.quant, "a29 expects the quantized record layout")
-          val rec = new Array[Byte](sp.recordBytes)
-          ts.flatMap { tIdx =>
-            raf.seek(sp.descOffset(tIdx))
-            raf.readFully(rec)
-            val rb = java.nio.ByteBuffer.wrap(rec)
-            val blobLen = rb.getInt(0)
-            val heapOff = rb.getInt(4).toLong
-            val zscale = rb.getDouble(8)
-            val zzero = rb.getDouble(16)
-            val blob = new Array[Byte](blobLen)
-            raf.seek(sp.heapStart + heapOff)
-            raf.readFully(blob)
-            val rows = sp.rowsInTile(tIdx)
-            val w = sp.width.toInt
-            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-              rows * w, 2) // quantized codes are int16
-            val bb = java.nio.ByteBuffer.wrap(raw)
-            (0 until rows).iterator.map { ry =>
-              val y = tIdx * sp.tileRows + ry
-              var n = 0L; var sum = 0L
-              var mn = Long.MaxValue; var mx = Long.MinValue
-              var x = 0
-              while (x < w) {
-                val q = bb.getShort((ry * w + x) * 2).toLong
-                if (!sp.blank.contains(q)) {
-                  val v = zzero + q.toDouble * zscale // the decode rule
-                  val q6 = math.floor(v * 1.0e6).toLong // exact-IEEE gate
-                  n += 1; sum += q6
-                  if (q6 < mn) mn = q6
-                  if (q6 > mx) mx = q6
-                }
-                x += 1
-              }
-              (y, n, sum, mn, mx)
-            }
-          }
-        }
-      }.toDF("y", "n_valid", "sum_q6", "min_q6", "max_q6")
-        .orderBy("y")
+      quantizedImageStats(s, path, (height + tileRows - 1) / tileRows, tileRows)
     },
     """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
       |ys AS (SELECT unnest(range(0, (SELECT h FROM b))) AS y),
@@ -1050,6 +1061,39 @@ object ScanOps {
       |  CAST(min(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS min_q6,
       |  CAST(max(CAST(floor(v * 1000000.0) AS BIGINT)) AS BIGINT) AS max_q6
       |FROM qd GROUP BY y ORDER BY y""".stripMargin)
+
+  /** a33: HCOMPRESS-class float compressed image — the second half of
+    * the r9 verdict's missing-#4 codec family (HCOMPRESS_1 is fpack's
+    * lossy default for LARGE floats: quantize per tile, then a 2-D
+    * H-transform decorrelates the quantized raster in BOTH axes before
+    * entropy coding — row-diff rice sees only one axis): a29's
+    * closed-form quantizer composed with TileCodec's exact integer
+    * H-transform + rice (GRAFT_HCOMP_1, the private-label honesty rule
+    * — cfitsio bit interop is NOT claimed and the standard HCOMPRESS_1
+    * label is rejected). The transform is pure +/− (no division), so
+    * it is LOSSLESS on the quantized ints — which is why this LOSSY
+    * pipeline still hash-gates: the oracle is a29's SQL VERBATIM (the
+    * d22 layout-independence trick on the CODEC axis — two different
+    * compressed representations of the same quantized raster must
+    * decode identically). Same 24-byte record layout, same read core
+    * (the spec's ZCMPTYPE card dispatches the decode), same tile
+    * splits.
+    */
+  val a33_fits_image_hcomp = OpQuery(
+    (s, d) => {
+      val height = t(s, d, "documents").count() // fixture size, not data
+      val tileRows = 64
+      // build-once scaffolding (r8 #7): the op under test is the READER
+      val path = graft.Util.fixtureOnce(
+        s"survey_hcomp_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeQuantizedImageFits(p, 64, height, tileRows,
+          "GRAFT_HCOMP_1"))
+      quantizedImageStats(s, path, (height + tileRows - 1) / tileRows, tileRows)
+    },
+    // a29's oracle VERBATIM: rice and H-transform are two lossless
+    // codings of the SAME quantized raster, so both must hash-match the
+    // recomputed quantize→decode chain
+    a29_fits_image_qfloat.oracle.get)
 
   /** a32: tile-compressed MASK image source (fpack's PLIO_1 class —
     * the r9 verdict's missing-#4 codec family, PLIO half: bad-pixel
@@ -1550,6 +1594,7 @@ object ScanOps {
     "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
     "a31_fits_cube_tiled" -> a31_fits_cube_tiled,
     "a32_fits_image_mask" -> a32_fits_image_mask,
+    "a33_fits_image_hcomp" -> a33_fits_image_hcomp,
     "a1_scan_parquet" -> a1_scan_parquet,
     "a7_fits_source" -> a7_fits_source,
     "a8_sink_partitioned" -> a8_sink_partitioned,

