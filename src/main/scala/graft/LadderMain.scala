@@ -239,7 +239,11 @@ object LadderMain {
       // r10: the tile-compressed CUBE reader — a25's cost shape through
       // the tile codec; per-plane tiles split independently so growth
       // stays linear, and splits derive from tile bytes (tileSplits)
-      "a31_fits_cube_tiled")
+      "a31_fits_cube_tiled",
+      // r10: the PLIO-class mask and the HCOMPRESS-class float reader —
+      // both must ladder linear like a27 (tile decode is the unit)
+      "a32_fits_image_mask",
+      "a33_fits_image_hcomp")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {
