@@ -254,7 +254,9 @@ object TileCodec {
     while (i < n) {
       val v = unzigzag(getVarint())
       val run = getVarint()
-      require(run > 0 && i + run <= n,
+      // run <= n - i, NOT i + run <= n: a hostile near-Long.MaxValue
+      // run would wrap i + run negative and slip past the sum form
+      require(run > 0 && run <= (n - i).toLong,
         s"PLIO run of $run at $i overflows tile of $n")
       var k = 0
       while (k < run) { out(i + k) = v; k += 1 }

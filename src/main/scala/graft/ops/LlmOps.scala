@@ -1146,6 +1146,104 @@ object LlmOps {
        |SELECT vec_id, label, round(${dotSql("a.embedding", "a.qvec")}, 6) AS sim
        |FROM a ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** i65: ANN recall certification — the measurement a pipeline runs
+    * on a persisted index BEFORE serving it (the quality half of the
+    * index family: i61/i63/i64 build and probe, j20/j21 serve, THIS
+    * certifies — the check a loader of PrepMain's `--ann` artifact
+    * performs): for the planted query set (vec_id ≡ 3 mod 101, j20's
+    * convention, the shared maxabs>0 guard), compare the IVF×SQ8
+    * pruned top-10 (i64's chain per query — persisted centroids rank
+    * cells, top-2 cells probe, SQ8 approx top-50, exact re-rank)
+    * against the exact brute-force top-10 over the float corpus, and
+    * emit per-query hit counts + recall@10. Deterministic end to end:
+    * both cuts are the rounded-sim/vec_id tiebreak order, and recall
+    * is a small-integer division (identically rounded in any engine).
+    * At scale the exact side is the offline audit pass (one broadcast
+    * join over the corpus, run once per index build — the expensive
+    * truth the pruned search is certified against), the pruned side is
+    * the production plan. Oracle: j21's per-query pruned chain at
+    * rk ≤ 10 left-joined to the brute-force top-10.
+    */
+  val i65_ann_recall = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = sq8WriteIndexIvf(s, d)
+      val e = t(s, d, "embeddings")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        .localCheckpoint() // read by the cell rank, the probe AND the exact side
+      val pruned = graft.ops.StreamOps.ivfBatchStage1(s, idx, qb)
+        .join(e, "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val exact = e.crossJoin(broadcast(qb))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+      exact.join(pruned, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+        .orderBy("q_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, label, embedding, maxabs,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m WHERE maxabs > 0),
+       |ex AS (SELECT label, r.i AS pos, embedding[r.i]::DOUBLE AS v
+       |       FROM embeddings, range(1,65) r(i)),
+       |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS q_id, embedding AS qvec FROM c
+       |      WHERE vec_id % 101 = 3),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM q, range(1,65) r(i)),
+       |csim AS (SELECT q_id, cent.label, round(sum(c * qv), 6) AS s
+       |         FROM cent JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |a AS (
+       |  SELECT q.q_id, c.vec_id, c.embedding, q.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * q.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c JOIN qc ON c.label = qc.label
+       |         JOIN q ON q.q_id = qc.q_id
+       |  WHERE c.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM a),
+       |s AS (SELECT q_id, vec_id,
+       |    round(${dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM r WHERE rk <= 50),
+       |p AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM s) WHERE rk <= 10),
+       |bf AS (SELECT q.q_id, e.vec_id,
+       |    round(${dotSql("e.embedding", "q.qvec")}, 6) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10)
+       |SELECT bfr.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(p.vec_id) AS BIGINT) AS n_hit,
+       |  round(count(p.vec_id) * 1.0 / count(*), 6) AS recall
+       |FROM bfr LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
+       |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
+
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
     */
@@ -2216,6 +2314,7 @@ object LlmOps {
     "i62_sim_ann_sq8" -> i62_sim_ann_sq8,
     "i63_sim_ann_sq8_index" -> i63_sim_ann_sq8_index,
     "i64_sim_ann_ivf_sq8" -> i64_sim_ann_ivf_sq8,
+    "i65_ann_recall" -> i65_ann_recall,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

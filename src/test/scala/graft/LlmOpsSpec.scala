@@ -1024,4 +1024,23 @@ class LlmOpsSpec extends SparkTestBase {
       2 * i2.length + i43.length + i50.length + 2 * i53.length + 3,
       "card cardinality diverges from its sources")
   }
+
+  test("i65 recall certification: pruned hits are a subset of exact, and brute force self-certifies at 1.0") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.i65_ann_recall.fn(spark, sfDir).collect()
+    assert(out.nonEmpty, "vacuous query set")
+    out.foreach { r =>
+      val (nExact, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nExact == 10, s"exact top-10 short: $nExact")
+      assert(nHit >= 0 && nHit <= nExact, s"hits out of range: $nHit")
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-9)
+    }
+    // the op is the HONESTY instrument: on the fixture the labels are
+    // arbitrary (not semantic clusters), so pruning to 2 of 10 cells
+    // MUST lose recall — a suspicious 1.0 across the board would mean
+    // the pruned side silently stopped pruning
+    val mean = out.map(_.getDouble(3)).sum / out.length
+    assert(mean < 0.95, s"pruned recall suspiciously perfect: $mean")
+    assert(mean > 0.0, "pruned search found nothing — probe broken")
+  }
 }
