@@ -105,7 +105,13 @@ object PlanAudit {
     // b19 (r9): b18's shape with the sketch pass — same value-independent
     // explode, so a bare count drops one of the two aggregates; the
     // _forced row times the real sketch+anchor profile
-    "b19_profile_sketch")
+    "b19_profile_sketch",
+    // i65 (r10): recall@10 is a count over the EXACT top-10 left-joined
+    // to the pruned set — under a bare .count() Catalyst collapses the
+    // per-query windows and the pruned-side joins (the group count is
+    // |queries|×10 regardless of hit values); the _forced row times the
+    // full certification: both rankings + the hit join
+    "i65_ann_recall")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node
