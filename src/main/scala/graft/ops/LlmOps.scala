@@ -1244,6 +1244,112 @@ object LlmOps {
        |FROM bfr LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
        |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
 
+  /** i66: nprobe tuning sweep — the instrument that ACTS on i65's
+    * finding: i65 certifies one operating point (nprobe = 2) and on
+    * this corpus honestly measures 0.2–0.5 recall; the deployment's
+    * next question is "what nprobe do I need?", and THIS op answers it
+    * with the recall-vs-nprobe curve (nprobe ∈ {1, 2, 4} of the k
+    * cells), aggregated across the planted query set. Each rung runs
+    * the SAME pruned chain (ivfBatchStage1 parametrized by nprobe —
+    * j21/i65's plan, one partition-filter scan per rung) against the
+    * ONE shared brute-force truth (computed once, the offline audit
+    * pass). Note the curve is EMPIRICALLY monotone here but not
+    * theoretically guaranteed: the fixed approx-50 cut can, in
+    * principle, evict a winner when more cells compete — which is
+    * exactly why a deployment measures the curve instead of assuming
+    * it. Oracle: i65's chain with the cell cut cross-joined against
+    * the nprobe table, aggregated per nprobe.
+    */
+  val i66_ann_nprobe_sweep = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = sq8WriteIndexIvf(s, d)
+      val e = t(s, d, "embeddings")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        .localCheckpoint()
+      // the brute-force truth, computed ONCE and shared by every rung
+      val exact = e.crossJoin(broadcast(qb))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+      Seq(1, 2, 4).map { np =>
+        val pruned = graft.ops.StreamOps.ivfBatchStage1(s, idx, qb, np)
+          .join(e, "vec_id")
+          .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("sim"), asc("vec_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+        exact.join(pruned, Seq("q_id", "vec_id"), "left")
+          .agg(countDistinct(col("q_id")).as("n_queries"),
+            count(lit(1)).as("n_exact"),
+            coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+          .withColumn("np", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+        .select("np", "n_queries", "n_exact", "n_hit", "recall")
+        .orderBy("np")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |c AS (
+       |  SELECT vec_id, label, embedding, maxabs,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m WHERE maxabs > 0),
+       |ex AS (SELECT label, r.i AS pos, embedding[r.i]::DOUBLE AS v
+       |       FROM embeddings, range(1,65) r(i)),
+       |cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS q_id, embedding AS qvec FROM c
+       |      WHERE vec_id % 101 = 3),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM q, range(1,65) r(i)),
+       |csim AS (SELECT q_id, cent.label, round(sum(c * qv), 6) AS s
+       |         FROM cent JOIN qx USING (pos) GROUP BY 1, 2),
+       |nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np),
+       |qcr AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |          ORDER BY s DESC, label) AS rk FROM csim),
+       |qc AS (SELECT np, q_id, label FROM qcr CROSS JOIN nps WHERE rk <= np),
+       |a AS (
+       |  SELECT qc.np, q.q_id, c.vec_id, c.embedding, q.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * q.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c JOIN qc ON c.label = qc.label
+       |         JOIN q ON q.q_id = qc.q_id
+       |  WHERE c.vec_id <> q.q_id),
+       |r AS (SELECT np, q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY np, q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM a),
+       |s2 AS (SELECT np, q_id, vec_id,
+       |    round(${dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM r WHERE rk <= 50),
+       |p AS (SELECT np, q_id, vec_id FROM (
+       |    SELECT np, q_id, vec_id, row_number() OVER (PARTITION BY np, q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM s2) WHERE rk <= 10),
+       |bf AS (SELECT q.q_id, e.vec_id,
+       |    round(${dotSql("e.embedding", "q.qvec")}, 6) AS sim
+       |  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10)
+       |SELECT nps.np,
+       |  CAST(count(DISTINCT bfr.q_id) AS BIGINT) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(p.vec_id) AS BIGINT) AS n_hit,
+       |  round(count(p.vec_id) * 1.0 / count(*), 6) AS recall
+       |FROM nps CROSS JOIN bfr
+       |LEFT JOIN p ON p.np = nps.np AND p.q_id = bfr.q_id
+       |           AND p.vec_id = bfr.vec_id
+       |GROUP BY nps.np ORDER BY nps.np""".stripMargin)
+
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
     */
@@ -2315,6 +2421,7 @@ object LlmOps {
     "i63_sim_ann_sq8_index" -> i63_sim_ann_sq8_index,
     "i64_sim_ann_ivf_sq8" -> i64_sim_ann_ivf_sq8,
     "i65_ann_recall" -> i65_ann_recall,
+    "i66_ann_nprobe_sweep" -> i66_ann_nprobe_sweep,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

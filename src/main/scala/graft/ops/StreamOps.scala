@@ -976,7 +976,8 @@ object StreamOps {
     * cell collect and the broadcast join, and the checkpoint keeps the
     * returned plan's broadcast side a local scan (no recompute).
     */
-  def ivfBatchStage1(s: SparkSession, idxDir: String, qb: DataFrame): DataFrame = {
+  def ivfBatchStage1(s: SparkSession, idxDir: String, qb: DataFrame,
+      nprobe: Int = 2): DataFrame = {
     val qx = qb.select(col("q_id"), posexplode(col("qvec")).as(Seq("pos", "qv")))
       .withColumn("qv", col("qv").cast("double"))
     val cent = s.read.parquet(graft.ops.LlmOps.sq8IvfCentDir(idxDir))
@@ -985,7 +986,7 @@ object StreamOps {
       .agg(round(sum(col("c") * col("qv")), 6).as("csim"))
       .withColumn("rk", row_number().over(Window.partitionBy("q_id")
         .orderBy(desc("csim"), asc("label"))))
-      .filter(col("rk") <= 2).select("q_id", "label")
+      .filter(col("rk") <= nprobe).select("q_id", "label")
       .localCheckpoint()
     val cells = qcells.select("label").distinct()
       .collect().map(_.getInt(0)).toSeq

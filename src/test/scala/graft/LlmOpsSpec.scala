@@ -1043,4 +1043,27 @@ class LlmOpsSpec extends SparkTestBase {
     assert(mean < 0.95, s"pruned recall suspiciously perfect: $mean")
     assert(mean > 0.0, "pruned search found nothing — probe broken")
   }
+
+  test("i66 nprobe sweep: the tuning curve rises on the fixture and each rung is i65-consistent") {
+    val rows = LlmOps.i66_ann_nprobe_sweep.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { case (np, nq, nExact, nHit, recall) =>
+      assert(nq > 0 && nExact == nq * 10, s"np=$np: exact side short")
+      assert(nHit >= 0 && nHit <= nExact)
+      assert(math.abs(recall - nHit.toDouble / nExact) < 1e-9)
+    }
+    // monotone ON THE FIXTURE (empirical, not theoretical — the fixed
+    // approx-50 cut could in principle evict a winner; the op exists
+    // to MEASURE the curve, and here it must rise)
+    val recalls = rows.map(_._5)
+    assert(recalls(0) <= recalls(1) && recalls(1) <= recalls(2),
+      s"fixture curve not monotone: ${recalls.toSeq}")
+    assert(recalls(2) > recalls(0), "widening nprobe 1->4 bought nothing")
+    // the np=2 rung IS i65's operating point: same chain, same truth
+    val i65hits = LlmOps.i65_ann_recall.fn(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    assert(rows(1)._4 == i65hits,
+      s"np=2 rung (${rows(1)._4} hits) diverges from i65 ($i65hits)")
+  }
 }
