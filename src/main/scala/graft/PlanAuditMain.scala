@@ -111,7 +111,11 @@ object PlanAudit {
     // per-query windows and the pruned-side joins (the group count is
     // |queries|×10 regardless of hit values); the _forced row times the
     // full certification: both rankings + the hit join
-    "i65_ann_recall")
+    "i65_ann_recall",
+    // i66 (r10): the i65 class ×3 rungs — the union of three 1-row
+    // aggregates counts to 3 regardless of hit values, so EVERY join
+    // and window prunes; the _forced row times the full sweep
+    "i66_ann_nprobe_sweep")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node
