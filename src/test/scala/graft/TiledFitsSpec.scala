@@ -624,6 +624,37 @@ class TiledFitsSpec extends SparkTestBase {
     intercept[Exception](TileCodec.rleDecode(blob :+ 0.toByte, vals.length))
   }
 
+  test("a32: mask tile geometry round-trips at adversarial heights (property)") {
+    val genCase = for {
+      height <- Gen.choose(1, 300)
+      tileRows <- Gen.oneOf(1, 5, 64, 400) // incl. one-band and 1-row tiles
+    } yield (height, tileRows)
+    check(Prop.forAll(genCase) { case (height, tileRows) =>
+      val p = Util.scratch(s"mask_prop_${height}_$tileRows.fits")
+      FitsWriter.writeMaskImageFits(p, 16, height.toLong, tileRows)
+      val raf = new java.io.RandomAccessFile(p, "r")
+      try {
+        raf.seek(0)
+        val sp = FitsFormat.locateTiledImage(raf, 0)
+        sp.cmpType == "GRAFT_PLIO_1" && sp.height == height.toLong &&
+          (0L until sp.nTiles).forall { t =>
+            val desc = new Array[Byte](8)
+            raf.seek(sp.descOffset(t)); raf.readFully(desc)
+            val db = java.nio.ByteBuffer.wrap(desc)
+            val blob = new Array[Byte](db.getInt(0))
+            raf.seek(sp.heapStart + db.getInt(4)); raf.readFully(blob)
+            val rows = sp.rowsInTile(t)
+            val raw = TileCodec.decodeCell(sp.cmpType, blob, rows * 16, 2)
+            val bb = java.nio.ByteBuffer.wrap(raw)
+            (0 until rows * 16).forall { i =>
+              val y = t * sp.tileRows + i / 16
+              bb.getShort(i * 2).toLong == FitsWriter.maskRaw(i % 16, y)
+            }
+          }
+      } finally raf.close()
+    }, n = 40)
+  }
+
   test("H-transform round-trips exactly at arbitrary dims (property)") {
     val genCase = for {
       w <- Gen.choose(1, 40)
