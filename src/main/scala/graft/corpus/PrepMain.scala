@@ -45,7 +45,11 @@ import org.apache.spark.sql.types.LongType
   *   table over the KEPT corpus's embeddings, plus
   *   `<out>/ann_centroids.parquet`, the k×64 cell-ranking artifact;
   *   vector/cell/saturation/maxabs stats in the manifest — the RAG
-  *   handoff beside the training corpus)
+  *   handoff beside the training corpus — then CERTIFIES the written
+  *   index with the i65 measurement: recall@10 of the pruned chain on
+  *   a deterministic query sample lands in the manifest
+  *   (ann_recall_*), recorded not gated — the floor is the consumer's
+  *   policy and i66's curve picks nprobe)
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
   * and containment flags come from the same shared helpers the gated
@@ -606,9 +610,18 @@ object PrepMain {
       case "write" =>
         val emb = Tables.t(spark, opts.in, "embeddings")
           .join(written.select(col("doc_id").as("vec_id")), "vec_id")
-        LlmOps.annWriteArtifact(emb,
-          s"${opts.out}/ann_index.parquet",
-          s"${opts.out}/ann_centroids.parquet")
+          .localCheckpoint() // read by the write AND the certification
+        val codesDir = s"${opts.out}/ann_index.parquet"
+        val centDir = s"${opts.out}/ann_centroids.parquet"
+        // write, then CERTIFY what was written (the i65 measurement —
+        // recall@10 of the pruned chain over the on-disk artifact vs
+        // exact brute force on a deterministic query sample): the
+        // manifest carries the recall the index actually serves, so a
+        // loader reads its operating point instead of assuming it.
+        // Recorded, not gated — the recall floor is the consumer's
+        // policy (i66's curve is the tool that picks nprobe).
+        LlmOps.annWriteArtifact(emb, codesDir, centDir) ++
+          LlmOps.annCertify(emb, codesDir, centDir)
       case _ => Map.empty
     }
     val manifest: Map[String, Long] = Map(

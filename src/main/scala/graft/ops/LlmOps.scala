@@ -956,6 +956,53 @@ object LlmOps {
        |SELECT vec_id, round(${dotSql("a.embedding", "a.qvec")}, 6) AS sim
        |FROM a ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** Certify a WRITTEN ANN artifact (the i65 measurement as a pipeline
+    * stage — PrepMain's `--ann` writes the index, then runs THIS so the
+    * manifest carries the recall the index actually serves): recall@10
+    * of the pruned chain (nprobe cells over `codesDir`/`centDir`)
+    * against exact brute force over `emb`, on the `nQueries`
+    * hash-smallest kept vectors (the i51 multiplier — a deterministic
+    * sample, not a RNG, so re-runs certify identically). Returns
+    * manifest counts; recall is RECORDED, not gated — there is no
+    * universal recall floor (it is corpus- and nprobe-dependent, the
+    * very thing i66's curve exists to choose), so the consumer of the
+    * manifest applies its own threshold.
+    */
+  def annCertify(emb: DataFrame, codesDir: String, centDir: String,
+      nQueries: Int = 32, nprobe: Int = 2): Map[String, Long] = {
+    val s = emb.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val qb = emb.withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
+      .withColumn("skey", pmod(col("vec_id") * lit(741103597L), lit(1000000007L)))
+      .orderBy("skey", "vec_id").limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      .localCheckpoint() // read by the cell rank, the probe AND the exact side
+    val exact = emb.crossJoin(broadcast(qb))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+    val pruned = graft.ops.StreamOps
+      .ivfBatchStage1(s, codesDir, qb, nprobe, Some(centDir))
+      .join(emb, "vec_id")
+      .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val row = exact.join(pruned, Seq("q_id", "vec_id"), "left")
+      .agg(countDistinct(col("q_id")), count(lit(1)),
+        coalesce(sum(col("hit")), lit(0L))).head()
+    val (nq, nExact, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    Map(
+      "ann_recall_n_queries" -> nq,
+      "ann_recall_hits" -> nHit,
+      "ann_recall_at10_micro" ->
+        (if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong))
+  }
+
   /** Build and persist the i61 SQ8 artifact for `d`'s embeddings table:
     * (vec_id, maxabs, qarr) — CODES ONLY, the float `embedding` column is
     * deliberately absent so a reader of this table cannot scan it. Per-sfDir

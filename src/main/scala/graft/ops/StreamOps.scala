@@ -977,10 +977,14 @@ object StreamOps {
     * returned plan's broadcast side a local scan (no recompute).
     */
   def ivfBatchStage1(s: SparkSession, idxDir: String, qb: DataFrame,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, centDir: Option[String] = None): DataFrame = {
     val qx = qb.select(col("q_id"), posexplode(col("qvec")).as(Seq("pos", "qv")))
       .withColumn("qv", col("qv").cast("double"))
-    val cent = s.read.parquet(graft.ops.LlmOps.sq8IvfCentDir(idxDir))
+    // the gate layout keeps centroids at <idx>_cent; PrepMain's --ann
+    // artifact names them ann_centroids.parquet beside the index —
+    // same table, caller-supplied path
+    val cent = s.read.parquet(
+      centDir.getOrElse(graft.ops.LlmOps.sq8IvfCentDir(idxDir)))
     val qcells = cent.join(broadcast(qx), Seq("pos"))
       .groupBy("q_id", "label")
       .agg(round(sum(col("c") * col("qv")), 6).as("csim"))

@@ -390,6 +390,18 @@ class PrepPipelineSpec extends SparkTestBase {
     val maxDiff = cent.join(truth, Seq("label", "pos"))
       .agg(max(abs(col("c") - col("c2")))).head().getDouble(0)
     assert(maxDiff < 1e-12, s"centroid artifact drifts: $maxDiff")
+    // the manifest CERTIFIES the written index: a deterministic query
+    // sample's recall@10, recomputable exactly from the same artifacts
+    val nq = m("ann_recall_n_queries")
+    assert(nq == math.min(32L, m("n_ann_vectors")), s"sample size: $nq")
+    assert(m("ann_recall_hits") <= nq * 10)
+    val micro = m("ann_recall_at10_micro")
+    assert(micro >= 0 && micro <= 1000000L, s"recall micro: $micro")
+    assert(micro > 0, "certified recall is zero — probe broken")
+    val recomputed = LlmOps.annCertify(e,
+      s"$outA/ann_index.parquet", s"$outA/ann_centroids.parquet")
+    assert(recomputed == m.view.filterKeys(_.startsWith("ann_recall")).toMap,
+      s"certification not reproducible: $recomputed")
   }
 
   test("--shuffle hash attaches the i51 training order: a dense shuffled permutation") {
