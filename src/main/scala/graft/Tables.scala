@@ -179,7 +179,16 @@ object Util {
   def fixtureOnce(name: String)(build: String => Unit): String = {
     val claim = new java.util.concurrent.CompletableFuture[String]()
     val prior = builtFixtures.putIfAbsent(name, claim)
-    if (prior != null) prior.join()
+    if (prior != null) {
+      // join() wraps the builder's failure in CompletionException; rethrow
+      // the original so concurrent waiters see the same exception type as
+      // the thread that built (tests match on the cause's type)
+      try prior.join()
+      catch {
+        case e: java.util.concurrent.CompletionException
+            if e.getCause != null => throw e.getCause
+      }
+    }
     else {
       try { val p = scratch(name); build(p); claim.complete(p); p }
       catch { case e: Throwable =>

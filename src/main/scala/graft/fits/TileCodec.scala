@@ -245,6 +245,9 @@ object TileCodec {
       while ((b & 0x80) != 0) {
         if (pos >= bytes.length)
           throw new java.io.EOFException("PLIO stream truncated")
+        // a Long holds at most ten 7-bit groups; past shift 63 the JVM
+        // shift wraps mod 64 and a hostile varint would decode silently
+        require(shift < 64, "PLIO varint exceeds 64 bits")
         b = bytes(pos) & 0xff; pos += 1
         v |= (b & 0x7fL) << shift; shift += 7
       }
@@ -397,13 +400,17 @@ object TileCodec {
     out.toByteArray
   }
 
-  def hcompDecode(blob: Array[Byte], nElems: Int): Array[Long] = {
+  def hcompDecode(blob: Array[Byte], nElems: Int,
+      expectDims: Option[(Int, Int)] = None): Array[Long] = {
     var pos = 0
     def getVarint(): Long = {
       var v = 0L; var shift = 0; var b = 0x80
       while ((b & 0x80) != 0) {
         if (pos >= blob.length)
           throw new java.io.EOFException("HCOMP stream truncated")
+        // same wrap guard as rleDecode: JVM shifts are mod 64, so an
+        // unbounded varint would decode garbage instead of erroring
+        require(shift < 64, "HCOMP varint exceeds 64 bits")
         b = blob(pos) & 0xff; pos += 1
         v |= (b & 0x7fL) << shift; shift += 7
       }
@@ -413,6 +420,13 @@ object TileCodec {
     val h = getVarint().toInt
     require(w > 0 && h > 0 && w.toLong * h == nElems,
       s"HCOMP geometry ${w}x$h does not match tile of $nElems values")
+    // a product check alone admits transposed/re-factored dims (32x128
+    // for a 64x64 tile) and hinv would run with the wrong geometry —
+    // callers that know the tile spec pin the exact shape
+    expectDims.foreach { case (ew, eh) =>
+      require(w == ew && h == eh,
+        s"HCOMP geometry ${w}x$h does not match tile spec ${ew}x$eh")
+    }
     val coef = riceDecode(java.util.Arrays.copyOfRange(blob, pos, blob.length),
       nElems, 8)
     hinv(coef, w, h)
@@ -528,16 +542,20 @@ object TileCodec {
       "or re-export with GZIP_1/GZIP_2."
 
   /** Decompress one column-tile back to raw big-endian element bytes.
-    * `nElems` = elements in this tile (rows × repeat).
+    * `nElems` = elements in this tile (rows × repeat). `expectDims` =
+    * the tile spec's (width, rows) when the caller knows the 2-D shape
+    * — pins HCOMP's self-described geometry to the spec, not just the
+    * element product (table-column tiles are 1-D and pass None).
     */
   def decodeCell(algo: String, blob: Array[Byte], nElems: Int,
-      elemBytes: Int): Array[Byte] = algo match {
+      elemBytes: Int, expectDims: Option[(Int, Int)] = None): Array[Byte] =
+    algo match {
     case "GRAFT_RICE_1" =>
       longsToBytes(riceDecode(blob, nElems, elemBytes), elemBytes)
     case "GRAFT_PLIO_1" =>
       longsToBytes(rleDecode(blob, nElems), elemBytes)
     case "GRAFT_HCOMP_1" =>
-      longsToBytes(hcompDecode(blob, nElems), elemBytes)
+      longsToBytes(hcompDecode(blob, nElems, expectDims), elemBytes)
     case "GZIP_1" => gzipDecode(blob)
     case "GZIP_2" => unshuffle(gzipDecode(blob), elemBytes)
     case "NOCOMPRESS" => blob

@@ -641,7 +641,7 @@ object ScanOps {
           raf.readFully(blob)
           val rows = sp.rowsInTile(tIdx)
           val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-            rows * sp.width.toInt, sp.bytesPerPx)
+            rows * sp.width.toInt, sp.bytesPerPx, Some((sp.width.toInt, rows)))
           val bb = java.nio.ByteBuffer.wrap(raw)
           val w = sp.width.toInt
           (0 until rows).iterator.map { ry =>
@@ -820,7 +820,7 @@ object ScanOps {
             val rows = sp.rowsInTile(tIdx)
             val w = sp.width.toInt
             val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-              rows * w, sp.bytesPerPx)
+              rows * w, sp.bytesPerPx, Some((w, rows)))
             val bb = java.nio.ByteBuffer.wrap(raw)
             val yLo = math.max(y0, tIdx * sp.tileRows)
             val yHi = math.min(y1, tIdx * sp.tileRows + rows)
@@ -906,7 +906,7 @@ object ScanOps {
             val z = sp.planeOf(tIdx)
             val y0 = sp.firstRowInPlane(tIdx)
             val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-              rows * w, sp.bytesPerPx)
+              rows * w, sp.bytesPerPx, Some((w, rows)))
             val bb = java.nio.ByteBuffer.wrap(raw)
             (0 until rows).iterator.map { ry =>
               var n = 0L; var sum = 0L
@@ -986,7 +986,7 @@ object ScanOps {
           val rows = sp.rowsInTile(tIdx)
           val w = sp.width.toInt
           val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-            rows * w, 2) // quantized codes are int16
+            rows * w, 2, Some((w, rows))) // quantized codes are int16
           val bb = java.nio.ByteBuffer.wrap(raw)
           (0 until rows).iterator.map { ry =>
             val y = tIdx * sp.tileRows + ry
@@ -1139,7 +1139,7 @@ object ScanOps {
             val rows = sp.rowsInTile(tIdx)
             val w = sp.width.toInt
             val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-              rows * w, sp.bytesPerPx)
+              rows * w, sp.bytesPerPx, Some((w, rows)))
             val bb = java.nio.ByteBuffer.wrap(raw)
             (0 until rows).iterator.map { ry =>
               val y = tIdx * sp.tileRows + ry

@@ -994,6 +994,12 @@ object StreamOps {
       .localCheckpoint()
     val cells = qcells.select("label").distinct()
       .collect().map(_.getInt(0)).toSeq
+    // a batch whose queries were ALL guard-filtered (maxq == 0) ranks no
+    // cells; isin() with zero arguments is an analyzer edge case, so
+    // return the empty survivor frame directly instead of planning it
+    if (cells.isEmpty)
+      return qb.select(col("q_id"), col("q_id").as("vec_id"), col("qvec"))
+        .limit(0)
     s.read.parquet(idxDir).filter(col("label").isin(cells: _*))
       .join(broadcast(qcells.join(qb, "q_id")), Seq("label"))
       .filter(col("vec_id") =!= col("q_id"))

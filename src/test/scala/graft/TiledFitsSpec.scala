@@ -694,7 +694,29 @@ class TiledFitsSpec extends SparkTestBase {
     // geometry mismatch between blob and tile fails loudly
     intercept[IllegalArgumentException](
       TileCodec.hcompDecode(hblob, w * h - 1))
+    // a product-preserving but TRANSPOSED blob is rejected when the
+    // caller pins the tile spec's dims (ADVICE r10: product check alone
+    // admits re-factored geometry and hinv runs with the wrong shape)
+    val vals2 = Array.tabulate(32 * 8)(i => ((i % 32) + (i / 32)).toLong)
+    val transposed = TileCodec.hcompEncode(vals2, 8, 32) // blob says 8x32
+    assert(TileCodec.hcompDecode(transposed, 32 * 8,
+      Some((8, 32))).sameElements(vals2)) // sanity: matching spec passes
+    val g = intercept[IllegalArgumentException](
+      TileCodec.hcompDecode(transposed, 32 * 8, Some((32, 8))))
+    assert(g.getMessage.contains("tile spec"))
     assert(rblob.length > 0) // rice comparison blob built (receipt below)
+  }
+
+  test("varint wrap guard: a hostile 10+-byte varint fails loudly in both coders") {
+    // eleven 0x80 continuation bytes: shift reaches 70 and would wrap
+    // mod 64, silently decoding garbage before the r11 guard
+    val hostile = Array.fill[Byte](11)(0x80.toByte) :+ 0x01.toByte
+    val e1 = intercept[IllegalArgumentException](
+      TileCodec.rleDecode(hostile, 4))
+    assert(e1.getMessage.contains("varint"))
+    val e2 = intercept[IllegalArgumentException](
+      TileCodec.hcompDecode(hostile, 4))
+    assert(e2.getMessage.contains("varint"))
   }
 
   test("a33: hcomp-coded quantized image decodes to the SAME rows as a29's rice-coded one") {
