@@ -115,7 +115,12 @@ object PlanAudit {
     // i66 (r10): the i65 class ×3 rungs — the union of three 1-row
     // aggregates counts to 3 regardless of hit values, so EVERY join
     // and window prunes; the _forced row times the full sweep
-    "i66_ann_nprobe_sweep")
+    "i66_ann_nprobe_sweep",
+    // i67 (r11): i66's class, two indexes per rung — the union of three
+    // 1-row aggregates counts to 3 regardless of recall values, so the
+    // six pruned chains and the truth join all prune under a bare
+    // count; the _forced row times the full dual certification
+    "i67_ann_ivf_kmeans")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

@@ -1269,7 +1269,7 @@ object CorpusOps {
   /** Nearest-centroid assignment: broadcast the k centroids (cid, cv),
     * integer L2², argmin with ties broken by centroid id.
     */
-  private def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame =
     q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("cid"),
         graft.functions.VectorFunctions.sqDistLong(col("qv"), col("cv"))
@@ -1278,18 +1278,63 @@ object CorpusOps {
       .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("qv")).as("qv"))
       .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
 
+  /** Element-wise integer-mean centroid update from an assignment frame
+    * (vec_id, qv, cid): the i8 posexplode re-agg pattern, keyed
+    * (cid, pos) — 64·k cells shuffled regardless of N.
+    */
+  private[graft] def lloydMeanPos(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg(expr("sum(v) DIV count(*)").as("cv_i"))
+
+  /** (cid, pos, cv_i) rows collected back to (cid, cv: array). */
+  private[graft] def lloydCollect(meanPos: DataFrame): DataFrame =
+    meanPos.groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)").as("cv"))
+
   /** One Lloyd update from the deterministic seed (points vec_id < 4):
     * the centroid table both i34 and i35 assign against.
     */
   private def lloydCentroids(q: DataFrame): DataFrame = {
     val c0 = q.where(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    lloydAssign(q, c0)
-      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-      .groupBy("cid", "pos")
-      .agg(expr("sum(v) DIV count(*)").as("cv_i"))
-      .groupBy("cid")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)").as("cv"))
+    lloydCollect(lloydMeanPos(lloydAssign(q, c0)))
+  }
+
+  /** The full two-iteration Lloyd model over an ARBITRARY embedding
+    * frame (vec_id, embedding) — the learned coarse quantizer behind
+    * i67's k-means IVF cells and PrepMain's `--ann` artifact (r10
+    * verdict #1: the index family's cells were the fixture's arbitrary
+    * `label`; i65 certified the cost at recall@10 = 0.2–0.5, and THIS
+    * is the missing piece — same Lloyd engine as i34, k-parametrized,
+    * seeded deterministically). Seeds are the k HASH-smallest vec_ids
+    * (the i51 multiplier — scattered over the id space, so adjacent
+    * ids from one document can't all seed one region; `vec_id < k`
+    * would also bake in an id-density assumption an arbitrary corpus
+    * violates). Returns (cells: vec_id → cid, centPos: cid, pos, cv_i)
+    * where centPos is EXACTLY the centroid table the final assignment
+    * ran against — a reader ranking cells against it sees the same
+    * geometry the partitioner used. Both frames involve no floating
+    * point (the ×1000 integer grid), so the model is bit-reproducible
+    * in any engine — the property the i67 oracle gates.
+    *
+    * Shape at scale: seeds = TakeOrdered k over a narrow map; each
+    * Lloyd pass is a broadcast of k centroids (k·64 longs) against the
+    * point set with a map-side argmin — no N-sized shuffle anywhere;
+    * the mean update shuffles 64·k cells. Iterations fixed at 2 (the
+    * i34 convention; the driver never sees per-iteration state).
+    */
+  private[graft] def lloydModel(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
+    val c0 = q
+      .withColumn("skey", pmod(col("vec_id") * lit(741103597L), lit(1000000007L)))
+      .orderBy("skey", "vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    val m1 = lloydMeanPos(lloydAssign(q, c0))
+    val cells = lloydAssign(q, lloydCollect(m1)).select("vec_id", "cid")
+    (cells, m1)
   }
 
   /** The shared i34/i35 oracle prefix: quantize → seed → assign → update →

@@ -197,6 +197,38 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("lloydModel: a k-means collapse sheds the empty cell instead of leaving a dead centroid") {
+    import spark.implicits._
+    // two tight clusters, three seeds: the two hash-smallest seed
+    // vectors are IDENTICAL (both in cluster A), so after the first
+    // mean update their centroids coincide and the cid-tiebreak drains
+    // one cell — the degenerate case the r10 verdict's #7 asks the
+    // policy for. Policy: centroids derive from the FINAL assignment,
+    // so a collapsed cell has no centroid row and no codes partition —
+    // the artifacts stay consistent and no nprobe slot is wasted on an
+    // empty cell (the build-side require in sq8WriteIndexKmeans guards
+    // the same invariant on disk).
+    val a = Array.fill(4)(0.1f)
+    val b = Array.fill(4)(10.0f)
+    val emb = Seq(
+      (0L, a), (1L, a),                       // the two coinciding seeds
+      (2L, b),                                // seed in cluster B
+      (3L, a), (4L, a.map(_ + 0.001f)),       // more of cluster A
+      (5L, b), (6L, b.map(_ + 0.001f))        // more of cluster B
+    ).toDF("vec_id", "embedding")
+    val (cells, centPos) = CorpusOps.lloydModel(emb, 3)
+    val cellIds = cells.select("cid").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(cellIds.size == 2, s"expected a collapse to 2 live cells: $cellIds")
+    // every point still lands in exactly one live cell
+    assert(cells.count() == 7)
+    // the centroid table covers EXACTLY the live cells (the consistency
+    // invariant the index build requires)
+    val centIds = centPos.join(cells.select("cid").distinct(), "cid")
+      .select("cid").distinct().collect().map(_.getLong(0)).toSet
+    assert(centIds == cellIds)
+  }
+
   test("i36 lift scores recompute exactly; support floor and order hold") {
     val out = CorpusOps.i36_collocation_lift.fn(spark, sfDir).collect()
     assert(out.length == 30)

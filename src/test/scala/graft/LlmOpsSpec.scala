@@ -1066,4 +1066,47 @@ class LlmOpsSpec extends SparkTestBase {
     assert(rows(1)._4 == i65hits,
       s"np=2 rung (${rows(1)._4} hits) diverges from i65 ($i65hits)")
   }
+
+  test("i67: learned k-means cells beat label cells at EVERY nprobe (the r10 directive's inequality)") {
+    val rows = LlmOps.i67_ann_ivf_kmeans.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rows.foreach { case (np, nq, nExact, hitK, recK, hitL, recL) =>
+      assert(nq > 0 && nExact == nq * 10, s"np=$np: exact side short")
+      assert(hitK >= 0 && hitK <= nExact && hitL >= 0 && hitL <= nExact)
+      assert(math.abs(recK - hitK.toDouble / nExact) < 1e-9)
+      assert(math.abs(recL - hitL.toDouble / nExact) < 1e-9)
+      // THE receipt this key exists for: same certification plan, same
+      // probe budget, only the coarse quantizer differs — the learned
+      // cells must win strictly, at every rung, or the index build
+      // regressed (r10 verdict #1: "recall strictly above the
+      // label-cell recall at the same nprobe, inequality spec-pinned")
+      assert(recK > recL,
+        s"np=$np: learned cells ($recK) do not beat label cells ($recL)")
+    }
+    // the label chain here IS i65's chain (same truth, same operating
+    // points): the np=2 label rung must reproduce i65's hit total
+    val i65hits = LlmOps.i65_ann_recall.fn(spark, sfDir).collect()
+      .map(_.getLong(2)).sum
+    assert(rows(1)._6 == i65hits,
+      s"np=2 label rung (${rows(1)._6} hits) diverges from i65 ($i65hits)")
+  }
+
+  test("i67: the learned index's artifacts cover identical cells and the build is deterministic") {
+    val idx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
+    val codes = spark.read.parquet(idx)
+    val cent = spark.read.parquet(LlmOps.sq8IvfCentDir(idx))
+    val codeCells = codes.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val centCells = cent.select("label").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(codeCells == centCells, "codes/centroid cell cover disagrees")
+    assert(codeCells.size == 10, s"expected 10 learned cells: $codeCells")
+    // every cell non-empty by construction (centroids derive from the
+    // final assignment); each centroid has all 64 positions
+    assert(cent.count() == 10L * 64)
+    // codes-only schema: the float embedding column must be absent
+    assert(!codes.columns.contains("embedding"))
+  }
 }
