@@ -40,16 +40,21 @@ import org.apache.spark.sql.types.LongType
   *   post-write profile (b19 core, optional `--profile write` — emits
   *   `<out>/profile.parquet` and FAILS the run if any column's sketch
   *   leaves its ±5% envelope: the corpus-certification gate) →
-  *   ANN index artifact (i61/i64 cores, optional `--ann write` — emits
-  *   `<out>/ann_index.parquet`, the label-partitioned codes-only SQ8
-  *   table over the KEPT corpus's embeddings, plus
+  *   ANN index artifact (i61/i67 cores, optional `--ann write` — emits
+  *   `<out>/ann_index.parquet`, the codes-only SQ8 table over the KEPT
+  *   corpus's embeddings partitioned by LEARNED k-means cells (r11:
+  *   CorpusOps.lloydModel is the coarse quantizer; i67 certifies the
+  *   recall win over metadata cells), plus
   *   `<out>/ann_centroids.parquet`, the k×64 cell-ranking artifact;
   *   vector/cell/saturation/maxabs stats in the manifest — the RAG
   *   handoff beside the training corpus — then CERTIFIES the written
   *   index with the i65 measurement: recall@10 of the pruned chain on
   *   a deterministic query sample lands in the manifest
   *   (ann_recall_*), recorded not gated — the floor is the consumer's
-  *   policy and i66's curve picks nprobe)
+  *   policy — and ships the policy input: the i66 curve at nprobe ∈
+  *   {1,2,4} goes to `<out>/ann_sweep.parquet` + manifest
+  *   (ann_sweep_np*_recall_micro) so the consumer picks nprobe from
+  *   the artifact)
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
   * and containment flags come from the same shared helpers the gated
@@ -122,11 +127,13 @@ object PrepMain {
       // distincts, min/max, sketch-health predicate); the run FAILS if
       // any column's sketch leaves its ±5% envelope; "none" skips
       profile: String = "none",
-      // "write" additionally emits <out>/ann_index.parquet (the i64
-      // label-partitioned codes-only SQ8 table) + ann_centroids.parquet
-      // (the k×64 cell-ranking artifact) over the KEPT corpus's
-      // embeddings — the RAG handoff beside the training corpus, with
-      // vector/cell/saturation/maxabs stats in the manifest; "none" skips
+      // "write" additionally emits <out>/ann_index.parquet (the i67
+      // codes-only SQ8 table partitioned by LEARNED k-means cells) +
+      // ann_centroids.parquet (the k×64 cell-ranking artifact) +
+      // ann_sweep.parquet (the i66 recall-vs-nprobe curve) over the
+      // KEPT corpus's embeddings — the RAG handoff beside the training
+      // corpus, with vector/cell/saturation/maxabs/recall stats in the
+      // manifest; "none" skips
       ann: String = "none")
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
@@ -619,9 +626,15 @@ object PrepMain {
         // manifest carries the recall the index actually serves, so a
         // loader reads its operating point instead of assuming it.
         // Recorded, not gated — the recall floor is the consumer's
-        // policy (i66's curve is the tool that picks nprobe).
+        // policy — and the POLICY INPUT ships too (r10 verdict #2):
+        // annSweep writes the (nprobe, recall) curve to
+        // ann_sweep.parquet beside the index and its micro-recalls to
+        // the manifest, so the consumer picks nprobe from the artifact
+        // instead of re-deriving i66.
         LlmOps.annWriteArtifact(emb, codesDir, centDir) ++
-          LlmOps.annCertify(emb, codesDir, centDir)
+          LlmOps.annCertify(emb, codesDir, centDir) ++
+          LlmOps.annSweep(emb, codesDir, centDir,
+            s"${opts.out}/ann_sweep.parquet")
       case _ => Map.empty
     }
     val manifest: Map[String, Long] = Map(

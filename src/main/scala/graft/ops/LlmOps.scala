@@ -824,12 +824,14 @@ object LlmOps {
       .cast(LongType))
 
   /** Write the IVF×SQ8 index ARTIFACT for an arbitrary embedding frame
-    * (vec_id, label, embedding) — the PrepMain `--ann` stage's core
+    * (vec_id, embedding) — the PrepMain `--ann` stage's core
     * (r9 verdict #3: the RAG handoff "chunks → embeddings → persisted
     * index" as a pipeline artifact, not just gate keys): the
-    * label-partitioned codes-only table goes to `codesDir` and the k×64
-    * centroid table to `centDir` (the sq8WriteIndexIvf layout, over the
-    * KEPT corpus instead of the fixture), returning the manifest stats
+    * cell-partitioned codes-only table goes to `codesDir` and the k×64
+    * centroid table to `centDir` (the sq8WriteIndexKmeans layout, over
+    * the KEPT corpus instead of the fixture — since r11 the cells are
+    * LEARNED k-means Voronoi regions, not a metadata column; i67
+    * certifies the recall win), returning the manifest stats
     * a downstream loader sanity-checks — vector/cell counts, saturated
     * codes (the i61 alert metric), and the maxabs envelope in micro
     * units. Stats are measured from the WRITTEN codes table, so they
@@ -837,14 +839,32 @@ object LlmOps {
     */
   def annWriteArtifact(emb: DataFrame, codesDir: String,
       centDir: String): Map[String, Long] = {
-    emb.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
-      .withColumn("qarr", sqCodes)
-      .select("vec_id", "label", "maxabs", "qarr")
+    // LEARNED cells (r10 verdict #1): the coarse quantizer is the i34
+    // Lloyd engine over the maxabs-KEPT frame — the same frame that
+    // feeds the codes write, so both artifacts cover identical cells
+    // by construction (the r10 ADVICE: a cell of only-zero vectors
+    // must not get a centroid row with no codes partition)
+    val kept = emb.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+      .localCheckpoint() // read by the Lloyd model AND the codes write
+    val (cells, centPos) = graft.ops.CorpusOps.lloydModel(kept, 10)
+    kept.withColumn("qarr", sqCodes)
+      .join(cells, "vec_id")
+      .select(col("vec_id"), col("cid").cast("int").as("label"),
+        col("maxabs"), col("qarr"))
       .write.mode("overwrite").partitionBy("label").parquet(codesDir)
-    emb.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("v", col("v").cast(DoubleType))
-      .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+    centPos.join(cells.select("cid").distinct(), "cid")
+      .select(col("cid").cast("int").as("label"), col("pos"),
+        (col("cv_i").cast(DoubleType) / lit(1000.0)).as("c"))
       .write.mode("overwrite").parquet(centDir)
+    val s = emb.sparkSession
+    val codeCells = s.read.parquet(codesDir)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    val centCells = s.read.parquet(centDir)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    require(codeCells == centCells,
+      s"ANN artifacts disagree on cell cover: codes $codeCells vs " +
+        s"centroids $centCells — a probe would spend nprobe slots on " +
+        "cells with no partition")
     val codes = emb.sparkSession.read.parquet(codesDir)
     val row = codes.agg(
       count(lit(1)),
@@ -968,9 +988,11 @@ object LlmOps {
     * very thing i66's curve exists to choose), so the consumer of the
     * manifest applies its own threshold.
     */
-  def annCertify(emb: DataFrame, codesDir: String, centDir: String,
-      nQueries: Int = 32, nprobe: Int = 2): Map[String, Long] = {
-    val s = emb.sparkSession
+  /** The deterministic hash-smallest query sample + its brute-force
+    * top-10 truth — shared by annCertify and annSweep (the truth is the
+    * expensive side; the sweep reuses ONE computation across rungs).
+    */
+  private def annTruth(emb: DataFrame, nQueries: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val qb = emb.withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
       .withColumn("skey", pmod(col("vec_id") * lit(741103597L), lit(1000000007L)))
@@ -984,8 +1006,18 @@ object LlmOps {
         .orderBy(desc("sim"), asc("vec_id"))))
       .filter(col("rk") <= 10)
       .select("q_id", "vec_id")
+      .localCheckpoint()
+    (qb, exact)
+  }
+
+  /** (n_queries, n_exact, n_hit) of the nprobe-pruned chain over the
+    * written artifacts against a precomputed truth. */
+  private def annRecallCounts(emb: DataFrame, codesDir: String,
+      centDir: String, qb: DataFrame, exact: DataFrame,
+      nprobe: Int): (Long, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
     val pruned = graft.ops.StreamOps
-      .ivfBatchStage1(s, codesDir, qb, nprobe, Some(centDir))
+      .ivfBatchStage1(emb.sparkSession, codesDir, qb, nprobe, Some(centDir))
       .join(emb, "vec_id")
       .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
       .withColumn("rk", row_number().over(Window.partitionBy("q_id")
@@ -995,12 +1027,49 @@ object LlmOps {
     val row = exact.join(pruned, Seq("q_id", "vec_id"), "left")
       .agg(countDistinct(col("q_id")), count(lit(1)),
         coalesce(sum(col("hit")), lit(0L))).head()
-    val (nq, nExact, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    (row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  def annCertify(emb: DataFrame, codesDir: String, centDir: String,
+      nQueries: Int = 32, nprobe: Int = 2): Map[String, Long] = {
+    val (qb, exact) = annTruth(emb, nQueries)
+    val (nq, nExact, nHit) =
+      annRecallCounts(emb, codesDir, centDir, qb, exact, nprobe)
     Map(
       "ann_recall_n_queries" -> nq,
       "ann_recall_hits" -> nHit,
       "ann_recall_at10_micro" ->
         (if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong))
+  }
+
+  /** The i66 operating CURVE as an index artifact (r10 verdict #2: the
+    * consumer picking nprobe needs the sweep RECORDED BESIDE THE INDEX,
+    * not re-derived from a gate key): run the certification chain at
+    * each nprobe rung against ONE shared brute-force truth, write the
+    * rows to `sweepDir` (np, n_queries, n_exact, n_hit, recall_micro)
+    * and return the manifest fields. Recorded, not gated — the recall
+    * floor is the consumer's policy; the curve is what they pick it
+    * with. Keys deliberately do NOT share the `ann_recall` prefix:
+    * PrepPipelineSpec pins `ann_recall_*` as exactly annCertify's
+    * reproducible triple.
+    */
+  def annSweep(emb: DataFrame, codesDir: String, centDir: String,
+      sweepDir: String, nQueries: Int = 32,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): Map[String, Long] = {
+    val (qb, exact) = annTruth(emb, nQueries)
+    val rows = nprobes.map { np =>
+      val (nq, nExact, nHit) =
+        annRecallCounts(emb, codesDir, centDir, qb, exact, np)
+      (np.toLong, nq, nExact, nHit,
+        if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong)
+    }
+    val s = emb.sparkSession
+    import s.implicits._
+    rows.toDF("np", "n_queries", "n_exact", "n_hit", "recall_micro")
+      .coalesce(1).write.mode("overwrite").parquet(sweepDir)
+    rows.map { case (np, _, _, _, micro) =>
+      s"ann_sweep_np${np}_recall_micro" -> micro
+    }.toMap
   }
 
   /** Build and persist the i61 SQ8 artifact for `d`'s embeddings table:

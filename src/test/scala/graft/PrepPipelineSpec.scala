@@ -382,14 +382,39 @@ class PrepPipelineSpec extends SparkTestBase {
       .select("vec_id", "maxabs", "qarr"))
     assert(fromArtifact.nonEmpty && fromArtifact == inline,
       s"persisted probe diverges from inline: $fromArtifact vs $inline")
-    // the centroid artifact equals the kept corpus's per-cell averages
-    val truth = e.select(col("label"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("v", col("v").cast("double"))
-      .groupBy("label", "pos").agg(avg(col("v")).as("c2"))
+    // the centroid artifact equals the LEARNED Lloyd model recomputed
+    // from the kept corpus (r11: cells are k-means Voronoi regions, not
+    // a metadata column; the model is integer-exact, so equality is
+    // exact, and the cells on disk must match the recomputed assignment)
+    val kept2 = e.withColumn("maxabs", LlmOps.sqMaxAbs)
+      .filter(col("maxabs") > 0)
+    val (cells2, centPos2) = graft.ops.CorpusOps.lloydModel(kept2, 10)
+    val truth = centPos2.join(cells2.select("cid").distinct(), "cid")
+      .select(col("cid").cast("int").as("label"), col("pos"),
+        (col("cv_i").cast("double") / lit(1000.0)).as("c2"))
+    assert(cent.count() == truth.count(), "centroid table size drifts")
     val maxDiff = cent.join(truth, Seq("label", "pos"))
       .agg(max(abs(col("c") - col("c2")))).head().getDouble(0)
-    assert(maxDiff < 1e-12, s"centroid artifact drifts: $maxDiff")
+    assert(maxDiff == 0.0, s"centroid artifact drifts: $maxDiff")
+    val cellTruth = cells2.select(col("vec_id"), col("cid").cast("int").as("l2"))
+    assert(codes.join(cellTruth, "vec_id")
+      .filter(col("label") =!= col("l2")).count() == 0,
+      "on-disk cell assignment diverges from the recomputed model")
+    // the sweep artifact: the (nprobe, recall) curve beside the index,
+    // its manifest fields matching the parquet rows exactly, and the
+    // certified np=2 point consistent with annCertify's triple
+    val sweep = spark.read.parquet(s"$outA/ann_sweep.parquet")
+      .orderBy("np").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(sweep.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    sweep.foreach { case (np, nq2, nExact, nHit, micro) =>
+      assert(nq2 == m("ann_recall_n_queries"), s"np=$np sample drifts")
+      assert(nHit <= nExact && micro == math.floor(nHit * 1e6 / nExact).toLong)
+      assert(m(s"ann_sweep_np${np}_recall_micro") == micro)
+    }
+    assert(sweep(1)._4 == m("ann_recall_hits"),
+      "sweep np=2 rung diverges from the certified operating point")
     // the manifest CERTIFIES the written index: a deterministic query
     // sample's recall@10, recomputable exactly from the same artifacts
     val nq = m("ann_recall_n_queries")
