@@ -289,16 +289,36 @@ object ScanOps {
       val path = graft.Util.fixtureOnce(
         s"survey_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
         graft.fits.FitsWriter.writeImageFits(p, 64, height))
-      s.range(0, height, 1, 8).mapPartitions { ys =>
+      // split count derives from the DATA (r10 verdict #3: the tiled
+      // readers' convention ported back to the plain-raster paths) —
+      // one driver-side header walk prices a row unit (both HDUs' rows)
+      val rowUnitBytes = {
         val raf = new java.io.RandomAccessFile(path, "r")
         try {
+          raf.seek(0)
+          val b1 = graft.fits.FitsFormat.locateImage(raf, 0).rowBytes
+          raf.seek(0)
+          b1 + graft.fits.FitsFormat.locateImage(raf, 1).rowBytes
+        } finally raf.close()
+      }
+      s.range(0, height, 1, tileSplits(height, rowUnitBytes))
+        .mapPartitions { ys =>
+        if (!ys.hasNext) Iterator.empty
+        else {
+          // opened lazily per non-empty split; the completion listener
+          // closes the handle after the last row drains (or on task
+          // failure), so the iterator STREAMS instead of buffering the
+          // partition (r10 verdict #3 retired the `.toVector` forced by
+          // the old `finally raf.close()` scoping)
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
           raf.seek(0)
           val s1 = graft.fits.FitsFormat.locateImage(raf, 0)
           raf.seek(0)
           val s2 = graft.fits.FitsFormat.locateImage(raf, 1)
           val buf1 = new Array[Byte](s1.rowBytes.toInt)
           val buf2 = new Array[Byte](s2.rowBytes.toInt)
-          // eager: the iterator must not outlive the file handle
           ys.flatMap { yy =>
             val y = yy.toLong
             raf.seek(s1.dataOffset + y * s1.rowBytes)
@@ -334,8 +354,8 @@ object ScanOps {
               x += 1
             }
             Iterator((1L, y, n1, sum1, mn1, mx1), (2L, y, n2, sum2, mn2, mx2))
-          }.toVector.iterator
-        } finally raf.close()
+          }
+        }
       }.toDF("hdu", "y", "n_valid", "sum_q", "min_q", "max_q")
         .orderBy("hdu", "y")
     },
@@ -380,9 +400,15 @@ object ScanOps {
         s"survey_${d.replaceAll("[^a-zA-Z0-9]", "_")}_cut.fits")(p =>
         graft.fits.FitsWriter.writeImageFits(p, 64, height))
       val (y0, y1, x0, x1) = (height / 4, height / 2, 16, 48)
-      s.range(y0, y1, 1, 4).mapPartitions { ys =>
-        val raf = new java.io.RandomAccessFile(path, "r")
-        try {
+      // splits derive from the CUTOUT's bytes (not the frame's): the
+      // unit priced per row is the 32-column slice actually read
+      s.range(y0, y1, 1, tileSplits(y1 - y0, (x1 - x0).toLong * 2))
+        .mapPartitions { ys =>
+        if (!ys.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
           raf.seek(0)
           val spec = graft.fits.FitsFormat.locateImage(raf, 0)
           val buf = new Array[Byte]((x1 - x0) * 2)
@@ -398,8 +424,8 @@ object ScanOps {
               else (spec.bzero + spec.bscale * raw).toLong.toString
             }
             (y, px.mkString(","))
-          }.toVector.iterator
-        } finally raf.close()
+          }
+        }
       }.toDF("y", "px").orderBy("y")
     },
     """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
@@ -438,9 +464,21 @@ object ScanOps {
       val path = graft.Util.fixtureOnce(
         s"cube_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
         graft.fits.FitsWriter.writeCubeFits(p, 64, h, depth))
-      s.range(0, 4L * depth * h, 1, 8).mapPartitions { rs =>
+      // split count from the data: the widest extension's row prices
+      // the unit (one driver-side header walk, the r10 convention)
+      val maxRowBytes = {
         val raf = new java.io.RandomAccessFile(path, "r")
-        try {
+        try (0 until 4).map { i =>
+          raf.seek(0); graft.fits.FitsFormat.locateImage(raf, i).rowBytes
+        }.max finally raf.close()
+      }
+      s.range(0, 4L * depth * h, 1, tileSplits(4L * depth * h, maxRowBytes))
+        .mapPartitions { rs =>
+        if (!rs.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
           val specs = (0 until 4).map { i =>
             raf.seek(0); graft.fits.FitsFormat.locateImage(raf, i)
           }
@@ -486,8 +524,8 @@ object ScanOps {
               x += 1
             }
             (hdu + 1L, z, y, n, sum, mn, mx)
-          }.toVector.iterator
-        } finally raf.close()
+          }
+        }
       }.toDF("hdu", "z", "y", "n_valid", "sum_q", "min_q", "max_q")
         .orderBy("hdu", "z", "y")
     },
@@ -536,9 +574,15 @@ object ScanOps {
         s"cube_${d.replaceAll("[^a-zA-Z0-9]", "_")}_cut.fits")(p =>
         graft.fits.FitsWriter.writeCubeFits(p, 64, h, depth))
       val (y0, y1, x0, x1) = (16L, 48L, 8, 40)
-      s.range(0, (depth - 1) * (y1 - y0), 1, 4).mapPartitions { is =>
-        val raf = new java.io.RandomAccessFile(path, "r")
-        try {
+      // splits priced by the cutout's row slice (a20's rule on 3 axes)
+      s.range(0, (depth - 1) * (y1 - y0), 1,
+          tileSplits((depth - 1) * (y1 - y0), (x1 - x0).toLong * 4))
+        .mapPartitions { is =>
+        if (!is.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
           raf.seek(0)
           val sp = graft.fits.FitsFormat.locateImage(raf, 1) // the int32 ext
           val buf = new Array[Byte]((x1 - x0) * 4)
@@ -555,8 +599,8 @@ object ScanOps {
               else (sp.bzero + sp.bscale * raw).toLong.toString
             }
             (z, y, px.mkString(","))
-          }.toVector.iterator
-        } finally raf.close()
+          }
+        }
       }.toDF("z", "y", "px").orderBy("z", "y")
     },
     """WITH b AS (SELECT ((SELECT count(*) FROM documents) // 64 + 2) AS d),

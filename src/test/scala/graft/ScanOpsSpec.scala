@@ -252,4 +252,26 @@ class ScanOpsSpec extends SparkTestBase {
     // the local cap bounds task count
     assert(tileSplits(100000000L, 4L << 20) == 4096)
   }
+
+  test("plain-raster readers derive splits from real headers: >8 at a 64x frame (r10 #3)") {
+    // the a19 derivation path end to end: write a 64×-tall PLAIN image,
+    // walk its headers the way the op does, and price the row unit —
+    // the split count must clear the retired hard-coded 8
+    val h64 = Tables.t(spark, sfDir, "documents").count() * 64
+    val p = Util.scratch("a19_ladder64.fits")
+    graft.fits.FitsWriter.writeImageFits(p, 64, h64)
+    val rowUnitBytes = {
+      val raf = new java.io.RandomAccessFile(p, "r")
+      try {
+        raf.seek(0)
+        val b1 = graft.fits.FitsFormat.locateImage(raf, 0).rowBytes
+        raf.seek(0)
+        b1 + graft.fits.FitsFormat.locateImage(raf, 1).rowBytes
+      } finally raf.close()
+    }
+    val splits = graft.ops.ScanOps.tileSplits(h64, rowUnitBytes)
+    assert(splits > 8, s"64x frame still under-parallelized: $splits")
+    // and the small fixture keeps the 8-task floor (no over-splitting)
+    assert(graft.ops.ScanOps.tileSplits(h64 / 64, rowUnitBytes) == 8)
+  }
 }
