@@ -862,6 +862,18 @@ object FitsWriter {
     */
   def imageRaw(x: Long, y: Long): Long = (3 * y + 5 * x + 7) % 251
 
+  /** The planted linear WCS carried by the int16 image extensions
+    * (writeImageFits and writeTiledImageFits): RA on axis 1 with the
+    * conventional NEGATIVE increment (RA grows leftward on the sky),
+    * Dec on axis 2. Every value is a dyadic rational (CDELT = ±2⁻⁸,
+    * integer CRPIX/CRVAL), so a sky box on pixel centers inverts to an
+    * EXACT pixel box in any IEEE engine — the a34 oracle's determinism
+    * argument (FitsFormat.Wcs.axisRange).
+    */
+  private[fits] val wcsCards: Seq[(String, String)] = Seq(
+    "CRPIX1" -> "32.0", "CRVAL1" -> "180.0", "CDELT1" -> "-0.00390625",
+    "CRPIX2" -> "1.0", "CRVAL2" -> "-10.0", "CDELT2" -> "0.00390625")
+
   /** Writes a standard FITS file with a header-only primary HDU plus two
     * 2-d IMAGE extensions over the same planted frame: ext image #0 =
     * int16 with BSCALE=2/BZERO=100/BLANK=250 (physical = 2·raw + 100),
@@ -901,6 +913,7 @@ object FitsWriter {
       w(card("BSCALE", "2", quote = false))
       w(card("BZERO", "100", quote = false))
       w(card("BLANK", "250", quote = false))
+      wcsCards.foreach { case (k, v) => w(card(k, v, quote = false)) }
       w(endCard); padBlock(' '.toByte)
       var y = 0L
       while (y < height) {
@@ -1013,7 +1026,7 @@ object FitsWriter {
       w(card("NAXIS", "0", quote = false))
       w(endCard); padBlock(' '.toByte)
       writeExt(16, "GRAFT_RICE_1", Array.tabulate(nTiles)(intTile),
-        Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250"))
+        Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250") ++ wcsCards)
       writeExt(-32, "GZIP_2", Array.tabulate(nTiles)(floatTile), Seq.empty)
     } finally out.close()
   }

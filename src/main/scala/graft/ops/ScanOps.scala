@@ -891,6 +891,119 @@ object ScanOps {
       |       END), ',') AS px
       |FROM ys ORDER BY y""".stripMargin)
 
+  /** a34: SKY-addressed cutout (r10 verdict #4 — "an archive cutout
+    * service takes RA/Dec + size", the SIA shape; a20/a26/a30 are
+    * pixel-addressed): the request is a CLOSED world box (RA × Dec on
+    * pixel centers), inverted through the linear WCS cards the writer
+    * now plants (CRPIXn/CRVALn/CDELTn — FitsFormat.Wcs; RA runs with
+    * the conventional NEGATIVE increment, so the inverse sorts the
+    * endpoints) into a pixel box, which then runs a30's tile-granular
+    * read UNCHANGED — the sky addressing is a header-walk prefix, the
+    * IO shape is identical (bytes touched scale with the covering
+    * tiles). The box and the planted WCS are all dyadic rationals, so
+    * the inversion is EXACT in any IEEE engine and the oracle mirrors
+    * the closed-form transform in SQL; the emitted `dec` column is the
+    * forward transform of each row (exact), so a wrong CRPIX/CDELT
+    * parse, a missed axis flip, or an off-by-one in the 1-based pixel
+    * convention all hash-mismatch.
+    */
+  val a34_fits_wcs_cutout = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val height = t(s, d, "documents").count()
+      val tileRows = 64
+      // shares a27/a30's fixture (same planted file — build-once, r8 #7)
+      val path = graft.Util.fixtureOnce(
+        s"survey_ztiled_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeTiledImageFits(p, 64, height, tileRows))
+      // the user's sky request: a30's pixel window [h/4, h/2) × [16, 48)
+      // EXPRESSED IN WORLD COORDINATES through the planted WCS — what a
+      // cutout-service client actually sends
+      val decLo = -10.0 + (height / 4).toDouble / 256.0
+      val decHi = -10.0 + (height / 2 - 1).toDouble / 256.0
+      val raLo = 180.0 - 16.0 / 256.0
+      val raHi = 180.0 + 15.0 / 256.0
+      // driver-side header walk: parse the WCS, invert the sky box
+      val (wcs, x0, x1, y0, y1) = {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
+          val w = sp.wcs.getOrElse(throw new IllegalArgumentException(
+            "image carries no linear WCS — sky-addressed cutout unavailable"))
+          val (xa, xb) = w.xRange(raLo, raHi, sp.width).getOrElse(
+            throw new IllegalArgumentException("RA box misses the frame"))
+          val (ya, yb) = w.yRange(decLo, decHi, sp.height).getOrElse(
+            throw new IllegalArgumentException("Dec box misses the frame"))
+          (w, xa, xb, ya, yb)
+        } finally raf.close()
+      }
+      val t0 = y0 / tileRows
+      val t1 = y1 / tileRows // inclusive bounds on both axes from here
+      val splits = tileSplits(t1 - t0 + 1, 64L * tileRows * 2)
+      s.range(t0, t1 + 1, 1, splits).mapPartitions { ts =>
+        if (!ts.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0) // int16 ext
+          val desc = new Array[Byte](8)
+          ts.flatMap { tIdx =>
+            raf.seek(sp.descOffset(tIdx))
+            raf.readFully(desc)
+            val db = java.nio.ByteBuffer.wrap(desc)
+            val blob = new Array[Byte](db.getInt(0))
+            raf.seek(sp.heapStart + db.getInt(4).toLong)
+            raf.readFully(blob)
+            val rows = sp.rowsInTile(tIdx)
+            val w = sp.width.toInt
+            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+              rows * w, sp.bytesPerPx, Some((w, rows)))
+            val bb = java.nio.ByteBuffer.wrap(raw)
+            val yLo = math.max(y0, tIdx * sp.tileRows)
+            val yHi = math.min(y1 + 1, tIdx * sp.tileRows + rows)
+            (yLo until yHi).iterator.map { y =>
+              val ry = (y - tIdx * sp.tileRows).toInt
+              val px = (x0 to x1).map { x =>
+                val v = bb.getShort((ry * w + x).toInt * 2).toLong
+                if (sp.blank.contains(v)) "null"
+                else (sp.bzero + sp.bscale * v).toLong.toString
+              }
+              (y, wcs.world2(y), px.mkString(","))
+            }
+          }
+        }
+      }.toDF("y", "dec", "px").orderBy("y")
+    },
+    // a30's pixel SQL with the closed-form linear transform mirrored:
+    // the sky box inverts through the SAME (crpix, crval, cdelt) the
+    // writer plants — p = (world − CRVAL)/CDELT + CRPIX, ceil/floor on
+    // the sorted endpoints, back to 0-based — and the emitted dec is
+    // the forward transform; every quantity is an exact dyadic
+    """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
+      |box AS (SELECT -10.0 + (h // 4) / 256.0 AS dec_lo,
+      |               -10.0 + (h // 2 - 1) / 256.0 AS dec_hi,
+      |               180.0 - 16.0 / 256.0 AS ra_lo,
+      |               180.0 + 15.0 / 256.0 AS ra_hi, h FROM b),
+      |pix AS (SELECT
+      |  CAST(ceil(least((ra_lo - 180.0) / -0.00390625 + 32.0,
+      |                  (ra_hi - 180.0) / -0.00390625 + 32.0)) AS BIGINT) - 1 AS x0,
+      |  CAST(floor(greatest((ra_lo - 180.0) / -0.00390625 + 32.0,
+      |                      (ra_hi - 180.0) / -0.00390625 + 32.0)) AS BIGINT) - 1 AS x1,
+      |  CAST(ceil((dec_lo - -10.0) / 0.00390625 + 1.0) AS BIGINT) - 1 AS y0,
+      |  CAST(floor((dec_hi - -10.0) / 0.00390625 + 1.0) AS BIGINT) - 1 AS y1
+      |  FROM box),
+      |ys AS (SELECT unnest(range(y0, y1 + 1)) AS y FROM pix)
+      |SELECT y, -10.0 + (y + 1 - 1.0) * 0.00390625 AS dec,
+      |  array_to_string(list_transform(range((SELECT x0 FROM pix),
+      |                                       (SELECT x1 FROM pix) + 1),
+      |  x -> CASE WHEN (3 * y + 5 * x + 7) % 251 = 250 THEN 'null'
+      |            ELSE CAST(2 * ((3 * y + 5 * x + 7) % 251) + 100 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM ys ORDER BY y""".stripMargin)
+
   /** a31: tile-compressed spectral CUBE source (fpack on a NAXIS=3
     * image — the r9 verdict's remaining-gap #3: a25 reads plain cubes
     * and a27 reads compressed FRAMES, but "an archive user with survey
@@ -1636,6 +1749,7 @@ object ScanOps {
     "a28_fits_image_tiled_sink" -> a28_fits_image_tiled_sink,
     "a29_fits_image_qfloat" -> a29_fits_image_qfloat,
     "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
+    "a34_fits_wcs_cutout" -> a34_fits_wcs_cutout,
     "a31_fits_cube_tiled" -> a31_fits_cube_tiled,
     "a32_fits_image_mask" -> a32_fits_image_mask,
     "a33_fits_image_hcomp" -> a33_fits_image_hcomp,

@@ -707,6 +707,61 @@ class TiledFitsSpec extends SparkTestBase {
     assert(rblob.length > 0) // rice comparison blob built (receipt below)
   }
 
+  test("a34: Wcs.axisRange equals the brute-force center filter over fuzzed geometries (property)") {
+    // arbitrary linear geometries: integer CRPIX in [-100, 100], dyadic
+    // CRVAL (k/256), CDELT = ±2^-e — the planted-card class, both signs
+    // (RA axes run negative), with world boxes built from arbitrary
+    // dyadics so endpoints fall ON and BETWEEN pixel centers
+    val genCase = for {
+      crpix <- Gen.choose(-100, 100).map(_.toDouble)
+      crval <- Gen.choose(-512 * 256, 512 * 256).map(_ / 256.0)
+      e <- Gen.choose(4, 10)
+      sign <- Gen.oneOf(-1.0, 1.0)
+      n <- Gen.choose(1L, 300L)
+      a <- Gen.choose(-1024 * 256, 1024 * 256).map(_ / 1024.0 / 256.0)
+      b <- Gen.choose(-1024 * 256, 1024 * 256).map(_ / 1024.0 / 256.0)
+    } yield (crpix, crval, sign * math.pow(2.0, -e), n,
+      crval + math.min(a, b), crval + math.max(a, b))
+    check(Prop.forAll(genCase) { case (crpix, crval, cdelt, n, wLo, wHi) =>
+      val wcs = FitsFormat.Wcs(crpix, crval, cdelt, crpix, crval, cdelt)
+      val brute = (1L to n).filter { p =>
+        val w = crval + (p - crpix) * cdelt
+        wLo <= w && w <= wHi
+      }
+      // centers form a contiguous run on a linear axis, so min/max IS
+      // the range — and axisRange must reproduce it exactly (or None)
+      wcs.xRange(wLo, wHi, n) match {
+        case Some((lo, hi)) =>
+          brute.nonEmpty && lo == brute.min - 1 && hi == brute.max - 1
+        case None => brute.isEmpty
+      }
+    }, n = 200)
+  }
+
+  test("a34: the writer's planted WCS parses back and inverts the a30 window exactly") {
+    val p = Util.scratch("wcs_roundtrip.fits")
+    FitsWriter.writeTiledImageFits(p, 64, 128L, 64)
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      raf.seek(0)
+      val sp = FitsFormat.locateTiledImage(raf, 0)
+      val wcs = sp.wcs.getOrElse(fail("tiled int16 ext lost its WCS cards"))
+      assert(wcs == FitsFormat.Wcs(32.0, 180.0, -0.00390625, 1.0, -10.0, 0.00390625))
+      // the a34 box inverts to a30's pixel window on this 128-row frame
+      assert(wcs.xRange(180.0 - 16.0 / 256, 180.0 + 15.0 / 256, 64) ==
+        Some((16L, 47L)))
+      assert(wcs.yRange(-10.0 + 32.0 / 256, -10.0 + 63.0 / 256, 128) ==
+        Some((32L, 63L)))
+      // forward transform of the first cutout row is the box edge
+      assert(wcs.world2(32L) == -10.0 + 32.0 / 256)
+      // a box wholly off the frame is None, not a clamped sliver
+      assert(wcs.yRange(10.0, 11.0, 128).isEmpty)
+      // the float ext carries no WCS -> a sky cutout on it must refuse
+      raf.seek(0)
+      assert(FitsFormat.locateTiledImage(raf, 1).wcs.isEmpty)
+    } finally raf.close()
+  }
+
   test("varint wrap guard: a hostile 10+-byte varint fails loudly in both coders") {
     // eleven 0x80 continuation bytes: shift reaches 70 and would wrap
     // mod 64, silently decoding garbage before the r11 guard
