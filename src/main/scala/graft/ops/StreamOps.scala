@@ -1025,54 +1025,65 @@ object StreamOps {
     * (rounded csim, row_number ≤ 2) — recall loss vs the flat scan is
     * the documented IVF trade, and the gate hashes the PRUNED truth.
     */
-  val j21_stream_ann_ivf = OpQuery(
-    (s, d) => {
-      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j21"))
-      graft.Util.deleteRecursively(ckpt)
-      val sink = new java.io.File(graft.Util.scratch("j21_sink"))
-      graft.Util.deleteRecursively(sink)
-      val e = t(s, d, "embeddings")
-      // build-once scaffolding, keyed per sfDir (r8 #7): the arriving
-      // queries — two files so AvailableNow runs two real batches
-      val srcDir = graft.Util.fixtureOnce(
-        s"j21_query_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
-        val q = e.filter(col("vec_id") % 101 === 3)
-        q.filter(col("vec_id") % 2 === 0).coalesce(1)
-          .write.mode("overwrite").parquet(s"$p/f0")
-        q.filter(col("vec_id") % 2 === 1).coalesce(1)
-          .write.mode("overwrite").parquet(s"$p/f1")
+  /** The j21/j22 serving harness, parametrized by WHICH persisted index
+    * the batches probe (label cells vs learned k-means cells — the plan
+    * is identical either way; only the artifact differs, which is the
+    * i67 comparison made a SERVING path): two AvailableNow micro-batches
+    * of arriving queries, per-batch cell rank against the index's
+    * persisted centroids, literal-IN partition-filtered probe, exact
+    * top-3 re-rank appended to the sink.
+    */
+  private def streamAnnServe(s: SparkSession, d: String, name: String,
+      idx: String): DataFrame = {
+    val ckpt = new java.io.File(graft.Util.scratch(s"ckpt_$name"))
+    graft.Util.deleteRecursively(ckpt)
+    val sink = new java.io.File(graft.Util.scratch(s"${name}_sink"))
+    graft.Util.deleteRecursively(sink)
+    val e = t(s, d, "embeddings")
+    // build-once scaffolding, keyed per sfDir (r8 #7): the arriving
+    // queries — two files so AvailableNow runs two real batches (the
+    // fixture is shared across serving keys: same arriving queries)
+    val srcDir = graft.Util.fixtureOnce(
+      s"j21_query_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+      val q = e.filter(col("vec_id") % 101 === 3)
+      q.filter(col("vec_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/f0")
+      q.filter(col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/f1")
+    }
+    val src = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("recursiveFileLookup", "true")
+      .parquet(srcDir)
+    val q = src.select("vec_id", "embedding").writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the index-side guard applied to the query stream too
+        val qb = batch
+          .withColumn("maxq", array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))))
+          .filter(col("maxq") > 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+          .localCheckpoint() // read by the cell rank AND the probe join
+        val approx = ivfBatchStage1(s, idx, qb)
+        approx.join(t(s, d, "embeddings"), "vec_id")
+          .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+            col("embedding"), col("qvec")), 6))
+          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("sim"), asc("vec_id"))))
+          .filter(col("rk") <= 3)
+          .select("q_id", "vec_id", "sim")
+          .write.mode("append").parquet(sink.getAbsolutePath)
       }
-      val idx = graft.ops.LlmOps.sq8WriteIndexIvf(s, d)
-      val src = s.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("recursiveFileLookup", "true")
-        .parquet(srcDir)
-      val q = src.select("vec_id", "embedding").writeStream
-        .outputMode("append")
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // the index-side guard applied to the query stream too
-          val qb = batch
-            .withColumn("maxq", array_max(transform(col("embedding"),
-              x => abs(x.cast("double")))))
-            .filter(col("maxq") > 0)
-            .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-            .localCheckpoint() // read by the cell rank AND the probe join
-          val approx = ivfBatchStage1(s, idx, qb)
-          approx.join(t(s, d, "embeddings"), "vec_id")
-            .withColumn("sim", round(graft.functions.VectorFunctions.dot(
-              col("embedding"), col("qvec")), 6))
-            .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-              .orderBy(desc("sim"), asc("vec_id"))))
-            .filter(col("rk") <= 3)
-            .select("q_id", "vec_id", "sim")
-            .write.mode("append").parquet(sink.getAbsolutePath)
-        }
-        .start()
-      q.awaitTermination()
-      s.read.parquet(sink.getAbsolutePath).orderBy("q_id", "vec_id")
-    },
+      .start()
+    q.awaitTermination()
+    s.read.parquet(sink.getAbsolutePath).orderBy("q_id", "vec_id")
+  }
+
+  val j21_stream_ann_ivf = OpQuery(
+    (s, d) => streamAnnServe(s, d, "j21", graft.ops.LlmOps.sq8WriteIndexIvf(s, d)),
     s"""WITH m AS (
        |  SELECT vec_id, label, embedding,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
@@ -1112,7 +1123,89 @@ object StreamOps {
        |SELECT q_id, vec_id, sim FROM t WHERE rk <= 3
        |ORDER BY q_id, vec_id""".stripMargin)
 
+  /** j22: serving the LEARNED index — j21's per-batch IVF-pruned plan
+    * run against `sq8WriteIndexKmeans`'s artifact (r11: i67 proves the
+    * learned cells beat the label cells at the same nprobe; this key
+    * proves the SERVING path — the plan j21 plan-asserts — runs
+    * unchanged against the artifact PrepMain's `--ann` actually ships,
+    * so the pipeline's index and the gated serving mode are the same
+    * object). Harness, batching, pruning, and re-rank are shared code
+    * (`streamAnnServe`); only the index dir differs. Oracle: j21's
+    * pruned chain with the coarse quantizer replaced by the Lloyd CTE
+    * (i67's oracle pieces) — the gate hashes the learned-cell pruned
+    * truth per arriving query.
+    */
+  val j22_stream_ann_kmeans = OpQuery(
+    (s, d) => streamAnnServe(s, d, "j22",
+      graft.ops.LlmOps.sq8WriteIndexKmeans(s, d)),
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |lq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+       |  FROM m WHERE maxabs > 0),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM lq
+       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT 10),
+       |la1 AS (
+       |  SELECT vec_id, qv, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT lq.vec_id, lq.qv, c0.cid,
+       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
+       |             i -> (lq.qv[i] - c0.cv[i]) * (lq.qv[i] - c0.cv[i]))) AS dist
+       |    FROM lq CROSS JOIN c0)),
+       |m1 AS (
+       |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
+       |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
+       |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
+       |        FROM la1 WHERE rn = 1)
+       |  GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+       |la2 AS (
+       |  SELECT vec_id, qv, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT lq.vec_id, lq.qv, c1.cid,
+       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
+       |             i -> (lq.qv[i] - c1.cv[i]) * (lq.qv[i] - c1.cv[i]))) AS dist
+       |    FROM lq CROSS JOIN c1)),
+       |cellkm AS (SELECT vec_id, cid FROM la2 WHERE rn = 1),
+       |centkm AS (SELECT cid AS label, pos, v / 1000.0 AS c FROM m1
+       |           WHERE cid IN (SELECT DISTINCT cid FROM cellkm)),
+       |c AS (
+       |  SELECT m.vec_id, k.cid AS cell, m.embedding, m.maxabs,
+       |    list_transform(m.embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m JOIN cellkm k ON m.vec_id = k.vec_id WHERE m.maxabs > 0),
+       |q AS (SELECT vec_id AS q_id, embedding AS qvec FROM c
+       |      WHERE vec_id % 101 = 3),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM q, range(1,65) r(i)),
+       |csim AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |a AS (
+       |  SELECT q.q_id, c.vec_id, c.embedding, q.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * q.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c JOIN qc ON c.cell = qc.label
+       |         JOIN q ON q.q_id = qc.q_id
+       |  WHERE c.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM a),
+       |s AS (SELECT q_id, vec_id,
+       |    round(${graft.ops.LlmOps.dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM r WHERE rk <= 50),
+       |t AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rk FROM s)
+       |SELECT q_id, vec_id, sim FROM t WHERE rk <= 3
+       |ORDER BY q_id, vec_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j22_stream_ann_kmeans" -> j22_stream_ann_kmeans,
     "j21_stream_ann_ivf" -> j21_stream_ann_ivf,
     "j20_stream_ann" -> j20_stream_ann,
     "j19_stream_image_dedup" -> j19_stream_image_dedup,

@@ -389,6 +389,38 @@ class StreamOpsSpec extends SparkTestBase {
     assert(sides.length == 2, "queries all came from one micro-batch")
   }
 
+  test("j22 serves the LEARNED index: batch/stream parity and genuinely different cells than j21") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.expressions.Window
+    val fromStream = StreamOps.j22_stream_ann_kmeans.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val idx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
+    val qs = e.filter(col("vec_id") % 101 === 3)
+      .withColumn("maxq", LlmOps.sqMaxAbs).filter(col("maxq") > 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val expect = StreamOps.ivfBatchStage1(spark, idx, qs)
+      .join(e, "vec_id")
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(expect.nonEmpty && fromStream.toSet == expect.toSet,
+      s"learned-index stream serving diverges: ${fromStream.length} vs ${expect.length}")
+    // and it really is a DIFFERENT index: the learned coarse quantizer
+    // prunes different cells, so the top-3 sets must not be identical
+    // to j21's across the whole query set (if they were, j22 would be
+    // silently reading the label artifact)
+    val fromLabel = StreamOps.j21_stream_ann_ivf.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fromStream.toSet != fromLabel.toSet,
+      "learned-index serving returned the label index's answers verbatim")
+  }
+
   test("j21 per-batch probe plans a PARTITION filter over the cell union, centroids from the artifact") {
     import graft.ops.LlmOps
     import spark.implicits._
