@@ -53,8 +53,22 @@ object LadderMain {
     // j21's 2-of-k-cells probe grows ~k²/5 — the rung where directory
     // pruning must visibly beat the flat scan
     "j20_stream_ann" -> ops.StreamOps.j20_stream_ann.fn,
-    "j21_stream_ann_ivf" -> ops.StreamOps.j21_stream_ann_ivf.fn) :+
-    forcedRow("i34_kmeans_lloyd")
+    "j21_stream_ann_ivf" -> ops.StreamOps.j21_stream_ann_ivf.fn,
+    // r11: the learned-index serving mode — j21's plan against the
+    // k-means artifact; must track j21 on the growing-index axis (same
+    // 2-of-k-cells probe, the build is fixtureOnce scaffolding)
+    "j22_stream_ann_kmeans" -> ops.StreamOps.j22_stream_ann_kmeans.fn) :+
+    forcedRow("i34_kmeans_lloyd") :+
+    // r11: the dual-index certification (count-pruned at birth like
+    // i65/i66): six pruned chains + one shared brute-force truth — the
+    // truth's k² cross join dominates, so the rung grows ~quadratically
+    // on the replicated-corpus axis (the documented offline-audit cost)
+    forcedRow("i67_ann_ivf_kmeans") :+
+    // r11: the incremental refresh — one broadcast argmin over the
+    // arriving batch + a partition-column-only count of the base; must
+    // grow ~linearly in the batch (both sides replicate here) with NO
+    // base-embedding scan at any scale
+    forcedRow("i68_ann_index_refresh")
 
   /** text family: the r4 ladder's op set (first nine — rows stay
     * comparable across rounds), extended in r5 with the perplexity
@@ -243,7 +257,11 @@ object LadderMain {
       // r10: the PLIO-class mask and the HCOMPRESS-class float reader —
       // both must ladder linear like a27 (tile decode is the unit)
       "a32_fits_image_mask",
-      "a33_fits_image_hcomp")
+      "a33_fits_image_hcomp",
+      // r11: the sky-addressed cutout — a30's tile-granular read behind
+      // a WCS inversion (one driver header walk); must track a30's rung
+      // (the sky box covers the same rows, the inversion is O(1))
+      "a34_fits_wcs_cutout")
       .map(k => k -> SparkEntry.queries(k))
 
   def main(args: Array[String]): Unit = {

@@ -120,7 +120,13 @@ object PlanAudit {
     // 1-row aggregates counts to 3 regardless of recall values, so the
     // six pruned chains and the truth join all prune under a bare
     // count; the _forced row times the full dual certification
-    "i67_ann_ivf_kmeans")
+    "i67_ann_ivf_kmeans",
+    // i68 (r11): the per-cell refresh profile counts to |cells|
+    // regardless of n_base/n_new values — the left join to the new
+    // assignment (unique per cid) and the count aggregates all prune
+    // under a bare count (audit: joins 2->0, aggs 4->1); the _forced
+    // row times the real refresh assignment
+    "i68_ann_index_refresh")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

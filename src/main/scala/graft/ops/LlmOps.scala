@@ -837,13 +837,18 @@ object LlmOps {
     * units. Stats are measured from the WRITTEN codes table, so they
     * certify the artifact on disk, not the plan that produced it.
     */
-  def annWriteArtifact(emb: DataFrame, codesDir: String,
-      centDir: String): Map[String, Long] = {
-    // LEARNED cells (r10 verdict #1): the coarse quantizer is the i34
-    // Lloyd engine over the maxabs-KEPT frame — the same frame that
-    // feeds the codes write, so both artifacts cover identical cells
-    // by construction (the r10 ADVICE: a cell of only-zero vectors
-    // must not get a centroid row with no codes partition)
+  /** The learned-cell index write shared by `sq8WriteIndexKmeans` (the
+    * gate fixture) and `annWriteArtifact` (PrepMain's `--ann`): the
+    * coarse quantizer is the i34 Lloyd engine over the maxabs-KEPT
+    * frame — the same frame that feeds the codes write, so both
+    * artifacts cover identical cells by construction (the r10 ADVICE:
+    * a cell of only-zero vectors must not get a centroid row with no
+    * codes partition), and the build REQUIRES the cover identity
+    * before returning (degenerate-cells guard: a k-means collapse
+    * sheds the empty cell and its partition together).
+    */
+  private[graft] def writeKmeansArtifacts(emb: DataFrame, codesDir: String,
+      centDir: String): Unit = {
     val kept = emb.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
       .localCheckpoint() // read by the Lloyd model AND the codes write
     val (cells, centPos) = graft.ops.CorpusOps.lloydModel(kept, 10)
@@ -865,6 +870,11 @@ object LlmOps {
       s"ANN artifacts disagree on cell cover: codes $codeCells vs " +
         s"centroids $centCells — a probe would spend nprobe slots on " +
         "cells with no partition")
+  }
+
+  def annWriteArtifact(emb: DataFrame, codesDir: String,
+      centDir: String): Map[String, Long] = {
+    writeKmeansArtifacts(emb, codesDir, centDir)
     val codes = emb.sparkSession.read.parquet(codesDir)
     val row = codes.agg(
       count(lit(1)),
@@ -1204,26 +1214,7 @@ object LlmOps {
   def sq8WriteIndexKmeans(s: SparkSession, d: String): String =
     graft.Util.fixtureOnce(
       s"i67_sq8km_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
-      val kept = t(s, d, "embeddings")
-        .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
-      val (cells, centPos) = graft.ops.CorpusOps.lloydModel(kept, 10)
-      kept.withColumn("qarr", sqCodes)
-        .join(cells, "vec_id")
-        .select(col("vec_id"), col("cid").cast("int").as("label"),
-          col("maxabs"), col("qarr"))
-        .write.mode("overwrite").partitionBy("label").parquet(dir)
-      centPos.join(cells.select("cid").distinct(), "cid")
-        .select(col("cid").cast("int").as("label"), col("pos"),
-          (col("cv_i").cast("double") / lit(1000.0)).as("c"))
-        .write.mode("overwrite").parquet(sq8IvfCentDir(dir))
-      val codeCells = s.read.parquet(dir)
-        .select("label").distinct().collect().map(_.getInt(0)).toSet
-      val centCells = s.read.parquet(sq8IvfCentDir(dir))
-        .select("label").distinct().collect().map(_.getInt(0)).toSet
-      require(codeCells == centCells,
-        s"learned-cell index artifacts disagree: codes cover $codeCells, " +
-          s"centroids cover $centCells — a probe would spend nprobe " +
-          "slots on cells with no partition")
+      writeKmeansArtifacts(t(s, d, "embeddings"), dir, sq8IvfCentDir(dir))
     }
 
   /** Cell ranking against the PERSISTED centroid artifact — stage 0 of
@@ -1685,6 +1676,109 @@ object LlmOps {
        |LEFT JOIN pl ON pl.np = nps.np AND pl.q_id = bfr.q_id
        |           AND pl.vec_id = bfr.vec_id
        |GROUP BY nps.np ORDER BY nps.np""".stripMargin)
+
+  /** i68: incremental index REFRESH — the production path between full
+    * rebuilds (i54 maintains the SQ8 flat index; this is the IVF
+    * family's counterpart on the learned cells): the index was built
+    * over the base corpus (vec_id % 7 ≠ 5 — the corpus at build time);
+    * a new batch arrives (% 7 = 5) and is assigned to the NEAREST
+    * PERSISTED centroid — one broadcast argmin over the arriving
+    * vectors on the exact integer grid, NO relearn, NO base-corpus
+    * scan (at 100 TB: refresh cost ∝ the batch, rebuild cost ∝ the
+    * corpus — the whole point of the refresh path). The integer model
+    * round-trips exactly from the persisted doubles (cv_i = round(c ·
+    * 1000): c is the correctly-rounded cv_i/1000, so the product is
+    * within 2⁻⁵² · |cv_i| ≪ 0.5 of the integer), so the assignment is
+    * bit-identical to one made against the build-time model. Emits the
+    * post-refresh per-cell profile (n_base, n_new, n_total) — the
+    * drift monitor a deployment alerts on: arriving mass skewing into
+    * few cells means the learned model has drifted and it is time to
+    * RELEARN (the full rebuild), the measurement that schedules it.
+    */
+  val i68_ann_index_refresh = OpQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      // build-once scaffolding: the index over the BASE corpus — the
+      // gated op is the refresh against it, not the build
+      val idx = graft.Util.fixtureOnce(
+        s"i68_sq8km_base_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+        writeKmeansArtifacts(e.filter(col("vec_id") % 7 =!= 5), dir,
+          sq8IvfCentDir(dir))
+      }
+      // the persisted model back on the exact integer grid
+      val c1 = s.read.parquet(sq8IvfCentDir(idx))
+        .withColumn("cv_i", round(col("c") * lit(1000.0)).cast("long"))
+        .groupBy(col("label").as("cid"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
+          .as("cv"))
+      val newQ = e.filter(col("vec_id") % 7 === 5)
+        .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
+      val assigned = graft.ops.CorpusOps.lloydAssign(newQ, c1)
+      val baseCounts = s.read.parquet(idx)
+        .groupBy("label").agg(count(lit(1)).as("n_base"))
+      val newCounts = assigned
+        .groupBy(col("cid").as("label")).agg(count(lit(1)).as("n_new"))
+      baseCounts.join(newCounts, Seq("label"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .select(col("label").cast("long").as("label"), col("n_base"),
+          col("n_new"), (col("n_base") + col("n_new")).as("n_total"))
+        .orderBy("label")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |bq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+       |  FROM m WHERE maxabs > 0 AND vec_id % 7 <> 5),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM bq
+       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT 10),
+       |a1 AS (
+       |  SELECT vec_id, qv, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT bq.vec_id, bq.qv, c0.cid,
+       |           list_sum(list_transform(range(1, len(bq.qv) + 1),
+       |             i -> (bq.qv[i] - c0.cv[i]) * (bq.qv[i] - c0.cv[i]))) AS dist
+       |    FROM bq CROSS JOIN c0)),
+       |m1 AS (
+       |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
+       |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
+       |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
+       |        FROM a1 WHERE rn = 1)
+       |  GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, qv, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT bq.vec_id, bq.qv, c1.cid,
+       |           list_sum(list_transform(range(1, len(bq.qv) + 1),
+       |             i -> (bq.qv[i] - c1.cv[i]) * (bq.qv[i] - c1.cv[i]))) AS dist
+       |    FROM bq CROSS JOIN c1)),
+       |cellb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base
+       |          FROM a2 WHERE rn = 1 GROUP BY cid),
+       |c1live AS (SELECT * FROM c1 WHERE cid IN (SELECT cid FROM cellb)),
+       |nq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+       |  FROM m WHERE maxabs > 0 AND vec_id % 7 = 5),
+       |an AS (
+       |  SELECT vec_id, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT nq.vec_id, c1live.cid,
+       |           list_sum(list_transform(range(1, len(nq.qv) + 1),
+       |             i -> (nq.qv[i] - c1live.cv[i]) * (nq.qv[i] - c1live.cv[i]))) AS dist
+       |    FROM nq CROSS JOIN c1live)),
+       |celln AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new
+       |          FROM an WHERE rn = 1 GROUP BY cid)
+       |SELECT CAST(cellb.cid AS BIGINT) AS label, n_base,
+       |  coalesce(n_new, 0) AS n_new,
+       |  n_base + coalesce(n_new, 0) AS n_total
+       |FROM cellb LEFT JOIN celln ON cellb.cid = celln.cid
+       |ORDER BY label""".stripMargin)
 
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
@@ -2759,6 +2853,7 @@ object LlmOps {
     "i65_ann_recall" -> i65_ann_recall,
     "i66_ann_nprobe_sweep" -> i66_ann_nprobe_sweep,
     "i67_ann_ivf_kmeans" -> i67_ann_ivf_kmeans,
+    "i68_ann_index_refresh" -> i68_ann_index_refresh,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

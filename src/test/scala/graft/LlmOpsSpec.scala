@@ -1093,6 +1093,31 @@ class LlmOpsSpec extends SparkTestBase {
       s"np=2 label rung (${rows(1)._6} hits) diverges from i65 ($i65hits)")
   }
 
+  test("i68: refresh conserves every arriving vector and reads ZERO base data bytes") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.i68_ann_index_refresh.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 10, s"expected 10 live cells: ${out.length}")
+    out.foreach { case (_, nb, nn, nt) =>
+      assert(nb > 0 && nn >= 0 && nt == nb + nn)
+    }
+    val e = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("maxabs", LlmOps.sqMaxAbs).filter(col("maxabs") > 0)
+    // conservation: every kept base vector is indexed, every kept
+    // arriving vector is assigned to exactly one live cell
+    assert(out.map(_._2).sum == e.filter(col("vec_id") % 7 =!= 5).count(),
+      "base members lost")
+    assert(out.map(_._3).sum == e.filter(col("vec_id") % 7 === 5).count(),
+      "an arriving vector was dropped or double-assigned")
+    // the refresh is cheap BY PLAN: counting base members per cell reads
+    // only the partition column (an empty ReadSchema on the codes scan),
+    // and the assignment broadcasts the k×64 model — no base-corpus scan
+    val plan = LlmOps.i68_ann_index_refresh.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<>"),
+      "base-count scan reads data bytes — partition-column pruning lost")
+  }
+
   test("i67: the learned index's artifacts cover identical cells and the build is deterministic") {
     val idx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
     val codes = spark.read.parquet(idx)
