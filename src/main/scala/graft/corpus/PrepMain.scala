@@ -134,13 +134,19 @@ object PrepMain {
       // KEPT corpus's embeddings — the RAG handoff beside the training
       // corpus, with vector/cell/saturation/maxabs/recall stats in the
       // manifest; "none" skips
-      ann: String = "none")
+      ann: String = "none",
+      // IVF cell count for the --ann artifact: 0 (default) = auto-size
+      // from the kept corpus (k = sqrt(N), LlmOps.ivfAutoK — the
+      // standard IVF balance: probe cost ~ nprobe*sqrt(N)); a tuned
+      // deployment passes an explicit k
+      annK: Int = 0)
 
   private val flagNames = Set("--in", "--out", "--dedup", "--dedup-tau",
     "--decontam", "--decontam-cap", "--min-containment", "--min-tokens",
     "--max-dup-frac", "--max-top-bigram", "--min-quality", "--scrub",
     "--scrub-span", "--scrub-min-docs", "--media", "--mix", "--ppl",
-    "--shuffle", "--chunks", "--tokenize", "--profile", "--ann")
+    "--shuffle", "--chunks", "--tokenize", "--profile", "--ann",
+    "--ann-k")
 
   /** `--media dedup` = all three modalities; `--media dedup=image,audio`
     * selects a subset. Empty for anything malformed — the parse require
@@ -189,6 +195,7 @@ object PrepMain {
         case "--tokenize" => o = o.copy(tokenize = v)
         case "--profile" => o = o.copy(profile = v)
         case "--ann" => o = o.copy(ann = v)
+        case "--ann-k" => o = o.copy(annK = if (v == "auto") 0 else v.toInt)
       }
       i += 2
     }
@@ -200,7 +207,8 @@ object PrepMain {
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
         "[--media dedup[=image,audio,video]|none] " +
         "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none] " +
-        "[--chunks write|none] [--tokenize bpe|none] [--ann write|none]")
+        "[--chunks write|none] [--tokenize bpe|none] [--ann write|none] " +
+        "[--ann-k auto|n>=2]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("ccnet", "none")(o.ppl),
@@ -221,6 +229,8 @@ object PrepMain {
       s"--profile must be write|none, got ${o.profile}")
     require(Set("write", "none")(o.ann),
       s"--ann must be write|none, got ${o.ann}")
+    require(o.annK == 0 || o.annK >= 2,
+      s"--ann-k must be auto or an integer >= 2, got ${o.annK}")
     // only meaningful when the scrub stage actually runs (the --dedup-tau
     // convention): k = 1 would excise every repeated TOKEN, min-docs = 1
     // every document
@@ -631,7 +641,7 @@ object PrepMain {
         // ann_sweep.parquet beside the index and its micro-recalls to
         // the manifest, so the consumer picks nprobe from the artifact
         // instead of re-deriving i66.
-        LlmOps.annWriteArtifact(emb, codesDir, centDir) ++
+        LlmOps.annWriteArtifact(emb, codesDir, centDir, opts.annK) ++
           LlmOps.annCertify(emb, codesDir, centDir) ++
           LlmOps.annSweep(emb, codesDir, centDir,
             s"${opts.out}/ann_sweep.parquet")

@@ -847,11 +847,21 @@ object LlmOps {
     * before returning (degenerate-cells guard: a k-means collapse
     * sheds the empty cell and its partition together).
     */
+  /** The IVF cell-count rule for an arbitrary corpus: k ≈ √N (the
+    * standard IVF sizing — probe cost ~ nprobe·√N and cell size ~ √N,
+    * balanced), clamped to [2, 1024]. The gate fixtures pin k = 10
+    * explicitly (the oracle mirrors the seed count); the PIPELINE
+    * artifact sizes itself from the corpus it indexes.
+    */
+  private[graft] def ivfAutoK(nKept: Long): Int =
+    math.max(2L, math.min(1024L, math.floor(math.sqrt(nKept.toDouble)).toLong)).toInt
+
   private[graft] def writeKmeansArtifacts(emb: DataFrame, codesDir: String,
-      centDir: String): Unit = {
+      centDir: String, k: Int = 10): Unit = {
     val kept = emb.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
       .localCheckpoint() // read by the Lloyd model AND the codes write
-    val (cells, centPos) = graft.ops.CorpusOps.lloydModel(kept, 10)
+    val kEff = if (k > 0) k else ivfAutoK(kept.count())
+    val (cells, centPos) = graft.ops.CorpusOps.lloydModel(kept, kEff)
     kept.withColumn("qarr", sqCodes)
       .join(cells, "vec_id")
       .select(col("vec_id"), col("cid").cast("int").as("label"),
@@ -873,8 +883,11 @@ object LlmOps {
   }
 
   def annWriteArtifact(emb: DataFrame, codesDir: String,
-      centDir: String): Map[String, Long] = {
-    writeKmeansArtifacts(emb, codesDir, centDir)
+      centDir: String, k: Int = 0): Map[String, Long] = {
+    // k = 0 (the default) sizes the cell count from the kept corpus
+    // (√N, `ivfAutoK`) — a 100 TB corpus should not inherit the gate
+    // fixture's k; a caller with a tuned k passes it explicitly
+    writeKmeansArtifacts(emb, codesDir, centDir, k)
     val codes = emb.sparkSession.read.parquet(codesDir)
     val row = codes.agg(
       count(lit(1)),

@@ -388,7 +388,10 @@ class PrepPipelineSpec extends SparkTestBase {
     // exact, and the cells on disk must match the recomputed assignment)
     val kept2 = e.withColumn("maxabs", LlmOps.sqMaxAbs)
       .filter(col("maxabs") > 0)
-    val (cells2, centPos2) = graft.ops.CorpusOps.lloydModel(kept2, 10)
+    // the pipeline auto-sizes k from the kept corpus (√N — ivfAutoK);
+    // the recompute mirrors the same rule
+    val (cells2, centPos2) = graft.ops.CorpusOps.lloydModel(kept2,
+      LlmOps.ivfAutoK(kept2.count()))
     val truth = centPos2.join(cells2.select("cid").distinct(), "cid")
       .select(col("cid").cast("int").as("label"), col("pos"),
         (col("cv_i").cast("double") / lit(1000.0)).as("c2"))
