@@ -641,8 +641,9 @@ object PrepMain {
         // ann_sweep.parquet beside the index and its micro-recalls to
         // the manifest, so the consumer picks nprobe from the artifact
         // instead of re-deriving i66.
+        // annSweep's np=2 rung IS the certification, so one call (one
+        // brute-force truth) yields both ann_recall_* and ann_sweep_*
         LlmOps.annWriteArtifact(emb, codesDir, centDir, opts.annK) ++
-          LlmOps.annCertify(emb, codesDir, centDir) ++
           LlmOps.annSweep(emb, codesDir, centDir,
             s"${opts.out}/ann_sweep.parquet")
       case _ => Map.empty

@@ -460,15 +460,21 @@ object FitsFormat {
       if (lo > hi) None else Some((lo - 1, hi - 1)) // back to 0-based
     }
 
-    /** The six linear cards, when ALL are present (partial WCS = none:
-      * a cutout service must not guess missing axes). */
-    private[fits] def of(cards: Map[String, String]): Option[Wcs] =
+    /** The six linear cards, when ALL are present AND numeric (partial
+      * or malformed WCS = none: a cutout service must not guess missing
+      * axes — and a junk CRPIX value must degrade the ADVISORY metadata
+      * to "no WCS", not crash every plain pixel read of the file, since
+      * imageSpec/tiledImageSpec parse it unconditionally; the
+      * sky-addressed path then refuses loudly with its no-WCS error).
+      */
+    private[fits] def of(cards: Map[String, String]): Option[Wcs] = {
+      def num(key: String): Option[Double] =
+        cards.get(key).flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
       for {
-        p1 <- cards.get("CRPIX1"); v1 <- cards.get("CRVAL1")
-        d1 <- cards.get("CDELT1"); p2 <- cards.get("CRPIX2")
-        v2 <- cards.get("CRVAL2"); d2 <- cards.get("CDELT2")
-      } yield Wcs(p1.trim.toDouble, v1.trim.toDouble, d1.trim.toDouble,
-        p2.trim.toDouble, v2.trim.toDouble, d2.trim.toDouble)
+        p1 <- num("CRPIX1"); v1 <- num("CRVAL1"); d1 <- num("CDELT1")
+        p2 <- num("CRPIX2"); v2 <- num("CRVAL2"); d2 <- num("CDELT2")
+      } yield Wcs(p1, v1, d1, p2, v2, d2)
+    }
   }
 
   final case class ImageSpec(bitpix: Int, width: Long, height: Long,

@@ -861,7 +861,12 @@ object LlmOps {
     val kept = emb.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
       .localCheckpoint() // read by the Lloyd model AND the codes write
     val kEff = if (k > 0) k else ivfAutoK(kept.count())
-    val (cells, centPos) = graft.ops.CorpusOps.lloydModel(kept, kEff)
+    val (cells0, centPos) = graft.ops.CorpusOps.lloydModel(kept, kEff)
+    // the assignment feeds the codes join AND the centroid restriction
+    // AND the cover guard — without the checkpoint each consumer
+    // re-runs both Lloyd passes over the corpus (r11 review finding);
+    // the materialized frame is (vec_id, cid) rows, tiny beside them
+    val cells = cells0.localCheckpoint()
     kept.withColumn("qarr", sqCodes)
       .join(cells, "vec_id")
       .select(col("vec_id"), col("cid").cast("int").as("label"),
@@ -1017,8 +1022,14 @@ object LlmOps {
     */
   private def annTruth(emb: DataFrame, nQueries: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // the sample multiplier is DELIBERATELY different from lloydModel's
+    // seed multiplier (741103597): with the same ordering, the
+    // certification queries would BE the k-means seeds — interior
+    // points of their own Voronoi cells — and the shipped recall would
+    // systematically overstate what a typical query gets (r11 review
+    // finding; with auto-k ≥ 32 every certified query was a seed)
     val qb = emb.withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
-      .withColumn("skey", pmod(col("vec_id") * lit(741103597L), lit(1000000007L)))
+      .withColumn("skey", pmod(col("vec_id") * lit(2971215073L), lit(1000000007L)))
       .orderBy("skey", "vec_id").limit(nQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
       .localCheckpoint() // read by the cell rank, the probe AND the exact side
@@ -1079,6 +1090,13 @@ object LlmOps {
   def annSweep(emb: DataFrame, codesDir: String, centDir: String,
       sweepDir: String, nQueries: Int = 32,
       nprobes: Seq[Int] = Seq(1, 2, 4)): Map[String, Long] = {
+    // the np=2 rung IS the certified operating point, so the sweep
+    // returns annCertify's ann_recall_* triple too — ONE brute-force
+    // truth pays for both manifest families (r11 review finding: the
+    // separate annCertify call recomputed the truth and the whole np=2
+    // chain for identical results; annCertify stays as the standalone
+    // recompute the spec's reproducibility identity uses)
+    require(nprobes.contains(2), "the sweep must include the np=2 operating point")
     val (qb, exact) = annTruth(emb, nQueries)
     val rows = nprobes.map { np =>
       val (nq, nExact, nHit) =
@@ -1090,9 +1108,13 @@ object LlmOps {
     import s.implicits._
     rows.toDF("np", "n_queries", "n_exact", "n_hit", "recall_micro")
       .coalesce(1).write.mode("overwrite").parquet(sweepDir)
+    val op = rows.find(_._1 == 2L).get
     rows.map { case (np, _, _, _, micro) =>
       s"ann_sweep_np${np}_recall_micro" -> micro
-    }.toMap
+    }.toMap ++ Map(
+      "ann_recall_n_queries" -> op._2,
+      "ann_recall_hits" -> op._4,
+      "ann_recall_at10_micro" -> op._5)
   }
 
   /** Build and persist the i61 SQ8 artifact for `d`'s embeddings table:
@@ -1204,6 +1226,48 @@ object LlmOps {
 
   /** The centroid table written beside an IVF index dir. */
   def sq8IvfCentDir(idxDir: String): String = idxDir + "_cent"
+
+  /** The k-means coarse-quantizer CTE block shared by the i67/i68/j22
+    * oracles — ONE definition of the SQL mirror of
+    * `CorpusOps.lloydModel` at k = 10 (the dotSql convention: a change
+    * to the seed hash or iteration count edits one string, not three).
+    * Expects a prior CTE `m(vec_id, embedding, maxabs, …)`; `keptPred`
+    * filters the model's corpus (i68 trains on the base slice only).
+    * Exposes: lq (quantized kept), c0 (hash-smallest seeds), la1/m1/c1
+    * (iteration 1), la2 (final assignment), cellkm (vec_id → cid),
+    * centkm (label, pos, c — live cells only, the persisted artifact).
+    */
+  private[graft] def lloydCteSql(keptPred: String): String =
+    s"""lq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+       |  FROM m WHERE $keptPred),
+       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM lq
+       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT 10),
+       |la1 AS (
+       |  SELECT vec_id, qv, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT lq.vec_id, lq.qv, c0.cid,
+       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
+       |             i -> (lq.qv[i] - c0.cv[i]) * (lq.qv[i] - c0.cv[i]))) AS dist
+       |    FROM lq CROSS JOIN c0)),
+       |m1 AS (
+       |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
+       |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
+       |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
+       |        FROM la1 WHERE rn = 1)
+       |  GROUP BY cid, pos),
+       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
+       |la2 AS (
+       |  SELECT vec_id, qv, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT lq.vec_id, lq.qv, c1.cid,
+       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
+       |             i -> (lq.qv[i] - c1.cv[i]) * (lq.qv[i] - c1.cv[i]))) AS dist
+       |    FROM lq CROSS JOIN c1)),
+       |cellkm AS (SELECT vec_id, cid FROM la2 WHERE rn = 1),
+       |centkm AS (SELECT cid AS label, pos, v / 1000.0 AS c FROM m1
+       |           WHERE cid IN (SELECT DISTINCT cid FROM cellkm))""".stripMargin
 
   /** Build and persist the SQ8 artifact partitioned by LEARNED k-means
     * cells (r10 verdict #1: `sq8WriteIndexIvf`'s cells are the fixture's
@@ -1584,36 +1648,7 @@ object LlmOps {
        |  SELECT vec_id, label, embedding,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
        |  FROM embeddings),
-       |lq AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
-       |  FROM m WHERE maxabs > 0),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM lq
-       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT 10),
-       |la1 AS (
-       |  SELECT vec_id, qv, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT lq.vec_id, lq.qv, c0.cid,
-       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
-       |             i -> (lq.qv[i] - c0.cv[i]) * (lq.qv[i] - c0.cv[i]))) AS dist
-       |    FROM lq CROSS JOIN c0)),
-       |m1 AS (
-       |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
-       |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
-       |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
-       |        FROM la1 WHERE rn = 1)
-       |  GROUP BY cid, pos),
-       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-       |la2 AS (
-       |  SELECT vec_id, qv, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT lq.vec_id, lq.qv, c1.cid,
-       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
-       |             i -> (lq.qv[i] - c1.cv[i]) * (lq.qv[i] - c1.cv[i]))) AS dist
-       |    FROM lq CROSS JOIN c1)),
-       |cellkm AS (SELECT vec_id, cid FROM la2 WHERE rn = 1),
-       |centkm AS (SELECT cid AS label, pos, v / 1000.0 AS c FROM m1
-       |           WHERE cid IN (SELECT DISTINCT cid FROM cellkm)),
+       |${lloydCteSql("maxabs > 0")},
        |c AS (
        |  SELECT m.vec_id, m.label AS cell_lab, k.cid AS cell_km,
        |    m.embedding, m.maxabs,
@@ -1744,35 +1779,9 @@ object LlmOps {
        |  SELECT vec_id, embedding,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
        |  FROM embeddings),
-       |bq AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
-       |  FROM m WHERE maxabs > 0 AND vec_id % 7 <> 5),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM bq
-       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT 10),
-       |a1 AS (
-       |  SELECT vec_id, qv, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT bq.vec_id, bq.qv, c0.cid,
-       |           list_sum(list_transform(range(1, len(bq.qv) + 1),
-       |             i -> (bq.qv[i] - c0.cv[i]) * (bq.qv[i] - c0.cv[i]))) AS dist
-       |    FROM bq CROSS JOIN c0)),
-       |m1 AS (
-       |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
-       |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
-       |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
-       |        FROM a1 WHERE rn = 1)
-       |  GROUP BY cid, pos),
-       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-       |a2 AS (
-       |  SELECT vec_id, qv, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT bq.vec_id, bq.qv, c1.cid,
-       |           list_sum(list_transform(range(1, len(bq.qv) + 1),
-       |             i -> (bq.qv[i] - c1.cv[i]) * (bq.qv[i] - c1.cv[i]))) AS dist
-       |    FROM bq CROSS JOIN c1)),
+       |${lloydCteSql("maxabs > 0 AND vec_id % 7 <> 5")},
        |cellb AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_base
-       |          FROM a2 WHERE rn = 1 GROUP BY cid),
+       |          FROM cellkm GROUP BY cid),
        |c1live AS (SELECT * FROM c1 WHERE cid IN (SELECT cid FROM cellb)),
        |nq AS (
        |  SELECT vec_id,

@@ -830,56 +830,66 @@ object ScanOps {
     * the compressed-raster family (a27 read, a28 write, a29 lossy,
     * a30 cutout).
     */
+  /** The a30/a34 tile-granular int16 cutout core: rows y ∈ [y0, y1) and
+    * columns x ∈ [x0, x1) of the file's tiled ext #0, streamed per
+    * COVERING tile — splits from covering-tile count × decoded bytes,
+    * rows streamed with the task owning the file handle (the
+    * tiledImageStats convention, r9 #5). Returns (y, px) rows; callers
+    * append derived columns (a34's forward-WCS dec) and the final sort.
+    */
+  private def tiledCutoutFrame(s: SparkSession, path: String, tileRows: Int,
+      y0: Long, y1: Long, x0: Int, x1: Int): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val t0 = y0 / tileRows
+    val t1 = (y1 - 1) / tileRows // inclusive: tiles covering [y0, y1)
+    val splits = tileSplits(t1 - t0 + 1, 64L * tileRows * 2)
+    s.range(t0, t1 + 1, 1, splits).mapPartitions { ts =>
+      if (!ts.hasNext) Iterator.empty
+      else {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => raf.close()))
+        raf.seek(0)
+        val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0) // int16 ext
+        val desc = new Array[Byte](8)
+        ts.flatMap { tIdx =>
+          raf.seek(sp.descOffset(tIdx))
+          raf.readFully(desc)
+          val db = java.nio.ByteBuffer.wrap(desc)
+          val blob = new Array[Byte](db.getInt(0))
+          raf.seek(sp.heapStart + db.getInt(4).toLong)
+          raf.readFully(blob)
+          val rows = sp.rowsInTile(tIdx)
+          val w = sp.width.toInt
+          val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
+            rows * w, sp.bytesPerPx, Some((w, rows)))
+          val bb = java.nio.ByteBuffer.wrap(raw)
+          val yLo = math.max(y0, tIdx * sp.tileRows)
+          val yHi = math.min(y1, tIdx * sp.tileRows + rows)
+          (yLo until yHi).iterator.map { y =>
+            val ry = (y - tIdx * sp.tileRows).toInt
+            val px = (x0 until x1).map { x =>
+              val v = bb.getShort((ry * w + x) * 2).toLong
+              if (sp.blank.contains(v)) "null"
+              else (sp.bzero + sp.bscale * v).toLong.toString
+            }
+            (y, px.mkString(","))
+          }
+        }
+      }
+    }.toDF("y", "px")
+  }
+
   val a30_fits_image_tiled_cutout = OpQuery(
     (s, d) => {
-      import s.implicits._
       val height = t(s, d, "documents").count()
       val tileRows = 64
       // shares a27's fixture (same planted file — build-once, r8 #7)
       val path = graft.Util.fixtureOnce(
         s"survey_ztiled_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
         graft.fits.FitsWriter.writeTiledImageFits(p, 64, height, tileRows))
-      val (y0, y1, x0, x1) = (height / 4, height / 2, 16, 48)
-      val t0 = y0 / tileRows
-      val t1 = (y1 - 1) / tileRows // inclusive: tiles covering [y0, y1)
-      // splits from COVERING-tile count × decoded bytes, rows streamed
-      // per tile — the tiledImageStats convention (r9 #5)
-      val splits = tileSplits(t1 - t0 + 1, 64L * tileRows * 2)
-      s.range(t0, t1 + 1, 1, splits).mapPartitions { ts =>
-        if (!ts.hasNext) Iterator.empty
-        else {
-          val raf = new java.io.RandomAccessFile(path, "r")
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => raf.close()))
-          raf.seek(0)
-          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0) // int16 ext
-          val desc = new Array[Byte](8)
-          ts.flatMap { tIdx =>
-            raf.seek(sp.descOffset(tIdx))
-            raf.readFully(desc)
-            val db = java.nio.ByteBuffer.wrap(desc)
-            val blob = new Array[Byte](db.getInt(0))
-            raf.seek(sp.heapStart + db.getInt(4).toLong)
-            raf.readFully(blob)
-            val rows = sp.rowsInTile(tIdx)
-            val w = sp.width.toInt
-            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-              rows * w, sp.bytesPerPx, Some((w, rows)))
-            val bb = java.nio.ByteBuffer.wrap(raw)
-            val yLo = math.max(y0, tIdx * sp.tileRows)
-            val yHi = math.min(y1, tIdx * sp.tileRows + rows)
-            (yLo until yHi).iterator.map { y =>
-              val ry = (y - tIdx * sp.tileRows).toInt
-              val px = (x0 until x1).map { x =>
-                val v = bb.getShort((ry * w + x) * 2).toLong
-                if (sp.blank.contains(v)) "null"
-                else (sp.bzero + sp.bscale * v).toLong.toString
-              }
-              (y, px.mkString(","))
-            }
-          }
-        }
-      }.toDF("y", "px").orderBy("y")
+      tiledCutoutFrame(s, path, tileRows, height / 4, height / 2, 16, 48)
+        .orderBy("y")
     },
     // a20's oracle VERBATIM: compressed and plain cutouts must render
     // the identical pixels
@@ -938,44 +948,16 @@ object ScanOps {
           (w, xa, xb, ya, yb)
         } finally raf.close()
       }
-      val t0 = y0 / tileRows
-      val t1 = y1 / tileRows // inclusive bounds on both axes from here
-      val splits = tileSplits(t1 - t0 + 1, 64L * tileRows * 2)
-      s.range(t0, t1 + 1, 1, splits).mapPartitions { ts =>
-        if (!ts.hasNext) Iterator.empty
-        else {
-          val raf = new java.io.RandomAccessFile(path, "r")
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => raf.close()))
-          raf.seek(0)
-          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0) // int16 ext
-          val desc = new Array[Byte](8)
-          ts.flatMap { tIdx =>
-            raf.seek(sp.descOffset(tIdx))
-            raf.readFully(desc)
-            val db = java.nio.ByteBuffer.wrap(desc)
-            val blob = new Array[Byte](db.getInt(0))
-            raf.seek(sp.heapStart + db.getInt(4).toLong)
-            raf.readFully(blob)
-            val rows = sp.rowsInTile(tIdx)
-            val w = sp.width.toInt
-            val raw = graft.fits.TileCodec.decodeCell(sp.cmpType, blob,
-              rows * w, sp.bytesPerPx, Some((w, rows)))
-            val bb = java.nio.ByteBuffer.wrap(raw)
-            val yLo = math.max(y0, tIdx * sp.tileRows)
-            val yHi = math.min(y1 + 1, tIdx * sp.tileRows + rows)
-            (yLo until yHi).iterator.map { y =>
-              val ry = (y - tIdx * sp.tileRows).toInt
-              val px = (x0 to x1).map { x =>
-                val v = bb.getShort((ry * w + x).toInt * 2).toLong
-                if (sp.blank.contains(v)) "null"
-                else (sp.bzero + sp.bscale * v).toLong.toString
-              }
-              (y, wcs.world2(y), px.mkString(","))
-            }
-          }
-        }
-      }.toDF("y", "dec", "px").orderBy("y")
+      // the pixel box runs the SAME tile-granular core as a30; dec is
+      // the forward transform re-spelled as a Column with the identical
+      // IEEE op order as Wcs.world2 (crval2 + (y + 1 − crpix2)·cdelt2 —
+      // every step exact on the planted dyadics)
+      tiledCutoutFrame(s, path, tileRows, y0, y1 + 1, x0.toInt, x1.toInt + 1)
+        .select(col("y"),
+          (lit(wcs.crval2) +
+            (col("y") + lit(1L) - lit(wcs.crpix2)) * lit(wcs.cdelt2)).as("dec"),
+          col("px"))
+        .orderBy("y")
     },
     // a30's pixel SQL with the closed-form linear transform mirrored:
     // the sky box inverts through the SAME (crpix, crval, cdelt) the

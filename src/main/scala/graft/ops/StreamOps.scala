@@ -1142,36 +1142,7 @@ object StreamOps {
        |  SELECT vec_id, label, embedding,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
        |  FROM embeddings),
-       |lq AS (
-       |  SELECT vec_id,
-       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
-       |  FROM m WHERE maxabs > 0),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM lq
-       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT 10),
-       |la1 AS (
-       |  SELECT vec_id, qv, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT lq.vec_id, lq.qv, c0.cid,
-       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
-       |             i -> (lq.qv[i] - c0.cv[i]) * (lq.qv[i] - c0.cv[i]))) AS dist
-       |    FROM lq CROSS JOIN c0)),
-       |m1 AS (
-       |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
-       |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
-       |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
-       |        FROM la1 WHERE rn = 1)
-       |  GROUP BY cid, pos),
-       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-       |la2 AS (
-       |  SELECT vec_id, qv, cid,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT lq.vec_id, lq.qv, c1.cid,
-       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
-       |             i -> (lq.qv[i] - c1.cv[i]) * (lq.qv[i] - c1.cv[i]))) AS dist
-       |    FROM lq CROSS JOIN c1)),
-       |cellkm AS (SELECT vec_id, cid FROM la2 WHERE rn = 1),
-       |centkm AS (SELECT cid AS label, pos, v / 1000.0 AS c FROM m1
-       |           WHERE cid IN (SELECT DISTINCT cid FROM cellkm)),
+       |${graft.ops.LlmOps.lloydCteSql("maxabs > 0")},
        |c AS (
        |  SELECT m.vec_id, k.cid AS cell, m.embedding, m.maxabs,
        |    list_transform(m.embedding,

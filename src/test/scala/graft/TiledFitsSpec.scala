@@ -760,6 +760,18 @@ class TiledFitsSpec extends SparkTestBase {
       raf.seek(0)
       assert(FitsFormat.locateTiledImage(raf, 1).wcs.isEmpty)
     } finally raf.close()
+    // a MALFORMED numeric card degrades the advisory metadata to
+    // wcs=None instead of crashing every plain pixel read (r11 review:
+    // imageSpec parses WCS unconditionally, so a junk CRPIX1 in a real
+    // archive header must not take down non-sky reads)
+    val base = Map("NAXIS" -> "2", "BITPIX" -> "16",
+      "NAXIS1" -> "4", "NAXIS2" -> "4",
+      "CRPIX1" -> "junk", "CRVAL1" -> "180.0", "CDELT1" -> "-0.00390625",
+      "CRPIX2" -> "1.0", "CRVAL2" -> "-10.0", "CDELT2" -> "0.00390625")
+    assert(FitsFormat.imageSpec(base, 0L).wcs.isEmpty)
+    // and a PARTIAL set (missing CDELT2) is also None, not a guess
+    assert(FitsFormat.imageSpec(base.updated("CRPIX1", "32.0") - "CDELT2", 0L)
+      .wcs.isEmpty)
   }
 
   test("varint wrap guard: a hostile 10+-byte varint fails loudly in both coders") {
