@@ -41,6 +41,11 @@ object LadderMain {
     // r9: IVF directory pruning ON TOP of the SQ8 codes — rung must stay
     // ~flat per replicated cell count (only the probed cells scan)
     "i64_sim_ann_ivf_sq8" -> ops.LlmOps.i64_sim_ann_ivf_sq8.fn,
+    // r11: the PQ rung — ADC over 8 codes/vector; the probe must grow
+    // ~linearly in the corpus (scan + TakeOrdered, no joins) with a
+    // constant-size codebook, and its per-row cost must sit BELOW the
+    // SQ8 rungs (8 lookup-adds beat a 64-term int×double dot)
+    "i69_sim_ann_pq" -> ops.LlmOps.i69_sim_ann_pq.fn,
     "i39_over_i12" -> { (s: SparkSession, d: String) =>
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))
@@ -68,7 +73,11 @@ object LadderMain {
     // arriving batch + a partition-column-only count of the base; must
     // grow ~linearly in the batch (both sides replicate here) with NO
     // base-embedding scan at any scale
-    forcedRow("i68_ann_index_refresh")
+    forcedRow("i68_ann_index_refresh") :+
+    // r11: the PQ certification (count-pruned at birth like i65): the
+    // brute-force truth's cross join dominates (~quadratic on the
+    // replicated-corpus axis); the batched ADC side is linear
+    forcedRow("i70_ann_pq_recall")
 
   /** text family: the r4 ladder's op set (first nine — rows stay
     * comparable across rounds), extended in r5 with the perplexity

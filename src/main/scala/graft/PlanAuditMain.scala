@@ -126,7 +126,13 @@ object PlanAudit {
     // assignment (unique per cid) and the count aggregates all prune
     // under a bare count (audit: joins 2->0, aggs 4->1); the _forced
     // row times the real refresh assignment
-    "i68_ann_index_refresh")
+    "i68_ann_index_refresh",
+    // i70 (r11): the i65 class against the PQ index — the per-query
+    // count is |queries|×10 regardless of hit values, so the ADC probe
+    // joins, both rank windows and the hit join prune under a bare
+    // count (audit: joins 6->1, aggs 3->1, windows 3->1); the _forced
+    // row times the full certification
+    "i70_ann_pq_recall")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

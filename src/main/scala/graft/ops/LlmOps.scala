@@ -1802,6 +1802,363 @@ object LlmOps {
        |FROM cellb LEFT JOIN celln ON cellb.cid = celln.cid
        |ORDER BY label""".stripMargin)
 
+  // -------- product quantization (PQ) ANN -----------------------------------
+
+  /** PQ geometry: 64-dim vectors split into PqM = 8 subspaces of
+    * PqDsub = 8 dims, PqK = 16 codewords per subspace — one vector
+    * becomes 8 codes of 4 significant bits. Storage per vector: 8 small
+    * ints (~12 B on disk) vs 72 B for SQ8 and 256 B for float32 — the
+    * ~20–30× shrink that turns a 100 TB float corpus's vector index into
+    * a few TB of codes a cluster page cache actually holds. Chosen so
+    * m·k·dsub (the codebook) is 1024 cells — constant-size index
+    * metadata, independent of N, hence driver-collectable by design.
+    */
+  private[graft] val PqM = 8
+  private[graft] val PqK = 16
+  private[graft] val PqDsub = 8
+
+  /** The codebook table written beside a PQ codes dir. */
+  def pqCbDir(idxDir: String): String = idxDir + "_cb"
+
+  /** Per-(vec_id, sub) integer subvectors of a quantized frame
+    * (vec_id, qv: array<bigint>[64]) — the unit PQ trains and encodes
+    * on. The ×1000 integer grid is the i34 convention: every distance,
+    * argmin tie, and mean below is exact 64-bit arithmetic, so the
+    * trained codebook and the codes are bit-reproducible in any engine.
+    */
+  private def pqSubvectors(q: DataFrame): DataFrame =
+    q.select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"))
+      .withColumn("sv",
+        expr(s"transform(sequence(0, ${PqDsub - 1}), j -> qv[sub * $PqDsub + j])"))
+      .select("vec_id", "sub", "sv")
+
+  /** Nearest-codeword assignment per (vector, subspace): broadcast the
+    * m·k codebook, integer L2², argmin ties broken by code id — the
+    * lloydAssign shape with `sub` as an extra key. Map-side at any N.
+    */
+  private def pqAssign(subv: DataFrame, cb: DataFrame): DataFrame =
+    subv.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"), col("sv"), col("cid"),
+        graft.functions.VectorFunctions.sqDistLong(col("sv"), col("cv"))
+          .as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        first(col("sv")).as("sv"))
+      .select(col("vec_id"), col("sub"), col("sv"), col("m.cid").as("cid"))
+
+  /** Build and persist the PQ index for `d`'s embeddings: codes table
+    * (vec_id, label, codes: array<int>[PqM]) at the returned dir, the
+    * trained integer codebook (sub, cid, pos, cv_i) at `<dir>_cb`.
+    * Training is the i34 Lloyd convention per subspace: seeds are the
+    * PqK hash-smallest vectors' subvectors (code ids 0..15 in seed
+    * order — dense, so a probe can index a flat lookup table), one
+    * integer-mean refinement, final assignment = the codes. One
+    * training pass + one encode pass over the corpus, both broadcast
+    * joins against the constant-size codebook — no N-sized shuffle
+    * anywhere except the per-vector code collect (8 rows/vector).
+    * At 100 TB the train side would run on a sample; the encode pass is
+    * the one full-corpus map — exactly how FAISS-style IVF-PQ builds
+    * partition the work.
+    */
+  def pqWriteIndex(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"i69_pq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      val e = t(s, d, "embeddings")
+      val q = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("qv"))
+      // PqK hash-smallest seed ids (the i51 multiplier, lloydModel's
+      // seeding); the collect is bounded at PqK rows and the seed ORDER
+      // defines the dense code ids both engines reproduce
+      val seedIds = q.select(col("vec_id"))
+        .withColumn("skey", pmod(col("vec_id") * lit(741103597L),
+          lit(1000000007L)))
+        .orderBy("skey", "vec_id").limit(PqK)
+        .collect().map(_.getLong(0))
+      val seedDf = s.createDataFrame(
+        seedIds.toSeq.zipWithIndex).toDF("vec_id", "cid")
+      val subv = pqSubvectors(q).localCheckpoint() // feeds seed join + 2 assigns
+      val c0 = subv.join(broadcast(seedDf), "vec_id")
+        .select(col("sub"), col("cid"), col("sv").as("cv"))
+      // one integer-mean refinement (the i34 iteration): per
+      // (sub, cid, pos), sum DIV count — exact in both engines
+      val m1 = pqAssign(subv, c0)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("sub", "cid", "pos")
+        .agg(expr("sum(v) DIV count(*)").as("cv_i"))
+      val c1 = m1.groupBy("sub", "cid")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
+          .as("cv"))
+      pqAssign(subv, c1)
+        .groupBy("vec_id")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
+          .as("codes"))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "codes")
+        .write.mode("overwrite").parquet(dir)
+      m1.write.mode("overwrite").parquet(pqCbDir(dir))
+    }
+
+  /** The ADC (asymmetric distance computation) lookup table for one
+    * query, as a flat literal: slot sub·PqK + cid holds the EXACT
+    * integer dot of the query's quantized subvector with codeword
+    * (sub, cid). The codebook is m·k·dsub = 1024 longs — constant-size
+    * index metadata, so the driver-side build is bounded by design (the
+    * d2/i7 convention) and the probe plan contains no codebook scan at
+    * all: approx ranking is table lookups + adds inside whole-stage
+    * codegen over the codes-only scan. Codes a k-means collapse left
+    * unused have no table row and keep slot value 0 — unreachable,
+    * since no vector carries an unused code.
+    */
+  private[graft] def pqAdcLit(s: SparkSession, idxDir: String,
+      qq: Array[Long]): Column = {
+    val flat = new Array[Long](PqM * PqK)
+    s.read.parquet(pqCbDir(idxDir))
+      .groupBy("sub", "cid")
+      .agg(sum(col("cv_i") *
+        element_at(typedLit(qq.toSeq), col("sub") * PqDsub + col("pos") + 1))
+        .as("ds"))
+      .collect()
+      .foreach(r => flat(r.getInt(0) * PqK + r.getInt(1)) = r.getLong(2))
+    typedLit(flat.toSeq)
+  }
+
+  /** The quantized query vector (×1000 integer grid) for `vecId`,
+    * collected driver-side — the PQ analog of sq8QueryVec: in production
+    * the query arrives from outside the index, so the probe plan must
+    * not contain a float-table scan. floor(x·1000) on the widened
+    * double is the exact op both engines apply to the corpus.
+    */
+  private[graft] def pqQueryGrid(s: SparkSession, d: String,
+      vecId: Long): Array[Long] = {
+    val rows = t(s, d, "embeddings").filter(col("vec_id") === vecId)
+      .select("embedding").collect()
+    require(rows.nonEmpty, s"query vector $vecId absent")
+    rows(0).getSeq[Float](0).toArray
+      .map(x => math.floor(x.toDouble * 1000.0).toLong)
+  }
+
+  /** Stage 1 of the PQ probe: approx top-`n` over the CODES-ONLY scan.
+    * approx_i = Σ_sub adc[sub·PqK + codes[sub]] — PqM exact integer
+    * lookups + adds per vector, no join, no shuffle before the
+    * TakeOrdered partials. The scanned bytes per vector are the 8
+    * codes: ~6× fewer than SQ8's 64 codes, ~20× fewer than float32.
+    */
+  private[graft] def pqCodesTop(codes: DataFrame, adc: Column, n: Int,
+      excludeId: Long): DataFrame =
+    codes.filter(col("vec_id") =!= excludeId)
+      .withColumn("approx_i", (0 until PqM).map(sb =>
+        element_at(adc, expr(s"codes[$sb]") + lit(sb * PqK + 1)))
+        .reduce(_ + _))
+      .orderBy(desc("approx_i"), asc("vec_id")).limit(n)
+      .select("vec_id")
+
+  /** i69: product-quantization ANN — the third compression rung of the
+    * index family (i13 IVF partitions the scan, i62/i63 SQ8 shrinks it
+    * 3.5×, PQ shrinks it ~20×): vectors are encoded as PqM = 8 codes
+    * into a PqK = 16-codeword-per-subspace trained codebook, and the
+    * query scans CODES ONLY via ADC — a flat 128-slot integer lookup
+    * table built once per query from the constant-size codebook, then
+    * one lookup+add chain per vector inside whole-stage codegen. The
+    * approx ranking involves NO floating point anywhere (×1000 integer
+    * grid end to end, ties by vec_id), so the cut is bit-identical in
+    * any engine; the 50 survivors re-rank exactly against the float
+    * table via the broadcast fetch (the i63 convention). At 100 TB:
+    * train on a sample, encode in one map pass, serve from a code table
+    * ~20× smaller than the corpus — with the exact re-rank touching 50
+    * float rows per query, never a scan. Oracle: the per-subspace Lloyd
+    * mirror (seeds → assign → integer-mean → re-assign), the same ADC
+    * table as integer SQL, same cut, same re-rank.
+    */
+  val i69_sim_ann_pq = OpQuery(
+    (s, d) => {
+      val idx = pqWriteIndex(s, d)
+      val codes = s.read.parquet(idx)
+      val adc = pqAdcLit(s, idx, pqQueryGrid(s, d, 7L))
+      val top = pqCodesTop(codes, adc, 50, 7L)
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), sq8QueryVec(s, d, 7L)), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH $pqCteSql,
+       |qq AS (SELECT list_transform(embedding,
+       |           x -> CAST(floor(x * 1000) AS BIGINT)) AS qv,
+       |         embedding AS qvec
+       |       FROM embeddings WHERE vec_id = 7),
+       |dt AS (SELECT pm1.sub, pm1.cid,
+       |         sum(qq.qv[pm1.sub * $PqDsub + pm1.pos] * pm1.cv_i) AS ds
+       |       FROM pm1, qq GROUP BY pm1.sub, pm1.cid),
+       |ap AS (SELECT cd.vec_id, sum(dt.ds) AS approx_i
+       |       FROM cd JOIN dt ON cd.sub = dt.sub AND cd.cid = dt.cid
+       |       WHERE cd.vec_id <> 7 GROUP BY cd.vec_id),
+       |r AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY approx_i DESC, vec_id) AS rk
+       |    FROM ap) WHERE rk <= 50)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qq.qvec")}, 6) AS sim
+       |FROM embeddings e JOIN r USING (vec_id), qq
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  /** The PQ train+encode CTE block shared by the i69/i70/i71 oracles —
+    * the SQL mirror of `pqWriteIndex` (one definition, the lloydCteSql
+    * convention). Names are p-prefixed so the block composes with
+    * lloydCteSql (i71 needs BOTH quantizers in one oracle). Exposes:
+    * pq (quantized corpus), psv (per-(vec_id, sub) integer subvectors,
+    * pos 1-based), psd (PqK hash-smallest seeds with dense code ids),
+    * pm1 (the trained integer codebook: sub, cid, pos, cv_i), cd (the
+    * codes: vec_id, sub, cid).
+    */
+  private[graft] def pqCteSql: String =
+    s"""pq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |psv AS (SELECT vec_id, s.sub,
+       |         list_transform(range(1, ${PqDsub + 1}),
+       |           j -> qv[s.sub * $PqDsub + j]) AS sv
+       |       FROM pq, range(0, $PqM) s(sub)),
+       |psd AS (SELECT vec_id, rn - 1 AS cid FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY (vec_id * 741103597) % 1000000007, vec_id) AS rn
+       |    FROM pq) WHERE rn <= $PqK),
+       |pc0 AS (SELECT psv.sub, psd.cid, psv.sv AS cv
+       |       FROM psv JOIN psd USING (vec_id)),
+       |pa1 AS (SELECT vec_id, sub, sv, cid,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY dist, cid) AS rn
+       |       FROM (SELECT psv.vec_id, psv.sub, psv.sv, pc0.cid,
+       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |                 i -> (psv.sv[i] - pc0.cv[i]) * (psv.sv[i] - pc0.cv[i]))) AS dist
+       |             FROM psv JOIN pc0 ON psv.sub = pc0.sub)),
+       |pm1 AS (SELECT sub, cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv_i
+       |       FROM (SELECT sub, cid, unnest(list_transform(range(1, ${PqDsub + 1}),
+       |               i -> {'pos': i, 'v': sv[i]}), recursive := true)
+       |             FROM pa1 WHERE rn = 1)
+       |       GROUP BY sub, cid, pos),
+       |pc1 AS (SELECT sub, cid, list(cv_i ORDER BY pos) AS cv
+       |       FROM pm1 GROUP BY sub, cid),
+       |pa2 AS (SELECT vec_id, sub, cid,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY dist, cid) AS rn
+       |       FROM (SELECT psv.vec_id, psv.sub, pc1.cid,
+       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |                 i -> (psv.sv[i] - pc1.cv[i]) * (psv.sv[i] - pc1.cv[i]))) AS dist
+       |             FROM psv JOIN pc1 ON psv.sub = pc1.sub)),
+       |cd AS (SELECT vec_id, sub, cid FROM pa2 WHERE rn = 1)""".stripMargin
+
+  /** The batched PQ ADC probe shared by i70 (and any multi-query
+    * consumer): for a query frame (q_id, qq: array<bigint>), build the
+    * per-query integer ADC tables (Q × m·k rows — the query batch
+    * against the CONSTANT-SIZE codebook, broadcastable at any corpus
+    * size) and rank the codes scan per query. The only N-sized work is
+    * the codes scan itself (8 exploded rows per vector joined map-side
+    * against the broadcast tables) and the per-(q_id, vec_id) partial
+    * sum — no float column, no corpus self-join. Returns the approx
+    * top-`n` (q_id, vec_id) survivors.
+    */
+  private[graft] def pqBatchTop(codes: DataFrame, cb: DataFrame,
+      qb: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qx = qb.select(col("q_id"), posexplode(col("qq")).as(Seq("p0", "qv")))
+      .withColumn("sub", expr(s"p0 DIV $PqDsub"))
+      .withColumn("pos", expr(s"p0 % $PqDsub"))
+    val dtq = cb.join(broadcast(qx), Seq("sub", "pos"))
+      .groupBy("q_id", "sub", "cid")
+      .agg(sum(col("cv_i") * col("qv")).as("ds"))
+    codes.select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(dtq), Seq("sub", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ds").as("approx_i"))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("approx_i"), asc("vec_id"))))
+      .filter(col("rk") <= n)
+      .select("q_id", "vec_id")
+  }
+
+  /** i70: recall@10 certification of the PQ index — the i65 instrument
+    * pointed at the ~20× compression rung: for the planted query set
+    * (vec_id ≡ 3 mod 101, the shared convention), the PQ probe
+    * (integer ADC top-50 over the codes-only scan, exact re-rank)
+    * against the brute-force top-10 truth, per query. This is the
+    * number a deployment trades against the SQ8 index's (i65): PQ
+    * stores ~6× less than SQ8 and ~20× less than float32, and THIS op
+    * prices what that compression costs in recall on the corpus at
+    * hand. The ADC phase is exact integer end to end, so the certified
+    * number is attributable to QUANTIZATION loss, not engine noise.
+    * At 100 TB both sides are the once-per-build offline audit pass
+    * (i65's convention). Oracle: the pqCteSql mirror batched over the
+    * query set, same cut, same re-rank, same truth.
+    */
+  val i70_ann_pq_recall = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx = pqWriteIndex(s, d)
+      val e = t(s, d, "embeddings")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("qq"))
+        .localCheckpoint() // feeds the ADC build, the re-rank AND the truth
+      val pruned = pqBatchTop(s.read.parquet(idx),
+          s.read.parquet(pqCbDir(idx)), qb, 50)
+        .join(e, "vec_id")
+        .join(broadcast(qb.select("q_id", "qvec")), "q_id")
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val exact = e.crossJoin(broadcast(qb.select("q_id", "qvec")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+      exact.join(pruned, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+        .orderBy("q_id")
+    },
+    s"""WITH $pqCteSql,
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM embeddings WHERE vec_id % 101 = 3),
+       |dtq AS (SELECT qs.q_id, pm1.sub, pm1.cid,
+       |          sum(qs.qq[pm1.sub * $PqDsub + pm1.pos] * pm1.cv_i) AS ds
+       |        FROM pm1, qs GROUP BY 1, 2, 3),
+       |ap AS (SELECT dtq.q_id, cd.vec_id, sum(dtq.ds) AS approx_i
+       |       FROM cd JOIN dtq ON cd.sub = dtq.sub AND cd.cid = dtq.cid
+       |       WHERE cd.vec_id <> dtq.q_id GROUP BY 1, 2),
+       |pr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM ap) WHERE rk <= 50),
+       |rr AS (SELECT pr.q_id, pr.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |p AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM rr) WHERE rk <= 10),
+       |bf AS (SELECT qs.q_id, e.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM embeddings e, qs WHERE e.vec_id <> qs.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10)
+       |SELECT bfr.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(p.vec_id) AS BIGINT) AS n_hit,
+       |  round(count(p.vec_id) * 1.0 / count(*), 6) AS recall
+       |FROM bfr LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
+       |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
+
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
     */
@@ -2876,6 +3233,8 @@ object LlmOps {
     "i66_ann_nprobe_sweep" -> i66_ann_nprobe_sweep,
     "i67_ann_ivf_kmeans" -> i67_ann_ivf_kmeans,
     "i68_ann_index_refresh" -> i68_ann_index_refresh,
+    "i69_sim_ann_pq" -> i69_sim_ann_pq,
+    "i70_ann_pq_recall" -> i70_ann_pq_recall,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

@@ -1134,4 +1134,93 @@ class LlmOpsSpec extends SparkTestBase {
     // codes-only schema: the float embedding column must be absent
     assert(!codes.columns.contains("embedding"))
   }
+
+  test("i69: PQ artifact encodes every vector with PqM dense codes and a full codebook") {
+    import org.apache.spark.sql.functions._
+    val idx = LlmOps.pqWriteIndex(spark, sfDir)
+    val codes = spark.read.parquet(idx)
+    val n = Tables.t(spark, sfDir, "embeddings").count()
+    assert(codes.count() == n, "a vector was dropped by the encode pass")
+    // every code word is PqM entries, each a dense id in [0, PqK)
+    val bounds = codes.agg(
+      min(size(col("codes"))), max(size(col("codes"))),
+      min(array_min(col("codes"))), max(array_max(col("codes")))).head()
+    assert(bounds.getInt(0) == LlmOps.PqM && bounds.getInt(1) == LlmOps.PqM)
+    assert(bounds.getInt(2) >= 0 && bounds.getInt(3) < LlmOps.PqK)
+    // the codebook is constant-size index metadata: PqM subspaces, at
+    // most PqK codewords each, every codeword all PqDsub positions —
+    // the property that makes the driver-side ADC build bounded
+    val cb = spark.read.parquet(LlmOps.pqCbDir(idx))
+    val cells = cb.groupBy("sub", "cid").count().collect()
+    assert(cells.forall(_.getLong(2) == LlmOps.PqDsub.toLong),
+      "a codeword is missing positions")
+    assert(cells.map(_.getInt(0)).distinct.length == LlmOps.PqM)
+    assert(cells.length <= LlmOps.PqM * LlmOps.PqK)
+    // no float column anywhere in either artifact
+    assert(!codes.columns.contains("embedding") &&
+      !cb.columns.contains("embedding"))
+  }
+
+  test("i69: the flat-lookup ADC ranking equals the explicit join-form recomputation") {
+    import org.apache.spark.sql.functions._
+    val idx = LlmOps.pqWriteIndex(spark, sfDir)
+    val codes = spark.read.parquet(idx)
+    val qq = LlmOps.pqQueryGrid(spark, sfDir, 7L)
+    val fast = LlmOps.pqCodesTop(codes,
+      LlmOps.pqAdcLit(spark, idx, qq), 50, 7L)
+      .collect().map(_.getLong(0)).toSeq
+    // the same ranking spelled as joins: codes exploded against the
+    // codebook-derived per-(sub, cid) integer dots — slower, but with
+    // no driver-side table build to trust
+    val dt = spark.read.parquet(LlmOps.pqCbDir(idx))
+      .groupBy("sub", "cid")
+      .agg(sum(col("cv_i") * element_at(typedLit(qq.toSeq),
+        col("sub") * LlmOps.PqDsub + col("pos") + 1)).as("ds"))
+    val slow = codes.filter(col("vec_id") =!= 7)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(dt, Seq("sub", "cid"))
+      .groupBy("vec_id").agg(sum("ds").as("approx_i"))
+      .orderBy(desc("approx_i"), asc("vec_id")).limit(50)
+      .collect().map(_.getLong(0)).toSeq
+    assert(fast == slow, "flat-lookup ADC diverges from the join form")
+  }
+
+  test("i70: PQ recall rows are structurally sound and the batch probe matches the single-query probe") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.i70_ann_pq_recall.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, ne, nh, rec) =>
+      assert(q % 101 == 3)
+      assert(ne == 10, s"q=$q: exact side short ($ne)")
+      assert(nh >= 0 && nh <= ne)
+      assert(math.abs(rec - nh.toDouble / ne) < 1e-9)
+    }
+    // the batched ADC (i70's engine) must reproduce the single-query
+    // flat-lookup probe (i69's engine) on the same query — one ranking
+    // semantics, two execution shapes
+    val idx = LlmOps.pqWriteIndex(spark, sfDir)
+    val codes = spark.read.parquet(idx)
+    val qq = LlmOps.pqQueryGrid(spark, sfDir, 7L)
+    val single = LlmOps.pqCodesTop(codes,
+      LlmOps.pqAdcLit(spark, idx, qq), 50, 7L)
+      .collect().map(_.getLong(0)).toSeq
+    val qb = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 7)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("qq"))
+    val batched = LlmOps.pqBatchTop(codes,
+      spark.read.parquet(LlmOps.pqCbDir(idx)), qb, 50)
+      .orderBy("vec_id").collect().map(_.getLong(1)).toSeq
+    assert(single.sorted == batched, "batched ADC diverges from the flat-lookup probe")
+  }
+
+  test("i69: gated output is the exact-reranked top-10 with sims descending") {
+    val out = LlmOps.i69_sim_ann_pq.fn(spark, sfDir).collect()
+    assert(out.length == 10)
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse, "rerank order broken")
+    assert(!out.map(_.getLong(0)).contains(7L), "query id leaked into results")
+  }
 }

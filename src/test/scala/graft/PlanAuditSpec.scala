@@ -110,4 +110,26 @@ class PlanAuditSpec extends SparkTestBase {
       s"cell-ranking plan scans the float corpus:\n${plan.take(1200)}")
     assert(rank.count() == 2)
   }
+
+  test("i69 ADC stage 1 scans ONLY the PQ codes table — no codebook, no float path") {
+    import graft.ops.LlmOps
+    val dir = LlmOps.pqWriteIndex(spark, sfDir)
+    val codes = spark.read.parquet(dir)
+    // the on-disk index is codes-only: 8 small ints per vector
+    assert(codes.schema.fieldNames.sorted.toSeq ==
+      Seq("codes", "label", "vec_id"))
+    val stage1 = LlmOps.pqCodesTop(codes,
+      LlmOps.pqAdcLit(spark, dir, LlmOps.pqQueryGrid(spark, sfDir, 7L)),
+      50, 7L)
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("i69_pq"),
+      "stage 1 must scan the persisted PQ codes dir")
+    // the ADC table is a literal built from the constant-size codebook:
+    // neither the codebook dir nor any float path may appear in the plan
+    assert(!plan.contains("_cb"),
+      s"stage-1 plan scans the codebook:\n${plan.take(1200)}")
+    assert(!plan.contains("embedding"),
+      s"stage-1 plan touches the float side:\n${plan.take(1200)}")
+    assert(stage1.count() == 50)
+  }
 }
