@@ -46,6 +46,10 @@ object LadderMain {
     // constant-size codebook, and its per-row cost must sit BELOW the
     // SQ8 rungs (8 lookup-adds beat a 64-term int×double dot)
     "i69_sim_ann_pq" -> ops.LlmOps.i69_sim_ann_pq.fn,
+    // r11: both levers at once — nprobe directories × 8-byte ADC; must
+    // sit below the flat PQ rung (i69) as the corpus replicates, the
+    // way i64 sits below i63
+    "i71_sim_ann_ivfpq" -> ops.LlmOps.i71_sim_ann_ivfpq.fn,
     "i39_over_i12" -> { (s: SparkSession, d: String) =>
       val edges = ops.LlmOps.i12_dedup_embcos.fn(s, d)
         .select(col("a_id"), col("b_id"))

@@ -2159,6 +2159,91 @@ object LlmOps {
        |FROM bfr LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
        |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
 
+  /** Build and persist the IVF×PQ index: the PQ codes (i69's artifact)
+    * re-laid-out PARTITIONED BY the learned k-means cell (i67's
+    * artifact) — a pure metadata join of two existing builds, no
+    * retrain and no re-encode. Covers the maxabs-kept corpus (the cell
+    * model's domain); the cell centroids stay the shared
+    * `sq8WriteIndexKmeans` artifact, so cell ranking and this layout
+    * cannot drift apart.
+    */
+  def pqIvfWriteIndex(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"i71_ivfpq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      s.read.parquet(pqWriteIndex(s, d)).select("vec_id", "codes")
+        .join(s.read.parquet(sq8WriteIndexKmeans(s, d))
+          .select("vec_id", "label"), "vec_id")
+        .write.mode("overwrite").partitionBy("label").parquet(dir)
+    }
+
+  /** i71: IVF×PQ — the production 100 TB index shape (the FAISS-style
+    * composition, built Spark-first): learned k-means cells prune the
+    * DIRECTORIES (stage 0 ranks the persisted k×64 centroid artifact,
+    * collects nprobe cell ids into a literal partition filter — i64's
+    * lever), and within the probed cells the scan reads 8-byte PQ
+    * codes ranked by the integer ADC lookup chain (i69's lever). Per
+    * query the cluster touches nprobe/k of the directories × ~1/20 of
+    * the float bytes — the multiplication of both reductions is what
+    * makes a 100 TB corpus servable from page cache. The exact re-rank
+    * touches 50 float rows via broadcast fetch, never a scan. All
+    * three artifacts are build-once and SHARED with i67/i69 (the cell
+    * model, the codebook, and the codes re-laid-out by cell join —
+    * no retrain, no re-encode), so the serving fleet maintains one
+    * quantizer pair. Oracle: lloydCteSql (cells) composed with
+    * pqCteSql (codes) — the two quantizer mirrors in one query, cell
+    * cut then ADC cut then exact re-rank.
+    */
+  val i71_sim_ann_ivfpq = OpQuery(
+    (s, d) => {
+      val kmIdx = sq8WriteIndexKmeans(s, d)
+      val idx = pqIvfWriteIndex(s, d)
+      val qvec = sq8QueryVec(s, d, 7L)
+      // stage 0: rank learned cells against the persisted centroid
+      // artifact; 2 cell ids collect into a LITERAL partition filter
+      val top2 = ivfCellRank(s, kmIdx, qvec)
+        .collect().map(_.getInt(0)).toSeq
+      // stage 1: integer ADC over the probed cells' 8-byte codes
+      val top = pqCodesTop(
+        s.read.parquet(idx).filter(col("label").isin(top2: _*)),
+        pqAdcLit(s, pqWriteIndex(s, d), pqQueryGrid(s, d, 7L)), 50, 7L)
+      // stage 2: exact re-rank of the 50 survivors
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), qvec), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |$pqCteSql,
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM m WHERE vec_id = 7 AND maxabs > 0),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1),
+       |qc AS (SELECT label FROM (
+       |    SELECT label, row_number() OVER (ORDER BY s DESC, label) AS rk
+       |    FROM csim) WHERE rk <= 2),
+       |dt AS (SELECT pm1.sub, pm1.cid,
+       |         sum(qs.qq[pm1.sub * $PqDsub + pm1.pos] * pm1.cv_i) AS ds
+       |       FROM pm1, qs GROUP BY 1, 2),
+       |ap AS (SELECT cd.vec_id, sum(dt.ds) AS approx_i
+       |       FROM cd JOIN dt ON cd.sub = dt.sub AND cd.cid = dt.cid
+       |            JOIN cellkm ON cellkm.vec_id = cd.vec_id
+       |       WHERE cellkm.cid IN (SELECT label FROM qc) AND cd.vec_id <> 7
+       |       GROUP BY cd.vec_id),
+       |r AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY approx_i DESC, vec_id) AS rk
+       |    FROM ap) WHERE rk <= 50)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |FROM embeddings e JOIN r USING (vec_id), qs
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
     */
@@ -3235,6 +3320,7 @@ object LlmOps {
     "i68_ann_index_refresh" -> i68_ann_index_refresh,
     "i69_sim_ann_pq" -> i69_sim_ann_pq,
     "i70_ann_pq_recall" -> i70_ann_pq_recall,
+    "i71_sim_ann_ivfpq" -> i71_sim_ann_ivfpq,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

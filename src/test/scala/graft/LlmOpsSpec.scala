@@ -1223,4 +1223,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(sims == sims.sorted.reverse, "rerank order broken")
     assert(!out.map(_.getLong(0)).contains(7L), "query id leaked into results")
   }
+
+  test("i71: the IVF-PQ relayout is a pure metadata join of the two parent artifacts") {
+    import org.apache.spark.sql.functions._
+    val ivfpq = spark.read.parquet(LlmOps.pqIvfWriteIndex(spark, sfDir))
+    val km = spark.read.parquet(LlmOps.sq8WriteIndexKmeans(spark, sfDir))
+    val pq = spark.read.parquet(LlmOps.pqWriteIndex(spark, sfDir))
+    // domain = the cell model's (maxabs-kept) corpus, nothing dropped
+    assert(ivfpq.count() == km.count())
+    // every vector carries its PARENT cell and its PARENT codes —
+    // the relayout may not retrain or re-encode anything
+    assert(ivfpq.join(km.select(col("vec_id"), col("label").as("kml")), "vec_id")
+      .filter(col("label") =!= col("kml")).count() == 0, "cell drift")
+    assert(ivfpq.join(pq.select(col("vec_id"), col("codes").as("pqc")), "vec_id")
+      .filter(col("codes") =!= col("pqc")).count() == 0, "code drift")
+    val out = LlmOps.i71_sim_ann_ivfpq.fn(spark, sfDir).collect()
+    assert(out.length == 10)
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse, "rerank order broken")
+  }
 }

@@ -132,4 +132,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"stage-1 plan touches the float side:\n${plan.take(1200)}")
     assert(stage1.count() == 50)
   }
+
+  test("i71 stage 1 is BOTH partition-pruned (learned IVF) and 8-byte-codes-only (PQ)") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.functions.col
+    val dir = LlmOps.pqIvfWriteIndex(spark, sfDir)
+    val codes = spark.read.parquet(dir)
+    assert(codes.schema.fieldNames.sorted.toSeq ==
+      Seq("codes", "label", "vec_id"))
+    val stage1 = LlmOps.pqCodesTop(
+      codes.filter(col("label").isin(0, 1)),
+      LlmOps.pqAdcLit(spark, LlmOps.pqWriteIndex(spark, sfDir),
+        LlmOps.pqQueryGrid(spark, sfDir, 7L)), 50, 7L)
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("i71_ivfpq"),
+      "stage 1 must scan the persisted IVF-PQ dir")
+    assert(!plan.contains("embedding") && !plan.contains("_cb"),
+      s"stage-1 plan touches the float side or codebook:\n${plan.take(1200)}")
+    // the cell probe must reach the scan as a PARTITION filter (the
+    // directory-pruning lever), same as i64's assertion
+    assert(plan.contains("PartitionFilters") && {
+      val pf = plan.substring(plan.indexOf("PartitionFilters"))
+        .takeWhile(_ != ']')
+      pf.contains("label")
+    }, s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
+  }
 }
