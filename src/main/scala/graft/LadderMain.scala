@@ -66,7 +66,11 @@ object LadderMain {
     // r11: the learned-index serving mode — j21's plan against the
     // k-means artifact; must track j21 on the growing-index axis (same
     // 2-of-k-cells probe, the build is fixtureOnce scaffolding)
-    "j22_stream_ann_kmeans" -> ops.StreamOps.j22_stream_ann_kmeans.fn) :+
+    "j22_stream_ann_kmeans" -> ops.StreamOps.j22_stream_ann_kmeans.fn,
+    // r11: the IVF-PQ serving mode — same cells as j22, 8-byte ADC
+    // within them; must track j22 on the growing-index axis with the
+    // smaller per-batch byte footprint
+    "j23_stream_ann_ivfpq" -> ops.StreamOps.j23_stream_ann_ivfpq.fn) :+
     forcedRow("i34_kmeans_lloyd") :+
     // r11: the dual-index certification (count-pruned at birth like
     // i65/i66): six pruned chains + one shared brute-force truth — the

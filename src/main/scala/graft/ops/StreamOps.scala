@@ -976,22 +976,32 @@ object StreamOps {
     * cell collect and the broadcast join, and the checkpoint keeps the
     * returned plan's broadcast side a local scan (no recompute).
     */
-  def ivfBatchStage1(s: SparkSession, idxDir: String, qb: DataFrame,
-      nprobe: Int = 2, centDir: Option[String] = None): DataFrame = {
+  /** Per-batch cell ranking against a persisted centroid table — stage 0
+    * shared by the SQ8 probe (ivfBatchStage1) and the PQ probe
+    * (pqIvfBatchStage1): rounded csim per (query, cell), window rank ≤
+    * nprobe. Returns (q_id, label), localCheckpointed because every
+    * caller reads it twice (the bounded cell collect + a broadcast join).
+    */
+  private[graft] def ivfBatchCells(s: SparkSession, centDir: String,
+      qb: DataFrame, nprobe: Int): DataFrame = {
     val qx = qb.select(col("q_id"), posexplode(col("qvec")).as(Seq("pos", "qv")))
       .withColumn("qv", col("qv").cast("double"))
-    // the gate layout keeps centroids at <idx>_cent; PrepMain's --ann
-    // artifact names them ann_centroids.parquet beside the index —
-    // same table, caller-supplied path
-    val cent = s.read.parquet(
-      centDir.getOrElse(graft.ops.LlmOps.sq8IvfCentDir(idxDir)))
-    val qcells = cent.join(broadcast(qx), Seq("pos"))
+    s.read.parquet(centDir).join(broadcast(qx), Seq("pos"))
       .groupBy("q_id", "label")
       .agg(round(sum(col("c") * col("qv")), 6).as("csim"))
       .withColumn("rk", row_number().over(Window.partitionBy("q_id")
         .orderBy(desc("csim"), asc("label"))))
       .filter(col("rk") <= nprobe).select("q_id", "label")
       .localCheckpoint()
+  }
+
+  def ivfBatchStage1(s: SparkSession, idxDir: String, qb: DataFrame,
+      nprobe: Int = 2, centDir: Option[String] = None): DataFrame = {
+    // the gate layout keeps centroids at <idx>_cent; PrepMain's --ann
+    // artifact names them ann_centroids.parquet beside the index —
+    // same table, caller-supplied path
+    val qcells = ivfBatchCells(s,
+      centDir.getOrElse(graft.ops.LlmOps.sq8IvfCentDir(idxDir)), qb, nprobe)
     val cells = qcells.select("label").distinct()
       .collect().map(_.getInt(0)).toSeq
     // a batch whose queries were ALL guard-filtered (maxq == 0) ranks no
@@ -1009,6 +1019,51 @@ object StreamOps {
       .withColumn("rk", row_number().over(Window.partitionBy("q_id")
         .orderBy(desc("approx_sim"), asc("vec_id"))))
       .filter(col("rk") <= 50)
+      .select("q_id", "vec_id", "qvec")
+  }
+
+  /** Per-batch stage 1 of the IVF×PQ streaming ANN (j23) — ivfBatchStage1
+    * with i71's byte lever swapped in: the SAME per-query cell cut
+    * against the persisted learned centroids (stage 0 shared code), but
+    * the probed partitions hold 8-byte PQ codes ranked by the integer
+    * ADC — per-batch tables (|batch| × m·k rows, broadcast) joined
+    * map-side against the exploded codes of ONLY the probed cells. Per
+    * batch the cluster reads nprobe directories × 8 bytes/vector — both
+    * reductions compound in the SERVING path, where batch cadence
+    * multiplies every byte. Returns (q_id, vec_id, qvec) survivors for
+    * the exact re-rank, the ivfBatchStage1 contract.
+    */
+  def pqIvfBatchStage1(s: SparkSession, idxDir: String, cbDir: String,
+      centDir: String, qb: DataFrame, nprobe: Int = 2): DataFrame = {
+    import graft.ops.LlmOps.{PqDsub => D}
+    val qcells = ivfBatchCells(s, centDir, qb, nprobe)
+    val cells = qcells.select("label").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty)
+      return qb.select(col("q_id"), col("q_id").as("vec_id"), col("qvec"))
+        .limit(0)
+    // per-query integer ADC tables against the constant-size codebook
+    val qx = qb
+      .select(col("q_id"), posexplode(
+        expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .as(Seq("p0", "qv")))
+      .withColumn("sub", expr(s"p0 DIV $D"))
+      .withColumn("pos", expr(s"p0 % $D"))
+    val dtq = s.read.parquet(cbDir).join(broadcast(qx), Seq("sub", "pos"))
+      .groupBy("q_id", "sub", "cid")
+      .agg(sum(col("cv_i") * col("qv")).as("ds"))
+    s.read.parquet(idxDir).filter(col("label").isin(cells: _*))
+      .select(col("vec_id"), col("label"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(qcells), Seq("label")) // each query scores its OWN cells
+      .join(broadcast(dtq), Seq("q_id", "sub", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum("ds").as("approx_i"))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("approx_i"), asc("vec_id"))))
+      .filter(col("rk") <= 50)
+      .join(broadcast(qb.select("q_id", "qvec")), Seq("q_id"))
       .select("q_id", "vec_id", "qvec")
   }
 
@@ -1034,7 +1089,16 @@ object StreamOps {
     * top-3 re-rank appended to the sink.
     */
   private def streamAnnServe(s: SparkSession, d: String, name: String,
-      idx: String): DataFrame = {
+      idx: String): DataFrame =
+    streamAnnServeWith(s, d, name, qb => ivfBatchStage1(s, idx, qb))
+
+  /** The harness behind streamAnnServe, parametrized by the per-batch
+    * stage-1 probe (SQ8 for j21/j22, PQ ADC for j23) — the sink/rerank
+    * contract is identical: stage 1 returns (q_id, vec_id, qvec), the
+    * harness re-ranks exactly and appends the top-3 per query.
+    */
+  private def streamAnnServeWith(s: SparkSession, d: String, name: String,
+      stage1: DataFrame => DataFrame): DataFrame = {
     val ckpt = new java.io.File(graft.Util.scratch(s"ckpt_$name"))
     graft.Util.deleteRecursively(ckpt)
     val sink = new java.io.File(graft.Util.scratch(s"${name}_sink"))
@@ -1067,7 +1131,7 @@ object StreamOps {
           .filter(col("maxq") > 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
           .localCheckpoint() // read by the cell rank AND the probe join
-        val approx = ivfBatchStage1(s, idx, qb)
+        val approx = stage1(qb)
         approx.join(t(s, d, "embeddings"), "vec_id")
           .withColumn("sim", round(graft.functions.VectorFunctions.dot(
             col("embedding"), col("qvec")), 6))
@@ -1175,7 +1239,66 @@ object StreamOps {
        |SELECT q_id, vec_id, sim FROM t WHERE rk <= 3
        |ORDER BY q_id, vec_id""".stripMargin)
 
+  /** j23: IVF×PQ streaming serving — i71's index behind the SAME
+    * harness as j21/j22 (one sink/rerank contract, three stage-1
+    * probes), closing the serving story for the compression ladder:
+    * per micro-batch the queries rank their learned cells (shared
+    * stage-0 code against the shared centroid artifact), and the probe
+    * reads nprobe DIRECTORIES of 8-BYTE codes ranked by the integer
+    * ADC — the shape whose per-batch bytes a 100 TB serving fleet
+    * actually pays, ~20× below j22's SQ8 probe at the same nprobe.
+    * All three artifacts are the i67/i69/i71 builds (no retrain per
+    * batch, no re-encode). Oracle: j22's chain with the ADC as the
+    * within-cell approx metric (integer end to end), same cuts, same
+    * exact top-3 re-rank.
+    */
+  val j23_stream_ann_ivfpq = OpQuery(
+    (s, d) => {
+      val idx = graft.ops.LlmOps.pqIvfWriteIndex(s, d)
+      val cb = graft.ops.LlmOps.pqCbDir(graft.ops.LlmOps.pqWriteIndex(s, d))
+      val cent = graft.ops.LlmOps.sq8IvfCentDir(
+        graft.ops.LlmOps.sq8WriteIndexKmeans(s, d))
+      streamAnnServeWith(s, d, "j23",
+        qb => pqIvfBatchStage1(s, idx, cb, cent, qb))
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${graft.ops.LlmOps.lloydCteSql("maxabs > 0")},
+       |${graft.ops.LlmOps.pqCteSql},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM m WHERE vec_id % 101 = 3 AND maxabs > 0),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |dtq AS (SELECT qs.q_id, pm1.sub, pm1.cid,
+       |          sum(qs.qq[pm1.sub * ${graft.ops.LlmOps.PqDsub} + pm1.pos] * pm1.cv_i) AS ds
+       |        FROM pm1, qs GROUP BY 1, 2, 3),
+       |ap AS (SELECT dtq.q_id, cd.vec_id, sum(dtq.ds) AS approx_i
+       |       FROM cd JOIN dtq ON cd.sub = dtq.sub AND cd.cid = dtq.cid
+       |            JOIN cellkm ON cellkm.vec_id = cd.vec_id
+       |            JOIN qc ON qc.q_id = dtq.q_id AND qc.label = cellkm.cid
+       |       WHERE cd.vec_id <> dtq.q_id
+       |       GROUP BY 1, 2),
+       |pr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM ap) WHERE rk <= 50),
+       |s2 AS (SELECT pr.q_id, pr.vec_id,
+       |         round(${graft.ops.LlmOps.dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |t2 AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rk FROM s2)
+       |SELECT q_id, vec_id, sim FROM t2 WHERE rk <= 3
+       |ORDER BY q_id, vec_id""".stripMargin)
+
   val all: Map[String, OpQuery] = Map(
+    "j23_stream_ann_ivfpq" -> j23_stream_ann_ivfpq,
     "j22_stream_ann_kmeans" -> j22_stream_ann_kmeans,
     "j21_stream_ann_ivf" -> j21_stream_ann_ivf,
     "j20_stream_ann" -> j20_stream_ann,

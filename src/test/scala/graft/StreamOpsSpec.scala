@@ -445,6 +445,78 @@ class StreamOpsSpec extends SparkTestBase {
     assert(stage1.count() > 0)
   }
 
+  test("j23 serves the IVF-PQ index: batch/stream parity and a real PQ probe (differs from j22)") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.expressions.Window
+    val fromStream = StreamOps.j23_stream_ann_ivfpq.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val idx = LlmOps.pqIvfWriteIndex(spark, sfDir)
+    val cb = LlmOps.pqCbDir(LlmOps.pqWriteIndex(spark, sfDir))
+    val cent = LlmOps.sq8IvfCentDir(LlmOps.sq8WriteIndexKmeans(spark, sfDir))
+    val qs = e.filter(col("vec_id") % 101 === 3)
+      .withColumn("maxq", LlmOps.sqMaxAbs).filter(col("maxq") > 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val expect = StreamOps.pqIvfBatchStage1(spark, idx, cb, cent, qs)
+      .join(e, "vec_id")
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(expect.nonEmpty && fromStream.toSet == expect.toSet,
+      s"IVF-PQ stream serving diverges: ${fromStream.length} vs ${expect.length}")
+    // every survivor must come from its query's OWN top-2 learned cells
+    // (the per-query restriction, not just the batch union). NOTE: at
+    // THIS fixture scale the probed cells hold < 50 vectors, so the
+    // ADC cut keeps them all and j23's final answers legitimately
+    // coincide with j22's — the receipt that the metric is genuinely
+    // the 8-byte ADC is the sf0.1 oracle gate, where the cut bites and
+    // 16/60 answers differ from j22's (plus the plan pin below: no
+    // qarr/maxabs in the probed scan).
+    val qcells = StreamOps.ivfBatchCells(spark, cent, qs, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val cellOf = spark.read.parquet(idx)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s1 = StreamOps.pqIvfBatchStage1(spark, idx, cb, cent, qs)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.nonEmpty && s1.forall { case (q, v) =>
+      qcells.contains((q, cellOf(v)))
+    }, "a survivor came from outside its query's own probed cells")
+  }
+
+  test("j23 per-batch probe: PARTITION filter over the cell union, 8-byte codes, no float path") {
+    import graft.ops.LlmOps
+    import spark.implicits._
+    val idx = LlmOps.pqIvfWriteIndex(spark, sfDir)
+    val cb = LlmOps.pqCbDir(LlmOps.pqWriteIndex(spark, sfDir))
+    val cent = LlmOps.sq8IvfCentDir(LlmOps.sq8WriteIndexKmeans(spark, sfDir))
+    val qrow = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 7).select("vec_id", "embedding")
+      .collect().head
+    val qb = Seq((qrow.getLong(0), qrow.getSeq[Float](1)))
+      .toDF("q_id", "qvec")
+    val stage1 = StreamOps.pqIvfBatchStage1(spark, idx, cb, cent, qb)
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && {
+      val pf = plan.substring(plan.indexOf("PartitionFilters"))
+        .takeWhile(_ != ']')
+      pf.contains("label")
+    }, s"batch cell probe did not plan as a partition filter:\n${plan.take(1500)}")
+    assert(!plan.contains("embeddings.parquet"),
+      s"stage-1 batch plan scans the float corpus:\n${plan.take(1500)}")
+    // the probed index scan reads codes only — SQ8's qarr/maxabs must
+    // not appear (that would mean the wrong artifact is being served)
+    assert(!plan.contains("qarr") && !plan.contains("maxabs"),
+      s"stage-1 batch plan reads SQ8 columns:\n${plan.take(1500)}")
+    assert(stage1.count() > 0)
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
