@@ -54,7 +54,11 @@ import org.apache.spark.sql.types.LongType
   *   policy — and ships the policy input: the i66 curve at nprobe ∈
   *   {1,2,4} goes to `<out>/ann_sweep.parquet` + manifest
   *   (ann_sweep_np*_recall_micro) so the consumer picks nprobe from
-  *   the artifact)
+  *   the artifact; r11 adds the PQ rung beside it —
+  *   `<out>/ann_pq_codes.parquet` + `<out>/ann_pq_codebook.parquet`
+  *   (i69's 8-code ADC layout over the same kept corpus) certified by
+  *   the same query-sample rule into ann_pq_recall_*, so the manifest
+  *   prices the SQ8→PQ compression in recall like-for-like)
   *
   * No stage re-implements operator logic: the quality verdict, dup pairs
   * and containment flags come from the same shared helpers the gated
@@ -643,9 +647,16 @@ object PrepMain {
         // instead of re-deriving i66.
         // annSweep's np=2 rung IS the certification, so one call (one
         // brute-force truth) yields both ann_recall_* and ann_sweep_*
+        // the PQ rung ships BESIDE the SQ8 index (r11): same kept
+        // corpus, same certification truth convention, ~6× smaller
+        // codes — the manifest's ann_pq_recall_at10_micro vs
+        // ann_recall_at10_micro is the like-for-like compression cost
         LlmOps.annWriteArtifact(emb, codesDir, centDir, opts.annK) ++
           LlmOps.annSweep(emb, codesDir, centDir,
-            s"${opts.out}/ann_sweep.parquet")
+            s"${opts.out}/ann_sweep.parquet") ++
+          LlmOps.pqWriteArtifact(emb,
+            s"${opts.out}/ann_pq_codes.parquet",
+            s"${opts.out}/ann_pq_codebook.parquet")
       case _ => Map.empty
     }
     val manifest: Map[String, Long] = Map(

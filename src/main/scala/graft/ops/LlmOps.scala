@@ -1861,46 +1861,98 @@ object LlmOps {
     * the one full-corpus map — exactly how FAISS-style IVF-PQ builds
     * partition the work.
     */
+  /** The PQ train+encode shared by `pqWriteIndex` (the gate fixture)
+    * and `pqWriteArtifact` (PrepMain's `--ann`): trains the per-subspace
+    * codebook on `emb` (vec_id, embedding, …) and writes the codes to
+    * `codesDir`, the integer codebook to `cbDir`. `extraCols` names
+    * columns of `emb` carried onto the codes rows (the gate keys keep
+    * the fixture's `label`; the pipeline artifact keeps none).
+    */
+  private[graft] def writePqArtifacts(emb: DataFrame, codesDir: String,
+      cbDir: String, extraCols: Seq[String] = Nil): Unit = {
+    val s = emb.sparkSession
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+        .as("qv"))
+    // PqK hash-smallest seed ids (the i51 multiplier, lloydModel's
+    // seeding); the collect is bounded at PqK rows and the seed ORDER
+    // defines the dense code ids both engines reproduce
+    val seedIds = q.select(col("vec_id"))
+      .withColumn("skey", pmod(col("vec_id") * lit(741103597L),
+        lit(1000000007L)))
+      .orderBy("skey", "vec_id").limit(PqK)
+      .collect().map(_.getLong(0))
+    val seedDf = s.createDataFrame(
+      seedIds.toSeq.zipWithIndex).toDF("vec_id", "cid")
+    val subv = pqSubvectors(q).localCheckpoint() // feeds seed join + 2 assigns
+    val c0 = subv.join(broadcast(seedDf), "vec_id")
+      .select(col("sub"), col("cid"), col("sv").as("cv"))
+    // one integer-mean refinement (the i34 iteration): per
+    // (sub, cid, pos), sum DIV count — exact in both engines
+    val m1 = pqAssign(subv, c0)
+      .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("sub", "cid", "pos")
+      .agg(expr("sum(v) DIV count(*)").as("cv_i"))
+    val c1 = m1.groupBy("sub", "cid")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
+        .as("cv"))
+    pqAssign(subv, c1)
+      .groupBy("vec_id")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
+        .as("codes"))
+      .join(emb.select("vec_id", extraCols: _*), "vec_id")
+      .select(col("vec_id") +: extraCols.map(col) :+ col("codes"): _*)
+      .write.mode("overwrite").parquet(codesDir)
+    m1.write.mode("overwrite").parquet(cbDir)
+  }
+
   def pqWriteIndex(s: SparkSession, d: String): String =
     graft.Util.fixtureOnce(
       s"i69_pq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
-      val e = t(s, d, "embeddings")
-      val q = e.select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
-          .as("qv"))
-      // PqK hash-smallest seed ids (the i51 multiplier, lloydModel's
-      // seeding); the collect is bounded at PqK rows and the seed ORDER
-      // defines the dense code ids both engines reproduce
-      val seedIds = q.select(col("vec_id"))
-        .withColumn("skey", pmod(col("vec_id") * lit(741103597L),
-          lit(1000000007L)))
-        .orderBy("skey", "vec_id").limit(PqK)
-        .collect().map(_.getLong(0))
-      val seedDf = s.createDataFrame(
-        seedIds.toSeq.zipWithIndex).toDF("vec_id", "cid")
-      val subv = pqSubvectors(q).localCheckpoint() // feeds seed join + 2 assigns
-      val c0 = subv.join(broadcast(seedDf), "vec_id")
-        .select(col("sub"), col("cid"), col("sv").as("cv"))
-      // one integer-mean refinement (the i34 iteration): per
-      // (sub, cid, pos), sum DIV count — exact in both engines
-      val m1 = pqAssign(subv, c0)
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("sub", "cid", "pos")
-        .agg(expr("sum(v) DIV count(*)").as("cv_i"))
-      val c1 = m1.groupBy("sub", "cid")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
-          .as("cv"))
-      pqAssign(subv, c1)
-        .groupBy("vec_id")
-        .agg(expr(
-          "transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
-          .as("codes"))
-        .join(e.select("vec_id", "label"), "vec_id")
-        .select("vec_id", "label", "codes")
-        .write.mode("overwrite").parquet(dir)
-      m1.write.mode("overwrite").parquet(pqCbDir(dir))
+      writePqArtifacts(t(s, d, "embeddings"), dir, pqCbDir(dir),
+        extraCols = Seq("label"))
     }
+
+  /** PrepMain's `--ann` PQ rung: write the codes + codebook over the
+    * KEPT corpus and certify the ADC chain's recall@10 against the same
+    * deterministic query sample the SQ8 certification uses (one truth
+    * convention across the compression ladder, so the manifest's
+    * `ann_recall_at10_micro` vs `ann_pq_recall_at10_micro` is a
+    * like-for-like read of what the extra compression costs). Stats are
+    * measured from the WRITTEN artifacts (the annWriteArtifact rule).
+    */
+  def pqWriteArtifact(emb: DataFrame, codesDir: String,
+      cbDir: String, nQueries: Int = 32): Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    writePqArtifacts(emb, codesDir, cbDir)
+    val s = emb.sparkSession
+    val codes = s.read.parquet(codesDir)
+    val cb = s.read.parquet(cbDir)
+    val (qb0, exact) = annTruth(emb, nQueries)
+    val qb = qb0.withColumn("qq",
+      expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))"))
+    val pruned = pqBatchTop(codes, cb, qb, 50)
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(qb0), "q_id")
+      .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val row = exact.join(pruned, Seq("q_id", "vec_id"), "left")
+      .agg(countDistinct(col("q_id")), count(lit(1)),
+        coalesce(sum(col("hit")), lit(0L))).head()
+    val (nq, nExact, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    Map(
+      "n_ann_pq_vectors" -> codes.count(),
+      "n_ann_pq_codebook_rows" -> cb.count(),
+      "ann_pq_recall_n_queries" -> nq,
+      "ann_pq_recall_hits" -> nHit,
+      "ann_pq_recall_at10_micro" ->
+        (if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong))
+  }
 
   /** The ADC (asymmetric distance computation) lookup table for one
     * query, as a flat literal: slot sub·PqK + cid holds the EXACT

@@ -430,6 +430,25 @@ class PrepPipelineSpec extends SparkTestBase {
       s"$outA/ann_index.parquet", s"$outA/ann_centroids.parquet")
     assert(recomputed == m.view.filterKeys(_.startsWith("ann_recall")).toMap,
       s"certification not reproducible: $recomputed")
+    // the PQ rung beside the SQ8 index (r11): 8-code rows covering the
+    // FULL kept embedding set (the ADC needs no maxabs guard), a
+    // constant-size codebook, and a certification triple produced by
+    // the SAME query-sample rule as the SQ8 one — the two
+    // recall_at10_micro fields are the like-for-like compression cost
+    val pqCodes = spark.read.parquet(s"$outA/ann_pq_codes.parquet")
+    val pqCb = spark.read.parquet(s"$outA/ann_pq_codebook.parquet")
+    assert(pqCodes.schema.fieldNames.sorted.toSeq == Seq("codes", "vec_id"))
+    val pqIds = pqCodes.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(pqIds == e.select("vec_id").collect().map(_.getLong(0)).toSet,
+      "PQ codes do not cover exactly the kept corpus")
+    assert(m("n_ann_pq_vectors") == pqIds.size.toLong)
+    assert(m("n_ann_pq_codebook_rows") == pqCb.count() &&
+      pqCb.count() <= LlmOps.PqM.toLong * LlmOps.PqK * LlmOps.PqDsub)
+    assert(m("ann_pq_recall_n_queries") == m("ann_recall_n_queries"),
+      "PQ and SQ8 certifications drifted to different query samples")
+    assert(m("ann_pq_recall_hits") <= m("ann_pq_recall_n_queries") * 10)
+    val pqMicro = m("ann_pq_recall_at10_micro")
+    assert(pqMicro > 0 && pqMicro <= 1000000L, s"PQ recall micro: $pqMicro")
   }
 
   test("--shuffle hash attaches the i51 training order: a dense shuffled permutation") {
