@@ -426,17 +426,32 @@ object FitsFormat {
     * before the ceil/floor cut.
     */
   final case class Wcs(crpix1: Double, crval1: Double, cdelt1: Double,
-      crpix2: Double, crval2: Double, cdelt2: Double) {
+      crpix2: Double, crval2: Double, cdelt2: Double,
+      // the optional SPECTRAL axis of a NAXIS=3 cube (CRPIX3/CRVAL3/
+      // CDELT3 — velocity/frequency per plane): present only when all
+      // three cards parse, same partial-WCS refusal rule as axes 1-2
+      axis3: Option[(Double, Double, Double)] = None) {
     /** World coordinate of 0-based column x's center. */
     def world1(x: Long): Double = crval1 + (x + 1 - crpix1) * cdelt1
     /** World coordinate of 0-based row y's center. */
     def world2(y: Long): Double = crval2 + (y + 1 - crpix2) * cdelt2
+    /** World coordinate of 0-based plane z's center (spectral axis). */
+    def world3(z: Long): Double = {
+      val (p3, v3, d3) = axis3.getOrElse(throw new IllegalArgumentException(
+        "cube carries no spectral WCS axis"))
+      v3 + (z + 1 - p3) * d3
+    }
     /** 0-based inclusive column range with centers in [wLo, wHi]. */
     def xRange(wLo: Double, wHi: Double, width: Long): Option[(Long, Long)] =
       Wcs.axisRange(wLo, wHi, crpix1, crval1, cdelt1, width)
     /** 0-based inclusive row range with centers in [wLo, wHi]. */
     def yRange(wLo: Double, wHi: Double, height: Long): Option[(Long, Long)] =
       Wcs.axisRange(wLo, wHi, crpix2, crval2, cdelt2, height)
+    /** 0-based inclusive plane range with centers in [wLo, wHi]. */
+    def zRange(wLo: Double, wHi: Double, depth: Long): Option[(Long, Long)] =
+      axis3.flatMap { case (p3, v3, d3) =>
+        Wcs.axisRange(wLo, wHi, p3, v3, d3, depth)
+      }
   }
 
   object Wcs {
@@ -470,10 +485,13 @@ object FitsFormat {
     private[fits] def of(cards: Map[String, String]): Option[Wcs] = {
       def num(key: String): Option[Double] =
         cards.get(key).flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      val a3 = for {
+        p3 <- num("CRPIX3"); v3 <- num("CRVAL3"); d3 <- num("CDELT3")
+      } yield (p3, v3, d3)
       for {
         p1 <- num("CRPIX1"); v1 <- num("CRVAL1"); d1 <- num("CDELT1")
         p2 <- num("CRPIX2"); v2 <- num("CRVAL2"); d2 <- num("CDELT2")
-      } yield Wcs(p1, v1, d1, p2, v2, d2)
+      } yield Wcs(p1, v1, d1, p2, v2, d2, a3)
     }
   }
 

@@ -874,6 +874,14 @@ object FitsWriter {
     "CRPIX1" -> "32.0", "CRVAL1" -> "180.0", "CDELT1" -> "-0.00390625",
     "CRPIX2" -> "1.0", "CRVAL2" -> "-10.0", "CDELT2" -> "0.00390625")
 
+  /** The cube's planted WCS: the image's sky axes plus a SPECTRAL third
+    * axis (velocity per plane, km/s) — CDELT3 = 0.5 and integer
+    * CRPIX3/CRVAL3 keep every a35 quantity a dyadic rational, the same
+    * exactness argument as wcsCards.
+    */
+  private[fits] val wcsCubeCards: Seq[(String, String)] = wcsCards ++ Seq(
+    "CRPIX3" -> "1.0", "CRVAL3" -> "1000.0", "CDELT3" -> "0.5")
+
   /** Writes a standard FITS file with a header-only primary HDU plus two
     * 2-d IMAGE extensions over the same planted frame: ext image #0 =
     * int16 with BSCALE=2/BZERO=100/BLANK=250 (physical = 2·raw + 100),
@@ -1581,7 +1589,10 @@ object FitsWriter {
       header(8, Seq("BSCALE" -> "3", "BZERO" -> "10", "BLANK" -> "250"))
       voxels(1)(raw => out.writeByte(raw.toInt)) // 0..250: fits unsigned
 
-      header(32, Seq("BSCALE" -> "2", "BZERO" -> "-500", "BLANK" -> "250"))
+      // the int32 extension carries the planted sky+spectral WCS (a35's
+      // sky-addressed cube cutout targets this HDU, a26's convention)
+      header(32, Seq("BSCALE" -> "2", "BZERO" -> "-500", "BLANK" -> "250")
+        ++ wcsCubeCards)
       voxels(4)(raw => out.writeInt(raw.toInt))
 
       header(64, Seq("BLANK" -> CubeBlank64.toString))

@@ -573,11 +573,29 @@ object ScanOps {
       val path = graft.Util.fixtureOnce(
         s"cube_${d.replaceAll("[^a-zA-Z0-9]", "_")}_cut.fits")(p =>
         graft.fits.FitsWriter.writeCubeFits(p, 64, h, depth))
-      val (y0, y1, x0, x1) = (16L, 48L, 8, 40)
-      // splits priced by the cutout's row slice (a20's rule on 3 axes)
-      s.range(0, (depth - 1) * (y1 - y0), 1,
-          tileSplits((depth - 1) * (y1 - y0), (x1 - x0).toLong * 4))
-        .mapPartitions { is =>
+      cubeCutoutFrame(s, path, 1L, depth, 16L, 48L, 8, 40).orderBy("z", "y")
+    },
+    """WITH b AS (SELECT ((SELECT count(*) FROM documents) // 64 + 2) AS d),
+      |zs AS (SELECT unnest(range(1, (SELECT d FROM b))) AS z),
+      |ys AS (SELECT unnest(range(16, 48)) AS y)
+      |SELECT z, y, array_to_string(list_transform(range(8, 40),
+      |  x -> CASE WHEN (3 * y + 5 * x + 11 * z + 7) % 251 = 250 THEN 'null'
+      |       ELSE CAST(2 * ((3 * y + 5 * x + 11 * z + 7) % 251) - 500 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM zs CROSS JOIN ys ORDER BY z, y""".stripMargin)
+
+  /** The a26/a35 read core: a (plane, row) range of the int32 cube
+    * extension, positioned-reading ONLY the cutout's columns inside
+    * each row (a20's rule on 3 axes); splits priced by the cutout's
+    * row slice, the iterator owns the file handle (r10 read convention).
+    * z1/y1/x1 are EXCLUSIVE.
+    */
+  private def cubeCutoutFrame(s: SparkSession, path: String,
+      z0: Long, z1: Long, y0: Long, y1: Long, x0: Int, x1: Int): DataFrame = {
+    import s.implicits._
+    s.range(0, (z1 - z0) * (y1 - y0), 1,
+        tileSplits((z1 - z0) * (y1 - y0), (x1 - x0).toLong * 4))
+      .mapPartitions { is =>
         if (!is.hasNext) Iterator.empty
         else {
           val raf = new java.io.RandomAccessFile(path, "r")
@@ -587,7 +605,7 @@ object ScanOps {
           val sp = graft.fits.FitsFormat.locateImage(raf, 1) // the int32 ext
           val buf = new Array[Byte]((x1 - x0) * 4)
           is.map { i =>
-            val z = 1L + i / (y1 - y0)
+            val z = z0 + i / (y1 - y0)
             val y = y0 + i % (y1 - y0)
             // seek INSIDE the plane's row: only the cutout's columns read
             raf.seek(sp.rowOffset(z, y) + x0.toLong * 4)
@@ -601,12 +619,89 @@ object ScanOps {
             (z, y, px.mkString(","))
           }
         }
-      }.toDF("z", "y", "px").orderBy("z", "y")
+      }.toDF("z", "y", "px")
+  }
+
+  /** a35: SKY+SPECTRAL-addressed cube cutout — a34's request shape on a
+    * NAXIS=3 cube (the radio/IFU archive service: RA × Dec × velocity):
+    * the writer plants a third linear WCS axis (CRPIX3/CRVAL3/CDELT3,
+    * velocity per plane) beside the sky axes, the header walk inverts
+    * the closed world box through all THREE axes (Wcs.zRange — same
+    * sorted-endpoint ceil/floor cut, same partial-WCS refusal), and the
+    * pixel box runs a26's cutout core UNCHANGED. Every planted quantity
+    * is a dyadic rational, so the three inversions and both emitted
+    * world columns (vel, dec — the forward transforms) are exact in any
+    * IEEE engine; the oracle mirrors the closed forms in SQL, so a
+    * missed axis, an off-by-one in the 1-based plane convention, or a
+    * CDELT3 sign error all hash-mismatch.
+    */
+  val a35_fits_cube_wcs_cutout = OpQuery(
+    (s, d) => {
+      val depth = t(s, d, "documents").count() / 64 + 2
+      val h = 64L
+      // shares a25/a26's fixture (same planted cube — build-once, r8 #7)
+      val path = graft.Util.fixtureOnce(
+        s"cube_${d.replaceAll("[^a-zA-Z0-9]", "_")}_cut.fits")(p =>
+        graft.fits.FitsWriter.writeCubeFits(p, 64, h, depth))
+      // the client's request: a26's pixel window [1, depth) × [16, 48) ×
+      // [8, 40) EXPRESSED IN WORLD COORDINATES through the planted WCS
+      val raLo = 180.0 - 8.0 / 256.0
+      val raHi = 180.0 + 23.0 / 256.0
+      val decLo = -10.0 + 16.0 / 256.0
+      val decHi = -10.0 + 47.0 / 256.0
+      val velLo = 1000.5
+      val velHi = 1000.0 + 0.5 * (depth - 1).toDouble
+      val (wcs, x0, x1, y0, y1, z0, z1) = {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateImage(raf, 1)
+          val w = sp.wcs.getOrElse(throw new IllegalArgumentException(
+            "cube carries no linear WCS — sky-addressed cutout unavailable"))
+          val (xa, xb) = w.xRange(raLo, raHi, sp.width).getOrElse(
+            throw new IllegalArgumentException("RA box misses the frame"))
+          val (ya, yb) = w.yRange(decLo, decHi, sp.height).getOrElse(
+            throw new IllegalArgumentException("Dec box misses the frame"))
+          val (za, zb) = w.zRange(velLo, velHi, sp.depth).getOrElse(
+            throw new IllegalArgumentException(
+              "velocity box misses the cube or no spectral WCS axis"))
+          (w, xa, xb, ya, yb, za, zb)
+        } finally raf.close()
+      }
+      val (p3, v3, d3) = wcs.axis3.get
+      cubeCutoutFrame(s, path, z0, z1 + 1, y0, y1 + 1, x0.toInt, x1.toInt + 1)
+        .select(col("z"),
+          (lit(v3) + (col("z") + lit(1L) - lit(p3)) * lit(d3)).as("vel"),
+          col("y"),
+          (lit(wcs.crval2) +
+            (col("y") + lit(1L) - lit(wcs.crpix2)) * lit(wcs.cdelt2)).as("dec"),
+          col("px"))
+        .orderBy("z", "y")
     },
+    // a26's pixel SQL with all THREE closed-form inversions mirrored and
+    // both forward transforms emitted — every quantity an exact dyadic
     """WITH b AS (SELECT ((SELECT count(*) FROM documents) // 64 + 2) AS d),
-      |zs AS (SELECT unnest(range(1, (SELECT d FROM b))) AS z),
-      |ys AS (SELECT unnest(range(16, 48)) AS y)
-      |SELECT z, y, array_to_string(list_transform(range(8, 40),
+      |box AS (SELECT
+      |  180.0 - 8.0 / 256.0  AS ra_lo,  180.0 + 23.0 / 256.0 AS ra_hi,
+      |  -10.0 + 16.0 / 256.0 AS dec_lo, -10.0 + 47.0 / 256.0 AS dec_hi,
+      |  1000.5 AS vel_lo, 1000.0 + 0.5 * (d - 1) AS vel_hi, d FROM b),
+      |pix AS (SELECT
+      |  CAST(ceil(least((ra_lo - 180.0) / -0.00390625 + 32.0,
+      |                  (ra_hi - 180.0) / -0.00390625 + 32.0)) AS BIGINT) - 1 AS x0,
+      |  CAST(floor(greatest((ra_lo - 180.0) / -0.00390625 + 32.0,
+      |                      (ra_hi - 180.0) / -0.00390625 + 32.0)) AS BIGINT) - 1 AS x1,
+      |  CAST(ceil((dec_lo - -10.0) / 0.00390625 + 1.0) AS BIGINT) - 1 AS y0,
+      |  CAST(floor((dec_hi - -10.0) / 0.00390625 + 1.0) AS BIGINT) - 1 AS y1,
+      |  CAST(ceil((vel_lo - 1000.0) / 0.5 + 1.0) AS BIGINT) - 1 AS z0,
+      |  CAST(floor((vel_hi - 1000.0) / 0.5 + 1.0) AS BIGINT) - 1 AS z1
+      |  FROM box),
+      |zs AS (SELECT unnest(range(z0, z1 + 1)) AS z FROM pix),
+      |ys AS (SELECT unnest(range((SELECT y0 FROM pix),
+      |                           (SELECT y1 FROM pix) + 1)) AS y)
+      |SELECT z, 1000.0 + (z + 1 - 1.0) * 0.5 AS vel,
+      |  y, -10.0 + (y + 1 - 1.0) * 0.00390625 AS dec,
+      |  array_to_string(list_transform(range((SELECT x0 FROM pix),
+      |                                       (SELECT x1 FROM pix) + 1),
       |  x -> CASE WHEN (3 * y + 5 * x + 11 * z + 7) % 251 = 250 THEN 'null'
       |       ELSE CAST(2 * ((3 * y + 5 * x + 11 * z + 7) % 251) - 500 AS VARCHAR)
       |       END), ',') AS px
@@ -1732,6 +1827,7 @@ object ScanOps {
     "a29_fits_image_qfloat" -> a29_fits_image_qfloat,
     "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
     "a34_fits_wcs_cutout" -> a34_fits_wcs_cutout,
+    "a35_fits_cube_wcs_cutout" -> a35_fits_cube_wcs_cutout,
     "a31_fits_cube_tiled" -> a31_fits_cube_tiled,
     "a32_fits_image_mask" -> a32_fits_image_mask,
     "a33_fits_image_hcomp" -> a33_fits_image_hcomp,

@@ -738,6 +738,32 @@ class TiledFitsSpec extends SparkTestBase {
     }, n = 200)
   }
 
+  test("a35: the cube's spectral WCS axis parses back, inverts exactly, and degrades without it") {
+    val p = Util.scratch("wcs_cube_roundtrip.fits")
+    FitsWriter.writeCubeFits(p, 64, 64L, 10L)
+    val raf = new java.io.RandomAccessFile(p, "r")
+    try {
+      raf.seek(0)
+      val sp = FitsFormat.locateImage(raf, 1) // the int32 ext carries WCS
+      val wcs = sp.wcs.getOrElse(fail("int32 cube ext lost its WCS cards"))
+      assert(wcs.axis3.contains((1.0, 1000.0, 0.5)))
+      // forward: plane z's velocity; inverse: the velocity box of
+      // planes 1..8 (0-based) — closed box on plane centers, exact
+      assert(wcs.world3(0L) == 1000.0 && wcs.world3(9L) == 1004.5)
+      assert(wcs.zRange(1000.5, 1004.0, 10L) == Some((1L, 8L)))
+      // a box past the cube's spectral extent clamps / misses
+      assert(wcs.zRange(1004.75, 1010.0, 10L).isEmpty)
+      // the int8 ext plants NO WCS: the 2-axis accessor refuses loudly
+      // and zRange degrades to None (partial-WCS refusal on axis 3)
+      raf.seek(0)
+      val sp8 = FitsFormat.locateImage(raf, 0)
+      assert(sp8.wcs.isEmpty)
+      val noA3 = wcs.copy(axis3 = None)
+      assert(noA3.zRange(1000.5, 1004.0, 10L).isEmpty)
+      assertThrows[IllegalArgumentException](noA3.world3(0L))
+    } finally raf.close()
+  }
+
   test("a34: the writer's planted WCS parses back and inverts the a30 window exactly") {
     val p = Util.scratch("wcs_roundtrip.fits")
     FitsWriter.writeTiledImageFits(p, 64, 128L, 64)
