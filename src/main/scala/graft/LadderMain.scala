@@ -85,7 +85,11 @@ object LadderMain {
     // r11: the PQ certification (count-pruned at birth like i65): the
     // brute-force truth's cross join dominates (~quadratic on the
     // replicated-corpus axis); the batched ADC side is linear
-    forcedRow("i70_ann_pq_recall")
+    forcedRow("i70_ann_pq_recall") :+
+    // r11: the composed-index certification — i70's truth + the
+    // cell-pruned chain; same quadratic truth, the pruned ADC side
+    // must sit below the flat ADC side as the corpus replicates
+    forcedRow("i72_ann_ivfpq_recall")
 
   /** text family: the r4 ladder's op set (first nine — rows stay
     * comparable across rounds), extended in r5 with the perplexity

@@ -132,7 +132,12 @@ object PlanAudit {
     // joins, both rank windows and the hit join prune under a bare
     // count (audit: joins 6->1, aggs 3->1, windows 3->1); the _forced
     // row times the full certification
-    "i70_ann_pq_recall")
+    "i70_ann_pq_recall",
+    // i72 (r11): i70's class with BOTH PQ chains (flat + cell-pruned)
+    // left-joined to one truth — the per-query count is |queries|
+    // regardless of hit values, so both probe chains prune under a
+    // bare count; the _forced row times the dual certification
+    "i72_ann_ivfpq_recall")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

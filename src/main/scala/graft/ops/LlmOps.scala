@@ -2211,6 +2211,130 @@ object LlmOps {
        |FROM bfr LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
        |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
 
+  /** i72: recall@10 of the COMPOSED IVF-PQ index beside flat PQ — the
+    * certification that completes the r11 matrix (i65/i66 label cells,
+    * i67 learned cells, i70 flat PQ, THIS the composition i71 serves):
+    * per planted query, both chains run against ONE brute-force truth —
+    * the flat ADC top-50 (i70's engine, every code scanned) and the
+    * cell-pruned ADC top-50 (i71/j23's engine, nprobe=2 learned cells)
+    * — so the per-query gap prices exactly what DIRECTORY pruning adds
+    * on top of the PQ quantization loss, at the operating point the
+    * serving path uses. Note the gap is not sign-guaranteed per query:
+    * pruning removes candidates from the ADC cut, which can ADD a true
+    * neighbor the crowded flat cut evicted — which is why this is
+    * measured, not assumed (the i66 lesson). The flat side is
+    * spec-pinned to reproduce i70's hits verbatim (one chain, two
+    * keys). At 100 TB both sides are once-per-build audit passes.
+    * Oracle: i70's CTE chain plus the cellkm-restricted variant, one
+    * truth, aggregated per query.
+    */
+  val i72_ann_ivfpq_recall = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pqIdx = pqWriteIndex(s, d)
+      val ivfpqIdx = pqIvfWriteIndex(s, d)
+      val cent = sq8IvfCentDir(sq8WriteIndexKmeans(s, d))
+      val e = t(s, d, "embeddings")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("qq"))
+        .localCheckpoint() // feeds both probes, the re-ranks AND the truth
+      def hits(stage1: DataFrame, name: String): DataFrame = stage1
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .join(broadcast(qb.select("q_id", "qvec")), "q_id")
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as(name))
+      val pqHits = hits(pqBatchTop(s.read.parquet(pqIdx),
+        s.read.parquet(pqCbDir(pqIdx)), qb, 50), "pq_hit")
+      val ivfpqHits = hits(graft.ops.StreamOps.pqIvfBatchStage1(s, ivfpqIdx,
+        pqCbDir(pqIdx), cent, qb).select("q_id", "vec_id"), "ivfpq_hit")
+      val exact = e.crossJoin(broadcast(qb.select("q_id", "qvec")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+      exact
+        .join(pqHits, Seq("q_id", "vec_id"), "left")
+        .join(ivfpqHits, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("pq_hit")), lit(0L)).as("n_hit_pq"),
+          coalesce(sum(col("ivfpq_hit")), lit(0L)).as("n_hit_ivfpq"))
+        .withColumn("recall_pq", round(col("n_hit_pq") / col("n_exact"), 6))
+        .withColumn("recall_ivfpq",
+          round(col("n_hit_ivfpq") / col("n_exact"), 6))
+        .select("q_id", "n_exact", "n_hit_pq", "recall_pq",
+          "n_hit_ivfpq", "recall_ivfpq")
+        .orderBy("q_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |$pqCteSql,
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM embeddings WHERE vec_id % 101 = 3),
+       |dtq AS (SELECT qs.q_id, pm1.sub, pm1.cid,
+       |          sum(qs.qq[pm1.sub * $PqDsub + pm1.pos] * pm1.cv_i) AS ds
+       |        FROM pm1, qs GROUP BY 1, 2, 3),
+       |ap AS (SELECT dtq.q_id, cd.vec_id, sum(dtq.ds) AS approx_i
+       |       FROM cd JOIN dtq ON cd.sub = dtq.sub AND cd.cid = dtq.cid
+       |       WHERE cd.vec_id <> dtq.q_id GROUP BY 1, 2),
+       |pr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM ap) WHERE rk <= 50),
+       |rr AS (SELECT pr.q_id, pr.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |p AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM rr) WHERE rk <= 10),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |ap2 AS (SELECT dtq.q_id, cd.vec_id, sum(dtq.ds) AS approx_i
+       |        FROM cd JOIN dtq ON cd.sub = dtq.sub AND cd.cid = dtq.cid
+       |             JOIN cellkm ON cellkm.vec_id = cd.vec_id
+       |             JOIN qc ON qc.q_id = dtq.q_id AND qc.label = cellkm.cid
+       |        WHERE cd.vec_id <> dtq.q_id GROUP BY 1, 2),
+       |pr2 AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM ap2) WHERE rk <= 50),
+       |rr2 AS (SELECT pr2.q_id, pr2.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr2 JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |p2 AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM rr2) WHERE rk <= 10),
+       |bf AS (SELECT qs.q_id, e.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM embeddings e, qs WHERE e.vec_id <> qs.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10)
+       |SELECT bfr.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(p.vec_id) AS BIGINT) AS n_hit_pq,
+       |  round(count(p.vec_id) * 1.0 / count(*), 6) AS recall_pq,
+       |  CAST(count(p2.vec_id) AS BIGINT) AS n_hit_ivfpq,
+       |  round(count(p2.vec_id) * 1.0 / count(*), 6) AS recall_ivfpq
+       |FROM bfr
+       |LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
+       |LEFT JOIN p2 ON bfr.q_id = p2.q_id AND bfr.vec_id = p2.vec_id
+       |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
+
   /** Build and persist the IVF×PQ index: the PQ codes (i69's artifact)
     * re-laid-out PARTITIONED BY the learned k-means cell (i67's
     * artifact) — a pure metadata join of two existing builds, no
@@ -3373,6 +3497,7 @@ object LlmOps {
     "i69_sim_ann_pq" -> i69_sim_ann_pq,
     "i70_ann_pq_recall" -> i70_ann_pq_recall,
     "i71_sim_ann_ivfpq" -> i71_sim_ann_ivfpq,
+    "i72_ann_ivfpq_recall" -> i72_ann_ivfpq_recall,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

@@ -1224,6 +1224,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(!out.map(_.getLong(0)).contains(7L), "query id leaked into results")
   }
 
+  test("i72: the flat-PQ side reproduces i70 verbatim and both recalls are sound") {
+    val out = LlmOps.i72_ann_ivfpq_recall.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, ne, hp, rp, hi, ri) =>
+      assert(q % 101 == 3 && ne == 10)
+      assert(hp >= 0 && hp <= ne && hi >= 0 && hi <= ne)
+      assert(math.abs(rp - hp.toDouble / ne) < 1e-9)
+      assert(math.abs(ri - hi.toDouble / ne) < 1e-9)
+    }
+    // one chain, two keys: i72's flat-PQ column IS i70's certification
+    val i70 = LlmOps.i70_ann_pq_recall.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.forall { case (q, _, hp, _, _, _) => i70(q) == hp },
+      "flat-PQ hits diverge from i70's certification")
+  }
+
   test("i71: the IVF-PQ relayout is a pure metadata join of the two parent artifacts") {
     import org.apache.spark.sql.functions._
     val ivfpq = spark.read.parquet(LlmOps.pqIvfWriteIndex(spark, sfDir))
