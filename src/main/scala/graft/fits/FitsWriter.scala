@@ -890,7 +890,8 @@ object FitsWriter {
     * come from telescopes); the parallel path is the READER's row-range
     * splits, not the fixture writer.
     */
-  def writeImageFits(path: String, width: Int, height: Long): Unit = {
+  def writeImageFits(path: String, width: Int, height: Long,
+      wcs: Seq[(String, String)] = wcsCards): Unit = {
     val out = new DataOutputStream(
       new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 16))
     // Alignment CANNOT come from DataOutputStream.size() here: that
@@ -921,7 +922,9 @@ object FitsWriter {
       w(card("BSCALE", "2", quote = false))
       w(card("BZERO", "100", quote = false))
       w(card("BLANK", "250", quote = false))
-      wcsCards.foreach { case (k, v) => w(card(k, v, quote = false)) }
+      // per-frame WCS: a36's mosaic fixture plants one Dec strip per
+      // frame; everything else keeps the shared planted cards
+      wcs.foreach { case (k, v) => w(card(k, v, quote = false)) }
       w(endCard); padBlock(' '.toByte)
       var y = 0L
       while (y < height) {

@@ -400,33 +400,7 @@ object ScanOps {
         s"survey_${d.replaceAll("[^a-zA-Z0-9]", "_")}_cut.fits")(p =>
         graft.fits.FitsWriter.writeImageFits(p, 64, height))
       val (y0, y1, x0, x1) = (height / 4, height / 2, 16, 48)
-      // splits derive from the CUTOUT's bytes (not the frame's): the
-      // unit priced per row is the 32-column slice actually read
-      s.range(y0, y1, 1, tileSplits(y1 - y0, (x1 - x0).toLong * 2))
-        .mapPartitions { ys =>
-        if (!ys.hasNext) Iterator.empty
-        else {
-          val raf = new java.io.RandomAccessFile(path, "r")
-          Option(org.apache.spark.TaskContext.get()).foreach(
-            _.addTaskCompletionListener[Unit](_ => raf.close()))
-          raf.seek(0)
-          val spec = graft.fits.FitsFormat.locateImage(raf, 0)
-          val buf = new Array[Byte]((x1 - x0) * 2)
-          ys.map { yy =>
-            val y = yy.toLong
-            // seek INSIDE the row: only the cutout's columns are read
-            raf.seek(spec.dataOffset + y * spec.rowBytes + x0.toLong * 2)
-            raf.readFully(buf)
-            val bb = java.nio.ByteBuffer.wrap(buf)
-            val px = (0 until (x1 - x0)).map { i =>
-              val raw = bb.getShort(i * 2).toLong
-              if (spec.blank.contains(raw)) "null"
-              else (spec.bzero + spec.bscale * raw).toLong.toString
-            }
-            (y, px.mkString(","))
-          }
-        }
-      }.toDF("y", "px").orderBy("y")
+      imageCutoutFrame(s, path, y0, y1, x0, x1).orderBy("y")
     },
     """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
       |ys AS (SELECT unnest(range(h // 4, h // 2)) AS y FROM b)
@@ -583,6 +557,144 @@ object ScanOps {
       |       ELSE CAST(2 * ((3 * y + 5 * x + 11 * z + 7) % 251) - 500 AS VARCHAR)
       |       END), ',') AS px
       |FROM zs CROSS JOIN ys ORDER BY z, y""".stripMargin)
+
+  /** The a20/a36 read core: a row range of the plain int16 image
+    * extension, positioned-reading ONLY the cutout's columns inside
+    * each row; splits derive from the CUTOUT's bytes (not the frame's),
+    * the iterator owns the file handle (r10 read convention). y1/x1 are
+    * EXCLUSIVE.
+    */
+  private def imageCutoutFrame(s: SparkSession, path: String,
+      y0: Long, y1: Long, x0: Int, x1: Int): DataFrame = {
+    import s.implicits._
+    s.range(y0, y1, 1, tileSplits(y1 - y0, (x1 - x0).toLong * 2))
+      .mapPartitions { ys =>
+        if (!ys.hasNext) Iterator.empty
+        else {
+          val raf = new java.io.RandomAccessFile(path, "r")
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => raf.close()))
+          raf.seek(0)
+          val spec = graft.fits.FitsFormat.locateImage(raf, 0)
+          val buf = new Array[Byte]((x1 - x0) * 2)
+          ys.map { yy =>
+            val y = yy.toLong
+            // seek INSIDE the row: only the cutout's columns are read
+            raf.seek(spec.dataOffset + y * spec.rowBytes + x0.toLong * 2)
+            raf.readFully(buf)
+            val bb = java.nio.ByteBuffer.wrap(buf)
+            val px = (0 until (x1 - x0)).map { i =>
+              val raw = bb.getShort(i * 2).toLong
+              if (spec.blank.contains(raw)) "null"
+              else (spec.bzero + spec.bscale * raw).toLong.toString
+            }
+            (y, px.mkString(","))
+          }
+        }
+      }.toDF("y", "px")
+  }
+
+  /** a36: MOSAIC cutout — the multi-frame archive service shape (a34 is
+    * one frame; a real survey is thousands of frames, each with its own
+    * WCS, catalogued in a FOOTPRINT TABLE): the request box first prunes
+    * the catalog (a plain predicate on the footprint columns — at scale
+    * this is a metadata-table filter Spark pushes into the catalog scan,
+    * so FILES are pruned before any is opened, the same lever partition
+    * pruning gives a parquet table), then each surviving frame inverts
+    * the box through its OWN WCS and runs the a20 cutout core; the
+    * per-frame results union with the frame id and the forward-transform
+    * dec. The fixture is a 4-frame Dec-strip survey (one writer WCS
+    * override per frame) + its catalog parquet; the box crosses exactly
+    * two frame boundaries, so a wrong footprint predicate (touching all
+    * frames, or missing the partial overlap) changes the row set and
+    * hash-fails. The bounded collect is the covering-frame list of ONE
+    * request — the d2/i7 convention (a production service bounds it by
+    * the box size; a full-sky query would stream the catalog instead).
+    */
+  val a36_fits_wcs_mosaic = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val h = 64L
+      val nFrames = 4
+      val dir = graft.Util.fixtureOnce(
+        s"mosaic_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+        new java.io.File(p).mkdirs()
+        val rows = (0 until nFrames).map { f =>
+          val fp = s"$p/frame$f.fits"
+          val crval2 = -10.0 + f * 0.25 // 64 rows × CDELT2 per strip
+          graft.fits.FitsWriter.writeImageFits(fp, 64, h, wcs = Seq(
+            "CRPIX1" -> "32.0", "CRVAL1" -> "180.0",
+            "CDELT1" -> "-0.00390625",
+            "CRPIX2" -> "1.0", "CRVAL2" -> crval2.toString,
+            "CDELT2" -> "0.00390625"))
+          // the footprint row a real archive derives at ingest: the
+          // frame's own WCS plus its closed world coverage
+          (fp, f.toLong, 32.0, 180.0, -0.00390625, 1.0, crval2,
+            0.00390625, 64L, h, crval2, crval2 + 63.0 * 0.00390625)
+        }
+        rows.toDF("file", "frame", "crpix1", "crval1", "cdelt1",
+            "crpix2", "crval2", "cdelt2", "width", "height",
+            "dec_min", "dec_max")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$p/catalog.parquet")
+      }
+      // the client's sky box: 32 Dec rows crossing the frame-0/frame-1
+      // seam (48..63 of frame 0, 0..15 of frame 1), a34's RA window
+      val decLo = -10.0 + 48.0 / 256.0
+      val decHi = -10.0 + 79.0 / 256.0
+      val raLo = 180.0 - 16.0 / 256.0
+      val raHi = 180.0 + 15.0 / 256.0
+      // FILE-level pruning: the footprint predicate on the catalog
+      val hits = s.read.parquet(s"$dir/catalog.parquet")
+        .filter(col("dec_min") <= lit(decHi) && col("dec_max") >= lit(decLo))
+        .orderBy("frame").collect()
+      require(hits.nonEmpty, "sky box misses every catalogued frame")
+      hits.toSeq.flatMap { r =>
+        val w = graft.fits.FitsFormat.Wcs(
+          r.getAs[Double]("crpix1"), r.getAs[Double]("crval1"),
+          r.getAs[Double]("cdelt1"), r.getAs[Double]("crpix2"),
+          r.getAs[Double]("crval2"), r.getAs[Double]("cdelt2"))
+        for {
+          (x0, x1) <- w.xRange(raLo, raHi, r.getAs[Long]("width"))
+          (y0, y1) <- w.yRange(decLo, decHi, r.getAs[Long]("height"))
+        } yield imageCutoutFrame(s, r.getAs[String]("file"),
+            y0, y1 + 1, x0.toInt, x1.toInt + 1)
+          .select(lit(r.getAs[Long]("frame")).as("frame"), col("y"),
+            (lit(w.crval2) +
+              (col("y") + lit(1L) - lit(w.crpix2)) * lit(w.cdelt2)).as("dec"),
+            col("px"))
+      }.reduce(_ unionByName _)
+        .orderBy("frame", "y")
+    },
+    // the catalog pruning, both per-frame inversions and the forward
+    // transform mirrored in closed form — all planted dyadics
+    """WITH cat AS (SELECT unnest(range(0, 4)) AS frame),
+      |fr AS (SELECT frame, -10.0 + frame * 0.25 AS crval2 FROM cat),
+      |box AS (SELECT -10.0 + 48.0 / 256.0 AS dec_lo,
+      |               -10.0 + 79.0 / 256.0 AS dec_hi,
+      |               180.0 - 16.0 / 256.0 AS ra_lo,
+      |               180.0 + 15.0 / 256.0 AS ra_hi),
+      |hits AS (SELECT frame, crval2 FROM fr, box
+      |         WHERE crval2 <= dec_hi AND crval2 + 63 * 0.00390625 >= dec_lo),
+      |yr AS (SELECT frame, crval2,
+      |         greatest(CAST(ceil((dec_lo - crval2) / 0.00390625 + 1.0) AS BIGINT), 1) - 1 AS y0,
+      |         least(CAST(floor((dec_hi - crval2) / 0.00390625 + 1.0) AS BIGINT), 64) - 1 AS y1
+      |       FROM hits, box),
+      |xr AS (SELECT
+      |  CAST(ceil(least((ra_lo - 180.0) / -0.00390625 + 32.0,
+      |                  (ra_hi - 180.0) / -0.00390625 + 32.0)) AS BIGINT) - 1 AS x0,
+      |  CAST(floor(greatest((ra_lo - 180.0) / -0.00390625 + 32.0,
+      |                      (ra_hi - 180.0) / -0.00390625 + 32.0)) AS BIGINT) - 1 AS x1
+      |  FROM box),
+      |ys AS (SELECT frame, crval2, unnest(range(y0, y1 + 1)) AS y FROM yr
+      |       WHERE y0 <= y1)
+      |SELECT frame, y, crval2 + (y + 1 - 1.0) * 0.00390625 AS dec,
+      |  array_to_string(list_transform(range((SELECT x0 FROM xr),
+      |                                       (SELECT x1 FROM xr) + 1),
+      |  x -> CASE WHEN (3 * y + 5 * x + 7) % 251 = 250 THEN 'null'
+      |            ELSE CAST(2 * ((3 * y + 5 * x + 7) % 251) + 100 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM ys ORDER BY frame, y""".stripMargin)
 
   /** The a26/a35 read core: a (plane, row) range of the int32 cube
     * extension, positioned-reading ONLY the cutout's columns inside
@@ -1828,6 +1940,7 @@ object ScanOps {
     "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
     "a34_fits_wcs_cutout" -> a34_fits_wcs_cutout,
     "a35_fits_cube_wcs_cutout" -> a35_fits_cube_wcs_cutout,
+    "a36_fits_wcs_mosaic" -> a36_fits_wcs_mosaic,
     "a31_fits_cube_tiled" -> a31_fits_cube_tiled,
     "a32_fits_image_mask" -> a32_fits_image_mask,
     "a33_fits_image_hcomp" -> a33_fits_image_hcomp,

@@ -274,4 +274,31 @@ class ScanOpsSpec extends SparkTestBase {
     // and the small fixture keeps the 8-task floor (no over-splitting)
     assert(graft.ops.ScanOps.tileSplits(h64 / 64, rowUnitBytes) == 8)
   }
+
+  test("a36: the footprint catalog prunes FILES — only the covering frames are read") {
+    import org.apache.spark.sql.functions._
+    // run the gated op once so the fixture + catalog exist
+    val out = graft.ops.ScanOps.a36_fits_wcs_mosaic.fn(spark, sfDir).collect()
+    // the planted box crosses exactly the frame-0/frame-1 seam:
+    // 16 rows from each, never frames 2/3
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq == Seq(0L, 1L))
+    assert(out.length == 32)
+    // dec is continuous across the seam (one survey, two files): row
+    // k of the union must sit exactly CDELT2 above row k-1
+    val decs = out.sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map(_.getDouble(2))
+    decs.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a == 0.00390625, s"seam gap: $a -> $b")
+    }
+    // the pruning predicate itself: the same catalog, three boxes —
+    // the gate box covers 2 frames, a one-strip box covers 1, a box
+    // past the survey's Dec extent covers 0 (the op would refuse)
+    val dir = Util.scratch(s"mosaic_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val cat = spark.read.parquet(s"$dir/catalog.parquet")
+    def covering(lo: Double, hi: Double): Long =
+      cat.filter(col("dec_min") <= hi && col("dec_max") >= lo).count()
+    assert(covering(-10.0 + 48.0 / 256.0, -10.0 + 79.0 / 256.0) == 2)
+    assert(covering(-10.0 + 200.0 / 256.0, -10.0 + 210.0 / 256.0) == 1)
+    assert(covering(5.0, 6.0) == 0)
+  }
 }
