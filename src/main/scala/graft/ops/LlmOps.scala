@@ -2211,6 +2211,57 @@ object LlmOps {
        |FROM bfr LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
        |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
 
+  /** i73: FILTERED ANN — the hybrid-search shape every RAG deployment
+    * hits (a metadata predicate composed with a vector query: "top-10
+    * nearest among label < 5"): the predicate column rides the INDEX
+    * ROW (the design decision — filterable metadata is stored beside
+    * the codes at build time, so the filter PUSHES INTO the codes scan
+    * as a parquet row-group predicate instead of joining the corpus),
+    * the integer ADC ranks ONLY the filtered pool (top-50 OF the
+    * eligible set — filtering after the cut would silently return
+    * fewer than k eligible results; this is the correctness trap the
+    * op exists to pin), and the exact re-rank emits the top-10. At
+    * 100 TB: predicate selectivity multiplies the ADC scan down
+    * BEFORE any ranking work, the same lever a filtered parquet scan
+    * gets — no oversampling heuristics needed because the cut is
+    * applied post-filter. PlanAuditSpec asserts PushedFilters on the
+    * codes scan. Oracle: pqCteSql with the predicate on the eligible
+    * pool, same cut, same re-rank.
+    */
+  val i73_sim_ann_filtered = OpQuery(
+    (s, d) => {
+      val idx = pqWriteIndex(s, d)
+      val adc = pqAdcLit(s, idx, pqQueryGrid(s, d, 7L))
+      // the predicate pushes into the codes scan; the ADC cut ranks
+      // the FILTERED pool
+      val top = pqCodesTop(
+        s.read.parquet(idx).filter(col("label") < 5), adc, 50, 7L)
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), sq8QueryVec(s, d, 7L)), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH $pqCteSql,
+       |el AS (SELECT vec_id, label FROM embeddings WHERE label < 5),
+       |qq AS (SELECT list_transform(embedding,
+       |           x -> CAST(floor(x * 1000) AS BIGINT)) AS qv,
+       |         embedding AS qvec
+       |       FROM embeddings WHERE vec_id = 7),
+       |dt AS (SELECT pm1.sub, pm1.cid,
+       |         sum(qq.qv[pm1.sub * $PqDsub + pm1.pos] * pm1.cv_i) AS ds
+       |       FROM pm1, qq GROUP BY pm1.sub, pm1.cid),
+       |ap AS (SELECT cd.vec_id, sum(dt.ds) AS approx_i
+       |       FROM cd JOIN dt ON cd.sub = dt.sub AND cd.cid = dt.cid
+       |            JOIN el ON el.vec_id = cd.vec_id
+       |       WHERE cd.vec_id <> 7 GROUP BY cd.vec_id),
+       |r AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY approx_i DESC, vec_id) AS rk
+       |    FROM ap) WHERE rk <= 50)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qq.qvec")}, 6) AS sim
+       |FROM embeddings e JOIN r USING (vec_id), qq
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
   /** i72: recall@10 of the COMPOSED IVF-PQ index beside flat PQ — the
     * certification that completes the r11 matrix (i65/i66 label cells,
     * i67 learned cells, i70 flat PQ, THIS the composition i71 serves):
@@ -3498,6 +3549,7 @@ object LlmOps {
     "i70_ann_pq_recall" -> i70_ann_pq_recall,
     "i71_sim_ann_ivfpq" -> i71_sim_ann_ivfpq,
     "i72_ann_ivfpq_recall" -> i72_ann_ivfpq_recall,
+    "i73_sim_ann_filtered" -> i73_sim_ann_filtered,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

@@ -133,6 +133,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(stage1.count() == 50)
   }
 
+  test("i73 filtered ANN: the metadata predicate PUSHES INTO the codes scan") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.functions.col
+    val dir = LlmOps.pqWriteIndex(spark, sfDir)
+    val stage1 = LlmOps.pqCodesTop(
+      spark.read.parquet(dir).filter(col("label") < 5),
+      LlmOps.pqAdcLit(spark, dir, LlmOps.pqQueryGrid(spark, sfDir, 7L)),
+      50, 7L)
+    val plan = stage1.queryExecution.executedPlan.toString
+    // the predicate must reach the parquet scan as a pushed filter —
+    // the design decision (metadata rides the index row) made a plan
+    // property instead of prose
+    assert(plan.contains("PushedFilters") && {
+      val pf = plan.substring(plan.indexOf("PushedFilters"))
+        .takeWhile(_ != ']')
+      pf.contains("label")
+    }, s"metadata predicate not pushed into the codes scan:\n${plan.take(1500)}")
+    assert(!plan.contains("embedding"),
+      s"stage-1 plan touches the float side:\n${plan.take(1200)}")
+    // every survivor satisfies the predicate — the cut ranks the
+    // FILTERED pool, it does not filter the cut
+    val out = LlmOps.i73_sim_ann_filtered.fn(spark, sfDir).collect()
+    assert(out.length == 10 && out.forall(_.getInt(1) < 5))
+  }
+
   test("i71 stage 1 is BOTH partition-pruned (learned IVF) and 8-byte-codes-only (PQ)") {
     import graft.ops.LlmOps
     import org.apache.spark.sql.functions.col
