@@ -2262,6 +2262,57 @@ object LlmOps {
        |FROM embeddings e JOIN r USING (vec_id), qq
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** i74: TOMBSTONE deletes on the ANN index — the lifecycle stage the
+    * family was missing (build i63/i67/i69/i71, refresh i68, certify
+    * i65/i70/i72, serve j20-j23 — and now DELETE): a deletion writes a
+    * tombstone row (vec_id), never touches the immutable codes
+    * artifact, and the probe excludes tombstones with a broadcast
+    * anti-join BEFORE the ADC cut — the i73 correctness argument
+    * again: filtering after the cut would return fewer than k live
+    * results exactly when a deleted vector ranked high, which is the
+    * moment deletion correctness matters most. At 100 TB the tombstone
+    * side is a small side table (broadcast; a bloom filter once it
+    * grows), and the compaction policy is the i54/i68 lifecycle's:
+    * when a partition's tombstone fraction crosses the rewrite
+    * threshold, re-encode that cell — cost ∝ the dirty cell, not the
+    * index. Oracle: i69's chain with the tombstone predicate on the
+    * candidate pool.
+    */
+  val i74_ann_tombstone = OpQuery(
+    (s, d) => {
+      val idx = pqWriteIndex(s, d)
+      val adc = pqAdcLit(s, idx, pqQueryGrid(s, d, 7L))
+      val e = t(s, d, "embeddings")
+      // the deletion log: a side table of vec_ids, nothing rewritten
+      val tomb = e.filter(col("vec_id") % 13 === 2).select("vec_id")
+      val live = s.read.parquet(idx)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      val top = pqCodesTop(live, adc, 50, 7L)
+      e.join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), sq8QueryVec(s, d, 7L)), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH $pqCteSql,
+       |qq AS (SELECT list_transform(embedding,
+       |           x -> CAST(floor(x * 1000) AS BIGINT)) AS qv,
+       |         embedding AS qvec
+       |       FROM embeddings WHERE vec_id = 7),
+       |dt AS (SELECT pm1.sub, pm1.cid,
+       |         sum(qq.qv[pm1.sub * $PqDsub + pm1.pos] * pm1.cv_i) AS ds
+       |       FROM pm1, qq GROUP BY pm1.sub, pm1.cid),
+       |ap AS (SELECT cd.vec_id, sum(dt.ds) AS approx_i
+       |       FROM cd JOIN dt ON cd.sub = dt.sub AND cd.cid = dt.cid
+       |       WHERE cd.vec_id <> 7 AND cd.vec_id % 13 <> 2
+       |       GROUP BY cd.vec_id),
+       |r AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY approx_i DESC, vec_id) AS rk
+       |    FROM ap) WHERE rk <= 50)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qq.qvec")}, 6) AS sim
+       |FROM embeddings e JOIN r USING (vec_id), qq
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
   /** i72: recall@10 of the COMPOSED IVF-PQ index beside flat PQ — the
     * certification that completes the r11 matrix (i65/i66 label cells,
     * i67 learned cells, i70 flat PQ, THIS the composition i71 serves):
@@ -3550,6 +3601,7 @@ object LlmOps {
     "i71_sim_ann_ivfpq" -> i71_sim_ann_ivfpq,
     "i72_ann_ivfpq_recall" -> i72_ann_ivfpq_recall,
     "i73_sim_ann_filtered" -> i73_sim_ann_filtered,
+    "i74_ann_tombstone" -> i74_ann_tombstone,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,
     "i16_token_count" -> i16_token_count,

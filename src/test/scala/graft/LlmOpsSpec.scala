@@ -1242,6 +1242,35 @@ class LlmOpsSpec extends SparkTestBase {
       "flat-PQ hits diverge from i70's certification")
   }
 
+  test("i74: tombstoned vectors never surface, and the exclusion happens BEFORE the cut") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.i74_ann_tombstone.fn(spark, sfDir).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(0) % 13 != 2), "a deleted vector surfaced")
+    // the exclusion must bite: the UNFILTERED approx pool contains
+    // tombstoned ids on this fixture (otherwise the test is vacuous)
+    val idx = LlmOps.pqWriteIndex(spark, sfDir)
+    val pool = LlmOps.pqCodesTop(spark.read.parquet(idx),
+      LlmOps.pqAdcLit(spark, idx, LlmOps.pqQueryGrid(spark, sfDir, 7L)),
+      50, 7L).collect().map(_.getLong(0))
+    assert(pool.exists(_ % 13 == 2),
+      "fixture vacuous: no tombstoned id ranks in the unfiltered pool")
+    // live results = i69's chain re-run on the tombstone-free pool:
+    // the delete is a PROBE-side exclusion, the artifact is untouched
+    val live = LlmOps.pqCodesTop(
+      spark.read.parquet(idx).filter(col("vec_id") % 13 =!= 2),
+      LlmOps.pqAdcLit(spark, idx, LlmOps.pqQueryGrid(spark, sfDir, 7L)),
+      50, 7L).collect().map(_.getLong(0)).toSeq
+    val antiJoined = spark.read.parquet(idx)
+      .join(broadcast(Tables.t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 13 === 2).select("vec_id")),
+        Seq("vec_id"), "left_anti")
+    val viaAnti = LlmOps.pqCodesTop(antiJoined,
+      LlmOps.pqAdcLit(spark, idx, LlmOps.pqQueryGrid(spark, sfDir, 7L)),
+      50, 7L).collect().map(_.getLong(0)).toSeq
+    assert(live == viaAnti, "anti-join exclusion diverges from the predicate form")
+  }
+
   test("i71: the IVF-PQ relayout is a pure metadata join of the two parent artifacts") {
     import org.apache.spark.sql.functions._
     val ivfpq = spark.read.parquet(LlmOps.pqIvfWriteIndex(spark, sfDir))
