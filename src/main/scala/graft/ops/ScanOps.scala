@@ -649,7 +649,7 @@ object ScanOps {
         .filter(col("dec_min") <= lit(decHi) && col("dec_max") >= lit(decLo))
         .orderBy("frame").collect()
       require(hits.nonEmpty, "sky box misses every catalogued frame")
-      hits.toSeq.flatMap { r =>
+      val frames = hits.toSeq.flatMap { r =>
         val w = graft.fits.FitsFormat.Wcs(
           r.getAs[Double]("crpix1"), r.getAs[Double]("crval1"),
           r.getAs[Double]("cdelt1"), r.getAs[Double]("crpix2"),
@@ -663,7 +663,14 @@ object ScanOps {
             (lit(w.crval2) +
               (col("y") + lit(1L) - lit(w.crpix2)) * lit(w.cdelt2)).as("dec"),
             col("px"))
-      }.reduce(_ unionByName _)
+      }
+      // a footprint can overlap the box while no pixel CENTER falls
+      // inside (sub-pixel overlap at a frame edge): every covering
+      // frame inverting to an empty range must refuse loudly, not
+      // crash reduce() with an empty-list error
+      require(frames.nonEmpty,
+        "sky box overlaps catalogued footprints but contains no pixel centers")
+      frames.reduce(_ unionByName _)
         .orderBy("frame", "y")
     },
     // the catalog pruning, both per-frame inversions and the forward
