@@ -1185,6 +1185,48 @@ class LlmOpsSpec extends SparkTestBase {
     assert(fast == slow, "flat-lookup ADC diverges from the join form")
   }
 
+  test("PQ trainer invariants on a seeded random corpus: codes are per-sub argmins of the persisted codebook") {
+    import org.apache.spark.sql.functions._
+    // a deterministic pseudo-random corpus (multiplicative-hash grid —
+    // no rand()): different geometry than the fixture (duplicate
+    // subvectors, argmin ties), the cases a single fixture never hits
+    val emb = spark.range(0, 48).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), k -> " +
+        "CAST((id * 2654435761 + k * 40503) % 997 AS DOUBLE) / 997.0 - 0.5)")
+        .as("embedding"))
+    val dir = Util.scratch("pq_fuzz")
+    LlmOps.writePqArtifacts(emb, s"$dir/codes", s"$dir/cb")
+    // reconstruct the trained codebook driver-side (bounded: m·k·dsub)
+    val cbArr = spark.read.parquet(s"$dir/cb").collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .view.mapValues(rs =>
+        rs.sortBy(_.getInt(2)).map(_.getLong(3)).toArray).toMap
+    val quant = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+        .as("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val written = spark.read.parquet(s"$dir/codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+    assert(written.keySet == quant.keySet, "a vector was dropped")
+    // every written code must be the argmin codeword (ties by cid) of
+    // the vector's OWN subvector against the PERSISTED codebook — the
+    // encode/train loop and the artifact cannot drift apart
+    written.foreach { case (vid, cds) =>
+      assert(cds.length == LlmOps.PqM)
+      (0 until LlmOps.PqM).foreach { sub =>
+        val sv = quant(vid).slice(sub * LlmOps.PqDsub, (sub + 1) * LlmOps.PqDsub)
+        val best = cbArr.keys.filter(_._1 == sub).toSeq.sorted
+          .map { case (s2, cid) =>
+            val cv = cbArr((s2, cid))
+            val d = sv.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+            (d, cid)
+          }.min
+        assert(cds(sub) == best._2,
+          s"vec $vid sub $sub: wrote ${cds(sub)}, argmin is ${best._2}")
+      }
+    }
+  }
+
   test("i70: PQ recall rows are structurally sound and the batch probe matches the single-query probe") {
     import org.apache.spark.sql.functions._
     val out = LlmOps.i70_ann_pq_recall.fn(spark, sfDir).collect()
