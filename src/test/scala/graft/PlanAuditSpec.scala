@@ -156,6 +156,13 @@ class PlanAuditSpec extends SparkTestBase {
     // FILTERED pool, it does not filter the cut
     val out = LlmOps.i73_sim_ann_filtered.fn(spark, sfDir).collect()
     assert(out.length == 10 && out.forall(_.getInt(1) < 5))
+    // a predicate that eliminates the whole pool degrades to zero
+    // rows, not an error — the service returns "no eligible results"
+    val none = LlmOps.pqCodesTop(
+      spark.read.parquet(dir).filter(col("label") < -1),
+      LlmOps.pqAdcLit(spark, dir, LlmOps.pqQueryGrid(spark, sfDir, 7L)),
+      50, 7L)
+    assert(none.count() == 0)
   }
 
   test("i71 stage 1 is BOTH partition-pruned (learned IVF) and 8-byte-codes-only (PQ)") {

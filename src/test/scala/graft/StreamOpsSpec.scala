@@ -517,6 +517,21 @@ class StreamOpsSpec extends SparkTestBase {
     assert(stage1.count() > 0)
   }
 
+  test("j23 per-batch probe short-circuits an all-filtered batch (the ivfBatchStage1 ADVICE case, PQ variant)") {
+    import graft.ops.LlmOps
+    import spark.implicits._
+    val idx = LlmOps.pqIvfWriteIndex(spark, sfDir)
+    val cb = LlmOps.pqCbDir(LlmOps.pqWriteIndex(spark, sfDir))
+    val cent = LlmOps.sq8IvfCentDir(LlmOps.sq8WriteIndexKmeans(spark, sfDir))
+    // a micro-batch whose queries were ALL guard-filtered upstream:
+    // zero rows must yield zero survivors, not an empty-isin plan or
+    // an exception from the bounded cell collect
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("q_id", "qvec")
+    val out = StreamOps.pqIvfBatchStage1(spark, idx, cb, cent, empty)
+    assert(out.columns.toSeq == Seq("q_id", "vec_id", "qvec"))
+    assert(out.count() == 0)
+  }
+
   test("j10 MapState persists ACROSS micro-batches (two-file source)") {
     // The gate runs j10 as one AvailableNow batch; this drives the SAME
     // processor over TWO batches (two files, maxFilesPerTrigger=1) and
