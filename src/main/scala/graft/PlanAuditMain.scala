@@ -137,7 +137,12 @@ object PlanAudit {
     // left-joined to one truth — the per-query count is |queries|
     // regardless of hit values, so both probe chains prune under a
     // bare count; the _forced row times the dual certification
-    "i72_ann_ivfpq_recall")
+    "i72_ann_ivfpq_recall",
+    // i76 (r12): i72's class with the residual chain — per-query count
+    // is |queries| regardless of hit values, so both probe chains prune
+    // under a bare count (audit: joins 13->0, aggs 6->1, windows 4->0,
+    // generates 5->0); the _forced row times the dual certification
+    "i76_ann_rivfpq_recall")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

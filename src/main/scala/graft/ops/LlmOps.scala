@@ -1610,15 +1610,11 @@ object LlmOps {
         .withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
         .localCheckpoint()
-      // the brute-force truth, computed ONCE and shared by all six
-      // pruned chains (3 nprobe rungs × 2 indexes)
-      val exact = e.crossJoin(broadcast(qb))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
-        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-          .orderBy(desc("sim"), asc("vec_id"))))
-        .filter(col("rk") <= 10)
-        .select("q_id", "vec_id")
+      // the brute-force truth: the PERSISTED once-per-corpus fixture
+      // (annCertTruthDir, r11 verdict #7), restricted to the kept
+      // queries — shared by all six pruned chains (3 nprobe × 2 idx)
+      val exact = s.read.parquet(annCertTruthDir(s, d))
+        .join(broadcast(qb.select("q_id")), "q_id")
         .localCheckpoint()
       def prunedHits(idx: String, np: Int, hitCol: String): DataFrame =
         graft.ops.StreamOps.ivfBatchStage1(s, idx, qb, np)
@@ -1868,27 +1864,33 @@ object LlmOps {
     * columns of `emb` carried onto the codes rows (the gate keys keep
     * the fixture's `label`; the pipeline artifact keeps none).
     */
-  private[graft] def writePqArtifacts(emb: DataFrame, codesDir: String,
-      cbDir: String, extraCols: Seq[String] = Nil): Unit = {
-    val s = emb.sparkSession
-    val q = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
-        .as("qv"))
-    // PqK hash-smallest seed ids (the i51 multiplier, lloydModel's
-    // seeding); the collect is bounded at PqK rows and the seed ORDER
-    // defines the dense code ids both engines reproduce
+  /** The PQ training+encoding engine over an already-quantized frame
+    * `q` (vec_id, qv: array<bigint>) with `k` codewords per subspace —
+    * shared by the flat index (PqK = 16 on the raw ×1000 grid) and the
+    * residual index (PqrK = 256 on cell residuals, the IVFADC shape).
+    * Seeds are the k hash-smallest vec_ids' subvectors (the i51
+    * multiplier, lloydModel's seeding; the collect is bounded at k rows
+    * and the seed ORDER defines the dense code ids both engines
+    * reproduce), then one integer-mean refinement (the i34 iteration:
+    * per (sub, cid, pos), sum DIV count — exact in both engines), then
+    * the final assignment = the codes. One training pass + one encode
+    * pass, all broadcast joins against the constant-size codebook.
+    * Returns (codes: vec_id → array<int>[PqM], codebook: sub, cid,
+    * pos, cv_i).
+    */
+  private[graft] def pqTrainEncode(q: DataFrame,
+      k: Int): (DataFrame, DataFrame) = {
+    val s = q.sparkSession
     val seedIds = q.select(col("vec_id"))
       .withColumn("skey", pmod(col("vec_id") * lit(741103597L),
         lit(1000000007L)))
-      .orderBy("skey", "vec_id").limit(PqK)
-      .collect().map(_.getLong(0))
+      .orderBy("skey", "vec_id").limit(k)
+      .collect().map(_.getLong(0)) // bounded at k rows
     val seedDf = s.createDataFrame(
       seedIds.toSeq.zipWithIndex).toDF("vec_id", "cid")
     val subv = pqSubvectors(q).localCheckpoint() // feeds seed join + 2 assigns
     val c0 = subv.join(broadcast(seedDf), "vec_id")
       .select(col("sub"), col("cid"), col("sv").as("cv"))
-    // one integer-mean refinement (the i34 iteration): per
-    // (sub, cid, pos), sum DIV count — exact in both engines
     val m1 = pqAssign(subv, c0)
       .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
       .groupBy("sub", "cid", "pos")
@@ -1897,11 +1899,21 @@ object LlmOps {
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
         .as("cv"))
-    pqAssign(subv, c1)
+    val codes = pqAssign(subv, c1)
       .groupBy("vec_id")
       .agg(expr(
         "transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
         .as("codes"))
+    (codes, m1)
+  }
+
+  private[graft] def writePqArtifacts(emb: DataFrame, codesDir: String,
+      cbDir: String, extraCols: Seq[String] = Nil): Unit = {
+    val q = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+        .as("qv"))
+    val (codes, m1) = pqTrainEncode(q, PqK)
+    codes
       .join(emb.select("vec_id", extraCols: _*), "vec_id")
       .select(col("vec_id") +: extraCols.map(col) :+ col("codes"): _*)
       .write.mode("overwrite").parquet(codesDir)
@@ -1965,24 +1977,31 @@ object LlmOps {
     * unused have no table row and keep slot value 0 — unreachable,
     * since no vector carries an unused code.
     */
-  private[graft] def pqAdcLit(s: SparkSession, idxDir: String,
-      qq: Array[Long]): Column = {
-    val flat = new Array[Long](PqM * PqK)
-    s.read.parquet(pqCbDir(idxDir))
+  private[graft] def adcLitFrom(s: SparkSession, cbDir: String,
+      qq: Array[Long], k: Int): Column = {
+    val flat = new Array[Long](PqM * k)
+    s.read.parquet(cbDir)
       .groupBy("sub", "cid")
       .agg(sum(col("cv_i") *
         element_at(typedLit(qq.toSeq), col("sub") * PqDsub + col("pos") + 1))
         .as("ds"))
-      .collect()
-      .foreach(r => flat(r.getInt(0) * PqK + r.getInt(1)) = r.getLong(2))
+      .collect() // bounded: m·k codebook rows
+      .foreach(r => flat(r.getInt(0) * k + r.getInt(1)) = r.getLong(2))
     typedLit(flat.toSeq)
   }
+
+  private[graft] def pqAdcLit(s: SparkSession, idxDir: String,
+      qq: Array[Long]): Column = adcLitFrom(s, pqCbDir(idxDir), qq, PqK)
 
   /** The quantized query vector (×1000 integer grid) for `vecId`,
     * collected driver-side — the PQ analog of sq8QueryVec: in production
     * the query arrives from outside the index, so the probe plan must
-    * not contain a float-table scan. floor(x·1000) on the widened
-    * double is the exact op both engines apply to the corpus.
+    * not contain a float-table scan. The multiply runs in FLOAT — the
+    * ONE quantization convention every ×1000-grid path shares (the
+    * corpus encode, the batched query grids, and the oracle's
+    * `x * 1000` on a FLOAT column all evaluate a float32 product
+    * before the exact floor), so the single-query grid cannot round
+    * across an integer boundary the batch/corpus convention didn't.
     */
   private[graft] def pqQueryGrid(s: SparkSession, d: String,
       vecId: Long): Array[Long] = {
@@ -1990,7 +2009,7 @@ object LlmOps {
       .select("embedding").collect()
     require(rows.nonEmpty, s"query vector $vecId absent")
     rows(0).getSeq[Float](0).toArray
-      .map(x => math.floor(x.toDouble * 1000.0).toLong)
+      .map(x => math.floor((x * 1000.0f).toDouble).toLong)
   }
 
   /** Stage 1 of the PQ probe: approx top-`n` over the CODES-ONLY scan.
@@ -1999,14 +2018,18 @@ object LlmOps {
     * TakeOrdered partials. The scanned bytes per vector are the 8
     * codes: ~6× fewer than SQ8's 64 codes, ~20× fewer than float32.
     */
-  private[graft] def pqCodesTop(codes: DataFrame, adc: Column, n: Int,
-      excludeId: Long): DataFrame =
+  private[graft] def codesTopK(codes: DataFrame, adc: Column, n: Int,
+      excludeId: Long, k: Int, cellTerm: Column = lit(0L)): DataFrame =
     codes.filter(col("vec_id") =!= excludeId)
       .withColumn("approx_i", (0 until PqM).map(sb =>
-        element_at(adc, expr(s"codes[$sb]") + lit(sb * PqK + 1)))
-        .reduce(_ + _))
+        element_at(adc, expr(s"codes[$sb]") + lit(sb * k + 1)))
+        .reduce(_ + _) + cellTerm)
       .orderBy(desc("approx_i"), asc("vec_id")).limit(n)
       .select("vec_id")
+
+  private[graft] def pqCodesTop(codes: DataFrame, adc: Column, n: Int,
+      excludeId: Long): DataFrame =
+    codesTopK(codes, adc, n, excludeId, PqK)
 
   /** i69: product-quantization ANN — the third compression rung of the
     * index family (i13 IVF partitions the scan, i62/i63 SQ8 shrinks it
@@ -2165,13 +2188,10 @@ object LlmOps {
           .orderBy(desc("sim"), asc("vec_id"))))
         .filter(col("rk") <= 10)
         .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-      val exact = e.crossJoin(broadcast(qb.select("q_id", "qvec")))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
-        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-          .orderBy(desc("sim"), asc("vec_id"))))
-        .filter(col("rk") <= 10)
-        .select("q_id", "vec_id")
+      // truth = the PERSISTED once-per-corpus brute-force fixture
+      // (annCertTruthDir) — the gate times the chain under test, not
+      // the offline audit input (r11 verdict #7)
+      val exact = s.read.parquet(annCertTruthDir(s, d))
       exact.join(pruned, Seq("q_id", "vec_id"), "left")
         .groupBy("q_id")
         .agg(count(lit(1)).as("n_exact"),
@@ -2354,13 +2374,8 @@ object LlmOps {
         s.read.parquet(pqCbDir(pqIdx)), qb, 50), "pq_hit")
       val ivfpqHits = hits(graft.ops.StreamOps.pqIvfBatchStage1(s, ivfpqIdx,
         pqCbDir(pqIdx), cent, qb).select("q_id", "vec_id"), "ivfpq_hit")
-      val exact = e.crossJoin(broadcast(qb.select("q_id", "qvec")))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
-        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-          .orderBy(desc("sim"), asc("vec_id"))))
-        .filter(col("rk") <= 10)
-        .select("q_id", "vec_id")
+      // truth from the persisted once-per-corpus fixture (r11 verdict #7)
+      val exact = s.read.parquet(annCertTruthDir(s, d))
       exact
         .join(pqHits, Seq("q_id", "vec_id"), "left")
         .join(ivfpqHits, Seq("q_id", "vec_id"), "left")
@@ -2443,15 +2458,19 @@ object LlmOps {
     * retrain and no re-encode. Covers the maxabs-kept corpus (the cell
     * model's domain); the cell centroids stay the shared
     * `sq8WriteIndexKmeans` artifact, so cell ranking and this layout
-    * cannot drift apart.
+    * cannot drift apart. The partition column is named `cell` — NOT
+    * `label` — because the i69 codes artifact's `label` is embedding
+    * METADATA (i73's filter target); sharing one name for two meanings
+    * would let a filtered-ANN consumer silently filter cells instead
+    * of metadata (r11 ADVICE).
     */
   def pqIvfWriteIndex(s: SparkSession, d: String): String =
     graft.Util.fixtureOnce(
       s"i71_ivfpq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
       s.read.parquet(pqWriteIndex(s, d)).select("vec_id", "codes")
         .join(s.read.parquet(sq8WriteIndexKmeans(s, d))
-          .select("vec_id", "label"), "vec_id")
-        .write.mode("overwrite").partitionBy("label").parquet(dir)
+          .select(col("vec_id"), col("label").as("cell")), "vec_id")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
 
   /** i71: IVF×PQ — the production 100 TB index shape (the FAISS-style
@@ -2482,7 +2501,7 @@ object LlmOps {
         .collect().map(_.getInt(0)).toSeq
       // stage 1: integer ADC over the probed cells' 8-byte codes
       val top = pqCodesTop(
-        s.read.parquet(idx).filter(col("label").isin(top2: _*)),
+        s.read.parquet(idx).filter(col("cell").isin(top2: _*)),
         pqAdcLit(s, pqWriteIndex(s, d), pqQueryGrid(s, d, 7L)), 50, 7L)
       // stage 2: exact re-rank of the 50 survivors
       t(s, d, "embeddings").join(broadcast(top), "vec_id")
@@ -2521,6 +2540,402 @@ object LlmOps {
        |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
        |FROM embeddings e JOIN r USING (vec_id), qs
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  // -------- residual IVF-PQ (IVFADC) ---------------------------------------
+
+  /** Residual-PQ geometry: same PqM×PqDsub split as the flat index, but
+    * 256 codewords per subspace — the standard IVFADC operating point
+    * (8-bit codes; the per-vector index row stays 8 bytes, the ADC
+    * table grows to m·256 = 2,048 longs — still a constant broadcast).
+    */
+  private[graft] val PqrK = 256
+
+  def pqrCbDir(idxDir: String): String = idxDir + "_cb"
+
+  /** Integer centroid arrays recovered from the persisted k-means
+    * centroid artifact: the artifact stores c = cv_i / 1000.0 (a
+    * double), and round(c·1000) recovers the EXACT integer-grid
+    * centroid (|cv_i| ≪ 2⁵¹, so the division's representation error is
+    * orders of magnitude below 0.5) — pinned by a spec against
+    * lloydModel's m1 output. Recovering from the SHARED artifact keeps
+    * one centroid truth per corpus: the residual index cannot drift
+    * from the cells `ivfCellRank` ranks.
+    */
+  private[graft] def kmCentIntArrays(s: SparkSession,
+      kmIdx: String): DataFrame =
+    s.read.parquet(sq8IvfCentDir(kmIdx))
+      .select(col("label").as("cell"), col("pos"),
+        round(col("c") * lit(1000.0), 0).cast(LongType).as("cv_i"))
+      .groupBy("cell")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
+        .as("centv"))
+
+  /** Build and persist the RESIDUAL IVF-PQ index (IVFADC — the r11
+    * verdict's #1): every kept vector is PQ-encoded as the residual
+    * (v − centroid(cell(v))) on the ×1000 integer grid, with PqrK = 256
+    * codewords per subspace. Residual magnitudes are ~√k smaller than
+    * raw coordinates, so the same 8-byte code budget buys far more
+    * precision — this is what lifts the composed index's recall from
+    * the raw-encode 0.28 band to the flat-PQ/SQ8 band (certified by
+    * i76). Layout matches i71's: codes partitioned by the learned
+    * `cell` (metadata `label` rides the row for filtered probes), the
+    * 256-codeword integer codebook at `<dir>_cb`; the cell centroids
+    * stay the SHARED sq8WriteIndexKmeans artifact. At 100 TB: the cell
+    * model + codebook train on a sample, the encode pass is one
+    * broadcast-join map over the corpus, and serving reads
+    * nprobe directories × 8 bytes/vector.
+    */
+  def pqrWriteIndex(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"i75_rivfpq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      val kmIdx = sq8WriteIndexKmeans(s, d)
+      val cells = s.read.parquet(kmIdx)
+        .select(col("vec_id"), col("label").as("cell"))
+      val rq = t(s, d, "embeddings")
+        .withColumn("qv0",
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .join(cells, "vec_id") // the cell model's (maxabs-kept) domain
+        .join(broadcast(kmCentIntArrays(s, kmIdx)), "cell") // k rows
+        .select(col("vec_id"), col("cell"), col("label"),
+          zip_with(col("qv0"), col("centv"), (a, b) => a - b).as("qv"))
+        .localCheckpoint() // feeds the trainer (3 passes) + the code join
+      val (codes, m1) = pqTrainEncode(rq.select("vec_id", "qv"), PqrK)
+      codes.join(rq.select("vec_id", "cell", "label"), "vec_id")
+        .select("vec_id", "label", "codes", "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      m1.write.mode("overwrite").parquet(pqrCbDir(dir))
+    }
+
+  /** The per-cell constant of the residual decomposition
+    * q·v = q·centroid(cell) + q·residual: exact integer dot of the
+    * query grid with each probed cell's integer centroid, from the
+    * k×64 artifact (bounded: k rows). Ranking across probed cells
+    * needs this term — residual dots alone are only comparable WITHIN
+    * a cell.
+    */
+  private[graft] def cellDotMap(s: SparkSession, kmIdx: String,
+      qq: Array[Long], cells: Seq[Int]): Map[Int, Long] =
+    kmCentIntArrays(s, kmIdx)
+      .filter(col("cell").isin(cells: _*))
+      .collect() // bounded: nprobe rows
+      .map(r => r.getInt(0) ->
+        r.getSeq[Long](1).zipWithIndex.map { case (c, i) => c * qq(i) }.sum)
+      .toMap
+
+  /** i75: residual IVF-PQ probe — i71's three-stage serving chain with
+    * the residual-encoded index swapped in: stage 0 ranks the SHARED
+    * learned centroids (nprobe = 2 cells into a literal partition
+    * filter), stage 1 ranks the probed cells' 8-byte residual codes by
+    * approx_i = q·centroid(cell) + Σ_sub adc[codes[sub]] — the IVFADC
+    * decomposition under inner product, where ONE 2,048-slot integer
+    * ADC table serves every cell because the residual term is
+    * cell-independent (q·v = q·c + q·r) — and stage 2 re-ranks the 50
+    * survivors exactly. All arithmetic below the re-rank is exact
+    * 64-bit integer, ties by vec_id, so the cut is engine-identical.
+    * Oracle: lloydCteSql (cells) + pqrCteSql (residual codes), cell cut
+    * then ADC-plus-cell-term cut then exact re-rank.
+    */
+  val i75_sim_ann_ivfpq_residual = OpQuery(
+    (s, d) => {
+      val kmIdx = sq8WriteIndexKmeans(s, d)
+      val idx = pqrWriteIndex(s, d)
+      val qvec = sq8QueryVec(s, d, 7L)
+      val qq = pqQueryGrid(s, d, 7L)
+      // stage 0: rank learned cells; 2 ids collect into a LITERAL filter
+      val top2 = ivfCellRank(s, kmIdx, qvec).collect().map(_.getInt(0)).toSeq
+      // stage 1: integer ADC over the probed cells' residual codes,
+      // plus the per-cell centroid term (a 2-entry literal map)
+      val top = codesTopK(
+        s.read.parquet(idx).filter(col("cell").isin(top2: _*)),
+        adcLitFrom(s, pqrCbDir(idx), qq, PqrK), 50, 7L, PqrK,
+        cellTerm = element_at(typedLit(cellDotMap(s, kmIdx, qq, top2)),
+          col("cell")))
+      // stage 2: exact re-rank of the 50 survivors
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), qvec), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |$pqrCteSql,
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM m WHERE vec_id = 7 AND maxabs > 0),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1),
+       |qc AS (SELECT label FROM (
+       |    SELECT label, row_number() OVER (ORDER BY s DESC, label) AS rk
+       |    FROM csim) WHERE rk <= 2),
+       |rdt AS (SELECT rm1.sub, rm1.cid,
+       |         sum(qs.qq[rm1.sub * $PqDsub + rm1.pos] * rm1.cv_i) AS ds
+       |       FROM rm1, qs GROUP BY 1, 2),
+       |cdt AS (SELECT c1.cid AS cell,
+       |         list_sum(list_transform(range(1, len(c1.cv) + 1),
+       |           i -> qs.qq[i] * c1.cv[i])) AS cd
+       |       FROM c1, qs),
+       |ap AS (SELECT rcd.vec_id, cdt.cd + sum(rdt.ds) AS approx_i
+       |       FROM rcd JOIN rdt ON rcd.sub = rdt.sub AND rcd.cid = rdt.cid
+       |            JOIN cellkm ON cellkm.vec_id = rcd.vec_id
+       |            JOIN qc ON qc.label = cellkm.cid
+       |            JOIN cdt ON cdt.cell = cellkm.cid
+       |       WHERE rcd.vec_id <> 7
+       |       GROUP BY rcd.vec_id, cdt.cd),
+       |r AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY approx_i DESC, vec_id) AS rk
+       |    FROM ap) WHERE rk <= 50)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |FROM embeddings e JOIN r USING (vec_id), qs
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  /** The residual-PQ train+encode CTE block — the SQL mirror of
+    * `pqrWriteIndex` (the pqCteSql convention, r-prefixed so it
+    * composes with lloydCteSql AND pqCteSql in one oracle). Builds on
+    * lloydCteSql's `cellkm` (vec_id → cid) and `c1` (integer centroid
+    * arrays). Exposes: rq (integer residuals + cell), rsv (per-
+    * (vec_id, sub) residual subvectors), rsd (PqrK hash-smallest
+    * seeds), rm1 (the trained 256-codeword integer codebook), rcd (the
+    * codes: vec_id, sub, cid).
+    */
+  private[graft] def pqrCteSql: String =
+    s"""rq AS (
+       |  SELECT lq.vec_id, cellkm.cid AS cell,
+       |         list_transform(range(1, len(lq.qv) + 1),
+       |           i -> lq.qv[i] - c1.cv[i]) AS qv
+       |  FROM lq JOIN cellkm USING (vec_id) JOIN c1 ON c1.cid = cellkm.cid),
+       |rsv AS (SELECT vec_id, s.sub,
+       |         list_transform(range(1, ${PqDsub + 1}),
+       |           j -> qv[s.sub * $PqDsub + j]) AS sv
+       |       FROM rq, range(0, $PqM) s(sub)),
+       |rsd AS (SELECT vec_id, rn - 1 AS cid FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY (vec_id * 741103597) % 1000000007, vec_id) AS rn
+       |    FROM rq) WHERE rn <= $PqrK),
+       |rc0 AS (SELECT rsv.sub, rsd.cid, rsv.sv AS cv
+       |       FROM rsv JOIN rsd USING (vec_id)),
+       |ra1 AS (SELECT vec_id, sub, sv, cid,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY dist, cid) AS rn
+       |       FROM (SELECT rsv.vec_id, rsv.sub, rsv.sv, rc0.cid,
+       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |                 i -> (rsv.sv[i] - rc0.cv[i]) * (rsv.sv[i] - rc0.cv[i]))) AS dist
+       |             FROM rsv JOIN rc0 ON rsv.sub = rc0.sub)),
+       |rm1 AS (SELECT sub, cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv_i
+       |       FROM (SELECT sub, cid, unnest(list_transform(range(1, ${PqDsub + 1}),
+       |               i -> {'pos': i, 'v': sv[i]}), recursive := true)
+       |             FROM ra1 WHERE rn = 1)
+       |       GROUP BY sub, cid, pos),
+       |rc1 AS (SELECT sub, cid, list(cv_i ORDER BY pos) AS cv
+       |       FROM rm1 GROUP BY sub, cid),
+       |ra2 AS (SELECT vec_id, sub, cid,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY dist, cid) AS rn
+       |       FROM (SELECT rsv.vec_id, rsv.sub, rc1.cid,
+       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |                 i -> (rsv.sv[i] - rc1.cv[i]) * (rsv.sv[i] - rc1.cv[i]))) AS dist
+       |             FROM rsv JOIN rc1 ON rsv.sub = rc1.sub)),
+       |rcd AS (SELECT vec_id, sub, cid FROM ra2 WHERE rn = 1)""".stripMargin
+
+  /** The batched residual IVF-PQ probe — pqBatchTop with i75's levers:
+    * per-query top-nprobe learned cells restrict the codes scan (a
+    * literal partition filter over the batch's cell union, then the
+    * per-query cell join), the per-query 2,048-row integer ADC tables
+    * rank the residual codes map-side, and the per-(query, cell)
+    * centroid term re-bases scores across cells. Everything joined
+    * against the N-sized codes scan is broadcast (batch × constant).
+    * Returns the approx top-`n` (q_id, vec_id) survivors.
+    */
+  private[graft] def pqrBatchTop(s: SparkSession, idxDir: String,
+      centDir: String, qb: DataFrame, n: Int,
+      nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qcells = graft.ops.StreamOps.ivfBatchCells(s, centDir, qb, nprobe)
+      .withColumnRenamed("label", "cell")
+    val cells = qcells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ k cell ids
+    val qx = qb.select(col("q_id"), posexplode(col("qq")).as(Seq("p0", "qv")))
+      .withColumn("sub", expr(s"p0 DIV $PqDsub"))
+      .withColumn("pos", expr(s"p0 % $PqDsub"))
+    val dtq = s.read.parquet(pqrCbDir(idxDir))
+      .join(broadcast(qx), Seq("sub", "pos"))
+      .groupBy("q_id", "sub", "cid")
+      .agg(sum(col("cv_i") * col("qv")).as("ds"))
+    // per-(query, cell) centroid term from the k×64 artifact
+    val centI = s.read.parquet(centDir)
+      .select(col("label").as("cell"), col("pos").as("cp"),
+        round(col("c") * lit(1000.0), 0).cast(LongType).as("cv_i"))
+    val qfull = qb.select(col("q_id"), posexplode(col("qq")).as(Seq("cp", "qv")))
+    val cdot = centI.join(broadcast(qfull), Seq("cp"))
+      .groupBy("q_id", "cell").agg(sum(col("cv_i") * col("qv")).as("cd"))
+    s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(qcells), Seq("cell")) // each query scores its OWN cells
+      .join(broadcast(dtq), Seq("q_id", "sub", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id", "cell")
+      .agg(sum("ds").as("rds"))
+      .join(broadcast(cdot), Seq("q_id", "cell"))
+      .withColumn("approx_i", col("cd") + col("rds"))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("approx_i"), asc("vec_id"))))
+      .filter(col("rk") <= n)
+      .select("q_id", "vec_id")
+  }
+
+  /** The brute-force top-10 truth for the planted certification query
+    * set (vec_id ≡ 3 mod 101) — built ONCE per (sf, corpus) and
+    * PERSISTED (r11 verdict #7: the truth is an offline audit input,
+    * not part of the chain under test; rebuilding it inside every
+    * timed certification gate charged the bench ~8 s of brute force
+    * per round). i70/i72/i76 read these rows instead of recomputing
+    * them; the DuckDB oracles still derive the same truth closed-form,
+    * so the fixture stays hash-audited every round.
+    */
+  private[graft] def annCertTruthDir(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"ann_cert_truth_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      e.crossJoin(broadcast(qb))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "vec_id")
+        .write.mode("overwrite").parquet(dir)
+    }
+
+  /** i76: recall@10 certification of the RESIDUAL IVF-PQ index beside
+    * flat PQ — the i72 instrument pointed at the IVFADC rung, and the
+    * receipt the r11 verdict's #1 asked for: per planted query, the
+    * flat ADC top-50 (every code scanned, 16-codeword raw encode) and
+    * the residual cell-pruned top-50 (nprobe = 2 learned cells,
+    * 256-codeword residual encode) against ONE persisted brute-force
+    * truth. The residual side prunes 80% of the directories AND must
+    * beat the unpruned flat number — that inequality (spec-pinned) is
+    * what makes the composed index the production 100 TB shape as a
+    * cost+quality argument, not cost-only. Oracle: i70's flat chain +
+    * the pqrCteSql chain, one truth, aggregated per query.
+    */
+  val i76_ann_rivfpq_recall = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val pqIdx = pqWriteIndex(s, d)
+      val rIdx = pqrWriteIndex(s, d)
+      val cent = sq8IvfCentDir(sq8WriteIndexKmeans(s, d))
+      val e = t(s, d, "embeddings")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("qq"))
+        .localCheckpoint() // feeds both probes AND both re-ranks
+      def hits(stage1: DataFrame, name: String): DataFrame = stage1
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .join(broadcast(qb.select("q_id", "qvec")), "q_id")
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as(name))
+      val pqHits = hits(pqBatchTop(s.read.parquet(pqIdx),
+        s.read.parquet(pqCbDir(pqIdx)), qb, 50), "pq_hit")
+      val rHits = hits(pqrBatchTop(s, rIdx, cent, qb, 50), "rivfpq_hit")
+      s.read.parquet(annCertTruthDir(s, d))
+        .join(pqHits, Seq("q_id", "vec_id"), "left")
+        .join(rHits, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("pq_hit")), lit(0L)).as("n_hit_pq"),
+          coalesce(sum(col("rivfpq_hit")), lit(0L)).as("n_hit_rivfpq"))
+        .withColumn("recall_pq", round(col("n_hit_pq") / col("n_exact"), 6))
+        .withColumn("recall_rivfpq",
+          round(col("n_hit_rivfpq") / col("n_exact"), 6))
+        .select("q_id", "n_exact", "n_hit_pq", "recall_pq",
+          "n_hit_rivfpq", "recall_rivfpq")
+        .orderBy("q_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |$pqCteSql,
+       |$pqrCteSql,
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM embeddings WHERE vec_id % 101 = 3),
+       |dtq AS (SELECT qs.q_id, pm1.sub, pm1.cid,
+       |          sum(qs.qq[pm1.sub * $PqDsub + pm1.pos] * pm1.cv_i) AS ds
+       |        FROM pm1, qs GROUP BY 1, 2, 3),
+       |ap AS (SELECT dtq.q_id, cd.vec_id, sum(dtq.ds) AS approx_i
+       |       FROM cd JOIN dtq ON cd.sub = dtq.sub AND cd.cid = dtq.cid
+       |       WHERE cd.vec_id <> dtq.q_id GROUP BY 1, 2),
+       |pr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM ap) WHERE rk <= 50),
+       |rr AS (SELECT pr.q_id, pr.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |p AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM rr) WHERE rk <= 10),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |rdtq AS (SELECT qs.q_id, rm1.sub, rm1.cid,
+       |          sum(qs.qq[rm1.sub * $PqDsub + rm1.pos] * rm1.cv_i) AS ds
+       |        FROM rm1, qs GROUP BY 1, 2, 3),
+       |cdtq AS (SELECT qs.q_id, c1.cid AS cell,
+       |          list_sum(list_transform(range(1, len(c1.cv) + 1),
+       |            i -> qs.qq[i] * c1.cv[i])) AS cd
+       |        FROM c1, qs),
+       |apr AS (SELECT rdtq.q_id, rcd.vec_id, cdtq.cd + sum(rdtq.ds) AS approx_i
+       |        FROM rcd JOIN rdtq ON rcd.sub = rdtq.sub AND rcd.cid = rdtq.cid
+       |             JOIN cellkm ON cellkm.vec_id = rcd.vec_id
+       |             JOIN qc ON qc.q_id = rdtq.q_id AND qc.label = cellkm.cid
+       |             JOIN cdtq ON cdtq.q_id = rdtq.q_id AND cdtq.cell = cellkm.cid
+       |        WHERE rcd.vec_id <> rdtq.q_id
+       |        GROUP BY rdtq.q_id, rcd.vec_id, cdtq.cd),
+       |pr2 AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM apr) WHERE rk <= 50),
+       |rr2 AS (SELECT pr2.q_id, pr2.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr2 JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |p2 AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM rr2) WHERE rk <= 10),
+       |bf AS (SELECT qs.q_id, e.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM embeddings e, qs WHERE e.vec_id <> qs.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10)
+       |SELECT bfr.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(p.vec_id) AS BIGINT) AS n_hit_pq,
+       |  round(count(p.vec_id) * 1.0 / count(*), 6) AS recall_pq,
+       |  CAST(count(p2.vec_id) AS BIGINT) AS n_hit_rivfpq,
+       |  round(count(p2.vec_id) * 1.0 / count(*), 6) AS recall_rivfpq
+       |FROM bfr
+       |LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
+       |LEFT JOIN p2 ON bfr.q_id = p2.q_id AND bfr.vec_id = p2.vec_id
+       |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
 
   /** i9: fused text+vector query — filter documents by text predicate, rank
     * by similarity to a query vector (multimodal enrichment shape).
@@ -3601,6 +4016,8 @@ object LlmOps {
     "i71_sim_ann_ivfpq" -> i71_sim_ann_ivfpq,
     "i72_ann_ivfpq_recall" -> i72_ann_ivfpq_recall,
     "i73_sim_ann_filtered" -> i73_sim_ann_filtered,
+    "i75_sim_ann_ivfpq_residual" -> i75_sim_ann_ivfpq_residual,
+    "i76_ann_rivfpq_recall" -> i76_ann_rivfpq_recall,
     "i74_ann_tombstone" -> i74_ann_tombstone,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,

@@ -1036,8 +1036,13 @@ object StreamOps {
   def pqIvfBatchStage1(s: SparkSession, idxDir: String, cbDir: String,
       centDir: String, qb: DataFrame, nprobe: Int = 2): DataFrame = {
     import graft.ops.LlmOps.{PqDsub => D}
+    // centroid artifact names the cell id `label` (shared with the SQ8
+    // index); the IVF-PQ codes artifact names it `cell` (its `label`
+    // slot is reserved for embedding metadata — r11 ADVICE). Rename at
+    // the seam so the join below cannot confuse the two.
     val qcells = ivfBatchCells(s, centDir, qb, nprobe)
-    val cells = qcells.select("label").distinct()
+      .withColumnRenamed("label", "cell")
+    val cells = qcells.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty)
       return qb.select(col("q_id"), col("q_id").as("vec_id"), col("qvec"))
@@ -1052,10 +1057,10 @@ object StreamOps {
     val dtq = s.read.parquet(cbDir).join(broadcast(qx), Seq("sub", "pos"))
       .groupBy("q_id", "sub", "cid")
       .agg(sum(col("cv_i") * col("qv")).as("ds"))
-    s.read.parquet(idxDir).filter(col("label").isin(cells: _*))
-      .select(col("vec_id"), col("label"),
+    s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
-      .join(broadcast(qcells), Seq("label")) // each query scores its OWN cells
+      .join(broadcast(qcells), Seq("cell")) // each query scores its OWN cells
       .join(broadcast(dtq), Seq("q_id", "sub", "cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")

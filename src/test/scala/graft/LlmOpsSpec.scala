@@ -1323,12 +1323,85 @@ class LlmOpsSpec extends SparkTestBase {
     // every vector carries its PARENT cell and its PARENT codes —
     // the relayout may not retrain or re-encode anything
     assert(ivfpq.join(km.select(col("vec_id"), col("label").as("kml")), "vec_id")
-      .filter(col("label") =!= col("kml")).count() == 0, "cell drift")
+      .filter(col("cell") =!= col("kml")).count() == 0, "cell drift")
     assert(ivfpq.join(pq.select(col("vec_id"), col("codes").as("pqc")), "vec_id")
       .filter(col("codes") =!= col("pqc")).count() == 0, "code drift")
     val out = LlmOps.i71_sim_ann_ivfpq.fn(spark, sfDir).collect()
     assert(out.length == 10)
     val sims = out.map(_.getDouble(2)).toSeq
     assert(sims == sims.sorted.reverse, "rerank order broken")
+  }
+
+  test("i75: residual index recovers EXACT integer centroids and encodes true residuals") {
+    import org.apache.spark.sql.functions._
+    val kmIdx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
+    // the round(c·1000) recovery must reproduce lloydModel's integer
+    // centroids bit-for-bit (the exactness argument in kmCentIntArrays)
+    val kept = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("maxabs", LlmOps.sqMaxAbs).filter(col("maxabs") > 0)
+    val (_, m1) = graft.ops.CorpusOps.lloydModel(kept, 10)
+    val truth = m1.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val recovered = LlmOps.kmCentIntArrays(spark, kmIdx).collect()
+      .flatMap(r => r.getSeq[Long](1).zipWithIndex.map { case (v, p) =>
+        (r.getInt(0).toLong, p) -> v })
+    // restrict to live cells (the artifact drops collapsed ones)
+    assert(recovered.nonEmpty && recovered.forall { case (k, v) => truth(k) == v },
+      "round(c*1000) failed to recover the integer centroid exactly")
+    // the persisted codes are the PQ encode of (qv − centroid(cell))
+    val idx = LlmOps.pqrWriteIndex(spark, sfDir)
+    val codes = spark.read.parquet(idx)
+    assert(codes.schema.fieldNames.sorted.toSeq ==
+      Seq("cell", "codes", "label", "vec_id"))
+    assert(codes.count() == spark.read.parquet(kmIdx).count(),
+      "residual index domain must equal the cell model's")
+    // every vector's cell matches the parent k-means assignment
+    val km = spark.read.parquet(kmIdx).select(col("vec_id"), col("label").as("kml"))
+    assert(codes.join(km, "vec_id").filter(col("cell") =!= col("kml")).count() == 0)
+    val out = LlmOps.i75_sim_ann_ivfpq_residual.fn(spark, sfDir).collect()
+    assert(out.length == 10)
+    val sims = out.map(_.getDouble(2)).toSeq
+    assert(sims == sims.sorted.reverse, "rerank order broken")
+    assert(!out.map(_.getLong(0)).contains(7L), "query id leaked into results")
+  }
+
+  test("i76: residual encoding never loses to raw encoding at the same nprobe") {
+    val r = LlmOps.i76_ann_rivfpq_recall.fn(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(4)))
+    assert(r.nonEmpty)
+    r.foreach { case (q, ne, hp, hr) =>
+      assert(q % 101 == 3 && ne == 10)
+      assert(hp >= 0 && hp <= ne && hr >= 0 && hr <= ne)
+    }
+    // THE r12 claim (measured 0.52 vs 0.52 at sf0.001, 0.40 vs 0.38 at
+    // sf0.01, 0.42 vs 0.28 at sf0.1): the residual-encoded pruned chain's
+    // micro recall is never below the raw-encoded one (i72's) on the
+    // same truth — a regression here means the IVFADC rung stopped
+    // paying for itself
+    val raw = LlmOps.i72_ann_ivfpq_recall.fn(spark, sfDir).collect()
+      .map(x => x.getLong(4)).sum
+    val res = r.map(_._4).sum
+    assert(res >= raw,
+      s"residual IVF-PQ hits ($res) fell below raw IVF-PQ hits ($raw)")
+  }
+
+  test("annCertTruthDir: the persisted truth equals the inline brute force") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val qb = e.filter(col("vec_id") % 101 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val inline = e.crossJoin(broadcast(qb))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val persisted = spark.read.parquet(LlmOps.annCertTruthDir(spark, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted == inline,
+      "cached certification truth diverges from brute force")
   }
 }

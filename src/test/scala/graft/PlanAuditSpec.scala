@@ -170,10 +170,13 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     val dir = LlmOps.pqIvfWriteIndex(spark, sfDir)
     val codes = spark.read.parquet(dir)
+    // the cell id is `cell`, NOT `label` — `label` is the i69 codes
+    // artifact's METADATA column (i73's filter target); the two
+    // artifacts must not share a name for different meanings
     assert(codes.schema.fieldNames.sorted.toSeq ==
-      Seq("codes", "label", "vec_id"))
+      Seq("cell", "codes", "vec_id"))
     val stage1 = LlmOps.pqCodesTop(
-      codes.filter(col("label").isin(0, 1)),
+      codes.filter(col("cell").isin(0, 1)),
       LlmOps.pqAdcLit(spark, LlmOps.pqWriteIndex(spark, sfDir),
         LlmOps.pqQueryGrid(spark, sfDir, 7L)), 50, 7L)
     val plan = stage1.queryExecution.executedPlan.toString
@@ -186,7 +189,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && {
       val pf = plan.substring(plan.indexOf("PartitionFilters"))
         .takeWhile(_ != ']')
-      pf.contains("label")
+      pf.contains("cell")
+    }, s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
+  }
+
+  test("i75 stage 1: partition-pruned residual codes, cell term a LITERAL, no float path") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    val dir = LlmOps.pqrWriteIndex(spark, sfDir)
+    val codes = spark.read.parquet(dir)
+    assert(codes.schema.fieldNames.sorted.toSeq ==
+      Seq("cell", "codes", "label", "vec_id"))
+    val kmIdx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
+    val qq = LlmOps.pqQueryGrid(spark, sfDir, 7L)
+    val stage1 = LlmOps.codesTopK(
+      codes.filter(col("cell").isin(0, 1)),
+      LlmOps.adcLitFrom(spark, LlmOps.pqrCbDir(dir), qq, LlmOps.PqrK),
+      50, 7L, LlmOps.PqrK,
+      cellTerm = element_at(
+        typedLit(LlmOps.cellDotMap(spark, kmIdx, qq, Seq(0, 1))), col("cell")))
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("i75_rivfpq"),
+      "stage 1 must scan the persisted residual IVF-PQ dir")
+    // ADC table AND the per-cell centroid terms are literals built from
+    // constant-size artifacts: no codebook scan, no centroid scan, no
+    // float path anywhere under the approx cut
+    assert(!plan.contains("embedding") && !plan.contains("_cb") &&
+      !plan.contains("_cent"),
+      s"stage-1 plan touches a non-codes table:\n${plan.take(1200)}")
+    assert(plan.contains("PartitionFilters") && {
+      val pf = plan.substring(plan.indexOf("PartitionFilters"))
+        .takeWhile(_ != ']')
+      pf.contains("cell")
     }, s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
   }
 }

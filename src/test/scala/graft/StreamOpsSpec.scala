@@ -438,7 +438,7 @@ class StreamOpsSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && {
       val pf = plan.substring(plan.indexOf("PartitionFilters"))
         .takeWhile(_ != ']')
-      pf.contains("label")
+      pf.contains("cell")
     }, s"batch cell probe did not plan as a partition filter:\n${plan.take(1500)}")
     assert(!plan.contains("embeddings.parquet"),
       s"stage-1 batch plan scans the float corpus:\n${plan.take(1500)}")
@@ -480,7 +480,7 @@ class StreamOpsSpec extends SparkTestBase {
     val qcells = StreamOps.ivfBatchCells(spark, cent, qs, 2)
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     val cellOf = spark.read.parquet(idx)
-      .select("vec_id", "label").collect()
+      .select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     val s1 = StreamOps.pqIvfBatchStage1(spark, idx, cb, cent, qs)
       .select("q_id", "vec_id").collect()
@@ -506,7 +506,7 @@ class StreamOpsSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && {
       val pf = plan.substring(plan.indexOf("PartitionFilters"))
         .takeWhile(_ != ']')
-      pf.contains("label")
+      pf.contains("cell")
     }, s"batch cell probe did not plan as a partition filter:\n${plan.take(1500)}")
     assert(!plan.contains("embeddings.parquet"),
       s"stage-1 batch plan scans the float corpus:\n${plan.take(1500)}")
