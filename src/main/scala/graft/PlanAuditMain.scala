@@ -142,7 +142,12 @@ object PlanAudit {
     // is |queries| regardless of hit values, so both probe chains prune
     // under a bare count (audit: joins 13->0, aggs 6->1, windows 4->0,
     // generates 5->0); the _forced row times the dual certification
-    "i76_ann_rivfpq_recall")
+    "i76_ann_rivfpq_recall",
+    // i77 (r12): the profile counts to |cells| regardless of n_live, so
+    // the inner pre/post join prunes one side under a bare count
+    // (audit: joins 2->1); the _forced row times the full measured
+    // lifecycle profile
+    "i77_ann_compaction")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

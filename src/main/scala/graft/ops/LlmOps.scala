@@ -2333,6 +2333,141 @@ object LlmOps {
        |FROM embeddings e JOIN r USING (vec_id), qq
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 
+  // -------- tombstone compaction (i77) --------------------------------------
+
+  /** The i77 deletion log: a DISCOVERED near-duplicate cluster — the
+    * top-60 vectors by similarity to vector 7 (ties by vec_id) — the
+    * realistic delete shape (dedup sweeps and takedowns remove
+    * content-correlated sets, and content-correlated sets concentrate
+    * in few Voronoi cells — exactly what makes threshold-triggered
+    * per-cell compaction pay: a handful of cells go dirty, the rest
+    * stay clean). The cluster size scales with the corpus (max(60,
+    * n/10) — a constant duplication RATE, the realistic invariant), so
+    * the fixture stays non-vacuous at every SF. Bounded and exactly
+    * mirrored by the oracle.
+    */
+  private[graft] def i77Tombstones(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val n = math.max(60L, e.count() / 10L).toInt
+    e.filter(col("vec_id") =!= 7)
+      .withColumn("sim", round(dot(col("embedding"), sq8QueryVec(s, d, 7L)), 6))
+      .orderBy(desc("sim"), asc("vec_id")).limit(n)
+      .select("vec_id")
+  }
+
+  /** Tombstone fraction above which a cell is rewritten. */
+  private[graft] val CompactionTau = 0.10
+
+  /** Execute the compaction policy i74 documents: per cell, if
+    * tombstoned/total > tau, REWRITE that cell's partition with live
+    * rows only — via dynamic partition overwrite, the Spark-native
+    * in-place partition replacement, so clean cells' files are
+    * byte-untouched (spec-pinned) and the write cost is ∝ the dirty
+    * cells, not the index. Returns the per-cell plan that was executed
+    * (cell, n_before, n_tomb, compacted). Tombstones of compacted
+    * cells are thereby PHYSICALLY applied and must be truncated from
+    * the side table by the caller (the gate emits n_tomb_active = 0
+    * for them).
+    */
+  private[graft] def compactCells(s: SparkSession, idxDir: String,
+      tomb: DataFrame, tau: Double): DataFrame = {
+    val codes = s.read.parquet(idxDir)
+    val plan = codes
+      .join(broadcast(tomb.withColumn("dead", lit(1L))), Seq("vec_id"), "left")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_before"),
+        coalesce(sum(col("dead")), lit(0L)).as("n_tomb"))
+      .withColumn("compacted", col("n_tomb") > col("n_before") * lit(tau))
+      .localCheckpoint() // read for the dirty-cell filter AND returned
+    val dirty = plan.filter(col("compacted")).select("cell")
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ k cells
+    if (dirty.nonEmpty)
+      codes.filter(col("cell").isin(dirty: _*)) // partition-pruned read
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic") // replace ONLY dirty cells
+        .partitionBy("cell").parquet(idxDir)
+    plan
+  }
+
+  /** i77: tombstone COMPACTION — completes the delete lifecycle i74
+    * opened (i74's Scaladoc documents the policy; THIS op executes it):
+    * when a cell's tombstone fraction crosses `CompactionTau`, that
+    * cell's partition is rewritten live-rows-only via dynamic partition
+    * overwrite and its tombstones are truncated from the side table;
+    * clean cells keep their files byte-for-byte (spec-pinned) and their
+    * tombstones stay probe-side. Codes are NOT re-derived — the
+    * codebook is immutable, so dropping dead rows is a pure layout
+    * change and probe results over (compacted index + remaining
+    * tombstones) are row-identical to (base index + full tombstones),
+    * spec-pinned. The gate emits the per-cell lifecycle profile
+    * MEASURED from the compacted artifact (n_live counts what the
+    * rewrite actually left), which must hash-match the closed-form
+    * oracle — a wrong rewrite cannot hash green. At 100 TB: profile =
+    * one map-side count per cell, rewrite cost ∝ dirty cells.
+    * Oracle: lloydCteSql cells + the top-60 tombstone mirror,
+    * aggregated per cell.
+    */
+  val i77_ann_compaction = OpQuery(
+    (s, d) => {
+      val idx = graft.Util.fixtureOnce(
+        s"i77_compact_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { out =>
+        // private base copy of the i71 artifact (i77 mutates it), then
+        // ONE compaction pass — build-once so reps and the profile read
+        // a deterministic post-compaction state
+        s.read.parquet(pqIvfWriteIndex(s, d))
+          .write.mode("overwrite").partitionBy("cell").parquet(out)
+        compactCells(s, out, i77Tombstones(s, d), CompactionTau)
+      }
+      val tomb = i77Tombstones(s, d)
+      // pre-state from the IMMUTABLE parent (the i71 artifact)
+      val pre = s.read.parquet(pqIvfWriteIndex(s, d))
+        .join(broadcast(tomb.withColumn("dead", lit(1L))), Seq("vec_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_before"),
+          coalesce(sum(col("dead")), lit(0L)).as("n_tomb"))
+      // post-state MEASURED from the compacted artifact
+      val post = s.read.parquet(idx)
+        .groupBy("cell").agg(count(lit(1)).as("n_live"))
+      pre.join(post, "cell")
+        .withColumn("frac_micro",
+          floor(col("n_tomb") * lit(1000000L) / col("n_before")).cast(LongType))
+        .withColumn("compacted",
+          col("n_tomb") > col("n_before") * lit(CompactionTau))
+        .withColumn("n_tomb_active",
+          when(col("compacted"), lit(0L)).otherwise(col("n_tomb")))
+        .select(col("cell").cast(LongType).as("cell"), col("n_before"),
+          col("n_tomb"), col("frac_micro"), col("compacted"),
+          col("n_live"), col("n_tomb_active"))
+        .orderBy("cell")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+       |tomb AS (SELECT vec_id FROM (
+       |    SELECT e.vec_id, row_number() OVER (
+       |      ORDER BY round(${dotSql("e.embedding", "qv.qvec")}, 6) DESC,
+       |               e.vec_id) AS rk
+       |    FROM embeddings e, qv WHERE e.vec_id <> 7)
+       |  WHERE rk <= greatest(60, (SELECT count(*) FROM embeddings) // 10)),
+       |prof AS (
+       |  SELECT cellkm.cid AS cell,
+       |    CAST(count(*) AS BIGINT) AS n_before,
+       |    CAST(count(tomb.vec_id) AS BIGINT) AS n_tomb
+       |  FROM cellkm LEFT JOIN tomb USING (vec_id)
+       |  GROUP BY 1)
+       |SELECT CAST(cell AS BIGINT) AS cell, n_before, n_tomb,
+       |  CAST(floor(n_tomb * 1000000.0 / n_before) AS BIGINT) AS frac_micro,
+       |  n_tomb > n_before * $CompactionTau AS compacted,
+       |  CASE WHEN n_tomb > n_before * $CompactionTau
+       |       THEN n_before - n_tomb ELSE n_before END AS n_live,
+       |  CASE WHEN n_tomb > n_before * $CompactionTau
+       |       THEN CAST(0 AS BIGINT) ELSE n_tomb END AS n_tomb_active
+       |FROM prof ORDER BY cell""".stripMargin)
+
   /** i72: recall@10 of the COMPOSED IVF-PQ index beside flat PQ — the
     * certification that completes the r11 matrix (i65/i66 label cells,
     * i67 learned cells, i70 flat PQ, THIS the composition i71 serves):
@@ -4018,6 +4153,7 @@ object LlmOps {
     "i73_sim_ann_filtered" -> i73_sim_ann_filtered,
     "i75_sim_ann_ivfpq_residual" -> i75_sim_ann_ivfpq_residual,
     "i76_ann_rivfpq_recall" -> i76_ann_rivfpq_recall,
+    "i77_ann_compaction" -> i77_ann_compaction,
     "i74_ann_tombstone" -> i74_ann_tombstone,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,

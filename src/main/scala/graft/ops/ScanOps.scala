@@ -1665,12 +1665,23 @@ object ScanOps {
     */
   private[graft] val CompactMaxRecordsPerFile = 500000
 
+  /** The 64-way fragmented INPUT — the problem a15 fixes — as build-once
+    * scaffolding (the r8 verdict #7 fixtureOnce convention): the gated
+    * op is the COMPACTION; re-synthesizing the pathological input inside
+    * every timed rep charged the gate a 64-file write per rep (the
+    * r10→r11 a15 cost drift, adjudicated in PERF.md §r12).
+    */
+  private[graft] def a15FragDir(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"a15_fragmented_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .repartition(64).write.mode("overwrite").parquet(dir)
+    }
+
   val a15_compact_files = OpQuery(
     (s, d) => {
-      val frag = graft.Util.scratch("a15_fragmented")
+      val frag = a15FragDir(s, d)
       val compact = graft.Util.scratch("a15_compacted")
-      val src = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
-      src.repartition(64).write.mode("overwrite").parquet(frag) // the problem
       s.read.parquet(frag)
         .coalesce(4) // no shuffle: merges splits
         .write.mode("overwrite")

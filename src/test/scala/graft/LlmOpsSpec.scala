@@ -1384,6 +1384,64 @@ class LlmOpsSpec extends SparkTestBase {
       s"residual IVF-PQ hits ($res) fell below raw IVF-PQ hits ($raw)")
   }
 
+  test("i77: compaction conserves the live set, leaves clean cells byte-untouched, probes identically") {
+    import org.apache.spark.sql.functions._
+    // a PRIVATE base copy (the gate's fixture already ran compaction on
+    // its own copy; this test needs the pre-state)
+    val base = graft.Util.scratch("i77_spec_base")
+    spark.read.parquet(LlmOps.pqIvfWriteIndex(spark, sfDir))
+      .write.mode("overwrite").partitionBy("cell").parquet(base)
+    val tomb = LlmOps.i77Tombstones(spark, sfDir).localCheckpoint()
+    val preRows = spark.read.parquet(base)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    def cellFiles(cell: Int) = {
+      val dir = new java.io.File(base, s"cell=$cell")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.length(), f.lastModified())).toSet
+    }
+    val plan0 = LlmOps.compactCells(spark, base, tomb, LlmOps.CompactionTau)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val (dirty, clean) = plan0.partition(_._4)
+    assert(dirty.nonEmpty && clean.nonEmpty,
+      s"fixture vacuous: ${dirty.length} dirty / ${clean.length} clean cells")
+    val preFiles = clean.map(c => c._1 -> cellFiles(c._1)).toMap
+    // conservation: post-compaction rows = pre rows minus (tombstones in
+    // dirty cells); codes and cells of survivors unchanged
+    val tombSet = tomb.collect().map(_.getLong(0)).toSet
+    val dirtySet = dirty.map(_._1).toSet
+    val expected = preRows.filterNot { case (v, c, _) =>
+      dirtySet.contains(c) && tombSet.contains(v) }
+    val postRows = spark.read.parquet(base)
+      .select("vec_id", "cell", "codes").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(postRows == expected, "compaction changed the live set")
+    // clean cells' files: same names, sizes AND mtimes — byte-untouched
+    clean.foreach { c =>
+      assert(cellFiles(c._1) == preFiles(c._1),
+        s"clean cell ${c._1}'s files were rewritten")
+    }
+    // probe equivalence: (compacted + remaining tombstones) must return
+    // exactly what (base + full tombstones) returns — i74's guarantee
+    // survives compaction. Remaining tombstones = those in clean cells.
+    val qq = LlmOps.pqQueryGrid(spark, sfDir, 7L)
+    val adc = LlmOps.pqAdcLit(spark, LlmOps.pqWriteIndex(spark, sfDir), qq)
+    val remaining = tomb.join(
+      spark.read.parquet(base).select("vec_id"), Seq("vec_id"), "left_semi")
+    val viaCompacted = LlmOps.pqCodesTop(
+      spark.read.parquet(base)
+        .join(broadcast(remaining), Seq("vec_id"), "left_anti"),
+      adc, 50, 7L).collect().map(_.getLong(0)).toSeq
+    val viaBase = LlmOps.pqCodesTop(
+      spark.read.parquet(LlmOps.pqIvfWriteIndex(spark, sfDir))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+      adc, 50, 7L).collect().map(_.getLong(0)).toSeq
+    assert(viaCompacted == viaBase,
+      "probe over compacted index diverges from probe over base + tombstones")
+  }
+
   test("annCertTruthDir: the persisted truth equals the inline brute force") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

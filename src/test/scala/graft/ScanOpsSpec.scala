@@ -48,15 +48,16 @@ class ScanOpsSpec extends SparkTestBase {
 
   test("a15 compaction: many files in, few files out, bytes unchanged") {
     ScanOps.a15_compact_files.fn(spark, sfDir).count() // runs the compaction
-    def parts(p: String) = new java.io.File(graft.Util.scratch(p))
+    val fragDir = ScanOps.a15FragDir(spark, sfDir)
+    def partsAt(p: String) = new java.io.File(p)
       .listFiles().count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-    val before = parts("a15_fragmented")
-    val after = parts("a15_compacted")
+    val before = partsAt(fragDir)
+    val after = partsAt(graft.Util.scratch("a15_compacted"))
     // Bounds derived from the data, not the fixture SF: repartition(64) may
     // skip empty partitions at tiny SFs, and maxRecordsPerFile=500000 splits
     // the 4 coalesced partitions into more files once orders outgrows ~2M
     // rows — the exact-64 / ≤4 constants only held at the gate SF.
-    val rows = spark.read.parquet(graft.Util.scratch("a15_fragmented")).count()
+    val rows = spark.read.parquet(fragDir).count()
     val perFile = graft.ops.ScanOps.CompactMaxRecordsPerFile
     val maxAfter = 4 * math.ceil(rows / (4.0 * perFile)).toInt
     assert(before >= 32, s"fragmentation fixture wrote only $before files")
