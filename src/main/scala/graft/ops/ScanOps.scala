@@ -1714,6 +1714,81 @@ object ScanOps {
     """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
       |ORDER BY l_orderkey, l_linenumber""".stripMargin)
 
+  /** a37 fixture: the point-FETCH table layout — lineitem hash-
+    * distributed on l_linenumber so every file (and every row group)
+    * spans essentially the full l_orderkey range: min/max stats cannot
+    * prune a point predicate (a16's lever is useless here), dictionary
+    * encoding is OFF for the key (production high-cardinality keys
+    * outgrow dict pages anyway — and dict filtering would mask what the
+    * bloom filter contributes), row groups are small so pruning is
+    * observable at fixture scale, and `parquet.bloom.filter.enabled` is
+    * ON for l_orderkey. A no-bloom twin is written for the spec's A/B:
+    * same rows, same layout, only the footer bloom differs. The 1-row
+    * probe-key table (max l_orderkey) is written beside them so the
+    * gate's plan is a bounded key fetch + the point scan — never a
+    * corpus aggregate.
+    */
+  private[graft] def a37BloomDirs(s: SparkSession,
+      d: String): (String, String, String) = {
+    val base = graft.Util.fixtureOnce(
+      s"a37_bloom_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      val li = t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .repartition(8, col("l_orderkey")) // key-hashed: a key lives in ONE file
+      def write(path: String, bloom: Boolean): Unit = {
+        val w = li.write.mode("overwrite")
+          .option("parquet.enable.dictionary", "false")
+          .option("parquet.block.size", 4096) // many groups even at sf0.001
+        (if (bloom) w
+          .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+          // per-ROW-GROUP distinct count (groups hold a few hundred
+          // rows here); sizing the bloom to it keeps the footer small —
+          // an unset NDV lets parquet-mr fall back to max-bytes blooms
+          .option("parquet.bloom.filter.expected.ndv#l_orderkey", "256")
+         else w).parquet(path)
+      }
+      write(s"$dir/bloom", bloom = true)
+      write(s"$dir/nobloom", bloom = false)
+      // the probe key is INTERIOR (largest key ≤ the min/max midpoint):
+      // probing an extreme value would let plain min/max stats prune
+      // every other row group and mask the bloom's contribution
+      val mm = li.agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .head()
+      li.filter(col("l_orderkey") <= (mm.getLong(0) + mm.getLong(1)) / 2)
+        .agg(max("l_orderkey").as("k")).write.mode("overwrite")
+        .parquet(s"$dir/key")
+    }
+    (s"$base/bloom", s"$base/nobloom", s"$base/key")
+  }
+
+  /** a37: bloom-filtered point fetch — the scan lever for the lookup
+    * shape min/max stats CANNOT serve: a point predicate on a
+    * high-cardinality key over an unsorted layout (the ANN re-rank
+    * fetch, `WHERE vec_id IN (...50 ids)`, is exactly this). The key's
+    * parquet bloom filter is written at build time; at read, the pushed
+    * equality predicate consults the footer blooms and DROPS whole row
+    * groups that cannot contain the key — ScanOpsSpec measures the scan
+    * node's numOutputRows against the no-bloom twin (row groups
+    * actually dropped, the a16 disjointness-receipt pattern). At 100 TB
+    * this is the difference between a point fetch reading ~1 row group
+    * and reading the table. Oracle: the same point lookup on the source
+    * rows.
+    */
+  val a37_bloom_fetch = OpQuery(
+    (s, d) => {
+      val (bloomDir, _, keyDir) = a37BloomDirs(s, d)
+      val k = s.read.parquet(keyDir).head().getLong(0) // 1-row bounded
+      s.read.parquet(bloomDir)
+        .filter(col("l_orderkey") === k)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_linenumber")
+    },
+    """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      |WHERE l_orderkey = (
+      |  SELECT max(l_orderkey) FROM lineitem WHERE l_orderkey <=
+      |    (SELECT (min(l_orderkey) + max(l_orderkey)) // 2 FROM lineitem))
+      |ORDER BY l_linenumber""".stripMargin)
+
   /** a21: Z-order (Morton) multi-dimensional layout — the data-skipping
     * write for queries that filter on TWO independent keys, where a16's
     * single-key sort can prune only one: quantize each dimension to a
@@ -1944,6 +2019,7 @@ object ScanOps {
     "a14_orc_source" -> a14_orc_source,
     "a15_compact_files" -> a15_compact_files,
     "a16_sorted_layout" -> a16_sorted_layout,
+    "a37_bloom_fetch" -> a37_bloom_fetch,
     "a9_sink_bucketed" -> a9_sink_bucketed,
     "a10_fits_ascii_source" -> a10_fits_ascii_source,
     "a11_fits_varlen_source" -> a11_fits_varlen_source,

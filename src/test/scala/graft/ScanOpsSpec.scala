@@ -65,6 +65,54 @@ class ScanOpsSpec extends SparkTestBase {
     assert(after < before, s"compaction did not reduce file count ($before -> $after)")
   }
 
+  test("a37 bloom fetch: footer blooms DROP row groups the no-bloom twin must read") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (bloomDir, nobloomDir, keyDir) = ScanOps.a37BloomDirs(spark, sfDir)
+    val k = spark.read.parquet(keyDir).head().getLong(0)
+    // the scan node's numOutputRows counts rows surviving parquet-side
+    // pruning (row groups + pages), BEFORE Spark's Filter node — the
+    // direct receipt of what the footer bloom dropped
+    def scanRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(col("l_orderkey") === k)
+      // execute THIS QueryExecution (a .count() would plan its own and
+      // leave these metrics at zero)
+      val n = df.collect().length.toLong
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case s: FileSourceScanExec => s }
+        .getOrElse(fail("no FileSourceScanExec in the point-lookup plan"))
+      (n, scan.metrics("numOutputRows").value)
+    }
+    // both footers carry what they claim: bloom present/absent
+    def hasBloom(dir: String): Boolean = {
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val f = new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length() > 1024)
+        .minBy(_.getName) // skip empty-partition stubs (no row groups)
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val block = r.getFooter.getBlocks.get(0)
+        val col = block.getColumns.asScala
+          .find(_.getPath.toDotString == "l_orderkey").get
+        r.getBloomFilterDataReader(block).readBloomFilter(col) != null
+      } finally r.close()
+    }
+    assert(hasBloom(bloomDir), "bloom table footer has no bloom filter")
+    assert(!hasBloom(nobloomDir), "no-bloom twin unexpectedly carries a bloom")
+    val (nBloom, scanBloom) = scanRows(bloomDir)
+    val (nPlain, scanPlain) = scanRows(nobloomDir)
+    assert(nBloom == nPlain && nBloom >= 1, "twins disagree on the result")
+    // non-vacuous: the no-bloom twin reads past its matches (unsorted
+    // layout, min/max useless), the bloom twin reads strictly less
+    assert(scanPlain > nPlain,
+      s"fixture vacuous: no-bloom scan already minimal ($scanPlain rows)")
+    assert(scanBloom < scanPlain,
+      s"bloom did not prune: scan rows $scanBloom vs $scanPlain")
+  }
+
   test("a16 sorted layout: per-file key ranges are disjoint") {
     ScanOps.a16_sorted_layout.fn(spark, sfDir).count() // writes the layout
     val ranges = spark.read.parquet(graft.Util.scratch("a16_sorted"))
