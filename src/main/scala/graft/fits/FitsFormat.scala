@@ -475,6 +475,30 @@ object FitsFormat {
       if (lo > hi) None else Some((lo - 1, hi - 1)) // back to 0-based
     }
 
+    /** CD-matrix WCS (CDi_j cards — the rotated-frame convention real
+      * survey products carry; PC + CDELT composes to the same matrix),
+      * optionally behind a gnomonic projection (CTYPE RA---TAN /
+      * DEC--TAN): present only when all four CD cards + both reference
+      * cards parse (the same partial-WCS refusal rule as the linear
+      * path). A mixed CTYPE pair (one TAN, one not) is malformed →
+      * None, never a guess.
+      */
+    private[fits] def cdTanOf(cards: Map[String, String]): Option[CdTanWcs] = {
+      def num(key: String): Option[Double] =
+        cards.get(key).flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      def isTan(key: String): Boolean =
+        cards.get(key).exists(_.replace("'", "").trim.endsWith("-TAN"))
+      val t1 = isTan("CTYPE1"); val t2 = isTan("CTYPE2")
+      if (t1 != t2) None
+      else for {
+        p1 <- num("CRPIX1"); v1 <- num("CRVAL1")
+        p2 <- num("CRPIX2"); v2 <- num("CRVAL2")
+        c11 <- num("CD1_1"); c12 <- num("CD1_2")
+        c21 <- num("CD2_1"); c22 <- num("CD2_2")
+        if c11 * c22 - c12 * c21 != 0.0 // singular matrix = malformed
+      } yield CdTanWcs(p1, v1, p2, v2, c11, c12, c21, c22, t1)
+    }
+
     /** The six linear cards, when ALL are present AND numeric (partial
       * or malformed WCS = none: a cutout service must not guess missing
       * axes — and a junk CRPIX value must degrade the ADVISORY metadata
@@ -495,9 +519,75 @@ object FitsFormat {
     }
   }
 
+  /** CD-matrix WCS with optional gnomonic (TAN) projection: the
+    * pixel→world map is world = project(CD · (p − CRPIX)) with p
+    * 1-BASED; the inverse applies the exact adjugate/det matrix
+    * inverse (dyadic-exact on the planted rotation fixtures — the a34
+    * argument extended to non-axis-aligned frames). TAN follows the
+    * standard gnomonic forms (intermediate coordinates in DEGREES);
+    * trig is correctly-rounded-ish libm on both engines, so TAN
+    * consumers must keep their integer cuts away from pixel-center
+    * boundaries (a39 plants quarter-pixel request corners; the spec
+    * asserts the margin).
+    */
+  final case class CdTanWcs(crpix1: Double, crval1: Double,
+      crpix2: Double, crval2: Double,
+      cd11: Double, cd12: Double, cd21: Double, cd22: Double,
+      tan: Boolean) {
+    private val det = cd11 * cd22 - cd12 * cd21
+    /** World coordinates of the 0-based FRACTIONAL pixel (x, y). */
+    def worldAt(x: Double, y: Double): (Double, Double) = {
+      val dx = x + 1 - crpix1
+      val dy = y + 1 - crpix2
+      val xi = cd11 * dx + cd12 * dy
+      val eta = cd21 * dx + cd22 * dy
+      if (!tan) (crval1 + xi, crval2 + eta) else tanToSky(xi, eta)
+    }
+    /** World coordinates of 0-based pixel (x, y)'s center. */
+    def world(x: Long, y: Long): (Double, Double) =
+      worldAt(x.toDouble, y.toDouble)
+    /** FRACTIONAL 1-based pixel of a world position (the inverse). */
+    def pix(w1: Double, w2: Double): (Double, Double) = {
+      val (xi, eta) = if (!tan) (w1 - crval1, w2 - crval2)
+        else skyToTan(w1, w2)
+      val dx = (cd22 * xi - cd12 * eta) / det
+      val dy = (-cd21 * xi + cd11 * eta) / det
+      (crpix1 + dx, crpix2 + dy)
+    }
+    // gnomonic deprojection: intermediate (ξ, η) degrees → (RA, Dec)
+    private def tanToSky(xiDeg: Double, etaDeg: Double): (Double, Double) = {
+      val xi = math.toRadians(xiDeg); val eta = math.toRadians(etaDeg)
+      val a0 = math.toRadians(crval1); val d0 = math.toRadians(crval2)
+      val rho = math.sqrt(xi * xi + eta * eta)
+      if (rho == 0.0) (crval1, crval2)
+      else {
+        val c = math.atan(rho)
+        val dec = math.asin(math.cos(c) * math.sin(d0) +
+          eta * math.sin(c) * math.cos(d0) / rho)
+        val ra = a0 + math.atan2(xi * math.sin(c),
+          rho * math.cos(d0) * math.cos(c) -
+            eta * math.sin(d0) * math.sin(c))
+        (math.toDegrees(ra), math.toDegrees(dec))
+      }
+    }
+    // gnomonic projection: (RA, Dec) → intermediate (ξ, η) degrees
+    private def skyToTan(raDeg: Double, decDeg: Double): (Double, Double) = {
+      val a = math.toRadians(raDeg); val d = math.toRadians(decDeg)
+      val a0 = math.toRadians(crval1); val d0 = math.toRadians(crval2)
+      val cosc = math.sin(d0) * math.sin(d) +
+        math.cos(d0) * math.cos(d) * math.cos(a - a0)
+      require(cosc > 0.0, "position is behind the TAN projection plane")
+      val xi = math.cos(d) * math.sin(a - a0) / cosc
+      val eta = (math.cos(d0) * math.sin(d) -
+        math.sin(d0) * math.cos(d) * math.cos(a - a0)) / cosc
+      (math.toDegrees(xi), math.toDegrees(eta))
+    }
+  }
+
   final case class ImageSpec(bitpix: Int, width: Long, height: Long,
       bscale: Double, bzero: Double, blank: Option[Long], dataOffset: Long,
-      depth: Long = 1L, wcs: Option[Wcs] = None) {
+      depth: Long = 1L, wcs: Option[Wcs] = None,
+      wcsCd: Option[CdTanWcs] = None) {
     def bytesPerPx: Int = math.abs(bitpix) / 8
     def rowBytes: Long = width * bytesPerPx
     /** Byte offset of (plane z, row y) — the one addressing rule. */
@@ -514,7 +604,7 @@ object FitsFormat {
       cards.get("BZERO").map(_.toDouble).getOrElse(0.0),
       cards.get("BLANK").map(_.trim.toLong), dataOffset,
       if (naxis == 3) cards("NAXIS3").toLong else 1L,
-      Wcs.of(cards))
+      Wcs.of(cards), Wcs.cdTanOf(cards))
   }
 
   /** Locates the n-th 2-d/3-d IMAGE HDU (the primary array counts as
@@ -580,7 +670,7 @@ object FitsFormat {
       tileRows: Int, cmpType: String, bscale: Double, bzero: Double,
       blank: Option[Long], dataOffset: Long, nTiles: Long, theap: Long,
       recordBytes: Int = 8, quant: Boolean = false, depth: Long = 1L,
-      wcs: Option[Wcs] = None) {
+      wcs: Option[Wcs] = None, wcsCd: Option[CdTanWcs] = None) {
     def bytesPerPx: Int = math.abs(zbitpix) / 8
     /** Byte offset of tile t's stored record — the (length, heapOffset)
       * 1PB descriptor, followed in the QUANTIZED layout by that tile's
@@ -645,7 +735,7 @@ object FitsFormat {
       cards.get("BSCALE").map(_.toDouble).getOrElse(1.0),
       cards.get("BZERO").map(_.toDouble).getOrElse(0.0),
       cards.get("ZBLANK").map(_.trim.toLong), dataOffset, nTiles, theap,
-      recordBytes, quant, depth, Wcs.of(cards))
+      recordBytes, quant, depth, Wcs.of(cards), Wcs.cdTanOf(cards))
   }
 
   /** Locates the n-th tile-compressed IMAGE HDU (a BINTABLE extension

@@ -882,6 +882,25 @@ object FitsWriter {
   private[fits] val wcsCubeCards: Seq[(String, String)] = wcsCards ++ Seq(
     "CRPIX3" -> "1.0", "CRVAL3" -> "1000.0", "CDELT3" -> "0.5")
 
+  /** The ROTATED planted WCS (a38): a CD matrix in place of CDELT —
+    * s·[[−1, 1],[1, 1]] with s = 2⁻⁹, a scaled 45°-class rotation whose
+    * exact inverse has entries ±256 (det = −2s², adjugate entries ±s),
+    * so the rotated sky↔pixel map stays dyadic-exact end to end: the
+    * a34 determinism argument extended to a non-axis-aligned frame.
+    */
+  private[graft] val wcsRotCards: Seq[(String, String)] = Seq(
+    "CRPIX1" -> "32.0", "CRVAL1" -> "180.0",
+    "CRPIX2" -> "1.0", "CRVAL2" -> "-10.0",
+    "CD1_1" -> "-0.001953125", "CD1_2" -> "0.001953125",
+    "CD2_1" -> "0.001953125", "CD2_2" -> "0.001953125")
+
+  /** The TAN planted WCS (a39): the rotated CD matrix behind a gnomonic
+    * projection (CTYPE RA---TAN / DEC--TAN) — the header shape real
+    * survey frames carry.
+    */
+  private[graft] val wcsTanCards: Seq[(String, String)] = wcsRotCards ++ Seq(
+    "CTYPE1" -> "'RA---TAN'", "CTYPE2" -> "'DEC--TAN'")
+
   /** Writes a standard FITS file with a header-only primary HDU plus two
     * 2-d IMAGE extensions over the same planted frame: ext image #0 =
     * int16 with BSCALE=2/BZERO=100/BLANK=250 (physical = 2·raw + 100),
@@ -972,7 +991,7 @@ object FitsWriter {
     * tile-boundary splits (a27).
     */
   def writeTiledImageFits(path: String, width: Int, height: Long,
-      tileRows: Int): Unit = {
+      tileRows: Int, wcs: Seq[(String, String)] = wcsCards): Unit = {
     require(tileRows > 0, s"tileRows must be positive, got $tileRows")
     val nTiles = ((height + tileRows - 1) / tileRows).toInt
     // compress all tiles up front: PCOUNT and 1PB(max) live in the header
@@ -1037,7 +1056,7 @@ object FitsWriter {
       w(card("NAXIS", "0", quote = false))
       w(endCard); padBlock(' '.toByte)
       writeExt(16, "GRAFT_RICE_1", Array.tabulate(nTiles)(intTile),
-        Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250") ++ wcsCards)
+        Seq("BSCALE" -> "2", "BZERO" -> "100", "ZBLANK" -> "250") ++ wcs)
       writeExt(-32, "GZIP_2", Array.tabulate(nTiles)(floatTile), Seq.empty)
     } finally out.close()
   }

@@ -1200,6 +1200,191 @@ object ScanOps {
       |       END), ',') AS px
       |FROM ys ORDER BY y""".stripMargin)
 
+  /** The a38/a39 service core: a CD-matrix (rotated / TAN-projected)
+    * frame cannot map an RA/Dec-aligned sky box to a pixel box, so the
+    * cutout service transforms the box's four CORNERS through the full
+    * inverse (projection then the exact matrix inverse) and reads the
+    * pixel BOUNDING BOX of the four images — the covering guarantee a
+    * real SIA service gives on rotated frames. Returns the clamped
+    * 0-based inclusive box.
+    */
+  private[graft] def cdCornerBox(w: graft.fits.FitsFormat.CdTanWcs,
+      raLo: Double, raHi: Double, decLo: Double, decHi: Double,
+      width: Long, height: Long): (Long, Long, Long, Long) = {
+    val ps = for (r <- Seq(raLo, raHi); dc <- Seq(decLo, decHi))
+      yield w.pix(r, dc)
+    // linear frames cut on pixel CENTERS (ceil min / floor max — the
+    // a34 convention, and the corner hull is exact under an affine
+    // map); PROJECTED frames cut conservatively (floor min / ceil max):
+    // gnomonic curvature lets interior sky points land up to
+    // tan(c) − c ≈ c³/3 outside the corner hull (≈ 0.4 px at the
+    // planted field), and the 1-pixel slack of the outward cut absorbs
+    // it — the covering guarantee FitsFuzzSpec pins on random frames
+    val (cutLo, cutHi): (Double => Double, Double => Double) =
+      if (w.tan) (math.floor, math.ceil) else (math.ceil, math.floor)
+    val x0 = math.max(cutLo(ps.map(_._1).min).toLong, 1L)
+    val x1 = math.min(cutHi(ps.map(_._1).max).toLong, width)
+    val y0 = math.max(cutLo(ps.map(_._2).min).toLong, 1L)
+    val y1 = math.min(cutHi(ps.map(_._2).max).toLong, height)
+    require(x0 <= x1 && y0 <= y1, "sky box misses the frame")
+    (x0 - 1, x1 - 1, y0 - 1, y1 - 1)
+  }
+
+  /** a38: ROTATED-frame sky cutout (r11 verdict #3's first half — a34
+    * supports only axis-aligned CRPIX/CRVAL/CDELT; real survey frames
+    * carry a PC/CD rotation): the fixture plants a CD matrix
+    * s·[[−1,1],[1,1]] (s = 2⁻⁹ — a scaled 45°-class rotation whose
+    * exact inverse has entries ±256, so the whole sky↔pixel round trip
+    * is dyadic-EXACT, the a34 argument on a non-axis-aligned frame).
+    * The request box is the sky bounding box of the a30 pixel window's
+    * corners pushed through the planted rotation; the service inverts
+    * the box corners (cdCornerBox) and runs the a30 tile-granular read
+    * UNCHANGED on the covering pixel box. No world column is emitted —
+    * on a rotated frame RA/Dec vary along BOTH axes, so a per-row `dec`
+    * would be a lie; the oracle mirrors the closed-form corner algebra
+    * and the planted pixel field.
+    */
+  val a38_fits_wcs_rotated = OpQuery(
+    (s, d) => {
+      val height = t(s, d, "documents").count()
+      val tileRows = 64
+      val path = graft.Util.fixtureOnce(
+        s"survey_rot_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeTiledImageFits(p, 64, height, tileRows,
+          graft.fits.FitsWriter.wcsRotCards))
+      val (x0, x1, y0, y1) = {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
+          val w = sp.wcsCd.getOrElse(throw new IllegalArgumentException(
+            "image carries no CD-matrix WCS — rotated cutout unavailable"))
+          // the client's request: the sky bbox of the a30 pixel
+          // window's corners (centers), forward-rotated — all dyadic
+          val cs = for (x <- Seq(16L, 47L); y <- Seq(height / 4, height / 2 - 1))
+            yield w.world(x, y)
+          cdCornerBox(w, cs.map(_._1).min, cs.map(_._1).max,
+            cs.map(_._2).min, cs.map(_._2).max, sp.width, sp.height)
+        } finally raf.close()
+      }
+      tiledCutoutFrame(s, path, tileRows, y0, y1 + 1, x0.toInt, x1.toInt + 1)
+        .orderBy("y")
+    },
+    // closed-form mirror: forward-rotate the window corners (ra = 180 +
+    // s·(dy − dx), dec = −10 + s·(dx + dy); dx = x+1−32, dy = y), take
+    // the sky bbox, invert each corner through the EXACT inverse
+    // (dx = 256·(η − ξ), dy = 256·(ξ + η)), bbox, clamp, then the
+    // planted pixel field — every step exact dyadic arithmetic
+    """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
+      |c AS (SELECT 180.0 + 0.001953125 * (y - (x + 1 - 32)) AS ra,
+      |             -10.0 + 0.001953125 * ((x + 1 - 32) + y) AS dec
+      |      FROM b, (VALUES (16), (47)) xs(x),
+      |           LATERAL (SELECT unnest([h // 4, h // 2 - 1]) AS y)),
+      |box AS (SELECT min(ra) AS ra_lo, max(ra) AS ra_hi,
+      |               min(dec) AS dec_lo, max(dec) AS dec_hi FROM c),
+      |pc AS (SELECT 32.0 + 256.0 * ((dec + 10.0) - (ra - 180.0)) AS px,
+      |              1.0 + 256.0 * ((ra - 180.0) + (dec + 10.0)) AS py
+      |       FROM (SELECT unnest([ra_lo, ra_hi]) AS ra FROM box) rr,
+      |            (SELECT unnest([dec_lo, dec_hi]) AS dec FROM box) dd),
+      |pix AS (SELECT
+      |    CAST(greatest(ceil(min(px)), 1) AS BIGINT) - 1 AS x0,
+      |    CAST(least(floor(max(px)), 64) AS BIGINT) - 1 AS x1,
+      |    CAST(greatest(ceil(min(py)), 1) AS BIGINT) - 1 AS y0,
+      |    CAST(least(floor(max(py)), (SELECT h FROM b)) AS BIGINT) - 1 AS y1
+      |  FROM pc),
+      |ys AS (SELECT unnest(range(y0, y1 + 1)) AS y FROM pix)
+      |SELECT y, array_to_string(list_transform(range((SELECT x0 FROM pix),
+      |                                               (SELECT x1 FROM pix) + 1),
+      |  x -> CASE WHEN (3 * y + 5 * x + 7) % 251 = 250 THEN 'null'
+      |            ELSE CAST(2 * ((3 * y + 5 * x + 7) % 251) + 100 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM ys ORDER BY y""".stripMargin)
+
+  /** a39: TAN-projected sky cutout (r11 verdict #3's second half): the
+    * fixture plants CTYPE RA---TAN / DEC--TAN behind the SAME rotated
+    * CD matrix, and the service inverts the request through the full
+    * gnomonic deprojection chain (sky → tangent-plane ξ/η → exact
+    * matrix inverse → pixel bbox) before the unchanged tile-granular
+    * read. Trig is not exactly mirrorable across engines (libm last-ulp
+    * differences), so the DETERMINISM argument shifts from exact
+    * dyadics to MARGIN: the request corners are planted at
+    * quarter-pixel offsets, every ceil/floor input lands ≥ ~0.1 pixel
+    * from an integer (FitsFuzzSpec asserts the margin), and a 1-ulp
+    * cross-engine wobble (~1e-12 px) cannot flip a cut. Both sides
+    * spell the SAME textbook gnomonic formulas.
+    */
+  val a39_fits_wcs_tan = OpQuery(
+    (s, d) => {
+      val height = t(s, d, "documents").count()
+      val tileRows = 64
+      val path = graft.Util.fixtureOnce(
+        s"survey_tan_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits")(p =>
+        graft.fits.FitsWriter.writeTiledImageFits(p, 64, height, tileRows,
+          graft.fits.FitsWriter.wcsTanCards))
+      val (x0, x1, y0, y1) = {
+        val raf = new java.io.RandomAccessFile(path, "r")
+        try {
+          raf.seek(0)
+          val sp = graft.fits.FitsFormat.locateTiledImage(raf, 0)
+          val w = sp.wcsCd.getOrElse(throw new IllegalArgumentException(
+            "image carries no CD-matrix WCS — TAN cutout unavailable"))
+          require(w.tan, "frame is not TAN-projected")
+          // quarter-pixel request corners (see the margin note above)
+          val cs = for (x <- Seq(16.25, 47.25);
+                        y <- Seq(height / 4 + 0.25, height / 2 - 0.75))
+            yield w.worldAt(x, y)
+          cdCornerBox(w, cs.map(_._1).min, cs.map(_._1).max,
+            cs.map(_._2).min, cs.map(_._2).max, sp.width, sp.height)
+        } finally raf.close()
+      }
+      tiledCutoutFrame(s, path, tileRows, y0, y1 + 1, x0.toInt, x1.toInt + 1)
+        .orderBy("y")
+    },
+    // the same gnomonic chain spelled in SQL: forward TAN of the
+    // quarter-pixel corners (ξ/η → ρ → atan/asin/atan2), sky bbox,
+    // inverse TAN of the box corners, exact matrix inverse, bbox,
+    // clamp, planted pixel field
+    """WITH b AS (SELECT (SELECT count(*) FROM documents) AS h),
+      |k AS (SELECT radians(180.0) AS a0, radians(-10.0) AS d0),
+      |fc AS (SELECT 0.001953125 * (y - (x + 1 - 32)) AS xi,
+      |              0.001953125 * ((x + 1 - 32) + y) AS eta
+      |       FROM b, (SELECT unnest([16.25, 47.25]) AS x),
+      |            LATERAL (SELECT unnest([h // 4 + 0.25, h // 2 - 0.75]) AS y)),
+      |fs AS (SELECT degrees(a0 + atan2(xir * sin(c),
+      |                rho * cos(d0) * cos(c) - etar * sin(d0) * sin(c))) AS ra,
+      |              degrees(asin(cos(c) * sin(d0) +
+      |                etar * sin(c) * cos(d0) / rho)) AS dec
+      |       FROM (SELECT radians(xi) AS xir, radians(eta) AS etar,
+      |               sqrt(radians(xi) * radians(xi) +
+      |                    radians(eta) * radians(eta)) AS rho
+      |             FROM fc), k,
+      |            LATERAL (SELECT atan(rho) AS c)),
+      |box AS (SELECT min(ra) AS ra_lo, max(ra) AS ra_hi,
+      |               min(dec) AS dec_lo, max(dec) AS dec_hi FROM fs),
+      |ic AS (SELECT degrees(cos(dr) * sin(ar - a0) / cosc) AS xi,
+      |              degrees((cos(d0) * sin(dr) -
+      |                sin(d0) * cos(dr) * cos(ar - a0)) / cosc) AS eta
+      |       FROM (SELECT radians(ra) AS ar, radians(dec) AS dr
+      |             FROM (SELECT unnest([ra_lo, ra_hi]) AS ra FROM box) rr,
+      |                  (SELECT unnest([dec_lo, dec_hi]) AS dec FROM box) dd), k,
+      |            LATERAL (SELECT sin(d0) * sin(dr) +
+      |                       cos(d0) * cos(dr) * cos(ar - a0) AS cosc)),
+      |pc AS (SELECT 32.0 + 256.0 * (eta - xi) AS px,
+      |              1.0 + 256.0 * (xi + eta) AS py FROM ic),
+      |pix AS (SELECT
+      |    CAST(greatest(floor(min(px)), 1) AS BIGINT) - 1 AS x0,
+      |    CAST(least(ceil(max(px)), 64) AS BIGINT) - 1 AS x1,
+      |    CAST(greatest(floor(min(py)), 1) AS BIGINT) - 1 AS y0,
+      |    CAST(least(ceil(max(py)), (SELECT h FROM b)) AS BIGINT) - 1 AS y1
+      |  FROM pc),
+      |ys AS (SELECT unnest(range(y0, y1 + 1)) AS y FROM pix)
+      |SELECT y, array_to_string(list_transform(range((SELECT x0 FROM pix),
+      |                                               (SELECT x1 FROM pix) + 1),
+      |  x -> CASE WHEN (3 * y + 5 * x + 7) % 251 = 250 THEN 'null'
+      |            ELSE CAST(2 * ((3 * y + 5 * x + 7) % 251) + 100 AS VARCHAR)
+      |       END), ',') AS px
+      |FROM ys ORDER BY y""".stripMargin)
+
   /** a31: tile-compressed spectral CUBE source (fpack on a NAXIS=3
     * image — the r9 verdict's remaining-gap #3: a25 reads plain cubes
     * and a27 reads compressed FRAMES, but "an archive user with survey
@@ -2033,6 +2218,8 @@ object ScanOps {
     "a29_fits_image_qfloat" -> a29_fits_image_qfloat,
     "a30_fits_image_tiled_cutout" -> a30_fits_image_tiled_cutout,
     "a34_fits_wcs_cutout" -> a34_fits_wcs_cutout,
+    "a38_fits_wcs_rotated" -> a38_fits_wcs_rotated,
+    "a39_fits_wcs_tan" -> a39_fits_wcs_tan,
     "a35_fits_cube_wcs_cutout" -> a35_fits_cube_wcs_cutout,
     "a36_fits_wcs_mosaic" -> a36_fits_wcs_mosaic,
     "a31_fits_cube_tiled" -> a31_fits_cube_tiled,

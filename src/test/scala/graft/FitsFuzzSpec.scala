@@ -318,4 +318,84 @@ class FitsFuzzSpec extends SparkTestBase {
       } finally raf.close()
     }, n = 40)
   }
+
+  test("random CD rotations: pixel -> world -> pixel is the identity (a38)") {
+    // dyadic CD entries (k·2⁻⁹, k ∈ [−8, 8] \ singular) — the planted-
+    // fixture class; the adjugate/det inverse must reproduce the input
+    // pixel exactly enough that a center-planted cut can never slip
+    val entry = Gen.choose(-8, 8).map(_ * 0.001953125)
+    val wcsGen = for {
+      c11 <- entry; c12 <- entry; c21 <- entry; c22 <- entry
+      if c11 * c22 - c12 * c21 != 0.0
+      p1 <- Gen.choose(1, 64); p2 <- Gen.choose(1, 256)
+    } yield FitsFormat.CdTanWcs(p1, 180.0, p2, -10.0,
+      c11, c12, c21, c22, tan = false)
+    check(Prop.forAll(wcsGen, Gen.choose(0L, 63L), Gen.choose(0L, 255L)) {
+      (w, x, y) =>
+        val (ra, dec) = w.world(x, y)
+        val (px, py) = w.pix(ra, dec)
+        math.abs(px - (x + 1)) < 1e-9 && math.abs(py - (y + 1)) < 1e-9
+    })
+  }
+
+  test("random TAN frames: sky round trip within 1e-9 pixel (a39)") {
+    val entry = Gen.choose(-8, 8).map(_ * 0.001953125)
+    val wcsGen = for {
+      c11 <- entry; c12 <- entry; c21 <- entry; c22 <- entry
+      if c11 * c22 - c12 * c21 != 0.0
+      v1 <- Gen.choose(0, 359).map(_.toDouble)
+      v2 <- Gen.choose(-60, 60).map(_.toDouble)
+    } yield FitsFormat.CdTanWcs(32.0, v1, 1.0, v2,
+      c11, c12, c21, c22, tan = true)
+    check(Prop.forAll(wcsGen, Gen.choose(0L, 63L), Gen.choose(0L, 255L)) {
+      (w, x, y) =>
+        val (ra, dec) = w.world(x, y)
+        val (px, py) = w.pix(ra, dec)
+        math.abs(px - (x + 1)) < 1e-9 && math.abs(py - (y + 1)) < 1e-9
+    })
+  }
+
+  test("corner-box service COVERS the requested pixel window on any rotation") {
+    val entry = Gen.choose(-8, 8).map(_ * 0.001953125)
+    val wcsGen = for {
+      c11 <- entry; c12 <- entry; c21 <- entry; c22 <- entry
+      if c11 * c22 - c12 * c21 != 0.0
+      tan <- Gen.oneOf(false, true)
+    } yield FitsFormat.CdTanWcs(32.0, 180.0, 1.0, -10.0,
+      c11, c12, c21, c22, tan)
+    val boxGen = for {
+      xa <- Gen.choose(0L, 40L); xw <- Gen.choose(0L, 23L)
+      ya <- Gen.choose(0L, 200L); yw <- Gen.choose(0L, 55L)
+    } yield (xa, xa + xw, ya, ya + yw)
+    check(Prop.forAll(wcsGen, boxGen) { case (w, (xa, xb, ya, yb)) =>
+      // the client asks for the sky bbox of the window corners; the
+      // service's pixel bounding box must CONTAIN the window (the
+      // covering guarantee the a38/a39 semantics promise)
+      val cs = for (x <- Seq(xa, xb); y <- Seq(ya, yb)) yield w.world(x, y)
+      val (x0, x1, y0, y1) = graft.ops.ScanOps.cdCornerBox(w,
+        cs.map(_._1).min, cs.map(_._1).max,
+        cs.map(_._2).min, cs.map(_._2).max, 64L, 256L)
+      x0 <= xa && x1 >= xb && y0 <= ya && y1 >= yb
+    })
+  }
+
+  test("a39 determinism margin: every TAN ceil/floor input sits off-integer") {
+    // the gate's cross-engine argument: trig differs in last ulps, so
+    // the cut inputs must not graze integers. Re-derive the gate's
+    // exact corner chain per SF-fixture height and assert the margin.
+    Seq(500L, 5000L, 50000L).foreach { h =>
+      val w = FitsFormat.CdTanWcs(32.0, 180.0, 1.0, -10.0,
+        -0.001953125, 0.001953125, 0.001953125, 0.001953125, tan = true)
+      val cs = for (x <- Seq(16.25, 47.25);
+                    y <- Seq(h / 4 + 0.25, h / 2 - 0.75))
+        yield w.worldAt(x, y)
+      val ps = for (r <- Seq(cs.map(_._1).min, cs.map(_._1).max);
+                    dc <- Seq(cs.map(_._2).min, cs.map(_._2).max))
+        yield w.pix(r, dc)
+      ps.flatMap(p => Seq(p._1, p._2)).foreach { v =>
+        val frac = math.abs(v - math.rint(v))
+        assert(frac > 1e-3, s"h=$h: cut input $v grazes an integer")
+      }
+    }
+  }
 }
