@@ -182,10 +182,33 @@ object FitsFormat {
   // ------------------------------------------------------------ header read
 
   /** Reads 2880-blocks until an END card; returns (cards, bytesConsumed). */
+  /** One card value: '/' starts a comment only OUTSIDE a quoted string;
+    * inside one, '' is an escaped quote (FITS 4.0 §4.2.1) and trailing
+    * blanks are insignificant. Returns (value, wasQuotedString).
+    */
+  private[graft] def parseCardValue(raw: String): (String, Boolean) =
+    if (raw.startsWith("'")) {
+      val sb = new StringBuilder
+      var i = 1
+      var open = true
+      while (open && i < raw.length) {
+        if (raw.charAt(i) == '\'') {
+          if (i + 1 < raw.length && raw.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+          else open = false
+        } else { sb.append(raw.charAt(i)); i += 1 }
+      }
+      (sb.toString.reverse.dropWhile(_ == ' ').reverse, true)
+    } else (raw.split("/", 2)(0).trim, false)
+
   def readHeader(in: java.io.DataInput): (Map[String, String], Long) = {
     val cards = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var consumed = 0L
     var done = false
+    // the key whose string value ended with '&' — the §4.2.1.2
+    // long-string convention: following CONTINUE cards append to it
+    // (the '&' is stripped only when a CONTINUE actually follows, so a
+    // literal trailing '&' with no continuation survives intact)
+    var pendingKey: String = null
     val block = new Array[Byte](BlockSize)
     while (!done) {
       in.readFully(block)
@@ -196,25 +219,33 @@ object FitsFormat {
         val key = card.take(8).trim
         if (key == "END") { done = true; i = BlockSize }
         else {
-          if (key.nonEmpty && card.length > 9 && card.charAt(8) == '=') {
-            // '/' starts a comment only OUTSIDE a quoted string; inside one,
-            // '' is an escaped quote (FITS 4.0 §4.2.1). Parse quotes first.
-            val raw = card.substring(10).trim
-            val value =
-              if (raw.startsWith("'")) {
-                val sb = new StringBuilder
-                var i = 1
-                var open = true
-                while (open && i < raw.length) {
-                  if (raw.charAt(i) == '\'') {
-                    if (i + 1 < raw.length && raw.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
-                    else open = false
-                  } else { sb.append(raw.charAt(i)); i += 1 }
-                }
-                sb.toString.reverse.dropWhile(_ == ' ').reverse // trailing blanks insignificant
-              } else raw.split("/", 2)(0).trim
+          if (key == "CONTINUE") {
+            // no '= ' on CONTINUE cards: the string starts after col 8
+            val raw = card.substring(8).trim
+            if (pendingKey != null && raw.startsWith("'")) {
+              val (v, _) = parseCardValue(raw)
+              val prev = cards(pendingKey)
+              cards(pendingKey) = prev.dropRight(1) + v // strip the '&'
+              if (!v.endsWith("&")) pendingKey = null
+            } else pendingKey = null // orphan CONTINUE: ignored (§4.2.1.2)
+          } else if (key == "HIERARCH" && card.length > 9 &&
+              card.charAt(8) != '=') {
+            // the ESO HIERARCH convention: space-separated keyword
+            // tokens up to '=', value in the normal grammar after it
+            val body = card.substring(8)
+            val eq = body.indexOf('=')
+            if (eq > 0 && body.substring(0, eq).trim.nonEmpty) {
+              val longKey = "HIERARCH " + body.substring(0, eq)
+                .trim.split("\\s+").mkString(" ")
+              val (v, quoted) = parseCardValue(body.substring(eq + 1).trim)
+              cards(longKey) = v
+              pendingKey = if (quoted && v.endsWith("&")) longKey else null
+            } else pendingKey = null
+          } else if (key.nonEmpty && card.length > 9 && card.charAt(8) == '=') {
+            val (value, quoted) = parseCardValue(card.substring(10).trim)
             cards(key) = value
-          }
+            pendingKey = if (quoted && value.endsWith("&")) key else null
+          } else pendingKey = null
           i += 1
         }
       }

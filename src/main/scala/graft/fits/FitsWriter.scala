@@ -34,7 +34,7 @@ import org.apache.spark.sql.types._
   */
 object FitsWriter {
 
-  private[fits] def card(key: String, value: String, quote: Boolean): Array[Byte] = {
+  private[graft] def card(key: String, value: String, quote: Boolean): Array[Byte] = {
     // §4.2.1: single quotes inside a string value are represented by two
     // successive quotes, and the whole card is 80 bytes — a value whose
     // escaped form cannot fit (68 chars between the quotes) must fail
@@ -51,6 +51,50 @@ object FitsWriter {
     val text = if (quote) f"${key.padTo(8, ' ')}= $v%-69s" else f"${key.padTo(8, ' ')}= $v%20s"
     text.padTo(FitsFormat.CardSize, ' ').take(FitsFormat.CardSize)
       .getBytes(StandardCharsets.US_ASCII)
+  }
+
+  /** §4.2.1.2 long-string cards: a value too long for one card goes out
+    * as `KEY = 'chunk&'` + CONTINUE cards, each chunk's ESCAPED form
+    * sized to leave room for the continuation '&'. Chunking happens on
+    * the raw text with a greedy escaped-length budget, so a '' escape
+    * pair never splits across cards. A value that fits emits one plain
+    * card (the convention is only for overflow).
+    */
+  private[graft] def longStringCards(key: String, value: String): Array[Byte] = {
+    def escLen(s: String): Int = s.replace("'", "''").length
+    if (escLen(value) <= 68) return card(key, value, quote = true)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rest = value
+    while (rest.nonEmpty) {
+      var take = math.min(rest.length, 67)
+      while (escLen(rest.take(take)) > 67) take -= 1
+      chunks += rest.take(take)
+      rest = rest.drop(take)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    chunks.zipWithIndex.foreach { case (c, idx) =>
+      val last = idx == chunks.length - 1
+      val quoted = s"'${c.replace("'", "''")}${if (last) "" else "&"}'"
+      val text =
+        if (idx == 0) f"${key.padTo(8, ' ')}= $quoted%-69s"
+        else f"CONTINUE  $quoted%-69s"
+      out.write(text.padTo(FitsFormat.CardSize, ' ')
+        .take(FitsFormat.CardSize).getBytes(StandardCharsets.US_ASCII))
+    }
+    out.toByteArray
+  }
+
+  /** An ESO-convention HIERARCH card: space-separated keyword tokens,
+    * then `= value` in the normal grammar. The assembled card must fit
+    * 80 bytes — loud failure beats a truncated keyword.
+    */
+  private[graft] def hierarchCard(tokens: String, value: String,
+      quote: Boolean): Array[Byte] = {
+    val v = if (quote) s"'${value.replace("'", "''")}'" else value
+    val text = s"HIERARCH $tokens = $v"
+    require(text.length <= FitsFormat.CardSize,
+      s"HIERARCH card exceeds 80 bytes: '$text'")
+    text.padTo(FitsFormat.CardSize, ' ').getBytes(StandardCharsets.US_ASCII)
   }
 
   private def endCard: Array[Byte] =

@@ -319,6 +319,70 @@ class FitsFuzzSpec extends SparkTestBase {
     }, n = 40)
   }
 
+  // -------- CONTINUE / HIERARCH header conventions (r11 verdict #8) --------
+
+  private def headerOf(cardBytes: Array[Byte]*): Map[String, String] = {
+    val out = new java.io.ByteArrayOutputStream()
+    cardBytes.foreach(out.write)
+    out.write("END".padTo(80, ' ').getBytes("US-ASCII"))
+    while (out.size() % 2880 != 0) out.write(' ')
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(out.toByteArray))
+    FitsFormat.readHeader(in)._1
+  }
+  private def plain(key: String, value: String, quote: Boolean = false) =
+    FitsWriter.card(key, value, quote)
+
+  test("CONTINUE long strings stitch; literal trailing '&' survives; orphans ignored") {
+    val long = "The quick brown fox jumps over the lazy dog's back, " * 4
+    val h = headerOf(
+      plain("SIMPLE", "T"),
+      FitsWriter.longStringCards("SURVEY", long),
+      plain("NAXIS", "0"))
+    assert(h("SURVEY") == long.reverse.dropWhile(_ == ' ').reverse,
+      "stitched long string diverges (modulo insignificant trailing blanks)")
+    assert(h("NAXIS") == "0", "card after the chain mis-parsed")
+    // a string that ENDS with '&' but has no CONTINUE keeps it literally
+    val h2 = headerOf(plain("REF", "x&", quote = true), plain("NAXIS", "0"))
+    assert(h2("REF") == "x&")
+    // an orphan CONTINUE (no pending '&' value) is ignored, not applied
+    val orphan = "CONTINUE  'junk'".padTo(80, ' ').getBytes("US-ASCII")
+    val h3 = headerOf(plain("REFB", "x", quote = true), orphan,
+      plain("NAXIS", "0"))
+    assert(h3("REFB") == "x" && h3("NAXIS") == "0")
+  }
+
+  test("HIERARCH keywords parse (and can chain CONTINUE)") {
+    val h = headerOf(
+      FitsWriter.hierarchCard("ESO DET CHIP ID", "ccd-42", quote = true),
+      FitsWriter.hierarchCard("ESO TEL AIRM START", "1.203", quote = false),
+      plain("NAXIS", "0"))
+    assert(h("HIERARCH ESO DET CHIP ID") == "ccd-42")
+    assert(h("HIERARCH ESO TEL AIRM START") == "1.203")
+    // a HIERARCH string value may itself continue
+    val chained =
+      FitsWriter.hierarchCard("ESO OBS NAME", "part&", quote = true) ++
+        ("CONTINUE  'two'".padTo(80, ' ').getBytes("US-ASCII"))
+    assert(headerOf(chained, plain("NAXIS", "0"))("HIERARCH ESO OBS NAME")
+      == "parttwo")
+  }
+
+  test("random long strings round-trip through longStringCards + readHeader") {
+    val strGen = for {
+      n <- Gen.choose(0, 300)
+      cs <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf('\'', ' ', '&', '/', '=', '-')))
+    } yield cs.mkString
+    check(Prop.forAll(strGen) { s =>
+      val h = headerOf(FitsWriter.longStringCards("LONGSTR", s),
+        plain("NAXIS", "0"))
+      // trailing blanks are insignificant per §4.2.1 — both on the
+      // whole value and (writer-side) never created mid-chunk
+      h("LONGSTR") == s.reverse.dropWhile(_ == ' ').reverse &&
+        h("NAXIS") == "0"
+    }, n = 300)
+  }
+
   test("random CD rotations: pixel -> world -> pixel is the identity (a38)") {
     // dyadic CD entries (k·2⁻⁹, k ∈ [−8, 8] \ singular) — the planted-
     // fixture class; the adjugate/det inverse must reproduce the input
