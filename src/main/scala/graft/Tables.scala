@@ -99,6 +99,14 @@ object Util {
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // NOT set: spark.sql.adaptive.coalescePartitions.parallelismFirst.
+      // r12 A/B'd false (coalesce tiny post-shuffle stages to the
+      // advisory size) against the default on the anchor floor —
+      // 20-rep medians f2/e5/j1 = 0.40/0.30/0.21 s with it vs
+      // 0.39/0.26/0.18 s without, same load window: the AQE coalesce
+      // pass costs more than the ~30 near-empty tasks it saves at
+      // fixture scale, and at 100 TB stages exceed the advisory size
+      // so the flag is a no-op there. PERF.md §r12 has the receipts.
       .config("spark.ui.enabled", "false")
 
   /** Parse-and-validate SPARK_GRAFT_ONLY (the shared Bench/Verify subset
