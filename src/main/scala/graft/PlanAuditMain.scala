@@ -147,7 +147,12 @@ object PlanAudit {
     // the inner pre/post join prunes one side under a bare count
     // (audit: joins 2->1); the _forced row times the full measured
     // lifecycle profile
-    "i77_ann_compaction")
+    "i77_ann_compaction",
+    // i78 (r12): output is one row per arriving vector regardless of
+    // the encoded code VALUES, so the per-vector code aggregation
+    // prunes under a bare count (audit: aggs 3->2); the _forced row
+    // times the full assign+residualize+encode chain
+    "i78_ann_rivfpq_refresh")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

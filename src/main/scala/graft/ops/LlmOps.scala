@@ -2721,26 +2721,132 @@ object LlmOps {
     * broadcast-join map over the corpus, and serving reads
     * nprobe directories × 8 bytes/vector.
     */
+  private[graft] def writePqrArtifacts(emb: DataFrame, kmIdx: String,
+      dir: String): Unit = {
+    val s = emb.sparkSession
+    val cells = s.read.parquet(kmIdx)
+      .select(col("vec_id"), col("label").as("cell"))
+    val rq = emb
+      .withColumn("qv0",
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
+      .join(cells, "vec_id") // the cell model's (maxabs-kept) domain
+      .join(broadcast(kmCentIntArrays(s, kmIdx)), "cell") // k rows
+      .select(col("vec_id"), col("cell"), col("label"),
+        zip_with(col("qv0"), col("centv"), (a, b) => a - b).as("qv"))
+      .localCheckpoint() // feeds the trainer (3 passes) + the code join
+    val (codes, m1) = pqTrainEncode(rq.select("vec_id", "qv"), PqrK)
+    codes.join(rq.select("vec_id", "cell", "label"), "vec_id")
+      .select("vec_id", "label", "codes", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    m1.write.mode("overwrite").parquet(pqrCbDir(dir))
+  }
+
   def pqrWriteIndex(s: SparkSession, d: String): String =
     graft.Util.fixtureOnce(
       s"i75_rivfpq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
-      val kmIdx = sq8WriteIndexKmeans(s, d)
-      val cells = s.read.parquet(kmIdx)
-        .select(col("vec_id"), col("label").as("cell"))
-      val rq = t(s, d, "embeddings")
-        .withColumn("qv0",
-          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
-        .join(cells, "vec_id") // the cell model's (maxabs-kept) domain
-        .join(broadcast(kmCentIntArrays(s, kmIdx)), "cell") // k rows
-        .select(col("vec_id"), col("cell"), col("label"),
-          zip_with(col("qv0"), col("centv"), (a, b) => a - b).as("qv"))
-        .localCheckpoint() // feeds the trainer (3 passes) + the code join
-      val (codes, m1) = pqTrainEncode(rq.select("vec_id", "qv"), PqrK)
-      codes.join(rq.select("vec_id", "cell", "label"), "vec_id")
-        .select("vec_id", "label", "codes", "cell")
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
-      m1.write.mode("overwrite").parquet(pqrCbDir(dir))
+      writePqrArtifacts(t(s, d, "embeddings"), sq8WriteIndexKmeans(s, d), dir)
     }
+
+  /** Integer codebook arrays (sub, cid, cv) recovered from a persisted
+    * residual codebook — the pc1 form `pqAssign` encodes against, for
+    * the encode-against-persisted refresh path.
+    */
+  private[graft] def pqrCbArrays(s: SparkSession, cbDir: String): DataFrame =
+    s.read.parquet(cbDir).groupBy("sub", "cid")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
+        .as("cv"))
+
+  /** i78: residual-index REFRESH — i68's incremental path applied to the
+    * production IVFADC shape: the index was built over the base corpus
+    * (vec_id % 7 ≠ 5); an arriving batch is (1) assigned to the nearest
+    * PERSISTED live cell (broadcast exact-integer argmin — no relearn),
+    * (2) residualized against that cell's recovered integer centroid,
+    * (3) PQ-encoded against the PERSISTED 256-codeword codebook
+    * (broadcast argmin per subspace — no retrain), ready to append to
+    * the cell's partition (the i54/i74 append-not-rebuild convention).
+    * Refresh cost ∝ the batch; the base corpus is never scanned. The
+    * gate emits the encoded rows themselves (vec_id, cell, codes as a
+    * string — the scalar-projection rule), so a drifted assignment,
+    * residual, or codeword all hash-mismatch. Oracle: the base-trained
+    * lloyd + residual-PQ mirrors, then the same assign→residualize→
+    * encode chain over the arriving rows.
+    */
+  val i78_ann_rivfpq_refresh = OpQuery(
+    (s, d) => {
+      val e = t(s, d, "embeddings")
+      val sfx = d.replaceAll("[^a-zA-Z0-9]", "_")
+      // build-once scaffolding: the BASE-corpus artifacts the refresh
+      // runs against — the gated op is the refresh, not the build
+      val baseKm = graft.Util.fixtureOnce(s"i78_km_base_$sfx") { dir =>
+        writeKmeansArtifacts(e.filter(col("vec_id") % 7 =!= 5), dir,
+          sq8IvfCentDir(dir))
+      }
+      val baseIdx = graft.Util.fixtureOnce(s"i78_rivfpq_base_$sfx") { dir =>
+        writePqrArtifacts(e.filter(col("vec_id") % 7 =!= 5), baseKm, dir)
+      }
+      val c1 = kmCentIntArrays(s, baseKm)
+        .select(col("cell").cast(LongType).as("cid"), col("centv").as("cv"))
+      val newQ = e.filter(col("vec_id") % 7 === 5)
+        .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+            .as("qv"))
+      val assigned = graft.ops.CorpusOps.lloydAssign(newQ, c1)
+      val rq = assigned
+        .join(broadcast(c1.select(col("cid"), col("cv").as("centv"))), "cid")
+        .select(col("vec_id"), col("cid").as("cell"),
+          zip_with(col("qv"), col("centv"), (a, b) => a - b).as("qv"))
+        .localCheckpoint() // feeds the subvector encode AND the cell join
+      val codes = pqAssign(pqSubvectors(rq.select("vec_id", "qv")),
+          pqrCbArrays(s, pqrCbDir(baseIdx)))
+        .groupBy("vec_id")
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(sub, cid))), p -> p.cid)")
+          .as("codes"))
+      codes.join(rq.select("vec_id", "cell"), "vec_id")
+        .select(col("vec_id"), col("cell"),
+          array_join(col("codes"), ",").as("codes_str"))
+        .orderBy("vec_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0 AND vec_id % 7 <> 5")},
+       |$pqrCteSql,
+       |cellb AS (SELECT DISTINCT cid FROM cellkm),
+       |c1live AS (SELECT * FROM c1 WHERE cid IN (SELECT cid FROM cellb)),
+       |nq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
+       |  FROM m WHERE maxabs > 0 AND vec_id % 7 = 5),
+       |an AS (
+       |  SELECT vec_id, qv, cid,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT nq.vec_id, nq.qv, c1live.cid,
+       |           list_sum(list_transform(range(1, len(nq.qv) + 1),
+       |             i -> (nq.qv[i] - c1live.cv[i]) * (nq.qv[i] - c1live.cv[i]))) AS dist
+       |    FROM nq CROSS JOIN c1live)),
+       |rn2 AS (SELECT an.vec_id, an.cid AS cell,
+       |         list_transform(range(1, len(an.qv) + 1),
+       |           i -> an.qv[i] - c1live.cv[i]) AS rv
+       |       FROM an JOIN c1live USING (cid) WHERE an.rn = 1),
+       |rsvn AS (SELECT vec_id, cell, s.sub,
+       |         list_transform(range(1, ${PqDsub + 1}),
+       |           j -> rv[s.sub * $PqDsub + j]) AS sv
+       |       FROM rn2, range(0, $PqM) s(sub)),
+       |enc AS (SELECT vec_id, cell, sub, cid,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY dist, cid) AS rn
+       |       FROM (SELECT rsvn.vec_id, rsvn.cell, rsvn.sub, rc1.cid,
+       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |                 i -> (rsvn.sv[i] - rc1.cv[i]) * (rsvn.sv[i] - rc1.cv[i]))) AS dist
+       |             FROM rsvn JOIN rc1 ON rsvn.sub = rc1.sub))
+       |SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       |  array_to_string(list(cid ORDER BY sub), ',') AS codes_str
+       |FROM enc WHERE rn = 1
+       |GROUP BY vec_id, cell ORDER BY vec_id""".stripMargin)
 
   /** The per-cell constant of the residual decomposition
     * q·v = q·centroid(cell) + q·residual: exact integer dot of the
@@ -4154,6 +4260,7 @@ object LlmOps {
     "i75_sim_ann_ivfpq_residual" -> i75_sim_ann_ivfpq_residual,
     "i76_ann_rivfpq_recall" -> i76_ann_rivfpq_recall,
     "i77_ann_compaction" -> i77_ann_compaction,
+    "i78_ann_rivfpq_refresh" -> i78_ann_rivfpq_refresh,
     "i74_ann_tombstone" -> i74_ann_tombstone,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,

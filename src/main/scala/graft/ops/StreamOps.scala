@@ -1257,6 +1257,71 @@ object StreamOps {
     * within-cell approx metric (integer end to end), same cuts, same
     * exact top-3 re-rank.
     */
+  /** j24: RESIDUAL IVF-PQ streaming serving — i75's index behind the
+    * same micro-batch harness as j21–j23 (one shared fixture of
+    * arriving queries, one re-rank/sink shape): per batch, the learned
+    * cells prune the scan to the batch's cell union (partition filter),
+    * the per-query 2,048-row integer ADC tables rank the 8-byte
+    * RESIDUAL codes map-side, and the per-(query, cell) centroid term
+    * re-bases scores across cells — i76 certifies this exact chain at
+    * recall ≥ the flat index's, so this is the serving mode a
+    * deployment actually runs. Oracle: j23's chain with the residual
+    * mirrors swapped in.
+    */
+  val j24_stream_ann_rivfpq = OpQuery(
+    (s, d) => {
+      val idx = graft.ops.LlmOps.pqrWriteIndex(s, d)
+      val cent = graft.ops.LlmOps.sq8IvfCentDir(
+        graft.ops.LlmOps.sq8WriteIndexKmeans(s, d))
+      streamAnnServeWith(s, d, "j24", qb =>
+        graft.ops.LlmOps.pqrBatchTop(s, idx, cent,
+            qb.withColumn("qq",
+              expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))")),
+            50)
+          .join(broadcast(qb), Seq("q_id"))
+          .select("q_id", "vec_id", "qvec"))
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${graft.ops.LlmOps.lloydCteSql("maxabs > 0")},
+       |${graft.ops.LlmOps.pqrCteSql},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM m WHERE vec_id % 101 = 3 AND maxabs > 0),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |rdtq AS (SELECT qs.q_id, rm1.sub, rm1.cid,
+       |          sum(qs.qq[rm1.sub * ${graft.ops.LlmOps.PqDsub} + rm1.pos] * rm1.cv_i) AS ds
+       |        FROM rm1, qs GROUP BY 1, 2, 3),
+       |cdtq AS (SELECT qs.q_id, c1.cid AS cell,
+       |          list_sum(list_transform(range(1, len(c1.cv) + 1),
+       |            i -> qs.qq[i] * c1.cv[i])) AS cd
+       |        FROM c1, qs),
+       |apr AS (SELECT rdtq.q_id, rcd.vec_id, cdtq.cd + sum(rdtq.ds) AS approx_i
+       |        FROM rcd JOIN rdtq ON rcd.sub = rdtq.sub AND rcd.cid = rdtq.cid
+       |             JOIN cellkm ON cellkm.vec_id = rcd.vec_id
+       |             JOIN qc ON qc.q_id = rdtq.q_id AND qc.label = cellkm.cid
+       |             JOIN cdtq ON cdtq.q_id = rdtq.q_id AND cdtq.cell = cellkm.cid
+       |        WHERE rcd.vec_id <> rdtq.q_id
+       |        GROUP BY rdtq.q_id, rcd.vec_id, cdtq.cd),
+       |pr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM apr) WHERE rk <= 50),
+       |s2 AS (SELECT pr.q_id, pr.vec_id,
+       |         round(${graft.ops.LlmOps.dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |t2 AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rk FROM s2)
+       |SELECT q_id, vec_id, sim FROM t2 WHERE rk <= 3
+       |ORDER BY q_id, vec_id""".stripMargin)
+
   val j23_stream_ann_ivfpq = OpQuery(
     (s, d) => {
       val idx = graft.ops.LlmOps.pqIvfWriteIndex(s, d)
@@ -1304,6 +1369,7 @@ object StreamOps {
 
   val all: Map[String, OpQuery] = Map(
     "j23_stream_ann_ivfpq" -> j23_stream_ann_ivfpq,
+    "j24_stream_ann_rivfpq" -> j24_stream_ann_rivfpq,
     "j22_stream_ann_kmeans" -> j22_stream_ann_kmeans,
     "j21_stream_ann_ivf" -> j21_stream_ann_ivf,
     "j20_stream_ann" -> j20_stream_ann,

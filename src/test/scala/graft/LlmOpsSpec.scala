@@ -1442,6 +1442,36 @@ class LlmOpsSpec extends SparkTestBase {
       "probe over compacted index diverges from probe over base + tombstones")
   }
 
+  test("i78: refresh encodes against the PERSISTED artifacts - valid cells, valid codewords") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.i78_ann_rivfpq_refresh.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val expected = e.filter(col("vec_id") % 7 === 5)
+      .withColumn("maxq", LlmOps.sqMaxAbs).filter(col("maxq") > 0).count()
+    assert(out.length == expected && expected > 0,
+      s"refresh covered ${out.length} of $expected arriving vectors")
+    // every arriving vector is a NEW id, lands in a LIVE base cell, and
+    // carries PqM dense codes the persisted codebook defines
+    val sfx = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val liveCells = spark.read.parquet(graft.Util.scratch(s"i78_km_base_$sfx"))
+      .select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+    val cbIds = spark.read.parquet(LlmOps.pqrCbDir(
+        graft.Util.scratch(s"i78_rivfpq_base_$sfx")))
+      .select("sub", "cid").distinct().collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    out.foreach { case (v, cell, cs) =>
+      assert(v % 7 == 5, s"base vector $v leaked into the refresh")
+      assert(liveCells.contains(cell), s"vector $v assigned to dead cell $cell")
+      val codes = cs.split(",").map(_.toInt)
+      assert(codes.length == LlmOps.PqM)
+      codes.zipWithIndex.foreach { case (c, sub) =>
+        assert(cbIds.contains((sub, c)),
+          s"vector $v, sub $sub: codeword $c not in the persisted codebook")
+      }
+    }
+  }
+
   test("annCertTruthDir: the persisted truth equals the inline brute force") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window

@@ -603,4 +603,43 @@ class StreamOpsSpec extends SparkTestBase {
     assert(stream.filter(org.apache.spark.sql.functions.col("chunk_id") > 0)
       .count() > 0, "stream saw only single-chunk docs (vacuous)")
   }
+
+  test("j24 serves the RESIDUAL index: batch/stream parity, survivors from own cells") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.expressions.Window
+    val fromStream = StreamOps.j24_stream_ann_rivfpq.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = Tables.t(spark, sfDir, "embeddings")
+    val idx = LlmOps.pqrWriteIndex(spark, sfDir)
+    val cent = LlmOps.sq8IvfCentDir(LlmOps.sq8WriteIndexKmeans(spark, sfDir))
+    val qs = e.filter(col("vec_id") % 101 === 3)
+      .withColumn("maxq", LlmOps.sqMaxAbs).filter(col("maxq") > 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("qq"))
+      .localCheckpoint()
+    val stage1 = LlmOps.pqrBatchTop(spark, idx, cent, qs, 50)
+    val expect = stage1
+      .join(e, "vec_id")
+      .join(broadcast(qs.select("q_id", "qvec")), "q_id")
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(expect.nonEmpty && fromStream.toSet == expect.toSet,
+      s"residual stream serving diverges: ${fromStream.length} vs ${expect.length}")
+    // per-query cell restriction (the j23 pin, on the residual artifact)
+    val qcells = StreamOps.ivfBatchCells(spark, cent, qs, 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val cellOf = spark.read.parquet(idx)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val s1 = stage1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(s1.nonEmpty && s1.forall { case (q, v) =>
+      qcells.contains((q, cellOf(v)))
+    }, "a survivor came from outside its query's own probed cells")
+  }
 }
