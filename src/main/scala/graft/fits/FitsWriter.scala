@@ -309,7 +309,8 @@ object FitsWriter {
       arrayLens: Map[String, Int], varCols: Map[String, Char],
       tdims: Map[String, Seq[Int]], bitCols: Map[String, Int],
       nRows: Long, pcount: Long,
-      varMax: Map[String, Long]): Array[Byte] = {
+      varMax: Map[String, Long],
+      extraCardBytes: Array[Byte] = Array.empty): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.write(card("SIMPLE", "T", quote = false))
@@ -341,6 +342,9 @@ object FitsWriter {
       tdims.get(f.name).foreach(dims =>
         out.write(card(s"TDIM${i + 1}", dims.mkString("(", ",", ")"), quote = true)))
     }
+    // caller-supplied pre-rendered cards (provenance, HIERARCH, long
+    // strings) — written verbatim before END
+    out.write(extraCardBytes)
     out.write(endCard); pad(out, ' '.toByte)
     bos.toByteArray
   }
@@ -427,7 +431,8 @@ object FitsWriter {
       arrayLens: Map[String, Int] = Map.empty,
       varCols: Map[String, Char] = Map.empty,
       tdims: Map[String, Seq[Int]] = Map.empty,
-      bitCols: Map[String, Int] = Map.empty): Unit = {
+      bitCols: Map[String, Int] = Map.empty,
+      extraCardBytes: Array[Byte] = Array.empty): Unit = {
     val schema = df.schema
     validateLayout(schema, arrayLens, varCols, tdims, bitCols)
     val codec = new BinCodec(schema, strLens, arrayLens, varCols, bitCols)
@@ -456,7 +461,7 @@ object FitsWriter {
         n -> stats.foldLeft(0L)((m, s) => math.max(m, s._4(i)))
       }.toMap
       val header = binHeader(codec, strLens, arrayLens, varCols, tdims,
-        bitCols, nRows, pcount, varMax)
+        bitCols, nRows, pcount, varMax, extraCardBytes)
       val recordsStart = header.length.toLong
       val theap = codec.rowBytes.toLong * nRows // THEAP default: heap follows records
       val dataEnd = recordsStart + theap + pcount

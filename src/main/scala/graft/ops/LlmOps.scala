@@ -2936,6 +2936,75 @@ object LlmOps {
        |FROM embeddings e JOIN r USING (vec_id), qs
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** i79: FILTERED residual ANN — i73's hybrid-search shape composed
+    * with i75's production index: the metadata predicate rides the
+    * residual index row and reaches the codes scan as a parquet
+    * PushedFilter INSIDE the partition-pruned cells (both scan levers
+    * on one scan — directory pruning × row-group predicate —
+    * plan-asserted), the integer ADC-plus-cell-term cut ranks ONLY the
+    * eligible pool (i73's filter-before-cut correctness rule), and the
+    * exact re-rank emits the top-10. Oracle: i75's chain with the
+    * predicate on the candidate pool.
+    */
+  val i79_sim_ann_rivfpq_filtered = OpQuery(
+    (s, d) => {
+      val kmIdx = sq8WriteIndexKmeans(s, d)
+      val idx = pqrWriteIndex(s, d)
+      val qvec = sq8QueryVec(s, d, 7L)
+      val qq = pqQueryGrid(s, d, 7L)
+      val top2 = ivfCellRank(s, kmIdx, qvec).collect().map(_.getInt(0)).toSeq
+      val top = codesTopK(
+        s.read.parquet(idx)
+          .filter(col("cell").isin(top2: _*)) // partition filter
+          .filter(col("label") < 5),          // pushed row-group filter
+        adcLitFrom(s, pqrCbDir(idx), qq, PqrK), 50, 7L, PqrK,
+        cellTerm = element_at(typedLit(cellDotMap(s, kmIdx, qq, top2)),
+          col("cell")))
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), qvec), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |$pqrCteSql,
+       |el AS (SELECT vec_id FROM embeddings WHERE label < 5),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM m WHERE vec_id = 7 AND maxabs > 0),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1),
+       |qc AS (SELECT label FROM (
+       |    SELECT label, row_number() OVER (ORDER BY s DESC, label) AS rk
+       |    FROM csim) WHERE rk <= 2),
+       |rdt AS (SELECT rm1.sub, rm1.cid,
+       |         sum(qs.qq[rm1.sub * $PqDsub + rm1.pos] * rm1.cv_i) AS ds
+       |       FROM rm1, qs GROUP BY 1, 2),
+       |cdt AS (SELECT c1.cid AS cell,
+       |         list_sum(list_transform(range(1, len(c1.cv) + 1),
+       |           i -> qs.qq[i] * c1.cv[i])) AS cd
+       |       FROM c1, qs),
+       |ap AS (SELECT rcd.vec_id, cdt.cd + sum(rdt.ds) AS approx_i
+       |       FROM rcd JOIN rdt ON rcd.sub = rdt.sub AND rcd.cid = rdt.cid
+       |            JOIN cellkm ON cellkm.vec_id = rcd.vec_id
+       |            JOIN qc ON qc.label = cellkm.cid
+       |            JOIN cdt ON cdt.cell = cellkm.cid
+       |            JOIN el ON el.vec_id = rcd.vec_id
+       |       WHERE rcd.vec_id <> 7
+       |       GROUP BY rcd.vec_id, cdt.cd),
+       |r AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY approx_i DESC, vec_id) AS rk
+       |    FROM ap) WHERE rk <= 50)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |FROM embeddings e JOIN r USING (vec_id), qs
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
   /** The residual-PQ train+encode CTE block — the SQL mirror of
     * `pqrWriteIndex` (the pqCteSql convention, r-prefixed so it
     * composes with lloydCteSql AND pqCteSql in one oracle). Builds on
@@ -4261,6 +4330,7 @@ object LlmOps {
     "i76_ann_rivfpq_recall" -> i76_ann_rivfpq_recall,
     "i77_ann_compaction" -> i77_ann_compaction,
     "i78_ann_rivfpq_refresh" -> i78_ann_rivfpq_refresh,
+    "i79_sim_ann_rivfpq_filtered" -> i79_sim_ann_rivfpq_filtered,
     "i74_ann_tombstone" -> i74_ann_tombstone,
     "i14_lang_id" -> i14_lang_id,
     "i15_text_quality" -> i15_text_quality,

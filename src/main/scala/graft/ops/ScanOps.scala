@@ -2156,6 +2156,60 @@ object ScanOps {
       |SELECT fname, hdu, kind, n_rows, n_cols FROM inv
       |ORDER BY fname, hdu""".stripMargin)
 
+  /** The a40 planted provenance text — one definition shared by the
+    * fixture writer and the oracle literal (the dotSql convention).
+    * Long enough that the writer MUST emit a CONTINUE chain (>68 chars).
+    */
+  private[graft] val ProvenanceText: String =
+    "Coadded from 128 exposures of the r-band survey tile 0042; " +
+      "astrometric solution rev 7; photometric zeropoint 28.09; " +
+      "stacking pipeline graft-coadd 3.2 (deterministic reprocessing 0042-7-09)"
+
+  /** a40: header PROVENANCE round-trip — the conventions real archive
+    * products carry and r11 verdict #8 named: a long-string card
+    * (emitted as a CONTINUE chain — FITS 4.0 §4.2.1.2) and
+    * ESO-convention HIERARCH keywords ride a BINTABLE export, and the
+    * executor-side header walk (the a23 shape) reads them back
+    * stitched and keyed. The oracle pins the exact planted values, so
+    * a chunking bug, a lost '&', or a mis-tokenized HIERARCH key all
+    * hash-mismatch.
+    */
+  val a40_fits_header_provenance = OpQuery(
+    (s, d) => {
+      import s.implicits._
+      val path = graft.Util.fixtureOnce(
+        s"a40_prov_${d.replaceAll("[^a-zA-Z0-9]", "_")}.fits") { p =>
+        graft.fits.FitsWriter.writeDataFrame(p,
+          t(s, d, "nation").orderBy("n_nationkey"),
+          strLens = Map("n_name" -> 25),
+          extraCardBytes =
+            graft.fits.FitsWriter.longStringCards("PROVENAN", ProvenanceText) ++
+              graft.fits.FitsWriter.hierarchCard(
+                "ESO DET CHIP ID", "ccd-42", quote = true) ++
+              graft.fits.FitsWriter.hierarchCard(
+                "ESO TEL AIRM START", "1.203", quote = false))
+      }
+      s.createDataset(Seq(path)).repartition(1)
+        .mapPartitions { it =>
+          it.flatMap { p =>
+            val raf = new java.io.RandomAccessFile(p, "r")
+            val hdus =
+              try graft.fits.FitsFormat.listHdus(raf, raf.length())
+              finally raf.close()
+            val cards = hdus(1) // the BINTABLE extension
+            Seq("PROVENAN", "HIERARCH ESO DET CHIP ID",
+              "HIERARCH ESO TEL AIRM START")
+              .flatMap(k => cards.get(k).map(v => (k, v)))
+          }
+        }
+        .toDF("key", "value").orderBy("key")
+    },
+    s"""SELECT * FROM (VALUES
+       |  ('HIERARCH ESO DET CHIP ID', 'ccd-42'),
+       |  ('HIERARCH ESO TEL AIRM START', '1.203'),
+       |  ('PROVENAN', '$ProvenanceText')) t(key, value)
+       |ORDER BY key""".stripMargin)
+
   /** a24: FITS checksum integrity (DATASUM/CHECKSUM, FITS 4.0 §4.4.2.7)
     * — the archive fixity convention: DATASUM records the data unit's
     * 32-bit ones-complement sum, CHECKSUM an ASCII-encoded value chosen
@@ -2197,6 +2251,7 @@ object ScanOps {
     "a25_fits_cube_source" -> a25_fits_cube_source,
     "a26_fits_cube_cutout" -> a26_fits_cube_cutout,
     "a24_fits_checksum" -> a24_fits_checksum,
+    "a40_fits_header_provenance" -> a40_fits_header_provenance,
     "a23_fits_header_info" -> a23_fits_header_info,
     "a22_csv_quarantine" -> a22_csv_quarantine,
     "a21_zorder_layout" -> a21_zorder_layout,

@@ -223,4 +223,34 @@ class PlanAuditSpec extends SparkTestBase {
       pf.contains("cell")
     }, s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
   }
+
+  test("i79 stage 1: BOTH scan levers on ONE scan - cell partition filter AND pushed label filter") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    val dir = LlmOps.pqrWriteIndex(spark, sfDir)
+    val kmIdx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
+    val qq = LlmOps.pqQueryGrid(spark, sfDir, 7L)
+    val stage1 = LlmOps.codesTopK(
+      spark.read.parquet(dir)
+        .filter(col("cell").isin(0, 1)).filter(col("label") < 5),
+      LlmOps.adcLitFrom(spark, LlmOps.pqrCbDir(dir), qq, LlmOps.PqrK),
+      50, 7L, LlmOps.PqrK,
+      cellTerm = element_at(
+        typedLit(LlmOps.cellDotMap(spark, kmIdx, qq, Seq(0, 1))), col("cell")))
+    val plan = stage1.queryExecution.executedPlan.toString
+    assert(plan.contains("i75_rivfpq"),
+      "stage 1 must scan the persisted residual IVF-PQ dir")
+    assert(!plan.contains("embedding") && !plan.contains("_cb") &&
+      !plan.contains("_cent"),
+      s"stage-1 plan touches a non-codes table:\n${plan.take(1200)}")
+    val pf = plan.substring(plan.indexOf("PartitionFilters")).takeWhile(_ != ']')
+    assert(plan.contains("PartitionFilters") && pf.contains("cell"),
+      s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
+    val push = plan.substring(plan.indexOf("PushedFilters")).takeWhile(_ != ']')
+    assert(plan.contains("PushedFilters") && push.contains("label"),
+      s"metadata predicate not pushed into the codes scan:\n${plan.take(1500)}")
+    // filter-before-cut: every emitted row satisfies the predicate
+    val out = LlmOps.i79_sim_ann_rivfpq_filtered.fn(spark, sfDir).collect()
+    assert(out.length == 10 && out.forall(_.getInt(1) < 5))
+  }
 }
