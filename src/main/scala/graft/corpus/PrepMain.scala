@@ -651,12 +651,18 @@ object PrepMain {
         // corpus, same certification truth convention, ~6× smaller
         // codes — the manifest's ann_pq_recall_at10_micro vs
         // ann_recall_at10_micro is the like-for-like compression cost
+        // the residual rung (r12) rides the SAME cell artifacts, so the
+        // manifest's ann_rpq_recall_* vs ann_pq_recall_* vs ann_recall_*
+        // prices the whole compression ladder on one truth convention
         LlmOps.annWriteArtifact(emb, codesDir, centDir, opts.annK) ++
           LlmOps.annSweep(emb, codesDir, centDir,
             s"${opts.out}/ann_sweep.parquet") ++
           LlmOps.pqWriteArtifact(emb,
             s"${opts.out}/ann_pq_codes.parquet",
-            s"${opts.out}/ann_pq_codebook.parquet")
+            s"${opts.out}/ann_pq_codebook.parquet") ++
+          LlmOps.pqrWriteArtifact(emb, codesDir, centDir,
+            s"${opts.out}/ann_rpq_codes.parquet",
+            s"${opts.out}/ann_rpq_codebook.parquet")
       case _ => Map.empty
     }
     val manifest: Map[String, Long] = Map(

@@ -1966,6 +1966,48 @@ object LlmOps {
         (if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong))
   }
 
+  /** PrepMain's `--ann` RESIDUAL rung (the production IVFADC artifact):
+    * encode the kept corpus's residuals against the pipeline's OWN cell
+    * artifacts (`annIdxDir`/`centDir` — annWriteArtifact's layout, so
+    * one quantizer pair serves SQ8 and residual-PQ consumers) into
+    * `codesDir` (partitioned by cell) + `cbDir`, then certify the
+    * pruned residual chain's recall@10 on the SAME deterministic query
+    * sample the SQ8/PQ rungs certify with — the manifest's
+    * `ann_rpq_recall_at10_micro` beside `ann_pq_recall_at10_micro` and
+    * `ann_recall_at10_micro` reads the whole compression ladder
+    * like-for-like (i76's receipt shipped as a pipeline number).
+    */
+  def pqrWriteArtifact(emb: DataFrame, annIdxDir: String, centDir: String,
+      codesDir: String, cbDir: String, nQueries: Int = 32): Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.sparkSession
+    writePqrArtifactsFrom(emb,
+      s.read.parquet(annIdxDir).select(col("vec_id"), col("label").as("cell")),
+      centDir, codesDir, cbDir)
+    val (qb0, exact) = annTruth(emb, nQueries)
+    val qb = qb0.withColumn("qq",
+      expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))"))
+    val pruned = pqrBatchTop(s, codesDir, centDir, qb, 50,
+        cbDirOpt = Some(cbDir))
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .join(broadcast(qb0), "q_id")
+      .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val row = exact.join(pruned, Seq("q_id", "vec_id"), "left")
+      .agg(countDistinct(col("q_id")), count(lit(1)),
+        coalesce(sum(col("hit")), lit(0L))).head()
+    val (nq, nExact, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    Map(
+      "n_ann_rpq_vectors" -> s.read.parquet(codesDir).count(),
+      "ann_rpq_recall_n_queries" -> nq,
+      "ann_rpq_recall_hits" -> nHit,
+      "ann_rpq_recall_at10_micro" ->
+        (if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong))
+  }
+
   /** The ADC (asymmetric distance computation) lookup table for one
     * query, as a flat literal: slot sub·PqK + cid holds the EXACT
     * integer dot of the query's quantized subvector with codeword
@@ -2721,24 +2763,44 @@ object LlmOps {
     * broadcast-join map over the corpus, and serving reads
     * nprobe directories × 8 bytes/vector.
     */
-  private[graft] def writePqrArtifacts(emb: DataFrame, kmIdx: String,
-      dir: String): Unit = {
+  /** The residual train+encode core over an explicit cell assignment
+    * (vec_id, cell) + centroid artifact — shared by the gate fixture
+    * (k-means-artifact layout) and PrepMain's `--ann` rung (pipeline
+    * layout). `carryCols` names `emb` columns to keep on the codes rows.
+    */
+  private[graft] def writePqrArtifactsFrom(emb: DataFrame, cells: DataFrame,
+      centDir: String, dir: String, cbDir: String,
+      carryCols: Seq[String] = Nil): Unit = {
     val s = emb.sparkSession
-    val cells = s.read.parquet(kmIdx)
-      .select(col("vec_id"), col("label").as("cell"))
+    val centv = s.read.parquet(centDir)
+      .select(col("label").as("cell"), col("pos"),
+        round(col("c") * lit(1000.0), 0).cast(LongType).as("cv_i"))
+      .groupBy("cell")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
+        .as("centv"))
     val rq = emb
       .withColumn("qv0",
         expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
       .join(cells, "vec_id") // the cell model's (maxabs-kept) domain
-      .join(broadcast(kmCentIntArrays(s, kmIdx)), "cell") // k rows
-      .select(col("vec_id"), col("cell"), col("label"),
-        zip_with(col("qv0"), col("centv"), (a, b) => a - b).as("qv"))
+      .join(broadcast(centv), "cell") // k rows
+      .select(col("vec_id") +: col("cell") +: carryCols.map(col) :+
+        zip_with(col("qv0"), col("centv"), (a, b) => a - b).as("qv"): _*)
       .localCheckpoint() // feeds the trainer (3 passes) + the code join
     val (codes, m1) = pqTrainEncode(rq.select("vec_id", "qv"), PqrK)
-    codes.join(rq.select("vec_id", "cell", "label"), "vec_id")
-      .select("vec_id", "label", "codes", "cell")
+    codes.join(rq.drop("qv"), "vec_id")
+      .select(col("vec_id") +: carryCols.map(col) :+ col("codes") :+
+        col("cell"): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    m1.write.mode("overwrite").parquet(pqrCbDir(dir))
+    m1.write.mode("overwrite").parquet(cbDir)
+  }
+
+  private[graft] def writePqrArtifacts(emb: DataFrame, kmIdx: String,
+      dir: String): Unit = {
+    val s = emb.sparkSession
+    writePqrArtifactsFrom(emb,
+      s.read.parquet(kmIdx).select(col("vec_id"), col("label").as("cell")),
+      sq8IvfCentDir(kmIdx), dir, pqrCbDir(dir), carryCols = Seq("label"))
   }
 
   def pqrWriteIndex(s: SparkSession, d: String): String =
@@ -3064,7 +3126,8 @@ object LlmOps {
     */
   private[graft] def pqrBatchTop(s: SparkSession, idxDir: String,
       centDir: String, qb: DataFrame, n: Int,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, cbDirOpt: Option[String] = None): DataFrame = {
+    val cbDir = cbDirOpt.getOrElse(pqrCbDir(idxDir))
     import org.apache.spark.sql.expressions.Window
     val qcells = graft.ops.StreamOps.ivfBatchCells(s, centDir, qb, nprobe)
       .withColumnRenamed("label", "cell")
@@ -3073,7 +3136,7 @@ object LlmOps {
     val qx = qb.select(col("q_id"), posexplode(col("qq")).as(Seq("p0", "qv")))
       .withColumn("sub", expr(s"p0 DIV $PqDsub"))
       .withColumn("pos", expr(s"p0 % $PqDsub"))
-    val dtq = s.read.parquet(pqrCbDir(idxDir))
+    val dtq = s.read.parquet(cbDir)
       .join(broadcast(qx), Seq("sub", "pos"))
       .groupBy("q_id", "sub", "cid")
       .agg(sum(col("cv_i") * col("qv")).as("ds"))

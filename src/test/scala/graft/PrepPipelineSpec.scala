@@ -449,6 +449,25 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(m("ann_pq_recall_hits") <= m("ann_pq_recall_n_queries") * 10)
     val pqMicro = m("ann_pq_recall_at10_micro")
     assert(pqMicro > 0 && pqMicro <= 1000000L, s"PQ recall micro: $pqMicro")
+    // the RESIDUAL rung (r12): codes partitioned by the SAME cells the
+    // SQ8 index serves (one quantizer pair), 256-codeword codebook,
+    // certified on the same query sample — the manifest's three
+    // recall_at10_micro fields price the full compression ladder
+    val rCodes = spark.read.parquet(s"$outA/ann_rpq_codes.parquet")
+    assert(rCodes.schema.fieldNames.sorted.toSeq ==
+      Seq("cell", "codes", "vec_id"))
+    val rIds = rCodes.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rIds == idxIds, "residual codes do not cover the cell model's corpus")
+    assert(m("n_ann_rpq_vectors") == rIds.size.toLong)
+    val cellPairs = rCodes.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sqCells = codes.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellPairs == sqCells, "residual cells drift from the SQ8 index cells")
+    assert(m("ann_rpq_recall_n_queries") == m("ann_recall_n_queries"),
+      "residual certification drifted to a different query sample")
+    val rMicro = m("ann_rpq_recall_at10_micro")
+    assert(rMicro > 0 && rMicro <= 1000000L, s"residual recall micro: $rMicro")
   }
 
   test("--shuffle hash attaches the i51 training order: a dense shuffled permutation") {
