@@ -435,10 +435,12 @@ class StreamOpsSpec extends SparkTestBase {
       .toDF("q_id", "qvec")
     val stage1 = StreamOps.ivfBatchStage1(spark, idx, qb)
     val plan = stage1.queryExecution.executedPlan.toString
+    // the SQ8-IVF artifact's partition column is `label` (only the
+    // IVF-PQ/residual artifacts renamed theirs to `cell` — r11 ADVICE)
     assert(plan.contains("PartitionFilters") && {
       val pf = plan.substring(plan.indexOf("PartitionFilters"))
         .takeWhile(_ != ']')
-      pf.contains("cell")
+      pf.contains("label")
     }, s"batch cell probe did not plan as a partition filter:\n${plan.take(1500)}")
     assert(!plan.contains("embeddings.parquet"),
       s"stage-1 batch plan scans the float corpus:\n${plan.take(1500)}")
