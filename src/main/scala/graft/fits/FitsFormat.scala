@@ -511,24 +511,41 @@ object FitsFormat {
       * optionally behind a gnomonic projection (CTYPE RA---TAN /
       * DEC--TAN): present only when all four CD cards + both reference
       * cards parse (the same partial-WCS refusal rule as the linear
-      * path). A mixed CTYPE pair (one TAN, one not) is malformed →
-      * None, never a guess.
+      * path). The projection is parsed EXPLICITLY from the CTYPE
+      * algorithm code and whitelisted: no code = linear, TAN = gnomonic;
+      * any OTHER code (TAN-SIP, TPV, SIN, ZEA, ARC, …) parses into an
+      * `unsupportedProj` marker whose sky↔pixel accessors refuse loudly
+      * — silently treating a foreign projection as linear would return
+      * wrong pixels with no error. A mixed CTYPE pair (two different
+      * codes) is malformed → None, never a guess.
       */
-    private[fits] def cdTanOf(cards: Map[String, String]): Option[CdTanWcs] = {
+    private[graft] def cdTanOf(cards: Map[String, String]): Option[CdTanWcs] = {
       def num(key: String): Option[Double] =
         cards.get(key).flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
-      def isTan(key: String): Boolean =
-        cards.get(key).exists(_.replace("'", "").trim.endsWith("-TAN"))
-      val t1 = isTan("CTYPE1"); val t2 = isTan("CTYPE2")
-      if (t1 != t2) None
+      val pc1 = projCode(cards, "CTYPE1"); val pc2 = projCode(cards, "CTYPE2")
+      if (pc1 != pc2) None // mixed projection pair = malformed header
       else for {
         p1 <- num("CRPIX1"); v1 <- num("CRVAL1")
         p2 <- num("CRPIX2"); v2 <- num("CRVAL2")
         c11 <- num("CD1_1"); c12 <- num("CD1_2")
         c21 <- num("CD2_1"); c22 <- num("CD2_2")
         if c11 * c22 - c12 * c21 != 0.0 // singular matrix = malformed
-      } yield CdTanWcs(p1, v1, p2, v2, c11, c12, c21, c22, t1)
+      } yield CdTanWcs(p1, v1, p2, v2, c11, c12, c21, c22,
+        tan = pc1.contains("TAN"),
+        unsupportedProj = pc1.filterNot(Set("TAN")))
     }
+
+    /** The projection ALGORITHM code of a CTYPE card: the dash-separated
+      * segments after the padded coordinate name ('RA---TAN' → Some(TAN),
+      * 'RA---TAN-SIP' → Some(TAN-SIP), 'DEC--ZEA' → Some(ZEA); a bare
+      * coordinate name or an absent card → None = linear axis).
+      */
+    private[graft] def projCode(cards: Map[String, String],
+        key: String): Option[String] =
+      cards.get(key).flatMap { raw =>
+        val segs = raw.replace("'", "").trim.split('-').filter(_.nonEmpty)
+        if (segs.length <= 1) None else Some(segs.drop(1).mkString("-"))
+      }
 
     /** The six linear cards, when ALL are present AND numeric (partial
       * or malformed WCS = none: a cutout service must not guess missing
@@ -537,9 +554,15 @@ object FitsFormat {
       * imageSpec/tiledImageSpec parse it unconditionally; the
       * sky-addressed path then refuses loudly with its no-WCS error).
       */
-    private[fits] def of(cards: Map[String, String]): Option[Wcs] = {
+    private[graft] def of(cards: Map[String, String]): Option[Wcs] = {
       def num(key: String): Option[Double] =
         cards.get(key).flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      // a CTYPE that declares ANY projection algorithm makes the plain
+      // linear inversion wrong pixels (even TAN — the CD path owns that
+      // case): degrade to no-WCS so the sky-addressed linear path
+      // refuses with its loud no-WCS error instead of guessing
+      if (Seq("CTYPE1", "CTYPE2", "CTYPE3")
+            .exists(k => projCode(cards, k).nonEmpty)) return None
       val a3 = for {
         p3 <- num("CRPIX3"); v3 <- num("CRVAL3"); d3 <- num("CDELT3")
       } yield (p3, v3, d3)
@@ -564,10 +587,23 @@ object FitsFormat {
   final case class CdTanWcs(crpix1: Double, crval1: Double,
       crpix2: Double, crval2: Double,
       cd11: Double, cd12: Double, cd21: Double, cd22: Double,
-      tan: Boolean) {
+      tan: Boolean,
+      // a recognized-but-UNSUPPORTED projection code (TAN-SIP, TPV,
+      // SIN, ZEA, …): the cards parsed, so plain pixel reads keep their
+      // advisory metadata, but every sky↔pixel use refuses loudly — a
+      // foreign projection treated as linear returns WRONG pixels with
+      // no error, the exact failure the "never a guess" rule exists for
+      unsupportedProj: Option[String] = None) {
     private val det = cd11 * cd22 - cd12 * cd21
+    private def requireSupported(): Unit =
+      unsupportedProj.foreach { p =>
+        throw new IllegalArgumentException(
+          s"unsupported WCS projection '$p' (supported: linear, TAN) - " +
+            "refusing the sky-addressed path rather than guessing pixels")
+      }
     /** World coordinates of the 0-based FRACTIONAL pixel (x, y). */
     def worldAt(x: Double, y: Double): (Double, Double) = {
+      requireSupported()
       val dx = x + 1 - crpix1
       val dy = y + 1 - crpix2
       val xi = cd11 * dx + cd12 * dy
@@ -579,6 +615,7 @@ object FitsFormat {
       worldAt(x.toDouble, y.toDouble)
     /** FRACTIONAL 1-based pixel of a world position (the inverse). */
     def pix(w1: Double, w2: Double): (Double, Double) = {
+      requireSupported()
       val (xi, eta) = if (!tan) (w1 - crval1, w2 - crval2)
         else skyToTan(w1, w2)
       val dx = (cd22 * xi - cd12 * eta) / det

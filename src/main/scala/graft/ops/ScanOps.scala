@@ -1210,7 +1210,8 @@ object ScanOps {
     */
   private[graft] def cdCornerBox(w: graft.fits.FitsFormat.CdTanWcs,
       raLo: Double, raHi: Double, decLo: Double, decHi: Double,
-      width: Long, height: Long): (Long, Long, Long, Long) = {
+      width: Long, height: Long,
+      strictMargin: Boolean = false): (Long, Long, Long, Long) = {
     val ps = for (r <- Seq(raLo, raHi); dc <- Seq(decLo, decHi))
       yield w.pix(r, dc)
     // linear frames cut on pixel CENTERS (ceil min / floor max — the
@@ -1222,6 +1223,27 @@ object ScanOps {
     // it — the covering guarantee FitsFuzzSpec pins on random frames
     val (cutLo, cutHi): (Double => Double, Double => Double) =
       if (w.tan) (math.floor, math.ceil) else (math.ceil, math.floor)
+    if (w.tan && strictMargin) {
+      // A projected cut is HASH-deterministic across engines only while
+      // every ceil/floor input sits WELL off an integer: the trig chain
+      // differs by last-ulp libm wobble (~1e-12 px here), so an input
+      // grazing an integer could round the other way in the oracle's
+      // engine and silently shift the cut by one pixel. The fuzz spec
+      // asserts the planted corpus heights keep ≥ ~1e-3 margin, but the
+      // gate derives its cut from the RUNTIME documents.count() — a new
+      // corpus size could graze. strictMargin (set on oracle-compared
+      // paths; covering-only callers don't need it — an exact-integer
+      // outward cut still covers) refuses loudly instead of letting one
+      // engine hash-mismatch.
+      Seq(ps.map(_._1).min, ps.map(_._1).max,
+          ps.map(_._2).min, ps.map(_._2).max).foreach { v =>
+        val m = math.abs(v - math.rint(v))
+        require(m >= 1e-6,
+          f"TAN cut input $v%.12f sits $m%.2e from an integer - below " +
+            "the 1e-6 cross-engine determinism margin; move the request " +
+            "corners off the pixel grid")
+      }
+    }
     val x0 = math.max(cutLo(ps.map(_._1).min).toLong, 1L)
     val x1 = math.min(cutHi(ps.map(_._1).max).toLong, width)
     val y0 = math.max(cutLo(ps.map(_._2).min).toLong, 1L)
@@ -1334,7 +1356,8 @@ object ScanOps {
                         y <- Seq(height / 4 + 0.25, height / 2 - 0.75))
             yield w.worldAt(x, y)
           cdCornerBox(w, cs.map(_._1).min, cs.map(_._1).max,
-            cs.map(_._2).min, cs.map(_._2).max, sp.width, sp.height)
+            cs.map(_._2).min, cs.map(_._2).max, sp.width, sp.height,
+            strictMargin = true)
         } finally raf.close()
       }
       tiledCutoutFrame(s, path, tileRows, y0, y1 + 1, x0.toInt, x1.toInt + 1)

@@ -462,4 +462,71 @@ class FitsFuzzSpec extends SparkTestBase {
       }
     }
   }
+
+  test("a39 strictMargin: a grazing TAN cut input fails loudly, not one-engine-silently") {
+    val w = FitsFormat.CdTanWcs(32.0, 180.0, 1.0, -10.0,
+      -0.001953125, 0.001953125, 0.001953125, 0.001953125, tan = true)
+    // a DEGENERATE request box at the sky position of an INTEGER pixel
+    // center: every cut input round-trips to that integer within
+    // ~1e-12 — exactly the geometry where two engines' libm trig can
+    // round a ceil/floor opposite ways
+    val (ra, dec) = w.worldAt(16.0, 100.0)
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.ScanOps.cdCornerBox(w, ra, ra, dec, dec,
+        64L, 256L, strictMargin = true)
+    }
+    assert(e.getMessage.contains("determinism margin"))
+    // a covering-only caller (no oracle comparison) still succeeds: an
+    // exact-integer outward cut covers either way
+    graft.ops.ScanOps.cdCornerBox(w, ra, ra, dec, dec, 64L, 256L)
+  }
+
+  test("unknown WCS projection codes refuse the sky path loudly, never degrade to linear") {
+    import FitsFormat.Wcs
+    val cd = Map(
+      "CRPIX1" -> "32.0", "CRVAL1" -> "180.0",
+      "CRPIX2" -> "1.0", "CRVAL2" -> "-10.0",
+      "CD1_1" -> "-0.001953125", "CD1_2" -> "0.001953125",
+      "CD2_1" -> "0.001953125", "CD2_2" -> "0.001953125")
+    // the real-archive projection codes a cutout service meets first:
+    // SIP-distorted TAN (Spitzer/most survey mosaics), TPV, SIN, ZEA —
+    // every one must parse (plain pixel reads keep their metadata) but
+    // REFUSE the sky-addressed accessors, not silently act linear
+    Seq("TAN-SIP" -> ("'RA---TAN-SIP'", "'DEC--TAN-SIP'"),
+        "TPV" -> ("'RA---TPV'", "'DEC--TPV'"),
+        "SIN" -> ("'RA---SIN'", "'DEC--SIN'"),
+        "ZEA" -> ("'RA---ZEA'", "'DEC--ZEA'")).foreach {
+      case (code, (c1, c2)) =>
+        val w = Wcs.cdTanOf(cd + ("CTYPE1" -> c1) + ("CTYPE2" -> c2))
+          .getOrElse(fail(s"$code header failed to parse at all"))
+        assert(w.unsupportedProj.contains(code))
+        val e1 = intercept[IllegalArgumentException](w.worldAt(16.25, 100.25))
+        assert(e1.getMessage.contains("unsupported WCS projection"))
+        val e2 = intercept[IllegalArgumentException](w.pix(180.0, -10.0))
+        assert(e2.getMessage.contains("unsupported WCS projection"))
+    }
+    // the whitelist still passes: TAN, bare linear CD, and bare
+    // coordinate names without an algorithm code
+    assert(Wcs.cdTanOf(cd + ("CTYPE1" -> "'RA---TAN'")
+      + ("CTYPE2" -> "'DEC--TAN'")).exists(w =>
+        w.tan && w.unsupportedProj.isEmpty))
+    assert(Wcs.cdTanOf(cd).exists(w => !w.tan && w.unsupportedProj.isEmpty))
+    assert(Wcs.cdTanOf(cd + ("CTYPE1" -> "'RA'") + ("CTYPE2" -> "'DEC'"))
+      .exists(w => !w.tan && w.unsupportedProj.isEmpty))
+    // a MIXED projection pair stays malformed -> None (never a guess)
+    assert(Wcs.cdTanOf(cd + ("CTYPE1" -> "'RA---TAN'")
+      + ("CTYPE2" -> "'DEC--SIN'")).isEmpty)
+    // and the LINEAR parser refuses projected CTYPEs too (even TAN —
+    // the CD path owns that case): a SIN header with CDELT cards must
+    // not become a silently-wrong linear cutout
+    val lin = Map(
+      "CRPIX1" -> "32.0", "CRVAL1" -> "180.0", "CDELT1" -> "-0.00390625",
+      "CRPIX2" -> "1.0", "CRVAL2" -> "-10.0", "CDELT2" -> "0.00390625")
+    assert(Wcs.of(lin).nonEmpty)
+    Seq("'RA---SIN'" -> "'DEC--SIN'", "'RA---TAN'" -> "'DEC--TAN'").foreach {
+      case (c1, c2) =>
+        assert(Wcs.of(lin + ("CTYPE1" -> c1) + ("CTYPE2" -> c2)).isEmpty,
+          s"linear parser accepted projected CTYPE $c1")
+    }
+  }
 }
