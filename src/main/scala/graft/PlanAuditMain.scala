@@ -152,7 +152,13 @@ object PlanAudit {
     // the encoded code VALUES, so the per-vector code aggregation
     // prunes under a bare count (audit: aggs 3->2); the _forced row
     // times the full assign+residualize+encode chain
-    "i78_ann_rivfpq_refresh")
+    "i78_ann_rivfpq_refresh",
+    // i81 (r13): i76's class with the OPQ chain — per-query count is
+    // |queries| regardless of hit values, so both residual probe
+    // chains prune under a bare count (audit: joins 16->0, aggs 7->1,
+    // windows 4->0, generates 6->0); the _forced row times the dual
+    // certification
+    "i81_ann_opq_recall")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

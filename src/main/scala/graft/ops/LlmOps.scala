@@ -869,18 +869,18 @@ object LlmOps {
     val cells = cells0.localCheckpoint()
     kept.withColumn("qarr", sqCodes)
       .join(cells, "vec_id")
-      .select(col("vec_id"), col("cid").cast("int").as("label"),
+      .select(col("vec_id"), col("cid").cast("int").as("cell"),
         col("maxabs"), col("qarr"))
-      .write.mode("overwrite").partitionBy("label").parquet(codesDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(codesDir)
     centPos.join(cells.select("cid").distinct(), "cid")
-      .select(col("cid").cast("int").as("label"), col("pos"),
+      .select(col("cid").cast("int").as("cell"), col("pos"),
         (col("cv_i").cast(DoubleType) / lit(1000.0)).as("c"))
       .write.mode("overwrite").parquet(centDir)
     val s = emb.sparkSession
     val codeCells = s.read.parquet(codesDir)
-      .select("label").distinct().collect().map(_.getInt(0)).toSet
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
     val centCells = s.read.parquet(centDir)
-      .select("label").distinct().collect().map(_.getInt(0)).toSet
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
     require(codeCells == centCells,
       s"ANN artifacts disagree on cell cover: codes $codeCells vs " +
         s"centroids $centCells — a probe would spend nprobe slots on " +
@@ -902,7 +902,7 @@ object LlmOps {
     val n = row.getLong(0)
     Map(
       "n_ann_vectors" -> n,
-      "n_ann_cells" -> codes.select("label").distinct().count(),
+      "n_ann_cells" -> codes.select("cell").distinct().count(),
       "n_ann_saturated_codes" -> row.getLong(1),
       "ann_maxabs_min_micro" ->
         (if (n == 0) 0L else math.floor(row.getDouble(2) * 1e6).toLong),
@@ -1089,7 +1089,8 @@ object LlmOps {
     */
   def annSweep(emb: DataFrame, codesDir: String, centDir: String,
       sweepDir: String, nQueries: Int = 32,
-      nprobes: Seq[Int] = Seq(1, 2, 4)): Map[String, Long] = {
+      nprobes: Seq[Int] = Seq(1, 2, 4),
+      targetMicro: Long = 500000L): Map[String, Long] = {
     // the np=2 rung IS the certified operating point, so the sweep
     // returns annCertify's ann_recall_* triple too — ONE brute-force
     // truth pays for both manifest families (r11 review finding: the
@@ -1109,12 +1110,20 @@ object LlmOps {
     rows.toDF("np", "n_queries", "n_exact", "n_hit", "recall_micro")
       .coalesce(1).write.mode("overwrite").parquet(sweepDir)
     val op = rows.find(_._1 == 2L).get
+    // the OPERATING POINT (i80's inversion, shipped with the artifact):
+    // smallest rung meeting the target recall, or -1 = "re-cluster" —
+    // the consumer reads ann_op_nprobe instead of re-deriving the curve
+    val chosen = rows.filter(_._5 >= targetMicro).sortBy(_._1).headOption
     rows.map { case (np, _, _, _, micro) =>
       s"ann_sweep_np${np}_recall_micro" -> micro
     }.toMap ++ Map(
       "ann_recall_n_queries" -> op._2,
       "ann_recall_hits" -> op._4,
-      "ann_recall_at10_micro" -> op._5)
+      "ann_recall_at10_micro" -> op._5,
+      "ann_op_target_micro" -> targetMicro,
+      "ann_op_nprobe" -> chosen.map(_._1).getOrElse(-1L),
+      "ann_op_recall_micro" -> chosen.map(_._5)
+        .getOrElse(rows.map(_._5).max))
   }
 
   /** Build and persist the i61 SQ8 artifact for `d`'s embeddings table:
@@ -1210,17 +1219,24 @@ object LlmOps {
     graft.Util.fixtureOnce(
       s"i64_sq8ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
       val e = t(s, d, "embeddings")
+      // the artifact's partition column is `cell` (the family-wide
+      // convention since r13 — `label` is reserved for embedding
+      // METADATA, i73/i79's filter target); here the cell id happens to
+      // COME from the fixture's label column (i13's arbitrary coarse
+      // quantizer), which is exactly why the rename matters
       e.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
         .withColumn("qarr", sqCodes)
-        .select("vec_id", "label", "maxabs", "qarr")
-        .write.mode("overwrite").partitionBy("label").parquet(dir)
+        .select(col("vec_id"), col("label").as("cell"),
+          col("maxabs"), col("qarr"))
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
       // the coarse-quantizer centroids (i13's element-wise avg), the
       // one pass over the float corpus this family ever makes — at
       // 100 TB this is the index build's map-reduce, paid once per
       // index, and the artifact it leaves is k×64 rows
-      e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      e.select(col("label").as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
         .withColumn("v", col("v").cast(DoubleType))
-        .groupBy("label", "pos").agg(avg(col("v")).as("c"))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("c"))
         .write.mode("overwrite").parquet(sq8IvfCentDir(dir))
     }
 
@@ -1306,16 +1322,17 @@ object LlmOps {
       .withColumn("qv", col("qv").cast(DoubleType))
     s.read.parquet(sq8IvfCentDir(idxDir))
       .join(broadcast(qex), Seq("pos"))
-      .groupBy("label").agg(round(sum(col("c") * col("qv")), 6).as("csim"))
-      .orderBy(desc("csim"), asc("label")).limit(2)
-      .select("label")
+      .groupBy("cell").agg(round(sum(col("c") * col("qv")), 6).as("csim"))
+      .orderBy(desc("csim"), asc("cell")).limit(2)
+      .select("cell")
   }
 
   /** i64: IVF × SQ8 — the composition PERF.md promised ("compose with
     * i13's partition pruning and a 100 TB ANN index becomes nprobe ×
     * (cell bytes / 3.5) scanned per query"), made a real plan instead
     * of prose. The persisted code table is PARTITIONED BY the coarse
-    * cell (label — i13's IVF convention); the query ranks cells on
+    * cell (`cell`, fed by i13's label-partition convention); the query
+    * ranks cells on
     * rounded centroid similarity against the PERSISTED k×64 centroid
     * table written beside the index at build time (r9 verdict #1: the
     * r9 form posexploded the ENTIRE float corpus per query to derive
@@ -1323,7 +1340,7 @@ object LlmOps {
     * the op demonstrates; now the ranking plan reads k×64 rows and the
     * float corpus appears NOWHERE above the 50-row re-rank), collects
     * the top-2 cell ids (a 2-row bounded build, the d2/i7 convention),
-    * and probes the codes scan with `label IN (...)` — a LITERAL
+    * and probes the codes scan with `cell IN (...)` — a LITERAL
     * partition filter, so the scan plans PartitionFilters and reads
     * nprobe directories of int8 codes: BOTH pruning levers at once,
     * directory-level (IVF) and byte-level (SQ8). Stage 2 re-ranks the
@@ -1344,7 +1361,7 @@ object LlmOps {
       // LITERAL IN — static partition pruning, not DPP
       val top2 = ivfCellRank(s, idx, qvec)
         .collect().map(_.getInt(0)).toSeq
-      val top = sq8CodesTop50(codes.filter(col("label").isin(top2: _*)), qvec)
+      val top = sq8CodesTop50(codes.filter(col("cell").isin(top2: _*)), qvec)
       t(s, d, "embeddings").join(broadcast(top), "vec_id")
         .withColumn("sim", round(dot(col("embedding"), qvec), 6))
         .select("vec_id", "label", "sim")
@@ -1578,6 +1595,68 @@ object LlmOps {
        |           AND p.vec_id = bfr.vec_id
        |GROUP BY nps.np ORDER BY nps.np""".stripMargin)
 
+  /** i80: the ANN OPERATING-POINT SELECTOR — the r12 verdict's #3 (the
+    * instruments exist — i65 certifies a point, i66 measures the curve
+    * — but nothing CHOOSES): this op inverts i66's recall-vs-nprobe
+    * curve into the decision a deployment actually asks for. Per target
+    * recall, the SMALLEST nprobe rung meeting it ("serve", with the
+    * achieved recall — probe cost is monotone in nprobe, so smallest-
+    * qualifying is cheapest-qualifying), or "re-cluster" when even the
+    * widest rung falls short — the curve's CEILING is the coarse
+    * quantizer's quality, and more probes cannot buy what the cells
+    * don't separate; the fix is relearning cells (i67) or raising k,
+    * which is why the selector emits a rebuild signal instead of a
+    * rung. Three policy targets (0.25/0.50/0.90 micro) exercise both
+    * branches on this corpus at every SF. All comparisons run on the
+    * exact integer micro-recall (n_hit·10⁶ DIV n_exact, the established
+    * convention), so the chosen rung is engine-identical. At 100 TB the
+    * selection is a 3×3-row decision over the sweep the build already
+    * persisted (PrepMain ships the same inversion in its --ann manifest
+    * as ann_op_*); the curve measurement itself is i66's once-per-build
+    * audit pass. Oracle: i66's full chain as a CTE, then the identical
+    * min-qualifying-rung selection.
+    */
+  val i80_ann_operating_point = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val curve = i66_ann_nprobe_sweep.fn(s, d)
+        .select(col("np"), expr("n_hit * 1000000 DIV n_exact").as("micro"))
+      val tdf = Seq(250000L, 500000L, 900000L).toDF("target_micro")
+      val w = Window.partitionBy("target_micro")
+      val dec = curve.crossJoin(broadcast(tdf)) // 3 rungs × 3 targets
+        .withColumn("chosen",
+          min(when(col("micro") >= col("target_micro"), col("np"))).over(w))
+        .withColumn("best", max(col("micro")).over(w))
+      val serve = dec.filter(col("np") === col("chosen"))
+        .select(col("target_micro"), col("chosen").as("chosen_nprobe"),
+          col("micro").as("achieved_micro"), lit("serve").as("decision"))
+      val recluster = dec.filter(col("chosen").isNull)
+        .groupBy("target_micro")
+        .agg(max(col("micro")).as("achieved_micro"))
+        .select(col("target_micro"), lit(-1L).as("chosen_nprobe"),
+          col("achieved_micro"), lit("re-cluster").as("decision"))
+      serve.unionByName(recluster).orderBy("target_micro")
+    },
+    s"""WITH curve AS (
+       |${i66_ann_nprobe_sweep.oracle.get}
+       |),
+       |mc AS (SELECT np, n_hit * 1000000 // n_exact AS micro FROM curve),
+       |tg AS (SELECT CAST(unnest([250000, 500000, 900000]) AS BIGINT)
+       |         AS target_micro),
+       |ch AS (SELECT tg.target_micro,
+       |         min(CASE WHEN mc.micro >= tg.target_micro
+       |             THEN mc.np END) AS chosen,
+       |         max(mc.micro) AS best
+       |       FROM tg CROSS JOIN mc GROUP BY 1)
+       |SELECT ch.target_micro,
+       |  coalesce(ch.chosen, -1) AS chosen_nprobe,
+       |  coalesce(mc.micro, ch.best) AS achieved_micro,
+       |  CASE WHEN ch.chosen IS NULL THEN 're-cluster' ELSE 'serve' END
+       |    AS decision
+       |FROM ch LEFT JOIN mc ON mc.np = ch.chosen
+       |ORDER BY target_micro""".stripMargin)
+
   /** i67: learned-cells IVF certification — the round-11 answer to the
     * r10 verdict's one `weak` ("the builder built the instrument that
     * measures the problem; make the instrument's number go up"): the
@@ -1752,7 +1831,7 @@ object LlmOps {
       // the persisted model back on the exact integer grid
       val c1 = s.read.parquet(sq8IvfCentDir(idx))
         .withColumn("cv_i", round(col("c") * lit(1000.0)).cast("long"))
-        .groupBy(col("label").as("cid"))
+        .groupBy(col("cell").as("cid"))
         .agg(expr(
           "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
           .as("cv"))
@@ -1762,14 +1841,14 @@ object LlmOps {
           expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))").as("qv"))
       val assigned = graft.ops.CorpusOps.lloydAssign(newQ, c1)
       val baseCounts = s.read.parquet(idx)
-        .groupBy("label").agg(count(lit(1)).as("n_base"))
+        .groupBy("cell").agg(count(lit(1)).as("n_base"))
       val newCounts = assigned
-        .groupBy(col("cid").as("label")).agg(count(lit(1)).as("n_new"))
-      baseCounts.join(newCounts, Seq("label"), "left")
+        .groupBy(col("cid").as("cell")).agg(count(lit(1)).as("n_new"))
+      baseCounts.join(newCounts, Seq("cell"), "left")
         .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
-        .select(col("label").cast("long").as("label"), col("n_base"),
+        .select(col("cell").cast("long").as("cell"), col("n_base"),
           col("n_new"), (col("n_base") + col("n_new")).as("n_total"))
-        .orderBy("label")
+        .orderBy("cell")
     },
     s"""WITH m AS (
        |  SELECT vec_id, embedding,
@@ -1792,11 +1871,11 @@ object LlmOps {
        |    FROM nq CROSS JOIN c1live)),
        |celln AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_new
        |          FROM an WHERE rn = 1 GROUP BY cid)
-       |SELECT CAST(cellb.cid AS BIGINT) AS label, n_base,
+       |SELECT CAST(cellb.cid AS BIGINT) AS cell, n_base,
        |  coalesce(n_new, 0) AS n_new,
        |  n_base + coalesce(n_new, 0) AS n_total
        |FROM cellb LEFT JOIN celln ON cellb.cid = celln.cid
-       |ORDER BY label""".stripMargin)
+       |ORDER BY cell""".stripMargin)
 
   // -------- product quantization (PQ) ANN -----------------------------------
 
@@ -1982,7 +2061,7 @@ object LlmOps {
     import org.apache.spark.sql.expressions.Window
     val s = emb.sparkSession
     writePqrArtifactsFrom(emb,
-      s.read.parquet(annIdxDir).select(col("vec_id"), col("label").as("cell")),
+      s.read.parquet(annIdxDir).select(col("vec_id"), col("cell")),
       centDir, codesDir, cbDir)
     val (qb0, exact) = annTruth(emb, nQueries)
     val qb = qb0.withColumn("qq",
@@ -2423,12 +2502,32 @@ object LlmOps {
       .localCheckpoint() // read for the dirty-cell filter AND returned
     val dirty = plan.filter(col("compacted")).select("cell")
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ k cells
-    if (dirty.nonEmpty)
-      codes.filter(col("cell").isin(dirty: _*)) // partition-pruned read
+    if (dirty.nonEmpty) {
+      // Materialize the survivors BEFORE the overwrite touches idxDir:
+      // the rewrite deletes files the pruned read's plan points at, so
+      // any re-execution of a read task after the commit (task retry,
+      // AQE replan, later reuse of the `codes` plan) would hit deleted
+      // files. localCheckpoint pins the rows to executor storage first.
+      val survivors = codes
+        .filter(col("cell").isin(dirty: _*)) // partition-pruned read
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        .write.mode("overwrite")
+        .localCheckpoint()
+      survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic") // replace ONLY dirty cells
         .partitionBy("cell").parquet(idxDir)
+      // Dynamic overwrite replaces only partitions PRESENT in the
+      // written data: a dirty cell whose rows are ALL tombstoned
+      // produces zero survivors, so its directory would never be
+      // rewritten — the dead vectors stay servable while the caller
+      // truncates their tombstones. Delete those directories explicitly.
+      val alive = survivors.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSet // bounded: ≤ |dirty| cells
+      dirty.filterNot(alive).foreach { c =>
+        val p = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(idxDir), s"cell=$c")
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
     plan
   }
 
@@ -2635,18 +2734,19 @@ object LlmOps {
     * retrain and no re-encode. Covers the maxabs-kept corpus (the cell
     * model's domain); the cell centroids stay the shared
     * `sq8WriteIndexKmeans` artifact, so cell ranking and this layout
-    * cannot drift apart. The partition column is named `cell` — NOT
-    * `label` — because the i69 codes artifact's `label` is embedding
-    * METADATA (i73's filter target); sharing one name for two meanings
-    * would let a filtered-ANN consumer silently filter cells instead
-    * of metadata (r11 ADVICE).
+    * cannot drift apart. The partition column is named `cell` — the
+    * family-wide convention (since r13 the SQ8 artifacts use it too) —
+    * because the codes artifacts' `label` is embedding METADATA (i73's
+    * filter target); sharing one name for two meanings would let a
+    * filtered-ANN consumer silently filter cells instead of metadata
+    * (r11 ADVICE).
     */
   def pqIvfWriteIndex(s: SparkSession, d: String): String =
     graft.Util.fixtureOnce(
       s"i71_ivfpq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
       s.read.parquet(pqWriteIndex(s, d)).select("vec_id", "codes")
         .join(s.read.parquet(sq8WriteIndexKmeans(s, d))
-          .select(col("vec_id"), col("label").as("cell")), "vec_id")
+          .select(col("vec_id"), col("cell")), "vec_id")
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
     }
 
@@ -2741,7 +2841,7 @@ object LlmOps {
   private[graft] def kmCentIntArrays(s: SparkSession,
       kmIdx: String): DataFrame =
     s.read.parquet(sq8IvfCentDir(kmIdx))
-      .select(col("label").as("cell"), col("pos"),
+      .select(col("cell"), col("pos"),
         round(col("c") * lit(1000.0), 0).cast(LongType).as("cv_i"))
       .groupBy("cell")
       .agg(expr(
@@ -2770,22 +2870,29 @@ object LlmOps {
     */
   private[graft] def writePqrArtifactsFrom(emb: DataFrame, cells: DataFrame,
       centDir: String, dir: String, cbDir: String,
-      carryCols: Seq[String] = Nil): Unit = {
+      carryCols: Seq[String] = Nil,
+      perm: Option[Array[Int]] = None): Unit = {
     val s = emb.sparkSession
     val centv = s.read.parquet(centDir)
-      .select(col("label").as("cell"), col("pos"),
+      .select(col("cell"), col("pos"),
         round(col("c") * lit(1000.0), 0).cast(LongType).as("cv_i"))
       .groupBy("cell")
       .agg(expr(
         "transform(array_sort(collect_list(struct(pos, cv_i))), p -> p.cv_i)")
         .as("centv"))
+    // the residual on the exact grid; `perm` (i81's OPQ rung) applies an
+    // exactly-orthogonal signed-permutation AFTER the subtraction —
+    // inner products are preserved, only the subspace grouping changes
+    val residual = zip_with(col("qv0"), col("centv"), (a, b) => a - b)
+    val encoded = perm.fold(residual)(p =>
+      array(p.map(i => residual.getItem(i)): _*))
     val rq = emb
       .withColumn("qv0",
         expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
       .join(cells, "vec_id") // the cell model's (maxabs-kept) domain
       .join(broadcast(centv), "cell") // k rows
       .select(col("vec_id") +: col("cell") +: carryCols.map(col) :+
-        zip_with(col("qv0"), col("centv"), (a, b) => a - b).as("qv"): _*)
+        encoded.as("qv"): _*)
       .localCheckpoint() // feeds the trainer (3 passes) + the code join
     val (codes, m1) = pqTrainEncode(rq.select("vec_id", "qv"), PqrK)
     codes.join(rq.drop("qv"), "vec_id")
@@ -2799,7 +2906,7 @@ object LlmOps {
       dir: String): Unit = {
     val s = emb.sparkSession
     writePqrArtifactsFrom(emb,
-      s.read.parquet(kmIdx).select(col("vec_id"), col("label").as("cell")),
+      s.read.parquet(kmIdx).select(col("vec_id"), col("cell")),
       sq8IvfCentDir(kmIdx), dir, pqrCbDir(dir), carryCols = Seq("label"))
   }
 
@@ -3076,44 +3183,83 @@ object LlmOps {
     * seeds), rm1 (the trained 256-codeword integer codebook), rcd (the
     * codes: vec_id, sub, cid).
     */
-  private[graft] def pqrCteSql: String =
+  /** The residual train+encode chain with CTE names `${p}q`/`${p}sv`/…
+    * — "r" reproduces the classic pqrCteSql names (rq, rsv, rsd, rc0,
+    * ra1, rm1, rc1, ra2, rcd); i81's OPQ mirror instantiates the SAME
+    * trainer at prefix "o" over the PERMUTED residual (`rqCte` is the
+    * caller-supplied first CTE so the residual construction can differ).
+    */
+  private[graft] def pqrChainCteSql(p: String, rqCte: String): String =
+    s"""$rqCte,
+       |${p}sv AS (SELECT vec_id, s.sub,
+       |         list_transform(range(1, ${PqDsub + 1}),
+       |           j -> qv[s.sub * $PqDsub + j]) AS sv
+       |       FROM ${p}q, range(0, $PqM) s(sub)),
+       |${p}sd AS (SELECT vec_id, rn - 1 AS cid FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY (vec_id * 741103597) % 1000000007, vec_id) AS rn
+       |    FROM ${p}q) WHERE rn <= $PqrK),
+       |${p}c0 AS (SELECT ${p}sv.sub, ${p}sd.cid, ${p}sv.sv AS cv
+       |       FROM ${p}sv JOIN ${p}sd USING (vec_id)),
+       |${p}a1 AS (SELECT vec_id, sub, sv, cid,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY dist, cid) AS rn
+       |       FROM (SELECT ${p}sv.vec_id, ${p}sv.sub, ${p}sv.sv, ${p}c0.cid,
+       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |                 i -> (${p}sv.sv[i] - ${p}c0.cv[i]) * (${p}sv.sv[i] - ${p}c0.cv[i]))) AS dist
+       |             FROM ${p}sv JOIN ${p}c0 ON ${p}sv.sub = ${p}c0.sub)),
+       |${p}m1 AS (SELECT sub, cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv_i
+       |       FROM (SELECT sub, cid, unnest(list_transform(range(1, ${PqDsub + 1}),
+       |               i -> {'pos': i, 'v': sv[i]}), recursive := true)
+       |             FROM ${p}a1 WHERE rn = 1)
+       |       GROUP BY sub, cid, pos),
+       |${p}c1 AS (SELECT sub, cid, list(cv_i ORDER BY pos) AS cv
+       |       FROM ${p}m1 GROUP BY sub, cid),
+       |${p}a2 AS (SELECT vec_id, sub, cid,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |           ORDER BY dist, cid) AS rn
+       |       FROM (SELECT ${p}sv.vec_id, ${p}sv.sub, ${p}c1.cid,
+       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
+       |                 i -> (${p}sv.sv[i] - ${p}c1.cv[i]) * (${p}sv.sv[i] - ${p}c1.cv[i]))) AS dist
+       |             FROM ${p}sv JOIN ${p}c1 ON ${p}sv.sub = ${p}c1.sub)),
+       |${p}cd AS (SELECT vec_id, sub, cid FROM ${p}a2 WHERE rn = 1)""".stripMargin
+
+  private[graft] def pqrCteSql: String = pqrChainCteSql("r",
     s"""rq AS (
        |  SELECT lq.vec_id, cellkm.cid AS cell,
        |         list_transform(range(1, len(lq.qv) + 1),
        |           i -> lq.qv[i] - c1.cv[i]) AS qv
-       |  FROM lq JOIN cellkm USING (vec_id) JOIN c1 ON c1.cid = cellkm.cid),
-       |rsv AS (SELECT vec_id, s.sub,
-       |         list_transform(range(1, ${PqDsub + 1}),
-       |           j -> qv[s.sub * $PqDsub + j]) AS sv
-       |       FROM rq, range(0, $PqM) s(sub)),
-       |rsd AS (SELECT vec_id, rn - 1 AS cid FROM (
-       |    SELECT vec_id, row_number() OVER (
-       |      ORDER BY (vec_id * 741103597) % 1000000007, vec_id) AS rn
-       |    FROM rq) WHERE rn <= $PqrK),
-       |rc0 AS (SELECT rsv.sub, rsd.cid, rsv.sv AS cv
-       |       FROM rsv JOIN rsd USING (vec_id)),
-       |ra1 AS (SELECT vec_id, sub, sv, cid,
-       |         row_number() OVER (PARTITION BY vec_id, sub
-       |           ORDER BY dist, cid) AS rn
-       |       FROM (SELECT rsv.vec_id, rsv.sub, rsv.sv, rc0.cid,
-       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
-       |                 i -> (rsv.sv[i] - rc0.cv[i]) * (rsv.sv[i] - rc0.cv[i]))) AS dist
-       |             FROM rsv JOIN rc0 ON rsv.sub = rc0.sub)),
-       |rm1 AS (SELECT sub, cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS cv_i
-       |       FROM (SELECT sub, cid, unnest(list_transform(range(1, ${PqDsub + 1}),
-       |               i -> {'pos': i, 'v': sv[i]}), recursive := true)
-       |             FROM ra1 WHERE rn = 1)
-       |       GROUP BY sub, cid, pos),
-       |rc1 AS (SELECT sub, cid, list(cv_i ORDER BY pos) AS cv
-       |       FROM rm1 GROUP BY sub, cid),
-       |ra2 AS (SELECT vec_id, sub, cid,
-       |         row_number() OVER (PARTITION BY vec_id, sub
-       |           ORDER BY dist, cid) AS rn
-       |       FROM (SELECT rsv.vec_id, rsv.sub, rc1.cid,
-       |               list_sum(list_transform(range(1, ${PqDsub + 1}),
-       |                 i -> (rsv.sv[i] - rc1.cv[i]) * (rsv.sv[i] - rc1.cv[i]))) AS dist
-       |             FROM rsv JOIN rc1 ON rsv.sub = rc1.sub)),
-       |rcd AS (SELECT vec_id, sub, cid FROM ra2 WHERE rn = 1)""".stripMargin
+       |  FROM lq JOIN cellkm USING (vec_id) JOIN c1 ON c1.cid = cellkm.cid)""".stripMargin)
+
+  /** The OPQ permutation + rotated-residual trainer CTE block (i81):
+    * `parr.p` is the 1-based newpos→olddim map — dims ranked by exact
+    * integer variance of the kept grid (n·Σx² − (Σx)², ties by dim) and
+    * snake-dealt across the $PqM subspaces so each subspace carries a
+    * balanced variance budget; the o-chain is the r-chain's trainer
+    * verbatim over the permuted residual. Requires lloydCteSql's lq/
+    * cellkm/c1 upstream.
+    */
+  private[graft] def opqCteSql: String =
+    s"""opv AS (SELECT dim, n * sxx - sx * sx AS pvar FROM (
+       |    SELECT r.i AS dim, count(*) AS n, sum(lq.qv[r.i]) AS sx,
+       |           sum(lq.qv[r.i] * lq.qv[r.i]) AS sxx
+       |    FROM lq, range(1, 65) r(i) GROUP BY 1)),
+       |orkd AS (SELECT dim, row_number() OVER (ORDER BY pvar DESC, dim) - 1
+       |           AS r FROM opv),
+       |oasn AS (SELECT dim, r,
+       |        CASE WHEN (r // $PqM) % 2 = 0 THEN r % $PqM
+       |             ELSE $PqM - 1 - (r % $PqM) END AS sub FROM orkd),
+       |oslt AS (SELECT dim, sub, row_number() OVER (PARTITION BY sub
+       |           ORDER BY r) - 1 AS slot FROM oasn),
+       |parr AS (SELECT list(dim ORDER BY sub * $PqDsub + slot) AS p
+       |         FROM oslt),
+       |${pqrChainCteSql("o",
+         s"""oq AS (
+            |  SELECT lq.vec_id, cellkm.cid AS cell,
+            |         list_transform(range(1, len(lq.qv) + 1),
+            |           i -> lq.qv[parr.p[i]] - c1.cv[parr.p[i]]) AS qv
+            |  FROM lq JOIN cellkm USING (vec_id)
+            |       JOIN c1 ON c1.cid = cellkm.cid, parr)""".stripMargin)}""".stripMargin
 
   /** The batched residual IVF-PQ probe — pqBatchTop with i75's levers:
     * per-query top-nprobe learned cells restrict the codes scan (a
@@ -3126,14 +3272,20 @@ object LlmOps {
     */
   private[graft] def pqrBatchTop(s: SparkSession, idxDir: String,
       centDir: String, qb: DataFrame, n: Int,
-      nprobe: Int = 2, cbDirOpt: Option[String] = None): DataFrame = {
+      nprobe: Int = 2, cbDirOpt: Option[String] = None,
+      adcGridCol: String = "qq"): DataFrame = {
+    // adcGridCol: the query-grid column the per-subspace ADC tables are
+    // built from — "qq" for the plain residual index; i81's OPQ probe
+    // passes its PERMUTED grid here while the cell rank (qvec) and the
+    // cell term (qq) stay on the original axes, because a permutation
+    // preserves q·c exactly but regroups which dims share a subspace
     val cbDir = cbDirOpt.getOrElse(pqrCbDir(idxDir))
     import org.apache.spark.sql.expressions.Window
     val qcells = graft.ops.StreamOps.ivfBatchCells(s, centDir, qb, nprobe)
-      .withColumnRenamed("label", "cell")
     val cells = qcells.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded: ≤ k cell ids
-    val qx = qb.select(col("q_id"), posexplode(col("qq")).as(Seq("p0", "qv")))
+    val qx = qb.select(col("q_id"),
+        posexplode(col(adcGridCol)).as(Seq("p0", "qv")))
       .withColumn("sub", expr(s"p0 DIV $PqDsub"))
       .withColumn("pos", expr(s"p0 % $PqDsub"))
     val dtq = s.read.parquet(cbDir)
@@ -3142,7 +3294,7 @@ object LlmOps {
       .agg(sum(col("cv_i") * col("qv")).as("ds"))
     // per-(query, cell) centroid term from the k×64 artifact
     val centI = s.read.parquet(centDir)
-      .select(col("label").as("cell"), col("pos").as("cp"),
+      .select(col("cell"), col("pos").as("cp"),
         round(col("c") * lit(1000.0), 0).cast(LongType).as("cv_i"))
     val qfull = qb.select(col("q_id"), posexplode(col("qq")).as(Seq("cp", "qv")))
     val cdot = centI.join(broadcast(qfull), Seq("cp"))
@@ -3308,6 +3460,196 @@ object LlmOps {
        |FROM bfr
        |LEFT JOIN p ON bfr.q_id = p.q_id AND bfr.vec_id = p.vec_id
        |LEFT JOIN p2 ON bfr.q_id = p2.q_id AND bfr.vec_id = p2.vec_id
+       |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
+
+  /** The OPQ permutation (i81): dims of the kept ×1000 grid ranked by
+    * EXACT integer variance (n·Σx² − (Σx)², engine-identical — no
+    * division, no floats; ties by dim) and snake-dealt across the PqM
+    * subspaces, so every subspace carries a balanced variance budget —
+    * i69's subspaces are axis-aligned slices of the raw dims, and when
+    * high-variance dims cluster in one slice its 256 codewords carry
+    * most of the distortion while other subspaces' codewords idle. A
+    * permutation is exactly orthogonal (q·v is preserved term-for-term,
+    * just reordered — the integer sum is order-independent), so cells,
+    * centroid terms and the exact re-rank all run UNCHANGED; only the
+    * subspace grouping rotates. Returns newpos→olddim, 0-based.
+    * Bounded collect: 64 per-dim stat rows.
+    */
+  private[graft] def opqPerm(s: SparkSession, d: String): Array[Int] =
+    opqPermOf(t(s, d, "embeddings")
+      .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0))
+
+  private[graft] def opqPermOf(kept: DataFrame): Array[Int] = {
+    val stats = kept
+      .select(posexplode(
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .as(Seq("pos", "v")))
+      .groupBy("pos").agg(count(lit(1)).as("n"), sum("v").as("sx"),
+        sum(expr("v * v")).as("sxx"))
+      .collect() // bounded: 64 rows (one per dim)
+      .map(r => (r.getInt(0),
+        r.getLong(1) * r.getLong(3) - r.getLong(2) * r.getLong(2)))
+    val ranked = stats.sortBy { case (dim, pv) => (-pv, dim) }.map(_._1)
+    val slots = Array.fill(PqM)(scala.collection.mutable.ArrayBuffer[Int]())
+    ranked.zipWithIndex.foreach { case (dim, r) =>
+      val k = r % PqM
+      val sub = if ((r / PqM) % 2 == 0) k else PqM - 1 - k // snake deal
+      slots(sub) += dim
+    }
+    slots.flatMap(_.toSeq)
+  }
+
+  /** Build-once OPQ-rotated residual index (i81): the i75 build with
+    * the variance-balancing permutation applied to every residual
+    * before the subspace split; cells and centroids stay the SHARED
+    * sq8WriteIndexKmeans artifacts (the permutation changes neither).
+    */
+  def opqWriteIndex(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"i81_opq_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      val kmIdx = sq8WriteIndexKmeans(s, d)
+      writePqrArtifactsFrom(t(s, d, "embeddings"),
+        s.read.parquet(kmIdx).select(col("vec_id"), col("cell")),
+        sq8IvfCentDir(kmIdx), dir, pqrCbDir(dir),
+        carryCols = Seq("label"), perm = Some(opqPerm(s, d)))
+    }
+
+  /** i81: the OPQ ROTATION RUNG — the r12 verdict's #6 (after IVFADC,
+    * the standard next accuracy-per-byte lever is an orthogonal
+    * pre-rotation balancing per-subspace variance before PQ): the
+    * rotated-residual index (opqWriteIndex — i75's trainer over
+    * permuted residuals, same 8-byte codes, same cells) probed by the
+    * same pruned chain, certified BESIDE the plain residual rung
+    * against ONE persisted brute-force truth (i76's dual-truth
+    * harness). Because the permutation is exactly orthogonal, the cell
+    * rank, the per-(query, cell) centroid term and the exact re-rank
+    * are bit-identical to i75's — the ONLY difference is which dims
+    * share an ADC subspace, so the per-query gap prices exactly what
+    * variance balancing buys at the same byte budget. Measured on this
+    * corpus: ~zero (ties at sf0.001/sf0.01, one borderline top-50 flip
+    * at sf0.1) — the synthetic dims are variance-balanced, which is the
+    * one geometry OPQ cannot improve; LlmOpsSpec pins that near-parity
+    * AND a STRICT win on a planted variance-skewed corpus (all the
+    * energy in one axis-aligned subspace — the geometry the rotation
+    * exists for). Oracle: lloydCteSql + both residual chains (r- and
+    * o-prefixed, one trainer instantiated twice) + one truth.
+    */
+  val i81_ann_opq_recall = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val rIdx = pqrWriteIndex(s, d)
+      val oIdx = opqWriteIndex(s, d)
+      val cent = sq8IvfCentDir(sq8WriteIndexKmeans(s, d))
+      val perm = opqPerm(s, d)
+      val e = t(s, d, "embeddings")
+      val qq0 = expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+          qq0.as("qq"),
+          // the PERMUTED query grid feeds ONLY the o-chain's ADC tables
+          array(perm.map(i => qq0.getItem(i)): _*).as("qqo"))
+        .localCheckpoint() // feeds both probes AND both re-ranks
+      def hits(stage1: DataFrame, name: String): DataFrame = stage1
+        .join(e.select("vec_id", "embedding"), "vec_id")
+        .join(broadcast(qb.select("q_id", "qvec")), "q_id")
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as(name))
+      val rHits = hits(pqrBatchTop(s, rIdx, cent, qb, 50), "rivfpq_hit")
+      val oHits = hits(pqrBatchTop(s, oIdx, cent, qb, 50,
+        cbDirOpt = Some(pqrCbDir(oIdx)), adcGridCol = "qqo"), "opq_hit")
+      s.read.parquet(annCertTruthDir(s, d))
+        .join(rHits, Seq("q_id", "vec_id"), "left")
+        .join(oHits, Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("rivfpq_hit")), lit(0L)).as("n_hit_rivfpq"),
+          coalesce(sum(col("opq_hit")), lit(0L)).as("n_hit_opq"))
+        .withColumn("recall_rivfpq",
+          round(col("n_hit_rivfpq") / col("n_exact"), 6))
+        .withColumn("recall_opq", round(col("n_hit_opq") / col("n_exact"), 6))
+        .select("q_id", "n_exact", "n_hit_rivfpq", "recall_rivfpq",
+          "n_hit_opq", "recall_opq")
+        .orderBy("q_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |$pqrCteSql,
+       |$opqCteSql,
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM embeddings WHERE vec_id % 101 = 3),
+       |qso AS (SELECT q_id, list_transform(range(1, 65),
+       |          i -> qq[parr.p[i]]) AS qqo FROM qs, parr),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |cdtq AS (SELECT qs.q_id, c1.cid AS cell,
+       |          list_sum(list_transform(range(1, len(c1.cv) + 1),
+       |            i -> qs.qq[i] * c1.cv[i])) AS cd
+       |        FROM c1, qs),
+       |rdtq AS (SELECT qs.q_id, rm1.sub, rm1.cid,
+       |          sum(qs.qq[rm1.sub * $PqDsub + rm1.pos] * rm1.cv_i) AS ds
+       |        FROM rm1, qs GROUP BY 1, 2, 3),
+       |apr AS (SELECT rdtq.q_id, rcd.vec_id, cdtq.cd + sum(rdtq.ds) AS approx_i
+       |        FROM rcd JOIN rdtq ON rcd.sub = rdtq.sub AND rcd.cid = rdtq.cid
+       |             JOIN cellkm ON cellkm.vec_id = rcd.vec_id
+       |             JOIN qc ON qc.q_id = rdtq.q_id AND qc.label = cellkm.cid
+       |             JOIN cdtq ON cdtq.q_id = rdtq.q_id AND cdtq.cell = cellkm.cid
+       |        WHERE rcd.vec_id <> rdtq.q_id
+       |        GROUP BY rdtq.q_id, rcd.vec_id, cdtq.cd),
+       |pr2 AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM apr) WHERE rk <= 50),
+       |rr2 AS (SELECT pr2.q_id, pr2.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr2 JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |p2 AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM rr2) WHERE rk <= 10),
+       |odtq AS (SELECT qso.q_id, om1.sub, om1.cid,
+       |          sum(qso.qqo[om1.sub * $PqDsub + om1.pos] * om1.cv_i) AS ds
+       |        FROM om1, qso GROUP BY 1, 2, 3),
+       |oapr AS (SELECT odtq.q_id, ocd.vec_id, cdtq.cd + sum(odtq.ds) AS approx_i
+       |        FROM ocd JOIN odtq ON ocd.sub = odtq.sub AND ocd.cid = odtq.cid
+       |             JOIN cellkm ON cellkm.vec_id = ocd.vec_id
+       |             JOIN qc ON qc.q_id = odtq.q_id AND qc.label = cellkm.cid
+       |             JOIN cdtq ON cdtq.q_id = odtq.q_id AND cdtq.cell = cellkm.cid
+       |        WHERE ocd.vec_id <> odtq.q_id
+       |        GROUP BY odtq.q_id, ocd.vec_id, cdtq.cd),
+       |opr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM oapr) WHERE rk <= 50),
+       |orr AS (SELECT opr.q_id, opr.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM opr JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |op AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM orr) WHERE rk <= 10),
+       |bf AS (SELECT qs.q_id, e.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM embeddings e, qs WHERE e.vec_id <> qs.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10)
+       |SELECT bfr.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(p2.vec_id) AS BIGINT) AS n_hit_rivfpq,
+       |  round(count(p2.vec_id) * 1.0 / count(*), 6) AS recall_rivfpq,
+       |  CAST(count(op.vec_id) AS BIGINT) AS n_hit_opq,
+       |  round(count(op.vec_id) * 1.0 / count(*), 6) AS recall_opq
+       |FROM bfr
+       |LEFT JOIN p2 ON bfr.q_id = p2.q_id AND bfr.vec_id = p2.vec_id
+       |LEFT JOIN op ON bfr.q_id = op.q_id AND bfr.vec_id = op.vec_id
        |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
 
   /** i9: fused text+vector query — filter documents by text predicate, rank
@@ -4382,6 +4724,8 @@ object LlmOps {
     "i64_sim_ann_ivf_sq8" -> i64_sim_ann_ivf_sq8,
     "i65_ann_recall" -> i65_ann_recall,
     "i66_ann_nprobe_sweep" -> i66_ann_nprobe_sweep,
+    "i80_ann_operating_point" -> i80_ann_operating_point,
+    "i81_ann_opq_recall" -> i81_ann_opq_recall,
     "i67_ann_ivf_kmeans" -> i67_ann_ivf_kmeans,
     "i68_ann_index_refresh" -> i68_ann_index_refresh,
     "i69_sim_ann_pq" -> i69_sim_ann_pq,

@@ -496,6 +496,107 @@ object StreamOps {
     // question as j12's final complete-mode emission — i25's oracle
     LlmOps.i25_dedup_incremental.oracle.get)
 
+  /** The planted four-batch late-data stream (j25): f0 = day-1 docs
+    * (%10=1); f1 = day-3 docs (%10=3); f2 = day-3 RE-SENDS (in-watermark
+    * dupes) + new day-3 docs (%10=7) + one CLOCK row (doc_id = −1,
+    * day-5 noon — a synthetic heartbeat that advances the watermark far
+    * enough to flush every real group by the final batch; real streams
+    * get this for free from their continuous arrivals); f3 = the LATE
+    * classes — day-1 re-sends (late dupes) and brand-new day-1-stamped
+    * docs (%10=5, late arrivals). Files are written sequentially so the
+    * file source's mod-time order delivers them as four micro-batches
+    * (the j17 convention).
+    */
+  private def j25SourceDir(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"j25_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+      val ids = t(s, d, "documents").select("doc_id")
+      def stamped(m: Int, day: String) = ids
+        .filter(col("doc_id") % 10 === m)
+        .withColumn("ts", expr(s"timestamp'$day 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, CAST(doc_id % 1440 AS INT), 0)"))
+      val a = stamped(1, "2024-01-01")
+      val b = stamped(3, "2024-01-03")
+      val clock = s.range(1).select(lit(-1L).as("doc_id"),
+        expr("timestamp'2024-01-05 12:00:00'").as("ts"))
+      a.coalesce(1).write.mode("overwrite").parquet(s"$p/f0")
+      b.coalesce(1).write.mode("overwrite").parquet(s"$p/f1")
+      b.unionByName(stamped(7, "2024-01-03")).unionByName(clock)
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/f2")
+      a.unionByName(stamped(5, "2024-01-01"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/f3")
+    }
+
+  /** j25: WATERMARKED streaming dedup — the late/out-of-order policy
+    * the r12 verdict named missing #5: j9/j12/j17 dedup with UNBOUNDED
+    * keyed state, and their write-once guarantees hold only because
+    * nothing is ever evicted. This key runs the dedup as a watermarked
+    * event-time AGGREGATION in append mode — count per (doc_id, ts)
+    * behind a 1-day watermark — deliberately NOT streaming
+    * dropDuplicates, for a measured reason: Spark's dedup operator does
+    * not filter late input (a duplicate arriving after its key's state
+    * was evicted re-emits as new — the engine documents this, and the
+    * shell A/B reproduced it), so eviction silently breaks write-once
+    * exactly when it starts saving memory. The aggregation path REFUSES
+    * late rows instead (rows older than the late-event watermark never
+    * reach state), emits each group exactly once when the eviction
+    * watermark passes its event time, and evicts the group's state in
+    * the same move — write-once, bounded state, and a deterministic
+    * lateness cutoff (the delay) all from one operator. Engine
+    * subtlety, pinned by the fixture: Spark 3.4+ keeps TWO watermarks —
+    * late-row filtering uses the PREVIOUS batch's, eviction the current
+    * one — so a row must be a full batch behind the advanced watermark
+    * to be refused; the planted stream puts the late classes two
+    * batches behind. The sink receives: day-1 originals n=1 (their
+    * re-sends were refused — NOT double-counted), day-3 originals n=2
+    * (the in-watermark re-send merged into live state: the dedup
+    * receipt), new day-3 docs n=1; the late new arrivals (%10=5)
+    * nothing. At 100 TB this is the only dedup shape whose state does
+    * not grow with the corpus — StreamOpsSpec pins the final state at
+    * exactly ONE group (the clock row). Oracle: the j4 batch-surrogate
+    * convention — the sink is closed-form from the planted classes.
+    */
+  val j25_stream_late_dedup = OpQuery(
+    (s, d) => {
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j25"))
+      graft.Util.deleteRecursively(ckpt)
+      val sink = new java.io.File(graft.Util.scratch("j25_sink"))
+      graft.Util.deleteRecursively(sink)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(j25SourceDir(s, d))
+      val q = src.withWatermark("ts", "1 day")
+        .groupBy(col("doc_id"), col("ts"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // the clock row is filtered HERE, outside the streaming plan:
+          // a filter above the aggregation would be pushed below the
+          // EventTimeWatermark node (doc_id is a grouping key) and the
+          // clock row would never reach the event-time stats
+          batch.filter(col("doc_id") >= 0)
+            .withColumn("epoch", lit(epochId))
+            .write.mode("append").parquet(sink.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink.getAbsolutePath)
+        .select("doc_id", "ts", "n")
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 10 = 1 THEN TIMESTAMP '2024-01-01 00:00:00'
+      |       ELSE TIMESTAMP '2024-01-03 00:00:00' END
+      |    + (doc_id % 1440) * INTERVAL 1 MINUTE AS ts,
+      |  CAST(CASE WHEN doc_id % 10 = 3 THEN 2 ELSE 1 END AS BIGINT) AS n
+      |FROM documents WHERE doc_id % 10 IN (1, 3, 7)
+      |ORDER BY doc_id""".stripMargin)
+
   /** j13: STREAMING decontamination — the i45 capped-containment gate on
     * a document stream, completing the streaming prep trio (j11 quality,
     * j12 near-dup, j13 benchmark overlap): every arriving page is checked
@@ -979,7 +1080,7 @@ object StreamOps {
   /** Per-batch cell ranking against a persisted centroid table — stage 0
     * shared by the SQ8 probe (ivfBatchStage1) and the PQ probe
     * (pqIvfBatchStage1): rounded csim per (query, cell), window rank ≤
-    * nprobe. Returns (q_id, label), localCheckpointed because every
+    * nprobe. Returns (q_id, cell), localCheckpointed because every
     * caller reads it twice (the bounded cell collect + a broadcast join).
     */
   private[graft] def ivfBatchCells(s: SparkSession, centDir: String,
@@ -987,11 +1088,11 @@ object StreamOps {
     val qx = qb.select(col("q_id"), posexplode(col("qvec")).as(Seq("pos", "qv")))
       .withColumn("qv", col("qv").cast("double"))
     s.read.parquet(centDir).join(broadcast(qx), Seq("pos"))
-      .groupBy("q_id", "label")
+      .groupBy("q_id", "cell")
       .agg(round(sum(col("c") * col("qv")), 6).as("csim"))
       .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-        .orderBy(desc("csim"), asc("label"))))
-      .filter(col("rk") <= nprobe).select("q_id", "label")
+        .orderBy(desc("csim"), asc("cell"))))
+      .filter(col("rk") <= nprobe).select("q_id", "cell")
       .localCheckpoint()
   }
 
@@ -1002,7 +1103,7 @@ object StreamOps {
     // same table, caller-supplied path
     val qcells = ivfBatchCells(s,
       centDir.getOrElse(graft.ops.LlmOps.sq8IvfCentDir(idxDir)), qb, nprobe)
-    val cells = qcells.select("label").distinct()
+    val cells = qcells.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     // a batch whose queries were ALL guard-filtered (maxq == 0) ranks no
     // cells; isin() with zero arguments is an analyzer edge case, so
@@ -1010,8 +1111,8 @@ object StreamOps {
     if (cells.isEmpty)
       return qb.select(col("q_id"), col("q_id").as("vec_id"), col("qvec"))
         .limit(0)
-    s.read.parquet(idxDir).filter(col("label").isin(cells: _*))
-      .join(broadcast(qcells.join(qb, "q_id")), Seq("label"))
+    s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+      .join(broadcast(qcells.join(qb, "q_id")), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx_sim", col("maxabs") / lit(127.0) *
         aggregate(zip_with(col("qarr"), col("qvec"),
@@ -1036,12 +1137,7 @@ object StreamOps {
   def pqIvfBatchStage1(s: SparkSession, idxDir: String, cbDir: String,
       centDir: String, qb: DataFrame, nprobe: Int = 2): DataFrame = {
     import graft.ops.LlmOps.{PqDsub => D}
-    // centroid artifact names the cell id `label` (shared with the SQ8
-    // index); the IVF-PQ codes artifact names it `cell` (its `label`
-    // slot is reserved for embedding metadata — r11 ADVICE). Rename at
-    // the seam so the join below cannot confuse the two.
     val qcells = ivfBatchCells(s, centDir, qb, nprobe)
-      .withColumnRenamed("label", "cell")
     val cells = qcells.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty)
@@ -1376,6 +1472,7 @@ object StreamOps {
     "j19_stream_image_dedup" -> j19_stream_image_dedup,
     "j18_stream_xmatch_best" -> j18_stream_xmatch_best,
     "j17_stream_update_dedup" -> j17_stream_update_dedup,
+    "j25_stream_late_dedup" -> j25_stream_late_dedup,
     "j16_stream_chunk" -> j16_stream_chunk,
     "j15_stream_xmatch" -> j15_stream_xmatch,
     "j14_stream_perplexity_gate" -> j14_stream_perplexity_gate,

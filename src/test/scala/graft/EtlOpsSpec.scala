@@ -205,6 +205,42 @@ class EtlOpsSpec extends SparkTestBase {
     assert(EtlOps.readManifest(s"$base/v1.manifest") == Seq(s"$base/data/add1"))
   }
 
+  test("b15 OCC: two committers racing one version - exactly one wins, the loser throws") {
+    import scala.jdk.CollectionConverters._
+    val base = Util.scratch("b15_occ")
+    new java.io.File(base).mkdirs()
+    val path = s"$base/v3.manifest"
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]()
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        barrier.await() // maximize the collision window
+        try {
+          EtlOps.commitManifest(path, Seq(s"$base/data/writer$i"))
+          results.add(Right(i))
+        } catch { case e: Throwable => results.add(Left(e)) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val (losers, winners) = results.asScala.toSeq.partition(_.isLeft)
+    assert(winners.size == 1 && losers.size == 1,
+      s"expected exactly one winner: $results")
+    assert(losers.head.left.exists(
+      _.isInstanceOf[java.nio.file.FileAlreadyExistsException]),
+      s"loser must fail with the typed OCC refusal: ${losers.head}")
+    // the surviving manifest is exactly the winner's write, uncorrupted
+    // (atomic create — never an interleaving of the two)
+    val content = EtlOps.readManifest(path)
+    val winnerId = winners.head.toOption.get
+    assert(content == Seq(s"$base/data/writer$winnerId"),
+      s"manifest corrupted by the race: $content")
+    // the loser's retry protocol succeeds at the NEXT version
+    EtlOps.commitManifest(s"$base/v4.manifest",
+      content :+ s"$base/data/retry")
+    assert(EtlOps.readManifest(s"$base/v4.manifest").size == 2)
+  }
+
   test("b17 audit counts exactly the planted defects; no class vacuous") {
     val okeys = Tables.t(spark, sfDir, "orders")
       .select("o_orderkey").collect().map(_.getLong(0))

@@ -332,6 +332,56 @@ class LlmOpsSpec extends SparkTestBase {
     intercept[Exception](MultimodalOps.PHash.hashHex(Array[Byte](1, 2, 3)))
   }
 
+  test("m12: the aHash survives the PNG<->JPEG boundary; cross-codec pairs flag at hd=0") {
+    import MultimodalOps.{PHash, XCodec}
+    val out = MultimodalOps.m12_image_cross_codec.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).filter(_ % 2 == 0).sorted
+    assert(ids.nonEmpty)
+    // THE cross-codec receipt, through the REAL encoders and the REAL
+    // shared decode: the JPEG's decoded hash equals the PNG's equals
+    // the closed-form pattern, for every planted scene
+    ids.foreach { id =>
+      val png = PHash.hashHex(XCodec.encode(id, jpeg = false))
+      val jpg = PHash.hashHex(XCodec.encode(id, jpeg = true))
+      val pattern = {
+        val bits = (0 until 64).map(XCodec.bit(id, _))
+        (0 until 16).map(j => "0123456789abcdef".charAt(
+          8 * bits(4 * j) + 4 * bits(4 * j + 1) +
+            2 * bits(4 * j + 2) + bits(4 * j + 3))).mkString
+      }
+      assert(png == pattern, s"scene $id: PNG hash diverges from the plant")
+      assert(jpg == pattern,
+        s"scene $id: JPEG decode drifted past the aHash margin " +
+          s"($jpg vs $pattern)")
+    }
+    // the JPEG bytes are REALLY lossy-coded (not a PNG in disguise):
+    // different container, different bytes, JFIF/SOI magic
+    val p0 = XCodec.encode(ids.head, jpeg = false)
+    val j0 = XCodec.encode(ids.head, jpeg = true)
+    assert(!java.util.Arrays.equals(p0, j0))
+    assert((j0(0) & 0xFF) == 0xFF && (j0(1) & 0xFF) == 0xD8, "not a JPEG")
+    assert((p0(1) & 0xFF) == 'P'.toInt, "not a PNG")
+    // every same-scene (png, jpeg) pair is in the gate output at hd=0
+    ids.foreach { id =>
+      assert(out.contains((2 * id, 2 * id + 1, 0L)),
+        s"scene $id: the cross-codec pair escaped the blocked join")
+    }
+    // and the blocked join equals brute force over the real hashes
+    val hh = ids.flatMap(id => Seq(
+      2 * id -> PHash.hashHex(XCodec.encode(id, jpeg = false)),
+      2 * id + 1 -> PHash.hashHex(XCodec.encode(id, jpeg = true)))).toMap
+    val ms = hh.keys.toSeq.sorted
+    val expect = (for {
+      a <- ms; b <- ms if a < b
+      hd = hh(a).zip(hh(b)).count(p => p._1 != p._2).toLong
+      if hd <= 3
+    } yield (a, b, hd)).toSet
+    assert(out.toSet == expect,
+      s"blocked pairs diverge: got ${out.length}, expect ${expect.size}")
+  }
+
   test("m10 near-dup pairs equal brute-force hamming over real decoded fingerprints") {
     val out = MultimodalOps.m10_audio_near_dup.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
@@ -1067,6 +1117,32 @@ class LlmOpsSpec extends SparkTestBase {
       s"np=2 rung (${rows(1)._4} hits) diverges from i65 ($i65hits)")
   }
 
+  test("i80: smallest qualifying rung per target; re-cluster at the curve's ceiling") {
+    // np -> exact integer micro recall, straight off i66's curve
+    val curve = LlmOps.i66_ann_nprobe_sweep.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3) * 1000000L / r.getLong(2)).toMap
+    val out = LlmOps.i80_ann_operating_point.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(250000L, 500000L, 900000L))
+    out.foreach { case (tgt, np, achieved, dec) =>
+      val qual = curve.filter(_._2 >= tgt).keys
+      if (qual.nonEmpty) {
+        assert(dec == "serve" && np == qual.min && achieved == curve(np),
+          s"target $tgt: expected smallest qualifying rung ${qual.min}, " +
+            s"got ($np, $achieved, $dec)")
+      } else {
+        assert(dec == "re-cluster" && np == -1L &&
+          achieved == curve.values.max,
+          s"target $tgt: expected re-cluster at ceiling " +
+            s"${curve.values.max}, got ($np, $achieved, $dec)")
+      }
+    }
+    // the fixture exercises BOTH branches: a selector whose fixture only
+    // ever serves (or only ever rejects) proves nothing
+    assert(out.exists(_._4 == "serve") && out.exists(_._4 == "re-cluster"),
+      s"both decision branches must appear: ${out.toSeq}")
+  }
+
   test("i67: learned k-means cells beat label cells at EVERY nprobe (the r10 directive's inequality)") {
     val rows = LlmOps.i67_ann_ivf_kmeans.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -1122,9 +1198,9 @@ class LlmOpsSpec extends SparkTestBase {
     val idx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
     val codes = spark.read.parquet(idx)
     val cent = spark.read.parquet(LlmOps.sq8IvfCentDir(idx))
-    val codeCells = codes.select("label").distinct().collect()
+    val codeCells = codes.select("cell").distinct().collect()
       .map(_.getInt(0)).toSet
-    val centCells = cent.select("label").distinct().collect()
+    val centCells = cent.select("cell").distinct().collect()
       .map(_.getInt(0)).toSet
     assert(codeCells == centCells, "codes/centroid cell cover disagrees")
     assert(codeCells.size == 10, s"expected 10 learned cells: $codeCells")
@@ -1322,7 +1398,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(ivfpq.count() == km.count())
     // every vector carries its PARENT cell and its PARENT codes —
     // the relayout may not retrain or re-encode anything
-    assert(ivfpq.join(km.select(col("vec_id"), col("label").as("kml")), "vec_id")
+    assert(ivfpq.join(km.select(col("vec_id"), col("cell").as("kml")), "vec_id")
       .filter(col("cell") =!= col("kml")).count() == 0, "cell drift")
     assert(ivfpq.join(pq.select(col("vec_id"), col("codes").as("pqc")), "vec_id")
       .filter(col("codes") =!= col("pqc")).count() == 0, "code drift")
@@ -1355,7 +1431,7 @@ class LlmOpsSpec extends SparkTestBase {
     assert(codes.count() == spark.read.parquet(kmIdx).count(),
       "residual index domain must equal the cell model's")
     // every vector's cell matches the parent k-means assignment
-    val km = spark.read.parquet(kmIdx).select(col("vec_id"), col("label").as("kml"))
+    val km = spark.read.parquet(kmIdx).select(col("vec_id"), col("cell").as("kml"))
     assert(codes.join(km, "vec_id").filter(col("cell") =!= col("kml")).count() == 0)
     val out = LlmOps.i75_sim_ann_ivfpq_residual.fn(spark, sfDir).collect()
     assert(out.length == 10)
@@ -1382,6 +1458,105 @@ class LlmOpsSpec extends SparkTestBase {
     val res = r.map(_._4).sum
     assert(res >= raw,
       s"residual IVF-PQ hits ($res) fell below raw IVF-PQ hits ($raw)")
+  }
+
+  test("i81: OPQ rotation is non-inferior to the plain residual rung, and really rotates") {
+    val out = LlmOps.i81_ann_opq_recall.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, ne, hr, ho) =>
+      assert(q % 101 == 3 && ne == 10)
+      assert(hr >= 0 && hr <= 10 && ho >= 0 && ho <= 10)
+    }
+    // non-inferiority on the gate corpus: its dims are near-variance-
+    // balanced, so the rotation prices at ~zero here — measured ties at
+    // two SFs and one borderline top-50 flip at sf0.1 (84→83). The pin
+    // allows exactly that single-candidate noise and nothing more; the
+    // rotation's actual value is pinned STRICTLY on the skewed corpus
+    // below, where the geometry it exists for is planted
+    val (hr, ho) = (out.map(_._3).sum, out.map(_._4).sum)
+    assert(ho >= hr - 1, s"OPQ hits ($ho) fell below plain residual " +
+      s"($hr) by more than one borderline candidate")
+    // the permutation is genuine and the rotated artifact genuinely
+    // differs — a silent fallback to the un-rotated index would pass
+    // the inequality vacuously (the j22 lesson)
+    val perm = LlmOps.opqPerm(spark, sfDir)
+    assert(perm.sorted.toSeq == (0 until 64), "not a permutation of 0..63")
+    assert(perm.toSeq != (0 until 64).toSeq, "identity permutation")
+    val rc = spark.read.parquet(LlmOps.pqrWriteIndex(spark, sfDir))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val oc = spark.read.parquet(LlmOps.opqWriteIndex(spark, sfDir))
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(rc.keySet == oc.keySet, "rotated index covers a different corpus")
+    assert(rc.exists { case (k, v) => oc(k) != v },
+      "rotated codes identical to plain codes - rotation not applied")
+  }
+
+  test("i81: on a variance-skewed corpus the rotation STRICTLY lifts ADC recall") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 8 hot dims carrying ~100x the energy, all inside ONE axis-aligned
+    // subspace (dims 0..7 = subspace 0) — the geometry OPQ exists for:
+    // un-rotated, subspace 0's 256 codewords carry nearly all the
+    // distortion while the other 7 subspaces' codewords idle
+    val n = 1200
+    val vecs = (0 until n).map { v =>
+      val arr = Array.tabulate(64) { dd =>
+        val h = (((v * 2654435761L + dd * 40503L) % 1000003L) % 997L).toInt
+        if (dd < 8) (h - 498) / 250.0f else (h - 498) / 25000.0f
+      }
+      (v.toLong, arr.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding").localCheckpoint()
+    // one-cell layout with a zero centroid: residual = the raw grid, so
+    // the comparison isolates the subspace grouping from cell effects
+    val cells = emb.select(col("vec_id"), lit(0).as("cell"))
+    val centDir = graft.Util.scratch("i81_spec_cent")
+    Seq.tabulate(64)(p => (0, p, 0.0)).toDF("cell", "pos", "c")
+      .write.mode("overwrite").parquet(centDir)
+    val perm = LlmOps.opqPermOf(emb)
+    // the snake deal must spread the 8 hot dims one per subspace
+    val hotSubs = (0 until 64).filter(i => perm(i) < 8).map(_ / 8)
+    assert(hotSubs.toSet.size == 8, s"hot dims landed in subspaces $hotSubs")
+    val qb0 = emb.filter(col("vec_id") % 97 === 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+        expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))")
+          .as("qq"))
+      .localCheckpoint()
+    val exact = emb.crossJoin(broadcast(qb0))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 10).select("q_id", "vec_id")
+      .localCheckpoint()
+    def hitsOf(permOpt: Option[Array[Int]], tag: String): Long = {
+      val dir = graft.Util.scratch(s"i81_spec_idx_$tag")
+      val cb = graft.Util.scratch(s"i81_spec_cb_$tag")
+      LlmOps.writePqrArtifactsFrom(emb, cells, centDir, dir, cb,
+        perm = permOpt)
+      val qb = permOpt.fold(qb0.withColumn("qqo", col("qq")))(p =>
+        qb0.withColumn("qqo", array(p.map(i => col("qq").getItem(i)): _*)))
+      val top = LlmOps.pqrBatchTop(spark, dir, centDir, qb, 50,
+        cbDirOpt = Some(cb), adcGridCol = "qqo")
+      val pruned = top.join(emb, "vec_id")
+        .join(broadcast(qb0.select("q_id", "qvec")), "q_id")
+        .withColumn("sim", round(graft.functions.VectorFunctions.dot(
+          col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10).select("q_id", "vec_id")
+      exact.join(pruned, Seq("q_id", "vec_id"), "left_semi").count()
+    }
+    val plain = hitsOf(None, "plain")
+    val opq = hitsOf(Some(perm), "opq")
+    assert(opq > plain,
+      s"OPQ recall hits ($opq) not strictly above plain ($plain) on the " +
+        "skewed corpus - the rotation buys nothing where it must")
   }
 
   test("i77: compaction conserves the live set, leaves clean cells byte-untouched, probes identically") {
@@ -1442,6 +1617,33 @@ class LlmOpsSpec extends SparkTestBase {
       "probe over compacted index diverges from probe over base + tombstones")
   }
 
+  test("i77: a fully-tombstoned cell's partition is deleted, not left servable") {
+    import org.apache.spark.sql.functions._
+    // the edge dynamic partition overwrite cannot express: zero
+    // survivors => the partition is absent from the written data => its
+    // directory is never rewritten, yet the caller truncates the
+    // tombstones — the dead vectors would become servable again
+    val base = graft.Util.scratch("i77_spec_dead")
+    spark.read.parquet(LlmOps.pqIvfWriteIndex(spark, sfDir))
+      .write.mode("overwrite").partitionBy("cell").parquet(base)
+    val codes = spark.read.parquet(base)
+    val preCount = codes.count()
+    val deadCell = codes.groupBy("cell").count()
+      .orderBy(desc("count"), asc("cell")).head().getInt(0)
+    val tomb = codes.filter(col("cell") === deadCell)
+      .select("vec_id").localCheckpoint()
+    val nDead = tomb.count()
+    val plan = LlmOps.compactCells(spark, base, tomb, LlmOps.CompactionTau)
+      .collect().map(r => (r.getInt(0), r.getBoolean(3))).toMap
+    assert(plan(deadCell), "the fully-tombstoned cell was not marked dirty")
+    assert(!new java.io.File(base, s"cell=$deadCell").exists(),
+      "fully-dead partition directory survived compaction")
+    val post = spark.read.parquet(base)
+    assert(post.filter(col("cell") === deadCell).count() == 0,
+      "dead vectors still servable after their tombstones were applied")
+    assert(post.count() == preCount - nDead, "compaction lost live rows")
+  }
+
   test("i78: refresh encodes against the PERSISTED artifacts - valid cells, valid codewords") {
     import org.apache.spark.sql.functions._
     val out = LlmOps.i78_ann_rivfpq_refresh.fn(spark, sfDir).collect()
@@ -1455,7 +1657,7 @@ class LlmOpsSpec extends SparkTestBase {
     // carries PqM dense codes the persisted codebook defines
     val sfx = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
     val liveCells = spark.read.parquet(graft.Util.scratch(s"i78_km_base_$sfx"))
-      .select("label").distinct().collect().map(_.getInt(0).toLong).toSet
+      .select("cell").distinct().collect().map(_.getInt(0).toLong).toSet
     val cbIds = spark.read.parquet(LlmOps.pqrCbDir(
         graft.Util.scratch(s"i78_rivfpq_base_$sfx")))
       .select("sub", "cid").distinct().collect()

@@ -68,11 +68,12 @@ class PlanAuditSpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     val dir = LlmOps.sq8WriteIndexIvf(spark, sfDir)
     val codes = spark.read.parquet(dir)
-    // codes-only on disk; label rides the directory layout, not the rows
+    // codes-only on disk; the cell id rides the directory layout, not
+    // the rows (and is named `cell` — the family-wide convention)
     assert(codes.schema.fieldNames.sorted.toSeq ==
-      Seq("label", "maxabs", "qarr", "vec_id"))
+      Seq("cell", "maxabs", "qarr", "vec_id"))
     val stage1 = LlmOps.sq8CodesTop50(
-      codes.filter(col("label").isin(0, 1)),
+      codes.filter(col("cell").isin(0, 1)),
       LlmOps.sq8QueryVec(spark, sfDir, 7L))
     val plan = stage1.queryExecution.executedPlan.toString
     assert(plan.contains("i64_sq8ivf"),
@@ -85,7 +86,7 @@ class PlanAuditSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters") && {
       val pf = plan.substring(plan.indexOf("PartitionFilters"))
         .takeWhile(_ != ']')
-      pf.contains("label")
+      pf.contains("cell")
     }, s"cell probe did not plan as a partition filter:\n${plan.take(1200)}")
   }
 
@@ -94,8 +95,8 @@ class PlanAuditSpec extends SparkTestBase {
     val dir = LlmOps.sq8WriteIndexIvf(spark, sfDir)
     // the k×64 centroid table is an index-BUILD-time artifact (r9 #1)
     val cent = spark.read.parquet(LlmOps.sq8IvfCentDir(dir))
-    assert(cent.schema.fieldNames.sorted.toSeq == Seq("c", "label", "pos"))
-    val k = cent.select("label").distinct().count()
+    assert(cent.schema.fieldNames.sorted.toSeq == Seq("c", "cell", "pos"))
+    val k = cent.select("cell").distinct().count()
     assert(cent.count() == k * 64, s"expected ${k}×64 centroid rows")
     val rank = LlmOps.ivfCellRank(spark, dir,
       LlmOps.sq8QueryVec(spark, sfDir, 7L))

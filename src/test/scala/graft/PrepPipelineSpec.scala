@@ -343,12 +343,12 @@ class PrepPipelineSpec extends SparkTestBase {
     // the index covers EXACTLY the kept corpus (vec_id = doc_id 1:1),
     // codes-only on disk (no float column), centroid table is k×64
     assert(codes.schema.fieldNames.sorted.toSeq ==
-      Seq("label", "maxabs", "qarr", "vec_id"))
+      Seq("cell", "maxabs", "qarr", "vec_id"))
     val keptIds = written.select("doc_id").collect().map(_.getLong(0)).toSet
     val idxIds = codes.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(idxIds.subsetOf(keptIds), "index contains a dropped doc")
     assert(m("n_ann_vectors") == idxIds.size.toLong)
-    assert(m("n_ann_cells") == codes.select("label").distinct().count())
+    assert(m("n_ann_cells") == codes.select("cell").distinct().count())
     assert(cent.count() == m("n_ann_cells") * 64)
     assert(m("ann_maxabs_max_micro") >= m("ann_maxabs_min_micro") &&
       m("ann_maxabs_min_micro") > 0L)
@@ -393,15 +393,15 @@ class PrepPipelineSpec extends SparkTestBase {
     val (cells2, centPos2) = graft.ops.CorpusOps.lloydModel(kept2,
       LlmOps.ivfAutoK(kept2.count()))
     val truth = centPos2.join(cells2.select("cid").distinct(), "cid")
-      .select(col("cid").cast("int").as("label"), col("pos"),
+      .select(col("cid").cast("int").as("cell"), col("pos"),
         (col("cv_i").cast("double") / lit(1000.0)).as("c2"))
     assert(cent.count() == truth.count(), "centroid table size drifts")
-    val maxDiff = cent.join(truth, Seq("label", "pos"))
+    val maxDiff = cent.join(truth, Seq("cell", "pos"))
       .agg(max(abs(col("c") - col("c2")))).head().getDouble(0)
     assert(maxDiff == 0.0, s"centroid artifact drifts: $maxDiff")
     val cellTruth = cells2.select(col("vec_id"), col("cid").cast("int").as("l2"))
     assert(codes.join(cellTruth, "vec_id")
-      .filter(col("label") =!= col("l2")).count() == 0,
+      .filter(col("cell") =!= col("l2")).count() == 0,
       "on-disk cell assignment diverges from the recomputed model")
     // the sweep artifact: the (nprobe, recall) curve beside the index,
     // its manifest fields matching the parquet rows exactly, and the
@@ -418,6 +418,20 @@ class PrepPipelineSpec extends SparkTestBase {
     }
     assert(sweep(1)._4 == m("ann_recall_hits"),
       "sweep np=2 rung diverges from the certified operating point")
+    // the shipped OPERATING POINT (i80's inversion): smallest rung
+    // meeting the target, or -1 = re-cluster with the curve's ceiling
+    assert(m("ann_op_target_micro") == 500000L)
+    val qualifying = sweep.filter(_._5 >= m("ann_op_target_micro"))
+    if (qualifying.nonEmpty) {
+      assert(m("ann_op_nprobe") == qualifying.map(_._1).min,
+        "manifest operating point is not the smallest qualifying rung")
+      assert(m("ann_op_recall_micro") ==
+        qualifying.minBy(_._1)._5, "operating-point recall drifts")
+    } else {
+      assert(m("ann_op_nprobe") == -1L,
+        "no rung qualifies but the manifest did not signal re-cluster")
+      assert(m("ann_op_recall_micro") == sweep.map(_._5).max)
+    }
     // the manifest CERTIFIES the written index: a deterministic query
     // sample's recall@10, recomputable exactly from the same artifacts
     val nq = m("ann_recall_n_queries")
@@ -461,7 +475,7 @@ class PrepPipelineSpec extends SparkTestBase {
     assert(m("n_ann_rpq_vectors") == rIds.size.toLong)
     val cellPairs = rCodes.select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val sqCells = codes.select("vec_id", "label").collect()
+    val sqCells = codes.select("vec_id", "cell").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(cellPairs == sqCells, "residual cells drift from the SQ8 index cells")
     assert(m("ann_rpq_recall_n_queries") == m("ann_recall_n_queries"),

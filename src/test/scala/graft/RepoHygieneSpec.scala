@@ -61,4 +61,33 @@ class RepoHygieneSpec extends AnyFunSuite {
     assert(coverage.contains(s"All $n query"),
       s"COVERAGE gated-count sentence is stale (expected 'All $n query')")
   }
+
+  test("round receipts cited by the docs are git-TRACKED (the r11/r12 recurring ADVICE)") {
+    // COVERAGE.md/PERF.md cite CORRECTNESS_r{N}/BENCH_r{N} numbers; two
+    // rounds running those files sat untracked at round close, so the
+    // cited numbers had no receipt in history. Derive the current round
+    // from the highest CORRECTNESS file present on disk and require
+    // that every receipt file of every PRIOR round is tracked (the
+    // current round's own files land mid-round and are committed at
+    // round close — asserting them here would fail every build between).
+    import scala.sys.process._
+    val here = new java.io.File(".").getCanonicalFile
+    if (!new java.io.File(here, ".git").exists()) cancel("not a git checkout")
+    val tracked = Seq("git", "ls-files").!!.linesIterator.toSet
+    val correctness = Option(here.listFiles()).getOrElse(Array.empty)
+      .map(_.getName)
+      .filter(n => n.matches("CORRECTNESS_r\\d+\\.json"))
+    val rounds = correctness.map(_.replaceAll("\\D", "").toInt)
+    if (rounds.isEmpty) cancel("no round receipts on disk yet")
+    val prior = rounds.max - 1
+    val missing = (1 to prior).flatMap { r =>
+      Seq(f"CORRECTNESS_r$r%02d.json", f"BENCH_r$r%02d.json",
+        s"CORRECTNESS_r$r.json", s"BENCH_r$r.json")
+        .filter(n => new java.io.File(here, n).exists())
+        .filterNot(tracked)
+    }
+    assert(missing.isEmpty,
+      s"round receipts cited by the docs are untracked: ${missing.mkString(", ")} " +
+        "- commit each round's receipts with the docs that cite them")
+  }
 }

@@ -274,6 +274,52 @@ class StreamOpsSpec extends SparkTestBase {
     assert(sides == 2, "flagged pairs all came from one probe micro-batch")
   }
 
+  test("j25 watermarked dedup: late classes refused, in-watermark dupes merged, state EVICTED") {
+    val out = StreamOps.j25_stream_late_dedup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val ids = Tables.t(spark, sfDir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // the three fates, each non-vacuous on the fixture: day-1 originals
+    // n=1 (their late re-sends REFUSED, not double-counted), day-3
+    // originals n=2 (in-watermark re-send MERGED — the dedup receipt),
+    // new day-3 docs n=1; late new arrivals (%10=5) contribute NOTHING
+    val expect = ids.filter(i => Set(1L, 3L, 7L)(i % 10))
+      .map(i => i -> (if (i % 10 == 3) 2L else 1L)).sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq == expect.toSeq,
+      s"sink diverges: ${out.length} rows vs ${expect.length} expected")
+    assert(out.map(_._1).distinct.length == out.length,
+      "write-once broken: a group emitted twice into the append sink")
+    assert(Seq(1L, 3L, 7L).forall(m => ids.exists(_ % 10 == m)) &&
+      ids.exists(_ % 10 == 5), "fixture vacuous: a planted class is empty")
+    // the EVICTION receipt: re-run the same chain with a query handle
+    // and read the state-store metrics — after the final batch every
+    // real group was emitted AND evicted; only the day-5 clock row's
+    // group remains open
+    val ckpt = new java.io.File(Util.scratch("ckpt_j25_spec"))
+    Util.deleteRecursively(ckpt)
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(Util.scratch(
+        s"j25_src_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"))
+    val q = src.withWatermark("ts", "1 day")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val lastState = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .headOption.getOrElse(fail("no state operator metrics reported"))
+    assert(lastState.numRowsTotal == 1L,
+      s"state holds ${lastState.numRowsTotal} groups; expected ONLY the " +
+        "clock row — eviction did not keep state bounded")
+  }
+
   test("j18 per-batch best-match unions to the batch d20 result; each alert resolved once") {
     import graft.ops.RelOps
     val fromStream = StreamOps.j18_stream_xmatch_best.fn(spark, sfDir)
@@ -435,12 +481,12 @@ class StreamOpsSpec extends SparkTestBase {
       .toDF("q_id", "qvec")
     val stage1 = StreamOps.ivfBatchStage1(spark, idx, qb)
     val plan = stage1.queryExecution.executedPlan.toString
-    // the SQ8-IVF artifact's partition column is `label` (only the
-    // IVF-PQ/residual artifacts renamed theirs to `cell` — r11 ADVICE)
+    // `cell` is the family-wide partition column since r13 (the SQ8
+    // artifacts joined the IVF-PQ/residual convention — r12 verdict #5)
     assert(plan.contains("PartitionFilters") && {
       val pf = plan.substring(plan.indexOf("PartitionFilters"))
         .takeWhile(_ != ']')
-      pf.contains("label")
+      pf.contains("cell")
     }, s"batch cell probe did not plan as a partition filter:\n${plan.take(1500)}")
     assert(!plan.contains("embeddings.parquet"),
       s"stage-1 batch plan scans the float corpus:\n${plan.take(1500)}")
