@@ -158,7 +158,12 @@ object PlanAudit {
     // chains prune under a bare count (audit: joins 16->0, aggs 7->1,
     // windows 4->0, generates 6->0); the _forced row times the dual
     // certification
-    "i81_ann_opq_recall")
+    "i81_ann_opq_recall",
+    // i82 (r13): the i67 class — per-query count is |queries|
+    // regardless of hit values, so both pruned chains prune under a
+    // bare count (audit: joins 8->0, windows 4->0); the _forced row
+    // times the dual re-cluster certification
+    "i82_ann_recluster")
 }
 
 /** One-shot audit runner: prints one JSON line per key (drops + node

@@ -1254,36 +1254,45 @@ object LlmOps {
     * centkm (label, pos, c — live cells only, the persisted artifact).
     */
   private[graft] def lloydCteSql(keptPred: String): String =
-    s"""lq AS (
+    lloydCteSqlK("", keptPred, 10)
+
+  /** The Lloyd trainer CTE chain at name prefix `p` and cell count `k`
+    * — ("", 10) reproduces the classic names (lq, c0, la1, m1, c1, la2,
+    * cellkm, centkm) every existing oracle composes; i82's re-clustered
+    * model instantiates ("g", 20) so BOTH models mirror in one oracle.
+    */
+  private[graft] def lloydCteSqlK(p: String, keptPred: String,
+      k: Int): String =
+    s"""${p}lq AS (
        |  SELECT vec_id,
        |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qv
        |  FROM m WHERE $keptPred),
-       |c0 AS (SELECT vec_id AS cid, qv AS cv FROM lq
-       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT 10),
-       |la1 AS (
+       |${p}c0 AS (SELECT vec_id AS cid, qv AS cv FROM ${p}lq
+       |       ORDER BY (vec_id * 741103597) % 1000000007, vec_id LIMIT $k),
+       |${p}la1 AS (
        |  SELECT vec_id, qv, cid,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT lq.vec_id, lq.qv, c0.cid,
-       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
-       |             i -> (lq.qv[i] - c0.cv[i]) * (lq.qv[i] - c0.cv[i]))) AS dist
-       |    FROM lq CROSS JOIN c0)),
-       |m1 AS (
+       |  FROM (SELECT ${p}lq.vec_id, ${p}lq.qv, ${p}c0.cid,
+       |           list_sum(list_transform(range(1, len(${p}lq.qv) + 1),
+       |             i -> (${p}lq.qv[i] - ${p}c0.cv[i]) * (${p}lq.qv[i] - ${p}c0.cv[i]))) AS dist
+       |    FROM ${p}lq CROSS JOIN ${p}c0)),
+       |${p}m1 AS (
        |  SELECT cid, pos, CAST(sum(v) AS BIGINT) // count(*) AS v
        |  FROM (SELECT cid, unnest(list_transform(range(1, len(qv) + 1),
        |          i -> {'pos': i, 'v': qv[i]}), recursive := true)
-       |        FROM la1 WHERE rn = 1)
+       |        FROM ${p}la1 WHERE rn = 1)
        |  GROUP BY cid, pos),
-       |c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM m1 GROUP BY cid),
-       |la2 AS (
+       |${p}c1 AS (SELECT cid, list(v ORDER BY pos) AS cv FROM ${p}m1 GROUP BY cid),
+       |${p}la2 AS (
        |  SELECT vec_id, qv, cid,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT lq.vec_id, lq.qv, c1.cid,
-       |           list_sum(list_transform(range(1, len(lq.qv) + 1),
-       |             i -> (lq.qv[i] - c1.cv[i]) * (lq.qv[i] - c1.cv[i]))) AS dist
-       |    FROM lq CROSS JOIN c1)),
-       |cellkm AS (SELECT vec_id, cid FROM la2 WHERE rn = 1),
-       |centkm AS (SELECT cid AS label, pos, v / 1000.0 AS c FROM m1
-       |           WHERE cid IN (SELECT DISTINCT cid FROM cellkm))""".stripMargin
+       |  FROM (SELECT ${p}lq.vec_id, ${p}lq.qv, ${p}c1.cid,
+       |           list_sum(list_transform(range(1, len(${p}lq.qv) + 1),
+       |             i -> (${p}lq.qv[i] - ${p}c1.cv[i]) * (${p}lq.qv[i] - ${p}c1.cv[i]))) AS dist
+       |    FROM ${p}lq CROSS JOIN ${p}c1)),
+       |${p}cellkm AS (SELECT vec_id, cid FROM ${p}la2 WHERE rn = 1),
+       |${p}centkm AS (SELECT cid AS label, pos, v / 1000.0 AS c FROM ${p}m1
+       |           WHERE cid IN (SELECT DISTINCT cid FROM ${p}cellkm))""".stripMargin
 
   /** Build and persist the SQ8 artifact partitioned by LEARNED k-means
     * cells (r10 verdict #1: `sq8WriteIndexIvf`'s cells are the fixture's
@@ -1656,6 +1665,151 @@ object LlmOps {
        |    AS decision
        |FROM ch LEFT JOIN mc ON mc.np = ch.chosen
        |ORDER BY target_micro""".stripMargin)
+
+  /** Build-once re-clustered SQ8 index (i82): the SAME build as
+    * sq8WriteIndexKmeans with k = 20 — what a deployment runs when the
+    * selector says "re-cluster".
+    */
+  def sq8WriteIndexKmeans20(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"i82_sq8km20_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      writeKmeansArtifacts(t(s, d, "embeddings"), dir,
+        sq8IvfCentDir(dir), k = 20)
+    }
+
+  /** i82: the RE-CLUSTER executor — acts on i80's "re-cluster" signal
+    * (i80 inverts the curve and, when no rung meets the target, tells
+    * the deployment that more probes cannot fix a too-coarse quantizer;
+    * THIS op is what the deployment then runs): relearn the cell model
+    * at k' = 2k (10 → 20 — finer Voronoi regions, the same Lloyd
+    * engine) and certify the re-clustered index BESIDE the original at
+    * the SAME nominal scan budget — nprobe/k = 20% on both sides
+    * (np=2 of 10 cells vs np=4 of 20), so the per-query gap prices
+    * exactly what finer partitioning buys at equal scanned share: finer
+    * cells waste less of the budget on far-away vectors that happened
+    * to share a coarse cell. Both chains probe PERSISTED artifacts
+    * through the ONE serving plan (ivfBatchStage1), scored per query
+    * against the SAME persisted brute-force truth (annCertTruthDir).
+    * LlmOpsSpec pins the re-cluster payoff (total hits strictly rise on
+    * the fixture) and the 20-cell artifact's cover identity. At 100 TB:
+    * the relearn is the once-per-rebuild k-means (sample-trained), the
+    * re-certification is this op, and the serving fleet swaps artifact
+    * directories — the plan is identical. Oracle: both Lloyd models in
+    * one query (lloydCteSqlK at "" /10 and "g"/20), each pruned chain
+    * mirrored at its own nprobe, one closed-form truth.
+    */
+  val i82_ann_recluster = OpQuery(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val idx10 = sq8WriteIndexKmeans(s, d)
+      val idx20 = sq8WriteIndexKmeans20(s, d)
+      val e = t(s, d, "embeddings")
+      val qb = e.filter(col("vec_id") % 101 === 3)
+        .withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+        .localCheckpoint()
+      val exact = s.read.parquet(annCertTruthDir(s, d))
+        .join(broadcast(qb.select("q_id")), "q_id")
+        .localCheckpoint()
+      def prunedHits(idx: String, np: Int, hitCol: String): DataFrame =
+        graft.ops.StreamOps.ivfBatchStage1(s, idx, qb, np)
+          .join(e, "vec_id")
+          .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+            .orderBy(desc("sim"), asc("vec_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("vec_id"), lit(1L).as(hitCol))
+      exact
+        .join(prunedHits(idx10, 2, "k10_hit"), Seq("q_id", "vec_id"), "left")
+        .join(prunedHits(idx20, 4, "k20_hit"), Seq("q_id", "vec_id"), "left")
+        .groupBy("q_id")
+        .agg(count(lit(1)).as("n_exact"),
+          coalesce(sum(col("k10_hit")), lit(0L)).as("n_hit_k10np2"),
+          coalesce(sum(col("k20_hit")), lit(0L)).as("n_hit_k20np4"))
+        .withColumn("recall_k10np2",
+          round(col("n_hit_k10np2") / col("n_exact"), 6))
+        .withColumn("recall_k20np4",
+          round(col("n_hit_k20np4") / col("n_exact"), 6))
+        .select("q_id", "n_exact", "n_hit_k10np2", "recall_k10np2",
+          "n_hit_k20np4", "recall_k20np4")
+        .orderBy("q_id")
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |${lloydCteSqlK("g", "maxabs > 0", 20)},
+       |c AS (
+       |  SELECT m.vec_id, k.cid AS cell_k10, g.cid AS cell_k20,
+       |    m.embedding, m.maxabs,
+       |    list_transform(m.embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m JOIN cellkm k ON m.vec_id = k.vec_id
+       |         JOIN gcellkm g ON m.vec_id = g.vec_id
+       |  WHERE m.maxabs > 0),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec FROM c
+       |       WHERE vec_id % 101 = 3),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csimk AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |          FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qck AS (SELECT q_id, label FROM (
+       |          SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY s DESC, label) AS rk FROM csimk) WHERE rk <= 2),
+       |csimg AS (SELECT q_id, gcentkm.label, round(sum(c * qv), 6) AS s
+       |          FROM gcentkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qcg AS (SELECT q_id, label FROM (
+       |          SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |            ORDER BY s DESC, label) AS rk FROM csimg) WHERE rk <= 4),
+       |ak AS (
+       |  SELECT qs.q_id, c.vec_id, c.embedding, qs.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * qs.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c JOIN qck ON c.cell_k10 = qck.label
+       |         JOIN qs ON qs.q_id = qck.q_id
+       |  WHERE c.vec_id <> qs.q_id),
+       |rk1 AS (SELECT q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM ak),
+       |sk AS (SELECT q_id, vec_id,
+       |    round(${dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM rk1 WHERE rk <= 50),
+       |pk AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM sk) WHERE rk <= 10),
+       |ag AS (
+       |  SELECT qs.q_id, c.vec_id, c.embedding, qs.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * qs.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c JOIN qcg ON c.cell_k20 = qcg.label
+       |         JOIN qs ON qs.q_id = qcg.q_id
+       |  WHERE c.vec_id <> qs.q_id),
+       |rg1 AS (SELECT q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM ag),
+       |sg AS (SELECT q_id, vec_id,
+       |    round(${dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM rg1 WHERE rk <= 50),
+       |pg AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM sg) WHERE rk <= 10),
+       |bf AS (SELECT qs.q_id, e.vec_id,
+       |         round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM embeddings e, qs WHERE e.vec_id <> qs.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10)
+       |SELECT bfr.q_id,
+       |  CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(pk.vec_id) AS BIGINT) AS n_hit_k10np2,
+       |  round(count(pk.vec_id) * 1.0 / count(*), 6) AS recall_k10np2,
+       |  CAST(count(pg.vec_id) AS BIGINT) AS n_hit_k20np4,
+       |  round(count(pg.vec_id) * 1.0 / count(*), 6) AS recall_k20np4
+       |FROM bfr
+       |LEFT JOIN pk ON bfr.q_id = pk.q_id AND bfr.vec_id = pk.vec_id
+       |LEFT JOIN pg ON bfr.q_id = pg.q_id AND bfr.vec_id = pg.vec_id
+       |GROUP BY bfr.q_id ORDER BY bfr.q_id""".stripMargin)
 
   /** i67: learned-cells IVF certification — the round-11 answer to the
     * r10 verdict's one `weak` ("the builder built the instrument that
@@ -4726,6 +4880,7 @@ object LlmOps {
     "i66_ann_nprobe_sweep" -> i66_ann_nprobe_sweep,
     "i80_ann_operating_point" -> i80_ann_operating_point,
     "i81_ann_opq_recall" -> i81_ann_opq_recall,
+    "i82_ann_recluster" -> i82_ann_recluster,
     "i67_ann_ivf_kmeans" -> i67_ann_ivf_kmeans,
     "i68_ann_index_refresh" -> i68_ann_index_refresh,
     "i69_sim_ann_pq" -> i69_sim_ann_pq,

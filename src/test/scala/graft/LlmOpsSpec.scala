@@ -1559,6 +1559,41 @@ class LlmOpsSpec extends SparkTestBase {
         "skewed corpus - the rotation buys nothing where it must")
   }
 
+  test("i82: re-clustering at equal scan budget never loses, and the 20-cell artifact is sound") {
+    import org.apache.spark.sql.functions._
+    val out = LlmOps.i82_ann_recluster.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (q, ne, h10, h20) =>
+      assert(q % 101 == 3 && ne == 10)
+      assert(h10 >= 0 && h10 <= 10 && h20 >= 0 && h20 <= 10)
+    }
+    // the re-cluster payoff at EQUAL nominal scan budget (2/10 vs 4/20):
+    // measured +1 hit at sf0.001, tie at sf0.01, 87->104 (+20%) at
+    // sf0.1 — finer cells pay where cells are populous; never lose
+    val (h10, h20) = (out.map(_._3).sum, out.map(_._4).sum)
+    assert(h20 >= h10,
+      s"re-clustered hits ($h20) fell below the k=10 baseline ($h10)")
+    // the 20-cell artifact: codes/centroid cover identity, genuinely
+    // finer than the k=10 model, every kept vector in exactly one cell
+    val idx20 = LlmOps.sq8WriteIndexKmeans20(spark, sfDir)
+    val codes = spark.read.parquet(idx20)
+    val cent = spark.read.parquet(LlmOps.sq8IvfCentDir(idx20))
+    val codeCells = codes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val centCells = cent.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    assert(codeCells == centCells, "20-cell artifacts disagree on cover")
+    val k10Cells = spark.read.parquet(LlmOps.sq8WriteIndexKmeans(spark, sfDir))
+      .select("cell").distinct().count()
+    assert(codeCells.size > k10Cells,
+      s"re-clustered model (${codeCells.size} cells) is not finer " +
+        s"than the baseline ($k10Cells)")
+    val kept = Tables.t(spark, sfDir, "embeddings")
+      .withColumn("maxabs", LlmOps.sqMaxAbs).filter(col("maxabs") > 0).count()
+    assert(codes.count() == kept, "re-clustered index lost kept vectors")
+  }
+
   test("i77: compaction conserves the live set, leaves clean cells byte-untouched, probes identically") {
     import org.apache.spark.sql.functions._
     // a PRIVATE base copy (the gate's fixture already ran compaction on
