@@ -662,7 +662,12 @@ object PrepMain {
             s"${opts.out}/ann_pq_codebook.parquet") ++
           LlmOps.pqrWriteArtifact(emb, codesDir, centDir,
             s"${opts.out}/ann_rpq_codes.parquet",
-            s"${opts.out}/ann_rpq_codebook.parquet")
+            s"${opts.out}/ann_rpq_codebook.parquet",
+            // the residual rung ships ITS OWN curve + operating point
+            // (ann_rpq_sweep_* / ann_rpq_op_*): the deployment serves
+            // the residual chain, so its nprobe decision must be taken
+            // on the residual curve, not the SQ8 rung's (r13 verdict #1)
+            sweepDir = Some(s"${opts.out}/ann_rpq_sweep.parquet"))
       case _ => Map.empty
     }
     val manifest: Map[String, Long] = Map(

@@ -557,11 +557,16 @@ object FitsFormat {
     private[graft] def of(cards: Map[String, String]): Option[Wcs] = {
       def num(key: String): Option[Double] =
         cards.get(key).flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
-      // a CTYPE that declares ANY projection algorithm makes the plain
-      // linear inversion wrong pixels (even TAN — the CD path owns that
-      // case): degrade to no-WCS so the sky-addressed linear path
-      // refuses with its loud no-WCS error instead of guessing
-      if (Seq("CTYPE1", "CTYPE2", "CTYPE3")
+      // a SKY-axis CTYPE that declares ANY projection algorithm makes
+      // the plain linear inversion wrong pixels (even TAN — the CD path
+      // owns that case): degrade to no-WCS so the sky-addressed linear
+      // path refuses with its loud no-WCS error instead of guessing.
+      // CTYPE3 is deliberately NOT checked: algorithm codes on a cube's
+      // third axis are spectral reference frames (FREQ-LSR, VELO-HEL,
+      // WAVE-F2W…), not sky projections — those axes ARE linear in the
+      // stored coordinate, and refusing them would silently strip the
+      // (valid) axis-1/2 WCS from every velocity cube
+      if (Seq("CTYPE1", "CTYPE2")
             .exists(k => projCode(cards, k).nonEmpty)) return None
       val a3 = for {
         p3 <- num("CRPIX3"); v3 <- num("CRVAL3"); d3 <- num("CDELT3")

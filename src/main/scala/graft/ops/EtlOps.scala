@@ -428,7 +428,11 @@ object EtlOps {
     * detected two committers racing the version counter — the lakehouse
     * lost-update failure mode optimistic concurrency control exists
     * for): the version file is created ATOMICALLY (CREATE_NEW = POSIX
-    * O_CREAT|O_EXCL — atomic on any filesystem a table lives on), so of
+    * O_CREAT|O_EXCL — atomic on local/POSIX filesystems; distributed
+    * stores need the store's own conditional-put for the same guarantee
+    * — NFSv2 lacks atomic exclusive-create, and object stores implement
+    * it as e.g. S3 If-None-Match / GCS if-generation-match, which is
+    * where a production lakehouse would plug in), so of
     * two writers racing the same version number exactly one wins and
     * the loser fails LOUDLY with FileAlreadyExistsException instead of
     * silently clobbering the winner's manifest. The loser's protocol is

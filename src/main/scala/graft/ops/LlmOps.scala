@@ -124,10 +124,19 @@ object LlmOps {
     * starts from — ONE definition of the tokenize → shingle-set →
     * non-empty guard lineage, so i10/i25/i39/j12 cannot drift on it.
     */
-  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
+    shingleSetsWith(docs, Nil)
+
+  /** shingleSets with pass-through columns (j26 carries the event-time
+    * `ts` beside the fingerprint into a watermarked aggregation — a
+    * post-hoc join back to the source would be a second stateful op in
+    * a streaming plan; a carried column is free).
+    */
+  private[graft] def shingleSetsWith(docs: DataFrame,
+      keep: Seq[String]): DataFrame = {
     import graft.functions.HashFunctions.shingleHashSet
     withToks(docs)
-      .select(col("doc_id"), shingleHashSet(toks).as("hs"))
+      .select(col("doc_id") +: keep.map(col) :+ shingleHashSet(toks).as("hs"): _*)
       .filter(size(col("hs")) > 0) // see i5: 0/0 guard + no vacuous buckets
   }
 
@@ -1514,42 +1523,96 @@ object LlmOps {
     * it. Oracle: i65's chain with the cell cut cross-joined against
     * the nprobe table, aggregated per nprobe.
     */
-  val i66_ann_nprobe_sweep = OpQuery(
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val idx = sq8WriteIndexIvf(s, d)
-      val e = t(s, d, "embeddings")
-      val qb = e.filter(col("vec_id") % 101 === 3)
-        .withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-        .localCheckpoint()
-      // the brute-force truth, computed ONCE and shared by every rung
-      val exact = e.crossJoin(broadcast(qb))
-        .filter(col("vec_id") =!= col("q_id"))
+  /** The i66 sweep COMPUTATION (label-cell index, nprobe ∈ {1,2,4}) —
+    * split out so the gate key keeps measuring it live (the instrument's
+    * honest price) while `annSweepLabelDir` persists ONE copy per
+    * (sf, corpus) for downstream consumers: i80's inversion is a 9-row
+    * decision and must not pay the full sweep per rep (r13 verdict #4 —
+    * at 100 TB the sweep is a once-per-build audit pass whose frame the
+    * build persists, exactly the annCertTruthDir pattern).
+    */
+  private[graft] def labelSweepFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = sq8WriteIndexIvf(s, d)
+    val e = t(s, d, "embeddings")
+    val qb = e.filter(col("vec_id") % 101 === 3)
+      .withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    // the brute-force truth, computed ONCE and shared by every rung
+    val exact = e.crossJoin(broadcast(qb))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+        .orderBy(desc("sim"), asc("vec_id"))))
+      .filter(col("rk") <= 10)
+      .select("q_id", "vec_id")
+      .localCheckpoint()
+    sweepRungs(s, e, qb, exact, idx)
+  }
+
+  /** The shared rung loop: per nprobe ∈ {1,2,4}, the pruned chain over
+    * `idx` scored against `exact`, aggregated to the curve frame
+    * (np, n_queries, n_exact, n_hit, recall).
+    */
+  private def sweepRungs(s: SparkSession, e: DataFrame, qb: DataFrame,
+      exact: DataFrame, idx: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Seq(1, 2, 4).map { np =>
+      val pruned = graft.ops.StreamOps.ivfBatchStage1(s, idx, qb, np)
+        .join(e, "vec_id")
         .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
         .withColumn("rk", row_number().over(Window.partitionBy("q_id")
           .orderBy(desc("sim"), asc("vec_id"))))
         .filter(col("rk") <= 10)
-        .select("q_id", "vec_id")
-        .localCheckpoint()
-      Seq(1, 2, 4).map { np =>
-        val pruned = graft.ops.StreamOps.ivfBatchStage1(s, idx, qb, np)
-          .join(e, "vec_id")
-          .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
-          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-            .orderBy(desc("sim"), asc("vec_id"))))
-          .filter(col("rk") <= 10)
-          .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-        exact.join(pruned, Seq("q_id", "vec_id"), "left")
-          .agg(countDistinct(col("q_id")).as("n_queries"),
-            count(lit(1)).as("n_exact"),
-            coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
-          .withColumn("np", lit(np.toLong))
-      }.reduce(_ unionByName _)
-        .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
-        .select("np", "n_queries", "n_exact", "n_hit", "recall")
-        .orderBy("np")
-    },
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      exact.join(pruned, Seq("q_id", "vec_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_exact"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+        .withColumn("np", lit(np.toLong))
+    }.reduce(_ unionByName _)
+      .withColumn("recall", round(col("n_hit") / col("n_exact"), 6))
+      .select("np", "n_queries", "n_exact", "n_hit", "recall")
+      .orderBy("np")
+  }
+
+  /** The LABEL-cell sweep frame, persisted once per (sf, corpus). */
+  private[graft] def annSweepLabelDir(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"ann_sweep_label_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      labelSweepFrame(s, d).coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  /** The LEARNED-cell (k-means) sweep frame — the i67 chain's kmeans
+    * side at the same three rungs, against the persisted certification
+    * truth (annCertTruthDir restricted to the kept queries, the i67
+    * convention). This is the curve of the index PrepMain actually
+    * ships and j22/j24 serve — the one a deployment decision must read
+    * (r13 verdict #1).
+    */
+  private[graft] def kmSweepFrame(s: SparkSession, d: String): DataFrame = {
+    val idx = sq8WriteIndexKmeans(s, d)
+    val e = t(s, d, "embeddings")
+    val qb = e.filter(col("vec_id") % 101 === 3)
+      .withColumn("maxq", sqMaxAbs).filter(col("maxq") > 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      .localCheckpoint()
+    val exact = s.read.parquet(annCertTruthDir(s, d))
+      .join(broadcast(qb.select("q_id")), "q_id")
+      .localCheckpoint()
+    sweepRungs(s, e, qb, exact, idx)
+  }
+
+  /** The LEARNED-cell sweep frame, persisted once per (sf, corpus). */
+  private[graft] def annSweepKmDir(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"ann_sweep_km_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { dir =>
+      kmSweepFrame(s, d).coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+
+  val i66_ann_nprobe_sweep = OpQuery(
+    (s, d) => labelSweepFrame(s, d),
     s"""WITH m AS (
        |  SELECT vec_id, label, embedding,
        |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
@@ -1625,31 +1688,134 @@ object LlmOps {
     * audit pass. Oracle: i66's full chain as a CTE, then the identical
     * min-qualifying-rung selection.
     */
+  /** The i80/i83 inversion core: per policy target, the smallest
+    * qualifying rung of `curve0` (np, n_hit, n_exact) or the
+    * "re-cluster" signal. A 9-row decision — the sweep measurement is
+    * the PERSISTED once-per-build frame, never recomputed here.
+    */
+  private[graft] def invertNprobeCurve(s: SparkSession,
+      curve0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val curve = curve0
+      .select(col("np"), expr("n_hit * 1000000 DIV n_exact").as("micro"))
+    val tdf = Seq(250000L, 500000L, 900000L).toDF("target_micro")
+    val w = Window.partitionBy("target_micro")
+    val dec = curve.crossJoin(broadcast(tdf)) // 3 rungs × 3 targets
+      .withColumn("chosen",
+        min(when(col("micro") >= col("target_micro"), col("np"))).over(w))
+      .withColumn("best", max(col("micro")).over(w))
+    val serve = dec.filter(col("np") === col("chosen"))
+      .select(col("target_micro"), col("chosen").as("chosen_nprobe"),
+        col("micro").as("achieved_micro"), lit("serve").as("decision"))
+    val recluster = dec.filter(col("chosen").isNull)
+      .groupBy("target_micro")
+      .agg(max(col("micro")).as("achieved_micro"))
+      .select(col("target_micro"), lit(-1L).as("chosen_nprobe"),
+        col("achieved_micro"), lit("re-cluster").as("decision"))
+    serve.unionByName(recluster).orderBy("target_micro")
+  }
+
   val i80_ann_operating_point = OpQuery(
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val curve = i66_ann_nprobe_sweep.fn(s, d)
-        .select(col("np"), expr("n_hit * 1000000 DIV n_exact").as("micro"))
-      val tdf = Seq(250000L, 500000L, 900000L).toDF("target_micro")
-      val w = Window.partitionBy("target_micro")
-      val dec = curve.crossJoin(broadcast(tdf)) // 3 rungs × 3 targets
-        .withColumn("chosen",
-          min(when(col("micro") >= col("target_micro"), col("np"))).over(w))
-        .withColumn("best", max(col("micro")).over(w))
-      val serve = dec.filter(col("np") === col("chosen"))
-        .select(col("target_micro"), col("chosen").as("chosen_nprobe"),
-          col("micro").as("achieved_micro"), lit("serve").as("decision"))
-      val recluster = dec.filter(col("chosen").isNull)
-        .groupBy("target_micro")
-        .agg(max(col("micro")).as("achieved_micro"))
-        .select(col("target_micro"), lit(-1L).as("chosen_nprobe"),
-          col("achieved_micro"), lit("re-cluster").as("decision"))
-      serve.unionByName(recluster).orderBy("target_micro")
-    },
+    (s, d) =>
+      // the sweep is read from the per-(sf, corpus) PERSISTED frame
+      // (r13 verdict #4: i80 re-ran i66's full chains per rep for a
+      // 9-row inversion); i66 stays the live instrument that prices
+      // the measurement, this key prices the DECISION
+      invertNprobeCurve(s, s.read.parquet(annSweepLabelDir(s, d))),
     s"""WITH curve AS (
        |${i66_ann_nprobe_sweep.oracle.get}
        |),
+       |mc AS (SELECT np, n_hit * 1000000 // n_exact AS micro FROM curve),
+       |tg AS (SELECT CAST(unnest([250000, 500000, 900000]) AS BIGINT)
+       |         AS target_micro),
+       |ch AS (SELECT tg.target_micro,
+       |         min(CASE WHEN mc.micro >= tg.target_micro
+       |             THEN mc.np END) AS chosen,
+       |         max(mc.micro) AS best
+       |       FROM tg CROSS JOIN mc GROUP BY 1)
+       |SELECT ch.target_micro,
+       |  coalesce(ch.chosen, -1) AS chosen_nprobe,
+       |  coalesce(mc.micro, ch.best) AS achieved_micro,
+       |  CASE WHEN ch.chosen IS NULL THEN 're-cluster' ELSE 'serve' END
+       |    AS decision
+       |FROM ch LEFT JOIN mc ON mc.np = ch.chosen
+       |ORDER BY target_micro""".stripMargin)
+
+  /** i83: the operating-point selector over the LEARNED-cell curve —
+    * the r13 verdict's #1: i80 inverts i66's sweep, and i66 measures
+    * the LABEL-cell index, but the artifact PrepMain ships (and
+    * j22/j24 serve) is the learned k-means family, whose curve i67
+    * measures strictly above the label curve at every rung. A
+    * deployment reading i80's output therefore decides on the obsolete
+    * quantizer: a target the learned index serves at np=1 can read
+    * np=2 — or "re-cluster" — off the label curve, buying probes (or a
+    * rebuild) the shipped index does not need. THIS key runs the SAME
+    * inversion (invertNprobeCurve — one decision engine, two curves)
+    * over the learned-cell sweep persisted beside the certification
+    * truth (annSweepKmDir), so its output is the decision the
+    * deployment should actually take; LlmOpsSpec pins that it differs
+    * from i80's label-curve decision on the fixture (the receipt that
+    * the wire MOVED something). PrepMain's manifest already derives
+    * ann_op_* from the learned artifact it writes (annSweep over
+    * annWriteArtifact's dirs) and r14 adds the residual chain's own
+    * ann_rpq_op_* — gate and pipeline now agree on which curve
+    * decides. At 100 TB: the sweep is the once-per-build audit frame;
+    * this is its 9-row inversion. Oracle: the i67 kmeans chain
+    * aggregated to the curve, then i80's inversion verbatim.
+    */
+  val i83_ann_operating_point_learned = OpQuery(
+    (s, d) =>
+      invertNprobeCurve(s, s.read.parquet(annSweepKmDir(s, d))),
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |c AS (
+       |  SELECT m.vec_id, k.cid AS cell_km, m.embedding, m.maxabs,
+       |    list_transform(m.embedding,
+       |      x -> CAST(floor(x::DOUBLE * 127.0 / maxabs + 0.5) AS BIGINT)) AS qarr
+       |  FROM m JOIN cellkm k ON m.vec_id = k.vec_id WHERE m.maxabs > 0),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec FROM c
+       |       WHERE vec_id % 101 = 3),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |nps AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np),
+       |csimk AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |          FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qckr AS (SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csimk),
+       |qck AS (SELECT np, q_id, label FROM qckr CROSS JOIN nps WHERE rk <= np),
+       |ak AS (
+       |  SELECT qck.np, qs.q_id, c.vec_id, c.embedding, qs.qvec,
+       |    maxabs / 127.0 * list_sum(list_transform(range(1,65),
+       |      k -> c.qarr[k] * qs.qvec[k]::DOUBLE)) AS approx_sim
+       |  FROM c JOIN qck ON c.cell_km = qck.label
+       |         JOIN qs ON qs.q_id = qck.q_id
+       |  WHERE c.vec_id <> qs.q_id),
+       |rk1 AS (SELECT np, q_id, vec_id, embedding, qvec,
+       |    row_number() OVER (PARTITION BY np, q_id
+       |      ORDER BY approx_sim DESC, vec_id) AS rk FROM ak),
+       |sk AS (SELECT np, q_id, vec_id,
+       |    round(${dotSql("embedding", "qvec")}, 6) AS sim
+       |  FROM rk1 WHERE rk <= 50),
+       |pk AS (SELECT np, q_id, vec_id FROM (
+       |    SELECT np, q_id, vec_id, row_number() OVER (PARTITION BY np, q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM sk) WHERE rk <= 10),
+       |bf AS (SELECT qs.q_id, e.vec_id,
+       |    round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |  FROM embeddings e, qs WHERE e.vec_id <> qs.q_id),
+       |bfr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, vec_id) AS rk FROM bf) WHERE rk <= 10),
+       |curve AS (SELECT nps.np,
+       |    CAST(count(*) AS BIGINT) AS n_exact,
+       |    CAST(count(pk.vec_id) AS BIGINT) AS n_hit
+       |  FROM nps CROSS JOIN bfr
+       |  LEFT JOIN pk ON pk.np = nps.np AND pk.q_id = bfr.q_id
+       |             AND pk.vec_id = bfr.vec_id
+       |  GROUP BY nps.np),
        |mc AS (SELECT np, n_hit * 1000000 // n_exact AS micro FROM curve),
        |tg AS (SELECT CAST(unnest([250000, 500000, 900000]) AS BIGINT)
        |         AS target_micro),
@@ -2211,7 +2377,9 @@ object LlmOps {
     * like-for-like (i76's receipt shipped as a pipeline number).
     */
   def pqrWriteArtifact(emb: DataFrame, annIdxDir: String, centDir: String,
-      codesDir: String, cbDir: String, nQueries: Int = 32): Map[String, Long] = {
+      codesDir: String, cbDir: String, nQueries: Int = 32,
+      sweepDir: Option[String] = None,
+      targetMicro: Long = 500000L): Map[String, Long] = {
     import org.apache.spark.sql.expressions.Window
     val s = emb.sparkSession
     writePqrArtifactsFrom(emb,
@@ -2220,25 +2388,46 @@ object LlmOps {
     val (qb0, exact) = annTruth(emb, nQueries)
     val qb = qb0.withColumn("qq",
       expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))"))
-    val pruned = pqrBatchTop(s, codesDir, centDir, qb, 50,
-        cbDirOpt = Some(cbDir))
-      .join(emb.select("vec_id", "embedding"), "vec_id")
-      .join(broadcast(qb0), "q_id")
-      .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
-      .withColumn("rk", row_number().over(Window.partitionBy("q_id")
-        .orderBy(desc("sim"), asc("vec_id"))))
-      .filter(col("rk") <= 10)
-      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
-    val row = exact.join(pruned, Seq("q_id", "vec_id"), "left")
-      .agg(countDistinct(col("q_id")), count(lit(1)),
-        coalesce(sum(col("hit")), lit(0L))).head()
-    val (nq, nExact, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
-    Map(
+    // the residual chain's own SWEEP (r14, closing r13 verdict #1's
+    // pipeline half): the index j24 actually serves must carry the
+    // curve ITS deployment decision reads — np=2 doubles as the
+    // certification rung, so one truth pays for ann_rpq_recall_*,
+    // ann_rpq_sweep_* AND the ann_rpq_op_* inversion
+    val rows = Seq(1, 2, 4).map { np =>
+      val pruned = pqrBatchTop(s, codesDir, centDir, qb, 50, nprobe = np,
+          cbDirOpt = Some(cbDir))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(broadcast(qb0), "q_id")
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val row = exact.join(pruned, Seq("q_id", "vec_id"), "left")
+        .agg(countDistinct(col("q_id")), count(lit(1)),
+          coalesce(sum(col("hit")), lit(0L))).head()
+      val (nq, nExact, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      (np.toLong, nq, nExact, nHit,
+        if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong)
+    }
+    sweepDir.foreach { dir =>
+      import s.implicits._
+      rows.toDF("np", "n_queries", "n_exact", "n_hit", "recall_micro")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+    }
+    val op = rows.find(_._1 == 2L).get
+    val chosen = rows.filter(_._5 >= targetMicro).sortBy(_._1).headOption
+    rows.map { case (np, _, _, _, micro) =>
+      s"ann_rpq_sweep_np${np}_recall_micro" -> micro
+    }.toMap ++ Map(
       "n_ann_rpq_vectors" -> s.read.parquet(codesDir).count(),
-      "ann_rpq_recall_n_queries" -> nq,
-      "ann_rpq_recall_hits" -> nHit,
-      "ann_rpq_recall_at10_micro" ->
-        (if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong))
+      "ann_rpq_recall_n_queries" -> op._2,
+      "ann_rpq_recall_hits" -> op._4,
+      "ann_rpq_recall_at10_micro" -> op._5,
+      "ann_rpq_op_target_micro" -> targetMicro,
+      "ann_rpq_op_nprobe" -> chosen.map(_._1).getOrElse(-1L),
+      "ann_rpq_op_recall_micro" -> chosen.map(_._5)
+        .getOrElse(rows.map(_._5).max))
   }
 
   /** The ADC (asymmetric distance computation) lookup table for one
@@ -2682,6 +2871,16 @@ object LlmOps {
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }
+    // Crash-window contract: the overwrite and the dead-cell delete are
+    // two non-atomic steps, and the RETURN below is the only completion
+    // signal — a caller must truncate tombstones of compacted cells ONLY
+    // after receiving this plan. A crash anywhere above means no return,
+    // so the caller keeps its full tombstone side table and probes over
+    // (partially-compacted index + full tombstones) — row-identical to
+    // the pre-compaction view, because compaction only removes rows the
+    // anti-join was already excluding. Recovery is re-running this
+    // function with the SAME tombstones: every step is idempotent
+    // (dynamic overwrite replaces, delete of a gone dir is a no-op).
     plan
   }
 
@@ -3327,6 +3526,162 @@ object LlmOps {
        |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
        |FROM embeddings e JOIN r USING (vec_id), qs
        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin)
+
+  /** The i75 probe oracle with a pluggable TOMBSTONE restriction on the
+    * candidate pool — shared by i84 (mod-class tombstones) and i85
+    * (the i77 discovered-cluster tombstones, where the oracle applies
+    * the FULL set while the gate probes compacted-plus-remaining: the
+    * hash match IS the equivalence proof). `extraCtes` precede the
+    * query CTEs; `tombPred` lands in the ap WHERE clause.
+    */
+  private def rivfpqTombOracleSql(extraCtes: String, tombPred: String): String =
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${lloydCteSql("maxabs > 0")},
+       |$pqrCteSql,$extraCtes
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM m WHERE vec_id = 7 AND maxabs > 0),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1),
+       |qc AS (SELECT label FROM (
+       |    SELECT label, row_number() OVER (ORDER BY s DESC, label) AS rk
+       |    FROM csim) WHERE rk <= 2),
+       |rdt AS (SELECT rm1.sub, rm1.cid,
+       |         sum(qs.qq[rm1.sub * $PqDsub + rm1.pos] * rm1.cv_i) AS ds
+       |       FROM rm1, qs GROUP BY 1, 2),
+       |cdt AS (SELECT c1.cid AS cell,
+       |         list_sum(list_transform(range(1, len(c1.cv) + 1),
+       |           i -> qs.qq[i] * c1.cv[i])) AS cd
+       |       FROM c1, qs),
+       |ap AS (SELECT rcd.vec_id, cdt.cd + sum(rdt.ds) AS approx_i
+       |       FROM rcd JOIN rdt ON rcd.sub = rdt.sub AND rcd.cid = rdt.cid
+       |            JOIN cellkm ON cellkm.vec_id = rcd.vec_id
+       |            JOIN qc ON qc.label = cellkm.cid
+       |            JOIN cdt ON cdt.cell = cellkm.cid
+       |       WHERE rcd.vec_id <> 7 $tombPred
+       |       GROUP BY rcd.vec_id, cdt.cd),
+       |r AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY approx_i DESC, vec_id) AS rk
+       |    FROM ap) WHERE rk <= 50)
+       |SELECT e.vec_id, e.label, round(${dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |FROM embeddings e JOIN r USING (vec_id), qs
+       |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** i84: TOMBSTONE deletes on the PRODUCTION (residual IVF-PQ) index —
+    * the r13 verdict's #3: i74 gave the flat-PQ artifact its delete
+    * path, but the index a deployment actually serves (i75, j24) had
+    * none — a takedown could not remove a vector from the serving
+    * chain. Same design, composed with i75's probe: the deletion log is
+    * a side table of vec_ids (the codes artifact stays immutable), and
+    * the probe excludes tombstones with a broadcast anti-join BEFORE
+    * the ADC-plus-cell-term cut — filtering after the cut would return
+    * fewer than k live results exactly when a deleted vector ranked
+    * high (the i73/i74 correctness rule). At 100 TB the tombstone side
+    * is a small broadcast table and the probe plan is i75's
+    * byte-identical plan plus one build-side hash lookup per candidate.
+    * Oracle: i75's chain with the tombstone predicate on the pool.
+    */
+  val i84_rivfpq_tombstone = OpQuery(
+    (s, d) => {
+      val kmIdx = sq8WriteIndexKmeans(s, d)
+      val idx = pqrWriteIndex(s, d)
+      val qvec = sq8QueryVec(s, d, 7L)
+      val qq = pqQueryGrid(s, d, 7L)
+      // the deletion log: a side table of vec_ids, nothing rewritten
+      val tomb = t(s, d, "embeddings")
+        .filter(col("vec_id") % 13 === 2).select("vec_id")
+      val top2 = ivfCellRank(s, kmIdx, qvec).collect().map(_.getInt(0)).toSeq
+      val top = codesTopK(
+        s.read.parquet(idx).filter(col("cell").isin(top2: _*))
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+        adcLitFrom(s, pqrCbDir(idx), qq, PqrK), 50, 7L, PqrK,
+        cellTerm = element_at(typedLit(cellDotMap(s, kmIdx, qq, top2)),
+          col("cell")))
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), qvec), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    rivfpqTombOracleSql("", "AND rcd.vec_id % 13 <> 2"))
+
+  /** i85: tombstone COMPACTION on the residual index — i77's threshold
+    * policy (with its r13 dead-cell and read-before-overwrite fixes,
+    * which live in the shared `compactCells`) executed against a
+    * private copy of the i75 artifact, then PROVEN equivalent at the
+    * probe: the gate probes (compacted artifact + REMAINING tombstones
+    * — those of cells the threshold left unrewritten) while the oracle
+    * computes the closed-form probe over (base artifact + FULL
+    * tombstone set). The hash match is therefore the compaction
+    * correctness statement itself — a rewrite that dropped a live row,
+    * kept a dead one, or clobbered a clean cell cannot hash green.
+    * The codebook is untouched (dropping dead rows is a pure layout
+    * change — codes are per-vector), so the ADC reads the ORIGINAL
+    * artifact's codebook. Tombstones are i77's discovered near-dup
+    * cluster (the realistic delete shape, concentrated in few cells so
+    * both branches of the threshold are exercised). LlmOpsSpec
+    * additionally pins the two Spark-side probes row-identical and
+    * clean cells' files byte-untouched. At 100 TB: rewrite cost ∝
+    * dirty cells; the probe plan is i84's.
+    */
+  val i85_rivfpq_compaction = OpQuery(
+    (s, d) => {
+      val kmIdx = sq8WriteIndexKmeans(s, d)
+      val baseIdx = pqrWriteIndex(s, d)
+      // build-once: a private copy of the residual artifact (the
+      // compaction mutates it), then ONE compaction pass — reps and
+      // the probe read a deterministic post-compaction state
+      val idx = graft.Util.fixtureOnce(
+        s"i85_rcompact_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { out =>
+        s.read.parquet(baseIdx)
+          .write.mode("overwrite").partitionBy("cell").parquet(out)
+        compactCells(s, out, i77Tombstones(s, d), CompactionTau)
+      }
+      val tomb = i77Tombstones(s, d)
+      // REMAINING tombstones = those in cells the threshold left alone
+      // (compacted cells had theirs physically applied and truncated)
+      val cleanCells = s.read.parquet(baseIdx)
+        .join(broadcast(tomb.withColumn("dead", lit(1L))),
+          Seq("vec_id"), "left")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_before"),
+          coalesce(sum(col("dead")), lit(0L)).as("n_tomb"))
+        .filter(!(col("n_tomb") > col("n_before") * lit(CompactionTau)))
+        .select("cell")
+      val remaining = s.read.parquet(baseIdx).select("vec_id", "cell")
+        .join(broadcast(tomb), Seq("vec_id"))
+        .join(broadcast(cleanCells), Seq("cell"))
+        .select("vec_id")
+      val qvec = sq8QueryVec(s, d, 7L)
+      val qq = pqQueryGrid(s, d, 7L)
+      val top2 = ivfCellRank(s, kmIdx, qvec).collect().map(_.getInt(0)).toSeq
+      val top = codesTopK(
+        s.read.parquet(idx).filter(col("cell").isin(top2: _*))
+          .join(broadcast(remaining), Seq("vec_id"), "left_anti"),
+        adcLitFrom(s, pqrCbDir(baseIdx), qq, PqrK), 50, 7L, PqrK,
+        cellTerm = element_at(typedLit(cellDotMap(s, kmIdx, qq, top2)),
+          col("cell")))
+      t(s, d, "embeddings").join(broadcast(top), "vec_id")
+        .withColumn("sim", round(dot(col("embedding"), qvec), 6))
+        .select("vec_id", "label", "sim")
+        .orderBy(desc("sim"), asc("vec_id"))
+        .limit(10)
+    },
+    rivfpqTombOracleSql(
+      s"""
+         |qv7 AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+         |tomb AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, row_number() OVER (
+         |      ORDER BY round(${dotSql("e.embedding", "qv7.qvec")}, 6) DESC,
+         |               e.vec_id) AS rk
+         |    FROM embeddings e, qv7 WHERE e.vec_id <> 7)
+         |  WHERE rk <= greatest(60, (SELECT count(*) FROM embeddings) // 10)),""".stripMargin,
+      "AND rcd.vec_id NOT IN (SELECT vec_id FROM tomb)"))
 
   /** The residual-PQ train+encode CTE block — the SQL mirror of
     * `pqrWriteIndex` (the pqCteSql convention, r-prefixed so it
@@ -4881,6 +5236,9 @@ object LlmOps {
     "i80_ann_operating_point" -> i80_ann_operating_point,
     "i81_ann_opq_recall" -> i81_ann_opq_recall,
     "i82_ann_recluster" -> i82_ann_recluster,
+    "i83_ann_operating_point_learned" -> i83_ann_operating_point_learned,
+    "i84_rivfpq_tombstone" -> i84_rivfpq_tombstone,
+    "i85_rivfpq_compaction" -> i85_rivfpq_compaction,
     "i67_ann_ivf_kmeans" -> i67_ann_ivf_kmeans,
     "i68_ann_index_refresh" -> i68_ann_index_refresh,
     "i69_sim_ann_pq" -> i69_sim_ann_pq,

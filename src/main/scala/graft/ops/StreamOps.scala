@@ -578,10 +578,19 @@ object StreamOps {
           // the clock row is filtered HERE, outside the streaming plan:
           // a filter above the aggregation would be pushed below the
           // EventTimeWatermark node (doc_id is a grouping key) and the
-          // clock row would never reach the event-time stats
+          // clock row would never reach the event-time stats.
+          // foreachBatch is AT-LEAST-ONCE: a batch retry after a partial
+          // write would double-append under mode("append"), so the sink
+          // is made idempotent per epoch — each batch dynamically
+          // OVERWRITES its own epoch=<id> partition, and a replay
+          // replaces its half-written output instead of duplicating it
+          // (r13 ADVICE; the documented production late-data pattern
+          // must survive its own delivery semantics)
           batch.filter(col("doc_id") >= 0)
             .withColumn("epoch", lit(epochId))
-            .write.mode("append").parquet(sink.getAbsolutePath)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(sink.getAbsolutePath)
         }
         .start()
       q.awaitTermination()
@@ -596,6 +605,134 @@ object StreamOps {
       |  CAST(CASE WHEN doc_id % 10 = 3 THEN 2 ELSE 1 END AS BIGINT) AS n
       |FROM documents WHERE doc_id % 10 IN (1, 3, 7)
       |ORDER BY doc_id""".stripMargin)
+
+  /** The planted four-batch late-data stream for j26 — j25's proven
+    * class timing over FULL document rows (the probe docs, %10 = 0,
+    * split by mod 40): f0 = day-1 probes (%40=0); f1 = day-3 probes
+    * (%40=10); f2 = the day-3 RE-SENDS (in-watermark dupes) + new
+    * day-3 probes (%40=30) + one CLOCK row (doc_id −1, day-5 noon,
+    * with synthetic text whose shingle set is NON-empty — the clock
+    * must survive the shingle guard to reach the EventTimeWatermark
+    * node, or the watermark never advances and no group ever flushes);
+    * f3 = the LATE classes — day-1 re-sends and brand-new day-1-stamped
+    * probes (%40=20), both two batches behind the advanced watermark.
+    */
+  private def j26SourceDir(s: SparkSession, d: String): String =
+    graft.Util.fixtureOnce(
+      s"j26_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
+      val docs = t(s, d, "documents")
+      val probes = docs.filter(col("doc_id") % 10 === 0)
+      def stamped(m: Int, day: String) = probes
+        .filter(col("doc_id") % 40 === m)
+        .withColumn("ts", expr(s"timestamp'$day 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, CAST(doc_id % 1440 AS INT), 0)"))
+      val a = stamped(0, "2024-01-01")
+      val b = stamped(10, "2024-01-03")
+      val clock = docs.orderBy("doc_id").limit(1)
+        .withColumn("doc_id", lit(-1L))
+        .withColumn("text", lit("graft clock heartbeat row advancing " +
+          "the eviction watermark beyond every planted arrival class"))
+        .withColumn("ts", expr("timestamp'2024-01-05 12:00:00'"))
+      a.coalesce(1).write.mode("overwrite").parquet(s"$p/f0")
+      b.coalesce(1).write.mode("overwrite").parquet(s"$p/f1")
+      b.unionByName(stamped(30, "2024-01-03")).unionByName(clock)
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/f2")
+      a.unionByName(stamped(20, "2024-01-01"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/f3")
+    }
+
+  /** j26: the LATE-DATA policy COMPOSED with the near-dup gate — the
+    * r13 verdict's #6: j25 established the watermarked-aggregation
+    * dedup shape, but the content gates it exists to protect (j12/j17's
+    * LSH probe) still ran with unbounded/stateless arrival assumptions.
+    * Here the MinHash shingle FINGERPRINT rides the grouping key of
+    * j25's watermarked aggregation (the j13 sz-inline trick: everything
+    * a later stage needs must travel IN the key, because a second
+    * stateful op or a post-aggregation stream join is illegal), so one
+    * operator yields all three guarantees at once: in-watermark
+    * re-sends of a seen fingerprint MERGE into live state (n counts
+    * arrivals), late re-sends are REFUSED before state (the j25
+    * dropDuplicates defect cannot re-admit them as new), and each
+    * finalized (doc, ts, fingerprint) group crosses to the probe
+    * EXACTLY once, state evicted in the same move — bounded by the
+    * watermark horizon, never by crawl lifetime. The LSH probe itself
+    * runs in foreachBatch over the FINALIZED groups (the documented
+    * escape hatch: batch-side joins are unrestricted there), against
+    * the j12 static two-table index built once and captured by the
+    * closure; the sink write is idempotent per epoch (the j25 r13
+    * ADVICE rule). At 100 TB: state ∝ fingerprints inside the horizon,
+    * probe cost ∝ finalized arrivals — both arrival-bounded. Oracle:
+    * the j4 batch-surrogate convention — i25's flagged-pair oracle
+    * restricted to the admitted classes, with the closed-form (ts, n).
+    */
+  val j26_stream_late_neardup = OpQuery(
+    (s, d) => {
+      import graft.functions.VectorFunctions.intersectCount
+      val ckpt = new java.io.File(graft.Util.scratch("ckpt_j26"))
+      graft.Util.deleteRecursively(ckpt)
+      val sink = new java.io.File(graft.Util.scratch("j26_sink"))
+      graft.Util.deleteRecursively(sink)
+      val docs = t(s, d, "documents")
+      // the static corpus index (j12's two-table shape), built ONCE and
+      // captured by the foreachBatch closure — never per batch
+      val corpusBase = LlmOps.shingleSets(docs.filter(col("doc_id") % 10 =!= 0))
+        .localCheckpoint()
+      val corpusIdx = LlmOps.withBandBuckets(corpusBase)
+        .select(col("doc_id").as("corpus_id"), col("bucket"))
+        .localCheckpoint()
+      val corpusHs = corpusBase
+        .select(col("doc_id").as("corpus_id"), col("hs").as("hs_c"))
+      val src = s.readStream
+        .schema(StructType(docs.schema.fields :+
+          StructField("ts", TimestampType)))
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(j26SourceDir(s, d))
+      val q = LlmOps.shingleSetsWith(src, Seq("ts")) // (doc_id, ts, hs)
+        .withWatermark("ts", "1 day")
+        .groupBy(col("doc_id"), col("ts"), col("hs")) // fingerprint IN the key
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, epochId: Long) =>
+          // finalized groups only reach here (append mode); the clock
+          // row is dropped HERE, outside the streaming plan (j25 rule)
+          val b0 = batch.filter(col("doc_id") >= 0)
+          val bands = LlmOps.withBandBuckets(b0.select("doc_id", "hs"))
+            .select(col("doc_id").as("batch_id"), col("hs").as("hs_b"),
+              col("bucket"))
+          val flagged = bands.join(corpusIdx, "bucket")
+            .join(corpusHs, "corpus_id")
+            .withColumn("inter", intersectCount(col("hs_b"), col("hs_c")))
+            .withColumn("jac", col("inter").cast(DoubleType) /
+              (size(col("hs_b")) + size(col("hs_c")) - col("inter")))
+            .filter(col("jac") >= 0.8)
+            .groupBy("batch_id", "corpus_id")
+            .agg(round(min(col("jac")), 6).as("jaccard"))
+            .join(b0.select(col("doc_id").as("batch_id"), col("ts"),
+              col("n")), "batch_id")
+          flagged.withColumn("epoch", lit(epochId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(sink.getAbsolutePath)
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink.getAbsolutePath)
+        .select("batch_id", "corpus_id", "jaccard", "ts", "n")
+        .orderBy("batch_id", "corpus_id")
+    },
+    s"""WITH flagged AS (
+       |${LlmOps.i25_dedup_incremental.oracle.get}
+       |)
+       |SELECT batch_id, corpus_id, jaccard,
+       |  CASE WHEN batch_id % 40 = 0 THEN TIMESTAMP '2024-01-01 00:00:00'
+       |       ELSE TIMESTAMP '2024-01-03 00:00:00' END
+       |    + (batch_id % 1440) * INTERVAL 1 MINUTE AS ts,
+       |  CAST(CASE WHEN batch_id % 40 = 10 THEN 2 ELSE 1 END AS BIGINT) AS n
+       |FROM flagged WHERE batch_id % 40 IN (0, 10, 30)
+       |ORDER BY batch_id, corpus_id""".stripMargin)
 
   /** j13: STREAMING decontamination — the i45 capped-containment gate on
     * a document stream, completing the streaming prep trio (j11 quality,
@@ -1473,6 +1610,7 @@ object StreamOps {
     "j18_stream_xmatch_best" -> j18_stream_xmatch_best,
     "j17_stream_update_dedup" -> j17_stream_update_dedup,
     "j25_stream_late_dedup" -> j25_stream_late_dedup,
+    "j26_stream_late_neardup" -> j26_stream_late_neardup,
     "j16_stream_chunk" -> j16_stream_chunk,
     "j15_stream_xmatch" -> j15_stream_xmatch,
     "j14_stream_perplexity_gate" -> j14_stream_perplexity_gate,

@@ -528,5 +528,19 @@ class FitsFuzzSpec extends SparkTestBase {
         assert(Wcs.of(lin + ("CTYPE1" -> c1) + ("CTYPE2" -> c2)).isEmpty,
           s"linear parser accepted projected CTYPE $c1")
     }
+    // but an algorithm code on AXIS 3 is a spectral reference frame
+    // (FREQ-LSR, VELO-HEL), not a sky projection: a velocity cube keeps
+    // its (valid) linear axis-1/2 WCS — refusing it would silently strip
+    // metadata from every radio cube (r13 ADVICE)
+    val cube = lin + ("CRPIX3" -> "1.0") + ("CRVAL3" -> "1.42e9") +
+      ("CDELT3" -> "1.0e5")
+    Seq("'FREQ-LSR'", "'VELO-HEL'", "'WAVE-F2W'").foreach { c3 =>
+      val w = Wcs.of(cube + ("CTYPE3" -> c3))
+      assert(w.nonEmpty, s"linear parser refused spectral CTYPE3 $c3")
+      assert(w.get.axis3.nonEmpty, "axis-3 linear terms must survive")
+    }
+    // while the SKY axes' refusal is unchanged in the same cube header
+    assert(Wcs.of(cube + ("CTYPE1" -> "'RA---SIN'")
+      + ("CTYPE2" -> "'DEC--SIN'") + ("CTYPE3" -> "'FREQ-LSR'")).isEmpty)
   }
 }

@@ -1143,6 +1143,101 @@ class LlmOpsSpec extends SparkTestBase {
       s"both decision branches must appear: ${out.toSeq}")
   }
 
+  test("i83: the selector reads the LEARNED curve, and the wire MOVED the decision (r13 verdict #1)") {
+    // internal consistency: i83 is the inversion of the PERSISTED
+    // learned-cell sweep (the curve of the index PrepMain ships)
+    val curve = spark.read.parquet(LlmOps.annSweepKmDir(spark, sfDir))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3) * 1000000L / r.getLong(2)).toMap
+    val out = LlmOps.i83_ann_operating_point_learned.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(250000L, 500000L, 900000L))
+    out.foreach { case (tgt, np, achieved, dec) =>
+      val qual = curve.filter(_._2 >= tgt).keys
+      if (qual.nonEmpty)
+        assert(dec == "serve" && np == qual.min && achieved == curve(np),
+          s"target $tgt: expected rung ${qual.min}, got ($np, $achieved, $dec)")
+      else
+        assert(dec == "re-cluster" && np == -1L &&
+          achieved == curve.values.max, s"target $tgt: bad ceiling row")
+    }
+    // THE receipt the rewire exists for: against i80's label-curve
+    // decision, the learned-curve decision is never worse (i67's pinned
+    // dominance: a superset of qualifying rungs => a no-larger minimum;
+    // re-cluster counts as +inf probes) and strictly differs somewhere —
+    // proving the wire moved an actual deployment decision, not a label
+    val label = LlmOps.i80_ann_operating_point.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(3))).toMap
+    val learned = out.map { case (t, np, _, dec) => t -> (np, dec) }.toMap
+    def cost(v: (Long, String)): Long =
+      if (v._2 == "serve") v._1 else Long.MaxValue
+    assert(learned.keySet == label.keySet)
+    learned.keySet.foreach { t =>
+      assert(cost(learned(t)) <= cost(label(t)),
+        s"target $t: learned curve decided WORSE (${learned(t)}) than " +
+          s"label curve (${label(t)})")
+    }
+    assert(learned.exists { case (t, v) => v != label(t) },
+      "the rewire moved nothing: identical decisions at every target")
+  }
+
+  test("i84: residual tombstones are excluded BEFORE the cut, and the delete is visible") {
+    val out = LlmOps.i84_rivfpq_tombstone.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // filter-before-cut: a FULL top-10 of live vectors (filtering after
+    // the ADC cut would come up short exactly when deleted vectors
+    // ranked high — the i73/i74 correctness rule)
+    assert(out.length == 10, s"short result: ${out.length} rows")
+    assert(out.forall(_._1 % 13 != 2), "a deleted vector was served")
+    // non-vacuous: the tombstone class intersects the UNtombstoned
+    // top-10 (checked at every SF when this spec was written), so the
+    // delete actually changed the answer
+    val untombed = LlmOps.i75_sim_ann_ivfpq_residual.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(untombed.exists(_._1 % 13 == 2),
+      "fixture vacuous: no tombstoned vector in the untombstoned top-10")
+    assert(out.toSeq != untombed.toSeq, "tombstoning changed nothing")
+  }
+
+  test("i85: probe over (compacted + remaining tombstones) ≡ probe over (base + full tombstones) on the residual chain") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dot
+    val viaCompacted = LlmOps.i85_rivfpq_compaction.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    // the reference side, built INDEPENDENTLY of the gate's fixture: the
+    // i75 chain over the PRISTINE artifact with the FULL i77 tombstone
+    // set anti-joined before the cut (i74's guarantee, residual form)
+    val kmIdx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
+    val idx = LlmOps.pqrWriteIndex(spark, sfDir)
+    val qvec = LlmOps.sq8QueryVec(spark, sfDir, 7L)
+    val qq = LlmOps.pqQueryGrid(spark, sfDir, 7L)
+    val tomb = LlmOps.i77Tombstones(spark, sfDir).localCheckpoint()
+    val top2 = LlmOps.ivfCellRank(spark, kmIdx, qvec)
+      .collect().map(_.getInt(0)).toSeq
+    val top = LlmOps.codesTopK(
+      spark.read.parquet(idx).filter(col("cell").isin(top2: _*))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+      LlmOps.adcLitFrom(spark, LlmOps.pqrCbDir(idx), qq, LlmOps.PqrK),
+      50, 7L, LlmOps.PqrK,
+      cellTerm = element_at(typedLit(LlmOps.cellDotMap(spark, kmIdx, qq,
+        top2)), col("cell")))
+    val viaBase = Tables.t(spark, sfDir, "embeddings")
+      .join(broadcast(top), "vec_id")
+      .withColumn("sim", round(dot(col("embedding"), qvec), 6))
+      .select("vec_id", "label", "sim")
+      .orderBy(desc("sim"), asc("vec_id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(viaCompacted == viaBase,
+      "probe over compacted residual index diverges from base + tombstones")
+    // the delete is VISIBLE: tombstoning the discovered near-dup cluster
+    // (the top-similar set!) must change the untombstoned answer
+    val untombed = LlmOps.i75_sim_ann_ivfpq_residual.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(viaCompacted != untombed,
+      "fixture vacuous: deleting the near-dup cluster changed nothing")
+  }
+
   test("i67: learned k-means cells beat label cells at EVERY nprobe (the r10 directive's inequality)") {
     val rows = LlmOps.i67_ann_ivf_kmeans.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

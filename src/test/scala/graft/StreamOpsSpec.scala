@@ -320,6 +320,60 @@ class StreamOpsSpec extends SparkTestBase {
         "clock row — eviction did not keep state bounded")
   }
 
+  test("j26 late-data near-dup: late classes refused, re-sends merged, state bounded at ONE group") {
+    import graft.ops.LlmOps
+    val out = StreamOps.j26_stream_late_neardup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.nonEmpty, "no flagged pairs reached the sink")
+    // only the admitted arrival classes may appear; the late-new class
+    // (%40=20) and the clock row must NOT (late refusal + clock filter)
+    assert(out.forall(t => Set(0L, 10L, 30L)(t._1 % 40)),
+      s"a late-class or clock probe leaked: ${out.filterNot(t =>
+        Set(0L, 10L, 30L)(t._1 % 40)).toSeq}")
+    // arrival counts: the re-sent day-3 class merged in-watermark (n=2),
+    // everything else once; the day-1 late RE-sends did not double-count
+    assert(out.forall(t => t._3 == (if (t._1 % 40 == 10) 2L else 1L)),
+      "arrival counts diverge from the planted classes")
+    // write-once into the append sink
+    assert(out.map(p => (p._1, p._2)).distinct.length == out.length,
+      "a flagged pair crossed the sink twice")
+    // batch parity: the pair set equals batch j12/i25's flagged pairs
+    // restricted to the admitted classes — stream and batch answer the
+    // same near-dup question
+    val batch = StreamOps.j12_stream_incremental_dedup.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => Set(0L, 10L, 30L)(p._1 % 40)).toSet
+    assert(out.map(p => (p._1, p._2)).toSet == batch,
+      "stream pair set diverges from the batch LSH answer")
+    // the EVICTION receipt (the j25 convention): re-run the aggregation
+    // with a handle — after the final batch only the clock group remains
+    val ckpt = new java.io.File(Util.scratch("ckpt_j26_spec"))
+    Util.deleteRecursively(ckpt)
+    val docs = Tables.t(spark, sfDir, "documents")
+    val src = spark.readStream
+      .schema(StructType(docs.schema.fields :+
+        StructField("ts", TimestampType)))
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(Util.scratch(
+        s"j26_src_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}"))
+    val q = LlmOps.shingleSetsWith(src, Seq("ts"))
+      .withWatermark("ts", "1 day")
+      .groupBy(col("doc_id"), col("ts"), col("hs"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("noop").outputMode("append")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val lastState = q.recentProgress.reverse
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .headOption.getOrElse(fail("no state operator metrics reported"))
+    assert(lastState.numRowsTotal == 1L,
+      s"state holds ${lastState.numRowsTotal} groups; expected ONLY the " +
+        "clock row — fingerprint state must not outlive the watermark")
+  }
+
   test("j18 per-batch best-match unions to the batch d20 result; each alert resolved once") {
     import graft.ops.RelOps
     val fromStream = StreamOps.j18_stream_xmatch_best.fn(spark, sfDir)
