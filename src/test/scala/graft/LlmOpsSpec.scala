@@ -382,6 +382,64 @@ class LlmOpsSpec extends SparkTestBase {
       s"blocked pairs diverge: got ${out.length}, expect ${expect.size}")
   }
 
+  test("m13-m15: JPEG decode error measured UNDER half the margin; dual-codec rows dedup into one group") {
+    import MultimodalOps.XCodec
+    import spark.implicits._
+    // THE margin receipt: the classified stats (m13/m14) rest on a
+    // 111-gray-level per-pixel margin at threshold 128 — measure the
+    // fixture's ACTUAL worst-case JPEG decode error against the planted
+    // raster and pin it under HALF the margin, so the argument has
+    // slack, not a grazing pass
+    val maxErr = spark.read
+      .parquet(MultimodalOps.jpegMediaDir(spark, sfDir))
+      .as[(Long, Array[Byte])]
+      .filter(_._1 % 2 == 1) // the JPEG rows
+      .map { case (mId, bytes) =>
+        val id = mId / 2
+        val (r, w, h) = MultimodalOps.PngCodec.raster(bytes)
+        var worst = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val planted = if (XCodec.bit(id, (y / 2) * 8 + (x / 4)) == 1)
+              XCodec.HI else XCodec.LO
+            worst = math.max(worst, math.abs(r.getSample(x, y, 0) - planted))
+            x += 1
+          }
+          y += 1
+        }
+        worst
+      }.reduce(math.max(_, _))
+    assert(maxErr < 56,
+      s"JPEG decode error $maxErr eats into the 111-level classification " +
+        "margin — the closed-form oracle argument is at risk")
+    // m13 stats: both codec rows of a scene report IDENTICAL classified
+    // stats (the decode-modality statement: JPEG is first-class)
+    val m13 = MultimodalOps.m13_jpeg_decode.fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val sceneIds = m13.keys.filter(_ % 2 == 0).map(_ / 2)
+    assert(sceneIds.nonEmpty)
+    sceneIds.foreach { id =>
+      assert(m13(2 * id) == m13(2 * id + 1),
+        s"scene $id: PNG and JPEG decode stats diverge")
+    }
+    // m15: every scene's PNG row and JPEG row share a dedup group, and
+    // the kept representative is the group's smallest m_id (a PNG row)
+    val m15 = MultimodalOps.m15_jpeg_dedup.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    val hhOf = m15.map(t => t._1 -> t._2).toMap
+    sceneIds.foreach { id =>
+      assert(hhOf(2 * id) == hhOf(2 * id + 1),
+        s"scene $id: codec rows did not share a fingerprint")
+    }
+    assert(m15.forall(_._3 >= 2L),
+      "a media row formed a singleton group — the codec pair is broken")
+    assert(m15.filter(_._4).forall(_._1 % 2 == 0),
+      "a JPEG row was kept over its scene's PNG row")
+  }
+
   test("m10 near-dup pairs equal brute-force hamming over real decoded fingerprints") {
     val out = MultimodalOps.m10_audio_near_dup.fn(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
