@@ -137,7 +137,10 @@ object PrepMain {
       // ann_sweep.parquet (the i66 recall-vs-nprobe curve) over the
       // KEPT corpus's embeddings — the RAG handoff beside the training
       // corpus, with vector/cell/saturation/maxabs/recall stats in the
-      // manifest; "none" skips
+      // manifest; "opq" = write PLUS the CONDITIONAL OPQ rung (the
+      // variance profile decides: rotated artifact + certification only
+      // when the natural subspace grouping is skewed; the decision and
+      // its skew statistic always land in the manifest); "none" skips
       ann: String = "none",
       // IVF cell count for the --ann artifact: 0 (default) = auto-size
       // from the kept corpus (k = sqrt(N), LlmOps.ivfAutoK — the
@@ -211,8 +214,8 @@ object PrepMain {
         "[--scrub substring|none] [--scrub-span k>=2] [--scrub-min-docs n>=2] " +
         "[--media dedup[=image,audio,video]|none] " +
         "[--mix uniform|none] [--ppl ccnet|none] [--shuffle hash|curriculum|none] " +
-        "[--chunks write|none] [--tokenize bpe|none] [--ann write|none] " +
-        "[--ann-k auto|n>=2]")
+        "[--chunks write|none] [--tokenize bpe|none] " +
+        "[--ann write|opq|none] [--ann-k auto|n>=2]")
     require(Set("minhash", "keepbest", "none")(o.dedup),
       s"--dedup must be minhash|keepbest|none, got ${o.dedup}")
     require(Set("ccnet", "none")(o.ppl),
@@ -231,8 +234,8 @@ object PrepMain {
       s"--tokenize must be bpe|none, got ${o.tokenize}")
     require(Set("write", "none")(o.profile),
       s"--profile must be write|none, got ${o.profile}")
-    require(Set("write", "none")(o.ann),
-      s"--ann must be write|none, got ${o.ann}")
+    require(Set("write", "opq", "none")(o.ann),
+      s"--ann must be write|opq|none, got ${o.ann}")
     require(o.annK == 0 || o.annK >= 2,
       s"--ann-k must be auto or an integer >= 2, got ${o.annK}")
     // only meaningful when the scrub stage actually runs (the --dedup-tau
@@ -628,7 +631,7 @@ object PrepMain {
     // the manifest so a loader can sanity-check before serving
     // (saturated codes = the i61 scale-outlier alert).
     val annCounts: Map[String, Long] = opts.ann match {
-      case "write" =>
+      case "write" | "opq" =>
         val emb = Tables.t(spark, opts.in, "embeddings")
           .join(written.select(col("doc_id").as("vec_id")), "vec_id")
           .localCheckpoint() // read by the write AND the certification
@@ -667,7 +670,16 @@ object PrepMain {
             // (ann_rpq_sweep_* / ann_rpq_op_*): the deployment serves
             // the residual chain, so its nprobe decision must be taken
             // on the residual curve, not the SQ8 rung's (r13 verdict #1)
-            sweepDir = Some(s"${opts.out}/ann_rpq_sweep.parquet"))
+            sweepDir = Some(s"${opts.out}/ann_rpq_sweep.parquet")) ++
+          // the CONDITIONAL OPQ rung (r13 verdict #7): measured on this
+          // corpus's variance profile — the manifest records the skew
+          // and the decision either way; the rotated artifact +
+          // certification exist only when the profile says it pays
+          (if (opts.ann == "opq")
+            LlmOps.opqDecideArtifact(emb, codesDir, centDir,
+              s"${opts.out}/ann_opq_codes.parquet",
+              s"${opts.out}/ann_opq_codebook.parquet")
+          else Map.empty)
       case _ => Map.empty
     }
     val manifest: Map[String, Long] = Map(

@@ -3988,8 +3988,12 @@ object LlmOps {
     opqPermOf(t(s, d, "embeddings")
       .withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0))
 
-  private[graft] def opqPermOf(kept: DataFrame): Array[Int] = {
-    val stats = kept
+  /** Per-dim exact integer variance stats of the kept ×1000 grid —
+    * (dim, n·Σx² − (Σx)²), the shared input of the permutation builder
+    * AND the skew decision. Bounded collect: 64 rows.
+    */
+  private[graft] def opqDimVars(kept: DataFrame): Array[(Int, Long)] =
+    kept
       .select(posexplode(
         expr("transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT))"))
         .as(Seq("pos", "v")))
@@ -3998,6 +4002,9 @@ object LlmOps {
       .collect() // bounded: 64 rows (one per dim)
       .map(r => (r.getInt(0),
         r.getLong(1) * r.getLong(3) - r.getLong(2) * r.getLong(2)))
+
+  private[graft] def opqPermOf(kept: DataFrame): Array[Int] = {
+    val stats = opqDimVars(kept)
     val ranked = stats.sortBy { case (dim, pv) => (-pv, dim) }.map(_._1)
     val slots = Array.fill(PqM)(scala.collection.mutable.ArrayBuffer[Int]())
     ranked.zipWithIndex.foreach { case (dim, r) =>
@@ -4006,6 +4013,82 @@ object LlmOps {
       slots(sub) += dim
     }
     slots.flatMap(_.toSeq)
+  }
+
+  /** The variance-skew statistic the conditional OPQ rung decides on:
+    * per-dim variances summed per NATURAL contiguous PqDsub-slice (the
+    * grouping the plain encoder uses), ratio of the largest to the
+    * smallest slice budget in micro units. Balanced dims → ~1.0×
+    * (measured 1.04–1.08× on the fixture corpora at every SF); the
+    * geometry OPQ exists for — energy concentrated in one axis-aligned
+    * slice — reads orders of magnitude higher.
+    */
+  private[graft] def opqSkewMicro(kept: DataFrame): Long = {
+    val slices = opqDimVars(kept).sortBy(_._1).map(_._2)
+      .grouped(PqDsub).map(s => BigInt(s.sum)).toSeq
+    (slices.max * 1000000 / slices.min.max(BigInt(1))).toLong
+  }
+
+  /** PrepMain's CONDITIONAL OPQ rung (`--ann opq` — the r13 verdict's
+    * #7: i81 measured the rotation ~free on variance-balanced dims and
+    * strictly winning on skewed ones, so neither always-on nor
+    * always-off is honest; the variance profile decides). Measures the
+    * kept grid's natural-slice skew: below `skewThresholdMicro` the
+    * rung writes NOTHING and records the decision (the manifest says
+    * WHY the artifact is absent); at or above it, the rung writes the
+    * rotated residual artifact (i81's snake-deal permutation through
+    * the shared writePqrArtifactsFrom) and certifies its recall@10 on
+    * the same deterministic truth every other rung uses — the
+    * permutation also ships (ann_opq_perm.json beside the codes: a
+    * probe cannot build its ADC grid without it). At 100 TB the
+    * decision input is 64 bounded stat rows off a pass the build
+    * already makes.
+    */
+  def opqDecideArtifact(emb: DataFrame, annIdxDir: String, centDir: String,
+      codesDir: String, cbDir: String, nQueries: Int = 32,
+      skewThresholdMicro: Long = 2000000L): Map[String, Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val s = emb.sparkSession
+    val kept = emb.withColumn("maxabs", sqMaxAbs).filter(col("maxabs") > 0)
+    val skew = opqSkewMicro(kept)
+    val decision = Map(
+      "ann_opq_skew_micro" -> skew,
+      "ann_opq_skew_threshold_micro" -> skewThresholdMicro)
+    if (skew < skewThresholdMicro) decision + ("ann_opq_applied" -> 0L)
+    else {
+      val perm = opqPermOf(kept)
+      writePqrArtifactsFrom(emb,
+        s.read.parquet(annIdxDir).select(col("vec_id"), col("cell")),
+        centDir, codesDir, cbDir, perm = Some(perm))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(codesDir).resolveSibling(
+          new java.io.File(codesDir).getName + "_perm.json"),
+        perm.mkString("[", ",", "]") + "\n")
+      val (qb0, exact) = annTruth(emb, nQueries)
+      val qb = qb0.withColumn("qq",
+          expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))"))
+        .withColumn("qqo", array(perm.map(i => col("qq").getItem(i)): _*))
+      val pruned = pqrBatchTop(s, codesDir, centDir, qb, 50,
+          cbDirOpt = Some(cbDir), adcGridCol = "qqo")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(broadcast(qb0), "q_id")
+        .withColumn("sim", round(dot(col("embedding"), col("qvec")), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(desc("sim"), asc("vec_id"))))
+        .filter(col("rk") <= 10)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      val row = exact.join(pruned, Seq("q_id", "vec_id"), "left")
+        .agg(countDistinct(col("q_id")), count(lit(1)),
+          coalesce(sum(col("hit")), lit(0L))).head()
+      val (nq, nExact, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      decision ++ Map(
+        "ann_opq_applied" -> 1L,
+        "n_ann_opq_vectors" -> s.read.parquet(codesDir).count(),
+        "ann_opq_recall_n_queries" -> nq,
+        "ann_opq_recall_hits" -> nHit,
+        "ann_opq_recall_at10_micro" ->
+          (if (nExact == 0) 0L else math.floor(nHit * 1e6 / nExact).toLong))
+    }
   }
 
   /** Build-once OPQ-rotated residual index (i81): the i75 build with

@@ -482,6 +482,85 @@ class PrepPipelineSpec extends SparkTestBase {
       "residual certification drifted to a different query sample")
     val rMicro = m("ann_rpq_recall_at10_micro")
     assert(rMicro > 0 && rMicro <= 1000000L, s"residual recall micro: $rMicro")
+    // the residual chain's OWN curve + operating point (r14, closing r13
+    // verdict #1's pipeline half): the served index carries the curve
+    // its deployment decision reads — sweep rows consistent with the
+    // manifest, np=2 rung = the certified triple, inversion = smallest
+    // qualifying rung or -1
+    val rSweep = spark.read.parquet(s"$outA/ann_rpq_sweep.parquet")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(rSweep.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    rSweep.foreach { case (np, nq2, _, _, micro) =>
+      assert(m(s"ann_rpq_sweep_np${np}_recall_micro") == micro,
+        s"residual sweep np=$np drifts from the manifest")
+      assert(nq2 == m("ann_rpq_recall_n_queries"),
+        s"residual sweep np=$np query sample drifts")
+    }
+    assert(rSweep(1)._4 == m("ann_rpq_recall_hits"),
+      "np=2 sweep rung is not the certified residual triple")
+    assert(m("ann_rpq_op_target_micro") == 500000L)
+    val rQual = rSweep.filter(_._5 >= m("ann_rpq_op_target_micro"))
+    if (rQual.nonEmpty) {
+      assert(m("ann_rpq_op_nprobe") == rQual.map(_._1).min,
+        "residual operating point is not the smallest qualifying rung")
+      assert(m("ann_rpq_op_recall_micro") == rQual.minBy(_._1)._5)
+    } else {
+      assert(m("ann_rpq_op_nprobe") == -1L,
+        "an unqualifying residual curve must signal re-cluster")
+      assert(m("ann_rpq_op_recall_micro") == rSweep.map(_._5).max)
+    }
+  }
+
+  test("--ann opq: the variance profile DECIDES — declined on the balanced fixture, applied+certified on skewed geometry") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val outO = Util.scratch("prep_out_annopq")
+    val m = PrepMain.run(spark, PrepMain.Opts(sfDir, outO, "minhash",
+      ann = "opq"))
+    // the fixture corpus is variance-balanced (measured 1.04–1.08× at
+    // every SF): the rung must DECLINE, record why, and write nothing
+    assert(m("ann_opq_applied") == 0L)
+    assert(m("ann_opq_skew_micro") >= 1000000L &&
+      m("ann_opq_skew_micro") < m("ann_opq_skew_threshold_micro"),
+      s"fixture skew ${m("ann_opq_skew_micro")} outside the declining band")
+    assert(!new java.io.File(s"$outO/ann_opq_codes.parquet").exists(),
+      "a declined rung must not write the rotated artifact")
+    assert(!m.contains("ann_opq_recall_at10_micro"),
+      "a declined rung must not fabricate a certification")
+    // "opq" still ships the full write-rung ladder beside the decision
+    assert(new java.io.File(s"$outO/ann_index.parquet").exists())
+    assert(new java.io.File(s"$outO/ann_rpq_codes.parquet").exists())
+    // the APPLIED branch, on i81's skewed geometry (8 hot dims carrying
+    // ~100× the energy inside ONE natural slice): skew ≫ threshold →
+    // rotated artifact written, permutation shipped, recall certified
+    val n = 1200
+    val vecs = (0 until n).map { v =>
+      val arr = Array.tabulate(64) { dd =>
+        val h = (((v * 2654435761L + dd * 40503L) % 1000003L) % 997L).toInt
+        if (dd < 8) (h - 498) / 250.0f else (h - 498) / 25000.0f
+      }
+      (v.toLong, arr.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding").localCheckpoint()
+    val idxDir = Util.scratch("opq_dec_idx")
+    val centDir = Util.scratch("opq_dec_cent")
+    emb.select(col("vec_id"), lit(0).as("cell"))
+      .write.mode("overwrite").parquet(idxDir)
+    Seq.tabulate(64)(p => (0, p, 0.0)).toDF("cell", "pos", "c")
+      .write.mode("overwrite").parquet(centDir)
+    val codesDir = Util.scratch("opq_dec_codes")
+    val cbDir = Util.scratch("opq_dec_cb")
+    val mo = LlmOps.opqDecideArtifact(emb, idxDir, centDir, codesDir, cbDir)
+    assert(mo("ann_opq_applied") == 1L)
+    assert(mo("ann_opq_skew_micro") >= mo("ann_opq_skew_threshold_micro"),
+      s"skewed plant read balanced: ${mo("ann_opq_skew_micro")}")
+    assert(mo("n_ann_opq_vectors") == n.toLong)
+    assert(mo("ann_opq_recall_at10_micro") > 0L &&
+      mo("ann_opq_recall_at10_micro") <= 1000000L)
+    // the permutation ships beside the codes — a probe cannot build its
+    // ADC grid without it
+    assert(new java.io.File(codesDir + "_perm.json").exists())
   }
 
   test("--shuffle hash attaches the i51 training order: a dense shuffled permutation") {
