@@ -98,6 +98,10 @@ object PlanAudit {
     "i49_perplexity_buckets", "i51_global_shuffle",
     "i52_contamination_report", "i53_token_histogram",
     "i55_curriculum_order", "i57_sft_pack", "m5_image_dedup",
+    // m15 (r14): m5's window-group shape over the dual-codec hashes —
+    // the same value-independent window a bare count prunes; its
+    // _forced ladder row times the real group pass
+    "m15_jpeg_dedup",
     // b18 (r8): the profile Aggregate feeds explode(array(<4 structs>)),
     // whose cardinality is value-independent — a bare count prunes the
     // aggregates entirely; the _forced ladder row times the real profile

@@ -1843,10 +1843,12 @@ object LlmOps {
         sq8IvfCentDir(dir), k = 20)
     }
 
-  /** i82: the RE-CLUSTER executor — acts on i80's "re-cluster" signal
-    * (i80 inverts the curve and, when no rung meets the target, tells
-    * the deployment that more probes cannot fix a too-coarse quantizer;
-    * THIS op is what the deployment then runs): relearn the cell model
+  /** i82: the RE-CLUSTER executor — acts on the selector's "re-cluster"
+    * signal (i80 inverts the label curve, i83 — since r14 — the learned
+    * curve the shipped artifact actually has; either way, when no rung
+    * meets the target the selector tells the deployment that more
+    * probes cannot fix a too-coarse quantizer, and THIS op is what the
+    * deployment then runs): relearn the cell model
     * at k' = 2k (10 → 20 — finer Voronoi regions, the same Lloyd
     * engine) and certify the re-clustered index BESIDE the original at
     * the SAME nominal scan budget — nprobe/k = 20% on both sides
@@ -3782,7 +3784,12 @@ object LlmOps {
   private[graft] def pqrBatchTop(s: SparkSession, idxDir: String,
       centDir: String, qb: DataFrame, n: Int,
       nprobe: Int = 2, cbDirOpt: Option[String] = None,
-      adcGridCol: String = "qq"): DataFrame = {
+      adcGridCol: String = "qq",
+      // the deletion log (j27/i84): tombstoned vec_ids anti-joined out
+      // of the codes scan BEFORE the rank window — filtering after the
+      // cut would return short exactly when a deleted vector ranked
+      // high (the i73/i74 correctness rule); broadcast side table
+      tombstones: Option[DataFrame] = None): DataFrame = {
     // adcGridCol: the query-grid column the per-subspace ADC tables are
     // built from — "qq" for the plain residual index; i81's OPQ probe
     // passes its PERMUTED grid here while the cell rank (qvec) and the
@@ -3808,7 +3815,11 @@ object LlmOps {
     val qfull = qb.select(col("q_id"), posexplode(col("qq")).as(Seq("cp", "qv")))
     val cdot = centI.join(broadcast(qfull), Seq("cp"))
       .groupBy("q_id", "cell").agg(sum(col("cv_i") * col("qv")).as("cd"))
-    s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+    tombstones.foldLeft(
+        s.read.parquet(idxDir).filter(col("cell").isin(cells: _*)))(
+        (codes, tomb) =>
+          codes.join(broadcast(tomb.select("vec_id")), Seq("vec_id"),
+            "left_anti"))
       .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(qcells), Seq("cell")) // each query scores its OWN cells

@@ -1555,6 +1555,78 @@ object StreamOps {
        |SELECT q_id, vec_id, sim FROM t2 WHERE rk <= 3
        |ORDER BY q_id, vec_id""".stripMargin)
 
+  /** j27: residual serving WITH the delete path — the r13 verdict #3's
+    * serving tier: i84 gave the production index its tombstones in
+    * batch, but a deployment serves it through j24, so the SERVING
+    * probe must honor the deletion log too or a takedown stays
+    * queryable exactly where it matters. Same micro-batch chain as j24
+    * with the tombstone side table (loaded once, broadcast, captured by
+    * the closure — never re-read per batch) anti-joined out of the
+    * codes scan BEFORE the rank window (pqrBatchTop's tombstones hook;
+    * filtering after the cut returns short exactly when a deleted
+    * vector ranked high — the i73/i74 rule). At 100 TB the log is
+    * i74's small side table (a bloom filter once it grows) and the
+    * per-batch cost is one broadcast hash probe per candidate on an
+    * otherwise byte-identical plan. Oracle: j24's chain with the
+    * tombstone predicate on the candidate pool.
+    */
+  val j27_stream_ann_rivfpq_tomb = OpQuery(
+    (s, d) => {
+      val idx = graft.ops.LlmOps.pqrWriteIndex(s, d)
+      val cent = graft.ops.LlmOps.sq8IvfCentDir(
+        graft.ops.LlmOps.sq8WriteIndexKmeans(s, d))
+      val tomb = t(s, d, "embeddings")
+        .filter(col("vec_id") % 13 === 2).select("vec_id")
+        .localCheckpoint() // the deletion log: loaded once, not per batch
+      streamAnnServeWith(s, d, "j27", qb =>
+        graft.ops.LlmOps.pqrBatchTop(s, idx, cent,
+            qb.withColumn("qq",
+              expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))")),
+            50, tombstones = Some(tomb))
+          .join(broadcast(qb), Seq("q_id"))
+          .select("q_id", "vec_id", "qvec"))
+    },
+    s"""WITH m AS (
+       |  SELECT vec_id, label, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs
+       |  FROM embeddings),
+       |${graft.ops.LlmOps.lloydCteSql("maxabs > 0")},
+       |${graft.ops.LlmOps.pqrCteSql},
+       |qs AS (SELECT vec_id AS q_id, embedding AS qvec,
+       |         list_transform(embedding, x -> CAST(floor(x * 1000) AS BIGINT)) AS qq
+       |       FROM m WHERE vec_id % 101 = 3 AND maxabs > 0),
+       |qx AS (SELECT q_id, r.i AS pos, qvec[r.i]::DOUBLE AS qv
+       |       FROM qs, range(1,65) r(i)),
+       |csim AS (SELECT q_id, centkm.label, round(sum(c * qv), 6) AS s
+       |         FROM centkm JOIN qx USING (pos) GROUP BY 1, 2),
+       |qc AS (SELECT q_id, label FROM (
+       |         SELECT q_id, label, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY s DESC, label) AS rk FROM csim) WHERE rk <= 2),
+       |rdtq AS (SELECT qs.q_id, rm1.sub, rm1.cid,
+       |          sum(qs.qq[rm1.sub * ${graft.ops.LlmOps.PqDsub} + rm1.pos] * rm1.cv_i) AS ds
+       |        FROM rm1, qs GROUP BY 1, 2, 3),
+       |cdtq AS (SELECT qs.q_id, c1.cid AS cell,
+       |          list_sum(list_transform(range(1, len(c1.cv) + 1),
+       |            i -> qs.qq[i] * c1.cv[i])) AS cd
+       |        FROM c1, qs),
+       |apr AS (SELECT rdtq.q_id, rcd.vec_id, cdtq.cd + sum(rdtq.ds) AS approx_i
+       |        FROM rcd JOIN rdtq ON rcd.sub = rdtq.sub AND rcd.cid = rdtq.cid
+       |             JOIN cellkm ON cellkm.vec_id = rcd.vec_id
+       |             JOIN qc ON qc.q_id = rdtq.q_id AND qc.label = cellkm.cid
+       |             JOIN cdtq ON cdtq.q_id = rdtq.q_id AND cdtq.cell = cellkm.cid
+       |        WHERE rcd.vec_id <> rdtq.q_id AND rcd.vec_id % 13 <> 2
+       |        GROUP BY rdtq.q_id, rcd.vec_id, cdtq.cd),
+       |pr AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY approx_i DESC, vec_id) AS rk FROM apr) WHERE rk <= 50),
+       |s2 AS (SELECT pr.q_id, pr.vec_id,
+       |         round(${graft.ops.LlmOps.dotSql("e.embedding", "qs.qvec")}, 6) AS sim
+       |       FROM pr JOIN embeddings e USING (vec_id) JOIN qs USING (q_id)),
+       |t2 AS (SELECT q_id, vec_id, sim, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, vec_id) AS rk FROM s2)
+       |SELECT q_id, vec_id, sim FROM t2 WHERE rk <= 3
+       |ORDER BY q_id, vec_id""".stripMargin)
+
   val j23_stream_ann_ivfpq = OpQuery(
     (s, d) => {
       val idx = graft.ops.LlmOps.pqIvfWriteIndex(s, d)
@@ -1603,6 +1675,7 @@ object StreamOps {
   val all: Map[String, OpQuery] = Map(
     "j23_stream_ann_ivfpq" -> j23_stream_ann_ivfpq,
     "j24_stream_ann_rivfpq" -> j24_stream_ann_rivfpq,
+    "j27_stream_ann_rivfpq_tomb" -> j27_stream_ann_rivfpq_tomb,
     "j22_stream_ann_kmeans" -> j22_stream_ann_kmeans,
     "j21_stream_ann_ivf" -> j21_stream_ann_ivf,
     "j20_stream_ann" -> j20_stream_ann,

@@ -254,4 +254,34 @@ class PlanAuditSpec extends SparkTestBase {
     val out = LlmOps.i79_sim_ann_rivfpq_filtered.fn(spark, sfDir).collect()
     assert(out.length == 10 && out.forall(_.getInt(1) < 5))
   }
+
+  test("i84/j27 stage 1: the tombstone anti-join rides the pruned codes scan - broadcast, no extra pass") {
+    import graft.ops.LlmOps
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, typedLit}
+    val dir = LlmOps.pqrWriteIndex(spark, sfDir)
+    val kmIdx = LlmOps.sq8WriteIndexKmeans(spark, sfDir)
+    val qq = LlmOps.pqQueryGrid(spark, sfDir, 7L)
+    val tomb = Tables.t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 13 === 2).select("vec_id")
+    val stage1 = LlmOps.codesTopK(
+      spark.read.parquet(dir).filter(col("cell").isin(0, 1))
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+      LlmOps.adcLitFrom(spark, LlmOps.pqrCbDir(dir), qq, LlmOps.PqrK),
+      50, 7L, LlmOps.PqrK,
+      cellTerm = element_at(
+        typedLit(LlmOps.cellDotMap(spark, kmIdx, qq, Seq(0, 1))), col("cell")))
+    val plan = stage1.queryExecution.executedPlan.toString
+    // the delete path must not change the scan posture: still the
+    // partition-pruned codes-only scan, the deletion log a BROADCAST
+    // anti-join (a shuffled anti-join would re-partition the scan by
+    // vec_id - the side table is index metadata, never data-sized)
+    assert(plan.contains("i75_rivfpq"))
+    val pf = plan.substring(plan.indexOf("PartitionFilters")).takeWhile(_ != ']')
+    assert(plan.contains("PartitionFilters") && pf.contains("cell"),
+      s"tombstoned probe lost the partition filter:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone exclusion is not a broadcast anti-join:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      "the deletion log forced a sort-merge join into the probe")
+  }
 }

@@ -374,6 +374,25 @@ class StreamOpsSpec extends SparkTestBase {
         "clock row — fingerprint state must not outlive the watermark")
   }
 
+  test("j27 serving honors the deletion log: no tombstoned vector served, full top-3 back-filled") {
+    val served = StreamOps.j27_stream_ann_rivfpq_tomb.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(served.nonEmpty)
+    assert(served.forall(_._2 % 13 != 2), "a deleted vector was served")
+    // every query still gets its FULL top-3 of live vectors — the
+    // exclusion ran before the cut, not after it
+    served.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length == 3, s"query $q served ${rows.length} rows")
+    }
+    // and the delete is visible: j24 (no deletion log) serves at least
+    // one tombstone-class vector on this fixture, j27 must diverge
+    val base = StreamOps.j24_stream_ann_rivfpq.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(base.exists(_._2 % 13 == 2),
+      "fixture vacuous: no tombstone-class vector in j24's serving output")
+    assert(served.toSeq != base.toSeq, "the deletion log changed nothing")
+  }
+
   test("j18 per-batch best-match unions to the batch d20 result; each alert resolved once") {
     import graft.ops.RelOps
     val fromStream = StreamOps.j18_stream_xmatch_best.fn(spark, sfDir)
