@@ -4324,11 +4324,54 @@ object LlmOps {
     * doc), sub-quadratic LSH candidates where it can (i39, the 100 TB
     * path).
     */
+  /** Edge-count bound under which components are solved by a driver
+    * union-find instead of the distributed loop: 2M (Long, Long) pairs
+    * ≈ 32 MB on the driver — the broadcast-hash-relation size class, the
+    * same adaptive small-side rationale as a broadcast join (r14 opt
+    * guide §1.2/§3.1: pick the algorithm by measured input size). The
+    * fixture graphs are ≤ ~1k edges and paid ~2.6–3.4 s of pure
+    * scheduling in the loop (measured r14, local[32]: 6 jobs × ~7 rounds
+    * for µs of data work); at 100 TB a billion-edge graph takes the
+    * distributed path unchanged.
+    */
+  private[graft] val CcDriverEdgeBound = 2000000L
+
   private[graft] def connectedComponents(s: SparkSession,
-      pairsIn: DataFrame): DataFrame = {
+      pairsIn: DataFrame): DataFrame =
+    connectedComponents(s, pairsIn, CcDriverEdgeBound)
+
+  private[graft] def connectedComponents(s: SparkSession,
+      pairsIn: DataFrame, driverEdgeBound: Long): DataFrame = {
     import s.implicits._
     val pairs = pairsIn
       .localCheckpoint() // materialize once: counted below, iterated after
+    if (pairs.count() <= driverEdgeBound) {
+      // bounded collect (≤ CcDriverEdgeBound pairs — see bound doc above):
+      // union-find with path compression, then label every edge-touching
+      // node with its component's MIN id — exactly the loop's fixpoint.
+      val es = pairs.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+        var y = x0 // path compression
+        while (y != x) { val n = parent.get(y); parent.put(y, x); y = n }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val minOf = new java.util.HashMap[Long, Long]()
+      val nodes = es.iterator.flatMap(p => Iterator(p._1, p._2)).toArray.distinct
+      nodes.foreach { n =>
+        val r = find(n)
+        val cur = minOf.getOrDefault(r, Long.MaxValue)
+        if (n < cur) minOf.put(r, n)
+      }
+      return nodes.toSeq.map(n => (n, minOf.get(find(n)))).toDF("node_id", "lbl")
+    }
     // partition count scales with the edge set (≥ default parallelism at
     // real scale, 1 task per job at fixture scale); ONE HashPartitioner
     // instance keys every RDD in the loop so joins stay narrow

@@ -836,6 +836,26 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents: driver union-find (size-gated fast path) equals the distributed loop") {
+    // r14 optimization: below CcDriverEdgeBound the engine solves the
+    // graph on the driver (bounded collect, broadcast-class) — this pins
+    // that both paths produce IDENTICAL labels on a fixture that has
+    // chains, merges and isolated-from-the-edge-set nodes
+    import spark.implicits._
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),          // chain -> min 1
+      (10L, 11L), (12L, 11L),                // merge through middle -> 10
+      (20L, 21L), (21L, 20L), (20L, 21L),    // duplicate/symmetric edges
+      (7L, 30L), (30L, 8L), (8L, 7L)         // cycle -> 7
+    ).toDF("a_id", "b_id")
+    val fast = LlmOps.connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = LlmOps.connectedComponents(spark, edges, driverEdgeBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop, s"paths disagree: fast=$fast loop=$loop")
+    assert(fast(4L) == 1L && fast(12L) == 10L && fast(30L) == 7L)
+  }
+
   test("i24 decontaminate: flagged pairs match a driver-side string-shingle recompute") {
     // independent oracle: true 2-gram string sets (no hashing, no inverted
     // index) — the op's hashed inverted-index join must find exactly the
