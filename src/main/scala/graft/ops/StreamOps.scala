@@ -40,15 +40,33 @@ object StreamOps {
     * j25 wall 9.0 → 2.2 s median, results hash-identical (state key
     * hash-partitioning is width-independent). The previous session value
     * is restored in a finally, so batch keys never see the override.
+    *
+    * The override mutates the SESSION-global conf for the window's
+    * duration (including awaitTermination): callers must not start
+    * unrelated queries on the session concurrently, and any full-width
+    * batch work a harness needs (static index builds, fixtureOnce source
+    * synthesis) belongs BEFORE the window — the j12/j13/j17 convention.
+    *
+    * Arrival bytes are sized through the Hadoop FileSystem of each path
+    * (a plain java.io.File reports 0 for hdfs://, s3:// or file: URIs,
+    * which would have started a 100 TB cluster stream at width 1);
+    * unknown or empty sizes fall back to the cluster's default
+    * parallelism, never to 1.
     */
   private[graft] def withArrivalSizedShuffle[T](s: SparkSession,
       srcPaths: Seq[String])(body: => T): T = {
-    def sz(x: java.io.File): Long =
-      if (x.isDirectory) Option(x.listFiles()).map(_.map(sz).sum).getOrElse(0L)
-      else x.length()
-    val bytes = srcPaths.map(p => sz(new java.io.File(p))).sum
-    val parts = math.max(1L, math.min(bytes / (32L << 20) + 1,
-      s.sparkContext.defaultParallelism.toLong * 4))
+    val bytes = try {
+      val conf = s.sparkContext.hadoopConfiguration
+      srcPaths.map { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val fs = path.getFileSystem(conf)
+        if (fs.exists(path)) fs.getContentSummary(path).getLength else 0L
+      }.sum
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+    val dp = s.sparkContext.defaultParallelism.toLong
+    val parts =
+      if (bytes <= 0L) dp
+      else math.max(1L, math.min(bytes / (32L << 20) + 1, dp * 4))
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, parts.toString)
@@ -515,9 +533,11 @@ object StreamOps {
       val docs = t(s, d, "documents")
       // static corpus index at full batch width (the j12 rule)
       val statics = incrementalDedupStatics(docs)
-      withArrivalSizedShuffle(s, Seq(s"$d/documents.parquet")) {
       // build-once scaffolding, keyed per sfDir (r8 #7): the op under
-      // test is the stream, not re-synthesizing its source files
+      // test is the stream, not re-synthesizing its source files. Built
+      // at full batch width BEFORE the arrival-sized window (the
+      // j12/j13 statics rule), which also lets the window size itself
+      // on the ACTUAL arriving files rather than the whole corpus.
       val srcDir = graft.Util.fixtureOnce(
         s"j17_probe_src_${d.replaceAll("[^a-zA-Z0-9]", "_")}") { p =>
         val probeDocs = docs.filter(col("doc_id") % 10 === 0)
@@ -526,6 +546,7 @@ object StreamOps {
         probeDocs.filter(col("doc_id") % 20 =!= 0).coalesce(1)
           .write.mode("overwrite").parquet(s"$p/f1")
       }
+      withArrivalSizedShuffle(s, Seq(srcDir)) {
       val src = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
         .option("recursiveFileLookup", "true")
@@ -1293,10 +1314,19 @@ object StreamOps {
     * caller reads it twice (the bounded cell collect + a broadcast join).
     */
   private[graft] def ivfBatchCells(s: SparkSession, centDir: String,
+      qb: DataFrame, nprobe: Int): DataFrame =
+    ivfBatchCells(s.read.parquet(centDir), qb, nprobe)
+
+  /** The frame-accepting form: serving harnesses load the k×64 centroid
+    * artifact ONCE per op (localCheckpointed) and rank every micro-batch
+    * against the held frame instead of re-scanning the parquet per batch
+    * (opt guide §6 redundant I/O — the r14 verdict's #2).
+    */
+  private[graft] def ivfBatchCells(cent: DataFrame,
       qb: DataFrame, nprobe: Int): DataFrame = {
     val qx = qb.select(col("q_id"), posexplode(col("qvec")).as(Seq("pos", "qv")))
       .withColumn("qv", col("qv").cast("double"))
-    s.read.parquet(centDir).join(broadcast(qx), Seq("pos"))
+    cent.join(broadcast(qx), Seq("pos"))
       .groupBy("q_id", "cell")
       .agg(round(sum(col("c") * col("qv")), 6).as("csim"))
       .withColumn("rk", row_number().over(Window.partitionBy("q_id")
@@ -1306,12 +1336,18 @@ object StreamOps {
   }
 
   def ivfBatchStage1(s: SparkSession, idxDir: String, qb: DataFrame,
-      nprobe: Int = 2, centDir: Option[String] = None): DataFrame = {
+      nprobe: Int = 2, centDir: Option[String] = None,
+      // per-op hoisted side frames (r14 verdict #2): the serving
+      // harnesses pass the once-loaded centroid frame and the shared
+      // lazy index scan handle so a micro-batch re-plans but never
+      // re-loads the statics
+      centDf: Option[DataFrame] = None,
+      idxDf: Option[DataFrame] = None): DataFrame = {
     // the gate layout keeps centroids at <idx>_cent; PrepMain's --ann
     // artifact names them ann_centroids.parquet beside the index —
     // same table, caller-supplied path
-    val qcells = ivfBatchCells(s,
-      centDir.getOrElse(graft.ops.LlmOps.sq8IvfCentDir(idxDir)), qb, nprobe)
+    val qcells = ivfBatchCells(centDf.getOrElse(s.read.parquet(
+      centDir.getOrElse(graft.ops.LlmOps.sq8IvfCentDir(idxDir)))), qb, nprobe)
     val cells = qcells.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     // a batch whose queries were ALL guard-filtered (maxq == 0) ranks no
@@ -1320,7 +1356,7 @@ object StreamOps {
     if (cells.isEmpty)
       return qb.select(col("q_id"), col("q_id").as("vec_id"), col("qvec"))
         .limit(0)
-    s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+    idxDf.getOrElse(s.read.parquet(idxDir)).filter(col("cell").isin(cells: _*))
       .join(broadcast(qcells.join(qb, "q_id")), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("approx_sim", col("maxabs") / lit(127.0) *
@@ -1344,9 +1380,14 @@ object StreamOps {
     * the exact re-rank, the ivfBatchStage1 contract.
     */
   def pqIvfBatchStage1(s: SparkSession, idxDir: String, cbDir: String,
-      centDir: String, qb: DataFrame, nprobe: Int = 2): DataFrame = {
+      centDir: String, qb: DataFrame, nprobe: Int = 2,
+      // per-op hoisted side frames (r14 verdict #2) — see ivfBatchStage1
+      centDf: Option[DataFrame] = None,
+      cbDf: Option[DataFrame] = None,
+      idxDf: Option[DataFrame] = None): DataFrame = {
     import graft.ops.LlmOps.{PqDsub => D}
-    val qcells = ivfBatchCells(s, centDir, qb, nprobe)
+    val qcells = ivfBatchCells(
+      centDf.getOrElse(s.read.parquet(centDir)), qb, nprobe)
     val cells = qcells.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty)
@@ -1359,10 +1400,11 @@ object StreamOps {
         .as(Seq("p0", "qv")))
       .withColumn("sub", expr(s"p0 DIV $D"))
       .withColumn("pos", expr(s"p0 % $D"))
-    val dtq = s.read.parquet(cbDir).join(broadcast(qx), Seq("sub", "pos"))
+    val dtq = cbDf.getOrElse(s.read.parquet(cbDir))
+      .join(broadcast(qx), Seq("sub", "pos"))
       .groupBy("q_id", "sub", "cid")
       .agg(sum(col("cv_i") * col("qv")).as("ds"))
-    s.read.parquet(idxDir).filter(col("cell").isin(cells: _*))
+    idxDf.getOrElse(s.read.parquet(idxDir)).filter(col("cell").isin(cells: _*))
       .select(col("vec_id"), col("cell"),
         posexplode(col("codes")).as(Seq("sub", "cid")))
       .join(broadcast(qcells), Seq("cell")) // each query scores its OWN cells
@@ -1399,8 +1441,18 @@ object StreamOps {
     * top-3 re-rank appended to the sink.
     */
   private def streamAnnServe(s: SparkSession, d: String, name: String,
-      idx: String): DataFrame =
-    streamAnnServeWith(s, d, name, qb => ivfBatchStage1(s, idx, qb))
+      idx: String): DataFrame = {
+    // statics loaded once per op, not once per micro-batch (r14 verdict
+    // #2 / opt guide §6): the k×64 centroid artifact is materialized
+    // (localCheckpoint — removes one parquet scan job per batch), the
+    // index keeps ONE lazy scan handle (file listing resolved once; the
+    // per-batch literal cell partition filter plans exactly as before)
+    val cent = s.read.parquet(graft.ops.LlmOps.sq8IvfCentDir(idx))
+      .localCheckpoint()
+    val idxDf = s.read.parquet(idx)
+    streamAnnServeWith(s, d, name, qb =>
+      ivfBatchStage1(s, idx, qb, centDf = Some(cent), idxDf = Some(idxDf)))
+  }
 
   /** The harness behind streamAnnServe, parametrized by the per-batch
     * stage-1 probe (SQ8 for j21/j22, PQ ADC for j23) — the sink/rerank
@@ -1578,11 +1630,18 @@ object StreamOps {
       val idx = graft.ops.LlmOps.pqrWriteIndex(s, d)
       val cent = graft.ops.LlmOps.sq8IvfCentDir(
         graft.ops.LlmOps.sq8WriteIndexKmeans(s, d))
+      // statics once per op (r14 verdict #2): centroid + codebook
+      // frames held across batches, one lazy index scan handle
+      val centDf = s.read.parquet(cent).localCheckpoint()
+      val cbDf = s.read.parquet(graft.ops.LlmOps.pqrCbDir(idx))
+        .localCheckpoint()
+      val idxDf = s.read.parquet(idx)
       streamAnnServeWith(s, d, "j24", qb =>
         graft.ops.LlmOps.pqrBatchTop(s, idx, cent,
             qb.withColumn("qq",
               expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))")),
-            50)
+            50, centDf = Some(centDf), cbDf = Some(cbDf),
+            idxDf = Some(idxDf))
           .join(broadcast(qb), Seq("q_id"))
           .select("q_id", "vec_id", "qvec"))
     },
@@ -1650,11 +1709,17 @@ object StreamOps {
       val tomb = t(s, d, "embeddings")
         .filter(col("vec_id") % 13 === 2).select("vec_id")
         .localCheckpoint() // the deletion log: loaded once, not per batch
+      // statics once per op (r14 verdict #2), same shape as j24
+      val centDf = s.read.parquet(cent).localCheckpoint()
+      val cbDf = s.read.parquet(graft.ops.LlmOps.pqrCbDir(idx))
+        .localCheckpoint()
+      val idxDf = s.read.parquet(idx)
       streamAnnServeWith(s, d, "j27", qb =>
         graft.ops.LlmOps.pqrBatchTop(s, idx, cent,
             qb.withColumn("qq",
               expr("transform(qvec, x -> CAST(floor(x * 1000) AS BIGINT))")),
-            50, tombstones = Some(tomb))
+            50, tombstones = Some(tomb), centDf = Some(centDf),
+            cbDf = Some(cbDf), idxDf = Some(idxDf))
           .join(broadcast(qb), Seq("q_id"))
           .select("q_id", "vec_id", "qvec"))
     },
@@ -1705,8 +1770,14 @@ object StreamOps {
       val cb = graft.ops.LlmOps.pqCbDir(graft.ops.LlmOps.pqWriteIndex(s, d))
       val cent = graft.ops.LlmOps.sq8IvfCentDir(
         graft.ops.LlmOps.sq8WriteIndexKmeans(s, d))
+      // statics once per op (r14 verdict #2): centroid + codebook
+      // frames held across batches, one lazy index scan handle
+      val centDf = s.read.parquet(cent).localCheckpoint()
+      val cbDf = s.read.parquet(cb).localCheckpoint()
+      val idxDf = s.read.parquet(idx)
       streamAnnServeWith(s, d, "j23",
-        qb => pqIvfBatchStage1(s, idx, cb, cent, qb))
+        qb => pqIvfBatchStage1(s, idx, cb, cent, qb,
+          centDf = Some(centDf), cbDf = Some(cbDf), idxDf = Some(idxDf)))
     },
     s"""WITH m AS (
        |  SELECT vec_id, label, embedding,
