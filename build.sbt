@@ -33,3 +33,37 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Parallel forked test groups (r15, r14 verdict #6): the suite had
+// outgrown the driver's test budget (~30 min sequential; the driver's
+// VERIFY truncated mid-run and could no longer confirm the suite green).
+// Heavy suites get their own forked JVM and run CONCURRENTLY (each is a
+// local[4] session — 6 in flight ≈ 24 task threads on 32 cores); light
+// suites share the remainder group. Per-group warehouse/derby overrides
+// keep catalog writers (a9's bucketed saveAsTable, DDL tests) from
+// colliding across concurrent JVMs; everything else is already
+// per-PID-scratch isolated (Util.scratch/fixtureOnce).
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val base = (Test / javaOptions).value
+  val ownGroup = Map(
+    "graft.OpSmokeSpec" -> 0,
+    "graft.OpSmokeSpecShard1" -> 1,
+    "graft.OpSmokeSpecShard2" -> 2,
+    "graft.OpSmokeSpecShard3" -> 3,
+    "graft.StreamOpsSpec" -> 4,
+    "graft.LlmOpsSpec" -> 5,
+    "graft.IngestCliSpec" -> 6,
+    "graft.PrepPipelineSpec" -> 6,
+    "graft.ScanOpsSpec" -> 7,
+    "graft.FitsSpec" -> 7,
+  )
+  tests.groupBy(t => ownGroup.getOrElse(t.name, 8)).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"g$i", ts, Tests.SubProcess(ForkOptions()
+        .withRunJVMOptions((base ++ Seq(
+          s"-Dspark.sql.warehouse.dir=/tmp/graft_test_wh_g$i",
+          s"-Dderby.system.home=/tmp/graft_test_derby_g$i")).toVector)))
+    }
+}
+// The ForkedTestGroup tag defaults to 1 concurrent group; allow 6.
+Global / concurrentRestrictions := Seq(Tags.limit(Tags.ForkedTestGroup, 6))

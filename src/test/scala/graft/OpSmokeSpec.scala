@@ -3,21 +3,37 @@ package graft
 /** Smoke: every declared query executes at sf0.001 and returns a sane shape
   * (the DuckDB hash-match itself is the driver-run t2 gate; this catches
   * runtime regressions in `sbt test`).
+  *
+  * Sharded 4 ways (r15, the r14 verdict's #6): the 257-key pass was one
+  * sequential suite and had outgrown the driver's test budget (~30 min
+  * total suite wall; the driver's VERIFY truncated mid-run). The shards
+  * are striped over the SORTED key list (key i goes to shard i % 4) so
+  * each shard carries a balanced mix of cheap scalar keys and heavy
+  * streaming/ANN keys, and build.sbt assigns each shard its own forked
+  * JVM group so they run CONCURRENTLY. Striping means each shard JVM
+  * builds its own fixtureOnce scaffolding (per-PID scratch) — at
+  * sf0.001 those builds are sub-second, a price worth 4× the wall.
   */
-class OpSmokeSpec extends SparkTestBase {
+abstract class OpSmokeShard(shard: Int, nShards: Int) extends SparkTestBase {
 
   private val expectNonEmpty = SparkEntry.queries.keySet --
     Set("i5_dedup_near_jaccard", "i10_dedup_minhash_lsh", "i11_dedup_simhash",
       "i12_dedup_embcos") // near-dup pair sets may be empty at sf0.001
 
-  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name executes at sf0.001") {
-      val df = fn(spark, sfDir)
-      val n = df.count()
-      assert(n >= 0)
-      if (expectNonEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+  SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+    .filter(_._2 % nShards == shard)
+    .map(_._1)
+    .foreach { case (name, fn) =>
+      test(s"$name executes at sf0.001") {
+        val df = fn(spark, sfDir)
+        val n = df.count()
+        assert(n >= 0)
+        if (expectNonEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      }
     }
-  }
+}
+
+class OpSmokeSpec extends OpSmokeShard(0, 4) {
 
   test("entry flagship returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -57,3 +73,7 @@ class OpSmokeSpec extends SparkTestBase {
     }
   }
 }
+
+class OpSmokeSpecShard1 extends OpSmokeShard(1, 4)
+class OpSmokeSpecShard2 extends OpSmokeShard(2, 4)
+class OpSmokeSpecShard3 extends OpSmokeShard(3, 4)
